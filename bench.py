@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "...", "value": <total_sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with a count()-style action (results
+are not collected to the driver — we measure engine throughput, not
+IPC). A warmup pass on sf0.001 triggers JVM/codegen warmup so the
+timed numbers reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from web_api_postgres_etl_spark.session import get_spark
+
+HEADLINE = [
+    "flagship_star_join",
+    "agg_pricing_summary",
+    "o2_dedup_last_wins",
+    "p6_watermark_delta",
+    "j2_two_way_join",
+    "f2_pct_change",
+    "dedup_exact",
+    "text_stats",
+    "fingerprint",
+    "minhash_lsh_pairs",
+    "ann_cosine_topk",
+    "lang_id",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    queries = entrymod.queries()
+
+    # Warmup: run everything once at the smallest SF (codegen + class
+    # loading), so timings measure execution, not JVM warmup.
+    for name in HEADLINE:
+        try:
+            queries[name](spark, "/root/testdata/sf0.001").count()
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

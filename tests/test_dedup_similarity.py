@@ -1,0 +1,79 @@
+"""Near-dup dedup + similarity: ground-truth behavior on crafted docs,
+LSH recall against the exact baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from web_api_postgres_etl_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from web_api_postgres_etl_spark.operators.similarity import (
+    cosine_topk,
+    rhp_lsh_topk,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+    (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+    (4, "completely different content about spark engines and parquet files"),
+    (5, "totally unrelated words regarding databases and storage formats"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    out = dedup_exact(_docs(spark), on=["text"], id_col="doc_id")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 2, 4, 5]  # 3 is the exact dup of 1 → dropped
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(spark):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            _docs(spark), "doc_id", "text", shingle_n=2, num_hashes=8, bands=4
+        ).collect()
+    }
+    assert (1, 3) in pairs  # identical docs always collide in every band
+    assert (1, 2) in pairs or (2, 3) in pairs  # high-jaccard near-dup
+
+
+def test_ngram_jaccard_exact_values(spark):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            _docs(spark), "doc_id", "text", shingle_n=2, threshold=0.1
+        ).collect()
+    }
+    assert out[(1, 3)] == 1.0  # identical
+    # docs 1 and 2 share 7 of 8 bigrams each → J = 7/(8+8-7) = 7/9
+    assert abs(out[(1, 2)] - 7 / 9) < 1e-9
+
+
+def test_simhash_flags_identical_and_near(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dups(_docs(spark), "doc_id", "text", max_hamming=10).collect()
+    }
+    assert pairs.get((1, 3)) == 0  # identical text → identical simhash
+    assert (1, 2) in pairs  # near-dup within hamming 10
+
+
+def test_rhp_lsh_topk_recall(spark):
+    """Approximate top-k must recover most of the exact top-k."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 1).first()["embedding"]
+    q = [float(x) for x in q]
+    exact = {r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()}
+    approx = {r["vec_id"] for r in rhp_lsh_topk(emb, q, k=10, num_planes=16, bands=4).collect()}
+    recall = len(exact & approx) / 10
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+    assert 1 in approx  # the query vector itself always shares all bands

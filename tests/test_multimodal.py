@@ -1,0 +1,66 @@
+"""Multimodal plumbing: binary columns, mapInPandas batch kernel,
+frame-sample fan-out — real Spark mechanics around a stubbed codec."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_api_postgres_etl_spark.operators.multimodal import (
+    decode_image,
+    extract_image_features,
+    fake_image_features,
+    frame_sample_plan,
+    media_stats,
+)
+
+
+def _media(spark):
+    rows = [
+        (1, b"\x89PNG-fake-bytes-1", ("image/png", 64, 64, None, None, "png")),
+        (2, b"\x89PNG-fake-bytes-22", ("image/png", 32, 32, None, None, "png")),
+        (3, b"RIFF-fake-audio", ("audio/wav", None, None, 16000, 2500, "pcm")),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "media_id long, content binary, media_meta "
+        "struct<mime:string,width:int,height:int,sample_rate:int,duration_ms:int,codec:string>",
+    )
+
+
+def test_decode_is_explicitly_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"x", None)
+
+
+def test_fake_features_deterministic():
+    a = fake_image_features(b"same-bytes")
+    b = fake_image_features(b"same-bytes")
+    assert a == b and len(a) == 8
+    assert all(0.0 <= x < 1.0 for x in a)
+
+
+def test_extract_image_features_mapinpandas(spark):
+    out = {r["media_id"]: r for r in extract_image_features(_media(spark)).collect()}
+    assert len(out) == 3
+    assert out[1]["sha256"] == hashlib.sha256(b"\x89PNG-fake-bytes-1").hexdigest()
+    assert out[1]["n_bytes"] == len(b"\x89PNG-fake-bytes-1")
+    assert len(out[1]["feature"]) == 8
+    # kernel output matches the driver-side reference implementation
+    assert out[2]["feature"] == pytest.approx(fake_image_features(b"\x89PNG-fake-bytes-22"))
+
+
+def test_frame_sample_plan_fanout(spark):
+    frames = frame_sample_plan(_media(spark), every_ms=1000).collect()
+    # only the audio row has duration (2500ms) → frames at 0,1000,2000
+    assert [(r["media_id"], r["frame_ts_ms"]) for r in frames] == [
+        (3, 0), (3, 1000), (3, 2000)
+    ]
+
+
+def test_media_stats_jvm_only(spark):
+    stats = {r["mime"]: r for r in media_stats(_media(spark)).collect()}
+    assert stats["image/png"]["n"] == 2
+    assert stats["audio/wav"]["total_bytes"] == len(b"RIFF-fake-audio")

@@ -1,0 +1,118 @@
+"""Semantic-trap tests from SURVEY.md §7.4 — injected nulls/NaN,
+zero denominators, last-wins ties, dotted names."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from web_api_postgres_etl_spark.functions.dates import jalali_compact_to_slashed
+from web_api_postgres_etl_spark.functions.math import pct_change
+from web_api_postgres_etl_spark.functions.arrays import first_element_field
+from web_api_postgres_etl_spark.operators.dedup import dedup_last_wins
+from web_api_postgres_etl_spark.operators.filters import drop_required_nulls, in_range
+from web_api_postgres_etl_spark.operators.project import project, project_alias
+
+
+def test_drop_required_nulls_drops_nan_and_null(spark):
+    """SURVEY §7.4.3: pandas dropna removes NaN; Spark na.drop only
+    nulls — our operator must drop BOTH for float columns."""
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, float("nan")), (4, 4.0)],
+        "id long, price double",
+    )
+    out = drop_required_nulls(df, ["price"]).select("id").orderBy("id").collect()
+    assert [r["id"] for r in out] == [1, 4]
+
+
+def test_drop_required_nulls_dotted_columns(spark):
+    df = spark.createDataFrame([(1, 10), (2, None)], "id long, `meta.version` long")
+    out = drop_required_nulls(df, ["meta.version"]).collect()
+    assert len(out) == 1 and out[0]["id"] == 1
+
+
+def test_pct_change_zero_denominator_is_null(spark):
+    """SURVEY §7.4.4: close == change → pandas inf, engine pins NULL."""
+    df = spark.createDataFrame(
+        [(1, 100.0, 20.0), (2, 50.0, 50.0)], "id long, close double, change double"
+    )
+    out = (
+        df.select("id", pct_change("change", "close").alias("pct"))
+        .orderBy("id")
+        .collect()
+    )
+    assert math.isclose(out[0]["pct"], 0.25)
+    assert out[1]["pct"] is None
+
+
+def test_jalali_reformat_positions(spark):
+    df = spark.createDataFrame([("14011225093000",)], "date_time string")
+    out = df.select(jalali_compact_to_slashed("date_time").alias("j")).first()
+    assert out["j"] == "1401/12/25"
+
+
+def test_jalali_lexicographic_between(spark):
+    """P5: zero-padded Jalali strings — lexicographic == chronological."""
+    df = spark.createDataFrame(
+        [("1398/12/29",), ("1399/01/01",), ("1400/07/15",), ("1402/01/01",)],
+        "j_date string",
+    )
+    out = in_range(df, "j_date", "1399/01/01", "1401/12/29").collect()
+    assert sorted(r["j_date"] for r in out) == ["1399/01/01", "1400/07/15"]
+
+
+def test_dedup_last_wins_keeps_max_version_with_tiebreak(spark):
+    """SURVEY §7.4.2: keep='last' after ORDER BY version — window form;
+    equal versions broken deterministically by id DESC."""
+    rows = [
+        # (id, j_date, name, version)
+        (1, "1401/01/01", "a", 5),
+        (2, "1401/01/01", "a", 9),   # winner (higher version)
+        (3, "1401/01/01", "b", 7),
+        (4, "1401/01/01", "b", 7),   # tie on version → id DESC → 4 wins
+    ]
+    df = spark.createDataFrame(rows, "id long, j_date string, name string, `meta.version` long")
+    out = dedup_last_wins(df, ["j_date", "name"], "meta.version", tiebreaker="id")
+    got = {(r["name"]): r["id"] for r in out.collect()}
+    assert got == {"a": 2, "b": 4}
+
+
+def test_dedup_last_wins_idempotent(spark):
+    rows = [(i, "d", "k", v) for i, v in enumerate([3, 1, 3, 2])]
+    df = spark.createDataFrame(rows, "id long, j_date string, name string, `meta.version` long")
+    once = dedup_last_wins(df, ["j_date", "name"], "meta.version")
+    twice = dedup_last_wins(once, ["j_date", "name"], "meta.version")
+    assert once.collect() == twice.collect()
+
+
+def test_first_element_field_and_null_safety(spark):
+    """F3 — row-correct array extraction (reference's loop misaligns
+    after dropna, SURVEY §7.4.8; ours is positionally exact)."""
+    df = spark.createDataFrame(
+        [
+            (1, [{"id": "c1", "x": "y"}]),
+            (2, []),
+            (3, None),
+            (4, [{"id": "c9", "x": "z"}, {"id": "c2", "x": "w"}]),
+        ],
+        "id long, categories array<struct<id:string,x:string>>",
+    )
+    out = {
+        r["id"]: r["cat"]
+        for r in df.select(
+            "id", first_element_field("categories", "id").alias("cat")
+        ).collect()
+    }
+    assert out == {1: "c1", 2: None, 3: None, 4: "c9"}
+
+
+def test_project_and_alias_with_dotted_names(spark):
+    df = spark.createDataFrame(
+        [(1, "i1", 3)], "id long, `instrument.id` string, `meta.version` long"
+    )
+    p = project(df, ["meta.version", "id"])
+    assert p.columns == ["meta.version", "id"]
+    a = project_alias(df, {"company.id": "instrument.id", "version": "meta.version"})
+    assert a.columns == ["company.id", "version"]
+    assert a.first()["company.id"] == "i1"

@@ -1,0 +1,67 @@
+"""Mirror of the driver's correctness gate: every queries() entry with
+an oracle_sql() must match DuckDB on row count, column names, and
+order-insensitive values at sf0.01."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_ORACLE
+
+ORACLES = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+
+
+def _canon(val):
+    if val is None:
+        return ("<null>",)
+    if isinstance(val, float):
+        if math.isnan(val):
+            return ("<nan>",)
+        return ("f", repr(val))
+    return (type(val).__name__, str(val))
+
+
+def _rows_canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_canon(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, spark, oracle):
+    sdf = QUERIES[name](spark, SF_ORACLE)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    res = oracle.execute(ORACLES[name])
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count {len(s_rows)} (spark) vs {len(d_rows)} (duckdb)"
+    )
+    s_canon = _rows_canon(s_cols, s_rows)
+    d_canon = _rows_canon(d_cols, d_rows)
+    mismatches = [
+        (a, b) for a, b in zip(s_canon, d_canon) if a != b
+    ]
+    assert not mismatches, f"{name}: {len(mismatches)} differing rows; first: {mismatches[0]}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_query_runs(name, spark):
+    sdf = QUERIES[name](spark, SF_ORACLE)
+    assert sdf.columns
+    assert sdf.count() >= 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert "revenue" in df.columns

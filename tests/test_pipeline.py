@@ -1,0 +1,132 @@
+"""End-to-end medallion pipeline on reference-shaped fixtures
+(FIXTURES.md §1-2): full refresh, then an incremental run with
+late/duplicate versions repaired by compaction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_api_postgres_etl_spark.plans.pipeline import MedallionPipeline
+from web_api_postgres_etl_spark.plans.watermark import WatermarkManager
+from web_api_postgres_etl_spark.sources.writers import table_path
+
+TRADES_SCHEMA = (
+    "id long, date_time string, open_price double, high_price double, "
+    "low_price double, close_price double, close_price_change double, "
+    "trade_count long, volume long, value double, `instrument.id` string, "
+    "`meta.version` long"
+)
+
+
+def _trades_rows():
+    return [
+        (1, "14010101093000", 10.0, 12.0, 9.0, 11.0, 1.0, 5, 100, 1100.0, "i1", 1),
+        (2, "14010102093000", 11.0, 13.0, 10.0, 12.0, 1.0, 6, 110, 1320.0, "i1", 2),
+        (3, "14010102100000", None, 13.0, 10.0, 12.0, 1.0, 6, 110, 1320.0, "i1", 3),  # null → dropped
+        (4, "14010103093000", 12.0, 14.0, 11.0, 13.0, 13.0, 7, 120, 1560.0, "i2", 4),  # pct denom 0 → null
+    ]
+
+
+@pytest.fixture()
+def fixtures(spark):
+    trades = spark.createDataFrame(_trades_rows(), TRADES_SCHEMA)
+    instruments = spark.createDataFrame(
+        [("i1", "C1", "IR1", "Inst One", "co1", "a1", "e1"),
+         ("i2", "C2", "IR2", "Inst Two", "co2", "a2", "e1")],
+        "id string, code string, isin string, name string, "
+        "`stock.company.id` string, `asset.id` string, `exchange.id` string",
+    )
+    assets = spark.createDataFrame(
+        [("a1", "cat1"), ("a2", "cat2")], "id string, `category.id` string"
+    )
+    categories = spark.createDataFrame(
+        [("cat1", "Equity"), ("cat2", "Bond")], "id string, short_name string"
+    )
+    exchanges = spark.createDataFrame(
+        [("e1", "TSE")], "id string, title string"
+    )
+    return trades, instruments, assets, categories, exchanges
+
+
+def test_stage_trades_contract(spark, fixtures, tmp_path):
+    trades, *_ = fixtures
+    p = MedallionPipeline(spark, str(tmp_path), range_start="1400/01/01", range_end="1402/01/01")
+    stg = p.stage_trades(trades)
+    # contract: j_date at position 2, pct at position 8 (C:151, C:153)
+    assert stg.columns[2] == "j_date"
+    assert stg.columns[8] == "close_price_change_percent"
+    rows = {r["id"]: r for r in stg.collect()}
+    assert 3 not in rows  # required-null row dropped
+    assert rows[1]["j_date"] == "1401/01/01"
+    assert abs(rows[1]["close_price_change_percent"] - 0.1) < 1e-12
+    assert rows[4]["close_price_change_percent"] is None  # zero denom → null
+
+
+def test_full_refresh_star_join(spark, fixtures, tmp_path):
+    trades, instruments, assets, categories, exchanges = fixtures
+    wh = str(tmp_path / "wh")
+    p = MedallionPipeline(spark, wh, range_start="1400/01/01", range_end="1402/01/01")
+    extractors = {
+        "trades_share": lambda: trades,
+        "instruments": lambda: instruments,
+        "assets": lambda: assets,
+        "categories": lambda: categories,
+        "exchanges": lambda: exchanges,
+    }
+    results = p.run_full_refresh(extractors)
+    errors = [r for r in results if r.error]
+    assert not errors, errors
+    prd = spark.read.parquet(table_path(wh, "prd", "trades_share"))
+    rows = {r["id"]: r for r in prd.collect()}
+    assert set(rows) == {1, 2, 4}
+    assert rows[1]["category"] == "Equity"
+    assert rows[1]["market"] == "TSE"
+    assert rows[4]["category"] == "Bond"
+    assert rows[1]["company.id"] == "co1"
+
+
+def test_incremental_append_and_compaction(spark, fixtures, tmp_path):
+    """T1-T3: second run delivers a NEW version of an existing
+    (j_date, name) key plus a fresh row; compaction keeps last-wins."""
+    trades, instruments, assets, categories, exchanges = fixtures
+    wh = str(tmp_path / "wh")
+    p = MedallionPipeline(spark, wh, range_start="1400/01/01", range_end="1402/01/01")
+    dims = {
+        "instruments": instruments, "assets": assets,
+        "categories": categories, "exchanges": exchanges,
+    }
+    extractors = {"trades_share": (lambda: trades)}
+    extractors.update({k: (lambda d=d: d) for k, d in dims.items()})
+    p.run_full_refresh(extractors)
+
+    # delta: re-delivery of day 1401/01/01 for i1 at version 5 (update),
+    # plus a brand-new row at version 6
+    delta_rows = [
+        (10, "14010101120000", 10.5, 12.5, 9.5, 11.5, 0.5, 9, 130, 1495.0, "i1", 5),
+        (11, "14010104093000", 13.0, 15.0, 12.0, 14.0, 1.0, 8, 140, 1960.0, "i2", 6),
+    ]
+    delta = spark.createDataFrame(delta_rows, TRADES_SCHEMA)
+
+    def extract_trades(wm):
+        assert wm == 4  # probe found max version of the full refresh
+        return delta.filter(F.col("`meta.version`") > wm)
+
+    results = p.run_incremental({"trades_share": extract_trades}, dims)
+    assert not [r for r in results if r.error], results
+
+    prd = spark.read.parquet(table_path(wh, "prd", "trades_share"))
+    rows = {(r["j_date"], r["name"]): r for r in prd.collect()}
+    # 1401/01/01+Inst One must now be version 5 (the re-delivery won)
+    assert rows[("1401/01/01", "Inst One")]["meta.version"] == 5
+    assert rows[("1401/01/01", "Inst One")]["close_price"] == 11.5
+    # new day row appended
+    assert ("1401/01/04", "Inst Two") in rows
+    # no duplicate keys survived compaction
+    assert prd.count() == prd.select("j_date", "name").distinct().count()
+
+
+def test_watermark_probe_missing_table(spark, tmp_path):
+    mgr = WatermarkManager(spark, str(tmp_path))
+    out = mgr.probe({"absent": str(tmp_path / "nope")})
+    assert out == {"absent": None}

@@ -1,0 +1,93 @@
+"""Flattener, REST param pushdown, dim_date generator."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from web_api_postgres_etl_spark.functions.dates import (
+    fa_today,
+    gregorian_to_jalali,
+    jalali_to_gregorian,
+)
+from web_api_postgres_etl_spark.sources.json_flatten import flatten
+from web_api_postgres_etl_spark.sources.rest import (
+    build_url,
+    json_records_to_df,
+    watermark_params,
+)
+from web_api_postgres_etl_spark.config import fan_out
+
+
+def test_flatten_nested_structs_to_dotted_names(spark):
+    df = spark.createDataFrame(
+        [(1, {"version": 7, "inner": {"deep": "x"}}, {"id": "i1"})],
+        "id long, meta struct<version:long,inner:struct<deep:string>>, instrument struct<id:string>",
+    )
+    out = flatten(df)
+    assert out.columns == ["id", "meta.version", "meta.inner.deep", "instrument.id"]
+    row = out.first()
+    assert row["meta.version"] == 7
+    assert row["meta.inner.deep"] == "x"
+
+
+def test_flatten_keeps_arrays_whole(spark):
+    df = spark.createDataFrame(
+        [(1, [{"id": "c1"}])], "id long, categories array<struct<id:string>>"
+    )
+    out = flatten(df)
+    assert out.columns == ["id", "categories"]
+
+
+def test_json_records_to_df_infers_and_flattens(spark):
+    records = [
+        {"id": 1, "meta": {"version": 3}, "price": 1.5},
+        {"id": 2, "meta": {"version": 4}, "price": None},
+    ]
+    df = json_records_to_df(spark, records)
+    assert "meta.version" in df.columns
+    assert df.count() == 2
+
+
+def test_rest_watermark_pushdown_url():
+    """S1: the watermark must reach the URL (server-side predicate —
+    constants.yaml:7-9, mabna_tables_update.py:46)."""
+    url = build_url(
+        "https://api.example/v1", "exchange", "trades",
+        watermark_params(12345, "share", size=500),
+    )
+    assert "meta.version=12345" in url
+    assert "meta.version_op=gt" in url
+    assert "instrument.type=share" in url
+
+
+def test_config_fan_out_counts():
+    """G3: trades expands ×8 instrument types (constants.yaml:11-19)."""
+    specs = list(fan_out())
+    trades = [s for s in specs if s.item == "trades"]
+    assert len(trades) == 8
+    assert {s.name for s in trades} == {
+        f"exchange_trades_{t}"
+        for t in [
+            "share", "bond", "future", "intellectual_property",
+            "energy", "commodity", "currency", "crypto",
+        ]
+    }
+
+
+def test_jalali_roundtrip_and_known_dates():
+    # Known anchor: 1400/01/01 == 2021-03-21
+    assert jalali_to_gregorian(1400, 1, 1) == (2021, 3, 21)
+    assert gregorian_to_jalali(2021, 3, 21) == (1400, 1, 1)
+    # Esfand leap year: 1399 is leap (1399/12/30 exists) == 2021-03-20
+    assert jalali_to_gregorian(1399, 12, 30) == (2021, 3, 20)
+    # Round-trip across the reference dim_date span (1320..1429, sampled)
+    d = dt.date(1941, 3, 22)
+    while d <= dt.date(2051, 3, 20):
+        jy, jm, jd = gregorian_to_jalali(d.year, d.month, d.day)
+        assert jalali_to_gregorian(jy, jm, jd) == (d.year, d.month, d.day), d
+        d += dt.timedelta(days=97)
+
+
+def test_fa_today_format():
+    s = fa_today(dt.date(2021, 3, 21))
+    assert s == "1400/01/01"

@@ -1,0 +1,73 @@
+"""G3 — config-driven table fan-out (constants.yaml shape).
+
+The reference's constants.yaml drives which tables exist: collection
+groups with items, query-param templates, and the 8 instrument types
+(constants.yaml:3-105). The engine reads the same shape (from YAML when
+available, else the embedded default mirroring the reference's
+structure) and exposes the fan-out iterator the pipelines loop over
+(mabna_tables_create.py:80-90).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+DEFAULT_CONFIG: dict = {
+    "url": "https://example.invalid/api",  # reference: constants.yaml:1 (real API not used here)
+    "instrument_types": [
+        "share", "bond", "future", "intellectual_property",
+        "energy", "commodity", "currency", "crypto",
+    ],
+    "collections": {
+        # title → items (subset shown; extend per deployment)
+        "exchange": [
+            "trades", "assets", "news", "indexvalues", "instruments",
+            "categories", "exchanges", "indexes",
+        ],
+        "bond": ["bonds"],
+        "broker": ["brokers"],
+        "calendar": ["holidays"],
+        "option": ["options"],
+        "fund": ["funds"],
+        "stock": ["companies"],
+    },
+    "params": {"_size": 500},
+}
+
+
+@dataclass(frozen=True)
+class TableSpec:
+    title: str
+    item: str
+    instrument_type: str | None = None
+
+    @property
+    def name(self) -> str:
+        suffix = f"_{self.instrument_type}" if self.instrument_type else ""
+        return f"{self.title}_{self.item}{suffix}"
+
+
+def load_config(path: str | None = None) -> dict:
+    if path:
+        try:
+            import yaml  # type: ignore
+
+            with open(path) as fh:
+                return yaml.safe_load(fh)
+        except ImportError:
+            pass
+    return DEFAULT_CONFIG
+
+
+def fan_out(config: dict | None = None) -> Iterator[TableSpec]:
+    """The reference's nested loop (mabna_tables_create.py:80-90):
+    every (title, item) pair; ``trades`` expands ×8 instrument types."""
+    cfg = config or DEFAULT_CONFIG
+    for title, items in cfg["collections"].items():
+        for item in items:
+            if item == "trades":
+                for t in cfg["instrument_types"]:
+                    yield TableSpec(title, item, t)
+            else:
+                yield TableSpec(title, item)

@@ -1,0 +1,19 @@
+"""Scalar / column-level functions (SURVEY.md §2.6 + north-star text ops).
+
+All functions return Column expressions built from native
+``pyspark.sql.functions`` — zero Python UDFs, so every derivation stays
+inside whole-stage codegen and survives predicate pushdown.
+"""
+
+from .arrays import first_element_field
+from .dates import fa_today, jalali_compact_to_slashed, jalali_reformat
+from .math import pct_change, safe_div
+
+__all__ = [
+    "fa_today",
+    "first_element_field",
+    "jalali_compact_to_slashed",
+    "jalali_reformat",
+    "pct_change",
+    "safe_div",
+]

@@ -1,0 +1,164 @@
+"""Text-analysis column functions (north-star: training-data pipeline).
+
+The reference carries free text (news ``title``/``text`` —
+mabna_tables_create.py:173) but never analyzes it; these are the
+operations a 100 TB LLM-data pipeline runs over a documents table:
+tokenization, quality scoring, language ID, fingerprinting.
+
+All are native Column expressions (codegen'd, no UDFs); every
+normalization step is chosen to be reproducible in ANSI SQL so the
+DuckDB oracle can verify results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    if isinstance(col, str):
+        return F.col(f"`{col}`") if "." in col else F.col(col)
+    return col
+
+
+def normalized_tokens(text_col: Column | str, lowercase: bool = True) -> Column:
+    """text → array of normalized word tokens.
+
+    lower → non-alphanumerics to spaces → collapse whitespace → split →
+    drop empties. Oracle mirror: lower / regexp_replace(…,'g') /
+    regexp_split_to_array.
+    """
+    c = _c(text_col)
+    if lowercase:
+        c = F.lower(c)
+    cleaned = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    toks = F.split(F.trim(F.regexp_replace(cleaned, r"\s+", " ")), " ")
+    return F.filter(toks, lambda t: t != "")
+
+
+def token_count(text_col: Column | str) -> Column:
+    """Whitespace-token count over the normalized token array."""
+    return F.size(normalized_tokens(text_col))
+
+
+def bpe_ish_token_count(text_col: Column | str) -> Column:
+    """BPE-ish token estimate: count of regex word/number/punct pieces.
+
+    A deterministic proxy for subword tokenizer counts (≈ GPT-style
+    pre-tokenization): sequences of letters, digits, or single
+    non-space symbols each count once.
+    """
+    c = _c(text_col)
+    pieces = F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    return F.size(pieces)
+
+
+def char_count(text_col: Column | str) -> Column:
+    return F.length(_c(text_col))
+
+
+def punct_ratio(text_col: Column | str) -> Column:
+    """Fraction of characters that are neither alphanumeric nor space.
+
+    NULL on empty text (nullif guard) — matches the oracle exactly.
+    """
+    c = _c(text_col)
+    npunct = F.length(c) - F.length(F.regexp_replace(c, r"[^A-Za-z0-9\s]", ""))
+    return npunct / F.nullif(F.length(c), F.lit(0))
+
+
+STOPWORDS_EN = [
+    "the", "of", "and", "a", "to", "in", "is", "that", "it", "was",
+    "for", "on", "are", "as", "with", "at", "by", "be", "this", "an",
+]
+STOPWORDS_DE = [
+    "der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit",
+    "im", "den", "von", "zu", "des", "auf", "sich",
+]
+STOPWORDS_FR = [
+    "le", "la", "les", "des", "et", "est", "un", "une", "dans", "que",
+    "pour", "du", "au", "avec", "sur", "pas",
+]
+STOPWORDS_ES = [
+    "el", "los", "las", "y", "es", "en", "un", "una", "que", "por",
+    "con", "para", "del", "se", "su", "no",
+]
+
+
+def stopword_ratio(text_col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (English) stopwords — a standard
+    quality signal; NULL for token-less documents."""
+    sw = stopwords or STOPWORDS_EN
+    toks = normalized_tokens(text_col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
+    return hits / F.nullif(F.size(toks), F.lit(0))
+
+
+def quality_score(text_col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic (Gopher/C4-style signals):
+    mean-word-length sanity + stopword presence + low punctuation noise.
+
+    score = 0.4·clamp(stopword_ratio/0.4) + 0.3·(1−clamp(punct_ratio/0.3))
+          + 0.3·[3 ≤ mean_word_len ≤ 10]
+    """
+    toks = normalized_tokens(text_col)
+    n = F.nullif(F.size(toks), F.lit(0))
+    mean_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n
+    sw = stopword_ratio(text_col)
+    pr = F.coalesce(punct_ratio(text_col), F.lit(1.0))
+    sw_term = F.least(F.coalesce(sw, F.lit(0.0)) / F.lit(0.4), F.lit(1.0))
+    pr_term = F.lit(1.0) - F.least(pr / F.lit(0.3), F.lit(1.0))
+    len_term = F.when((mean_len >= 3) & (mean_len <= 10), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round(
+        F.lit(0.4) * sw_term + F.lit(0.3) * pr_term + F.lit(0.3) * F.coalesce(len_term, F.lit(0.0)),
+        6,
+    )
+
+
+def lang_id(text_col: Column | str) -> Column:
+    """Heuristic language ID over {en,de,fr,es}: argmax of stopword hit
+    counts, 'und' (undetermined) when no list scores > 0. Deterministic
+    tie-break by fixed language order (en > de > fr > es).
+    """
+    toks = normalized_tokens(text_col)
+
+    def _hits(sw: list[str]):
+        # closure (not default-arg) so the lambda keeps 1-arg arity —
+        # a 2-param lambda would be bound as (value, index) by Spark
+        return F.size(F.filter(toks, lambda t: t.isin(sw)))
+
+    scores = {
+        lang: _hits(sw)
+        for lang, sw in [
+            ("en", STOPWORDS_EN),
+            ("de", STOPWORDS_DE),
+            ("fr", STOPWORDS_FR),
+            ("es", STOPWORDS_ES),
+        ]
+    }
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # reversed so earlier languages win ties via later .when precedence
+    expr = (
+        F.when((scores["en"] > 0) & (scores["en"] == best), "en")
+        .when((scores["de"] > 0) & (scores["de"] == best), "de")
+        .when((scores["fr"] > 0) & (scores["fr"] == best), "fr")
+        .when((scores["es"] > 0) & (scores["es"] == best), "es")
+        .otherwise(out)
+    )
+    return expr
+
+
+def fingerprint(text_col: Column | str) -> Column:
+    """Canonical document fingerprint: md5 over the sorted distinct
+    normalized token set (the classic 'key collision' fingerprint —
+    robust to word order and punctuation)."""
+    toks = normalized_tokens(text_col)
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+    return F.md5(canon)
+
+
+def content_hash(text_col: Column | str) -> Column:
+    """Exact content digest (md5 of raw text) — exact-dedup key."""
+    return F.md5(_c(text_col))

@@ -1,0 +1,373 @@
+"""Deduplication operators.
+
+Reference surface (O1+O2): last-wins version compaction after
+incremental appends — pandas ``ORDER BY "meta.version"`` then
+``drop_duplicates(subset=keys, keep='last')`` and full-table rewrite
+(mabna_tables_update.py:262-287, 310-330, 359-379).
+
+North-star surface (100 TB training-data pipeline): exact dedup,
+MinHash-LSH, SimHash, and n-gram Jaccard near-dup over a documents
+table. All are pure DataFrame ops — the hash primitives are md5-based
+(portable to the ANSI-SQL oracle) and stay inside codegen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .project import qcol
+
+
+# ---------------------------------------------------------------- O1+O2
+def dedup_last_wins(
+    df: DataFrame,
+    keys: Sequence[str],
+    version_col: str = "meta.version",
+    tiebreaker: str | None = "id",
+) -> DataFrame:
+    """Keep the newest version per natural key (upsert compaction).
+
+    Spark ``dropDuplicates`` keeps an *arbitrary* row, so the reference's
+    ``keep='last'``-after-sort must be a window: row_number over
+    partitionBy(keys) orderBy(version DESC) == 1 (SURVEY.md §7.4.2).
+
+    Tie behavior on equal versions is nondeterministic in the reference
+    (physical row order); we pin ``tiebreaker`` DESC (default ``id``) so
+    re-runs are idempotent — documented divergence.
+
+    Scale note: this shuffles on ``keys`` once. For a partitioned 100 TB
+    sink, run it per freshly-touched partition (plans/pipeline.py
+    compacts only partitions present in the delta), never whole-table
+    like the reference's full rewrite (mabna_tables_update.py:271-280).
+    """
+    order = [qcol(version_col).desc()]
+    if tiebreaker and tiebreaker in df.columns:
+        order.append(qcol(tiebreaker).desc())
+    w = Window.partitionBy(*[qcol(k) for k in keys]).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------- exact
+def dedup_exact(
+    df: DataFrame, on: Sequence[str], id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Exact dedup on content columns, keeping a deterministic survivor
+    (min/max id). Hash-shuffle on ``on``; at scale pre-hash long text to
+    a digest column first (``dedup_exact_hashed``) so the shuffle moves
+    16-byte keys, not document bodies.
+    """
+    agg = F.min(qcol(id_col)) if keep == "min" else F.max(qcol(id_col))
+    survivors = df.groupBy(*[qcol(c) for c in on]).agg(agg.alias(id_col))
+    return df.join(survivors, on=[*on, id_col], how="left_semi")
+
+
+def dedup_exact_hashed(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact-content dedup via md5 digest — the 100 TB shape: group on a
+    fixed-width digest instead of shuffling full document bodies."""
+    hashed = df.withColumn("__h", F.md5(qcol(text_col)))
+    survivors = hashed.groupBy("__h").agg(F.min(qcol(id_col)).alias(id_col))
+    return (
+        hashed.join(survivors, on=["__h", id_col], how="left_semi").drop("__h")
+    )
+
+
+# ------------------------------------------------------------- near-dup
+from ..functions.text import normalized_tokens  # noqa: E402 (shared tokenizer)
+
+
+def word_shingles(tokens_col, n: int = 3):
+    """Column: token array → array of space-joined word n-grams.
+
+    Built from sequence+transform+slice (no explode, no UDF): one row in,
+    one array out, fully codegen'd.
+    """
+    c = qcol(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    idx = F.sequence(F.lit(1), F.greatest(F.size(c) - (n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(c, i, n)))
+
+
+def minhash_signature(shingles_col, num_hashes: int = 16):
+    """Column: shingle array → array of ``num_hashes`` minhash values.
+
+    Portable construction: hash_i(s) = md5(i || '|' || s); the minimum
+    md5 hex digest per seed is an order statistic over a uniform hash —
+    the standard MinHash estimator. md5 (not xxhash/murmur) because the
+    DuckDB oracle computes the identical digest, making near-dup results
+    bit-reproducible across engines. Swap in xxhash64 for raw speed once
+    oracle parity is not needed (same plan shape).
+
+    Shape note: ONE nested-lambda transform over a seed array — not
+    ``num_hashes`` separate array_min expressions. The latter inlines
+    the (tokenize→shingle) subtree k times and blows up whole-stage
+    codegen (20×+ slowdown from Janino compile + re-evaluation).
+    """
+    c = qcol(shingles_col) if isinstance(shingles_col, str) else shingles_col
+    seeds = F.array(*[F.lit(str(i)) for i in range(num_hashes)])
+    return F.transform(
+        seeds,
+        lambda seed: F.array_min(
+            F.transform(c, lambda s: F.md5(F.concat_ws("|", seed, s)))
+        ),
+    )
+
+
+def lsh_bands(sig_col, bands: int, rows_per_band: int):
+    """Column: minhash signature → array of band-bucket keys.
+
+    Band key = md5(band_index || joined band slice). Docs sharing any
+    band key are near-dup candidates (standard LSH banding).
+    """
+    c = qcol(sig_col) if isinstance(sig_col, str) else sig_col
+    keys = [
+        F.md5(
+            F.concat_ws(
+                "#", F.lit(str(b)), F.concat_ws(",", F.slice(c, b * rows_per_band + 1, rows_per_band))
+            )
+        )
+        for b in range(bands)
+    ]
+    return F.array(*keys)
+
+
+def minhash_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(id, mh_0..mh_{k-1}) minhash signature table — the SCALE shape.
+
+    explode(shingles) → k codegen'd md5 columns per shingle row →
+    groupBy(id).agg(min per seed). Shingles are computed exactly once
+    per document (the pure-expression form re-evaluates the
+    tokenize→shingle subtree per seed, interpreted, ~20× slower), md5
+    runs inside whole-stage codegen, and the shuffle moves only
+    (id, k×32B digests) — never text. Map-side partial min keeps the
+    shuffle tiny at 100 TB.
+
+    Documents with zero shingles keep a row with NULL signature
+    (explode_outer + null guard) — matching the SQL semantics of
+    list_min over an empty list.
+    """
+    sh = df.select(
+        qcol(id_col).alias("__id"),
+        F.explode_outer(
+            word_shingles(normalized_tokens(text_col), shingle_n)
+        ).alias("__s"),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("__s").isNotNull(),
+                F.md5(F.concat_ws("|", F.lit(str(i)), F.col("__s"))),
+            )
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("__id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs.
+
+    Pipeline: minhash_table → band keys (md5 of each band's slice) →
+    explode bands → self-join per band bucket → distinct (a<b) pairs.
+    The self-join shuffles only (band_key, id) pairs and bucket sizes
+    are bounded by hash uniformity, so the plan scales linearly in
+    corpus size. Exact Jaccard verification of candidates is
+    ``ngram_jaccard_pairs`` restricted to this output (at 100 TB, via a
+    semi-join on the candidate pairs).
+    """
+    rows = num_hashes // bands
+    mh = minhash_table(df, id_col, text_col, shingle_n, num_hashes)
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.lit(f"{b}#"),
+                    *[F.col(f"mh_{b * rows + j}") for j in range(rows)],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    # shingle-less docs (NULL signature) can never be near-dups — drop
+    # before banding (concat_ws would otherwise give them equal keys,
+    # diverging from SQL's NULL-propagating ||)
+    banded = mh.filter(F.col("mh_0").isNotNull()).select(
+        "__id", F.explode(band_keys).alias("__band")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.__band") == F.col("r.__band"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs above a threshold.
+
+    Shape: doc → distinct shingles → explode → self-join on shingle →
+    count(shared) per pair → |A∪B| = |A|+|B|−shared → filter. The
+    explode/self-join is the exact-verification path — at 100 TB run it
+    only on LSH candidates (feed ``minhash_lsh_candidates`` output as a
+    semi-join filter); on its own it is quadratic in bucket size.
+    """
+    shingled = df.select(
+        qcol(id_col).alias("__id"),
+        F.array_distinct(
+            word_shingles(normalized_tokens(text_col), shingle_n)
+        ).alias("__sh"),
+    ).filter(F.size("__sh") > 0)
+    sizes = shingled.select("__id", F.size("__sh").alias("__n"))
+    exploded = shingled.select("__id", F.explode("__sh").alias("__s"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    shared = (
+        a.join(b, (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count("*").alias("__shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        shared.join(sa, F.col("id_a") == F.col("sa.__id"))
+        .join(sb, F.col("id_b") == F.col("sb.__id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("__shared")
+                / (F.col("sa.__n") + F.col("sb.__n") - F.col("__shared"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _bit_mask(bit: int) -> int:
+    """Signed-BIGINT mask for bit i (bit 63 is the sign bit)."""
+    return 1 << bit if bit < 63 else -(2**63)
+
+
+def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) 64-bit SimHash table — the SCALE shape.
+
+    explode(tokens) → one codegen'd xxhash64 per token → groupBy(id)
+    with 64 ±1 vote sums (one agg expression per bit, all inside
+    whole-stage codegen with map-side partial aggregation) → assemble
+    the signature from vote signs. An expression-level 64-fold over the
+    token array would run interpreted and re-walk the array per bit —
+    this shape hashes each token exactly once.
+
+    Token-less documents get simhash NULL (kept via left join).
+    """
+    ids = df.select(qcol(id_col).alias("__id"))
+    toks = df.select(
+        qcol(id_col).alias("__id"),
+        F.explode(normalized_tokens(text_col)).alias("__t"),
+    ).withColumn("__h", F.xxhash64("__t"))
+    votes = toks.groupBy("__id").agg(
+        *[
+            F.sum(
+                F.when(F.col("__h").bitwiseAND(F.lit(_bit_mask(b))) != 0, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    sig = None
+    for b in range(64):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(_bit_mask(b))).otherwise(F.lit(0))
+        sig = term if sig is None else sig.bitwiseOR(term)
+    signed = votes.select("__id", sig.alias("__sh"))
+    return ids.join(signed, "__id", "left")
+
+
+def simhash64(tokens_col):
+    """Column form of SimHash (small arrays only — interpreted
+    evaluation; prefer ``simhash_table`` for corpus-scale use)."""
+    c = qcol(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    bits = []
+    for bit in range(64):
+        votes = F.aggregate(
+            c,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(F.xxhash64(t).bitwiseAND(F.lit(_bit_mask(bit))) != 0, 1).otherwise(-1),
+        )
+        bits.append(F.when(votes > 0, F.lit(_bit_mask(bit))).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
+
+    Blocking: split the 64-bit simhash into ``max_hamming+1`` bands — by
+    pigeonhole, any pair within the distance agrees exactly on ≥1 band,
+    so the self-join runs per band bucket (linear shuffle), then the
+    exact Hamming distance (bit_count of xor) filters candidates.
+    """
+    nbands = max_hamming + 1
+    width = 64 // nbands
+    sh = simhash_table(df, id_col, text_col).filter(F.col("__sh").isNotNull())
+    banded = None
+    for bnd in range(nbands):
+        part = sh.select(
+            "__id",
+            "__sh",
+            F.lit(bnd).alias("__bnd"),
+            F.shiftrightunsigned(F.col("__sh"), bnd * width).bitwiseAND(
+                F.lit((1 << width) - 1)
+            ).alias("__key"),
+        )
+        banded = part if banded is None else banded.unionAll(part)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__bnd") == F.col("b.__bnd"))
+            & (F.col("a.__key") == F.col("b.__key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

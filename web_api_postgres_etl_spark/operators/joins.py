@@ -1,0 +1,60 @@
+"""Joins (J1 star join, J2 two-way) — all inner equi-joins.
+
+The reference delegates join planning to Postgres (SQL strings at
+mabna_tables_create.py:235-243, 286-288); here Catalyst owns it. Every
+dimension in the reference is a small lookup table, so the physical
+plan we want is a chain of **BroadcastHashJoin** with zero shuffles of
+the fact table — the ``broadcast()`` hints pin that even if stats are
+missing. At 100 TB the fact side streams through unshuffled; only if a
+dimension outgrew the broadcast threshold would AQE fall back to a
+shuffle join (and the skew-join config in session.py handles hot keys).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .project import qcol
+
+
+def two_way_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    broadcast_dim: bool = True,
+    how: str = "inner",
+) -> DataFrame:
+    """J2: fact ⋈ dim on single-column equi keys
+    (indexvalues ⋈ indexes — mabna_tables_create.py:286-288)."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return fact.join(d, qcol(fact_key) == d[_q(dim_key)], how)
+
+
+def star_join(
+    fact: DataFrame,
+    dims: Sequence[tuple[DataFrame, str, str]],
+    broadcast_dims: bool = True,
+) -> DataFrame:
+    """J1: chained star join — fact ⋈ dim1 ⋈ dim2 ⋈ …
+
+    ``dims`` is a sequence of ``(dim_df, fact_side_key, dim_key)`` where
+    ``fact_side_key`` may live on the original fact or on a previously
+    joined dim (the reference chains instruments→assets→categories and
+    instruments→exchanges — mabna_tables_create.py:235-243).
+
+    Each dim is broadcast: the fact table is never shuffled, which is
+    the correct physical plan for a 100 TB fact × kB..MB dims star.
+    """
+    out = fact
+    for dim, left_key, right_key in dims:
+        d = F.broadcast(dim) if broadcast_dims else dim
+        out = out.join(d, out[_q(left_key)] == d[_q(right_key)], "inner")
+    return out
+
+
+def _q(name: str) -> str:
+    return f"`{name}`" if "." in name else name

@@ -1,0 +1,144 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The reference is tabular-only; a training-data pipeline carries media.
+Contract here:
+
+- media lives in a ``binary`` column (``content``) with a struct
+  metadata column (``media_meta``: mime, width/height or
+  sample_rate/duration, codec) — the schema every operator agrees on;
+- decode / feature-extract / resize / frame-sample run as Arrow-batched
+  ``mapInPandas`` stages so bytes never cross the Python boundary
+  row-at-a-time;
+- the actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so
+  the decode kernel is pluggable: the default is a deterministic fake
+  (stable per content hash) clearly marked below; a real kernel drops
+  in without touching the Spark plumbing.
+
+Scale notes: binary columns make wide rows — keep media tables
+separate from text/metadata tables and join on id (column pruning then
+keeps media bytes out of every query that doesn't need them);
+``spark.sql.files.maxPartitionBytes`` bounds scan partition size, and
+``mapInPandas`` streams batches (no whole-partition materialization).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("media_meta", MEDIA_META),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def decode_image(content: bytes, meta) -> "object":
+    """Decode bytes → pixel array. REAL CODECS UNAVAILABLE IN THIS
+    ENVIRONMENT — a production deployment plugs PIL/torchvision here.
+    """
+    raise NotImplementedError(
+        "image decode requires PIL/libjpeg — not installed; "
+        "use fake_image_features for deterministic pipeline testing"
+    )
+
+
+def fake_image_features(content: bytes, dim: int = 8) -> list[float]:
+    """DETERMINISTIC FAKE feature extractor (stands in for a decoded
+    CNN/CLIP embedding): sha256 of the bytes, folded into ``dim``
+    floats in [0,1). Stable across runs/executors — lets every
+    downstream stage (dedup, ANN, joins) be tested for real."""
+    digest = hashlib.sha256(content or b"").digest()
+    out = []
+    for i in range(dim):
+        chunk = digest[(4 * i) % 32 : (4 * i) % 32 + 4]
+        out.append(int.from_bytes(chunk, "big") / 2**32)
+    return out
+
+
+def extract_image_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """mapInPandas feature extraction over binary media rows.
+
+    Arrow-batched: each pandas batch holds ~10k rows of (id, bytes);
+    the kernel is a plain Python function over bytes, swapped for a GPU
+    / PIL implementation in production. Output schema is fixed
+    (IMAGE_FEATURES_SCHEMA) so downstream plans are stable either way.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = pdf["content"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sha256": [
+                        hashlib.sha256(b or b"").hexdigest() for b in content
+                    ],
+                    "n_bytes": [len(b or b"") for b in content],
+                    "feature": [fake_image_features(b, dim) for b in content],
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        kernel, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled frame
+    timestamp, computed from metadata only (no decode): duration /
+    every_ms frames via sequence+explode. The decode of each frame is
+    the pluggable kernel (NotImplemented here); the row fan-out, which
+    is the Spark-side hard part, is real and tested."""
+    return (
+        media.select(
+            "media_id",
+            F.col("media_meta.duration_ms").alias("duration_ms"),
+        )
+        .filter(F.col("duration_ms").isNotNull())
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms)
+                )
+            ).alias("frame_ts_ms"),
+        )
+    )
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Metadata-only profiling (no Python): bytes, mime distribution.
+    Stays entirely JVM-side — binary column length via F.length."""
+    return media.groupBy(F.col("media_meta.mime").alias("mime")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("content")).alias("total_bytes"),
+        F.avg(F.length("content")).alias("avg_bytes"),
+    )

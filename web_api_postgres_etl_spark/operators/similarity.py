@@ -1,0 +1,218 @@
+"""Similarity search over embedding columns (north-star).
+
+The reference has no vector surface; a 100 TB training-data pipeline
+needs one. Two tiers:
+
+- **Brute-force cosine** (`cosine_topk`, `cosine_pairs`): exact, scan
+  the corpus once per query / self-join for pairs. The per-row math is
+  a codegen'd left fold (``zip_with`` + ``aggregate``) in DOUBLE with a
+  fixed accumulation order, so the DuckDB oracle reproduces results
+  bit-for-bit.
+- **LSH-bucketed** (`rhp_lsh_topk`): random-hyperplane signatures →
+  candidates share a signature band → brute-force only within buckets.
+  Hyperplane weights are derived deterministically from xxhash64 of
+  (plane, dim) — no RNG state, reproducible across runs and executors.
+
+Scale notes: queries are broadcast (tiny); the corpus is never
+shuffled for top-k (aggregate-only reduction). For pair-finding the
+LSH bucket join shuffles (bucket_key, id, vec) — bound bucket width
+with more planes, and pre-normalize vectors once so the inner loop is
+a dot product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .project import qcol
+
+
+def as_double_array(col: Column | str) -> Column:
+    c = qcol(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a strict left fold in DOUBLE — deterministic
+    accumulation order (matches the oracle's list_reduce fold)."""
+    prods = F.zip_with(a, b, lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k nearest (cosine) to a literal query vector.
+
+    The query enters the plan as an array literal (broadcast by
+    construction); ranking is a single total-order on (sim DESC, id) —
+    at scale prefer ``ORDER BY … LIMIT k`` which Spark executes as a
+    per-partition top-k + tiny final merge (TakeOrderedAndProject).
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = corpus.select(
+        qcol(id_col).alias(id_col),
+        F.round(cosine(as_double_array(vec_col), q), 6).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
+
+
+def cosine_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold (exact). Quadratic — the
+    verification path for LSH candidates; do not run standalone at
+    100 TB (use ``rhp_lsh_pairs`` to generate candidates first)."""
+    prepped = corpus.select(
+        qcol(id_col).alias("__id"), as_double_array(vec_col).alias("__v")
+    )
+    a = prepped.alias("a")
+    b = prepped.alias("b")
+    return (
+        a.join(b, F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+# ------------------------------------------------------------------ LSH
+def _hyperplane_sign(plane: int, dim_index: Column) -> Column:
+    """Deterministic ±1 weight for (plane, dim): sign of xxhash64."""
+    h = F.xxhash64(F.concat_ws(":", F.lit(str(plane)), dim_index.cast("string")))
+    return F.when(h >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def hyperplane_matrix(spark, dims: int, num_planes: int) -> list[list[float]]:
+    """±1 hyperplane weights, derived once from xxhash64(plane, dim) —
+    no stored model, reproducible across runs/sessions/executors. One
+    tiny Spark job (num_planes × dims cells) materializes them so the
+    per-row signature math uses plain literals."""
+    row = (
+        spark.range(1)
+        .select(
+            *[
+                F.array(
+                    *[_hyperplane_sign(p, F.lit(i)) for i in range(dims)]
+                ).alias(f"p{p}")
+                for p in range(num_planes)
+            ]
+        )
+        .first()
+    )
+    return [[float(x) for x in row[f"p{p}"]] for p in range(num_planes)]
+
+
+def rhp_signature(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """Random-hyperplane (SimHash-for-vectors) bit signature.
+
+    Bit p = [vec · plane_p ≥ 0], planes given as literal ±1 matrices
+    (see ``hyperplane_matrix``). Each projection is a fixed-order fold
+    in DOUBLE — deterministic, so the same vector always gets the same
+    signature regardless of partitioning.
+    """
+    v = as_double_array(vec_col)
+    bits = []
+    for weights in planes:
+        w = F.array(*[F.lit(x) for x in weights])
+        proj = F.aggregate(
+            F.zip_with(v, w, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, 1).otherwise(0))
+    return F.array(*bits)
+
+
+def rhp_lsh_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    num_planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors sharing ≥1 signature band
+    with the query are scored. Bucket keys prune the scan (at scale:
+    pre-materialize band keys as a partition/bucket column so the probe
+    is partition-pruned, not a full scan)."""
+    rows = num_planes // bands
+    planes = hyperplane_matrix(corpus.sparkSession, len(query_vec), num_planes)
+    # query signature, computed driver-side from the same literal planes
+    qsig = [
+        1 if sum(x * s for x, s in zip(query_vec, w)) >= 0 else 0 for w in planes
+    ]
+    sigd = corpus.select(
+        qcol(id_col).alias(id_col),
+        as_double_array(vec_col).alias("__v"),
+        rhp_signature(vec_col, planes).alias("__sig"),
+    )
+    band_match = None
+    for b in range(bands):
+        cond = F.lit(True)
+        for j in range(rows):
+            cond = cond & (
+                F.element_at(F.col("__sig"), b * rows + j + 1)
+                == qsig[b * rows + j]
+            )
+        band_match = cond if band_match is None else (band_match | cond)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        sigd.filter(band_match)
+        .select(id_col, F.round(cosine(F.col("__v"), q), 6).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def nearest_neighbor_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    vec_col: str = "embedding",
+    k: int = 1,
+) -> DataFrame:
+    """For each left row, its k nearest right rows by cosine (exact).
+
+    Implemented as broadcast of the smaller side + window top-k; the
+    100 TB shape replaces the cross join with an LSH bucket equi-join
+    (same downstream window).
+    """
+    l = left.select(qcol(left_id).alias("__lid"), as_double_array(vec_col).alias("__lv"))
+    r = right.select(qcol(right_id).alias("__rid"), as_double_array(vec_col).alias("__rv"))
+    scored = l.crossJoin(F.broadcast(r)).select(
+        "__lid",
+        "__rid",
+        F.round(cosine(F.col("__lv"), F.col("__rv")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("__lid").orderBy(F.col("cosine_sim").desc(), F.col("__rid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias(right_id),
+            "cosine_sim",
+        )
+    )

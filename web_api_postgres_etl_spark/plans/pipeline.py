@@ -1,0 +1,345 @@
+"""G1/G2 — medallion pipeline runners (full refresh / incremental).
+
+The reference's two Airflow DAGs (mabna_tables_create.py:303-322 —
+manual full refresh; mabna_tables_update.py:383-410 — 15-min cron
+incremental) become two methods over the same operator library. The
+config fan-out (G3: for title → for item → for instrument type,
+mabna_tables_create.py:80-90) drives which tables exist; cross-task
+state (G4: the XCom watermark dict) is a plain dict returned by
+``WatermarkManager.probe``; fault tolerance (G5) is per-table
+try/except with structured results instead of swallowed prints.
+
+Layering contract (reference's Postgres schemas → path prefixes):
+``src_*`` raw flattened ingest → ``stg_*`` cleaned/derived →
+``prd_*`` joined/filtered, partitioned for scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import dedup_last_wins
+from ..operators.filters import drop_required_nulls, in_range, newer_than
+from ..operators.joins import star_join
+from ..operators.project import project, qcol
+from ..functions.dates import fa_today, jalali_compact_to_slashed
+from ..functions.math import pct_change
+from ..sources.writers import table_path, write_append, write_overwrite
+from .watermark import WatermarkManager
+
+TRADES_PROJECTION = [
+    "id", "date_time", "open_price", "high_price", "low_price",
+    "close_price", "close_price_change", "trade_count", "volume", "value",
+    "instrument.id", "meta.version",
+]  # mabna_tables_create.py:145-146
+TRADES_REQUIRED = [
+    "date_time", "open_price", "high_price", "low_price", "close_price",
+    "close_price_change", "trade_count", "volume", "value", "instrument.id",
+]  # mabna_tables_create.py:147-148
+NEWS_PROJECTION = ["id", "date_time", "title", "text", "meta.version"]
+NEWS_REQUIRED = ["date_time", "title", "text"]
+INDEXVALUES_PROJECTION = [
+    "id", "date_time", "open_value", "low_value", "high_value",
+    "close_value", "close_value_change", "index.id", "meta.version",
+]
+INDEXVALUES_REQUIRED = [
+    "date_time", "open_value", "low_value", "high_value", "close_value",
+    "close_value_change", "index.id",
+]
+
+INSTRUMENT_TYPES = [
+    "share", "bond", "future", "intellectual_property", "energy",
+    "commodity", "currency", "crypto",
+]  # constants.yaml:11-19
+NO_DETAIL_TYPES = {"commodity", "currency"}  # mabna_tables_update.py:250-251
+
+
+@dataclass
+class RunResult:
+    table: str
+    rows: int | None
+    error: str | None = None
+
+
+@dataclass
+class MedallionPipeline:
+    """Source-agnostic runner: ``extract`` callables supply raw frames
+    (REST in production, parquet fixtures in tests), the runner owns
+    transform+load ordering."""
+
+    spark: SparkSession
+    warehouse: str
+    range_start: str = "1399/01/01"
+    range_end: str = field(default_factory=fa_today)
+    results: list[RunResult] = field(default_factory=list)
+
+    # ---------------------------------------------------------- staging
+    def stage_trades(self, src: DataFrame) -> DataFrame:
+        """Entry point 2 (mabna_tables_create.py:132-162) as one lazy
+        chain: project → null-drop → derive j_date → derive pct —
+        Catalyst fuses into a single scan→filter→project stage."""
+        df = project(src, TRADES_PROJECTION)
+        df = drop_required_nulls(df, TRADES_REQUIRED)
+        df = df.withColumn("j_date", jalali_compact_to_slashed("date_time"))
+        df = df.withColumn(
+            "close_price_change_percent",
+            pct_change("close_price_change", "close_price"),
+        )
+        # contract column order: j_date at position 2, pct at 8
+        cols = TRADES_PROJECTION.copy()
+        cols.insert(2, "j_date")
+        cols.insert(8, "close_price_change_percent")
+        return project(df, cols)
+
+    def stage_news(self, src: DataFrame) -> DataFrame:
+        df = project(src, NEWS_PROJECTION)
+        df = drop_required_nulls(df, NEWS_REQUIRED)
+        df = df.withColumn("j_date", jalali_compact_to_slashed("date_time"))
+        cols = NEWS_PROJECTION.copy()
+        cols.insert(2, "j_date")
+        return project(df, cols)
+
+    def stage_indexvalues(self, src: DataFrame) -> DataFrame:
+        df = project(src, INDEXVALUES_PROJECTION)
+        df = drop_required_nulls(df, INDEXVALUES_REQUIRED)
+        df = df.withColumn("j_date", jalali_compact_to_slashed("date_time"))
+        df = df.withColumn(
+            "close_value_change_percent",
+            pct_change("close_value_change", "close_value"),
+        )
+        cols = INDEXVALUES_PROJECTION.copy()
+        cols.insert(2, "j_date")
+        cols.insert(8, "close_value_change_percent")
+        return project(df, cols)
+
+    # ------------------------------------------------------- production
+    def produce_trades(
+        self,
+        stg_trades: DataFrame,
+        instruments: DataFrame,
+        assets: DataFrame,
+        categories: DataFrame,
+        exchanges: DataFrame,
+        instrument_type: str = "share",
+        watermark: int | None = None,
+    ) -> DataFrame:
+        """J1 star join + P2 aliases + P5 range (+P6 watermark) —
+        mabna_tables_create.py:226-248 / mabna_tables_update.py:229-251.
+        All dims broadcast: fact never shuffles."""
+        fact = stg_trades
+        if watermark is not None:
+            fact = newer_than(fact, "meta.version", watermark)
+        joined = star_join(
+            fact,
+            [
+                (instruments, "instrument.id", "id"),
+                (assets, "asset.id", "id"),
+                (categories, "category.id", "id"),
+                (exchanges, "exchange.id", "id"),
+            ],
+        )
+        out = joined.select(
+            fact["id"].alias("id"),
+            fact["j_date"],
+            fact["date_time"],
+            instruments["code"],
+            instruments["isin"],
+            instruments["name"],
+            qcol("stock.company.id").alias("company.id"),
+            categories["short_name"].alias("category"),
+            exchanges["title"].alias("market"),
+            fact["open_price"],
+            fact["high_price"],
+            fact["low_price"],
+            fact["close_price"],
+            fact["close_price_change"],
+            fact["close_price_change_percent"],
+            fact["trade_count"],
+            fact["volume"],
+            fact["value"],
+            qcol("meta.version").alias("meta.version"),
+        )
+        out = in_range(out, "j_date", self.range_start, self.range_end)
+        if instrument_type in NO_DETAIL_TYPES:
+            out = out.drop("code", "isin", "trade_count", "volume", "value")
+        return out
+
+    def produce_indexvalues(
+        self, stg_iv: DataFrame, indexes: DataFrame, watermark: int | None = None
+    ) -> DataFrame:
+        """J2 (mabna_tables_create.py:282-291)."""
+        fact = stg_iv
+        if watermark is not None:
+            fact = newer_than(fact, "meta.version", watermark)
+        joined = fact.join(
+            F.broadcast(indexes), qcol("index.id") == indexes["id"], "inner"
+        )
+        out = joined.select(
+            fact["id"].alias("id"),
+            fact["j_date"],
+            fact["date_time"],
+            indexes["name"],
+            fact["open_value"],
+            fact["low_value"],
+            fact["high_value"],
+            fact["close_value"],
+            fact["close_value_change"],
+            fact["close_value_change_percent"],
+            qcol("meta.version").alias("meta.version"),
+        )
+        return in_range(out, "j_date", self.range_start, self.range_end)
+
+    # ------------------------------------------------------ orchestration
+    def run_full_refresh(
+        self, extractors: Mapping[str, Callable[[], DataFrame]]
+    ) -> list[RunResult]:
+        """G1: extract → stage → produce, overwrite everything.
+
+        ``extractors`` maps logical table name → callable returning the
+        raw (already flattened) frame; the REST fan-out or test fixtures
+        plug in here."""
+        self.results = []
+        frames: dict[str, DataFrame] = {}
+        for name, fn in extractors.items():
+            try:
+                df = fn()
+                write_overwrite(df, table_path(self.warehouse, "src", name))
+                frames[name] = self.spark.read.parquet(
+                    table_path(self.warehouse, "src", name)
+                )
+                self._ok(f"src_{name}", frames[name].count())
+            except Exception as exc:  # G5: isolate per-table failures
+                self._err(f"src_{name}", exc)
+        for t in INSTRUMENT_TYPES:
+            key = f"trades_{t}"
+            if key in frames:
+                stg = self.stage_trades(frames[key])
+                write_overwrite(stg, table_path(self.warehouse, "stg", key))
+        if "news" in frames:
+            write_overwrite(
+                self.stage_news(frames["news"]), table_path(self.warehouse, "stg", "news")
+            )
+        if "indexvalues" in frames:
+            write_overwrite(
+                self.stage_indexvalues(frames["indexvalues"]),
+                table_path(self.warehouse, "stg", "indexvalues"),
+            )
+        dims = {
+            d: frames[d]
+            for d in ("instruments", "assets", "categories", "exchanges", "indexes")
+            if d in frames
+        }
+        for t in INSTRUMENT_TYPES:
+            key = f"trades_{t}"
+            stg_path = table_path(self.warehouse, "stg", key)
+            try:
+                stg = self.spark.read.parquet(stg_path)
+            except Exception:
+                continue
+            if len(dims) >= 4:
+                prd = self.produce_trades(
+                    stg,
+                    dims["instruments"],
+                    dims["assets"],
+                    dims["categories"],
+                    dims["exchanges"],
+                    instrument_type=t,
+                )
+                write_overwrite(prd, table_path(self.warehouse, "prd", key))
+                self._ok(f"prd_{key}", None)
+        if "indexvalues" in frames and "indexes" in dims:
+            stg = self.spark.read.parquet(table_path(self.warehouse, "stg", "indexvalues"))
+            prd = self.produce_indexvalues(stg, dims["indexes"])
+            write_overwrite(prd, table_path(self.warehouse, "prd", "indexvalues"))
+            self._ok("prd_indexvalues", None)
+        return self.results
+
+    def run_incremental(
+        self,
+        extractors: Mapping[str, Callable[[int | None], DataFrame]],
+        dims: Mapping[str, DataFrame],
+    ) -> list[RunResult]:
+        """G2/T1-T3: probe watermarks → delta extract (pushdown) →
+        stage → append to prd → last-wins compaction, per table.
+
+        Mirrors mabna_tables_update.py:383-410 ordering: every append is
+        chained with its compaction so re-delivered versions collapse
+        before readers see them.
+        """
+        self.results = []
+        wm_mgr = WatermarkManager(self.spark, self.warehouse)
+        prd_paths = {
+            f"trades_{t}": table_path(self.warehouse, "prd", f"trades_{t}")
+            for t in INSTRUMENT_TYPES
+            if f"trades_{t}" in extractors
+        }
+        if "indexvalues" in extractors:
+            prd_paths["indexvalues"] = table_path(self.warehouse, "prd", "indexvalues")
+        watermarks = wm_mgr.probe(prd_paths)
+
+        for t in INSTRUMENT_TYPES:
+            key = f"trades_{t}"
+            if key not in extractors:
+                continue
+            try:
+                wm = watermarks.get(key)
+                delta = extractors[key](wm)  # S1 pushdown: server filters > wm
+                stg = self.stage_trades(delta)
+                prd = self.produce_trades(
+                    stg,
+                    dims["instruments"],
+                    dims["assets"],
+                    dims["categories"],
+                    dims["exchanges"],
+                    instrument_type=t,
+                    watermark=wm,
+                )
+                path = prd_paths[key]
+                write_append(prd, path)
+                self.compact(path, keys=["j_date", "name"])
+                self._ok(f"prd_{key}", None)
+            except Exception as exc:
+                self._err(f"prd_{key}", exc)
+        if "indexvalues" in extractors:
+            try:
+                wm = watermarks.get("indexvalues")
+                delta = extractors["indexvalues"](wm)
+                stg = self.stage_indexvalues(delta)
+                prd = self.produce_indexvalues(stg, dims["indexes"], watermark=wm)
+                path = prd_paths["indexvalues"]
+                write_append(prd, path)
+                self.compact(path, keys=["j_date", "name"])
+                self._ok("prd_indexvalues", None)
+            except Exception as exc:
+                self._err("prd_indexvalues", exc)
+        return self.results
+
+    def compact(self, path: str, keys: list[str]) -> None:
+        """T3 repair: append-then-compact, last version wins (O2).
+
+        The reference rewrites the whole table
+        (mabna_tables_update.py:271-280). Here the rewrite is still
+        table-scoped at test scale, but routed through dedup_last_wins
+        (window, not dropDuplicates); with a partitioned sink pass only
+        freshly-touched partitions through the window (dynamic partition
+        overwrite) instead of the full history.
+        """
+        df = self.spark.read.parquet(path)
+        compacted = dedup_last_wins(df, keys, version_col="meta.version", tiebreaker="id")
+        compacted.cache().count()  # materialize before overwriting the source dir
+        write_overwrite(compacted, path + ".tmp")
+        self.spark.catalog.clearCache()
+        import shutil
+
+        shutil.rmtree(path)
+        shutil.move(path + ".tmp", path)
+
+    def _ok(self, table: str, rows: int | None) -> None:
+        self.results.append(RunResult(table, rows))
+
+    def _err(self, table: str, exc: Exception) -> None:
+        self.results.append(RunResult(table, None, f"{type(exc).__name__}: {exc}"))

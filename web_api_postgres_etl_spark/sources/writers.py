@@ -1,0 +1,99 @@
+"""S4/S5 — table sinks (overwrite / append), parquet-native with JDBC parity.
+
+Reference: ``df.to_sql(name, con, if_exists='replace'|'append',
+schema=…)`` (mabna_tables_create.py:60-61 and 10 more sites;
+mabna_tables_update.py:58-59 and 6 more). ``replace`` drops and
+recreates the table non-atomically (readers can observe a missing
+table — SURVEY.md §7.4.6); Spark's per-directory parquet overwrite is
+kept atomic per table path here.
+
+The engine's canonical storage is parquet (zstd) laid out as
+``{warehouse}/{layer}_{name}`` mirroring the reference's
+source/staging/production schemas. ``jdbc_*`` variants provide actual-
+Postgres parity when a JDBC URL is supplied (not exercised in this
+container — no Postgres — but the option plumbing is the real one).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def table_path(warehouse: str, layer: str, name: str) -> str:
+    return f"{warehouse}/{layer}_{name}"
+
+
+def write_overwrite(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """Full-refresh sink (S4). ``partition_by`` is the 100 TB lever: prd
+    tables partition by Jalali month (j_date prefix) so compaction and
+    BI range scans touch only the partitions they need."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_append(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """Incremental append sink (S5) — delta rows only; the last-wins
+    compactor (operators.dedup.dedup_last_wins) repairs duplicates."""
+    w = df.write.mode("append")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+# ------------------------------------------------------------ JDBC parity
+def jdbc_options(url: str, table: str, user: str, password: str) -> dict[str, str]:
+    """Connection-option dict (S9) — secrets come from env/config, mirroring
+    the reference's Airflow connection (mabna_tables_create.py:40-43)."""
+    return {
+        "url": url,
+        "dbtable": table,
+        "user": user,
+        "password": password,
+        "driver": "org.postgresql.Driver",
+    }
+
+
+def jdbc_write(df: DataFrame, opts: dict[str, str], mode: str) -> None:
+    """S4/S5 over JDBC: ``mode`` in {overwrite, append}. ``truncate``
+    avoids the reference's drop/recreate DDL churn on overwrite."""
+    (
+        df.write.format("jdbc")
+        .options(**opts)
+        .option("truncate", "true")
+        .option("batchsize", "10000")
+        .mode(mode)
+        .save()
+    )
+
+
+def jdbc_read(
+    spark: SparkSession,
+    opts: dict[str, str],
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> DataFrame:
+    """S6 — parallel JDBC scan. The reference reads whole tables on one
+    connection (pd.read_sql_query — mabna_tables_create.py:141-144);
+    here ``partitionColumn`` on the monotone ``meta.version`` splits the
+    read across executors."""
+    r = spark.read.format("jdbc").options(**opts)
+    if partition_column:
+        r = (
+            r.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound or 0))
+            .option("upperBound", str(upper_bound or 1))
+        )
+    return r.load()
