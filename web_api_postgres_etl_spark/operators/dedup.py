@@ -21,6 +21,19 @@ from pyspark.sql import functions as F
 from .project import qcol
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the scan yields fewer partitions
+    than cores (small files → single-task stages that serialize all
+    per-row compute). At 100 TB inputs already arrive with thousands of
+    splits and this is a no-op; locally it turns a 1-thread 15s shingle
+    stage into a 32-thread sub-second one."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------- O1+O2
 def dedup_last_wins(
     df: DataFrame,
@@ -157,7 +170,7 @@ def minhash_table(
     (explode_outer + null guard) — matching the SQL semantics of
     list_min over an empty list.
     """
-    sh = df.select(
+    sh = ensure_parallelism(df).select(
         qcol(id_col).alias("__id"),
         F.explode_outer(
             word_shingles(normalized_tokens(text_col), shingle_n)
@@ -241,7 +254,7 @@ def ngram_jaccard_pairs(
     only on LSH candidates (feed ``minhash_lsh_candidates`` output as a
     semi-join filter); on its own it is quadratic in bucket size.
     """
-    shingled = df.select(
+    shingled = ensure_parallelism(df).select(
         qcol(id_col).alias("__id"),
         F.array_distinct(
             word_shingles(normalized_tokens(text_col), shingle_n)
@@ -291,7 +304,7 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Token-less documents get simhash NULL (kept via left join).
     """
     ids = df.select(qcol(id_col).alias("__id"))
-    toks = df.select(
+    toks = ensure_parallelism(df).select(
         qcol(id_col).alias("__id"),
         F.explode(normalized_tokens(text_col)).alias("__t"),
     ).withColumn("__h", F.xxhash64("__t"))
