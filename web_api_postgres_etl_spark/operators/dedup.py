@@ -99,11 +99,32 @@ def word_shingles(tokens_col, n: int = 3):
     """Column: token array → array of space-joined word n-grams.
 
     Built from sequence+transform+slice (no explode, no UDF): one row in,
-    one array out, fully codegen'd.
+    one array out.
+
+    PERF TRAP: pass a *bound column* (a projected alias), never an
+    inline expression tree. Higher-order-function lambdas are
+    interpreted, and ``slice(c, i, n)`` re-evaluates ``c`` once PER
+    ELEMENT — an inline tokenize subtree turns shingling quadratic
+    (measured 18× slower at 5k docs). ``_shingled`` below does the
+    two-step projection correctly; the alias is referenced twice
+    (sequence-size + slice) so CollapseProject keeps the projection.
     """
     c = qcol(tokens_col) if isinstance(tokens_col, str) else tokens_col
     idx = F.sequence(F.lit(1), F.greatest(F.size(c) - (n - 1), F.lit(0)))
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(c, i, n)))
+
+
+def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(__id, __sh: array<string>) word n-gram shingles per document,
+    with the token array bound to a real column first so the shingle
+    lambda sees a cheap attribute reference (see ``word_shingles``)."""
+    toks = ensure_parallelism(df).select(
+        qcol(id_col).alias("__id"),
+        normalized_tokens(text_col).alias("__toks"),
+    )
+    return toks.select(
+        "__id", word_shingles(F.col("__toks"), n).alias("__sh")
+    )
 
 
 def minhash_signature(shingles_col, num_hashes: int = 16):
@@ -170,11 +191,8 @@ def minhash_table(
     (explode_outer + null guard) — matching the SQL semantics of
     list_min over an empty list.
     """
-    sh = ensure_parallelism(df).select(
-        qcol(id_col).alias("__id"),
-        F.explode_outer(
-            word_shingles(normalized_tokens(text_col), shingle_n)
-        ).alias("__s"),
+    sh = _shingled(df, id_col, text_col, shingle_n).select(
+        "__id", F.explode_outer("__sh").alias("__s")
     )
     aggs = [
         F.min(
@@ -254,12 +272,11 @@ def ngram_jaccard_pairs(
     only on LSH candidates (feed ``minhash_lsh_candidates`` output as a
     semi-join filter); on its own it is quadratic in bucket size.
     """
-    shingled = ensure_parallelism(df).select(
-        qcol(id_col).alias("__id"),
-        F.array_distinct(
-            word_shingles(normalized_tokens(text_col), shingle_n)
-        ).alias("__sh"),
-    ).filter(F.size("__sh") > 0)
+    shingled = (
+        _shingled(df, id_col, text_col, shingle_n)
+        .select("__id", F.array_distinct("__sh").alias("__sh"))
+        .filter(F.size("__sh") > 0)
+    )
     sizes = shingled.select("__id", F.size("__sh").alias("__n"))
     exploded = shingled.select("__id", F.explode("__sh").alias("__s"))
     a = exploded.alias("a")
