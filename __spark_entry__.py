@@ -755,6 +755,516 @@ GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# Relational breadth beyond the reference's own surface (engine table stakes:
+# window analytics, rollup, set ops, semi/anti joins, top-k join-agg) — each
+# one shape the reference would hit the moment its BI layer grew a question.
+# ---------------------------------------------------------------------------
+
+def q_w1_window_analytics(spark: SparkSession, sf: str) -> DataFrame:
+    """Window analytics per user stream: lag, sequence number, 3-row
+    moving sum (frame-bounded window). Moving sums go through
+    DECIMAL(38,10) so accumulation is exact and order-independent."""
+    events = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    wsum = w.rowsBetween(-2, 0)
+    return events.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.row_number().over(w).alias("seq"),
+        F.sum(F.col("value").cast("decimal(38,10)")).over(wsum).alias("moving_sum3"),
+    )
+
+
+SQL_W1 = """
+SELECT event_id, user_id, value,
+       lag(value, 1) OVER w AS prev_value,
+       row_number() OVER w AS seq,
+       SUM(CAST(value AS DECIMAL(38,10))) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_sum3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+"""
+
+
+def q_agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP over (region, nation): subtotal + grand-total rows in one
+    pass (Spark expands grouping sets map-side; no extra scan)."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    joined = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.col("o_totalprice").cast("decimal(38,10)").alias("price"),
+        )
+    )
+    return (
+        joined.rollup("region", "nation")
+        .agg(F.sum("price").alias("total_price"), F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce("region", F.lit("ALL")).alias("region"),
+            F.coalesce("nation", F.lit("ALL")).alias("nation"),
+            "total_price",
+            "n_orders",
+        )
+    )
+
+
+SQL_ROLLUP = """
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS total_price,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_set_except(spark: SparkSession, sf: str) -> DataFrame:
+    """EXCEPT (distinct) set op: customers ordering in 1996 but not 1997."""
+    o = _t(spark, sf, "orders")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    y97 = o.filter(F.year("o_orderdate") == 1997).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return y96.subtract(y97)
+
+
+SQL_SET_EXCEPT = """
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+"""
+
+
+def q_set_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT (distinct) set op: customers active in both years."""
+    o = _t(spark, sf, "orders")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    y97 = o.filter(F.year("o_orderdate") == 1997).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return y96.intersect(y97)
+
+
+SQL_SET_INTERSECT = """
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+"""
+
+
+def q_j3_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-semi join (EXISTS shape): orders having a heavy lineitem.
+    Semi joins ship only the join key of the filtering side — at scale
+    the lineitem side reduces to a distinct-key broadcast/shuffle."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    heavy = li.filter(F.col("l_quantity") >= 48).select("l_orderkey")
+    return o.join(
+        heavy, o["o_orderkey"] == heavy["l_orderkey"], "left_semi"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+SQL_J3 = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+"""
+
+
+def q_j4_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS shape): orders with no discounted line."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    discounted = li.filter(F.col("l_discount") > 0.05).select("l_orderkey")
+    return o.join(
+        discounted, o["o_orderkey"] == discounted["l_orderkey"], "left_anti"
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+SQL_J4 = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+"""
+
+
+def q_q3_topk_join_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact join → group → top-10
+    by aggregate. Compiles to broadcast joins + partial agg +
+    TakeOrderedAndProject — the canonical scan-heavy OLAP plan."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1997-03-15")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1997-03-15")
+    revenue = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(38,10)"
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_Q3 = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_orderpriority,
+       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-03-15'
+  AND l_shipdate > TIMESTAMP '1997-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_s3_flatten_struct(spark: SparkSession, sf: str) -> DataFrame:
+    """S3 recursive flatten with dotted names (sources.json_flatten —
+    the json_normalize contract, mabna_tables_create.py:58): a nested
+    struct column becomes literal ``a.b`` top-level columns."""
+    from web_api_postgres_etl_spark.sources.json_flatten import flatten
+
+    events = _t(spark, sf, "events")
+    nested = events.select(
+        "event_id",
+        F.struct(
+            F.get_json_object("props", "$.k").cast("long").alias("k")
+        ).alias("props"),
+        F.struct(
+            F.col("user_id").alias("id"), F.col("event_type").alias("type")
+        ).alias("actor"),
+    )
+    return flatten(nested)
+
+
+SQL_FLATTEN = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS "props.k",
+       user_id AS "actor.id",
+       event_type AS "actor.type"
+FROM events
+"""
+
+
+def q_f3_struct_array(spark: SparkSession, sf: str) -> DataFrame:
+    """F3 true array-of-structs element extraction (the reference's
+    ``categories[0]['id']`` shape, mabna_tables_create.py:113-118):
+    per-order line list → first struct's field via element_at+getField
+    (functions.arrays.first_element_field)."""
+    from web_api_postgres_etl_spark.functions.arrays import first_element_field
+
+    li = _t(spark, sf, "lineitem")
+    lines = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("l_linenumber").alias("ln"), F.col("l_quantity").alias("qty"))
+            )
+        ).alias("lines")
+    )
+    return lines.select(
+        "l_orderkey",
+        first_element_field("lines", "qty").alias("first_line_qty"),
+        F.size("lines").alias("n_lines"),
+    )
+
+
+SQL_F3_STRUCT = """
+SELECT l_orderkey,
+       (array_agg(l_quantity ORDER BY l_linenumber, l_quantity))[1] AS first_line_qty,
+       COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY l_orderkey
+"""
+
+
+def q_s7_catalog_tables(spark: SparkSession, sf: str) -> DataFrame:
+    """S7 catalog introspection (information_schema.tables scan,
+    mabna_tables_update.py:73-84): register the warehouse tables as
+    views, list them back through the catalog API."""
+    names = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    for name in names:
+        _t(spark, sf, name).createOrReplaceTempView(name)
+    listed = sorted(
+        t.name for t in spark.catalog.listTables() if t.name in set(names)
+    )
+    return spark.createDataFrame([(n,) for n in listed], "table_name string")
+
+
+SQL_S7 = """
+SELECT table_name FROM information_schema.tables
+WHERE table_name IN ('region','nation','customer','supplier','part',
+                     'orders','lineitem','events','documents','embeddings')
+ORDER BY table_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# S8 dim_date and the end-to-end medallion pipeline — the reference's core
+# behaviors, each verified against a full SQL oracle.
+# ---------------------------------------------------------------------------
+
+def q_s8_dim_date(spark: SparkSession, sf: str) -> DataFrame:
+    """S8 Jalali dim_date generation (full-dimdate-pb.xlsx span,
+    1320-1429). The oracle re-derives every row independently: DuckDB
+    generates the same Gregorian day range and converts each date with
+    the 33-year-cycle arithmetic in SQL — so the engine's driver-side
+    Python conversion is cross-checked per-row by a second
+    implementation."""
+    from web_api_postgres_etl_spark.sources.dim_date import generate_dim_date
+
+    dim = generate_dim_date(spark, start_jy=1320, end_jy=1429)
+    return dim.select(
+        "j_date",
+        "j_year",
+        "j_month_num",
+        F.col("j_day_num").alias("j_day_of_year"),
+        "season_num",
+        "half_year_en",
+        "weekday_name_en",
+        "g_month_num",
+        F.date_format("g_date", "yyyy-MM-dd").alias("g_date"),
+    )
+
+
+def _dim_date_oracle_sql() -> str:
+    from web_api_postgres_etl_spark.sources.dim_date import _jalali_month_len
+    from web_api_postgres_etl_spark.functions.dates import jalali_to_gregorian
+
+    g_start = "%04d-%02d-%02d" % jalali_to_gregorian(1320, 1, 1)
+    g_end = "%04d-%02d-%02d" % jalali_to_gregorian(
+        1429, 12, _jalali_month_len(1429, 12)
+    )
+    # Gregorian→Jalali 33-year-cycle arithmetic (same public-domain
+    # algorithm as functions.dates.gregorian_to_jalali), in pure SQL.
+    return f"""
+WITH days AS (
+  SELECT CAST(d AS DATE) AS g_date,
+         date_diff('day', DATE '1600-01-01', CAST(d AS DATE)) - 79 AS jd0
+  FROM generate_series(DATE '{g_start}', DATE '{g_end}', INTERVAL 1 DAY) t(d)
+),
+c1 AS (
+  SELECT g_date,
+         979 + 33 * (jd0 // 12053) + 4 * ((jd0 % 12053) // 1461) AS jy0,
+         (jd0 % 12053) % 1461 AS r2
+  FROM days
+),
+c2 AS (
+  SELECT g_date,
+         CASE WHEN r2 >= 366 THEN jy0 + (r2 - 1) // 365 ELSE jy0 END AS jy,
+         CASE WHEN r2 >= 366 THEN (r2 - 1) % 365 ELSE r2 END AS doy0
+  FROM c1
+),
+c3 AS (
+  SELECT g_date, jy, doy0,
+         CASE WHEN doy0 < 186 THEN 1 + doy0 // 31
+              ELSE 7 + (doy0 - 186) // 30 END AS jm,
+         CASE WHEN doy0 < 186 THEN 1 + doy0 % 31
+              ELSE 1 + (doy0 - 186) % 30 END AS jd
+  FROM c2
+)
+SELECT lpad(CAST(jy AS VARCHAR), 4, '0') || '/' ||
+       lpad(CAST(jm AS VARCHAR), 2, '0') || '/' ||
+       lpad(CAST(jd AS VARCHAR), 2, '0') AS j_date,
+       CAST(jy AS INT) AS j_year,
+       CAST(jm AS INT) AS j_month_num,
+       CAST(doy0 + 1 AS INT) AS j_day_of_year,
+       CAST((jm - 1) // 3 + 1 AS INT) AS season_num,
+       CASE WHEN jm <= 6 THEN 'H1' ELSE 'H2' END AS half_year_en,
+       dayname(g_date) AS weekday_name_en,
+       CAST(month(g_date) AS INT) AS g_month_num,
+       strftime(g_date, '%Y-%m-%d') AS g_date
+FROM c3
+"""
+
+
+SQL_S8_DIM_DATE = _dim_date_oracle_sql()
+
+
+# --- pipeline e2e: events mapped onto the reference's trades wire format ---
+
+def _events_as_trades(events: DataFrame) -> DataFrame:
+    """Deterministic adapter: the events stream in the reference's
+    src_exchange_trades shape (flattened dotted columns, compact
+    date_time, monotone meta.version). Arithmetic is plain IEEE double
+    ops so the oracle reproduces values bit-for-bit."""
+    from web_api_postgres_etl_spark.functions.dates import gregorian_ts_to_compact
+
+    return events.select(
+        F.col("event_id").alias("id"),
+        gregorian_ts_to_compact("ts").alias("date_time"),
+        F.col("value").alias("open_price"),
+        (F.col("value") + 2).alias("high_price"),
+        (F.col("value") - 2).alias("low_price"),
+        (F.col("value") + 1).alias("close_price"),
+        F.lit(1.0).alias("close_price_change"),
+        (F.col("user_id") % 100 + 1).alias("trade_count"),
+        (F.col("user_id") * 10).alias("volume"),
+        (F.col("value") * 100).alias("value"),
+        (F.col("user_id") % 50 + 1).alias("instrument.id"),
+        F.col("event_id").alias("meta.version"),
+    )
+
+
+def _synthetic_dims(spark: SparkSession) -> dict[str, DataFrame]:
+    """Reference dimension tables (instruments/assets/categories/
+    exchanges) derived from integer ranges — identical generators exist
+    in the oracle SQL as range() CTEs."""
+    inst = spark.range(1, 51).select(
+        F.col("id"),
+        F.concat(F.lit("C"), F.col("id")).alias("code"),
+        F.concat(F.lit("IR"), F.col("id")).alias("isin"),
+        F.concat(F.lit("inst_"), F.col("id")).alias("name"),
+        (F.col("id") % 10 + 1).alias("asset.id"),
+        (F.col("id") % 5 + 1).alias("exchange.id"),
+        (F.col("id") * 7).alias("stock.company.id"),
+    )
+    assets = spark.range(1, 11).select(
+        F.col("id"), (F.col("id") % 4 + 1).alias("category.id")
+    )
+    cats = spark.range(1, 5).select(
+        F.col("id"), F.concat(F.lit("cat"), F.col("id")).alias("short_name")
+    )
+    exch = spark.range(1, 6).select(
+        F.col("id"), F.concat(F.lit("EX"), F.col("id")).alias("title")
+    )
+    return {"instruments": inst, "assets": assets, "categories": cats, "exchanges": exch}
+
+
+def q_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's whole lifecycle in one verified query: full
+    refresh (G1: extract→stage→produce, mabna_tables_create.py:303-322)
+    of an initial slice, then an incremental run (G2/T1-T3: watermark
+    probe → delta extract with pushdown → stage → star join → append →
+    last-wins compaction, mabna_tables_update.py:383-410) of the
+    remainder. The final prd table must equal the oracle's one-shot SQL
+    over ALL events — proving append+compact converges to the same
+    state as recomputation."""
+    import shutil
+    import tempfile
+
+    from web_api_postgres_etl_spark.plans.pipeline import MedallionPipeline
+    from web_api_postgres_etl_spark.sources.writers import table_path
+
+    events = _t(spark, sf, "events")
+    maxv = events.agg(F.max("event_id")).first()[0]
+    cutoff = maxv - 3000  # initial load covers versions ≤ cutoff
+    trades_all = _events_as_trades(events)
+    dims = _synthetic_dims(spark)
+
+    warehouse = tempfile.mkdtemp(prefix="wapeql_e2e_")
+    try:
+        pipe = MedallionPipeline(
+            spark, warehouse, range_start="1900/01/01", range_end="2100/12/31"
+        )
+        src_full = trades_all.filter(F.col("`meta.version`") <= cutoff)
+        pipe.run_full_refresh(
+            {
+                "trades_share": lambda: src_full,
+                "instruments": lambda: dims["instruments"],
+                "assets": lambda: dims["assets"],
+                "categories": lambda: dims["categories"],
+                "exchanges": lambda: dims["exchanges"],
+            }
+        )
+        pipe.run_incremental(
+            {
+                "trades_share": lambda wm: trades_all.filter(
+                    F.col("`meta.version`") > F.lit(wm if wm is not None else -1)
+                )
+            },
+            dims=dims,
+        )
+        out = spark.read.parquet(table_path(warehouse, "prd", "trades_share"))
+        # Detach the result from the temp warehouse before cleanup.
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)
+
+
+SQL_PIPELINE_E2E = """
+WITH instruments AS (
+  SELECT i AS id, 'C' || i AS code, 'IR' || i AS isin, 'inst_' || i AS name,
+         i % 10 + 1 AS asset_id, i % 5 + 1 AS exchange_id, i * 7 AS company_id
+  FROM range(1, 51) t(i)
+),
+assets AS (SELECT i AS id, i % 4 + 1 AS category_id FROM range(1, 11) t(i)),
+categories AS (SELECT i AS id, 'cat' || i AS short_name FROM range(1, 5) t(i)),
+exchanges AS (SELECT i AS id, 'EX' || i AS title FROM range(1, 6) t(i)),
+src AS (
+  SELECT event_id AS id,
+         strftime(ts, '%Y%m%d%H%M%S') AS date_time,
+         value AS open_price, value + 2 AS high_price, value - 2 AS low_price,
+         value + 1 AS close_price, CAST(1.0 AS DOUBLE) AS close_price_change,
+         user_id % 100 + 1 AS trade_count, user_id * 10 AS volume,
+         value * 100 AS value,
+         user_id % 50 + 1 AS instrument_id,
+         event_id AS version
+  FROM events
+),
+stg AS (
+  SELECT *,
+         substr(date_time, 1, 4) || '/' || substr(date_time, 5, 2) || '/' ||
+           substr(date_time, 7, 2) AS j_date,
+         close_price_change / nullif(close_price - close_price_change, 0)
+           AS close_price_change_percent
+  FROM src
+),
+prd AS (
+  SELECT s.id, s.j_date, s.date_time, i.code, i.isin, i.name,
+         i.company_id AS "company.id", c.short_name AS category,
+         e.title AS market,
+         s.open_price, s.high_price, s.low_price, s.close_price,
+         s.close_price_change, s.close_price_change_percent,
+         s.trade_count, s.volume, s.value, s.version AS "meta.version"
+  FROM stg s
+  JOIN instruments i ON s.instrument_id = i.id
+  JOIN assets a ON i.asset_id = a.id
+  JOIN categories c ON a.category_id = c.id
+  JOIN exchanges e ON i.exchange_id = e.id
+)
+SELECT * FROM prd
+QUALIFY row_number() OVER (
+  PARTITION BY j_date, name ORDER BY "meta.version" DESC, id DESC) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Rows-only queries (no SQL-expressible oracle — driver records weaker check)
 # ---------------------------------------------------------------------------
 
@@ -830,6 +1340,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_pairs": q_ann_cosine_pairs,
         "multimodal_stats": q_multimodal_stats,
+        "w1_window_analytics": q_w1_window_analytics,
+        "agg_rollup": q_agg_rollup,
+        "set_except": q_set_except,
+        "set_intersect": q_set_intersect,
+        "j3_semi_join": q_j3_semi_join,
+        "j4_anti_join": q_j4_anti_join,
+        "q3_topk_join_agg": q_q3_topk_join_agg,
+        "s3_flatten_struct": q_s3_flatten_struct,
+        "f3_struct_array": q_f3_struct_array,
+        "s7_catalog_tables": q_s7_catalog_tables,
+        "s8_dim_date": q_s8_dim_date,
+        "pipeline_e2e": q_pipeline_e2e,
         # rows-only (no oracle):
         "simhash_near_dups": q_simhash_near_dups,
         "rhp_lsh_topk": q_rhp_lsh_topk,
@@ -866,4 +1388,16 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": SQL_ANN_TOPK,
         "ann_cosine_pairs": SQL_ANN_PAIRS,
         "multimodal_stats": SQL_MULTIMODAL_STATS,
+        "w1_window_analytics": SQL_W1,
+        "agg_rollup": SQL_ROLLUP,
+        "set_except": SQL_SET_EXCEPT,
+        "set_intersect": SQL_SET_INTERSECT,
+        "j3_semi_join": SQL_J3,
+        "j4_anti_join": SQL_J4,
+        "q3_topk_join_agg": SQL_Q3,
+        "s3_flatten_struct": SQL_FLATTEN,
+        "f3_struct_array": SQL_F3_STRUCT,
+        "s7_catalog_tables": SQL_S7,
+        "s8_dim_date": SQL_S8_DIM_DATE,
+        "pipeline_e2e": SQL_PIPELINE_E2E,
     }
