@@ -1033,6 +1033,158 @@ ORDER BY table_name
 """
 
 
+def q_ann_nn_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest-neighbor join: for each query vector (every 25th), its 2
+    nearest corpus neighbors by cosine — broadcast + window top-k (the
+    LSH bucket join replaces the cross join at scale)."""
+    from web_api_postgres_etl_spark.operators.similarity import (
+        nearest_neighbor_join,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    left = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    right = emb.filter(F.col("vec_id") % 25 != 0).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    return nearest_neighbor_join(left, right, "query_id", "neighbor_id", k=2)
+
+
+SQL_NN_JOIN = f"""
+WITH l AS (SELECT vec_id AS query_id, embedding AS le FROM embeddings
+           WHERE vec_id % 25 = 0),
+r AS (SELECT vec_id AS neighbor_id, embedding AS re FROM embeddings
+      WHERE vec_id % 25 <> 0)
+SELECT query_id, neighbor_id,
+       round({_cos_sql("le", "re")}, 6) AS cosine_sim
+FROM l CROSS JOIN r
+QUALIFY row_number() OVER (
+  PARTITION BY query_id
+  ORDER BY round({_cos_sql("le", "re")}, 6) DESC, neighbor_id) <= 2
+"""
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF approximate top-k (the ANN scale path): deterministic coarse
+    centroids (every 97th vector), nearest-centroid assignment, probe
+    the 2 closest clusters only. Same fixed-order double folds as the
+    exact baseline so the oracle reproduces assignment AND scoring
+    bit-for-bit."""
+    from web_api_postgres_etl_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 1).select("embedding").first()["embedding"]
+    return ivf_topk(
+        emb, [float(x) for x in qvec], k=10, nprobe=2, every=97
+    )
+
+
+SQL_IVF_TOPK = f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+              WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 8),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+probe AS (
+  SELECT cid FROM cent, q
+  ORDER BY {_cos_sql("cv", "qv")} DESC, cid DESC LIMIT 2
+),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid AS cluster
+  FROM embeddings e CROSS JOIN cent c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY {_cos_sql("e.embedding", "c.cv")} DESC, c.cid DESC) = 1
+)
+SELECT a.vec_id, round({_cos_sql("a.embedding", "qv")}, 6) AS cosine_sim
+FROM assign a JOIN probe ON a.cluster = probe.cid, q
+ORDER BY cosine_sim DESC, a.vec_id
+LIMIT 10
+"""
+
+
+def q_s1_rest_source(spark: SparkSession, sf: str) -> DataFrame:
+    """S1/S2/S3 source path end-to-end with a local payload: nested
+    JSON records (the REST envelope's ``data`` array shape) → land as
+    JSON-lines → spark.read.json (schema inference, PERMISSIVE) →
+    recursive flatten to dotted names. The oracle re-derives the same
+    relation straight from the events table."""
+    from web_api_postgres_etl_spark.sources.rest import json_records_to_df
+
+    events = _t(spark, sf, "events")
+    records = [
+        {
+            "id": r["event_id"],
+            "type": r["event_type"],
+            "meta": {"version": r["event_id"]},
+            "instrument": {"id": r["user_id"]},
+        }
+        for r in events.select("event_id", "event_type", "user_id").collect()
+    ]
+    df = json_records_to_df(spark, records)
+    return df.select("id", "type", F.col("`meta.version`"), F.col("`instrument.id`"))
+
+
+SQL_REST = """
+SELECT event_id AS id, event_type AS type,
+       event_id AS "meta.version", user_id AS "instrument.id"
+FROM events
+"""
+
+
+def q_t1_streaming_compact(spark: SparkSession, sf: str) -> DataFrame:
+    """T1/T3 Structured Streaming micro-batch: file-source stream with
+    Trigger.AvailableNow → foreachBatch append + last-wins compaction
+    (streaming.incremental). The final sink state must equal the O2
+    window over all input — proving the stream converges to batch
+    recomputation (oracle-checked, not rows-only)."""
+    import shutil
+    import tempfile
+
+    from web_api_postgres_etl_spark.streaming.incremental import (
+        incremental_stream,
+    )
+
+    events = _t(spark, sf, "events")
+    feed = events.select(
+        "user_id", "event_type", "value", F.col("event_id").alias("meta.version")
+    )
+    root = tempfile.mkdtemp(prefix="wapeql_stream_")
+    src_dir = f"{root}/src"
+    sink = f"{root}/sink"
+    ckpt = f"{root}/ckpt"
+    try:
+        half = events.agg(F.expr("percentile_approx(event_id, 0.5)")).first()[0]
+        feed.filter(F.col("`meta.version`") <= half).write.parquet(
+            src_dir, mode="append"
+        )
+        feed.filter(F.col("`meta.version`") > half).write.parquet(
+            src_dir, mode="append"
+        )
+        q = incremental_stream(
+            spark,
+            src_dir,
+            sink,
+            ckpt,
+            transform=lambda df: df,
+            keys=["user_id", "event_type"],
+            schema=feed.schema,
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(sink)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_STREAMING = """
+SELECT user_id, event_type, value, event_id AS "meta.version"
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # S8 dim_date and the end-to-end medallion pipeline — the reference's core
 # behaviors, each verified against a full SQL oracle.
@@ -1352,6 +1504,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_catalog_tables": q_s7_catalog_tables,
         "s8_dim_date": q_s8_dim_date,
         "pipeline_e2e": q_pipeline_e2e,
+        "ann_nn_join": q_ann_nn_join,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "s1_rest_source": q_s1_rest_source,
+        "t1_streaming_compact": q_t1_streaming_compact,
         # rows-only (no oracle):
         "simhash_near_dups": q_simhash_near_dups,
         "rhp_lsh_topk": q_rhp_lsh_topk,
@@ -1400,4 +1556,8 @@ def oracle_sql() -> dict[str, str]:
         "s7_catalog_tables": SQL_S7,
         "s8_dim_date": SQL_S8_DIM_DATE,
         "pipeline_e2e": SQL_PIPELINE_E2E,
+        "ann_nn_join": SQL_NN_JOIN,
+        "ann_ivf_topk": SQL_IVF_TOPK,
+        "s1_rest_source": SQL_REST,
+        "t1_streaming_compact": SQL_STREAMING,
     }

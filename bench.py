@@ -39,6 +39,10 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "ann_cosine_topk",
     "lang_id",
+    "q3_topk_join_agg",
+    "w1_window_analytics",
+    "agg_rollup",
+    "ann_ivf_topk",
 ]
 
 

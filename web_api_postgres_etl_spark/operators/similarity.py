@@ -185,6 +185,125 @@ def rhp_lsh_topk(
     )
 
 
+# ------------------------------------------------------------------ IVF
+def _py_fold_dot(a: list[float], b: list[float]) -> float:
+    """Driver-side strict left fold — bit-identical to the Column/oracle
+    fold (sequential IEEE double adds in index order)."""
+    dp = 0.0
+    for x, y in zip(a, b):
+        dp += x * y
+    return dp
+
+
+def _py_norm(a: list[float]) -> float:
+    import math
+
+    return math.sqrt(_py_fold_dot(a, a))
+
+
+def ivf_centroids(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    every: int = 97, max_centroids: int = 8,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse centroids: every ``every``-th corpus vector
+    by id, capped at ``max_centroids`` (a fixed sample stands in for
+    k-means — the IVF *structure* is what matters: cluster assignment +
+    probe pruning; swapping in trained centroids changes recall, not
+    the plan shape)."""
+    rows = (
+        corpus.filter((qcol(id_col) % every) == 0)
+        .select(qcol(id_col).alias("cid"), as_double_array(vec_col).alias("cv"))
+        .orderBy("cid")
+        .limit(max_centroids)
+        .collect()
+    )
+    return [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in rows]
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, cluster) — nearest-centroid assignment, ties to the
+    larger centroid id. Centroids enter the plan as literals (broadcast
+    by construction); each row computes |C| fold dot products — no
+    shuffle, no UDF. At 100 TB this runs ONCE at index build and
+    ``cluster`` becomes a partition column so probes prune partitions.
+
+    Perf shape: the vector is bound to a projected column and the row
+    norm computed a single time (two-step projection — the HOF
+    inline-subtree trap, see operators.dedup.word_shingles); centroid
+    norms are driver-side literals, so scoring is ONE fold per centroid
+    instead of three.
+    """
+    prepped = corpus.select(
+        qcol(id_col).alias(id_col), as_double_array(vec_col).alias("__v")
+    )
+    prepped = prepped.select(
+        id_col, "__v", l2_norm(F.col("__v")).alias("__nv")
+    )
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    dot(F.col("__v"), F.array(*[F.lit(x) for x in cvec]))
+                    / F.nullif(F.col("__nv") * F.lit(_py_norm(cvec)), F.lit(0.0))
+                ).alias("s"),
+                F.lit(cid).alias("c"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    best = F.array_max(scored)  # struct order: (sim, cid) — tie → larger cid
+    return prepped.select(
+        id_col, "__v", "__nv", best.getField("c").alias("cluster")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+    every: int = 97,
+    max_centroids: int = 8,
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors assigned to the
+    ``nprobe`` centroids nearest the query. The probe-set filter is the
+    scale lever — with cluster as a partition column the scan touches
+    nprobe/|C| of the corpus."""
+    centroids = ivf_centroids(corpus, id_col, vec_col, every, max_centroids)
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        den = _py_norm(a) * _py_norm(b)
+        return _py_fold_dot(a, b) / den if den != 0.0 else float("nan")
+
+    probed = sorted(
+        centroids, key=lambda cv: (-_cos(query_vec, cv[1]), -cv[0])
+    )[:nprobe]
+    probe_ids = [cid for cid, _ in probed]
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    nq = _py_norm([float(x) for x in query_vec])
+    return (
+        assigned.filter(F.col("cluster").isin(probe_ids))
+        .select(
+            id_col,
+            F.round(
+                dot(F.col("__v"), q)
+                / F.nullif(F.col("__nv") * F.lit(nq), F.lit(0.0)),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def nearest_neighbor_join(
     left: DataFrame,
     right: DataFrame,
