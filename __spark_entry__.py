@@ -1033,6 +1033,62 @@ ORDER BY table_name
 """
 
 
+def q_j5_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe salted shuffle join (operators.joins.salted_join): fact
+    rows salted into 8 buckets, dim replicated 8×, join on (key, salt).
+    Result is provably identical to the plain join — the oracle IS the
+    plain join — while a hot key's rows spread over 8 reducers."""
+    from web_api_postgres_etl_spark.operators.joins import salted_join
+
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    out = salted_join(li, s, "l_suppkey", "s_suppkey", salt=8)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("s_name").alias("supplier"),
+        "l_quantity",
+    )
+
+
+SQL_J5 = """
+SELECT l_orderkey, l_linenumber, s_name AS supplier, l_quantity
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+"""
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame-sampling fan-out (metadata-only plan): one row per
+    sampled frame timestamp via sequence+explode — the Spark-side hard
+    part of frame extraction; decode is the pluggable kernel."""
+    from web_api_postgres_etl_spark.operators.multimodal import (
+        frame_sample_plan,
+    )
+
+    docs = _t(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.lit("video/fake").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            (F.col("n_chars") * 17).cast("int").alias("duration_ms"),
+            F.lit("fake").alias("codec"),
+        ).alias("media_meta"),
+    )
+    return frame_sample_plan(media, every_ms=1000)
+
+
+SQL_FRAME_SAMPLE = """
+SELECT doc_id AS media_id,
+       unnest(range(0, CAST(n_chars * 17 AS BIGINT), 1000)) AS frame_ts_ms
+FROM documents
+WHERE n_chars * 17 >= 1
+"""
+
+
 def q_ann_nn_join(spark: SparkSession, sf: str) -> DataFrame:
     """Nearest-neighbor join: for each query vector (every 25th), its 2
     nearest corpus neighbors by cosine — broadcast + window top-k (the
@@ -1508,6 +1564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "s1_rest_source": q_s1_rest_source,
         "t1_streaming_compact": q_t1_streaming_compact,
+        "j5_salted_join": q_j5_salted_join,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
         # rows-only (no oracle):
         "simhash_near_dups": q_simhash_near_dups,
         "rhp_lsh_topk": q_rhp_lsh_topk,
@@ -1560,4 +1618,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": SQL_IVF_TOPK,
         "s1_rest_source": SQL_REST,
         "t1_streaming_compact": SQL_STREAMING,
+        "j5_salted_join": SQL_J5,
+        "multimodal_frame_sample": SQL_FRAME_SAMPLE,
     }

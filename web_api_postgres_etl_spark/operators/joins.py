@@ -56,5 +56,39 @@ def star_join(
     return out
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe shuffle equi-join: the fact side gets a per-row salt in
+    [0, salt), the dim side is replicated ``salt``× (explode of a salt
+    array), and the join runs on (key, salt) — a hot key's rows spread
+    over ``salt`` reducers instead of melting one.
+
+    Result set is IDENTICAL to the plain join (every fact row meets its
+    dim row exactly once, at its own salt) — which is what makes it
+    oracle-checkable. Use when the dim is too big to broadcast AND the
+    fact key is skewed; AQE's skew-join split handles the same problem
+    reactively, this handles it by construction.
+    """
+    fct = fact.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)).cast("int"),
+    )
+    dm = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = fct.join(
+        dm,
+        (fct[_q(fact_key)] == dm[_q(dim_key)]) & (fct["__salt"] == dm["__salt"]),
+        how,
+    )
+    return out.drop("__salt")
+
+
 def _q(name: str) -> str:
     return f"`{name}`" if "." in name else name

@@ -111,6 +111,70 @@ def extract_image_features(media: DataFrame, dim: int = 8) -> DataFrame:
     )
 
 
+def decode_audio(content: bytes, meta) -> "object":
+    """Decode bytes → waveform. REAL CODECS UNAVAILABLE IN THIS
+    ENVIRONMENT — a production deployment plugs librosa/ffmpeg here."""
+    raise NotImplementedError(
+        "audio decode requires librosa/ffmpeg — not installed; "
+        "use extract_audio_features' deterministic fake kernel"
+    )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """mapInPandas audio featurization — same Arrow-batched plumbing as
+    images, with sample_rate carried through from metadata (the fake
+    kernel stands in for an MFCC/wav2vec embedding)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = pdf["content"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sha256": [
+                        hashlib.sha256(b or b"").hexdigest() for b in content
+                    ],
+                    "n_bytes": [len(b or b"") for b in content],
+                    "sample_rate": pdf["sample_rate"],
+                    "feature": [fake_image_features(b, dim) for b in content],
+                }
+            )
+
+    flat = media.select(
+        "media_id", "content", F.col("media_meta.sample_rate").alias("sample_rate")
+    )
+    return flat.mapInPandas(kernel, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def resize_image_plan(media: DataFrame, max_w: int = 512, max_h: int = 512) -> DataFrame:
+    """Image-resize *plan*: target dimensions computed JVM-side from
+    metadata (aspect-preserving fit into max_w×max_h, integer floor);
+    the pixel resample itself is the pluggable decode kernel. Keeps the
+    expensive part (per-image target geometry + filtering of no-op
+    resizes) in codegen."""
+    w = F.col("media_meta.width").cast("double")
+    h = F.col("media_meta.height").cast("double")
+    scale = F.least(F.lit(float(max_w)) / w, F.lit(float(max_h)) / h, F.lit(1.0))
+    return media.filter(w.isNotNull() & h.isNotNull()).select(
+        "media_id",
+        F.col("media_meta.width").alias("src_w"),
+        F.col("media_meta.height").alias("src_h"),
+        F.floor(w * scale).cast("int").alias("dst_w"),
+        F.floor(h * scale).cast("int").alias("dst_h"),
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled frame
     timestamp, computed from metadata only (no decode): duration /
@@ -122,7 +186,7 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             "media_id",
             F.col("media_meta.duration_ms").alias("duration_ms"),
         )
-        .filter(F.col("duration_ms").isNotNull())
+        .filter(F.col("duration_ms") >= 1)  # NULL and zero-length media drop out
         .select(
             "media_id",
             F.explode(
