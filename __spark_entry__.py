@@ -1033,6 +1033,89 @@ ORDER BY table_name
 """
 
 
+def q_near_dup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed 100 TB near-dup plan: MinHash+LSH candidate pairs →
+    exact Jaccard verification restricted to candidates (array_intersect
+    per pair — no quadratic shingle self-join). Oracle composes the same
+    two stages in SQL."""
+    from web_api_postgres_etl_spark.operators.dedup import near_dup_pairs
+
+    docs = _t(spark, sf, "documents")
+    out = near_dup_pairs(
+        docs, "doc_id", "text", shingle_n=2, num_hashes=8, bands=4, threshold=0.5
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_NEAR_DUP = f"""
+WITH t AS (SELECT doc_id, {TOK.format(col="text")} AS toks FROM documents),
+s AS (SELECT doc_id, {_shingle_sql("toks", 2)} AS sh FROM t),
+m AS (SELECT doc_id, {_mh_cols} FROM s WHERE len(sh) > 0),
+b AS (SELECT doc_id, unnest([{_band_keys}]) AS band FROM m),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM b a JOIN b c ON a.band = c.band AND a.doc_id < c.doc_id
+),
+ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM s WHERE len(sh) > 0),
+scored AS (
+  SELECT id_a, id_b,
+         len(list_intersect(sa.sh, sb.sh)) /
+           CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
+                AS DOUBLE) AS jaccard
+  FROM cand
+  JOIN ds sa ON id_a = sa.doc_id
+  JOIN ds sb ON id_b = sb.doc_id
+)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+FROM scored WHERE jaccard >= 0.5
+"""
+
+
+def q_t4_stateful_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running stats over a micro-batch file stream. Every
+    emission carries cumulative state, so last-wins over the sink must
+    equal a one-shot GROUP BY over all events — the oracle."""
+    import shutil
+    import tempfile
+
+    from web_api_postgres_etl_spark.operators.dedup import dedup_last_wins
+    from web_api_postgres_etl_spark.streaming.stateful import (
+        running_user_stats_stream,
+    )
+
+    events = _t(spark, sf, "events")
+    feed = events.select("event_id", "user_id")
+    root = tempfile.mkdtemp(prefix="wapeql_state_")
+    src_dir = f"{root}/src"
+    sink = f"{root}/sink"
+    ckpt = f"{root}/ckpt"
+    try:
+        half = events.agg(F.expr("percentile_approx(event_id, 0.5)")).first()[0]
+        feed.filter(F.col("event_id") <= half).write.parquet(src_dir, mode="append")
+        feed.filter(F.col("event_id") > half).write.parquet(src_dir, mode="append")
+        q = running_user_stats_stream(spark, src_dir, sink, ckpt, feed.schema)
+        q.awaitTermination()
+        final = dedup_last_wins(
+            spark.read.parquet(sink),
+            keys=["user_id"],
+            version_col="n_events",
+            tiebreaker=None,
+        )
+        rows = final.collect()
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_STATEFUL = """
+SELECT user_id, count(*) AS n_events,
+       max(event_id) AS max_version, min(event_id) AS min_version
+FROM events
+GROUP BY user_id
+"""
+
+
 def q_j5_salted_join(spark: SparkSession, sf: str) -> DataFrame:
     """Skew-safe salted shuffle join (operators.joins.salted_join): fact
     rows salted into 8 buckets, dim replicated 8×, join on (key, salt).
@@ -1566,6 +1649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1_streaming_compact": q_t1_streaming_compact,
         "j5_salted_join": q_j5_salted_join,
         "multimodal_frame_sample": q_multimodal_frame_sample,
+        "near_dup_pipeline": q_near_dup_pipeline,
+        "t4_stateful_stream": q_t4_stateful_stream,
         # rows-only (no oracle):
         "simhash_near_dups": q_simhash_near_dups,
         "rhp_lsh_topk": q_rhp_lsh_topk,
@@ -1620,4 +1705,6 @@ def oracle_sql() -> dict[str, str]:
         "t1_streaming_compact": SQL_STREAMING,
         "j5_salted_join": SQL_J5,
         "multimodal_frame_sample": SQL_FRAME_SAMPLE,
+        "near_dup_pipeline": SQL_NEAR_DUP,
+        "t4_stateful_stream": SQL_STATEFUL,
     }

@@ -43,6 +43,7 @@ HEADLINE = [
     "w1_window_analytics",
     "agg_rollup",
     "ann_ivf_topk",
+    "near_dup_pipeline",
 ]
 
 
