@@ -1033,6 +1033,44 @@ ORDER BY table_name
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Image-resize plan (metadata-only geometry): aspect-preserving fit
+    into 512×512 computed JVM-side; the pixel resample is the pluggable
+    decode kernel (no codecs in this container)."""
+    from web_api_postgres_etl_spark.operators.multimodal import (
+        resize_image_plan,
+    )
+
+    docs = _t(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            (F.col("n_chars") % 1000 + 100).cast("int").alias("width"),
+            (F.col("n_chars") % 700 + 50).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit("fake").alias("codec"),
+        ).alias("media_meta"),
+    )
+    return resize_image_plan(media, max_w=512, max_h=512)
+
+
+SQL_RESIZE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(n_chars % 1000 + 100 AS INT) AS w,
+         CAST(n_chars % 700 + 50 AS INT) AS h
+  FROM documents
+)
+SELECT media_id, w AS src_w, h AS src_h,
+       CAST(floor(w * least(512.0 / w, 512.0 / h, 1.0)) AS INT) AS dst_w,
+       CAST(floor(h * least(512.0 / w, 512.0 / h, 1.0)) AS INT) AS dst_h
+FROM m
+"""
+
+
 def q_near_dup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """The composed 100 TB near-dup plan: MinHash+LSH candidate pairs →
     exact Jaccard verification restricted to candidates (array_intersect
@@ -1651,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "near_dup_pipeline": q_near_dup_pipeline,
         "t4_stateful_stream": q_t4_stateful_stream,
+        "multimodal_resize": q_multimodal_resize,
         # rows-only (no oracle):
         "simhash_near_dups": q_simhash_near_dups,
         "rhp_lsh_topk": q_rhp_lsh_topk,
@@ -1707,4 +1746,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frame_sample": SQL_FRAME_SAMPLE,
         "near_dup_pipeline": SQL_NEAR_DUP,
         "t4_stateful_stream": SQL_STATEFUL,
+        "multimodal_resize": SQL_RESIZE,
     }

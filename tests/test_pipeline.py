@@ -130,3 +130,49 @@ def test_watermark_probe_missing_table(spark, tmp_path):
     mgr = WatermarkManager(spark, str(tmp_path))
     out = mgr.probe({"absent": str(tmp_path / "nope")})
     assert out == {"absent": None}
+
+
+def test_partition_scoped_compaction(spark, tmp_path):
+    """compact_partitioned rewrites ONLY touched partitions: untouched
+    partition files must remain byte-identical on disk, and the touched
+    partition must collapse to last-wins."""
+    import glob
+    import os
+
+    from web_api_postgres_etl_spark.plans.pipeline import MedallionPipeline
+
+    path = str(tmp_path / "prd_partitioned")
+    schema = "id long, j_month string, name string, `meta.version` long, price double"
+    base = spark.createDataFrame(
+        [
+            (1, "140101", "a", 1, 10.0),
+            (2, "140101", "b", 2, 20.0),
+            (3, "140102", "a", 3, 30.0),
+        ],
+        schema,
+    )
+    base.write.partitionBy("j_month").parquet(path)
+    untouched_before = sorted(
+        (os.path.basename(f), os.path.getmtime(f))
+        for f in glob.glob(f"{path}/j_month=140102/*.parquet")
+    )
+
+    # delta append: new version for (140101, a) — only 140101 is touched
+    delta = spark.createDataFrame([(4, "140101", "a", 9, 11.0)], schema)
+    delta.write.mode("append").partitionBy("j_month").parquet(path)
+
+    p = MedallionPipeline(spark, str(tmp_path))
+    p.compact_partitioned(
+        path, keys=["name"], partition_col="j_month", touched=["140101"]
+    )
+
+    out = spark.read.parquet(path)
+    # partition values come back type-inferred from dir names (int here)
+    rows = {(str(r["j_month"]), r["name"]): r["meta.version"] for r in out.collect()}
+    assert rows == {("140101", "a"): 9, ("140101", "b"): 2, ("140102", "a"): 3}
+    # untouched partition files were not rewritten
+    untouched_after = sorted(
+        (os.path.basename(f), os.path.getmtime(f))
+        for f in glob.glob(f"{path}/j_month=140102/*.parquet")
+    )
+    assert untouched_before == untouched_after

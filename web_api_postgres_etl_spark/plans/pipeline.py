@@ -324,9 +324,8 @@ class MedallionPipeline:
         The reference rewrites the whole table
         (mabna_tables_update.py:271-280). Here the rewrite is still
         table-scoped at test scale, but routed through dedup_last_wins
-        (window, not dropDuplicates); with a partitioned sink pass only
-        freshly-touched partitions through the window (dynamic partition
-        overwrite) instead of the full history.
+        (window, not dropDuplicates); ``compact_partitioned`` below is
+        the 100 TB form (only freshly-touched partitions rewritten).
         """
         df = self.spark.read.parquet(path)
         compacted = dedup_last_wins(df, keys, version_col="meta.version", tiebreaker="id")
@@ -337,6 +336,59 @@ class MedallionPipeline:
 
         shutil.rmtree(path)
         shutil.move(path + ".tmp", path)
+
+    def compact_partitioned(
+        self,
+        path: str,
+        keys: list[str],
+        partition_col: str,
+        touched: list[str] | None = None,
+    ) -> None:
+        """Partition-scoped last-wins compaction — the 100 TB path.
+
+        The sink is parquet partitioned by ``partition_col`` (for prd
+        tables: a Jalali-month column, e.g. ``substr(j_date,1,7)``
+        written via ``write_append(..., partition_by=[col])``). Only
+        ``touched`` partitions (those present in the delta — known to
+        the incremental runner for free) are window-deduped and
+        rewritten via DYNAMIC partition overwrite; untouched history is
+        never read or written. A 15-minute micro-batch then costs
+        O(delta + touched partitions), not O(table) like the
+        reference's whole-table rewrite (mabna_tables_update.py:
+        271-280).
+        """
+        df = self.spark.read.parquet(path)
+        if touched is None:
+            # derive from sink-side freshness if the caller didn't track it
+            touched = [
+                r[0]
+                for r in df.select(qcol(partition_col)).distinct().collect()
+            ]
+        scoped = df.filter(qcol(partition_col).isin(touched))
+        compacted = dedup_last_wins(
+            scoped, keys, version_col="meta.version", tiebreaker="id"
+        )
+        # Rewrite ONLY the touched partition dirs, via tmp + atomic-ish
+        # swap (never overwrite a path still referenced by the read plan;
+        # same discipline as compact()). On a cluster this maps to
+        # dynamic partition overwrite / MERGE on a transactional table.
+        import glob
+        import os
+        import shutil
+
+        tmp = path + ".tmp"
+        (
+            compacted.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(tmp)
+        )
+        self.spark.catalog.clearCache()
+        for pdir in glob.glob(f"{tmp}/{partition_col}=*"):
+            dst = os.path.join(path, os.path.basename(pdir))
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            shutil.move(pdir, dst)
+        shutil.rmtree(tmp)
 
     def _ok(self, table: str, rows: int | None) -> None:
         self.results.append(RunResult(table, rows))
