@@ -289,7 +289,9 @@ def ngram_jaccard_pairs(
         df, id_col, text_col, shingle_n, drop_empty=True
     ).select("__id", F.array_distinct("__sh").alias("__sh"))
     sizes = shingled.select("__id", F.size("__sh").alias("__n"))
-    exploded = shingled.select("__id", F.explode("__sh").alias("__s"))
+    # explode_outer: see near_dup_pairs — plain explode infers a
+    # size(__sh) > 0 filter that re-inlines the tokenize chain.
+    exploded = shingled.select("__id", F.explode_outer("__sh").alias("__s"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     shared = (
@@ -356,11 +358,65 @@ def near_dup_pairs(
     """End-to-end near-duplicate detection, composed the way it runs at
     100 TB: MinHash+LSH generates candidate pairs (linear shuffle of
     (band_key, id)), exact Jaccard verifies only those candidates
-    (``jaccard_on_pairs``). Output: verified (id_a, id_b, jaccard)."""
-    cands = minhash_lsh_candidates(
-        df, id_col, text_col, shingle_n, num_hashes, bands
+    (``jaccard_on_pairs``). Output: verified (id_a, id_b, jaccard).
+
+    Both stages consume the SAME shingled frame, so the repartition
+    exchange under it is an identical subplan in every branch and Spark
+    reuses it (ReusedExchange) — tokenize+shingle runs once, not three
+    times."""
+    base = _shingled(df, id_col, text_col, shingle_n, drop_empty=True)
+
+    # --- stage 1: minhash signatures → band keys → bucket self-join
+    # explode_outer, NOT explode: plain explode triggers Catalyst's
+    # InferFiltersFromGenerate, which synthesizes size(__sh) > 0 and
+    # pushes it below the projection — re-inlining the tokenize chain
+    # into the lambda (the quadratic trap, third variant). drop_empty
+    # already guarantees non-empty arrays, so the two are equivalent.
+    rows = num_hashes // bands
+    exploded = base.select("__id", F.explode_outer("__sh").alias("__s"))
+    aggs = [
+        F.min(
+            F.md5(F.concat_ws("|", F.lit(str(i)), F.col("__s")))
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    mh = exploded.groupBy("__id").agg(*aggs)
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.lit(f"{b}#"),
+                    *[F.col(f"mh_{b * rows + j}") for j in range(rows)],
+                )
+            )
+            for b in range(bands)
+        ]
     )
-    return jaccard_on_pairs(df, cands, id_col, text_col, shingle_n, threshold)
+    banded = mh.select("__id", F.explode(band_keys).alias("__band"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cands = (
+        left.join(
+            right,
+            (F.col("l.__band") == F.col("r.__band"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+
+    # --- stage 2: exact Jaccard on candidates only
+    sh = base.select("__id", F.array_distinct("__sh").alias("__sh"))
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
+    joined = cands.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    jac = inter / (F.size("__sha") + F.size("__shb") - inter)
+    return (
+        joined.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def _bit_mask(bit: int) -> int:
