@@ -950,6 +950,34 @@ LIMIT 10
 """
 
 
+_PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_agg_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT (wide aggregation): per-user value sums, one column per
+    event type. Explicit value list keeps the plan single-pass (no
+    distinct-scan to discover columns); decimal routing keeps sums
+    engine-exact; absent combinations are NULL in both engines."""
+    events = _t(spark, sf, "events")
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.sum(F.col("value").cast("decimal(38,10)")))
+    )
+
+
+SQL_PIVOT = """
+SELECT user_id,
+       SUM(CAST(value AS DECIMAL(38,10))) FILTER (event_type = 'click') AS click,
+       SUM(CAST(value AS DECIMAL(38,10))) FILTER (event_type = 'view') AS view,
+       SUM(CAST(value AS DECIMAL(38,10))) FILTER (event_type = 'purchase') AS purchase,
+       SUM(CAST(value AS DECIMAL(38,10))) FILTER (event_type = 'signup') AS signup,
+       SUM(CAST(value AS DECIMAL(38,10))) FILTER (event_type = 'error') AS error
+FROM events
+GROUP BY user_id
+"""
+
+
 def q_s3_flatten_struct(spark: SparkSession, sf: str) -> DataFrame:
     """S3 recursive flatten with dotted names (sources.json_flatten —
     the json_normalize contract, mabna_tables_create.py:58): a nested
@@ -1671,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_stats": q_multimodal_stats,
         "w1_window_analytics": q_w1_window_analytics,
         "agg_rollup": q_agg_rollup,
+        "agg_pivot": q_agg_pivot,
         "set_except": q_set_except,
         "set_intersect": q_set_intersect,
         "j3_semi_join": q_j3_semi_join,
@@ -1728,6 +1757,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_stats": SQL_MULTIMODAL_STATS,
         "w1_window_analytics": SQL_W1,
         "agg_rollup": SQL_ROLLUP,
+        "agg_pivot": SQL_PIVOT,
         "set_except": SQL_SET_EXCEPT,
         "set_intersect": SQL_SET_INTERSECT,
         "j3_semi_join": SQL_J3,
