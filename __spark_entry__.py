@@ -1137,6 +1137,57 @@ FROM scored WHERE jaccard >= 0.5
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup cluster resolution (iterative connected components over
+    verified near-dup pairs): every doc labeled with the min doc_id
+    reachable through near-dup edges; the min is the canonical survivor.
+    Spark side is a bounded label-propagation loop of joins; the oracle
+    is a recursive CTE computing the same min-reachable-id."""
+    from web_api_postgres_etl_spark.operators.dedup import near_dup_pairs
+    from web_api_postgres_etl_spark.operators.graph import dedup_clusters
+
+    docs = _t(spark, sf, "documents")
+    pairs = near_dup_pairs(
+        docs, "doc_id", "text", shingle_n=2, num_hashes=8, bands=4, threshold=0.5
+    ).select("id_a", "id_b")
+    return dedup_clusters(docs, pairs, "doc_id")
+
+
+SQL_CLUSTERS = f"""
+WITH RECURSIVE
+t AS (SELECT doc_id, {TOK.format(col="text")} AS toks FROM documents),
+s AS (SELECT doc_id, {_shingle_sql("toks", 2)} AS sh FROM t),
+m AS (SELECT doc_id, {_mh_cols} FROM s WHERE len(sh) > 0),
+b AS (SELECT doc_id, unnest([{_band_keys}]) AS band FROM m),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM b a JOIN b c ON a.band = c.band AND a.doc_id < c.doc_id
+),
+ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM s WHERE len(sh) > 0),
+scored AS (
+  SELECT id_a, id_b,
+         len(list_intersect(sa.sh, sb.sh)) /
+           CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
+                AS DOUBLE) AS jaccard
+  FROM cand
+  JOIN ds sa ON id_a = sa.doc_id
+  JOIN ds sb ON id_b = sb.doc_id
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM scored WHERE jaccard >= 0.5
+  UNION
+  SELECT id_b AS a, id_a AS b FROM scored WHERE jaccard >= 0.5
+),
+reach AS (
+  SELECT doc_id AS id, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+)
+SELECT id AS doc_id, min(lbl) AS cluster, (id = min(lbl)) AS is_canonical
+FROM reach GROUP BY id
+"""
+
+
 def q_t4_stateful_stream(spark: SparkSession, sf: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user running stats over a micro-batch file stream. Every
@@ -1719,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_pipeline": q_near_dup_pipeline,
         "t4_stateful_stream": q_t4_stateful_stream,
         "multimodal_resize": q_multimodal_resize,
+        "dedup_clusters": q_dedup_clusters,
         # rows-only (no oracle):
         "simhash_near_dups": q_simhash_near_dups,
         "rhp_lsh_topk": q_rhp_lsh_topk,
@@ -1777,4 +1829,5 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_pipeline": SQL_NEAR_DUP,
         "t4_stateful_stream": SQL_STATEFUL,
         "multimodal_resize": SQL_RESIZE,
+        "dedup_clusters": SQL_CLUSTERS,
     }
