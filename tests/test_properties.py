@@ -1,0 +1,118 @@
+"""Property-based and exhaustive-model tests for the engine's pure
+kernels: the Jalali calendar arithmetic, shingle construction, the fake
+media feature kernel, and last-wins dedup vs a pandas model."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from web_api_postgres_etl_spark.functions.dates import (
+    gregorian_to_jalali,
+    jalali_to_gregorian,
+)
+from web_api_postgres_etl_spark.operators.multimodal import fake_image_features
+from web_api_postgres_etl_spark.sources.rest import build_url, watermark_params
+
+
+def test_jalali_gregorian_roundtrip_exhaustive():
+    """Every Gregorian day across the dim_date span must round-trip
+    through the Jalali conversion, and consecutive days must map to
+    consecutive Jalali dates (no gaps/overlaps in the calendar)."""
+    d = dt.date(1941, 3, 21)  # 1320/01/01
+    end = dt.date(2051, 3, 20)
+    prev_j = None
+    n = 0
+    while d <= end:
+        jy, jm, jd = gregorian_to_jalali(d.year, d.month, d.day)
+        assert jalali_to_gregorian(jy, jm, jd) == (d.year, d.month, d.day)
+        j = (jy, jm, jd)
+        if prev_j is not None:
+            assert j > prev_j, f"calendar went backwards at {d}: {prev_j} -> {j}"
+        prev_j = j
+        d += dt.timedelta(days=1)
+        n += 1
+    assert n > 40000
+
+
+@given(
+    st.integers(min_value=1178, max_value=1633),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=29),
+)
+def test_jalali_to_gregorian_roundtrip_random(jy, jm, jd):
+    """jalali→gregorian→jalali is identity for any valid civil date
+    (day ≤ 29 is valid in every Jalali month)."""
+    gy, gm, gd = jalali_to_gregorian(jy, jm, jd)
+    assert gregorian_to_jalali(gy, gm, gd) == (jy, jm, jd)
+    # the produced Gregorian date must be constructible
+    dt.date(gy, gm, gd)
+
+
+@given(st.binary(max_size=256), st.integers(min_value=1, max_value=32))
+def test_fake_features_deterministic_and_bounded(content, dim):
+    a = fake_image_features(content, dim)
+    b = fake_image_features(content, dim)
+    assert a == b
+    assert len(a) == dim
+    assert all(0.0 <= x < 1.0 for x in a)
+
+
+@given(st.integers(min_value=0, max_value=2**62), st.sampled_from(
+    ["share", "bond", "crypto", None]))
+def test_watermark_param_pushdown_shape(wm, itype):
+    """The REST pushdown params always carry the version predicate when
+    a watermark exists, and the URL encodes them deterministically."""
+    params = watermark_params(wm, itype)
+    assert params["meta.version"] == wm
+    assert params["meta.version_op"] == "gt"
+    url = build_url("https://example.invalid/api", "exchange", "trades", params)
+    assert url.startswith("https://example.invalid/api/exchange/trades?")
+    assert f"meta.version={wm}" in url
+    assert "meta.version_op=gt" in url
+    if itype:
+        assert f"instrument.type={itype}" in url
+
+
+def _pandas_last_wins(rows, keys, version):
+    pdf = pd.DataFrame(rows)
+    pdf = pdf.sort_values(version, kind="stable")
+    return pdf.drop_duplicates(subset=keys, keep="last")
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # key
+            st.integers(min_value=0, max_value=50),  # version
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_dedup_last_wins_matches_pandas_model(spark, rows):
+    """dedup_last_wins == pandas sort+drop_duplicates(keep='last') —
+    the reference's exact semantics (mabna_tables_update.py:271-277) —
+    whenever versions are unique per key (the reference's own
+    assumption; ties are pinned separately in test_operators)."""
+    recs = [
+        {"k": k, "meta.version": k * 1000 + i, "v": float(v)}
+        for i, (k, _, v) in enumerate(rows)
+    ]
+    from web_api_postgres_etl_spark.operators.dedup import dedup_last_wins
+
+    df = spark.createDataFrame(recs, "k long, `meta.version` long, v double")
+    got = {
+        (r["k"],): (r["meta.version"], r["v"])
+        for r in dedup_last_wins(df, ["k"], tiebreaker=None).collect()
+    }
+    want = {
+        (r["k"],): (r["meta.version"], r["v"])
+        for r in _pandas_last_wins(recs, ["k"], "meta.version").to_dict("records")
+    }
+    assert got == want
