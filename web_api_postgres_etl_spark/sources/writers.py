@@ -50,6 +50,32 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Bucketed managed table — the co-located-join lever.
+
+    Two tables bucketed (and sorted) on the same key with the same
+    bucket count join WITHOUT a shuffle on either side: each task zips
+    bucket i with bucket i (SortMergeJoin over pre-sorted buckets, no
+    Exchange in the plan — asserted in tests/test_bucketed.py). At
+    100 TB this removes the dominant cost of repeated fact-fact joins
+    (e.g. trades self-conciliation or fact⋈fact enrichments the
+    reference never attempts). Requires ``saveAsTable`` (bucket
+    metadata lives in the catalog, not in parquet)."""
+    w = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
 # ------------------------------------------------------------ JDBC parity
 def jdbc_options(url: str, table: str, user: str, password: str) -> dict[str, str]:
     """Connection-option dict (S9) — secrets come from env/config, mirroring
