@@ -907,6 +907,71 @@ WHERE NOT EXISTS (SELECT 1 FROM lineitem l
 """
 
 
+def q_j6_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """AS-OF join (operators.joins.asof_join — composed, since Spark
+    lacks it natively): each event matched to the customer's most
+    recent order at-or-before the event time (key = user_id↔custkey,
+    ties pinned by orderkey)."""
+    from web_api_postgres_etl_spark.operators.joins import asof_join
+
+    events = _t(spark, sf, "events").select(
+        "event_id", "user_id", F.to_date("ts").alias("event_date")
+    )
+    orders = _t(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey", F.to_date("o_orderdate").alias("order_date"),
+        "o_totalprice",
+    )
+    out = asof_join(
+        events, orders,
+        on="user_id", right_on="o_custkey",
+        left_time="event_date", right_time="order_date",
+        left_id="event_id", tiebreaker="o_orderkey",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("event_date", "yyyy-MM-dd").alias("event_date"),
+        "o_orderkey",
+        F.date_format("order_date", "yyyy-MM-dd").alias("order_date"),
+        "o_totalprice",
+    )
+
+
+SQL_J6 = """
+SELECT event_id, user_id,
+       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+       o_orderkey,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+       o_totalprice
+FROM events e JOIN orders o
+  ON e.user_id = o.o_custkey AND CAST(o.o_orderdate AS DATE) <= CAST(e.ts AS DATE)
+QUALIFY row_number() OVER (
+  PARTITION BY event_id
+  ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey) = 1
+"""
+
+
+def q_agg_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct aggregation (expand-based plan): per event type, exact
+    distinct users alongside plain count and decimal-exact sum."""
+    events = _t(spark, sf, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,10)")).alias("sum_value"),
+    )
+
+
+SQL_AGG_DISTINCT = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events,
+       SUM(CAST(value AS DECIMAL(38,10))) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
 def q_q3_topk_join_agg(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → fact join → group → top-10
     by aggregate. Compiles to broadcast joins + partial agg +
@@ -1755,6 +1820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_intersect": q_set_intersect,
         "j3_semi_join": q_j3_semi_join,
         "j4_anti_join": q_j4_anti_join,
+        "j6_asof_join": q_j6_asof_join,
+        "agg_distinct": q_agg_distinct,
         "q3_topk_join_agg": q_q3_topk_join_agg,
         "s3_flatten_struct": q_s3_flatten_struct,
         "f3_struct_array": q_f3_struct_array,
@@ -1814,6 +1881,8 @@ def oracle_sql() -> dict[str, str]:
         "set_intersect": SQL_SET_INTERSECT,
         "j3_semi_join": SQL_J3,
         "j4_anti_join": SQL_J4,
+        "j6_asof_join": SQL_J6,
+        "agg_distinct": SQL_AGG_DISTINCT,
         "q3_topk_join_agg": SQL_Q3,
         "s3_flatten_struct": SQL_FLATTEN,
         "f3_struct_array": SQL_F3_STRUCT,

@@ -56,6 +56,53 @@ def star_join(
     return out
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    left_id: str,
+    right_on: str | None = None,
+    tiebreaker: str | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """AS-OF join (an operator Spark lacks natively): for each left row
+    (identified by unique ``left_id``), the single most recent matching
+    right row whose time is ≤ the left time (``backward``; ``forward``
+    = earliest ≥). Inner semantics: unmatched left rows drop.
+
+    Composition: equi-join on key → time predicate → row_number window
+    per left row → rank 1. ``tiebreaker`` pins equal-time ties.
+
+    Scale shape: the equi-join bounds candidates per key so window
+    partitions stay small; bucket both sides on the key (see
+    write_bucketed) and it runs shuffle-free. For keyless as-of (pure
+    time ordering), range-partition on time and merge with mapInPandas.
+    """
+    from pyspark.sql import Window
+
+    rk = right_on or on
+    l = left.alias("l")
+    r = right.alias("r")
+    cond = F.col(f"l.{on}") == F.col(f"r.{rk}")
+    if direction == "backward":
+        cond = cond & (F.col(f"r.{right_time}") <= F.col(f"l.{left_time}"))
+        order = [F.col(f"r.{right_time}").desc()]
+    else:
+        cond = cond & (F.col(f"r.{right_time}") >= F.col(f"l.{left_time}"))
+        order = [F.col(f"r.{right_time}").asc()]
+    if tiebreaker:
+        order.append(F.col(f"r.{tiebreaker}").asc())
+    w = Window.partitionBy(F.col(f"l.{left_id}")).orderBy(*order)
+    return (
+        l.join(r, cond, "inner")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
