@@ -1,0 +1,79 @@
+"""Edge-case tests for asof_join, salted_join, and connected components
+(happy paths are covered by the oracle-parity suite)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from web_api_postgres_etl_spark.operators.graph import connected_components
+from web_api_postgres_etl_spark.operators.joins import asof_join, salted_join
+
+
+def _quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("A", 1, 10.0),
+            ("A", 5, 11.0),
+            ("A", 5, 99.0),   # same time as above — tiebreaker decides
+            ("A", 9, 12.0),
+            ("B", 4, 20.0),
+        ],
+        "sym string, t long, px double",
+    ).withColumn("qid", F.monotonically_increasing_id())
+
+
+def test_asof_backward_picks_latest_at_or_before(spark):
+    trades = spark.createDataFrame(
+        [(1, "A", 5), (2, "A", 8), (3, "A", 0), (4, "B", 3), (5, "C", 7)],
+        "tid long, sym string, t long",
+    )
+    quotes = _quotes(spark).withColumnRenamed("t", "qt")
+    out = asof_join(
+        trades, quotes, on="sym", left_time="t", right_time="qt",
+        left_id="tid", tiebreaker="px",
+    )
+    got = {r["tid"]: (r["qt"], r["px"]) for r in out.collect()}
+    assert got[1] == (5, 11.0)   # tie at t=5 → smallest px wins (pinned)
+    assert got[2] == (5, 11.0)   # latest ≤ 8 is t=5
+    assert 3 not in got          # no quote ≤ 0 → dropped (inner)
+    assert 4 not in got          # B's only quote is t=4 > 3
+    assert 5 not in got          # no C quotes
+
+
+def test_asof_forward_picks_earliest_at_or_after(spark):
+    trades = spark.createDataFrame(
+        [(1, "A", 6), (2, "A", 100)], "tid long, sym string, t long"
+    )
+    quotes = _quotes(spark).withColumnRenamed("t", "qt")
+    out = asof_join(
+        trades, quotes, on="sym", left_time="t", right_time="qt",
+        left_id="tid", tiebreaker="px", direction="forward",
+    )
+    got = {r["tid"]: (r["qt"], r["px"]) for r in out.collect()}
+    assert got[1] == (9, 12.0)
+    assert 2 not in got          # nothing ≥ 100
+
+
+def test_salted_join_matches_plain_join_including_left(spark):
+    fact = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.createDataFrame(
+        [(0, "x"), (1, "y"), (3, "z")], "k long, name string"
+    )
+    plain = fact.join(dim, "k").select("k", "v", "name")
+    salted = salted_join(fact, dim, "k", "k", salt=4).select(
+        fact["k"].alias("k"), "v", "name"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_connected_components_chain_and_singletons(spark):
+    # chain 1-2-3-4 (diameter > 1 forces multiple iterations),
+    # pair 10-11, singleton 20
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20]], "id long")
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r["component"] for r in connected_components(nodes, edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
