@@ -1272,6 +1272,9 @@ def q_t4_stateful_stream(spark: SparkSession, sf: str) -> DataFrame:
     src_dir = f"{root}/src"
     sink = f"{root}/sink"
     ckpt = f"{root}/ckpt"
+    # see t1: streaming stages can't AQE-coalesce the 200-partition default
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         half = events.agg(F.expr("percentile_approx(event_id, 0.5)")).first()[0]
         feed.filter(F.col("event_id") <= half).write.parquet(src_dir, mode="append")
@@ -1287,6 +1290,7 @@ def q_t4_stateful_stream(spark: SparkSession, sf: str) -> DataFrame:
         rows = final.collect()
         return spark.createDataFrame(rows, final.schema)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(root, ignore_errors=True)
 
 
@@ -1473,6 +1477,11 @@ def q_t1_streaming_compact(spark: SparkSession, sf: str) -> DataFrame:
     src_dir = f"{root}/src"
     sink = f"{root}/sink"
     ckpt = f"{root}/ckpt"
+    # AQE cannot coalesce inside streaming micro-batches — pin a small
+    # shuffle-partition count for the compaction window (vanilla driver
+    # sessions default to 200 tasks over tiny batches otherwise)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         half = events.agg(F.expr("percentile_approx(event_id, 0.5)")).first()[0]
         feed.filter(F.col("`meta.version`") <= half).write.parquet(
@@ -1495,6 +1504,7 @@ def q_t1_streaming_compact(spark: SparkSession, sf: str) -> DataFrame:
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(root, ignore_errors=True)
 
 
