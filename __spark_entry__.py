@@ -1747,6 +1747,73 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The end-to-end training-data curation shape: quality score →
+    language gate → exact-content dedup → token-fingerprint near-dup
+    dedup, each stage a verified operator, composed into one lazy plan
+    (Catalyst fuses the filters into the scan; the two dedup windows
+    shuffle 16-byte digests, never text)."""
+    docs = _t(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        quality_score("text").alias("quality"),
+        lang_id("text").alias("lang_pred"),
+        content_hash("text").alias("__md5"),
+        fingerprint("text").alias("__fp"),
+    ).filter((F.col("quality") >= 0.4) & (F.col("lang_pred") == "en"))
+    w_exact = Window.partitionBy("__md5").orderBy("doc_id")
+    exact = scored.withColumn("__r1", F.row_number().over(w_exact)).filter(
+        F.col("__r1") == 1
+    )
+    w_fp = Window.partitionBy("__fp").orderBy("doc_id")
+    final = exact.withColumn("__r2", F.row_number().over(w_fp)).filter(
+        F.col("__r2") == 1
+    )
+    return final.select(
+        "doc_id", "lang", F.col("quality"), F.length("text").alias("n_chars_kept")
+    )
+
+
+SQL_CURATION = f"""
+WITH t AS (SELECT doc_id, text, lang, {TOK.format(col="text")} AS toks FROM documents),
+s AS (
+  SELECT doc_id, text, lang,
+    CAST(nullif(len(toks), 0) AS DOUBLE) AS n,
+    list_sum(list_transform(toks, x -> length(x))) AS tot_len,
+    len(list_filter(toks, x -> x IN ({_sw_en}))) AS sw_hits,
+    (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+      / CAST(nullif(length(text), 0) AS DOUBLE) AS pr,
+    {_hits(STOPWORDS_EN)} AS h_en, {_hits(STOPWORDS_DE)} AS h_de,
+    {_hits(STOPWORDS_FR)} AS h_fr, {_hits(STOPWORDS_ES)} AS h_es,
+    md5(text) AS __md5,
+    md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS __fp
+  FROM t),
+q AS (
+  SELECT doc_id, text, lang, __md5, __fp,
+    round(
+      0.4 * least(coalesce(sw_hits / n, 0.0) / 0.4, 1.0)
+      + 0.3 * (1.0 - least(coalesce(pr, 1.0) / 0.3, 1.0))
+      + 0.3 * coalesce(CASE WHEN tot_len / n >= 3 AND tot_len / n <= 10
+                            THEN 1.0 ELSE 0.0 END, 0.0),
+    6) AS quality,
+    CASE WHEN h_en > 0 AND h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+         WHEN h_de > 0 AND h_de >= h_fr AND h_de >= h_es THEN 'de'
+         WHEN h_fr > 0 AND h_fr >= h_es THEN 'fr'
+         WHEN h_es > 0 THEN 'es'
+         ELSE 'und' END AS lang_pred
+  FROM s),
+kept AS (SELECT * FROM q WHERE quality >= 0.4 AND lang_pred = 'en'),
+exact AS (
+  SELECT * FROM kept
+  QUALIFY row_number() OVER (PARTITION BY __md5 ORDER BY doc_id) = 1)
+SELECT doc_id, lang, quality, length(text) AS n_chars_kept
+FROM exact
+QUALIFY row_number() OVER (PARTITION BY __fp ORDER BY doc_id) = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Rows-only queries (no SQL-expressible oracle — driver records weaker check)
 # ---------------------------------------------------------------------------
@@ -1848,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t4_stateful_stream": q_t4_stateful_stream,
         "multimodal_resize": q_multimodal_resize,
         "dedup_clusters": q_dedup_clusters,
+        "curation_pipeline": q_curation_pipeline,
         # rows-only (no oracle):
         "simhash_near_dups": q_simhash_near_dups,
         "rhp_lsh_topk": q_rhp_lsh_topk,
@@ -1909,4 +1977,5 @@ def oracle_sql() -> dict[str, str]:
         "t4_stateful_stream": SQL_STATEFUL,
         "multimodal_resize": SQL_RESIZE,
         "dedup_clusters": SQL_CLUSTERS,
+        "curation_pipeline": SQL_CURATION,
     }
