@@ -1043,6 +1043,76 @@ GROUP BY user_id
 """
 
 
+def q_agg_time_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling event-time window aggregation (the batch face of the
+    Structured Streaming windowed-agg operator): hourly event counts +
+    distinct users."""
+    events = _t(spark, sf, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+SQL_TIME_WINDOW = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1
+"""
+
+
+def q_agg_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-window aggregation (gap 30 min) per user — Spark's
+    session_window operator; the oracle rebuilds sessions with
+    gaps-and-islands (lag + cumulative break sum). Session end is
+    last-event + gap, half-open."""
+    events = _t(spark, sf, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+SQL_SESSION_WINDOW = """
+WITH o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events),
+b AS (
+  SELECT user_id, ts,
+         CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM o),
+g AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM b)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events
+FROM g
+GROUP BY user_id, sess
+"""
+
+
 def q_s3_flatten_struct(spark: SparkSession, sf: str) -> DataFrame:
     """S3 recursive flatten with dotted names (sources.json_flatten —
     the json_normalize contract, mabna_tables_create.py:58): a nested
@@ -1893,6 +1963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_window_analytics": q_w1_window_analytics,
         "agg_rollup": q_agg_rollup,
         "agg_pivot": q_agg_pivot,
+        "agg_time_window": q_agg_time_window,
+        "agg_session_window": q_agg_session_window,
         "set_except": q_set_except,
         "set_intersect": q_set_intersect,
         "j3_semi_join": q_j3_semi_join,
@@ -1955,6 +2027,8 @@ def oracle_sql() -> dict[str, str]:
         "w1_window_analytics": SQL_W1,
         "agg_rollup": SQL_ROLLUP,
         "agg_pivot": SQL_PIVOT,
+        "agg_time_window": SQL_TIME_WINDOW,
+        "agg_session_window": SQL_SESSION_WINDOW,
         "set_except": SQL_SET_EXCEPT,
         "set_intersect": SQL_SET_INTERSECT,
         "j3_semi_join": SQL_J3,
