@@ -77,3 +77,24 @@ def test_rhp_lsh_topk_recall(spark):
     recall = len(exact & approx) / 10
     assert recall >= 0.5, f"LSH recall too low: {recall}"
     assert 1 in approx  # the query vector itself always shares all bands
+
+
+def test_lsh_nn_join_matches_exact_and_plan_has_no_cartesian(spark):
+    from web_api_postgres_etl_spark.operators.similarity import (
+        lsh_nn_join,
+        nearest_neighbor_join,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    left = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    right = emb.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("nid"), "embedding"
+    )
+    approx = lsh_nn_join(left, right, "qid", "nid", k=2, num_planes=64, bands=32)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    exact = nearest_neighbor_join(left, right, "qid", "nid", k=2)
+    assert sorted(map(tuple, approx.collect())) == sorted(map(tuple, exact.collect()))

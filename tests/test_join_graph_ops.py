@@ -77,3 +77,42 @@ def test_connected_components_chain_and_singletons(spark):
     )
     out = {r["id"]: r["component"] for r in connected_components(nodes, edges).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def _keyless_inputs(spark):
+    left = spark.createDataFrame(
+        [(1, 5), (2, 10), (3, 10), (4, 0), (5, 99)], "lid long, t long"
+    )
+    right = spark.createDataFrame(
+        [(3, "a"), (10, "b"), (50, "c")], "rt long, tag string"
+    )
+    return left, right
+
+
+def test_asof_keyless_backward_with_bucket_carry(spark):
+    from web_api_postgres_etl_spark.operators.joins import asof_join_keyless
+
+    left, right = _keyless_inputs(spark)
+    # num_buckets > distinct times forces rows into different buckets,
+    # so matches for t=99 (→ rt=50) must come from the prefix carry
+    out = asof_join_keyless(left, right, "t", "rt", num_buckets=8)
+    got = {r["lid"]: (r["rt"], r["tag"]) for r in out.collect()}
+    assert got == {
+        1: (3, "a"),
+        2: (10, "b"),
+        3: (10, "b"),
+        5: (50, "c"),
+        # lid=4 (t=0): nothing at-or-before → dropped (inner)
+    }
+
+
+def test_asof_keyless_empty_right_and_collision_guard(spark):
+    import pytest
+
+    from web_api_postgres_etl_spark.operators.joins import asof_join_keyless
+
+    left, right = _keyless_inputs(spark)
+    empty_right = right.filter(F.lit(False))
+    assert asof_join_keyless(left, empty_right, "t", "rt").count() == 0
+    with pytest.raises(ValueError, match="collision"):
+        asof_join_keyless(left, right.withColumnRenamed("rt", "t"), "t", "t")

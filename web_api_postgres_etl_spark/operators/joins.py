@@ -78,7 +78,7 @@ def asof_join(
     Scale shape: the equi-join bounds candidates per key so window
     partitions stay small; bucket both sides on the key (see
     write_bucketed) and it runs shuffle-free. For keyless as-of (pure
-    time ordering), range-partition on time and merge with mapInPandas.
+    time ordering) use ``asof_join_keyless`` below.
     """
     from pyspark.sql import Window
 
@@ -100,6 +100,123 @@ def asof_join(
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+    )
+
+
+def asof_join_keyless(
+    left: DataFrame,
+    right: DataFrame,
+    left_time: str,
+    right_time: str,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Keyless AS-OF join (pure time ordering, no equi key): each left
+    row matched to the single latest right row with
+    ``right_time <= left_time``. Inner semantics: left rows earlier
+    than every right row drop. Equal right times are resolved by the
+    lexicographic max over the remaining right columns (deterministic;
+    give the right side unique times — e.g. a per-period aggregate —
+    for an engine-independent result).
+
+    Scale shape (a global sort/window would serialize onto one
+    partition): range-bucket BOTH sides on approx time quantiles of the
+    left, cogroup per bucket, and merge each bucket with an
+    Arrow-batched ``pandas.merge_asof``. Bucket heads are fixed by a
+    driver-side prefix-carry: one tiny aggregate computes each bucket's
+    latest right row, a prefix scan hands bucket b the latest row from
+    buckets < b, and the per-bucket merge seeds its right frame with
+    that carry row. Cost: one quantile pass, one small aggregate, one
+    cogroup shuffle — all equi-partitioned, no global sort.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"left/right column collision: {sorted(overlap)}")
+    lt, rt = left_time, right_time
+    lf = left.filter(qcol(lt).isNotNull())
+    rf = right.filter(qcol(rt).isNotNull())
+    lcols, rcols = list(lf.columns), list(rf.columns)
+
+    def _tnum(df: DataFrame, tcol: str):
+        # monotonic numeric image of the time column (for quantiles +
+        # bucket assignment only — the merge compares raw values);
+        # TIMESTAMP_NTZ/DATE need the ltz hop to reach DOUBLE
+        if df.schema[tcol].dataType.typeName() in {
+            "timestamp", "timestamp_ntz", "date"
+        }:
+            return qcol(tcol).cast("timestamp_ltz").cast("double")
+        return qcol(tcol).cast("double")
+
+    # approx quantile cut points of the left times (any cuts are
+    # CORRECT — the carry fixes boundaries — quantiles only balance)
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    bounds = sorted(
+        set(
+            lf.select(_tnum(lf, lt).alias("__t")).approxQuantile(
+                "__t", probs, 0.01
+            )
+        )
+    )
+    barr = F.array(*[F.lit(float(b)) for b in bounds])
+
+    def bucketed(df: DataFrame, tcol: str) -> DataFrame:
+        t = _tnum(df, tcol)
+        return df.withColumn(
+            "__bucket", F.size(F.filter(barr, lambda b: b <= t))
+        )
+
+    lb, rb = bucketed(lf, lt), bucketed(rf, rt)
+
+    # per-bucket latest right row → driver prefix scan (|buckets| rows)
+    order_cols = [rt] + [c for c in rcols if c != rt]
+    per_bucket = (
+        rb.groupBy("__bucket")
+        .agg(F.max(F.struct(*order_cols)).alias("__last"))
+        .collect()
+    )
+    last_by_bucket = {int(r["__bucket"]): r["__last"].asDict() for r in per_bucket}
+    carry_map: dict[int, dict | None] = {}
+    running: dict | None = None
+    for b in range(len(bounds) + 1):
+        carry_map[b] = running
+        running = last_by_bucket.get(b, running)
+
+    out_cols = lcols + rcols
+
+    def merge(lp: pd.DataFrame, rp: pd.DataFrame) -> pd.DataFrame:
+        if lp.empty:
+            return pd.DataFrame(columns=out_cols)
+        b = int(lp["__bucket"].iloc[0])
+        lp = lp.drop(columns="__bucket").sort_values(lt, kind="mergesort")
+        if "__bucket" in rp.columns:
+            rp = rp.drop(columns="__bucket")
+        carry = carry_map.get(b)
+        if carry is not None:
+            cdf = pd.DataFrame([carry])[rcols]
+            if not rp.empty:
+                try:
+                    cdf = cdf.astype(rp.dtypes.to_dict())
+                except (TypeError, ValueError):
+                    pass
+            else:
+                cdf[rt] = cdf[rt].astype(lp[lt].dtype)
+            rp = pd.concat([cdf, rp], ignore_index=True) if not rp.empty else cdf
+        if rp.empty:
+            return pd.DataFrame(columns=out_cols)
+        rp = rp.sort_values(order_cols, kind="mergesort")
+        merged = pd.merge_asof(
+            lp, rp, left_on=lt, right_on=rt, direction="backward"
+        )
+        merged = merged.dropna(subset=[rt])
+        return merged[out_cols]
+
+    schema = StructType(list(lf.schema.fields) + list(rf.schema.fields))
+    return (
+        lb.groupBy("__bucket")
+        .cogroup(rb.groupBy("__bucket"))
+        .applyInPandas(merge, schema=schema)
     )
 
 

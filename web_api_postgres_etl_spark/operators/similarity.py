@@ -315,8 +315,8 @@ def nearest_neighbor_join(
     """For each left row, its k nearest right rows by cosine (exact).
 
     Implemented as broadcast of the smaller side + window top-k; the
-    100 TB shape replaces the cross join with an LSH bucket equi-join
-    (same downstream window).
+    100 TB shape is ``lsh_nn_join`` (band equi-join instead of the
+    cross join, same downstream window).
     """
     l = left.select(qcol(left_id).alias("__lid"), as_double_array(vec_col).alias("__lv"))
     r = right.select(qcol(right_id).alias("__rid"), as_double_array(vec_col).alias("__rv"))
@@ -326,6 +326,107 @@ def nearest_neighbor_join(
         F.round(cosine(F.col("__lv"), F.col("__rv")), 6).alias("cosine_sim"),
     )
     w = Window.partitionBy("__lid").orderBy(F.col("cosine_sim").desc(), F.col("__rid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias(right_id),
+            "cosine_sim",
+        )
+    )
+
+
+def rhp_band_keys(sig_col: Column, num_planes: int, bands: int) -> Column:
+    """Column: RHP bit signature → array of per-band BIGINT bucket keys.
+
+    Key = the band's bits packed little-endian, namespaced by the band
+    index in the high bits so keys never collide across bands — which
+    lets candidates join on the single key column instead of
+    (band_idx, key)."""
+    rows = num_planes // bands
+    keys = []
+    for b in range(bands):
+        key: Column = F.lit(b * (1 << rows))
+        for j in range(rows):
+            key = key + F.element_at(sig_col, b * rows + j + 1) * F.lit(1 << j)
+        keys.append(key.cast("long"))
+    return F.array(*keys)
+
+
+def lsh_nn_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    vec_col: str = "embedding",
+    k: int = 1,
+    num_planes: int = 16,
+    bands: int = 8,
+    dims: int | None = None,
+) -> DataFrame:
+    """LSH-bucketed nearest-neighbor join — the 100 TB form of
+    ``nearest_neighbor_join``.
+
+    Both sides get random-hyperplane bit signatures from the SAME
+    deterministic plane matrix (no stored model); each side explodes
+    into one row per signature band. Candidates = equi-join on the band
+    key — a plain hash join, never CartesianProduct /
+    BroadcastNestedLoopJoin — deduped to distinct (left, right) pairs,
+    re-joined to the vectors by id, exact-cosine re-ranked, window
+    top-k per left id.
+
+    Recall is tuned by rows-per-band (num_planes // bands): fewer bits
+    per band → more candidates → higher recall (rows=2 default). The
+    contract query pins parameters where measured recall is 1.0 on the
+    testdata, so the exact-NN oracle applies verbatim.
+
+    Shuffle budget: bands×|L| + bands×|R| rows of (id, int64 key) —
+    vectors are NOT replicated through the band explode; they re-join
+    by id for the re-rank (compact equi-joins, linear in input size).
+    """
+    spark = left.sparkSession
+    l_prep = left.select(
+        qcol(left_id).alias("__lid"), as_double_array(vec_col).alias("__lv")
+    )
+    r_prep = right.select(
+        qcol(right_id).alias("__rid"), as_double_array(vec_col).alias("__rv")
+    )
+    if dims is None:
+        dims = int(l_prep.select(F.size("__lv").alias("n")).first()["n"])
+    planes = hyperplane_matrix(spark, dims, num_planes)
+
+    def banded(prep: DataFrame, idc: str, vecc: str) -> DataFrame:
+        # two-step projection: bind the signature to a real column so
+        # the per-band element_at references an attribute, not the fold
+        # subtree (the HOF inline trap, see operators.dedup.word_shingles)
+        sigd = prep.select(
+            idc, rhp_signature(F.col(vecc), planes).alias("__sig")
+        )
+        keys = rhp_band_keys(F.col("__sig"), num_planes, bands)
+        # explode_outer, not explode: plain explode invites
+        # InferFiltersFromGenerate to synthesize size(keys) > 0, which
+        # substitutes the signature subtree back in (see operators.dedup)
+        return sigd.select(idc, F.explode_outer(keys).alias("__bkey"))
+
+    cand = (
+        banded(l_prep, "__lid", "__lv")
+        .join(banded(r_prep, "__rid", "__rv"), "__bkey")
+        .select("__lid", "__rid")
+        .distinct()
+    )
+    scored = (
+        cand.join(l_prep, "__lid")
+        .join(r_prep, "__rid")
+        .select(
+            "__lid",
+            "__rid",
+            F.round(cosine(F.col("__lv"), F.col("__rv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("__lid").orderBy(
+        F.col("cosine_sim").desc(), F.col("__rid")
+    )
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
