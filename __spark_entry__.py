@@ -89,11 +89,22 @@ def q_flagship_star_join(spark: SparkSession, sf: str) -> DataFrame:
 
     Testdata stand-in for prd_exchange_trades (mabna_tables_create.py:
     226-248): lineitem fact ⋈ orders ⋈ customer ⋈ nation ⋈ region with
-    a date-range filter and a derived revenue ratio. Dims broadcast —
-    fact never shuffles.
+    a date-range filter and a derived revenue ratio.
+
+    100 TB plan: orders and customer scale WITH the fact (TPC-H
+    sf-proportional), so broadcasting them would OOM the executors at
+    scale — they join through a shuffle (AQE sort-merge + skew split;
+    or pre-bucket lineitem/orders on orderkey via write_bucketed for a
+    shuffle-free join). Only nation/region — true fixed-size lookups —
+    are broadcast. The selective o_orderdate filter sits on orders
+    BEFORE the join so pushdown reaches that scan.
     """
     li = _t(spark, sf, "lineitem").alias("l")
-    o = _t(spark, sf, "orders").alias("o")
+    o = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderdate").between("1996-01-01", "1997-12-31"))
+        .alias("o")
+    )
     c = _t(spark, sf, "customer").alias("c")
     n = _t(spark, sf, "nation").alias("n")
     r = _t(spark, sf, "region").alias("r")
@@ -105,10 +116,9 @@ def q_flagship_star_join(spark: SparkSession, sf: str) -> DataFrame:
             (n, "c_nationkey", "n_nationkey"),
             (r, "n_regionkey", "r_regionkey"),
         ],
+        broadcast_dims=[False, False, True, True],
     )
-    out = joined.filter(
-        F.col("o_orderdate").between("1996-01-01", "1997-12-31")
-    ).select(
+    out = joined.select(
         F.col("l_orderkey").alias("order_key"),
         F.col("l_linenumber").alias("line_number"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
@@ -1659,6 +1669,7 @@ def q_s8_dim_date(spark: SparkSession, sf: str) -> DataFrame:
         "season_num",
         "half_year_en",
         "weekday_name_en",
+        "j_week_num",
         "g_month_num",
         F.date_format("g_date", "yyyy-MM-dd").alias("g_date"),
     )
@@ -1709,6 +1720,10 @@ SELECT lpad(CAST(jy AS VARCHAR), 4, '0') || '/' ||
        CAST((jm - 1) // 3 + 1 AS INT) AS season_num,
        CASE WHEN jm <= 6 THEN 'H1' ELSE 'H2' END AS half_year_en,
        dayname(g_date) AS weekday_name_en,
+       -- Saturday-started week: offset = Monday-based weekday of
+       -- 1 Farvardin shifted to Saturday origin, (isodow+1)%7
+       CAST((doy0 + (isodow(g_date - CAST(doy0 AS INT)) + 1) % 7) // 7 + 1
+            AS INT) AS j_week_num,
        CAST(month(g_date) AS INT) AS g_month_num,
        strftime(g_date, '%Y-%m-%d') AS g_date
 FROM c3
@@ -1812,7 +1827,9 @@ def q_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
             },
             dims=dims,
         )
-        out = spark.read.parquet(table_path(warehouse, "prd", "trades_share"))
+        out = spark.read.parquet(
+            table_path(warehouse, "prd", "trades_share")
+        ).drop("j_month")  # sink partition column, not part of the contract
         # Detach the result from the temp warehouse before cleanup.
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)

@@ -116,3 +116,20 @@ def test_asof_keyless_empty_right_and_collision_guard(spark):
     assert asof_join_keyless(left, empty_right, "t", "rt").count() == 0
     with pytest.raises(ValueError, match="collision"):
         asof_join_keyless(left, right.withColumnRenamed("rt", "t"), "t", "t")
+
+
+def test_flagship_broadcasts_only_fixed_size_dims(spark):
+    """100 TB plan shape: with auto-broadcast off (emulating fact-sized
+    orders/customer), only the hinted nation/region broadcast; the
+    fact-side joins go through a shuffle join."""
+    import __spark_entry__ as em
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = em.q_flagship_star_join(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastExchange") == 2
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

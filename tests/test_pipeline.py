@@ -176,3 +176,109 @@ def test_partition_scoped_compaction(spark, tmp_path):
         for f in glob.glob(f"{path}/j_month=140102/*.parquet")
     )
     assert untouched_before == untouched_after
+
+
+def test_retry_succeeds_on_second_attempt_and_records_it(spark, fixtures, tmp_path):
+    """G5 retry (reference: retries=1, retry_delay=2 min): a flaky
+    extractor that fails once succeeds on attempt 2; a hard failure
+    exhausts retries and records the error with the attempt count."""
+    trades, *_ = fixtures
+    wh = str(tmp_path / "wh")
+    pipe = MedallionPipeline(spark, wh, retries=1, retry_delay_s=0.0)
+    calls = {"flaky": 0}
+
+    def flaky():
+        calls["flaky"] += 1
+        if calls["flaky"] == 1:
+            raise RuntimeError("transient API 503")
+        return trades
+
+    def hard():
+        raise RuntimeError("permanent failure")
+
+    results = pipe.run_full_refresh({"trades_share": flaky, "news_bad": hard})
+    by_table = {r.table: r for r in results}
+    ok = by_table["src_trades_share"]
+    assert ok.error is None and ok.attempts == 2 and ok.rows == 4
+    bad = by_table["src_news_bad"]
+    assert bad.error is not None and bad.attempts == 2
+    assert calls["flaky"] == 2
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    from web_api_postgres_etl_spark.operators.graph import connected_components
+
+    # chain of 6 nodes has diameter 5 — max_iter=2 cannot converge
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iter=2)
+
+
+def test_salted_join_rejects_dim_preserving_how(spark, fixtures):
+    from web_api_postgres_etl_spark.operators.joins import salted_join
+
+    trades, instruments, *_ = fixtures
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(trades, instruments, "instrument.id", "id", how="full")
+
+
+def test_incremental_rewrites_only_touched_month_partitions(spark, fixtures, tmp_path):
+    """T3 at scale: prd sinks are partitioned by Jalali month; an
+    incremental delta touching only month 1401-02 must leave the
+    1401-01 partition's files byte-for-byte alone."""
+    import glob
+    import os
+
+    _, instruments, assets, categories, exchanges = fixtures
+    wh = str(tmp_path / "wh")
+    month1 = [
+        (1, "14010101093000", 10.0, 12.0, 9.0, 11.0, 1.0, 5, 100, 1100.0, "i1", 1),
+        (2, "14010115093000", 11.0, 13.0, 10.0, 12.0, 1.0, 6, 110, 1320.0, "i1", 2),
+    ]
+    month2 = [
+        (3, "14010201093000", 12.0, 14.0, 11.0, 13.0, 1.0, 7, 120, 1560.0, "i2", 3),
+    ]
+    delta2 = [
+        (4, "14010202093000", 13.0, 15.0, 12.0, 14.0, 1.0, 8, 130, 1820.0, "i2", 4),
+        # re-delivery of version 3's row with a newer version → compaction
+        (5, "14010201093000", 12.5, 14.0, 11.0, 13.0, 1.0, 7, 120, 1560.0, "i2", 5),
+    ]
+    dims = {
+        "instruments": instruments, "assets": assets,
+        "categories": categories, "exchanges": exchanges,
+    }
+    pipe = MedallionPipeline(
+        spark, wh, range_start="1400/01/01", range_end="1402/12/29"
+    )
+    initial = spark.createDataFrame(month1 + month2, TRADES_SCHEMA)
+    pipe.run_full_refresh({"trades_share": lambda: initial, **{
+        k: (lambda v=v: v) for k, v in dims.items()
+    }})
+    prd = table_path(wh, "prd", "trades_share")
+
+    def snapshot(month):
+        return {
+            p: os.stat(p).st_mtime_ns
+            for p in sorted(glob.glob(f"{prd}/j_month={month}/*.parquet"))
+        }
+
+    before_m1 = snapshot("1401-01")
+    assert before_m1, "month 1401-01 partition must exist"
+
+    delta = spark.createDataFrame(delta2, TRADES_SCHEMA)
+    pipe.run_incremental(
+        {"trades_share": lambda wm: delta.filter(
+            F.col("`meta.version`") > F.lit(wm if wm is not None else -1)
+        )},
+        dims=dims,
+    )
+    assert snapshot("1401-01") == before_m1          # untouched, unrewritten
+    out = spark.read.parquet(prd)
+    # month2: version-5 re-delivery replaced version 3 (same j_date+name)
+    m2 = out.filter(F.col("j_month") == "1401-02")
+    assert m2.count() == 2
+    assert m2.agg(F.max("`meta.version`")).first()[0] == 5
+    assert out.filter(F.col("j_month") == "1401-01").count() == 2

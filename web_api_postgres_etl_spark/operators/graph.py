@@ -37,6 +37,13 @@ def connected_components(
     components). ``edges``: undirected pairs (any orientation).
     Deterministic: the component id is the minimum node id reachable,
     independent of partitioning or iteration order.
+
+    Raises RuntimeError if labels are still changing after ``max_iter``
+    rounds (graph diameter > max_iter) — silently returning unconverged
+    labels would split long-chain components and let a dedup pipeline
+    keep extra "canonical" survivors. Label propagation needs O(diameter)
+    rounds; for billion-edge graphs with long chains switch to
+    large-star/small-star (O(log n) rounds) before raising max_iter.
     """
     sym = (
         edges.select(qcol(edge_src).alias("src"), qcol(edge_dst).alias("dst"))
@@ -46,6 +53,7 @@ def connected_components(
     labels = nodes.select(
         qcol(node_id).alias("id"), qcol(node_id).alias("component")
     )
+    changed = 1
     for _ in range(max_iter):
         # labels each neighbor could offer, merged with current labels
         offers = (
@@ -70,6 +78,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations (graph diameter exceeds max_iter); raise "
+            "max_iter or use a pointer-doubling variant"
+        )
     return labels
 
 

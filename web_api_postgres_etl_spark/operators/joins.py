@@ -37,7 +37,7 @@ def two_way_join(
 def star_join(
     fact: DataFrame,
     dims: Sequence[tuple[DataFrame, str, str]],
-    broadcast_dims: bool = True,
+    broadcast_dims: bool | Sequence[bool] = True,
 ) -> DataFrame:
     """J1: chained star join — fact ⋈ dim1 ⋈ dim2 ⋈ …
 
@@ -46,12 +46,27 @@ def star_join(
     joined dim (the reference chains instruments→assets→categories and
     instruments→exchanges — mabna_tables_create.py:235-243).
 
-    Each dim is broadcast: the fact table is never shuffled, which is
-    the correct physical plan for a 100 TB fact × kB..MB dims star.
+    ``broadcast_dims`` may be one bool for all dims or one bool PER dim.
+    Broadcast is correct only for sides that stay small at scale (true
+    lookup tables): the fact streams through unshuffled. A side that
+    grows WITH the fact (e.g. an orders table joined to lineitem) must
+    NOT be broadcast — at 100 TB the broadcast build would OOM every
+    executor — mark it False to route through a shuffle join (AQE picks
+    sort-merge/shuffled-hash and handles skew), or pre-bucket both
+    sides on the key (sources.writers.write_bucketed) for a
+    shuffle-free co-located join.
     """
+    if isinstance(broadcast_dims, bool):
+        flags = [broadcast_dims] * len(dims)
+    else:
+        flags = list(broadcast_dims)
+        if len(flags) != len(dims):
+            raise ValueError(
+                f"broadcast_dims has {len(flags)} flags for {len(dims)} dims"
+            )
     out = fact
-    for dim, left_key, right_key in dims:
-        d = F.broadcast(dim) if broadcast_dims else dim
+    for (dim, left_key, right_key), bc in zip(dims, flags):
+        d = F.broadcast(dim) if bc else dim
         out = out.join(d, out[_q(left_key)] == d[_q(right_key)], "inner")
     return out
 
@@ -238,7 +253,18 @@ def salted_join(
     oracle-checkable. Use when the dim is too big to broadcast AND the
     fact key is skewed; AQE's skew-join split handles the same problem
     reactively, this handles it by construction.
+
+    ``how`` is restricted to fact-preserving joins: under 'right'/
+    'full', every UNMATCHED dim row would surface once per replica
+    (salt× duplicates), silently breaking the identical-result
+    guarantee above.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join how={how!r} would duplicate unmatched dim rows "
+            f"salt x; use one of {sorted(allowed)}"
+        )
     fct = fact.withColumn(
         "__salt",
         F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)).cast("int"),

@@ -58,11 +58,24 @@ INSTRUMENT_TYPES = [
 NO_DETAIL_TYPES = {"commodity", "currency"}  # mabna_tables_update.py:250-251
 
 
+def with_jalali_month(df: DataFrame) -> DataFrame:
+    """Derive the prd partition column ``j_month`` ("1401-01") from the
+    slashed ``j_date`` ("1401/01/01"). Dash separator: a '/' in a
+    partition VALUE would be path-escaped into unreadable dirs."""
+    return df.withColumn(
+        "j_month",
+        F.concat(
+            F.col("j_date").substr(1, 4), F.lit("-"), F.col("j_date").substr(6, 2)
+        ),
+    )
+
+
 @dataclass
 class RunResult:
     table: str
     rows: int | None
     error: str | None = None
+    attempts: int = 1
 
 
 @dataclass
@@ -76,6 +89,27 @@ class MedallionPipeline:
     range_start: str = "1399/01/01"
     range_end: str = field(default_factory=fa_today)
     results: list[RunResult] = field(default_factory=list)
+    # G5 retry policy (reference: retries=1, retry_delay=2 min, email
+    # on failure — mabna_tables_create.py:21-30; the "email" is the
+    # structured RunResult here). retry_delay_s defaults small so tests
+    # stay fast; production mirrors the reference with 120.
+    retries: int = 1
+    retry_delay_s: float = 0.0
+
+    def _attempt(self, fn: Callable[[], object]):
+        """Run ``fn`` up to retries+1 times with linear backoff.
+        Returns (attempts, result, error) — error is None on success."""
+        import time
+
+        err: Exception | None = None
+        for attempt in range(1, self.retries + 2):
+            try:
+                return attempt, fn(), None
+            except Exception as exc:  # noqa: BLE001 — G5 isolates any failure
+                err = exc
+                if attempt <= self.retries and self.retry_delay_s:
+                    time.sleep(self.retry_delay_s * attempt)
+        return self.retries + 1, None, err
 
     # ---------------------------------------------------------- staging
     def stage_trades(self, src: DataFrame) -> DataFrame:
@@ -205,15 +239,20 @@ class MedallionPipeline:
         self.results = []
         frames: dict[str, DataFrame] = {}
         for name, fn in extractors.items():
-            try:
+            def _ingest(fn=fn, name=name):
                 df = fn()
                 write_overwrite(df, table_path(self.warehouse, "src", name))
-                frames[name] = self.spark.read.parquet(
+                return self.spark.read.parquet(
                     table_path(self.warehouse, "src", name)
                 )
-                self._ok(f"src_{name}", frames[name].count())
-            except Exception as exc:  # G5: isolate per-table failures
-                self._err(f"src_{name}", exc)
+
+            # G5: isolate per-table failures; one retry with backoff
+            attempts, frame, err = self._attempt(_ingest)
+            if err is None:
+                frames[name] = frame
+                self._ok(f"src_{name}", frame.count(), attempts)
+            else:
+                self._err(f"src_{name}", err, attempts)
         for t in INSTRUMENT_TYPES:
             key = f"trades_{t}"
             if key in frames:
@@ -249,12 +288,22 @@ class MedallionPipeline:
                     dims["exchanges"],
                     instrument_type=t,
                 )
-                write_overwrite(prd, table_path(self.warehouse, "prd", key))
+                # prd sinks partition by Jalali month so the incremental
+                # compactor can rewrite only touched months (T3 at scale)
+                write_overwrite(
+                    with_jalali_month(prd),
+                    table_path(self.warehouse, "prd", key),
+                    partition_by=["j_month"],
+                )
                 self._ok(f"prd_{key}", None)
         if "indexvalues" in frames and "indexes" in dims:
             stg = self.spark.read.parquet(table_path(self.warehouse, "stg", "indexvalues"))
             prd = self.produce_indexvalues(stg, dims["indexes"])
-            write_overwrite(prd, table_path(self.warehouse, "prd", "indexvalues"))
+            write_overwrite(
+                with_jalali_month(prd),
+                table_path(self.warehouse, "prd", "indexvalues"),
+                partition_by=["j_month"],
+            )
             self._ok("prd_indexvalues", None)
         return self.results
 
@@ -285,7 +334,8 @@ class MedallionPipeline:
             key = f"trades_{t}"
             if key not in extractors:
                 continue
-            try:
+
+            def _run_trades(t=t, key=key):
                 wm = watermarks.get(key)
                 delta = extractors[key](wm)  # S1 pushdown: server filters > wm
                 stg = self.stage_trades(delta)
@@ -299,23 +349,44 @@ class MedallionPipeline:
                     watermark=wm,
                 )
                 path = prd_paths[key]
-                write_append(prd, path)
-                self.compact(path, keys=["j_date", "name"])
-                self._ok(f"prd_{key}", None)
-            except Exception as exc:
-                self._err(f"prd_{key}", exc)
+                prd = with_jalali_month(prd)
+                touched = [
+                    r[0] for r in prd.select("j_month").distinct().collect()
+                ]
+                write_append(prd, path, partition_by=["j_month"])
+                self.compact_partitioned(
+                    path, keys=["j_date", "name"],
+                    partition_col="j_month", touched=touched,
+                )
+
+            attempts, _, err = self._attempt(_run_trades)
+            if err is None:
+                self._ok(f"prd_{key}", None, attempts)
+            else:
+                self._err(f"prd_{key}", err, attempts)
         if "indexvalues" in extractors:
-            try:
+
+            def _run_idx():
                 wm = watermarks.get("indexvalues")
                 delta = extractors["indexvalues"](wm)
                 stg = self.stage_indexvalues(delta)
                 prd = self.produce_indexvalues(stg, dims["indexes"], watermark=wm)
                 path = prd_paths["indexvalues"]
-                write_append(prd, path)
-                self.compact(path, keys=["j_date", "name"])
-                self._ok("prd_indexvalues", None)
-            except Exception as exc:
-                self._err("prd_indexvalues", exc)
+                prd = with_jalali_month(prd)
+                touched = [
+                    r[0] for r in prd.select("j_month").distinct().collect()
+                ]
+                write_append(prd, path, partition_by=["j_month"])
+                self.compact_partitioned(
+                    path, keys=["j_date", "name"],
+                    partition_col="j_month", touched=touched,
+                )
+
+            attempts, _, err = self._attempt(_run_idx)
+            if err is None:
+                self._ok("prd_indexvalues", None, attempts)
+            else:
+                self._err("prd_indexvalues", err, attempts)
         return self.results
 
     def compact(self, path: str, keys: list[str]) -> None:
@@ -331,11 +402,17 @@ class MedallionPipeline:
         compacted = dedup_last_wins(df, keys, version_col="meta.version", tiebreaker="id")
         compacted.cache().count()  # materialize before overwriting the source dir
         write_overwrite(compacted, path + ".tmp")
-        self.spark.catalog.clearCache()
+        # release ONLY this frame (clearCache would drop every cached
+        # DataFrame session-wide), then swap via rename-old → move-new →
+        # delete-old so the table path is missing only between two
+        # instant renames, not for the whole delete
+        compacted.unpersist()
         import shutil
 
-        shutil.rmtree(path)
+        old = path + ".old"
+        shutil.move(path, old)
         shutil.move(path + ".tmp", path)
+        shutil.rmtree(old)
 
     def compact_partitioned(
         self,
@@ -382,7 +459,6 @@ class MedallionPipeline:
             .partitionBy(partition_col)
             .parquet(tmp)
         )
-        self.spark.catalog.clearCache()
         for pdir in glob.glob(f"{tmp}/{partition_col}=*"):
             dst = os.path.join(path, os.path.basename(pdir))
             if os.path.exists(dst):
@@ -390,8 +466,10 @@ class MedallionPipeline:
             shutil.move(pdir, dst)
         shutil.rmtree(tmp)
 
-    def _ok(self, table: str, rows: int | None) -> None:
-        self.results.append(RunResult(table, rows))
+    def _ok(self, table: str, rows: int | None, attempts: int = 1) -> None:
+        self.results.append(RunResult(table, rows, attempts=attempts))
 
-    def _err(self, table: str, exc: Exception) -> None:
-        self.results.append(RunResult(table, None, f"{type(exc).__name__}: {exc}"))
+    def _err(self, table: str, exc: Exception, attempts: int = 1) -> None:
+        self.results.append(
+            RunResult(table, None, f"{type(exc).__name__}: {exc}", attempts)
+        )

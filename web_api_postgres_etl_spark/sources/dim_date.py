@@ -81,8 +81,11 @@ def generate_dim_date(
                 gy, gm, gd = jalali_to_gregorian(jy, jm, jd)
                 g = _dt.date(gy, gm, gd)
                 wd = g.weekday()  # Monday=0
-                # Jalali week starts Saturday (index 5 in Monday-based)
-                j_week = (day_of_year + _first_weekday_offset(jy)) // 7 + 1
+                # Jalali week starts Saturday (index 5 in Monday-based);
+                # day_of_year is 1-based, so subtract 1 before the //7
+                # bucketing or the 7th day of a Saturday-started week
+                # spills into week 2
+                j_week = (day_of_year - 1 + _first_weekday_offset(jy)) // 7 + 1
                 rows.append(
                     (
                         f"{jy:04d}/{jm:02d}/{jd:02d}",

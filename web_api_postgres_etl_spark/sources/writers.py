@@ -77,16 +77,24 @@ def write_bucketed(
 
 
 # ------------------------------------------------------------ JDBC parity
-def jdbc_options(url: str, table: str, user: str, password: str) -> dict[str, str]:
+def jdbc_options(
+    url: str,
+    table: str,
+    user: str = "",
+    password: str = "",
+    driver: str = "org.postgresql.Driver",
+) -> dict[str, str]:
     """Connection-option dict (S9) — secrets come from env/config, mirroring
-    the reference's Airflow connection (mabna_tables_create.py:40-43)."""
-    return {
-        "url": url,
-        "dbtable": table,
-        "user": user,
-        "password": password,
-        "driver": "org.postgresql.Driver",
-    }
+    the reference's Airflow connection (mabna_tables_create.py:40-43).
+    ``driver`` defaults to Postgres (the reference's engine); tests
+    exercise the identical path against the in-process Derby that ships
+    with Spark (tests/test_jdbc.py)."""
+    opts = {"url": url, "dbtable": table, "driver": driver}
+    if user:
+        opts["user"] = user
+    if password:
+        opts["password"] = password
+    return opts
 
 
 def jdbc_write(df: DataFrame, opts: dict[str, str], mode: str) -> None:
