@@ -1380,8 +1380,10 @@ def q_t4_stateful_stream(spark: SparkSession, sf: str) -> DataFrame:
             version_col="n_events",
             tiebreaker=None,
         )
-        rows = final.collect()
-        return spark.createDataFrame(rows, final.schema)
+        # detach from the temp sink WITHOUT a driver collect: an eager
+        # localCheckpoint materializes into executor storage, so the
+        # returned frame stays lazy/distributed after rmtree
+        return final.localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(root, ignore_errors=True)
@@ -1830,9 +1832,9 @@ def q_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
         out = spark.read.parquet(
             table_path(warehouse, "prd", "trades_share")
         ).drop("j_month")  # sink partition column, not part of the contract
-        # Detach the result from the temp warehouse before cleanup.
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # Detach from the temp warehouse without a driver collect (see
+        # q_t4_stateful_stream): eager localCheckpoint keeps it lazy.
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(warehouse, ignore_errors=True)
 

@@ -27,7 +27,10 @@ J_MONTH_NAMES_FA = [
     "فروردین", "اردیبهشت", "خرداد", "تیر", "مرداد", "شهریور",
     "مهر", "آبان", "آذر", "دی", "بهمن", "اسفند",
 ]
-WEEKDAY_FA = ["دوشنبه", "سه‌شنبه", "چهارشنبه", "پنجشنبه", "جمعه", "شنبه", "یکشنبه"]
+# spellings exactly as the reference artifact writes them
+# (full-dimdate-pb.xlsx 'DATES'!JWeekDay: space-separated سه شنبه /
+# پنج شنبه, not ZWNJ-joined)
+WEEKDAY_FA = ["دوشنبه", "سه شنبه", "چهارشنبه", "پنج شنبه", "جمعه", "شنبه", "یکشنبه"]
 WEEKDAY_EN = ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday", "Sunday"]
 SEASON_FA = ["بهار", "تابستان", "پاییز", "زمستان"]
 
