@@ -1488,12 +1488,17 @@ QUALIFY row_number() OVER (
 def q_lsh_nn_join(spark: SparkSession, sf: str) -> DataFrame:
     """LSH-bucketed nearest-neighbor join (operators.similarity.
     lsh_nn_join — the 100 TB replacement for the broadcast cross join):
-    RHP band keys on both sides → hash equi-join on the band key →
-    exact cosine re-rank of candidates → window top-2 per query. Plan
-    contains no CartesianProduct/BroadcastNestedLoopJoin (asserted in
-    tests/test_dedup_similarity.py). Parameters (64 planes × 32 bands =
-    2 bits/band) give measured recall 1.0 on the testdata, so the
-    exact-NN oracle applies verbatim."""
+    band keys on both sides → hash equi-join on the band key → exact
+    cosine re-rank of candidates → window top-2 per query. Plan contains
+    no CartesianProduct/BroadcastNestedLoopJoin (asserted in
+    tests/test_dedup_similarity.py).
+
+    The contract pins the ORACLE-EXPRESSIBLE signature: sign bits of the
+    first 16 dimensions, 2 bands × 8 bits (selective — ~1/256 of pairs
+    per band become candidates). DuckDB computes the identical bits and
+    banding, so the APPROXIMATE result is verified exactly — no
+    recall-1 escape hatch, and the pruning stays real at every scale
+    (the degenerate alternative — wide-recall bands — is quadratic)."""
     from web_api_postgres_etl_spark.operators.similarity import lsh_nn_join
 
     emb = _t(spark, sf, "embeddings")
@@ -1504,7 +1509,8 @@ def q_lsh_nn_join(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"), "embedding"
     )
     return lsh_nn_join(
-        left, right, "query_id", "neighbor_id", k=2, num_planes=64, bands=32
+        left, right, "query_id", "neighbor_id",
+        k=2, num_planes=16, bands=2, signature="axis",
     )
 
 
@@ -1512,13 +1518,31 @@ SQL_LSH_NN_JOIN = f"""
 WITH l AS (SELECT vec_id AS query_id, embedding AS le FROM embeddings
            WHERE vec_id % 20 = 0),
 r AS (SELECT vec_id AS neighbor_id, embedding AS re FROM embeddings
-      WHERE vec_id % 20 <> 0)
-SELECT query_id, neighbor_id,
+      WHERE vec_id % 20 <> 0),
+lb AS (
+  SELECT query_id, b.band,
+         (SELECT SUM(CASE WHEN le[b.band*8 + j] >= 0 THEN 1<<(j-1) ELSE 0 END)
+          FROM generate_series(1, 8) s(j)) AS bkey
+  FROM l, (VALUES (0), (1)) b(band)
+),
+rb AS (
+  SELECT neighbor_id, b.band,
+         (SELECT SUM(CASE WHEN re[b.band*8 + j] >= 0 THEN 1<<(j-1) ELSE 0 END)
+          FROM generate_series(1, 8) s(j)) AS bkey
+  FROM r, (VALUES (0), (1)) b(band)
+),
+cand AS (
+  SELECT DISTINCT lb.query_id, rb.neighbor_id
+  FROM lb JOIN rb ON lb.band = rb.band AND lb.bkey = rb.bkey
+)
+SELECT c.query_id, c.neighbor_id,
        round({_cos_sql("le", "re")}, 6) AS cosine_sim
-FROM l CROSS JOIN r
+FROM cand c
+JOIN l ON l.query_id = c.query_id
+JOIN r ON r.neighbor_id = c.neighbor_id
 QUALIFY row_number() OVER (
-  PARTITION BY query_id
-  ORDER BY round({_cos_sql("le", "re")}, 6) DESC, neighbor_id) <= 2
+  PARTITION BY c.query_id
+  ORDER BY round({_cos_sql("le", "re")}, 6) DESC, c.neighbor_id) <= 2
 """
 
 

@@ -44,6 +44,8 @@ HEADLINE = [
     "agg_rollup",
     "ann_ivf_topk",
     "near_dup_pipeline",
+    "lsh_nn_join",
+    "j7_asof_keyless",
 ]
 
 

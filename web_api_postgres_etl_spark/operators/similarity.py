@@ -337,6 +337,23 @@ def nearest_neighbor_join(
     )
 
 
+def sign_bits_signature(vec_col: Column | str, num_bits: int) -> Column:
+    """Axis-aligned hyperplane signature (bit-sampling LSH): bit i =
+    [v_i ≥ 0]. A degenerate-but-valid member of the RHP family (planes =
+    unit axes) with two properties the general form lacks: no fold per
+    plane (plain element_at comparisons, codegen-friendly) and an
+    oracle-expressible definition — DuckDB computes the identical bits,
+    so an approximate NN result can be verified EXACTLY, not just by
+    recall."""
+    v = as_double_array(vec_col)
+    return F.array(
+        *[
+            F.when(F.element_at(v, i + 1) >= 0, 1).otherwise(0)
+            for i in range(num_bits)
+        ]
+    )
+
+
 def rhp_band_keys(sig_col: Column, num_planes: int, bands: int) -> Column:
     """Column: RHP bit signature → array of per-band BIGINT bucket keys.
 
@@ -364,9 +381,16 @@ def lsh_nn_join(
     num_planes: int = 16,
     bands: int = 8,
     dims: int | None = None,
+    signature: str = "rhp",
 ) -> DataFrame:
     """LSH-bucketed nearest-neighbor join — the 100 TB form of
     ``nearest_neighbor_join``.
+
+    ``signature``: 'rhp' (random hyperplanes from xxhash64 — better
+    bucket balance for arbitrary data) or 'axis' (sign bits of the
+    first ``num_planes`` dimensions — oracle-expressible, so the
+    approximate result can be verified exactly against a SQL engine
+    implementing the same banding).
 
     Both sides get random-hyperplane bit signatures from the SAME
     deterministic plane matrix (no stored model); each side explodes
@@ -392,17 +416,23 @@ def lsh_nn_join(
     r_prep = right.select(
         qcol(right_id).alias("__rid"), as_double_array(vec_col).alias("__rv")
     )
-    if dims is None:
-        dims = int(l_prep.select(F.size("__lv").alias("n")).first()["n"])
-    planes = hyperplane_matrix(spark, dims, num_planes)
+    if signature == "rhp":
+        if dims is None:
+            dims = int(l_prep.select(F.size("__lv").alias("n")).first()["n"])
+        planes = hyperplane_matrix(spark, dims, num_planes)
+        sig_of = lambda vecc: rhp_signature(F.col(vecc), planes)  # noqa: E731
+    elif signature == "axis":
+        sig_of = lambda vecc: sign_bits_signature(  # noqa: E731
+            F.col(vecc), num_planes
+        )
+    else:
+        raise ValueError(f"unknown signature kind {signature!r}")
 
     def banded(prep: DataFrame, idc: str, vecc: str) -> DataFrame:
         # two-step projection: bind the signature to a real column so
         # the per-band element_at references an attribute, not the fold
         # subtree (the HOF inline trap, see operators.dedup.word_shingles)
-        sigd = prep.select(
-            idc, rhp_signature(F.col(vecc), planes).alias("__sig")
-        )
+        sigd = prep.select(idc, sig_of(vecc).alias("__sig"))
         keys = rhp_band_keys(F.col("__sig"), num_planes, bands)
         # explode_outer, not explode: plain explode invites
         # InferFiltersFromGenerate to synthesize size(keys) > 0, which
