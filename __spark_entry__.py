@@ -460,8 +460,10 @@ QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
 
 
 def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """Token counting + quality signals over documents (whitespace
-    tokens, BPE-ish regex pieces, punctuation/stopword ratios)."""
+    """Token counting + quality signals + fingerprints over documents
+    (whitespace tokens, BPE-ish regex pieces, punctuation/stopword
+    ratios, exact content digest, order-insensitive token-set
+    fingerprint) — one document-profile pass."""
     docs = _t(spark, sf, "documents")
     return docs.select(
         "doc_id",
@@ -470,6 +472,8 @@ def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
         char_count("text").alias("n_chars_obs"),
         F.round(punct_ratio("text"), 6).alias("punct_ratio"),
         F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+        content_hash("text").alias("content_md5"),
+        fingerprint("text").alias("token_fingerprint"),
     )
 
 
@@ -484,7 +488,9 @@ SELECT doc_id,
        round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
              / CAST(nullif(length(text), 0) AS DOUBLE), 6) AS punct_ratio,
        round(len(list_filter(toks, x -> x IN ({_sw_en})))
-             / CAST(nullif(len(toks), 0) AS DOUBLE), 6) AS stopword_ratio
+             / CAST(nullif(len(toks), 0) AS DOUBLE), 6) AS stopword_ratio,
+       md5(text) AS content_md5,
+       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS token_fingerprint
 FROM t
 """
 
@@ -540,26 +546,6 @@ SELECT doc_id, lang,
        WHEN h_es > 0 THEN 'es'
        ELSE 'und' END AS lang_pred
 FROM s
-"""
-
-
-def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    """Document fingerprinting: exact content digest + order-insensitive
-    token-set fingerprint (near-dup key)."""
-    docs = _t(spark, sf, "documents")
-    return docs.select(
-        "doc_id",
-        content_hash("text").alias("content_md5"),
-        fingerprint("text").alias("token_fingerprint"),
-    )
-
-
-SQL_FINGERPRINT = f"""
-WITH t AS (SELECT doc_id, text, {TOK.format(col="text")} AS toks FROM documents)
-SELECT doc_id,
-       md5(text) AS content_md5,
-       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS token_fingerprint
-FROM t
 """
 
 
@@ -681,6 +667,46 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round({_cos_sql("a.embedding", "b.embedding")}, 6) AS cosine_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round({_cos_sql("a.embedding", "b.embedding")}, 6) >= 0.4
+"""
+
+
+def q_lsh_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed cosine near-dup pairs (operators.similarity.
+    lsh_cosine_pairs — the 100 TB form of the exact all-pairs scan):
+    banded self-join on sign-bit keys, exact cosine only on candidates.
+    Oracle replicates the banding bit-for-bit (axis signature), so the
+    approximate pair set is verified exactly."""
+    from web_api_postgres_etl_spark.operators.similarity import (
+        lsh_cosine_pairs,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    return lsh_cosine_pairs(
+        emb, "vec_id", "embedding",
+        threshold=0.4, num_planes=16, bands=2, signature="axis",
+    )
+
+
+SQL_LSH_COSINE_PAIRS = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+b AS (
+  SELECT vec_id, bb.band,
+         (SELECT SUM(CASE WHEN embedding[bb.band*8 + j] >= 0
+                          THEN 1<<(j-1) ELSE 0 END)
+          FROM generate_series(1, 8) s(j)) AS bkey
+  FROM e, (VALUES (0), (1)) bb(band)
+),
+cand AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM b l JOIN b r ON l.band = r.band AND l.bkey = r.bkey
+                    AND l.vec_id < r.vec_id
+)
+SELECT c.id_a, c.id_b,
+       round({_cos_sql("a.embedding", "b2.embedding")}, 6) AS cosine_sim
+FROM cand c
+JOIN e a ON a.vec_id = c.id_a
+JOIN e b2 ON b2.vec_id = c.id_b
+WHERE round({_cos_sql("a.embedding", "b2.embedding")}, 6) >= 0.4
 """
 
 
@@ -2067,7 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
+        "lsh_cosine_pairs": q_lsh_cosine_pairs,
         # multimodal
         "multimodal_stats": q_multimodal_stats,
         "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -2131,7 +2157,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": SQL_TEXT_STATS,
         "text_quality": SQL_TEXT_QUALITY,
         "lang_id": SQL_LANG_ID,
-        "fingerprint": SQL_FINGERPRINT,
+        "lsh_cosine_pairs": SQL_LSH_COSINE_PAIRS,
         "multimodal_stats": SQL_MULTIMODAL_STATS,
         "multimodal_frame_sample": SQL_FRAME_SAMPLE,
         "s1_rest_source": SQL_REST,

@@ -35,7 +35,7 @@ HEADLINE = [
     "f2_pct_change",
     "dedup_exact",
     "text_stats",
-    "fingerprint",
+    "lsh_cosine_pairs",
     "minhash_lsh_pairs",
     "ann_cosine_topk",
     "lang_id",

@@ -98,3 +98,27 @@ def test_lsh_nn_join_matches_exact_and_plan_has_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     exact = nearest_neighbor_join(left, right, "qid", "nid", k=2)
     assert sorted(map(tuple, approx.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_lsh_cosine_pairs_catches_near_identical_vectors(spark):
+    from web_api_postgres_etl_spark.operators.similarity import (
+        lsh_cosine_pairs,
+    )
+
+    base = [(-1.0) ** i * (0.1 + 0.01 * i) for i in range(16)]
+    rows = [
+        (1, base),
+        (2, [x * 1.001 for x in base]),        # near-dup of 1: same signs
+        (3, [-x for x in base]),               # antipodal: no shared band
+        (4, [0.5 - 0.07 * i for i in range(16)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = lsh_cosine_pairs(
+        df, threshold=0.9, num_planes=16, bands=2, signature="axis"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pairs = {(r["id_a"], r["id_b"]): r["cosine_sim"] for r in out.collect()}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] > 0.999

@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from web_api_postgres_etl_spark.operators.graph import connected_components
@@ -133,3 +134,43 @@ def test_flagship_broadcasts_only_fixed_size_dims(spark):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_fast_components_match_plain_on_long_chain(spark):
+    from web_api_postgres_etl_spark.operators.graph import (
+        connected_components,
+        connected_components_fast,
+    )
+
+    # chain of 60 nodes (diameter 59) + pair + singleton: doubling must
+    # resolve it in ~log2(59) rounds where plain propagation needs 59
+    nodes = spark.createDataFrame(
+        [(i,) for i in list(range(1, 61)) + [100, 101, 200]], "id long"
+    )
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 60)] + [(100, 101)],
+        "id_a long, id_b long",
+    )
+    fast = {
+        r["id"]: r["component"]
+        for r in connected_components_fast(nodes, edges, max_iter=8).collect()
+    }
+    plain = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, edges, max_iter=60).collect()
+    }
+    assert fast == plain
+    assert fast[60] == 1 and fast[101] == 100 and fast[200] == 200
+
+
+def test_fast_components_raise_when_unconverged(spark):
+    from web_api_postgres_etl_spark.operators.graph import (
+        connected_components_fast,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 40)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 39)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_fast(nodes, edges, max_iter=2)

@@ -87,6 +87,77 @@ def connected_components(
     return labels
 
 
+def connected_components_fast(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_id: str = "id",
+    edge_src: str = "id_a",
+    edge_dst: str = "id_b",
+    max_iter: int = 12,
+) -> DataFrame:
+    """(id, component) via pointer doubling — O(log n) rounds.
+
+    Same deterministic result as ``connected_components`` (min reachable
+    node id), but each round follows the label chain one extra hop
+    (L(v) ← min over neighbors' labels, then L(v) ← L(L(v))), so a
+    chain of length d resolves in ~log2(d) rounds instead of d. This is
+    the billion-edge form the plain propagation loop documents: 12
+    rounds cover components of diameter ~4000; the default suits any
+    real near-dup graph (clique-ish, diameter ≤ a few dozen).
+
+    Per round: one neighbor-offer join + one pointer-jump join — both
+    equi-joins on (node, label) pairs, payloads never shuffled; the
+    frontier is localCheckpointed so lineage stays flat.
+    """
+    sym = (
+        edges.select(qcol(edge_src).alias("src"), qcol(edge_dst).alias("dst"))
+        .union(edges.select(qcol(edge_dst).alias("src"), qcol(edge_src).alias("dst")))
+        .distinct()
+    )
+    labels = nodes.select(
+        qcol(node_id).alias("id"), qcol(node_id).alias("component")
+    )
+    changed = 1
+    for _ in range(max_iter):
+        offers = sym.join(labels, sym["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), F.col("component")
+        )
+        merged = (
+            labels.unionByName(offers)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        # pointer jump: component ← component's own component
+        parent = merged.select(
+            F.col("id").alias("p_id"), F.col("component").alias("p_comp")
+        )
+        jumped = (
+            merged.join(parent, merged["component"] == parent["p_id"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("p_comp", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.component") < F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components_fast did not converge in {max_iter} "
+            "doubling rounds (component diameter > ~2^max_iter)"
+        )
+    return labels
+
+
 def dedup_clusters(
     df: DataFrame,
     pairs: DataFrame,
@@ -94,9 +165,10 @@ def dedup_clusters(
 ) -> DataFrame:
     """(id, cluster, is_canonical) — resolve near-dup pairs into
     clusters; the minimum id in each component is the canonical
-    survivor (the row a dedup pipeline keeps)."""
+    survivor (the row a dedup pipeline keeps). Uses the pointer-doubling
+    components (same deterministic labels, O(log n) rounds)."""
     nodes = df.select(qcol(id_col).alias("id"))
-    comp = connected_components(nodes, pairs)
+    comp = connected_components_fast(nodes, pairs)
     return comp.select(
         F.col("id").alias(id_col),
         F.col("component").alias("cluster"),

@@ -371,6 +371,82 @@ def rhp_band_keys(sig_col: Column, num_planes: int, bands: int) -> Column:
     return F.array(*keys)
 
 
+def _signature_expr(
+    spark,
+    vecc: str,
+    signature: str,
+    num_planes: int,
+    dims: int | None,
+):
+    """Shared signature construction for the LSH joins: returns a
+    function column-name → signature Column."""
+    if signature == "rhp":
+        if dims is None:
+            raise ValueError("rhp signature needs dims")
+        planes = hyperplane_matrix(spark, dims, num_planes)
+        return lambda c: rhp_signature(F.col(c), planes)
+    if signature == "axis":
+        return lambda c: sign_bits_signature(F.col(c), num_planes)
+    raise ValueError(f"unknown signature kind {signature!r}")
+
+
+def lsh_cosine_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    num_planes: int = 16,
+    bands: int = 2,
+    signature: str = "axis",
+    dims: int | None = None,
+) -> DataFrame:
+    """LSH-bucketed cosine near-dup pairs — the 100 TB form of
+    ``cosine_pairs``: only vectors sharing ≥1 signature band are scored
+    (banded self-join on the key, same linear-shuffle shape as
+    minhash_lsh_candidates), exact cosine on the candidates only.
+
+    With signature='axis' the banding itself is oracle-expressible, so
+    the approximate pair set verifies exactly against a SQL engine.
+    """
+    prep = corpus.select(
+        qcol(id_col).alias("__id"), as_double_array(vec_col).alias("__v")
+    )
+    if signature == "rhp" and dims is None:
+        dims = int(prep.select(F.size("__v").alias("n")).first()["n"])
+    sig_of = _signature_expr(
+        corpus.sparkSession, "__v", signature, num_planes, dims
+    )
+    sigd = prep.select("__id", sig_of("__v").alias("__sig"))
+    banded = sigd.select(
+        "__id",
+        F.explode_outer(
+            rhp_band_keys(F.col("__sig"), num_planes, bands)
+        ).alias("__bkey"),
+    )
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.__bkey") == F.col("r.__bkey"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+    va = prep.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    vb = prep.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def lsh_nn_join(
     left: DataFrame,
     right: DataFrame,
@@ -416,17 +492,9 @@ def lsh_nn_join(
     r_prep = right.select(
         qcol(right_id).alias("__rid"), as_double_array(vec_col).alias("__rv")
     )
-    if signature == "rhp":
-        if dims is None:
-            dims = int(l_prep.select(F.size("__lv").alias("n")).first()["n"])
-        planes = hyperplane_matrix(spark, dims, num_planes)
-        sig_of = lambda vecc: rhp_signature(F.col(vecc), planes)  # noqa: E731
-    elif signature == "axis":
-        sig_of = lambda vecc: sign_bits_signature(  # noqa: E731
-            F.col(vecc), num_planes
-        )
-    else:
-        raise ValueError(f"unknown signature kind {signature!r}")
+    if signature == "rhp" and dims is None:
+        dims = int(l_prep.select(F.size("__lv").alias("n")).first()["n"])
+    sig_of = _signature_expr(spark, "__lv", signature, num_planes, dims)
 
     def banded(prep: DataFrame, idc: str, vecc: str) -> DataFrame:
         # two-step projection: bind the signature to a real column so
