@@ -496,36 +496,16 @@ FROM t
 
 
 def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
-    """Composite quality score (Gopher/C4-style heuristic)."""
+    """Composite quality score (Gopher/C4-style heuristic) + heuristic
+    language ID (stopword-hit argmax over en/de/fr/es) — the two
+    curation signals in one document pass (they share the tokenizer)."""
     docs = _t(spark, sf, "documents")
-    return docs.select("doc_id", quality_score("text").alias("quality"))
-
-
-SQL_TEXT_QUALITY = f"""
-WITH t AS (SELECT doc_id, text, {TOK.format(col="text")} AS toks FROM documents),
-s AS (
-  SELECT doc_id,
-    CAST(nullif(len(toks), 0) AS DOUBLE) AS n,
-    list_sum(list_transform(toks, x -> length(x))) AS tot_len,
-    len(list_filter(toks, x -> x IN ({_sw_en}))) AS sw_hits,
-    (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
-      / CAST(nullif(length(text), 0) AS DOUBLE) AS pr
-  FROM t)
-SELECT doc_id,
-  round(
-    0.4 * least(coalesce(sw_hits / n, 0.0) / 0.4, 1.0)
-    + 0.3 * (1.0 - least(coalesce(pr, 1.0) / 0.3, 1.0))
-    + 0.3 * coalesce(CASE WHEN tot_len / n >= 3 AND tot_len / n <= 10
-                          THEN 1.0 ELSE 0.0 END, 0.0),
-  6) AS quality
-FROM s
-"""
-
-
-def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
-    """Heuristic language ID (stopword-hit argmax over en/de/fr/es)."""
-    docs = _t(spark, sf, "documents")
-    return docs.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        quality_score("text").alias("quality"),
+        lang_id("text").alias("lang_pred"),
+    )
 
 
 def _hits(lang_words: list[str]) -> str:
@@ -533,13 +513,25 @@ def _hits(lang_words: list[str]) -> str:
     return f"len(list_filter(toks, x -> x IN ({inlist})))"
 
 
-SQL_LANG_ID = f"""
-WITH t AS (SELECT doc_id, lang, {TOK.format(col="text")} AS toks FROM documents),
-s AS (SELECT doc_id, lang,
-        {_hits(STOPWORDS_EN)} AS h_en, {_hits(STOPWORDS_DE)} AS h_de,
-        {_hits(STOPWORDS_FR)} AS h_fr, {_hits(STOPWORDS_ES)} AS h_es
-      FROM t)
+SQL_TEXT_QUALITY = f"""
+WITH t AS (SELECT doc_id, lang, text, {TOK.format(col="text")} AS toks FROM documents),
+s AS (
+  SELECT doc_id, lang,
+    CAST(nullif(len(toks), 0) AS DOUBLE) AS n,
+    list_sum(list_transform(toks, x -> length(x))) AS tot_len,
+    len(list_filter(toks, x -> x IN ({_sw_en}))) AS sw_hits,
+    (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+      / CAST(nullif(length(text), 0) AS DOUBLE) AS pr,
+    {_hits(STOPWORDS_EN)} AS h_en, {_hits(STOPWORDS_DE)} AS h_de,
+    {_hits(STOPWORDS_FR)} AS h_fr, {_hits(STOPWORDS_ES)} AS h_es
+  FROM t)
 SELECT doc_id, lang,
+  round(
+    0.4 * least(coalesce(sw_hits / n, 0.0) / 0.4, 1.0)
+    + 0.3 * (1.0 - least(coalesce(pr, 1.0) / 0.3, 1.0))
+    + 0.3 * coalesce(CASE WHEN tot_len / n >= 3 AND tot_len / n <= 10
+                          THEN 1.0 ELSE 0.0 END, 0.0),
+  6) AS quality,
   CASE WHEN h_en > 0 AND h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
        WHEN h_de > 0 AND h_de >= h_fr AND h_de >= h_es THEN 'de'
        WHEN h_fr > 0 AND h_fr >= h_es THEN 'fr'
@@ -1423,6 +1415,105 @@ GROUP BY user_id
 """
 
 
+def q_t5_watermark_late_drop(spark: SparkSession, sf: str) -> DataFrame:
+    """T5: event-time tumbling-window aggregation with a 30-min
+    watermark in APPEND mode (streaming.windowed), fed three
+    deterministic micro-batches with stream restarts between them:
+    batch 1 = the older half of the timeline minus a planted late set
+    (user_id % 25 == 0), batch 2 = the newer half PLUS those late rows,
+    batch 3 = the single global-max-ts sentinel that flushes state.
+
+    Exercises the real late-data contract: batch i drops input older
+    than wm_{i-1} and finalizes windows whose end ≤ wm_{i-1}
+    (wm_i = max event time through batch i, minus 30 min — verified
+    against Spark's actual emission timing). The oracle reproduces the
+    batch assignment, both watermarks, the survivor rule and the
+    finalization cut in plain SQL."""
+    import shutil
+    import tempfile
+
+    from web_api_postgres_etl_spark.streaming.windowed import (
+        windowed_counts_run,
+    )
+
+    events = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    root = tempfile.mkdtemp(prefix="wapeql_wm_")
+    src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
+    try:
+        probe = events.agg(
+            F.min("ts").alias("a"), F.max("ts").alias("b")
+        ).select(
+            "a",
+            "b",
+            F.expr(
+                "date_trunc('day', "
+                "timestamp_micros((unix_micros(a) + unix_micros(b)) div 2))"
+            ).alias("split"),
+        ).first()
+        tmax, split = probe["b"], probe["split"]
+        sentinel_id = (
+            events.filter(F.col("ts") == tmax).agg(F.min("event_id")).first()[0]
+        )
+        base = events.filter(F.col("event_id") != sentinel_id)
+        half1 = base.filter(F.col("ts") < split)
+        batches = [
+            half1.filter(F.col("user_id") % 25 != 0),
+            base.filter(F.col("ts") >= split).unionByName(
+                half1.filter(F.col("user_id") % 25 == 0)
+            ),
+            events.filter(F.col("event_id") == sentinel_id),
+        ]
+        feed_schema = batches[0].select("ts", "event_id").schema
+        for b in batches:
+            b.select("ts", "event_id").write.parquet(src, mode="append")
+            windowed_counts_run(spark, src, sink, ckpt, feed_schema)
+        out = spark.read.parquet(sink).select(
+            F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            F.date_format("win_end", "yyyy-MM-dd HH:mm:ss").alias("win_end"),
+            "n_events",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_T5_WATERMARK = """
+WITH m AS (SELECT min(ts) AS tmin, max(ts) AS tmax FROM events),
+sentinel AS (
+  SELECT min(event_id) AS sid FROM events, m WHERE ts = tmax
+),
+x AS (
+  SELECT e.event_id, e.ts,
+         CASE WHEN e.event_id = s.sid THEN 3
+              WHEN e.ts < date_trunc('day',
+                     make_timestamp((epoch_us(m.tmin) + epoch_us(m.tmax)) // 2))
+                   THEN CASE WHEN e.user_id % 25 <> 0 THEN 1 ELSE 2 END
+              ELSE 2 END AS batch
+  FROM events e, m, sentinel s
+),
+wm AS (
+  SELECT (SELECT max(ts) FROM x WHERE batch = 1) - INTERVAL 30 MINUTE AS wm1,
+         (SELECT max(ts) FROM x WHERE batch <= 2) - INTERVAL 30 MINUTE AS wm2
+),
+kept AS (
+  SELECT date_trunc('hour', x.ts) AS win_start
+  FROM x, wm
+  WHERE x.batch = 1
+     OR (x.batch = 2 AND x.ts >= wm.wm1)
+     OR (x.batch = 3 AND x.ts >= wm.wm2)
+)
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+       strftime(win_start + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS win_end,
+       count(*) AS n_events
+FROM kept
+GROUP BY win_start
+HAVING win_start + INTERVAL 1 HOUR <= (SELECT wm2 FROM wm)
+"""
+
+
 def q_j5_salted_join(spark: SparkSession, sf: str) -> DataFrame:
     """Skew-safe salted shuffle join (operators.joins.salted_join): fact
     rows salted into 8 buckets, dim replicated 8×, join on (key, salt).
@@ -2062,6 +2153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_pipeline": q_near_dup_pipeline,
         "dedup_clusters": q_dedup_clusters,
         "t4_stateful_stream": q_t4_stateful_stream,
+        "t5_watermark_late_drop": q_t5_watermark_late_drop,
         "multimodal_resize": q_multimodal_resize,
         "pipeline_e2e": q_pipeline_e2e,
         # aggregation / window / OLAP
@@ -2092,7 +2184,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
-        "lang_id": q_lang_id,
         "lsh_cosine_pairs": q_lsh_cosine_pairs,
         # multimodal
         "multimodal_stats": q_multimodal_stats,
@@ -2130,6 +2221,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_pipeline": SQL_NEAR_DUP,
         "dedup_clusters": SQL_CLUSTERS,
         "t4_stateful_stream": SQL_STATEFUL,
+        "t5_watermark_late_drop": SQL_T5_WATERMARK,
         "multimodal_resize": SQL_RESIZE,
         "pipeline_e2e": SQL_PIPELINE_E2E,
         "agg_pricing_summary": SQL_AGG,
@@ -2156,7 +2248,6 @@ def oracle_sql() -> dict[str, str]:
         "j7_asof_keyless": SQL_J7_KEYLESS,
         "text_stats": SQL_TEXT_STATS,
         "text_quality": SQL_TEXT_QUALITY,
-        "lang_id": SQL_LANG_ID,
         "lsh_cosine_pairs": SQL_LSH_COSINE_PAIRS,
         "multimodal_stats": SQL_MULTIMODAL_STATS,
         "multimodal_frame_sample": SQL_FRAME_SAMPLE,

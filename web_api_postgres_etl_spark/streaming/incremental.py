@@ -37,9 +37,13 @@ def compact_batch(
     compacted = dedup_last_wins(df, keys, version_col=version_col, tiebreaker="id")
     compacted.cache().count()
     write_overwrite(compacted, path + ".tmp")
-    spark.catalog.clearCache()
-    shutil.rmtree(path)
+    # release only this frame; swap via two renames so the path is
+    # missing only for an instant (see plans.pipeline.compact)
+    compacted.unpersist()
+    old = path + ".old"
+    shutil.move(path, old)
     shutil.move(path + ".tmp", path)
+    shutil.rmtree(old)
 
 
 def incremental_stream(
