@@ -58,8 +58,6 @@ from web_api_postgres_etl_spark.operators.multimodal import (
 )
 from web_api_postgres_etl_spark.operators.project import project, project_alias
 from web_api_postgres_etl_spark.operators.similarity import (
-    as_double_array,
-    cosine,
     cosine_pairs,
     cosine_topk,
     rhp_lsh_topk,
@@ -1423,12 +1421,16 @@ def q_t5_watermark_late_drop(spark: SparkSession, sf: str) -> DataFrame:
     (user_id % 25 == 0), batch 2 = the newer half PLUS those late rows,
     batch 3 = the single global-max-ts sentinel that flushes state.
 
-    Exercises the real late-data contract: batch i drops input older
-    than wm_{i-1} and finalizes windows whose end ≤ wm_{i-1}
-    (wm_i = max event time through batch i, minus 30 min — verified
-    against Spark's actual emission timing). The oracle reproduces the
-    batch assignment, both watermarks, the survivor rule and the
-    finalization cut in plain SQL."""
+    Exercises the real late-data contract (verified against Spark's
+    actual emission timing): a batch-i input row is dropped iff its
+    WINDOW is already finalized (window end ≤ wm_{i-1}) — late rows
+    whose window is still open are accepted even when their own ts is
+    behind the watermark; each AvailableNow run then finalizes windows
+    whose end ≤ wm_i, the watermark advanced by its OWN batch (the run
+    commits a trailing batch after the data batch; wm_i = max event
+    time through batch i, minus 30 min). The oracle reproduces the
+    batch assignment, the watermarks, the window-level survivor rule
+    and the finalization cut in plain SQL."""
     import shutil
     import tempfile
 
@@ -1496,21 +1498,27 @@ x AS (
 ),
 wm AS (
   SELECT (SELECT max(ts) FROM x WHERE batch = 1) - INTERVAL 30 MINUTE AS wm1,
-         (SELECT max(ts) FROM x WHERE batch <= 2) - INTERVAL 30 MINUTE AS wm2
+         (SELECT max(ts) FROM x WHERE batch <= 2) - INTERVAL 30 MINUTE AS wm2,
+         (SELECT max(ts) FROM x) - INTERVAL 30 MINUTE AS wm3
 ),
 kept AS (
+  -- a row survives iff its WINDOW is still open under the PREVIOUS
+  -- batch's watermark (row-level lateness alone does not drop it)
   SELECT date_trunc('hour', x.ts) AS win_start
   FROM x, wm
   WHERE x.batch = 1
-     OR (x.batch = 2 AND x.ts >= wm.wm1)
-     OR (x.batch = 3 AND x.ts >= wm.wm2)
+     OR (x.batch = 2
+         AND date_trunc('hour', x.ts) + INTERVAL 1 HOUR > wm.wm1)
+     OR (x.batch = 3
+         AND date_trunc('hour', x.ts) + INTERVAL 1 HOUR > wm.wm2)
 )
 SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
        strftime(win_start + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS win_end,
        count(*) AS n_events
 FROM kept
 GROUP BY win_start
-HAVING win_start + INTERVAL 1 HOUR <= (SELECT wm2 FROM wm)
+-- finalization uses the LAST run's own watermark (trailing commit batch)
+HAVING win_start + INTERVAL 1 HOUR <= (SELECT wm3 FROM wm)
 """
 
 

@@ -22,7 +22,9 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entrymod  # noqa: E402
 from web_api_postgres_etl_spark.session import get_spark  # noqa: E402
 
-SF = "/root/testdata/sf0.01"
+import os
+
+SF = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
