@@ -122,3 +122,27 @@ def test_lsh_cosine_pairs_catches_near_identical_vectors(spark):
     pairs = {(r["id_a"], r["id_b"]): r["cosine_sim"] for r in out.collect()}
     assert set(pairs) == {(1, 2)}
     assert pairs[(1, 2)] > 0.999
+
+
+def test_ivf_index_probe_prunes_partitions_and_matches_inline(spark, tmp_path):
+    """The IVF scale path materialized: probe after write_ivf_index
+    must (a) partition-prune on cluster, (b) return exactly what the
+    inline ivf_topk computes with identical parameters."""
+    from web_api_postgres_etl_spark.operators.similarity import (
+        ivf_probe,
+        ivf_topk,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    path = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, path, every=11, max_centroids=4)
+
+    probe = ivf_probe(spark, path, qvec, k=5, nprobe=2)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2 and "cluster" in pf[1][:120], "probe scan must partition-prune on cluster"
+
+    inline = ivf_topk(emb, qvec, k=5, nprobe=2, every=11, max_centroids=4)
+    assert [tuple(r) for r in probe.collect()] == [tuple(r) for r in inline.collect()]

@@ -304,6 +304,85 @@ def ivf_topk(
     )
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    every: int = 97,
+    max_centroids: int = 8,
+) -> list[tuple[int, list[float]]]:
+    """Materialize the IVF index the probe path prunes against: assign
+    clusters, write the corpus parquet PARTITIONED BY cluster (with the
+    row norm precomputed), and persist the centroids as a tiny sidecar.
+    This is the 'index build runs once' half of the IVF story — after
+    it, a probe touches nprobe/|C| of the data via partition pruning
+    (PartitionFilters on the scan, asserted in tests)."""
+    cents = ivf_centroids(corpus, id_col, vec_col, every, max_centroids)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    (
+        assigned.select(
+            qcol(id_col),
+            F.col("__v").alias(vec_col),
+            F.col("__nv").alias("_norm"),
+            "cluster",
+        )
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(path)
+    )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(cid, cvec) for cid, cvec in cents],
+        "cid int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "_centroids")
+    return cents
+
+
+def ivf_probe(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a ``write_ivf_index`` index: pick the nprobe nearest
+    centroids driver-side (tiny sidecar read), scan ONLY their
+    partitions (cluster is a partition column → partition pruning, no
+    full scan), score with the precomputed norms, top-k."""
+    cents = [
+        (int(r["cid"]), [float(x) for x in r["cvec"]])
+        for r in spark.read.parquet(path + "_centroids").collect()
+    ]
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        den = _py_norm(a) * _py_norm(b)
+        return _py_fold_dot(a, b) / den if den != 0.0 else float("nan")
+
+    probed = sorted(cents, key=lambda cv: (-_cos(query_vec, cv[1]), -cv[0]))[
+        :nprobe
+    ]
+    probe_ids = [cid for cid, _ in probed]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    nq = _py_norm([float(x) for x in query_vec])
+    idx = spark.read.parquet(path)
+    return (
+        idx.filter(F.col("cluster").isin(probe_ids))
+        .select(
+            id_col,
+            F.round(
+                dot(F.col(vec_col), q)
+                / F.nullif(F.col("_norm") * F.lit(nq), F.lit(0.0)),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def nearest_neighbor_join(
     left: DataFrame,
     right: DataFrame,
