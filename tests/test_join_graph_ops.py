@@ -174,3 +174,12 @@ def test_fast_components_raise_when_unconverged(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components_fast(nodes, edges, max_iter=2)
+
+
+def test_asof_keyless_empty_left(spark):
+    from web_api_postgres_etl_spark.operators.joins import asof_join_keyless
+
+    left, right = _keyless_inputs(spark)
+    out = asof_join_keyless(left.filter(F.lit(False)), right, "t", "rt")
+    assert out.count() == 0
+    assert set(out.columns) == {"lid", "t", "rt", "tag"}
