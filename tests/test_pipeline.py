@@ -282,3 +282,24 @@ def test_incremental_rewrites_only_touched_month_partitions(spark, fixtures, tmp
     assert m2.count() == 2
     assert m2.agg(F.max("`meta.version`")).first()[0] == 5
     assert out.filter(F.col("j_month") == "1401-01").count() == 2
+
+
+def test_fan_out_reproduces_reference_table_inventory():
+    """G3: the default config must fan out to the reference's full
+    source-table inventory (constants.yaml:21-105): 71 collection items
+    across 7 groups, with `trades` expanding ×8 instrument types →
+    71 - 1 + 8 = 78 specs; exchange holds 32 items, stock 28."""
+    from web_api_postgres_etl_spark.config import DEFAULT_CONFIG, fan_out
+
+    specs = list(fan_out())
+    names = [s.name for s in specs]
+    assert len(names) == len(set(names))
+    n_items = sum(len(v) for v in DEFAULT_CONFIG["collections"].values())
+    assert n_items == 71
+    assert len(DEFAULT_CONFIG["collections"]["exchange"]) == 32
+    assert len(DEFAULT_CONFIG["collections"]["stock"]) == 28
+    assert len(specs) == n_items - 1 + 8
+    assert "exchange_trades_share" in names
+    assert "exchange_trades_crypto" in names
+    assert "stock_cashflows" in names
+    assert "bond_interestpayments" in names

@@ -20,17 +20,36 @@ DEFAULT_CONFIG: dict = {
         "energy", "commodity", "currency", "crypto",
     ],
     "collections": {
-        # title → items (subset shown; extend per deployment)
-        "exchange": [
-            "trades", "assets", "news", "indexvalues", "instruments",
-            "categories", "exchanges", "indexes",
-        ],
-        "bond": ["bonds"],
+        # the reference's FULL collection inventory (constants.yaml:21-105):
+        # 7 groups; exchange carries 32 items, stock 28; `trades` fans out
+        # ×8 instrument types → ~78 source tables total
+        "bond": ["bonds", "bondauthoritytypes", "interestpayments"],
         "broker": ["brokers"],
-        "calendar": ["holidays"],
-        "option": ["options"],
+        "calendar": ["occasiontypes", "dates", "calendars"],
+        "option": ["contracts", "contracthistory", "contractstyles"],
+        "exchange": [
+            "news", "persons", "gendertypes", "assettypes", "assetstates",
+            "instrumentexchangestates", "instrumentgroupstatetypes",
+            "exchanges", "boards", "indexinstrumenteffects", "reportimages",
+            "reporttitles", "instrumentbasevolumes", "categories",
+            "assetcategories", "reportsubtitles", "indexes", "indexvalues",
+            "markets", "trades", "sources", "reportsources", "instruments",
+            "indexinstruments", "instrumentstates", "instrumentgroupstates",
+            "percentageactiontypes", "percentagedealertypes", "percentages",
+            "percentagevalues", "percentagegroups", "instrumentgroups",
+        ],
         "fund": ["funds"],
-        "stock": ["companies"],
+        "stock": [
+            "epses", "companycontactinfos", "boardofdirectorsitems",
+            "boardofdirectors", "companycontactinfotypes", "meetingtypes",
+            "capitalchanges", "productionsaleitems", "productionsales",
+            "companycategories", "freefloats", "shareholdersitems",
+            "shareholders", "profitlossitems", "profitlossfields",
+            "profitlosses", "companies", "meetinginvites", "meetings",
+            "products", "positions", "directortypes", "units",
+            "companystates", "dividendpayouts", "cashflowitems",
+            "cashflowfields", "cashflows",
+        ],
     },
     "params": {"_size": 500},
 }
