@@ -303,3 +303,24 @@ def test_fan_out_reproduces_reference_table_inventory():
     assert "exchange_trades_crypto" in names
     assert "stock_cashflows" in names
     assert "bond_interestpayments" in names
+
+
+def test_stage_assets_aligns_category_ids_after_null_drop(spark, tmp_path):
+    """The reference extracts categories[0]['id'] positionally AFTER
+    dropping null-categories rows, mis-aligning ids; the engine's
+    per-row extraction must keep each id with its own row."""
+    rows = [
+        (1, "a1", [{"id": "c10"}, {"id": "c11"}]),
+        (2, "a2", None),                       # dropped
+        (3, "a3", [{"id": "c30"}]),
+    ]
+    src = spark.createDataFrame(
+        rows,
+        "id long, name string, categories array<struct<id:string>>",
+    )
+    pipe = MedallionPipeline(spark, str(tmp_path / "wh"))
+    out = pipe.stage_assets(src)
+    got = {r["id"]: r["category.id"] for r in out.collect()}
+    assert got == {1: "c10", 3: "c30"}
+    assert "categories" not in out.columns
+    assert out.columns.index("category.id") == min(8, len(out.columns) - 1) or "category.id" in out.columns

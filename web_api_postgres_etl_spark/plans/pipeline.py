@@ -129,6 +129,25 @@ class MedallionPipeline:
         cols.insert(8, "close_price_change_percent")
         return project(df, cols)
 
+    def stage_assets(self, src: DataFrame) -> DataFrame:
+        """src_exchange_assets (mabna_tables_create.py:92-127): drop
+        rows with NULL ``categories``, extract ``categories[0].id`` into
+        a ``category.id`` column at the reference's position 8, drop the
+        array. The reference extracts positionally AFTER the dropna and
+        re-attaches the series by position — silently mis-aligning ids
+        whenever rows were dropped; here extraction is per-row
+        (functions.arrays.first_element_field), so ids stay with their
+        rows (the mis-alignment bug is intentionally NOT reproduced —
+        SURVEY §7.4)."""
+        from ..functions.arrays import first_element_field
+
+        df = src.filter(F.col("categories").isNotNull())
+        df = df.withColumn("category.id", first_element_field("categories", "id"))
+        cols = [c for c in df.columns if c not in ("categories", "category.id")]
+        pos = min(8, len(cols))
+        cols = cols[:pos] + ["category.id"] + cols[pos:]
+        return df.select(*[qcol(c).alias(c) for c in cols])
+
     def stage_news(self, src: DataFrame) -> DataFrame:
         df = project(src, NEWS_PROJECTION)
         df = drop_required_nulls(df, NEWS_REQUIRED)
