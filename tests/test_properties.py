@@ -116,3 +116,39 @@ def test_dedup_last_wins_matches_pandas_model(spark, rows):
         for r in _pandas_last_wins(recs, ["k"], "meta.version").to_dict("records")
     }
     assert got == want
+
+
+def _model_asof_keyless(left_rows, right_rows):
+    """Brute-force keyless backward as-of: for each left t, the single
+    right row with the greatest rt <= t (unique rts by construction)."""
+    out = {}
+    for lid, t in left_rows:
+        cands = [(rt, tag) for rt, tag in right_rows if rt <= t]
+        if cands:
+            out[lid] = max(cands)
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=25),
+    st.sets(st.integers(min_value=0, max_value=1000), min_size=0, max_size=12),
+    st.integers(min_value=1, max_value=9),
+)
+def test_asof_keyless_matches_bruteforce_model(spark, lts, rts, buckets):
+    """asof_join_keyless == the brute-force latest-at-or-before model
+    for ANY bucket count (carry correctness is independent of where the
+    quantile cuts land)."""
+    from web_api_postgres_etl_spark.operators.joins import asof_join_keyless
+
+    left_rows = [(i, t) for i, t in enumerate(lts)]
+    right_rows = [(rt, f"tag{rt}") for rt in sorted(rts)]
+    left = spark.createDataFrame(left_rows, "lid long, t long")
+    right = (
+        spark.createDataFrame(right_rows, "rt long, tag string")
+        if right_rows
+        else spark.createDataFrame([], "rt long, tag string")
+    )
+    out = asof_join_keyless(left, right, "t", "rt", num_buckets=buckets)
+    got = {r["lid"]: (r["rt"], r["tag"]) for r in out.collect()}
+    assert got == _model_asof_keyless(left_rows, right_rows)

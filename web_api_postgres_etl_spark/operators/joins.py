@@ -165,15 +165,18 @@ def asof_join_keyless(
         return qcol(tcol).cast("double")
 
     # approx quantile cut points of the left times (any cuts are
-    # CORRECT — the carry fixes boundaries — quantiles only balance)
+    # CORRECT — the carry fixes boundaries — quantiles only balance);
+    # num_buckets=1 means no cuts at all (single bucket)
     probs = [i / num_buckets for i in range(1, num_buckets)]
-    bounds = sorted(
-        set(
-            lf.select(_tnum(lf, lt).alias("__t")).approxQuantile(
-                "__t", probs, 0.01
+    bounds: list[float] = []
+    if probs:
+        bounds = sorted(
+            set(
+                lf.select(_tnum(lf, lt).alias("__t")).approxQuantile(
+                    "__t", probs, 0.01
+                )
             )
         )
-    )
     barr = F.array(*[F.lit(float(b)) for b in bounds])
 
     def bucketed(df: DataFrame, tcol: str) -> DataFrame:
