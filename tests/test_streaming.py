@@ -61,3 +61,46 @@ def test_streaming_incremental_upsert(spark, tmp_path):
     q2.awaitTermination(120)
     final = {r["name"]: (r["meta.version"], r["price"]) for r in spark.read.parquet(sink).collect()}
     assert final == {"a": (3, 11.0), "b": (2, 20.0), "c": (4, 30.0)}
+
+
+def test_dedup_stream_suppresses_in_flight_duplicates(spark, tmp_path):
+    """T6: duplicates of (event_id) within the watermark horizon are
+    dropped in flight across micro-batches; only first arrivals land."""
+    import datetime as dt
+
+    from web_api_postgres_etl_spark.streaming.dedup_stream import (
+        dedup_stream_run,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    T = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def rows(items):
+        return spark.createDataFrame(
+            [(eid, T + dt.timedelta(minutes=m), tag) for eid, m, tag in items],
+            "event_id long, ts timestamp, tag string",
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        b1 = [(1, 0, "first"), (2, 1, "first"), (1, 2, "dup-in-batch")]
+        b2 = [(2, 3, "dup-across-batch"), (3, 4, "first"), (1, 5, "dup-across-batch")]
+        sch = rows(b1).schema
+        for b in (b1, b2):
+            rows(b).write.parquet(src, mode="append")
+            dedup_stream_run(
+                spark, src, sink, ckpt, sch, key_cols=["event_id"], watermark="1 hour"
+            )
+        out = spark.read.parquet(sink).collect()
+        got = {r["event_id"]: r["tag"] for r in out}
+        assert len(out) == 3, "exactly one row per key must land"
+        # WHICH in-batch duplicate survives is partition-arbitrary, but
+        # batch-2 re-deliveries must never land: batch-1 state wins
+        assert got[1] in {"first", "dup-in-batch"}
+        assert got[2] == "first"
+        assert got[3] == "first"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
