@@ -183,3 +183,34 @@ def test_asof_keyless_empty_left(spark):
     out = asof_join_keyless(left.filter(F.lit(False)), right, "t", "rt")
     assert out.count() == 0
     assert set(out.columns) == {"lid", "t", "rt", "tag"}
+
+
+def test_components_converge_at_diameter_equal_max_iter(spark):
+    """Diameter == max_iter must converge (the stability check needs
+    one extra quiet round, which both variants now allow)."""
+    from web_api_postgres_etl_spark.operators.graph import (
+        connected_components,
+        connected_components_fast,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3]], "id long")
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {r["id"]: r["component"]
+           for r in connected_components(nodes, edges, max_iter=2).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
+    n5 = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5]], "id long")
+    e5 = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 5)], "id_a long, id_b long"
+    )
+    fast = {r["id"]: r["component"]
+            for r in connected_components_fast(n5, e5, max_iter=2).collect()}
+    assert fast == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_salted_join_accepts_spark_spellings(spark):
+    from web_api_postgres_etl_spark.operators.joins import salted_join
+
+    fact = spark.range(0, 100).select((F.col("id") % 5).alias("k"))
+    dim = spark.createDataFrame([(0,), (1,)], "k long")
+    got = salted_join(fact, dim, "k", "k", salt=4, how="leftsemi")
+    assert got.count() == fact.join(dim, "k", "left_semi").count()

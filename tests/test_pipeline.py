@@ -323,4 +323,62 @@ def test_stage_assets_aligns_category_ids_after_null_drop(spark, tmp_path):
     got = {r["id"]: r["category.id"] for r in out.collect()}
     assert got == {1: "c10", 3: "c30"}
     assert "categories" not in out.columns
-    assert out.columns.index("category.id") == min(8, len(out.columns) - 1) or "category.id" in out.columns
+    assert out.columns.index("category.id") == min(8, len(out.columns) - 1)
+
+
+def test_retry_self_heals_double_append(spark, fixtures, tmp_path, monkeypatch):
+    """A post-append compaction failure triggers a full retry, which
+    re-appends the delta; the retry's closing compaction must collapse
+    the duplicates (last-wins on j_date+name) so the sink converges."""
+    trades, instruments, assets, categories, exchanges = fixtures
+    dims = {
+        "instruments": instruments, "assets": assets,
+        "categories": categories, "exchanges": exchanges,
+    }
+    wh = str(tmp_path / "wh")
+    pipe = MedallionPipeline(
+        spark, wh, range_start="1400/01/01", range_end="1402/12/29", retries=1
+    )
+    pipe.run_full_refresh({"trades_share": lambda: trades, **{
+        k: (lambda v=v: v) for k, v in dims.items()
+    }})
+    delta = spark.createDataFrame(
+        [(9, "14010104093000", 14.0, 15.0, 13.0, 14.5, 1.0, 8, 130, 1885.0, "i1", 9)],
+        TRADES_SCHEMA,
+    )
+    calls = {"n": 0}
+    orig = MedallionPipeline.compact_partitioned
+
+    def flaky_compact(self, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient FS error")
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(MedallionPipeline, "compact_partitioned", flaky_compact)
+    results = pipe.run_incremental(
+        {"trades_share": lambda wm: delta.filter(
+            F.col("`meta.version`") > F.lit(wm if wm is not None else -1)
+        )},
+        dims=dims,
+    )
+    r = next(x for x in results if x.table == "prd_trades_share")
+    assert r.error is None and r.attempts == 2
+    out = spark.read.parquet(table_path(wh, "prd", "trades_share"))
+    dupes = out.groupBy("j_date", "name").count().filter("count > 1").count()
+    assert dupes == 0
+    assert out.filter(F.col("`meta.version`") == 9).count() == 1
+
+
+def test_full_refresh_reports_missing_dims_instead_of_crashing(spark, fixtures, tmp_path):
+    trades, instruments, _, categories, exchanges = fixtures
+    pipe = MedallionPipeline(spark, str(tmp_path / "wh"))
+    results = pipe.run_full_refresh({
+        "trades_share": lambda: trades,
+        "instruments": lambda: instruments,
+        "categories": lambda: categories,
+        "exchanges": lambda: exchanges,
+        # assets extractor absent
+    })
+    errs = [r for r in results if r.table == "prd_trades_share"]
+    assert errs and "assets" in errs[0].error

@@ -32,9 +32,10 @@ TABLES = [
 
 
 def canon_frame(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns), ignore_index=True, kind="mergesort")
-    return df
+    # column order only — row order is canonicalized by frame_sig's
+    # sort over repr tuples (a sort_values here would also crash on
+    # array-typed cells: ndarray truth-value ambiguity)
+    return df[sorted(df.columns)]
 
 
 def cell_repr(v) -> str:

@@ -52,6 +52,11 @@ def main(names: list[str]) -> int:
     queries = entrymod.queries()
     if not names:
         names = [n for n in queries if n not in EXPENSIVE]
+        skipped = [n for n in queries if n in EXPENSIVE]
+        print(
+            "skipped (side-effecting; pass explicitly to audit): "
+            + ", ".join(skipped)
+        )
     bad = 0
     print(f"{'query':28s} {'exch':>4} {'bc':>3} {'smj':>3} {'shj':>3} "
           f"{'bhj':>3} {'wsc':>3}  flags")

@@ -22,7 +22,13 @@ DEFAULT_CONFIG: dict = {
     "collections": {
         # the reference's FULL collection inventory (constants.yaml:21-105):
         # 7 groups; exchange carries 32 items, stock 28; `trades` fans out
-        # ×8 instrument types → ~78 source tables total
+        # ×8 instrument types → ~78 source tables total. NOTE: `assets`
+        # is deliberately NOT in this list, mirroring the reference —
+        # src_exchange_assets is built by a dedicated task with array
+        # unnesting (mabna_tables_create.py:92-127; here
+        # plans.pipeline.stage_assets), so wire its extractor explicitly
+        # alongside the fan-out (run_full_refresh fails soft with a
+        # missing-dimension RunResult if it is absent).
         "bond": ["bonds", "bondauthoritytypes", "interestpayments"],
         "broker": ["brokers"],
         "calendar": ["occasiontypes", "dates", "calendars"],

@@ -39,11 +39,13 @@ def connected_components(
     independent of partitioning or iteration order.
 
     Raises RuntimeError if labels are still changing after ``max_iter``
-    rounds (graph diameter > max_iter) — silently returning unconverged
-    labels would split long-chain components and let a dedup pipeline
-    keep extra "canonical" survivors. Label propagation needs O(diameter)
-    rounds; for billion-edge graphs with long chains switch to
-    large-star/small-star (O(log n) rounds) before raising max_iter.
+    productive rounds (graph diameter > max_iter) — silently returning
+    unconverged labels would split long-chain components and let a dedup
+    pipeline keep extra "canonical" survivors. One extra quiet round is
+    allowed so a graph of diameter exactly ``max_iter`` converges (the
+    check can only observe stability one round late). Label propagation
+    needs O(diameter) rounds; for long chains use
+    ``connected_components_fast`` (pointer doubling, O(log n)).
     """
     sym = (
         edges.select(qcol(edge_src).alias("src"), qcol(edge_dst).alias("dst"))
@@ -54,7 +56,8 @@ def connected_components(
         qcol(node_id).alias("id"), qcol(node_id).alias("component")
     )
     changed = 1
-    for _ in range(max_iter):
+    # max_iter productive rounds + 1 quiet confirmation round
+    for _ in range(max_iter + 1):
         # labels each neighbor could offer, merged with current labels
         offers = (
             sym.join(labels, sym["src"] == labels["id"])
@@ -65,7 +68,9 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("component").alias("component"))
         )
-        # convergence: did any node's label shrink this round?
+        # checkpoint FIRST (flat lineage), then test convergence against
+        # the checkpointed frame — one execution per round, not two
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
@@ -73,8 +78,6 @@ def connected_components(
             .limit(1)
             .count()
         )
-        # cache the frontier so the next iteration doesn't replay the chain
-        new_labels = new_labels.localCheckpoint(eager=True)
         labels = new_labels
         if changed == 0:
             break
@@ -82,7 +85,7 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
             "iterations (graph diameter exceeds max_iter); raise "
-            "max_iter or use a pointer-doubling variant"
+            "max_iter or use connected_components_fast"
         )
     return labels
 
@@ -107,7 +110,9 @@ def connected_components_fast(
 
     Per round: one neighbor-offer join + one pointer-jump join — both
     equi-joins on (node, label) pairs, payloads never shuffled; the
-    frontier is localCheckpointed so lineage stays flat.
+    frontier is localCheckpointed so lineage stays flat. One extra
+    quiet round is allowed so convergence on the final productive round
+    is still recognized.
     """
     sym = (
         edges.select(qcol(edge_src).alias("src"), qcol(edge_dst).alias("dst"))
@@ -118,7 +123,7 @@ def connected_components_fast(
         qcol(node_id).alias("id"), qcol(node_id).alias("component")
     )
     changed = 1
-    for _ in range(max_iter):
+    for _ in range(max_iter + 1):
         offers = sym.join(labels, sym["src"] == labels["id"]).select(
             F.col("dst").alias("id"), F.col("component")
         )
@@ -140,6 +145,9 @@ def connected_components_fast(
                 ).alias("component"),
             )
         )
+        # checkpoint FIRST, then test convergence against the
+        # checkpointed frame — one execution per round, not two
+        jumped = jumped.localCheckpoint(eager=True)
         changed = (
             jumped.alias("n")
             .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
@@ -147,7 +155,7 @@ def connected_components_fast(
             .limit(1)
             .count()
         )
-        labels = jumped.localCheckpoint(eager=True)
+        labels = jumped
         if changed == 0:
             break
     if changed != 0:

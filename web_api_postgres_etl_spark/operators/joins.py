@@ -262,11 +262,12 @@ def salted_join(
     (salt× duplicates), silently breaking the identical-result
     guarantee above.
     """
-    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
-    if how not in allowed:
+    # every Spark spelling of the fact-preserving join types
+    allowed = {"inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti"}
+    if how.lower().replace("_", "") not in allowed:
         raise ValueError(
             f"salted_join how={how!r} would duplicate unmatched dim rows "
-            f"salt x; use one of {sorted(allowed)}"
+            "salt x; use an inner/left/semi/anti join"
         )
     fct = fact.withColumn(
         "__salt",

@@ -291,6 +291,7 @@ class MedallionPipeline:
             for d in ("instruments", "assets", "categories", "exchanges", "indexes")
             if d in frames
         }
+        trade_dims = {"instruments", "assets", "categories", "exchanges"}
         for t in INSTRUMENT_TYPES:
             key = f"trades_{t}"
             stg_path = table_path(self.warehouse, "stg", key)
@@ -298,7 +299,16 @@ class MedallionPipeline:
                 stg = self.spark.read.parquet(stg_path)
             except Exception:
                 continue
-            if len(dims) >= 4:
+            # require the four specific trade dims (a count-based gate
+            # would pass with e.g. {instruments, categories, exchanges,
+            # indexes} and then KeyError mid-refresh)
+            missing = trade_dims - dims.keys()
+            if missing:
+                self._err(
+                    f"prd_{key}",
+                    RuntimeError(f"missing dimension extracts: {sorted(missing)}"),
+                )
+            else:
                 prd = self.produce_trades(
                     stg,
                     dims["instruments"],
@@ -368,11 +378,20 @@ class MedallionPipeline:
                     watermark=wm,
                 )
                 path = prd_paths[key]
-                prd = with_jalali_month(prd)
-                touched = [
-                    r[0] for r in prd.select("j_month").distinct().collect()
-                ]
-                write_append(prd, path, partition_by=["j_month"])
+                # persist: the touched-months collect and the append
+                # must see the SAME delta (and pay one upstream
+                # evaluation, not two — the extract may be remote)
+                prd = with_jalali_month(prd).persist()
+                try:
+                    touched = [
+                        r[0] for r in prd.select("j_month").distinct().collect()
+                    ]
+                    write_append(prd, path, partition_by=["j_month"])
+                finally:
+                    prd.unpersist()
+                # compaction last: last-wins dedup on (j_date, name) also
+                # collapses the double-append a retried attempt leaves
+                # behind, so a post-append failure self-heals on retry
                 self.compact_partitioned(
                     path, keys=["j_date", "name"],
                     partition_col="j_month", touched=touched,
@@ -391,11 +410,14 @@ class MedallionPipeline:
                 stg = self.stage_indexvalues(delta)
                 prd = self.produce_indexvalues(stg, dims["indexes"], watermark=wm)
                 path = prd_paths["indexvalues"]
-                prd = with_jalali_month(prd)
-                touched = [
-                    r[0] for r in prd.select("j_month").distinct().collect()
-                ]
-                write_append(prd, path, partition_by=["j_month"])
+                prd = with_jalali_month(prd).persist()
+                try:
+                    touched = [
+                        r[0] for r in prd.select("j_month").distinct().collect()
+                    ]
+                    write_append(prd, path, partition_by=["j_month"])
+                finally:
+                    prd.unpersist()
                 self.compact_partitioned(
                     path, keys=["j_date", "name"],
                     partition_col="j_month", touched=touched,
