@@ -146,3 +146,41 @@ def test_ivf_index_probe_prunes_partitions_and_matches_inline(spark, tmp_path):
 
     inline = ivf_topk(emb, qvec, k=5, nprobe=2, every=11, max_centroids=4)
     assert [tuple(r) for r in probe.collect()] == [tuple(r) for r in inline.collect()]
+
+
+def test_repetition_signals_flag_boilerplate(spark):
+    from web_api_postgres_etl_spark.operators.dedup import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),       # pure repetition
+            (2, "the quick brown fox jumps over the dog"),  # clean prose
+            (3, "x"),                                     # no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["top_ngram_frac"], r["dup_ngram_frac"])
+        for r in repetition_signals(docs, "doc_id", "text", n=2).collect()
+    }
+    # doc 1: bigrams = [buy now, now buy, buy now, now buy, buy now,
+    # now buy, buy now] -> 7 total, top 'buy now' x4, all 7 duplicated
+    assert out[1] == (round(4 / 7, 6), 1.0)
+    # doc 2: 7 distinct bigrams -> top 1/7, no duplicates
+    assert out[2] == (round(1 / 7, 6), 0.0)
+    # doc 3: no bigrams -> NULL signals, row kept
+    assert out[3] == (None, None)
+
+
+def test_minhash_handles_sub_n_token_docs(spark):
+    """Regression: a doc with fewer tokens than the shingle width used
+    to crash (sequence(1,0) is DESCENDING in Spark → slice(c,0,n)); it
+    must instead keep a row with a NULL signature."""
+    from web_api_postgres_etl_spark.operators.dedup import minhash_table
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "two tokens here")], "doc_id long, text string"
+    )
+    out = {r["__id"]: r["mh_0"] for r in minhash_table(docs, "doc_id", "text", shingle_n=2).collect()}
+    assert out[1] is None
+    assert out[2] is not None

@@ -95,6 +95,39 @@ def dedup_exact_hashed(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 from ..functions.text import normalized_tokens  # noqa: E402 (shared tokenizer)
 
 
+def repetition_signals(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Per-document repetition quality signals (Gopher-style): the
+    fraction of all word n-grams taken by the single most frequent
+    n-gram (``top_ngram_frac``) and the fraction of n-gram occurrences
+    that are repeats of an already-seen n-gram (``dup_ngram_frac``).
+    Boilerplate/spam/SEO text scores high on both; clean prose scores
+    low. Documents with zero n-grams get NULL signals (kept).
+
+    Scale shape: explode n-grams → count per (doc, gram) → per-doc
+    aggregate — shuffles (id, gram) pairs with map-side combine, never
+    document bodies; same skeleton as ``minhash_table``.
+    """
+    grams = _shingled(df, id_col, text_col, n).select(
+        "__id", F.explode_outer("__sh").alias("__g")
+    )
+    per_gram = grams.groupBy("__id", "__g").agg(F.count("*").alias("__c"))
+    agg = per_gram.groupBy("__id").agg(
+        F.sum(F.when(F.col("__g").isNotNull(), F.col("__c"))).alias("__total"),
+        F.max(F.when(F.col("__g").isNotNull(), F.col("__c"))).alias("__top"),
+        F.sum(
+            F.when(F.col("__g").isNotNull() & (F.col("__c") > 1), F.col("__c"))
+            .otherwise(0)
+        ).alias("__dup"),
+    )
+    return agg.select(
+        F.col("__id").alias(id_col),
+        F.round(F.col("__top") / F.col("__total"), 6).alias("top_ngram_frac"),
+        F.round(F.col("__dup") / F.col("__total"), 6).alias("dup_ngram_frac"),
+    )
+
+
 def word_shingles(tokens_col, n: int = 3):
     """Column: token array → array of space-joined word n-grams.
 
@@ -110,7 +143,13 @@ def word_shingles(tokens_col, n: int = 3):
     (sequence-size + slice) so CollapseProject keeps the projection.
     """
     c = qcol(tokens_col) if isinstance(tokens_col, str) else tokens_col
-    idx = F.sequence(F.lit(1), F.greatest(F.size(c) - (n - 1), F.lit(0)))
+    m = F.size(c) - (n - 1)
+    # guard m < 1: sequence(1, 0) is a DESCENDING [1, 0] in Spark, and
+    # the ensuing slice(c, 0, n) throws — sub-n-token docs must yield
+    # an empty shingle array instead
+    idx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(c, i, n)))
 
 
