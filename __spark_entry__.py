@@ -544,8 +544,7 @@ def q_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
     family, bit-identical in the oracle. Computed in the scale shape
     (explode → codegen md5 → groupBy min), not per-row array folds."""
     docs = _t(spark, sf, "documents")
-    mh = minhash_table(docs, "doc_id", "text", shingle_n=2, num_hashes=8)
-    return mh.select(F.col("__id").alias("doc_id"), *[f"mh_{i}" for i in range(8)])
+    return minhash_table(docs, "doc_id", "text", shingle_n=2, num_hashes=8)
 
 
 _mh_cols = ",\n       ".join(

@@ -181,6 +181,6 @@ def test_minhash_handles_sub_n_token_docs(spark):
     docs = spark.createDataFrame(
         [(1, "solo"), (2, "two tokens here")], "doc_id long, text string"
     )
-    out = {r["__id"]: r["mh_0"] for r in minhash_table(docs, "doc_id", "text", shingle_n=2).collect()}
+    out = {r["doc_id"]: r["mh_0"] for r in minhash_table(docs, "doc_id", "text", shingle_n=2).collect()}
     assert out[1] is None
     assert out[2] is not None

@@ -101,7 +101,8 @@ def repetition_signals(
     """Per-document repetition quality signals (Gopher-style): the
     fraction of all word n-grams taken by the single most frequent
     n-gram (``top_ngram_frac``) and the fraction of n-gram occurrences
-    that are repeats of an already-seen n-gram (``dup_ngram_frac``).
+    belonging to n-grams that occur more than once (``dup_ngram_frac``
+    — ALL occurrences of a duplicated gram count, not just the repeats).
     Boilerplate/spam/SEO text scores high on both; clean prose scores
     low. Documents with zero n-grams get NULL signals (kept).
 
@@ -255,7 +256,11 @@ def minhash_table(
         ).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy("__id").agg(*aggs)
+    out = sh.groupBy("__id").agg(*aggs)
+    # public schema carries the caller's id name, not the internal alias
+    return out.select(
+        F.col("__id").alias(id_col), *[f"mh_{i}" for i in range(num_hashes)]
+    )
 
 
 def minhash_lsh_candidates(
@@ -294,7 +299,7 @@ def minhash_lsh_candidates(
     # before banding (concat_ws would otherwise give them equal keys,
     # diverging from SQL's NULL-propagating ||)
     banded = mh.filter(F.col("mh_0").isNotNull()).select(
-        "__id", F.explode(band_keys).alias("__band")
+        qcol(id_col).alias("__id"), F.explode(band_keys).alias("__band")
     )
     left = banded.alias("l")
     right = banded.alias("r")
