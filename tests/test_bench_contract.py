@@ -1,0 +1,30 @@
+"""The driver's second gate: ``python bench.py`` must print exactly one
+JSON line on stdout with the agreed keys (warnings go to stderr)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_emits_one_json_line_with_contract_keys():
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    proc = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd="/root/repo",
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, f"expected ONE stdout line, got {len(lines)}"
+    payload = json.loads(lines[0])
+    assert set(payload) == {"metric", "value", "unit", "queries", "sf"}
+    assert payload["unit"] == "sec" and payload["value"] > 0
+    assert payload["sf"] == 0.001
+    assert len(payload["queries"]) >= 15
+    assert all(v >= 0 for v in payload["queries"].values())
