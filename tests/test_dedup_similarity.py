@@ -184,3 +184,30 @@ def test_minhash_handles_sub_n_token_docs(spark):
     out = {r["doc_id"]: r["mh_0"] for r in minhash_table(docs, "doc_id", "text", shingle_n=2).collect()}
     assert out[1] is None
     assert out[2] is not None
+
+
+def test_rhp_band_keys_rejects_indivisible_bands(spark):
+    """bands must divide num_planes — trailing bits would silently drop
+    (ADVICE r2)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from web_api_postgres_etl_spark.operators.similarity import rhp_band_keys
+
+    with pytest.raises(ValueError, match="not divisible"):
+        rhp_band_keys(F.col("sig"), num_planes=10, bands=3)
+
+
+def test_centroid_sort_key_pins_degenerate_centroids_last():
+    """Zero-norm centroids get -inf cosine in the probe ranking, so
+    their order vs real centroids is deterministic (ADVICE r2)."""
+    from web_api_postgres_etl_spark.operators.similarity import _py_cos_key
+
+    q = [1.0, 0.0]
+    assert _py_cos_key(q, [0.0, 0.0]) == float("-inf")
+    assert _py_cos_key(q, [2.0, 0.0]) == 1.0
+    ranked = sorted(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0]), (3, [-1.0, 0.0])],
+        key=lambda cv: (-_py_cos_key(q, cv[1]), -cv[0]),
+    )
+    assert [c for c, _ in ranked][-1] == 1

@@ -382,3 +382,40 @@ def test_full_refresh_reports_missing_dims_instead_of_crashing(spark, fixtures, 
     })
     errs = [r for r in results if r.table == "prd_trades_share"]
     assert errs and "assets" in errs[0].error
+
+
+def test_full_refresh_reports_missing_indexes_dim(spark, tmp_path):
+    """prd_indexvalues gets the same missing-dimension error surfacing
+    as the trades tables (ADVICE r2) instead of a silent skip."""
+    iv = spark.createDataFrame(
+        [(1, "14010101093000", 10.0, 9.0, 11.0, 10.5, 0.5, "x1", 1)],
+        "id long, date_time string, open_value double, low_value double, "
+        "high_value double, close_value double, close_value_change double, "
+        "`index.id` string, `meta.version` long",
+    )
+    pipe = MedallionPipeline(spark, str(tmp_path / "wh"))
+    results = pipe.run_full_refresh({"indexvalues": lambda: iv})
+    errs = [r for r in results if r.table == "prd_indexvalues"]
+    assert errs and "indexes" in errs[0].error
+
+
+def test_compact_recovers_from_crashed_swap(spark, tmp_path):
+    """A crash between the two swap renames leaves the sink stranded in
+    .old; the next compact restores it and completes (ADVICE r2)."""
+    import shutil
+
+    path = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [(1, "a", 1), (2, "a", 2)], "id long, k string, `meta.version` long"
+    )
+    df.write.parquet(path)
+    # simulate the crash window: path moved to .old, new data still in .tmp
+    shutil.move(path, path + ".old")
+    df.limit(1).write.parquet(path + ".tmp")
+    pipe = MedallionPipeline(spark, str(tmp_path / "wh"))
+    pipe.compact(path, keys=["k"])
+    out = spark.read.parquet(path)
+    assert out.count() == 1 and out.first()["meta.version"] == 2
+    import os
+
+    assert not os.path.exists(path + ".old") and not os.path.exists(path + ".tmp")

@@ -201,6 +201,18 @@ def _py_norm(a: list[float]) -> float:
     return math.sqrt(_py_fold_dot(a, a))
 
 
+def _py_cos_key(q: list[float], v: list[float]) -> float:
+    """Driver-side cosine used ONLY as a centroid sort key: zero-norm /
+    NaN degenerate centroids map to -inf so they deterministically rank
+    last instead of floating arbitrarily through the sort (NaN compares
+    are order-dependent)."""
+    den = _py_norm(q) * _py_norm(v)
+    if den == 0.0:
+        return float("-inf")
+    c = _py_fold_dot(q, v) / den
+    return c if c == c else float("-inf")
+
+
 def ivf_centroids(
     corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     every: int = 97, max_centroids: int = 8,
@@ -277,13 +289,8 @@ def ivf_topk(
     scale lever — with cluster as a partition column the scan touches
     nprobe/|C| of the corpus."""
     centroids = ivf_centroids(corpus, id_col, vec_col, every, max_centroids)
-
-    def _cos(a: list[float], b: list[float]) -> float:
-        den = _py_norm(a) * _py_norm(b)
-        return _py_fold_dot(a, b) / den if den != 0.0 else float("nan")
-
     probed = sorted(
-        centroids, key=lambda cv: (-_cos(query_vec, cv[1]), -cv[0])
+        centroids, key=lambda cv: (-_py_cos_key(query_vec, cv[1]), -cv[0])
     )[:nprobe]
     probe_ids = [cid for cid, _ in probed]
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
@@ -356,14 +363,9 @@ def ivf_probe(
         (int(r["cid"]), [float(x) for x in r["cvec"]])
         for r in spark.read.parquet(path + "_centroids").collect()
     ]
-
-    def _cos(a: list[float], b: list[float]) -> float:
-        den = _py_norm(a) * _py_norm(b)
-        return _py_fold_dot(a, b) / den if den != 0.0 else float("nan")
-
-    probed = sorted(cents, key=lambda cv: (-_cos(query_vec, cv[1]), -cv[0]))[
-        :nprobe
-    ]
+    probed = sorted(
+        cents, key=lambda cv: (-_py_cos_key(query_vec, cv[1]), -cv[0])
+    )[:nprobe]
     probe_ids = [cid for cid, _ in probed]
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     nq = _py_norm([float(x) for x in query_vec])
@@ -440,6 +442,12 @@ def rhp_band_keys(sig_col: Column, num_planes: int, bands: int) -> Column:
     index in the high bits so keys never collide across bands — which
     lets candidates join on the single key column instead of
     (band_idx, key)."""
+    if num_planes % bands != 0:
+        raise ValueError(
+            f"num_planes={num_planes} not divisible by bands={bands}: the "
+            "trailing signature bits would be silently dropped, weakening "
+            "recall"
+        )
     rows = num_planes // bands
     keys = []
     for b in range(bands):

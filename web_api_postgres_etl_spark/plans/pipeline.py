@@ -28,7 +28,13 @@ from ..operators.joins import star_join
 from ..operators.project import project, qcol
 from ..functions.dates import fa_today, jalali_compact_to_slashed
 from ..functions.math import pct_change
-from ..sources.writers import table_path, write_append, write_overwrite
+from ..sources.writers import (
+    recover_swap,
+    swap_compacted,
+    table_path,
+    write_append,
+    write_overwrite,
+)
 from .watermark import WatermarkManager
 
 TRADES_PROJECTION = [
@@ -325,15 +331,25 @@ class MedallionPipeline:
                     partition_by=["j_month"],
                 )
                 self._ok(f"prd_{key}", None)
-        if "indexvalues" in frames and "indexes" in dims:
-            stg = self.spark.read.parquet(table_path(self.warehouse, "stg", "indexvalues"))
-            prd = self.produce_indexvalues(stg, dims["indexes"])
-            write_overwrite(
-                with_jalali_month(prd),
-                table_path(self.warehouse, "prd", "indexvalues"),
-                partition_by=["j_month"],
-            )
-            self._ok("prd_indexvalues", None)
+        if "indexvalues" in frames:
+            # same missing-dimension gate as the trades tables: report
+            # the failure instead of silently skipping the prd build
+            if "indexes" not in dims:
+                self._err(
+                    "prd_indexvalues",
+                    RuntimeError("missing dimension extracts: ['indexes']"),
+                )
+            else:
+                stg = self.spark.read.parquet(
+                    table_path(self.warehouse, "stg", "indexvalues")
+                )
+                prd = self.produce_indexvalues(stg, dims["indexes"])
+                write_overwrite(
+                    with_jalali_month(prd),
+                    table_path(self.warehouse, "prd", "indexvalues"),
+                    partition_by=["j_month"],
+                )
+                self._ok("prd_indexvalues", None)
         return self.results
 
     def run_incremental(
@@ -439,21 +455,15 @@ class MedallionPipeline:
         (window, not dropDuplicates); ``compact_partitioned`` below is
         the 100 TB form (only freshly-touched partitions rewritten).
         """
+        recover_swap(path)  # heal a crashed prior swap (stale .old/.tmp)
         df = self.spark.read.parquet(path)
         compacted = dedup_last_wins(df, keys, version_col="meta.version", tiebreaker="id")
         compacted.cache().count()  # materialize before overwriting the source dir
         write_overwrite(compacted, path + ".tmp")
         # release ONLY this frame (clearCache would drop every cached
-        # DataFrame session-wide), then swap via rename-old → move-new →
-        # delete-old so the table path is missing only between two
-        # instant renames, not for the whole delete
+        # DataFrame session-wide), then swap (see writers.swap_compacted)
         compacted.unpersist()
-        import shutil
-
-        old = path + ".old"
-        shutil.move(path, old)
-        shutil.move(path + ".tmp", path)
-        shutil.rmtree(old)
+        swap_compacted(path)
 
     def compact_partitioned(
         self,
@@ -475,6 +485,7 @@ class MedallionPipeline:
         reference's whole-table rewrite (mabna_tables_update.py:
         271-280).
         """
+        recover_swap(path)  # drop a stale .tmp (and heal a crashed swap)
         df = self.spark.read.parquet(path)
         if touched is None:
             # derive from sink-side freshness if the caller didn't track it

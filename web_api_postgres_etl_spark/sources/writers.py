@@ -50,6 +50,40 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def recover_swap(path: str) -> None:
+    """Repair a crashed compact swap before starting a new one.
+
+    The swap sequence (write ``path.tmp`` → move ``path`` → ``path.old``
+    → move ``path.tmp`` → ``path`` → rm ``path.old``) has a crash window
+    in which ``path`` is gone and the live data sits in ``.old`` (new
+    data in ``.tmp``). Compactors call this at entry: restore ``.old``
+    to ``path`` when ``path`` vanished mid-swap, then drop any stale
+    ``.old``/``.tmp`` so a fresh swap can't nest the live dir inside a
+    leftover or fail on an existing target."""
+    import os
+    import shutil
+
+    old, tmp = path + ".old", path + ".tmp"
+    if os.path.exists(old) and not os.path.exists(path):
+        shutil.move(old, path)
+    for stale in (old, tmp):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+
+
+def swap_compacted(path: str) -> None:
+    """Swap ``path.tmp`` into ``path`` via rename-old → move-new →
+    delete-old, so the table path is missing only between two instant
+    renames, never for the whole delete. Pair with ``recover_swap`` at
+    compact entry for crash safety."""
+    import shutil
+
+    old = path + ".old"
+    shutil.move(path, old)
+    shutil.move(path + ".tmp", path)
+    shutil.rmtree(old)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

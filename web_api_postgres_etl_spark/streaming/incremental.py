@@ -21,7 +21,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.dedup import dedup_last_wins
-from ..sources.writers import write_append, write_overwrite
+from ..sources.writers import (
+    recover_swap,
+    swap_compacted,
+    write_append,
+    write_overwrite,
+)
 
 
 def compact_batch(
@@ -31,19 +36,15 @@ def compact_batch(
     version_col: str = "meta.version",
 ) -> None:
     """Read sink → last-wins window dedup → atomic-ish rewrite."""
-    import shutil
-
+    recover_swap(path)  # heal a crashed prior swap (stale .old/.tmp)
     df = spark.read.parquet(path)
     compacted = dedup_last_wins(df, keys, version_col=version_col, tiebreaker="id")
     compacted.cache().count()
     write_overwrite(compacted, path + ".tmp")
     # release only this frame; swap via two renames so the path is
-    # missing only for an instant (see plans.pipeline.compact)
+    # missing only for an instant (see sources.writers.swap_compacted)
     compacted.unpersist()
-    old = path + ".old"
-    shutil.move(path, old)
-    shutil.move(path + ".tmp", path)
-    shutil.rmtree(old)
+    swap_compacted(path)
 
 
 def incremental_stream(
