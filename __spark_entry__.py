@@ -191,46 +191,62 @@ FROM lineitem
 """
 
 
-def q_p4_null_drop(spark: SparkSession, sf: str) -> DataFrame:
-    """P4 required-column null/NaN drop (mabna_tables_create.py:147-148).
-
-    Testdata has no nulls (injected-null semantics are pinned by
-    tests/test_operators.py); the predicate shape — IS NOT NULL AND NOT
-    isnan for floats — is what's verified here.
-    """
-    df = _t(spark, sf, "lineitem")
-    return drop_required_nulls(
+def q_stg_transform(spark: SparkSession, sf: str) -> DataFrame:
+    """P4+P5+F1+F2 composed as the reference's actual staging statement
+    sequence (mabna_tables_create.py:145-154): project → required-null
+    drop (IS NOT NULL AND NOT isnan for floats) → compact-14-digit date
+    sliced to a slashed j_date → pct-change ratio (zero denominator →
+    NULL) → lexicographic j_date BETWEEN window (the produce-side P5
+    slice, :244). One narrow projection feeds every step, so the scan
+    prunes to 7 columns and the whole chain is a single codegen stage —
+    no shuffle anywhere."""
+    li = _t(spark, sf, "lineitem")
+    df = project(li, [
+        "l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
+    ])
+    df = drop_required_nulls(
         df, ["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"]
-    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
-
-
-SQL_P4 = """
-SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
-FROM lineitem
-WHERE l_orderkey IS NOT NULL
-  AND l_quantity IS NOT NULL AND NOT isnan(l_quantity)
-  AND l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
-  AND l_discount IS NOT NULL AND NOT isnan(l_discount)
-"""
-
-
-def q_p5_range_predicate(spark: SparkSession, sf: str) -> DataFrame:
-    """P5 closed-interval BETWEEN (mabna_tables_create.py:244 —
-    lexicographic j_date window; here the testdata date column)."""
-    df = in_range(_t(spark, sf, "orders"), "o_orderdate", "1996-06-01", "1997-06-01")
+    )
+    df = df.withColumn("date_time", gregorian_ts_to_compact("l_shipdate"))
+    df = df.withColumn("j_date", jalali_compact_to_slashed(F.col("date_time")))
+    df = df.withColumn(
+        "tax_change_percent", pct_change("l_tax", "l_extendedprice")
+    )
+    df = df.withColumn(
+        "discount_change_percent", pct_change("l_discount", "l_quantity")
+    )
+    df = in_range(df, "j_date", "1996/06/01", "1997/06/01")
     return df.select(
-        "o_orderkey",
-        "o_custkey",
-        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
-        "o_totalprice",
+        "l_orderkey", "l_linenumber", "date_time", "j_date",
+        "l_quantity", "l_extendedprice", "l_discount",
+        "tax_change_percent", "discount_change_percent",
     )
 
 
-SQL_P5 = """
-SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-       o_totalprice
-FROM orders
-WHERE o_orderdate BETWEEN TIMESTAMP '1996-06-01' AND TIMESTAMP '1997-06-01'
+SQL_STG_TRANSFORM = """
+WITH stg AS (
+  SELECT l_orderkey, l_linenumber,
+         strftime(l_shipdate, '%Y%m%d%H%M%S') AS date_time,
+         l_quantity, l_extendedprice, l_discount, l_tax
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL
+    AND l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+    AND l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+    AND l_discount IS NOT NULL AND NOT isnan(l_discount)
+),
+dated AS (
+  SELECT *,
+         substr(date_time, 1, 4) || '/' || substr(date_time, 5, 2) || '/' ||
+         substr(date_time, 7, 2) AS j_date
+  FROM stg
+)
+SELECT l_orderkey, l_linenumber, date_time, j_date,
+       l_quantity, l_extendedprice, l_discount,
+       l_tax / nullif(l_extendedprice - l_tax, 0) AS tax_change_percent,
+       l_discount / nullif(l_quantity - l_discount, 0) AS discount_change_percent
+FROM dated
+WHERE j_date BETWEEN '1996/06/01' AND '1997/06/01'
 """
 
 
@@ -325,51 +341,6 @@ SELECT event_id, user_id, event_type, value,
        strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
 FROM events
 QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
-"""
-
-
-def q_f1_date_reformat(spark: SparkSession, sf: str) -> DataFrame:
-    """F1 compact-14-digit → slashed date string (mabna_tables_create.py:
-    149-152). The compact form is derived from the testdata timestamp
-    first (gregorian_ts_to_compact), then sliced exactly like the
-    reference slices its Jalali strings — the operator under test is
-    the substring/concat, which is calendar-agnostic."""
-    events = _t(spark, sf, "events")
-    compact = gregorian_ts_to_compact("ts")
-    return events.select(
-        "event_id",
-        compact.alias("date_time"),
-        jalali_compact_to_slashed(compact).alias("j_date"),
-    )
-
-
-SQL_F1 = """
-SELECT event_id,
-       strftime(ts, '%Y%m%d%H%M%S') AS date_time,
-       substr(strftime(ts, '%Y%m%d%H%M%S'), 1, 4) || '/' ||
-       substr(strftime(ts, '%Y%m%d%H%M%S'), 5, 2) || '/' ||
-       substr(strftime(ts, '%Y%m%d%H%M%S'), 7, 2) AS j_date
-FROM events
-"""
-
-
-def q_f2_pct_change(spark: SparkSession, sf: str) -> DataFrame:
-    """F2 ratio derivation with pinned zero-denominator → NULL semantics
-    (mabna_tables_create.py:153-154; SURVEY.md §7.4.4)."""
-    li = _t(spark, sf, "lineitem")
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        pct_change("l_tax", "l_extendedprice").alias("tax_change_percent"),
-        pct_change("l_discount", "l_quantity").alias("discount_change_percent"),
-    )
-
-
-SQL_F2 = """
-SELECT l_orderkey, l_linenumber,
-       l_tax / nullif(l_extendedprice - l_tax, 0) AS tax_change_percent,
-       l_discount / nullif(l_quantity - l_discount, 0) AS discount_change_percent
-FROM lineitem
 """
 
 

@@ -223,6 +223,68 @@ def lsh_bands(sig_col, bands: int, rows_per_band: int):
     return F.array(*keys)
 
 
+def minhash_agg_exprs(
+    num_hashes: int, shingle_col: str = "__s", guard_nulls: bool = True
+) -> list:
+    """The ONE definition of the minhash aggregate: per seed i,
+    ``min(md5(i || '|' || shingle))`` over the exploded shingle rows,
+    aliased ``mh_i``. ``guard_nulls`` wraps each term in an
+    isNotNull guard so a document whose explode_outer produced a single
+    NULL shingle row (zero shingles) aggregates to a NULL signature;
+    callers that pre-drop shingle-less docs skip the guard. Shared by
+    ``minhash_table`` and ``near_dup_pairs`` so the standalone operator
+    and the fused pipeline can never drift."""
+    out = []
+    for i in range(num_hashes):
+        digest = F.md5(F.concat_ws("|", F.lit(str(i)), F.col(shingle_col)))
+        if guard_nulls:
+            digest = F.when(F.col(shingle_col).isNotNull(), digest)
+        out.append(F.min(digest).alias(f"mh_{i}"))
+    return out
+
+
+def minhash_band_keys(num_hashes: int, bands: int):
+    """Column: array of LSH band-bucket keys over the ``mh_i`` signature
+    COLUMNS (the scale shape's layout) — band key = md5 of the band
+    index + the band's signature slice. The single definition consumed
+    by both ``minhash_lsh_candidates`` and ``near_dup_pairs``."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by bands={bands}: the "
+            "trailing signature hashes would be silently dropped"
+        )
+    rows = num_hashes // bands
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.lit(f"{b}#"),
+                    *[F.col(f"mh_{b * rows + j}") for j in range(rows)],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def _band_self_join(banded: DataFrame) -> DataFrame:
+    """(__id, __band) → distinct candidate pairs (id_a < id_b) sharing
+    ≥1 band bucket — the linear-shuffle LSH self-join both candidate
+    generators funnel through."""
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.__band") == F.col("r.__band"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+
+
 def minhash_table(
     df: DataFrame,
     id_col: str,
@@ -247,16 +309,7 @@ def minhash_table(
     sh = _shingled(df, id_col, text_col, shingle_n).select(
         "__id", F.explode_outer("__sh").alias("__s")
     )
-    aggs = [
-        F.min(
-            F.when(
-                F.col("__s").isNotNull(),
-                F.md5(F.concat_ws("|", F.lit(str(i)), F.col("__s"))),
-            )
-        ).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    out = sh.groupBy("__id").agg(*aggs)
+    out = sh.groupBy("__id").agg(*minhash_agg_exprs(num_hashes))
     # public schema carries the caller's id name, not the internal alias
     return out.select(
         F.col("__id").alias(id_col), *[f"mh_{i}" for i in range(num_hashes)]
@@ -281,37 +334,15 @@ def minhash_lsh_candidates(
     ``ngram_jaccard_pairs`` restricted to this output (at 100 TB, via a
     semi-join on the candidate pairs).
     """
-    rows = num_hashes // bands
     mh = minhash_table(df, id_col, text_col, shingle_n, num_hashes)
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.lit(f"{b}#"),
-                    *[F.col(f"mh_{b * rows + j}") for j in range(rows)],
-                )
-            )
-            for b in range(bands)
-        ]
-    )
     # shingle-less docs (NULL signature) can never be near-dups — drop
     # before banding (concat_ws would otherwise give them equal keys,
     # diverging from SQL's NULL-propagating ||)
     banded = mh.filter(F.col("mh_0").isNotNull()).select(
-        qcol(id_col).alias("__id"), F.explode(band_keys).alias("__band")
+        qcol(id_col).alias("__id"),
+        F.explode(minhash_band_keys(num_hashes, bands)).alias("__band"),
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.__band") == F.col("r.__band"))
-            & (F.col("l.__id") < F.col("r.__id")),
-        )
-        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
-        .distinct()
-    )
+    return _band_self_join(banded)
 
 
 def ngram_jaccard_pairs(
@@ -360,6 +391,23 @@ def ngram_jaccard_pairs(
     )
 
 
+def _jaccard_on_shingled(
+    sh: DataFrame, pairs: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over candidate ``pairs`` given a (__id, __sh)
+    distinct-shingle-set frame — the shared verification tail of
+    ``jaccard_on_pairs`` and ``near_dup_pairs``."""
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    jac = inter / (F.size("__sha") + F.size("__shb") - inter)
+    return (
+        joined.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def jaccard_on_pairs(
     df: DataFrame,
     pairs: DataFrame,
@@ -379,15 +427,7 @@ def jaccard_on_pairs(
     sh = _shingled(
         df, id_col, text_col, shingle_n, drop_empty=True
     ).select("__id", F.array_distinct("__sh").alias("__sh"))
-    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
-    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
-    joined = pairs.join(a, "id_a").join(b, "id_b")
-    inter = F.size(F.array_intersect("__sha", "__shb"))
-    jac = inter / (F.size("__sha") + F.size("__shb") - inter)
-    return (
-        joined.select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _jaccard_on_shingled(sh, pairs, threshold)
 
 
 def near_dup_pairs(
@@ -407,7 +447,12 @@ def near_dup_pairs(
     Both stages consume the SAME shingled frame, so the repartition
     exchange under it is an identical subplan in every branch and Spark
     reuses it (ReusedExchange) — tokenize+shingle runs once, not three
-    times."""
+    times. The signature aggregate, band keys, bucket self-join and
+    Jaccard tail all compile from the same definitions as the
+    standalone operators (minhash_agg_exprs / minhash_band_keys /
+    _band_self_join / _jaccard_on_shingled) — only the shingle subplan
+    sharing differs from composing minhash_lsh_candidates +
+    jaccard_on_pairs directly."""
     base = _shingled(df, id_col, text_col, shingle_n, drop_empty=True)
 
     # --- stage 1: minhash signatures → band keys → bucket self-join
@@ -415,52 +460,20 @@ def near_dup_pairs(
     # InferFiltersFromGenerate, which synthesizes size(__sh) > 0 and
     # pushes it below the projection — re-inlining the tokenize chain
     # into the lambda (the quadratic trap, third variant). drop_empty
-    # already guarantees non-empty arrays, so the two are equivalent.
-    rows = num_hashes // bands
+    # already guarantees non-empty arrays, so guard_nulls=False: no
+    # NULL shingle rows can reach the aggregate.
     exploded = base.select("__id", F.explode_outer("__sh").alias("__s"))
-    aggs = [
-        F.min(
-            F.md5(F.concat_ws("|", F.lit(str(i)), F.col("__s")))
-        ).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    mh = exploded.groupBy("__id").agg(*aggs)
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.lit(f"{b}#"),
-                    *[F.col(f"mh_{b * rows + j}") for j in range(rows)],
-                )
-            )
-            for b in range(bands)
-        ]
+    mh = exploded.groupBy("__id").agg(
+        *minhash_agg_exprs(num_hashes, guard_nulls=False)
     )
-    banded = mh.select("__id", F.explode(band_keys).alias("__band"))
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cands = (
-        left.join(
-            right,
-            (F.col("l.__band") == F.col("r.__band"))
-            & (F.col("l.__id") < F.col("r.__id")),
-        )
-        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
-        .distinct()
+    banded = mh.select(
+        "__id", F.explode(minhash_band_keys(num_hashes, bands)).alias("__band")
     )
+    cands = _band_self_join(banded)
 
     # --- stage 2: exact Jaccard on candidates only
     sh = base.select("__id", F.array_distinct("__sh").alias("__sh"))
-    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
-    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
-    joined = cands.join(a, "id_a").join(b, "id_b")
-    inter = F.size(F.array_intersect("__sha", "__shb"))
-    jac = inter / (F.size("__sha") + F.size("__shb") - inter)
-    return (
-        joined.select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _jaccard_on_shingled(sh, cands, threshold)
 
 
 def _bit_mask(bit: int) -> int:
@@ -468,33 +481,60 @@ def _bit_mask(bit: int) -> int:
     return 1 << bit if bit < 63 else -(2**63)
 
 
-def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash) 64-bit SimHash table — the SCALE shape.
+def simhash_bits(hash_fn: str) -> int:
+    """Signature width per token-hash function: xxhash64 fills all 64
+    bits; the md5 variant takes the first 15 hex chars (60 bits) so the
+    value fits a signed BIGINT identically in Spark (conv/cast) and in
+    the ANSI oracle (hex-literal cast) — the price of an engine-portable
+    SimHash is 4 bits of signature."""
+    return 64 if hash_fn == "xxhash64" else 60
 
-    explode(tokens) → one codegen'd xxhash64 per token → groupBy(id)
-    with 64 ±1 vote sums (one agg expression per bit, all inside
+
+def _token_hash(hash_fn: str):
+    if hash_fn == "xxhash64":
+        return F.xxhash64("__t")
+    if hash_fn == "md5":
+        # first 60 bits of md5, identical on any engine with md5+hex
+        return F.conv(F.substring(F.md5(F.col("__t")), 1, 15), 16, 10).cast(
+            "long"
+        )
+    raise ValueError(f"unknown simhash hash_fn {hash_fn!r}")
+
+
+def simhash_table(
+    df: DataFrame, id_col: str, text_col: str, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """(id, simhash) SimHash table — the SCALE shape.
+
+    explode(tokens) → one codegen'd hash per token → groupBy(id) with
+    per-bit ±1 vote sums (one agg expression per bit, all inside
     whole-stage codegen with map-side partial aggregation) → assemble
-    the signature from vote signs. An expression-level 64-fold over the
-    token array would run interpreted and re-walk the array per bit —
-    this shape hashes each token exactly once.
+    the signature from vote signs. An expression-level per-bit fold over
+    the token array would run interpreted and re-walk the array per bit
+    — this shape hashes each token exactly once.
+
+    ``hash_fn``: 'xxhash64' (fastest, 64 bits, engine-specific) or
+    'md5' (60 bits from the digest prefix — bit-identical in any engine
+    with md5, so near-dup results verify exactly against a SQL oracle).
 
     Token-less documents get simhash NULL (kept via left join).
     """
+    nbits = simhash_bits(hash_fn)
     ids = df.select(qcol(id_col).alias("__id"))
     toks = ensure_parallelism(df).select(
         qcol(id_col).alias("__id"),
         F.explode(normalized_tokens(text_col)).alias("__t"),
-    ).withColumn("__h", F.xxhash64("__t"))
+    ).withColumn("__h", _token_hash(hash_fn))
     votes = toks.groupBy("__id").agg(
         *[
             F.sum(
                 F.when(F.col("__h").bitwiseAND(F.lit(_bit_mask(b))) != 0, 1).otherwise(-1)
             ).alias(f"b{b}")
-            for b in range(64)
+            for b in range(nbits)
         ]
     )
     sig = None
-    for b in range(64):
+    for b in range(nbits):
         term = F.when(F.col(f"b{b}") > 0, F.lit(_bit_mask(b))).otherwise(F.lit(0))
         sig = term if sig is None else sig.bitwiseOR(term)
     signed = votes.select("__id", sig.alias("__sh"))
@@ -521,18 +561,27 @@ def simhash64(tokens_col):
 
 
 def simhash_near_dups(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
 
-    Blocking: split the 64-bit simhash into ``max_hamming+1`` bands — by
+    Blocking: split the simhash into ``max_hamming+1`` bands — by
     pigeonhole, any pair within the distance agrees exactly on ≥1 band,
     so the self-join runs per band bucket (linear shuffle), then the
-    exact Hamming distance (bit_count of xor) filters candidates.
+    exact Hamming distance (bit_count of xor) filters candidates. The
+    blocking is LOSSLESS for the ≤ max_hamming result (every qualifying
+    pair shares a band), so with ``hash_fn='md5'`` the output verifies
+    exactly against a plain all-pairs SQL oracle.
     """
     nbands = max_hamming + 1
-    width = 64 // nbands
-    sh = simhash_table(df, id_col, text_col).filter(F.col("__sh").isNotNull())
+    width = simhash_bits(hash_fn) // nbands
+    sh = simhash_table(df, id_col, text_col, hash_fn).filter(
+        F.col("__sh").isNotNull()
+    )
     banded = None
     for bnd in range(nbands):
         part = sh.select(

@@ -134,14 +134,20 @@ def asof_join_keyless(
     for an engine-independent result).
 
     Scale shape (a global sort/window would serialize onto one
-    partition): range-bucket BOTH sides on approx time quantiles of the
-    left, cogroup per bucket, and merge each bucket with an
-    Arrow-batched ``pandas.merge_asof``. Bucket heads are fixed by a
-    driver-side prefix-carry: one tiny aggregate computes each bucket's
-    latest right row, a prefix scan hands bucket b the latest row from
-    buckets < b, and the per-bucket merge seeds its right frame with
-    that carry row. Cost: one quantile pass, one small aggregate, one
-    cogroup shuffle — all equi-partitioned, no global sort.
+    partition): range-bucket BOTH sides on evenly spaced cut points of
+    the RIGHT side's time span, cogroup per bucket, and merge each
+    bucket with an Arrow-batched ``pandas.merge_asof``. Bucket heads
+    are fixed by a driver-side prefix-carry: one tiny aggregate
+    computes each bucket's latest right row, a prefix scan hands bucket
+    b the latest row from buckets < b, and the per-bucket merge seeds
+    its right frame with that carry row. Cost: one min/max aggregate
+    over the SMALL right side (the left/fact side is never pre-scanned
+    — any cut points are correct, the carry fixes boundaries; an
+    approxQuantile over the left would add a full extra pass over the
+    big table purely for balance), one small aggregate, one cogroup
+    shuffle — all equi-partitioned, no global sort. Left rows beyond
+    the right span share the edge buckets; if the LEFT side is heavily
+    skewed inside the right span, pass explicit ``bounds``.
     """
     import pandas as pd
     from pyspark.sql.types import StructType
@@ -164,19 +170,18 @@ def asof_join_keyless(
             return qcol(tcol).cast("timestamp_ltz").cast("double")
         return qcol(tcol).cast("double")
 
-    # approx quantile cut points of the left times (any cuts are
-    # CORRECT — the carry fixes boundaries — quantiles only balance);
-    # num_buckets=1 means no cuts at all (single bucket)
-    probs = [i / num_buckets for i in range(1, num_buckets)]
+    # evenly spaced cut points across the right side's [min, max] time
+    # span (any cuts are CORRECT — the carry fixes boundaries — cuts
+    # only balance work); num_buckets=1 means no cuts (single bucket)
     bounds: list[float] = []
-    if probs:
-        bounds = sorted(
-            set(
-                lf.select(_tnum(lf, lt).alias("__t")).approxQuantile(
-                    "__t", probs, 0.01
-                )
-            )
-        )
+    if num_buckets > 1:
+        span = rf.agg(
+            F.min(_tnum(rf, rt)).alias("lo"), F.max(_tnum(rf, rt)).alias("hi")
+        ).first()
+        lo, hi = span["lo"], span["hi"]
+        if lo is not None and hi is not None and hi > lo:
+            step = (hi - lo) / num_buckets
+            bounds = sorted({lo + i * step for i in range(1, num_buckets)})
     barr = F.array(*[F.lit(float(b)) for b in bounds])
 
     def bucketed(df: DataFrame, tcol: str) -> DataFrame:
