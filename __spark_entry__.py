@@ -2175,12 +2175,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o2_dedup_last_wins": q_o2_dedup_last_wins,
         # projection / filter / function primitives
         "p123_project": q_p123_project,
-        "p4_null_drop": q_p4_null_drop,
-        "p5_range_predicate": q_p5_range_predicate,
+        "stg_transform": q_stg_transform,
         "p6_watermark_delta": q_p6_watermark_delta,
         "a1_max_watermark": q_a1_max_watermark,
-        "f1_date_reformat": q_f1_date_reformat,
-        "f2_pct_change": q_f2_pct_change,
         "f3_struct_array": q_f3_struct_array,
         "set_ops": q_set_ops,
         # rows-only (no oracle) — intentionally past the driver's cap;
@@ -2236,12 +2233,9 @@ def oracle_sql() -> dict[str, str]:
         "t1_streaming_compact": SQL_STREAMING,
         "o2_dedup_last_wins": SQL_O2,
         "p123_project": SQL_P123,
-        "p4_null_drop": SQL_P4,
-        "p5_range_predicate": SQL_P5,
+        "stg_transform": SQL_STG_TRANSFORM,
         "p6_watermark_delta": SQL_P6,
         "a1_max_watermark": SQL_A1,
-        "f1_date_reformat": SQL_F1,
-        "f2_pct_change": SQL_F2,
         "f3_struct_array": SQL_F3_STRUCT,
         "set_ops": SQL_SET_OPS,
     }

@@ -32,7 +32,7 @@ HEADLINE = [
     "o2_dedup_last_wins",
     "p6_watermark_delta",
     "j2_two_way_join",
-    "f2_pct_change",
+    "stg_transform",
     "dedup_exact",
     "text_stats",
     "lsh_cosine_pairs",

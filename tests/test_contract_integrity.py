@@ -1,0 +1,48 @@
+"""Contract-integrity guard: queries()/oracle_sql() must be constructible
+and mutually consistent WITHOUT a Spark session.
+
+Round 3 shipped a half-landed rename where both dicts referenced deleted
+names and raised NameError at call time — the driver could run zero
+queries. This module pins the contract shape so any future refactor that
+breaks registration fails in milliseconds at collection, not at the
+end-of-round snapshot.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def test_queries_constructs_and_all_values_callable():
+    q = entrymod.queries()
+    assert isinstance(q, dict) and q, "queries() must return a non-empty dict"
+    for name, fn in q.items():
+        assert callable(fn), f"queries()[{name!r}] is not callable"
+
+
+def test_oracle_keys_subset_of_queries():
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    dangling = set(o) - set(q)
+    assert not dangling, f"oracle_sql() keys with no queries() entry: {dangling}"
+    for name, sql in o.items():
+        assert isinstance(sql, str) and sql.strip(), f"empty oracle for {name!r}"
+
+
+def test_oracle_backed_entries_fit_driver_window():
+    # The driver evaluates at most the FIRST 50 queries() entries; any
+    # oracle-backed entry ordered past that window silently loses its
+    # correctness check.
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    window = set(list(q)[:50])
+    outside = set(o) - window
+    assert not outside, f"oracle-backed entries past the 50-entry window: {outside}"
+
+
+def test_bench_headline_names_exist():
+    import bench
+
+    q = entrymod.queries()
+    missing = [n for n in bench.HEADLINE if n not in q]
+    assert not missing, f"bench HEADLINE names missing from queries(): {missing}"
