@@ -64,17 +64,20 @@ def main() -> None:
             pass
 
     # best-of-2: single-shot timings on a busy box swing ±20%; the min
-    # of two runs is the steady-state number (results identical per run)
+    # of two runs is the steady-state number (results identical per run).
+    # Raw per-run samples are published under "runs" so round-over-round
+    # comparisons can see the variance, not just the min.
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in HEADLINE:
-        best = None
+        samples = []
         for _ in range(2):
             t0 = time.perf_counter()
             df = queries[name](spark, sf_dir)
             df.count()
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+            samples.append(round(time.perf_counter() - t0, 3))
+        runs[name] = samples
+        timings[name] = min(samples)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -84,6 +87,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

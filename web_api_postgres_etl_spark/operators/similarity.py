@@ -151,21 +151,45 @@ def rhp_lsh_topk(
     k: int = 10,
     num_planes: int = 16,
     bands: int = 4,
+    signature: str = "random",
 ) -> DataFrame:
     """Approximate top-k: only corpus vectors sharing ≥1 signature band
     with the query are scored. Bucket keys prune the scan (at scale:
     pre-materialize band keys as a partition/bucket column so the probe
-    is partition-pruned, not a full scan)."""
+    is partition-pruned, not a full scan).
+
+    ``signature='random'`` uses the xxhash64-derived ±1 hyperplanes;
+    ``'axis'`` uses the unit axes (bit i = [v_i ≥ 0], requires
+    dim ≥ num_planes) — degenerate-but-valid RHP whose bits any SQL
+    engine reproduces, so the approximate result set verifies exactly
+    against an oracle (same trade as ``lsh_cosine_pairs``)."""
     rows = num_planes // bands
-    planes = hyperplane_matrix(corpus.sparkSession, len(query_vec), num_planes)
-    # query signature, computed driver-side from the same literal planes
-    qsig = [
-        1 if sum(x * s for x, s in zip(query_vec, w)) >= 0 else 0 for w in planes
-    ]
+    if num_planes % bands != 0:
+        raise ValueError(
+            f"num_planes={num_planes} not divisible by bands={bands}"
+        )
+    if signature == "axis":
+        if len(query_vec) < num_planes:
+            raise ValueError(
+                f"axis signature needs dim >= num_planes, got "
+                f"{len(query_vec)} < {num_planes}"
+            )
+        qsig = [1 if query_vec[p] >= 0 else 0 for p in range(num_planes)]
+        sig_col = sign_bits_signature(vec_col, num_planes)
+    else:
+        planes = hyperplane_matrix(
+            corpus.sparkSession, len(query_vec), num_planes
+        )
+        # query signature, computed driver-side from the same literal planes
+        qsig = [
+            1 if sum(x * s for x, s in zip(query_vec, w)) >= 0 else 0
+            for w in planes
+        ]
+        sig_col = rhp_signature(vec_col, planes)
     sigd = corpus.select(
         qcol(id_col).alias(id_col),
         as_double_array(vec_col).alias("__v"),
-        rhp_signature(vec_col, planes).alias("__sig"),
+        sig_col.alias("__sig"),
     )
     band_match = None
     for b in range(bands):
