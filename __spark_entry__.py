@@ -429,13 +429,17 @@ QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
 
 
 def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """Token counting + quality signals + fingerprints over documents
-    (whitespace tokens, BPE-ish regex pieces, punctuation/stopword
+    """Full document profile in ONE pass over `documents`: token
+    counting (whitespace + BPE-ish regex pieces), punctuation/stopword
     ratios, exact content digest, order-insensitive token-set
-    fingerprint) — one document-profile pass."""
+    fingerprint, composite quality score (Gopher/C4-style heuristic)
+    and heuristic language ID (stopword-hit argmax over en/de/fr/es).
+    At 100 TB this merges what used to be two scans of the corpus into
+    one — every signal shares the same tokenizer subexpression."""
     docs = _t(spark, sf, "documents")
     return docs.select(
         "doc_id",
+        "lang",
         token_count("text").alias("n_tokens"),
         bpe_ish_token_count("text").alias("n_bpe_pieces"),
         char_count("text").alias("n_chars_obs"),
@@ -443,38 +447,12 @@ def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
         content_hash("text").alias("content_md5"),
         fingerprint("text").alias("token_fingerprint"),
+        quality_score("text").alias("quality"),
+        lang_id("text").alias("lang_pred"),
     )
 
 
 _sw_en = ",".join(f"'{w}'" for w in STOPWORDS_EN)
-
-SQL_TEXT_STATS = f"""
-WITH t AS (SELECT doc_id, text, {TOK.format(col="text")} AS toks FROM documents)
-SELECT doc_id,
-       len(toks) AS n_tokens,
-       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_pieces,
-       length(text) AS n_chars_obs,
-       round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
-             / CAST(nullif(length(text), 0) AS DOUBLE), 6) AS punct_ratio,
-       round(len(list_filter(toks, x -> x IN ({_sw_en})))
-             / CAST(nullif(len(toks), 0) AS DOUBLE), 6) AS stopword_ratio,
-       md5(text) AS content_md5,
-       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS token_fingerprint
-FROM t
-"""
-
-
-def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
-    """Composite quality score (Gopher/C4-style heuristic) + heuristic
-    language ID (stopword-hit argmax over en/de/fr/es) — the two
-    curation signals in one document pass (they share the tokenizer)."""
-    docs = _t(spark, sf, "documents")
-    return docs.select(
-        "doc_id",
-        "lang",
-        quality_score("text").alias("quality"),
-        lang_id("text").alias("lang_pred"),
-    )
 
 
 def _hits(lang_words: list[str]) -> str:
@@ -482,10 +460,10 @@ def _hits(lang_words: list[str]) -> str:
     return f"len(list_filter(toks, x -> x IN ({inlist})))"
 
 
-SQL_TEXT_QUALITY = f"""
+SQL_TEXT_STATS = f"""
 WITH t AS (SELECT doc_id, lang, text, {TOK.format(col="text")} AS toks FROM documents),
 s AS (
-  SELECT doc_id, lang,
+  SELECT doc_id, lang, text, toks,
     CAST(nullif(len(toks), 0) AS DOUBLE) AS n,
     list_sum(list_transform(toks, x -> length(x))) AS tot_len,
     len(list_filter(toks, x -> x IN ({_sw_en}))) AS sw_hits,
@@ -495,6 +473,13 @@ s AS (
     {_hits(STOPWORDS_FR)} AS h_fr, {_hits(STOPWORDS_ES)} AS h_es
   FROM t)
 SELECT doc_id, lang,
+  len(toks) AS n_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_pieces,
+  length(text) AS n_chars_obs,
+  round(pr, 6) AS punct_ratio,
+  round(sw_hits / n, 6) AS stopword_ratio,
+  md5(text) AS content_md5,
+  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS token_fingerprint,
   round(
     0.4 * least(coalesce(sw_hits / n, 0.0) / 0.4, 1.0)
     + 0.3 * (1.0 - least(coalesce(pr, 1.0) / 0.3, 1.0))
@@ -2187,6 +2172,22 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# The fake kernel is sha256-derived (operators/multimodal.py:73), so the
+# whole mapInPandas path has an EXACT SQL oracle: DuckDB's sha256() hashes
+# the same UTF-8 bytes, and f0 = first 4 digest bytes as uint32 / 2^32,
+# rounded to float32 exactly like the Arrow array<float> cast.
+SQL_MM_FEATURES = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         sha256(coalesce(text, '')) AS sha256,
+         octet_length(encode(coalesce(text, ''))) AS n_bytes
+  FROM documents)
+SELECT media_id, sha256, n_bytes,
+       CAST(CAST(('0x' || substr(sha256, 1, 8)) AS BIGINT) / 4294967296.0 AS REAL) AS f0
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2239,13 +2240,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j5_salted_join": q_j5_salted_join,
         "j6_asof_join": q_j6_asof_join,
         "j7_asof_keyless": q_j7_asof_keyless,
-        # text analysis
+        # text analysis (stats+quality+lang-id merged: one corpus pass)
         "text_stats": q_text_stats,
-        "text_quality": q_text_quality,
         "lsh_cosine_pairs": q_lsh_cosine_pairs,
         # multimodal
         "multimodal_stats": q_multimodal_stats,
         "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_features": q_multimodal_features,
         # sources / sinks / streaming
         "s1_rest_source": q_s1_rest_source,
         "s3_flatten_struct": q_s3_flatten_struct,
@@ -2260,11 +2261,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_max_watermark": q_a1_max_watermark,
         "f3_struct_array": q_f3_struct_array,
         "set_ops": q_set_ops,
-        # entry #51 — intentionally past the driver's 50-entry window
-        # (all 50 in-window slots are oracle-backed): the mapInPandas
-        # feature-extraction plumbing is pinned by tests/test_multimodal.py
-        # instead (batch shape, schema, sha256/byte-count vs plain Python).
-        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -2305,10 +2301,10 @@ def oracle_sql() -> dict[str, str]:
         "j6_asof_join": SQL_J6,
         "j7_asof_keyless": SQL_J7_KEYLESS,
         "text_stats": SQL_TEXT_STATS,
-        "text_quality": SQL_TEXT_QUALITY,
         "lsh_cosine_pairs": SQL_LSH_COSINE_PAIRS,
         "multimodal_stats": SQL_MULTIMODAL_STATS,
         "multimodal_frame_sample": SQL_FRAME_SAMPLE,
+        "multimodal_features": SQL_MM_FEATURES,
         "s1_rest_source": SQL_REST,
         "s3_flatten_struct": SQL_FLATTEN,
         "s8_dim_date": SQL_S8_DIM_DATE,

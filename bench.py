@@ -38,7 +38,6 @@ HEADLINE = [
     "lsh_cosine_pairs",
     "minhash_lsh_pairs",
     "ann_cosine_topk",
-    "text_quality",
     "q3_topk_join_agg",
     "w1_window_analytics",
     "agg_rollup",

@@ -23,7 +23,8 @@ def test_bench_emits_one_json_line_with_contract_keys():
     lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
     assert len(lines) == 1, f"expected ONE stdout line, got {len(lines)}"
     payload = json.loads(lines[0])
-    assert set(payload) == {"metric", "value", "unit", "queries", "sf"}
+    assert {"metric", "value", "unit", "queries", "sf"} <= set(payload)
+    assert set(payload) <= {"metric", "value", "unit", "queries", "sf", "runs"}
     assert payload["unit"] == "sec" and payload["value"] > 0
     assert payload["sf"] == 0.001
     assert len(payload["queries"]) >= 15
