@@ -1393,7 +1393,12 @@ def q_t5_watermark_late_drop(spark: SparkSession, sf: str) -> DataFrame:
         windowed_counts_run,
     )
 
-    events = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    # withWatermark demands TimestampType; under the UTC session the
+    # NTZ→LTZ cast preserves wall time (no-op when ts already LTZ),
+    # and the sink emits date_format strings so no tz leaks downstream
+    events = _t(spark, sf, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     root = tempfile.mkdtemp(prefix="wapeql_wm_")
@@ -1404,10 +1409,11 @@ def q_t5_watermark_late_drop(spark: SparkSession, sf: str) -> DataFrame:
         ).select(
             "a",
             "b",
-            F.expr(
-                "date_trunc('day', "
-                "timestamp_micros((unix_micros(a) + unix_micros(b)) div 2))"
-            ).alias("split"),
+            # midpoint via interval arithmetic: works for TIMESTAMP and
+            # TIMESTAMP_NTZ alike (unix_micros rejects NTZ, and which
+            # type parquet TIMESTAMP(NANOS) reads as varies by Spark
+            # version: bigint via nanosAsLong on 4.0, NTZ on 4.1)
+            F.expr("date_trunc('day', a + (b - a) / 2)").alias("split"),
         ).first()
         tmax, split = probe["b"], probe["split"]
         sentinel_id = (
