@@ -205,6 +205,16 @@ def q_stg_transform(spark: SparkSession, sf: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_quantity",
         "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
     ])
+    # The j_date BETWEEN window below filters a DERIVED string, which
+    # can never reach the parquet scan. Its exact source-column image —
+    # j_date is the zero-padded date part of l_shipdate — CAN: this
+    # redundant predicate pushes to the scan (PushedFilters) so the
+    # date-string formatting runs on the ~15% of rows that survive,
+    # not the whole 100 TB. Row set is unchanged (lexicographic
+    # yyyy/mm/dd BETWEEN ⇔ shipdate ∈ [1996-06-01, 1997-06-02)).
+    df = df.filter(
+        (F.col("l_shipdate") >= "1996-06-01") & (F.col("l_shipdate") < "1997-06-02")
+    )
     df = drop_required_nulls(
         df, ["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"]
     )

@@ -135,29 +135,43 @@ def asof_join_keyless(
 
     Scale shape (a global sort/window would serialize onto one
     partition): range-bucket BOTH sides on evenly spaced cut points of
-    the RIGHT side's time span, cogroup per bucket, and merge each
-    bucket with an Arrow-batched ``pandas.merge_asof``. Bucket heads
-    are fixed by a driver-side prefix-carry: one tiny aggregate
-    computes each bucket's latest right row, a prefix scan hands bucket
-    b the latest row from buckets < b, and the per-bucket merge seeds
-    its right frame with that carry row. Cost: one min/max aggregate
-    over the SMALL right side (the left/fact side is never pre-scanned
-    — any cut points are correct, the carry fixes boundaries; an
-    approxQuantile over the left would add a full extra pass over the
-    big table purely for balance), one small aggregate, one cogroup
-    shuffle — all equi-partitioned, no global sort. Left rows beyond
-    the right span share the edge buckets; if the LEFT side is heavily
-    skewed inside the right span, pass explicit ``bounds``.
+    the RIGHT side's time span, union probe and build rows into one
+    frame, and run a per-bucket running ``last(right_struct,
+    ignoreNulls)`` window ordered by (time, side, struct) — right rows
+    sort before left rows at equal times (exact matches included) and
+    equal-time right rows resolve to the struct max. Everything stays
+    JVM-side in whole-stage codegen: no Python workers, no Arrow
+    transfer of the fact table (this replaced an applyInPandas
+    cogroup + pandas.merge_asof formulation — same results, ~3× less
+    wall time, and deterministic even with duplicate right times).
+    Bucket heads are fixed by a driver-side prefix-carry: one tiny
+    aggregate computes each bucket's latest right row, a prefix scan
+    hands bucket b the latest row from buckets < b, and that carry row
+    is injected as an extra build row of bucket b (its earlier
+    timestamp sorts it first inside the bucket). Cost: one min/max
+    aggregate over the SMALL right side (the left/fact side is never
+    pre-scanned — any cut points are correct, the carry fixes
+    boundaries; an approxQuantile over the left would add a full extra
+    pass over the big table purely for balance), one small aggregate,
+    one union shuffle into ``num_buckets`` window partitions — no
+    global sort. Left rows beyond the right span share the edge
+    buckets; if the LEFT side is heavily skewed inside the right span,
+    raise ``num_buckets``.
     """
-    import pandas as pd
-    from pyspark.sql.types import StructType
+    from pyspark.sql import Window
+    from pyspark.sql.types import IntegerType, StructField, StructType
 
     overlap = set(left.columns) & set(right.columns)
     if overlap:
         raise ValueError(f"left/right column collision: {sorted(overlap)}")
     lt, rt = left_time, right_time
     lf = left.filter(qcol(lt).isNotNull())
-    rf = right.filter(qcol(rt).isNotNull())
+    # The build side of an as-of is small BY CONTRACT (a per-period
+    # summary); the operator needs it for three separate jobs (span
+    # probe, per-bucket carry, final merge). Materialize it once —
+    # without this, an expensive upstream aggregate re-runs per job
+    # (measured 3× a 0.4s orders rollup at sf0.1).
+    rf = right.filter(qcol(rt).isNotNull()).localCheckpoint(eager=True)
     lcols, rcols = list(lf.columns), list(rf.columns)
 
     def _tnum(df: DataFrame, tcol: str):
@@ -200,46 +214,78 @@ def asof_join_keyless(
         .collect()
     )
     last_by_bucket = {int(r["__bucket"]): r["__last"].asDict() for r in per_bucket}
-    carry_map: dict[int, dict | None] = {}
+    carry_rows: list[tuple] = []
     running: dict | None = None
     for b in range(len(bounds) + 1):
-        carry_map[b] = running
+        if running is not None:
+            carry_rows.append(tuple([b] + [running[c] for c in rcols]))
         running = last_by_bucket.get(b, running)
 
-    out_cols = lcols + rcols
-
-    def merge(lp: pd.DataFrame, rp: pd.DataFrame) -> pd.DataFrame:
-        if lp.empty:
-            return pd.DataFrame(columns=out_cols)
-        b = int(lp["__bucket"].iloc[0])
-        lp = lp.drop(columns="__bucket").sort_values(lt, kind="mergesort")
-        if "__bucket" in rp.columns:
-            rp = rp.drop(columns="__bucket")
-        carry = carry_map.get(b)
-        if carry is not None:
-            cdf = pd.DataFrame([carry])[rcols]
-            if not rp.empty:
-                try:
-                    cdf = cdf.astype(rp.dtypes.to_dict())
-                except (TypeError, ValueError):
-                    pass
-            else:
-                cdf[rt] = cdf[rt].astype(lp[lt].dtype)
-            rp = pd.concat([cdf, rp], ignore_index=True) if not rp.empty else cdf
-        if rp.empty:
-            return pd.DataFrame(columns=out_cols)
-        rp = rp.sort_values(order_cols, kind="mergesort")
-        merged = pd.merge_asof(
-            lp, rp, left_on=lt, right_on=rt, direction="backward"
+    # build rows: right side (+ injected carry seeds), probe rows: left
+    rstruct = F.struct(*[qcol(c) for c in order_cols])
+    rfields = {f.name: f for f in rf.schema.fields}
+    build = rb.select(
+        F.col("__bucket"),
+        _tnum(rb, rt).alias("__t"),
+        F.lit(0).alias("__side"),
+        rstruct.alias("__r"),
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in lf.schema.fields],
+    )
+    if carry_rows:
+        seed_schema = StructType(
+            [StructField("__bucket", IntegerType(), False)]
+            + [rfields[c] for c in rcols]
         )
-        merged = merged.dropna(subset=[rt])
-        return merged[out_cols]
+        seeds = rb.sparkSession.createDataFrame(carry_rows, seed_schema)
+        build = build.unionByName(
+            seeds.select(
+                "__bucket",
+                _tnum(seeds, rt).alias("__t"),
+                F.lit(0).alias("__side"),
+                rstruct.alias("__r"),
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in lf.schema.fields
+                ],
+            )
+        )
+    rstruct_type = build.schema["__r"].dataType
+    probe = lb.select(
+        F.col("__bucket"),
+        _tnum(lb, lt).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(rstruct_type).alias("__r"),
+        *[qcol(c) for c in lcols],
+    )
 
-    schema = StructType(list(lf.schema.fields) + list(rf.schema.fields))
-    return (
-        lb.groupBy("__bucket")
-        .cogroup(rb.groupBy("__bucket"))
-        .applyInPandas(merge, schema=schema)
+    # constraint barrier: Spark 4.1's UnionBase.rewriteConstraints
+    # crashes (NoSuchElementException in PruneFilters) when a union
+    # child carries an isnotnull constraint on a nullable time column —
+    # exactly what the null-drop filters above create. inline(array(
+    # struct(...))) is a Generate node whose output attrs are fresh, so
+    # child constraints are severed before the union; one codegen'd
+    # no-op per side, no data movement.
+    def _barrier(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.inline(F.array(F.struct(*[df[_q(c)] for c in df.columns])))
+        )
+
+    # running last-non-null right struct per bucket: right rows sort
+    # before left rows at equal __t (backward as-of includes exact
+    # matches); equal-time right rows sort by __r so "last" = struct max
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__r").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = _barrier(build).unionByName(_barrier(probe)).withColumn(
+        "__m", F.last("__r", ignorenulls=True).over(w)
+    )
+    return matched.filter(
+        (F.col("__side") == 1) & F.col("__m").isNotNull()
+    ).select(
+        *[qcol(c) for c in lcols],
+        *[F.col("__m").getField(c).alias(c) for c in rcols],
     )
 
 
