@@ -118,12 +118,66 @@ def asof_join(
     )
 
 
+def _asof_keyless_discrete(
+    lf: DataFrame,
+    rf: DataFrame,
+    lt: str,
+    rt: str,
+    lcols: list[str],
+    rcols: list[str],
+    hi,
+) -> DataFrame:
+    """Discrete-domain fast path of ``asof_join_keyless`` for a
+    DATE-typed right side: densify the right rows into one covering row
+    per calendar day of the right span ([day, next day) validity,
+    computed with a lead window over the SMALL build side), then
+    broadcast equi-join the fact side on ``least(to_date(left_time),
+    max_day)``. The fact table is never shuffled and never window-sorted
+    — at 100 TB that deletes the union shuffle + per-bucket sort of the
+    generic path entirely; the only data movement is the broadcast of
+    one row per day of the right span. Tie semantics are identical to
+    the generic path: equal right days resolve to the struct max over
+    (time, remaining right columns)."""
+    from pyspark.sql import Window
+
+    order_cols = [rt] + [c for c in rcols if c != rt]
+    rstruct = F.struct(*[qcol(c) for c in order_cols])
+    # one row per distinct right day (to_date also normalizes a
+    # day-aligned timestamp right side), ties resolved exactly like the
+    # generic path's running-last (struct max)
+    rday = rf.groupBy(F.to_date(qcol(rt)).alias("__asof_d0")).agg(
+        F.max(rstruct).alias("__r")
+    )
+    # single-partition window: the build side is small BY CONTRACT (a
+    # per-period summary), and this runs over its DISTINCT days only
+    w = Window.orderBy("__asof_d0")
+    rexp = rday.withColumn(
+        "__asof_until",
+        F.coalesce(F.date_sub(F.lead("__asof_d0").over(w), 1), F.col("__asof_d0")),
+    ).select(
+        F.explode(F.sequence(F.col("__asof_d0"), F.col("__asof_until"))).alias(
+            "__asof_day"
+        ),
+        "__r",
+    )
+    # left rows beyond the right span clamp to the last right day; left
+    # rows before the span find no covering day and drop (inner as-of)
+    probe = lf.withColumn(
+        "__asof_day", F.least(F.to_date(qcol(lt)), F.lit(hi))
+    )
+    return probe.join(F.broadcast(rexp), "__asof_day", "inner").select(
+        *[qcol(c) for c in lcols],
+        *[F.col("__r").getField(c).alias(c) for c in rcols],
+    )
+
+
 def asof_join_keyless(
     left: DataFrame,
     right: DataFrame,
     left_time: str,
     right_time: str,
     num_buckets: int = 32,
+    discrete_max_days: int = 1_000_000,
 ) -> DataFrame:
     """Keyless AS-OF join (pure time ordering, no equi key): each left
     row matched to the single latest right row with
@@ -173,6 +227,40 @@ def asof_join_keyless(
     # (measured 3× a 0.4s orders rollup at sf0.1).
     rf = right.filter(qcol(rt).isNotNull()).localCheckpoint(eager=True)
     lcols, rcols = list(lf.columns), list(rf.columns)
+
+    # Discrete-domain fast path: a day-granular right side (DATE type,
+    # or a timestamp column whose values are all midnight — one probe
+    # aggregate over the SMALL checkpointed build side decides) over a
+    # bounded span needs no union-window merge at all — densified
+    # calendar days + one broadcast equi-join (zero fact-side shuffle).
+    # Falls through to the generic bucketed merge for continuous
+    # timestamps or an unbounded/empty span.
+    rt_tn = rf.schema[rt].dataType.typeName()
+    lt_tn = lf.schema[lt].dataType.typeName()
+    if (
+        discrete_max_days
+        and rt_tn in {"date", "timestamp", "timestamp_ntz"}
+        and lt_tn in {"date", "timestamp", "timestamp_ntz"}
+    ):
+        aggs = [
+            F.min(F.to_date(qcol(rt))).alias("lo"),
+            F.max(F.to_date(qcol(rt))).alias("hi"),
+        ]
+        if rt_tn != "date":
+            aggs.append(
+                F.max(
+                    (qcol(rt) != F.date_trunc("DAY", qcol(rt))).cast("int")
+                ).alias("misaligned")
+            )
+        dspan = rf.agg(*aggs).first()
+        dlo, dhi = dspan["lo"], dspan["hi"]
+        aligned = rt_tn == "date" or not dspan["misaligned"]
+        if (
+            dlo is not None
+            and aligned
+            and (dhi - dlo).days + 1 <= discrete_max_days
+        ):
+            return _asof_keyless_discrete(lf, rf, lt, rt, lcols, rcols, dhi)
 
     def _tnum(df: DataFrame, tcol: str):
         # monotonic numeric image of the time column (for quantiles +
