@@ -891,11 +891,13 @@ def q_j7_asof_keyless(spark: SparkSession, sf: str) -> DataFrame:
     """Keyless AS-OF join (operators.joins.asof_join_keyless): every
     event matched to the most recent DAILY ORDER SUMMARY row
     at-or-before the event timestamp — pure time ordering, no equi key.
-    Range-bucketed on time quantiles + cogrouped Arrow merge_asof per
-    bucket, with a driver-side prefix carry fixing bucket heads (no
-    global sort, no single-partition window). The daily aggregate gives
-    the right side unique times, so the result is engine-independent
-    and DuckDB's native ASOF JOIN is the oracle."""
+    The day-granular build side routes to the discrete fast path:
+    densified calendar days broadcast-equi-joined on to_date(ts), so
+    the event fact table is never shuffled or window-sorted (continuous
+    right sides use the range-bucketed union-window merge with a
+    driver-side prefix carry instead). The daily aggregate gives the
+    right side unique times, so the result is engine-independent and
+    DuckDB's native ASOF JOIN is the oracle."""
     from web_api_postgres_etl_spark.operators.joins import asof_join_keyless
 
     events = _t(spark, sf, "events").select("event_id", "user_id", "ts")

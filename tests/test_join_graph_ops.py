@@ -107,6 +107,68 @@ def test_asof_keyless_backward_with_bucket_carry(spark):
     }
 
 
+def test_asof_keyless_discrete_fast_path(spark):
+    """Day-granular right side takes the densify+broadcast fast path:
+    no union-window merge in the plan, and results match the generic
+    path on gaps, duplicate days, clamp-beyond-span, and
+    drop-before-span."""
+    from datetime import date, datetime
+
+    from web_api_postgres_etl_spark.operators.joins import asof_join_keyless
+
+    right = spark.createDataFrame(
+        [
+            (datetime(2020, 1, 1), 1),
+            (datetime(2020, 1, 1), 2),  # duplicate day — struct max wins
+            (datetime(2020, 1, 5), 3),  # 3-day gap before this row
+        ],
+        "d timestamp, v int",
+    )
+    left = spark.createDataFrame(
+        [
+            (1, datetime(2019, 12, 31, 9)),  # before span → dropped
+            (2, datetime(2020, 1, 1, 0)),    # exact match day
+            (3, datetime(2020, 1, 3, 23)),   # inside the gap
+            (4, datetime(2020, 2, 1, 5)),    # beyond span → clamps to last
+        ],
+        "id int, t timestamp",
+    )
+    fast = asof_join_keyless(left, right, "t", "d")
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "__bucket" not in plan
+    got = {r["id"]: (r["d"].date(), r["v"]) for r in fast.collect()}
+    assert got == {
+        2: (date(2020, 1, 1), 2),
+        3: (date(2020, 1, 1), 2),
+        4: (date(2020, 1, 5), 3),
+    }
+    generic = asof_join_keyless(left, right, "t", "d", discrete_max_days=0)
+    assert fast.exceptAll(generic).count() == 0
+    assert generic.exceptAll(fast).count() == 0
+
+
+def test_asof_keyless_misaligned_timestamps_fall_back(spark):
+    """A right side with intra-day times is NOT day-granular — the
+    probe aggregate must route it to the generic bucketed merge (a
+    densified-day join would change which row wins within a day)."""
+    from datetime import datetime
+
+    from web_api_postgres_etl_spark.operators.joins import asof_join_keyless
+
+    right = spark.createDataFrame(
+        [(datetime(2020, 1, 1, 9, 30), 1), (datetime(2020, 1, 1, 15, 0), 2)],
+        "d timestamp, v int",
+    )
+    left = spark.createDataFrame(
+        [(1, datetime(2020, 1, 1, 12, 0))], "id int, t timestamp"
+    )
+    out = asof_join_keyless(left, right, "t", "d")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__bucket" in plan  # generic union-window merge
+    got = {r["id"]: r["v"] for r in out.collect()}
+    assert got == {1: 1}  # 09:30 row, not the 15:00 row a day-join would pick
+
+
 def test_asof_keyless_empty_right_and_collision_guard(spark):
     import pytest
 
