@@ -148,6 +148,77 @@ def test_ivf_index_probe_prunes_partitions_and_matches_inline(spark, tmp_path):
     assert [tuple(r) for r in probe.collect()] == [tuple(r) for r in inline.collect()]
 
 
+def test_kmeans_recovers_planted_blobs(spark):
+    """Lloyd's iterations must move the fixed-sample init onto planted
+    cluster structure: three tight blobs around orthogonal axes → the
+    trained centroids land near the blob means and assignment groups
+    the corpus by blob."""
+    from web_api_postgres_etl_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_centroids,
+    )
+
+    # 30 vectors: blob b = axis-b unit vector + tiny deterministic jitter
+    rows = []
+    for i in range(30):
+        b = i % 3
+        v = [0.0] * 6
+        v[b] = 1.0
+        v[(b + 3)] = 0.01 * (i % 5)  # jitter off-axis, norm-preservingly small
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = kmeans_centroids(df, k=3, iters=4, every=10)
+    assert len(cents) == 3 and [c for c, _ in cents] == [0, 1, 2]
+    # each blob axis is dominant in exactly one trained centroid
+    dominant = sorted(max(range(6), key=lambda i: cv[i]) for _, cv in cents)
+    assert dominant == [0, 1, 2]
+    # assignment is pure by blob: every member of a blob shares a cluster
+    got = ivf_assign(df, cents).select("vec_id", "cluster").collect()
+    by_blob: dict[int, set[int]] = {}
+    for r in got:
+        by_blob.setdefault(int(r["vec_id"]) % 3, set()).add(int(r["cluster"]))
+    assert all(len(cl) == 1 for cl in by_blob.values())
+    # deterministic to float tolerance across retrains
+    again = kmeans_centroids(df, k=3, iters=4, every=10)
+    for (_, a), (_, b2) in zip(cents, again):
+        assert all(abs(x - y) < 1e-9 for x, y in zip(a, b2))
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    """A centroid that captures no members must survive the round
+    unchanged (no respawn, no crash) — k exceeds the distinct vectors."""
+    from web_api_postgres_etl_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_centroids(df, k=2, iters=2, every=1)
+    assert len(cents) == 2
+    assert all(len(cv) == 2 for _, cv in cents)
+
+
+def test_ivf_topk_accepts_trained_centroids(spark):
+    """ivf_topk with kmeans_centroids stays a valid top-k: results are
+    drawn from the probed clusters and ranked by cosine desc."""
+    from web_api_postgres_etl_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    cents = kmeans_centroids(emb, k=4, iters=2, every=11)
+    out = ivf_topk(emb, qvec, k=5, nprobe=2, centroids=cents).collect()
+    assert len(out) == 5
+    sims = [r["cosine_sim"] for r in out]
+    assert sims == sorted(sims, reverse=True)
+    assert out[0]["vec_id"] == 1 and out[0]["cosine_sim"] == 1.0
+
+
 def test_repetition_signals_flag_boilerplate(spark):
     from web_api_postgres_etl_spark.operators.dedup import repetition_signals
 

@@ -256,6 +256,64 @@ def ivf_centroids(
     return [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in rows]
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    every: int = 97,
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd's k-means over the embedding column (cosine
+    assignment, mean update) — the trained upgrade of the
+    ``ivf_centroids`` fixed sample, same return shape so every IVF
+    entry point accepts it via its ``centroids=`` parameter.
+
+    Deterministic by construction: initialization is the
+    ``ivf_centroids`` fixed sample (no RNG), re-labeled 0..k-1. Each
+    iteration is ONE Spark job: nearest-centroid assignment with the
+    current centroids as broadcast literals (``ivf_assign`` — no
+    shuffle of vectors), then the element-wise member mean per cluster
+    as a ``groupBy(cluster)`` of per-position ``avg`` columns — a
+    map-side-combinable aggregate whose shuffle carries k × dim partial
+    sums, not vectors. The driver holds only k × dim doubles per round.
+    An emptied cluster keeps its previous centroid (no respawn —
+    deterministic, and harmless for IVF where centroids are routing
+    structure, not a statistical claim). Mean floats are combined in
+    partition order, so trained values are reproducible only to float
+    tolerance — fine for routing, which is why the ORACLE-facing
+    entries keep the fixed sample.
+
+    At 100 TB: ``iters`` scans of the corpus at index-build time, each
+    embarrassingly parallel; nothing about the probe path changes.
+    """
+    if k < 1 or iters < 0:
+        raise ValueError(f"need k >= 1, iters >= 0, got k={k} iters={iters}")
+    init = ivf_centroids(corpus, id_col, vec_col, every, max_centroids=k)
+    if not init:
+        return []
+    cents = [(i, cvec) for i, (_, cvec) in enumerate(init)]
+    dim = len(cents[0][1])
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cents, id_col, vec_col)
+        means = (
+            assigned.groupBy("cluster")
+            .agg(
+                *[
+                    F.avg(F.element_at(F.col("__v"), i + 1)).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        by_cluster = {
+            int(r["cluster"]): [float(r[f"m{i}"]) for i in range(dim)]
+            for r in means
+        }
+        cents = [(cid, by_cluster.get(cid, prev)) for cid, prev in cents]
+    return cents
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -307,12 +365,15 @@ def ivf_topk(
     nprobe: int = 2,
     every: int = 97,
     max_centroids: int = 8,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: score only vectors assigned to the
     ``nprobe`` centroids nearest the query. The probe-set filter is the
     scale lever — with cluster as a partition column the scan touches
-    nprobe/|C| of the corpus."""
-    centroids = ivf_centroids(corpus, id_col, vec_col, every, max_centroids)
+    nprobe/|C| of the corpus. ``centroids`` accepts a pre-trained set
+    (``kmeans_centroids``); default is the deterministic fixed sample."""
+    if centroids is None:
+        centroids = ivf_centroids(corpus, id_col, vec_col, every, max_centroids)
     probed = sorted(
         centroids, key=lambda cv: (-_py_cos_key(query_vec, cv[1]), -cv[0])
     )[:nprobe]
@@ -342,14 +403,20 @@ def write_ivf_index(
     vec_col: str = "embedding",
     every: int = 97,
     max_centroids: int = 8,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Materialize the IVF index the probe path prunes against: assign
     clusters, write the corpus parquet PARTITIONED BY cluster (with the
     row norm precomputed), and persist the centroids as a tiny sidecar.
     This is the 'index build runs once' half of the IVF story — after
     it, a probe touches nprobe/|C| of the data via partition pruning
-    (PartitionFilters on the scan, asserted in tests)."""
-    cents = ivf_centroids(corpus, id_col, vec_col, every, max_centroids)
+    (PartitionFilters on the scan, asserted in tests). ``centroids``
+    accepts a pre-trained set (``kmeans_centroids``)."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, id_col, vec_col, every, max_centroids)
+    )
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
     (
         assigned.select(
