@@ -1,0 +1,105 @@
+"""Curation sampling: determinism, quota/budget enforcement, shard
+reproducibility (operators/sampling.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_api_postgres_etl_spark.operators.sampling import (
+    deterministic_split,
+    quota_by_group,
+    shuffle_shards,
+    token_budget_by_group,
+    write_shuffled_shards,
+)
+
+
+def _ids(spark, n=2000):
+    return spark.range(n).withColumnRenamed("id", "doc_id")
+
+
+def test_split_is_stable_and_roughly_proportional(spark):
+    df = _ids(spark)
+    out = deterministic_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.75 <= counts["train"] / 2000 <= 0.85
+    # partitioning-insensitive: identical labels after a reshuffle
+    again = deterministic_split(df.repartition(7), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"] for r in again.collect()}
+    assert a == b
+
+
+def test_split_never_migrates_when_corpus_grows(spark):
+    small = deterministic_split(_ids(spark, 500), "doc_id", {"train": 0.9, "val": 0.1})
+    big = deterministic_split(_ids(spark, 2000), "doc_id", {"train": 0.9, "val": 0.1})
+    s = {r["doc_id"]: r["split"] for r in small.collect()}
+    g = {r["doc_id"]: r["split"] for r in big.collect()}
+    assert all(g[d] == lbl for d, lbl in s.items())
+
+
+def test_split_rejects_bad_weights(spark):
+    with pytest.raises(ValueError):
+        deterministic_split(_ids(spark, 10), "doc_id", {})
+    with pytest.raises(ValueError):
+        deterministic_split(_ids(spark, 10), "doc_id", {"a": 0.0})
+
+
+def test_quota_caps_every_group_and_keeps_best_priority(spark):
+    rows = [(i, f"d{i % 3}", float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, score double")
+    capped = quota_by_group(df, "domain", "doc_id", quota=4, priority_col="score")
+    sizes = {r["domain"]: r["n"] for r in capped.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"d0": 4, "d1": 4, "d2": 4}
+    # priority DESC: each domain keeps its 4 highest scores
+    for dom, off in [("d0", 0), ("d1", 1), ("d2", 2)]:
+        ids = sorted(x["doc_id"] for x in capped.filter(F.col("domain") == dom).collect())
+        assert ids == [off + 18, off + 21, off + 24, off + 27]
+
+
+def test_quota_uniform_draw_is_deterministic(spark):
+    df = spark.createDataFrame([(i, f"d{i % 2}") for i in range(40)], "doc_id long, domain string")
+    a = sorted(r["doc_id"] for r in quota_by_group(df, "domain", "doc_id", 5).collect())
+    b = sorted(r["doc_id"] for r in quota_by_group(df.repartition(5), "domain", "doc_id", 5).collect())
+    assert a == b and len(a) == 10
+
+
+def test_token_budget_inclusive_running_sum(spark):
+    rows = [
+        (1, "en", 400, 9.0),
+        (2, "en", 400, 8.0),
+        (3, "en", 400, 7.0),   # third 400 would pass 1000 → dropped
+        (4, "en", 150, 6.0),   # would ALSO exceed: running order is by priority
+        (5, "fa", 2000, 9.0),  # single doc over budget → dropped
+        (6, "fa", 900, 8.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, tokens int, score double")
+    out = token_budget_by_group(df, "lang", "doc_id", "tokens", budget=1000, priority_col="score")
+    got = {r["doc_id"]: r["tokens_running"] for r in out.collect()}
+    assert got == {1: 400, 2: 800, 6: 900}
+
+
+def test_shards_partition_and_reproduce(spark, tmp_path):
+    df = _ids(spark, 300)
+    sharded = shuffle_shards(df, "doc_id", num_shards=8)
+    shards = [r["shard"] for r in sharded.select("shard").distinct().collect()]
+    assert set(shards) <= set(range(8)) and len(shards) == 8
+    # stable across partitioning
+    a = {r["doc_id"]: (r["shard"], r["shard_pos"]) for r in sharded.collect()}
+    b = {
+        r["doc_id"]: (r["shard"], r["shard_pos"])
+        for r in shuffle_shards(df.repartition(11), "doc_id", 8).collect()
+    }
+    assert a == b
+
+    path = str(tmp_path / "shards")
+    write_shuffled_shards(df, path, "doc_id", num_shards=8)
+    out = spark.read.parquet(path)
+    assert out.count() == 300
+    assert out.select("shard").distinct().count() == 8
+    # within a shard the file order IS the deterministic position order
+    one = spark.read.parquet(path + "/shard=3").coalesce(1).collect()
+    pos = [r["shard_pos"] for r in one]
+    assert pos == sorted(pos)

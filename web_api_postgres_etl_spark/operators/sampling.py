@@ -1,0 +1,185 @@
+"""Curation sampling operators for a training-data pipeline.
+
+The reference has no sampling surface (its pipelines move whole
+tables — mabna_tables_create.py:141-146); a 100 TB corpus pipeline
+needs deterministic, resumable selection: train/val splits that never
+move a document between splits across reruns, per-domain caps so no
+single source dominates (CCNet/Gopher-style), token-budget draws, and
+a reproducible global shuffle for shard writing.
+
+Design rules shared by every operator here:
+
+- **No RNG state.** Randomness is md5 of the id — the same row lands
+  in the same split/shard on every run, on any cluster, and the exact
+  construction is replicable in any SQL engine with md5 (same trade as
+  the MinHash/SimHash oracles in operators.dedup).
+- **No global sorts of the corpus.** Splits and shards are per-row
+  hash arithmetic (narrow, codegen'd); quota/budget caps use windows
+  partitioned by the group key, so state never exceeds one group's
+  rows per partition — skewed groups are bounded by the quota itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .project import qcol
+
+
+def hash_unit(id_col: Column | str, salt: str = "") -> Column:
+    """Deterministic uniform draw in [0, 1): the first 15 hex chars of
+    md5(salt || id) scaled by 16^15 — 60 bits of the digest, exactly
+    representable in a DOUBLE and bit-identical in any engine with md5
+    (the oracle writes the same conv/division)."""
+    c = qcol(id_col) if isinstance(id_col, str) else id_col
+    digest = F.md5(F.concat_ws("#", F.lit(salt), c.cast("string")))
+    return F.conv(F.substring(digest, 1, 15), 16, 10).cast("double") / F.lit(
+        float(16**15)
+    )
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row a split label ('train'/'val'/...) with the
+    given weights, keyed ONLY on md5(salt, id): stable across reruns,
+    insensitive to partitioning/row order, and a document can never
+    migrate between splits when the corpus grows (its draw depends on
+    its id alone). Weights are normalized; label boundaries are the
+    cumulative weight prefix. Returns the input plus a ``split``
+    column — a narrow projection, no shuffle."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError(f"weights must sum > 0, got {weights}")
+    u = hash_unit(id_col, salt)
+    acc = 0.0
+    expr = None
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def quota_by_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    quota: int,
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Keep at most ``quota`` rows per group (per-domain caps): rank
+    rows inside each group and keep rank ≤ quota. Ranking order is
+    ``priority_col`` DESC when given (keep the best N), else the
+    deterministic md5 draw (keep a uniform N); ``id_col`` breaks ties
+    so the result is a function of the data, not the partitioning.
+
+    Scale shape: one hash-partitioned window on the group key — state
+    per partition is one group at a time, and AQE's skew split handles
+    a hot domain. No global sort, no collect."""
+    if quota < 1:
+        raise ValueError(f"quota must be >= 1, got {quota}")
+    if priority_col is not None:
+        order = [qcol(priority_col).desc(), qcol(id_col).asc()]
+    else:
+        order = [hash_unit(id_col, "quota").asc(), qcol(id_col).asc()]
+    w = Window.partitionBy(qcol(group_col)).orderBy(*order)
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= quota)
+        .drop("__rank")
+    )
+
+
+def token_budget_by_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Select rows per group until the group's cumulative token count
+    reaches ``budget`` (the 'give me 10B tokens per language' draw).
+    Rows are taken in priority order (``priority_col`` DESC, else the
+    deterministic md5 draw), tie-broken by id; a row is kept while the
+    running total INCLUDING it stays within budget. Rows that are
+    individually over budget are pre-filtered — they could never be
+    kept, and must not poison their group's running sum. (A row that
+    fits individually but overflows the running sum still consumes it —
+    prefix semantics, not greedy knapsack, which would need sequential
+    state.) Adds ``tokens_running`` (the inclusive running sum over
+    surviving rows) for auditability.
+
+    Same scale shape as ``quota_by_group``: one window partitioned by
+    the group key, running sum bounded per group."""
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    df = df.filter(qcol(token_col).cast("long") <= budget)
+    if priority_col is not None:
+        order = [qcol(priority_col).desc(), qcol(id_col).asc()]
+    else:
+        order = [hash_unit(id_col, "budget").asc(), qcol(id_col).asc()]
+    w = (
+        Window.partitionBy(qcol(group_col))
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn(
+            "tokens_running", F.sum(qcol(token_col).cast("long")).over(w)
+        )
+        .filter(F.col("tokens_running") <= budget)
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    num_shards: int,
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic global shuffle for training-shard writing: every
+    row gets a ``shard`` in [0, num_shards) and a stable pseudorandom
+    position inside it, both pure functions of md5(salt, id). Writing
+    is ``.repartition(num_shards, "shard")`` + ``sortWithinPartitions
+    ("shard", "shard_pos")`` → ``partitionBy("shard")`` — one shuffle,
+    no global sort, and a rerun reproduces byte-identical shards (the
+    property that makes data-loading order auditable).
+
+    Returns the input plus ``shard`` and ``shard_pos`` columns so
+    callers can also just ``orderBy(shard, shard_pos)`` at small scale.
+    """
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    c = qcol(id_col).cast("string")
+    digest = F.md5(F.concat_ws("#", F.lit(salt), c))
+    key = F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
+    return df.withColumn("shard", (key % num_shards).cast("int")).withColumn(
+        "shard_pos", key
+    )
+
+
+def write_shuffled_shards(
+    df: DataFrame, path: str, id_col: str, num_shards: int, salt: str = "shard"
+) -> None:
+    """Materialize ``shuffle_shards`` as one parquet directory per
+    shard: a single hash shuffle into ``num_shards`` partitions, rows
+    ordered by the deterministic position within each."""
+    sharded = shuffle_shards(df, id_col, num_shards, salt)
+    (
+        sharded.repartition(num_shards, "shard")
+        .sortWithinPartitions("shard", "shard_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
