@@ -219,6 +219,51 @@ def test_ivf_topk_accepts_trained_centroids(spark):
     assert out[0]["vec_id"] == 1 and out[0]["cosine_sim"] == 1.0
 
 
+def test_dedup_corpus_lines_strips_shared_boilerplate(spark):
+    from web_api_postgres_etl_spark.operators.dedup import dedup_corpus_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha\nsubscribe to our newsletter\nunique beta"),
+            (2, "subscribe to our newsletter\nother content here"),
+            (3, "subscribe to our newsletter"),  # all boilerplate
+            (4, "repeated inside\nrepeated inside\nunique gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in dedup_corpus_lines(docs, "doc_id", "text").collect()}
+    assert out == {
+        1: "unique alpha\nunique beta",
+        2: "other content here",
+        3: "",  # survives, empty
+        # within-ONE-doc repetition is not corpus boilerplate (distinct
+        # doc counting) — both copies stay, order preserved
+        4: "repeated inside\nrepeated inside\nunique gamma",
+    }
+    # banned set rides a broadcast; corpus line bodies shuffle once
+    plan = dedup_corpus_lines(docs, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_redact_pii_tags_and_order(spark):
+    from web_api_postgres_etl_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk thanks"),
+            (2, "server 192.168.1.250 answered"),
+            (3, "call +1 (415) 555-0199 today"),
+            (4, "no pii in this sentence at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["t"] for r in df.select("doc_id", redact_pii("text").alias("t")).collect()}
+    assert out[1] == "mail me at <EMAIL> thanks"
+    assert out[2] == "server <IP> answered"
+    assert out[3] == "call <PHONE> today"
+    assert out[4] == "no pii in this sentence at all"
+
+
 def test_repetition_signals_flag_boilerplate(spark):
     from web_api_postgres_etl_spark.operators.dedup import repetition_signals
 

@@ -162,3 +162,26 @@ def fingerprint(text_col: Column | str) -> Column:
 def content_hash(text_col: Column | str) -> Column:
     """Exact content digest (md5 of raw text) — exact-dedup key."""
     return F.md5(_c(text_col))
+
+
+# Heuristic PII scrubbing for corpus curation: replaced in the order
+# email → IPv4 → phone, because the phone pattern's charset includes
+# dots and would otherwise swallow IPs, and emails contain digit runs.
+# These are recall-oriented regexes (a scrubber, not a validator):
+# some number-dense prose will be over-redacted by design.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(text_col: Column | str) -> Column:
+    """Replace emails, IPv4 addresses, and phone-number-shaped digit
+    runs with typed placeholder tags — chained ``regexp_replace``
+    (JVM-side, codegen; no UDF). Pattern order is load-bearing, see
+    ``PII_PATTERNS``."""
+    c = _c(text_col)
+    for _, pat, tag in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tag)
+    return c

@@ -479,6 +479,72 @@ def near_dup_pairs(
     return _jaccard_on_shingled(sh, cands, threshold)
 
 
+def dedup_corpus_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_docs: int = 1,
+    sep: str = "\n",
+    broadcast_banned: bool = True,
+) -> DataFrame:
+    """Corpus-level line dedup (C4/CCNet-style boilerplate strip):
+    remove every line that occurs in MORE than ``max_docs`` distinct
+    documents, preserving the remaining lines' order. Returns
+    (id, text) with the cleaned text; a document whose every line was
+    boilerplate survives with empty text (drop separately if desired).
+
+    Scale shape: lines are counted by md5 digest — the count shuffle
+    moves 16-byte keys, never line bodies; repeated lines within one
+    document count once (distinct doc-line pairs). The banned set is
+    only the FREQUENT lines — tiny by construction — and ships as a
+    broadcast anti-join, so the corpus itself is shuffled exactly once
+    (the per-document reassembly groupBy). Set
+    ``broadcast_banned=False`` if a pathological corpus makes the
+    banned set large; the anti-join then runs as a shuffle join.
+
+    ``sep`` is a regex for splitting but a literal for rejoining —
+    the newline default is both; pass only regex-neutral separators.
+    """
+    lines = ensure_parallelism(df).select(
+        qcol(id_col).alias("__id"),
+        F.posexplode(F.split(qcol(text_col), sep)).alias("__pos", "__line"),
+    ).withColumn("__k", F.md5(F.col("__line")))
+    banned = (
+        lines.select("__id", "__k")
+        .distinct()
+        .groupBy("__k")
+        .agg(F.count("*").alias("__docs"))
+        .filter(F.col("__docs") > max_docs)
+        .select("__k")
+    )
+    if broadcast_banned:
+        banned = F.broadcast(banned)
+    kept = lines.join(banned, "__k", "left_anti")
+    assembled = kept.groupBy("__id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__pos").alias("p"), F.col("__line").alias("l")
+                        )
+                    )
+                ),
+                lambda s: s.getField("l"),
+            ),
+        ).alias("__clean")
+    )
+    ids = df.select(qcol(id_col).alias("__id"))
+    return (
+        ids.join(assembled, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("__clean"), F.lit("")).alias(text_col),
+        )
+    )
+
+
 def _bit_mask(bit: int) -> int:
     """Signed-BIGINT mask for bit i (bit 63 is the sign bit)."""
     return 1 << bit if bit < 63 else -(2**63)
