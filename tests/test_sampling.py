@@ -81,6 +81,33 @@ def test_token_budget_inclusive_running_sum(spark):
     assert got == {1: 400, 2: 800, 6: 900}
 
 
+def test_pack_sequences_first_token_binning(spark):
+    from web_api_postgres_etl_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 300) for i in range(20)], "doc_id long, tokens int"
+    )
+    out = pack_sequences(df, "doc_id", "tokens", window=1000, num_shards=2)
+    rows = out.collect()
+    assert len(rows) == 20
+    # offsets are first-token positions: within [0, window)
+    assert all(0 <= r["pack_offset"] < 1000 for r in rows)
+    # per (shard, pack): total tokens never exceed window + one doc
+    by_pack: dict[tuple, int] = {}
+    for r in rows:
+        by_pack[(r["shard"], r["pack_id"])] = by_pack.get((r["shard"], r["pack_id"]), 0) + 300
+    assert all(tot <= 1000 + 300 for tot in by_pack.values())
+    # pack ids are dense from 0 within each shard
+    for s in {r["shard"] for r in rows}:
+        packs = sorted({r["pack_id"] for r in rows if r["shard"] == s})
+        assert packs == list(range(len(packs)))
+    # deterministic across partitioning
+    again = pack_sequences(df.repartition(7), "doc_id", "tokens", 1000, 2).collect()
+    a = {r["doc_id"]: (r["shard"], r["pack_id"], r["pack_offset"]) for r in rows}
+    b = {r["doc_id"]: (r["shard"], r["pack_id"], r["pack_offset"]) for r in again}
+    assert a == b
+
+
 def test_shards_partition_and_reproduce(spark, tmp_path):
     df = _ids(spark, 300)
     sharded = shuffle_shards(df, "doc_id", num_shards=8)

@@ -169,6 +169,51 @@ def shuffle_shards(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    window: int,
+    num_shards: int = 64,
+    salt: str = "pack",
+) -> DataFrame:
+    """Assign documents to fixed-token-window packs (the training-side
+    'concatenate docs to sequence length' step, minus tokenization):
+    every row gets (shard, pack_id, pack_offset) where ``pack_offset``
+    is the document's first token position inside its pack.
+
+    Construction: deterministic md5 shard + in-shard pseudorandom order
+    (both pure functions of the id), then an inclusive running token
+    sum per shard; ``pack_id = floor(exclusive_cumsum / window)`` — a
+    document lands in the pack holding its first token, so a pack can
+    overflow by at most one document's tokens (streaming first-token
+    binning, the standard approximation; exact bin packing is
+    sequential and not worth a distributed pass). Documents longer than
+    ``window`` still pack (they would overflow any pack); pre-split or
+    filter them upstream if the consumer requires hard caps.
+
+    Scale shape: one hash-partitioned window per shard — no global
+    sort, no driver state; reruns reproduce the identical packing.
+    """
+    if window < 1 or num_shards < 1:
+        raise ValueError(
+            f"need window >= 1 and num_shards >= 1, got {window}, {num_shards}"
+        )
+    sharded = shuffle_shards(df, id_col, num_shards, salt)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("shard_pos").asc(), qcol(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum(qcol(token_col).cast("long")).over(w)
+    excl = run - qcol(token_col).cast("long")
+    return (
+        sharded.withColumn("pack_id", F.floor(excl / F.lit(window)))
+        .withColumn("pack_offset", excl - F.col("pack_id") * F.lit(window))
+        .drop("shard_pos")
+    )
+
+
 def write_shuffled_shards(
     df: DataFrame, path: str, id_col: str, num_shards: int, salt: str = "shard"
 ) -> None:
