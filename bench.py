@@ -62,15 +62,16 @@ def main() -> None:
         except Exception:
             pass
 
-    # best-of-2: single-shot timings on a busy box swing ±20%; the min
-    # of two runs is the steady-state number (results identical per run).
-    # Raw per-run samples are published under "runs" so round-over-round
+    # best-of-3: single-shot timings on a busy box swing ±20% (the host
+    # carries noisy neighbors); the min of three runs is the
+    # steady-state number (results identical per run). Raw per-run
+    # samples are published under "runs" so round-over-round
     # comparisons can see the variance, not just the min.
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         samples = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = queries[name](spark, sf_dir)
             df.count()
