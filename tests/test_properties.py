@@ -152,3 +152,38 @@ def test_asof_keyless_matches_bruteforce_model(spark, lts, rts, buckets):
     out = asof_join_keyless(left, right, "t", "rt", num_buckets=buckets)
     got = {r["lid"]: (r["rt"], r["tag"]) for r in out.collect()}
     assert got == _model_asof_keyless(left_rows, right_rows)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=120), min_size=1, max_size=20),
+    st.sets(st.integers(min_value=0, max_value=120), min_size=0, max_size=10),
+)
+def test_asof_keyless_discrete_matches_bruteforce_model(spark, lds, rds):
+    """The DATE-typed fast path (densified days + broadcast equi-join)
+    must agree with the same brute-force latest-at-or-before model the
+    generic bucketed path is pinned to — arbitrary gaps, spans, and
+    out-of-span left rows included."""
+    from datetime import date, timedelta
+
+    from web_api_postgres_etl_spark.operators.joins import asof_join_keyless
+
+    base = date(2021, 1, 1)
+    left_rows = [(i, d) for i, d in enumerate(lds)]
+    right_rows = [(d, f"tag{d}") for d in sorted(rds)]
+    left = spark.createDataFrame(
+        [(i, base + timedelta(days=d)) for i, d in left_rows], "lid long, t date"
+    )
+    right = (
+        spark.createDataFrame(
+            [(base + timedelta(days=d), tag) for d, tag in right_rows],
+            "rt date, tag string",
+        )
+        if right_rows
+        else spark.createDataFrame([], "rt date, tag string")
+    )
+    out = asof_join_keyless(left, right, "t", "rt")
+    got = {
+        r["lid"]: ((r["rt"] - base).days, r["tag"]) for r in out.collect()
+    }
+    assert got == _model_asof_keyless(left_rows, right_rows)
