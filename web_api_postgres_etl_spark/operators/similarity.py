@@ -78,18 +78,26 @@ def cosine_pairs(
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold (exact). Quadratic — the
     verification path for LSH candidates; do not run standalone at
-    100 TB (use ``rhp_lsh_pairs`` to generate candidates first)."""
+    100 TB (use ``rhp_lsh_pairs`` to generate candidates first).
+
+    Norms are computed ONCE per vector and carried into the pair stage
+    (one fold per pair instead of three); the per-vector norm fold
+    produces the identical double either way, so results are
+    bit-identical to the inline-``cosine`` form the oracle mirrors."""
     prepped = corpus.select(
         qcol(id_col).alias("__id"), as_double_array(vec_col).alias("__v")
-    )
+    ).select("__id", "__v", l2_norm(F.col("__v")).alias("__n"))
     a = prepped.alias("a")
     b = prepped.alias("b")
+    sim = dot(F.col("a.__v"), F.col("b.__v")) / F.nullif(
+        F.col("a.__n") * F.col("b.__n"), F.lit(0.0)
+    )
     return (
         a.join(b, F.col("a.__id") < F.col("b.__id"))
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6).alias("cosine_sim"),
+            F.round(sim, 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -490,12 +498,19 @@ def nearest_neighbor_join(
     100 TB shape is ``lsh_nn_join`` (band equi-join instead of the
     cross join, same downstream window).
     """
-    l = left.select(qcol(left_id).alias("__lid"), as_double_array(vec_col).alias("__lv"))
-    r = right.select(qcol(right_id).alias("__rid"), as_double_array(vec_col).alias("__rv"))
+    l = left.select(
+        qcol(left_id).alias("__lid"), as_double_array(vec_col).alias("__lv")
+    ).select("__lid", "__lv", l2_norm(F.col("__lv")).alias("__lnorm"))
+    r = right.select(
+        qcol(right_id).alias("__rid"), as_double_array(vec_col).alias("__rv")
+    ).select("__rid", "__rv", l2_norm(F.col("__rv")).alias("__rnorm"))
+    sim = dot(F.col("__lv"), F.col("__rv")) / F.nullif(
+        F.col("__lnorm") * F.col("__rnorm"), F.lit(0.0)
+    )
     scored = l.crossJoin(F.broadcast(r)).select(
         "__lid",
         "__rid",
-        F.round(cosine(F.col("__lv"), F.col("__rv")), 6).alias("cosine_sim"),
+        F.round(sim, 6).alias("cosine_sim"),
     )
     w = Window.partitionBy("__lid").orderBy(F.col("cosine_sim").desc(), F.col("__rid"))
     return (
@@ -611,16 +626,26 @@ def lsh_cosine_pairs(
         .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
         .distinct()
     )
-    va = prep.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
-    vb = prep.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    # norms once per vector, one fold per candidate pair (bit-identical
+    # to inline cosine — the norm fold yields the same double)
+    withn = prep.select("__id", "__v", l2_norm(F.col("__v")).alias("__n"))
+    va = withn.select(
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    vb = withn.select(
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    sim = dot(F.col("__va"), F.col("__vb")) / F.nullif(
+        F.col("__na") * F.col("__nb"), F.lit(0.0)
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine_sim"),
-        )
+        .select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
 
@@ -691,14 +716,19 @@ def lsh_nn_join(
         .select("__lid", "__rid")
         .distinct()
     )
+    l_norm = l_prep.select(
+        "__lid", "__lv", l2_norm(F.col("__lv")).alias("__lnorm")
+    )
+    r_norm = r_prep.select(
+        "__rid", "__rv", l2_norm(F.col("__rv")).alias("__rnorm")
+    )
+    sim = dot(F.col("__lv"), F.col("__rv")) / F.nullif(
+        F.col("__lnorm") * F.col("__rnorm"), F.lit(0.0)
+    )
     scored = (
-        cand.join(l_prep, "__lid")
-        .join(r_prep, "__rid")
-        .select(
-            "__lid",
-            "__rid",
-            F.round(cosine(F.col("__lv"), F.col("__rv")), 6).alias("cosine_sim"),
-        )
+        cand.join(l_norm, "__lid")
+        .join(r_norm, "__rid")
+        .select("__lid", "__rid", F.round(sim, 6).alias("cosine_sim"))
     )
     w = Window.partitionBy("__lid").orderBy(
         F.col("cosine_sim").desc(), F.col("__rid")
