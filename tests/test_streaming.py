@@ -104,3 +104,59 @@ def test_dedup_stream_suppresses_in_flight_duplicates(spark, tmp_path):
         assert got[3] == "first"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_curation_stream_filters_scrubs_and_dedups(spark, tmp_path):
+    """Streaming curation ingest: low-quality rows never land, PII is
+    scrubbed before landing, and in-flight dedup keys on the SCRUBBED
+    digest — two docs differing only in their PII collapse to one."""
+    import datetime as dt
+
+    from web_api_postgres_etl_spark.streaming.curation_stream import (
+        curate_batch,
+        curation_stream_run,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    T = dt.datetime(2024, 1, 1, 12, 0, 0)
+    GOOD1 = "the cat sat on the mat with a dog and it was fine"
+    JUNK = "@@@@ #### $$$$ %%%%"
+    PII_V1 = "mail me at jane@example.com for the info and the rest"
+    PII_V2 = "mail me at omar@example.org for the info and the rest"
+    GOOD2 = "this is a second fine document about the same engine"
+
+    def rows(items):
+        return spark.createDataFrame(
+            [(i, T + dt.timedelta(minutes=m), tx) for i, m, tx in items],
+            "doc_id long, ts timestamp, text string",
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        b1 = [(1, 0, GOOD1), (2, 1, JUNK), (3, 2, PII_V1)]
+        b2 = [(4, 3, PII_V2), (5, 4, GOOD2), (6, 5, GOOD1)]
+        sch = rows(b1).schema
+        for b in (b1, b2):
+            rows(b).write.parquet(src, mode="append")
+            curation_stream_run(
+                spark, src, sink, ckpt, sch, min_quality=0.5, watermark="1 hour"
+            )
+        out = spark.read.parquet(sink)
+        got = {r["doc_id"]: r["text"] for r in out.collect()}
+        assert set(got) == {1, 3, 5}, got  # junk gone; 4 and 6 deduped
+        assert got[3] == "mail me at <EMAIL> for the info and the rest"
+        assert "<EMAIL>" not in got[1]
+        # batch equivalence: same digests as one-shot curate + dedup
+        batch = curate_batch(rows(b1 + b2), min_quality=0.5)
+        expected = {
+            r["content_digest"]
+            for r in batch.select("content_digest").distinct().collect()
+        }
+        assert {
+            r["content_digest"] for r in out.select("content_digest").collect()
+        } == expected
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
