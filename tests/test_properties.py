@@ -187,3 +187,78 @@ def test_asof_keyless_discrete_matches_bruteforce_model(spark, lds, rds):
         r["lid"]: ((r["rt"] - base).days, r["tag"]) for r in out.collect()
     }
     assert got == _model_asof_keyless(left_rows, right_rows)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # group
+            st.integers(min_value=1, max_value=500),    # tokens
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=1, max_value=800),
+)
+def test_token_budget_matches_sequential_model(spark, rows, budget):
+    """token_budget_by_group == the sequential model: per group, walk
+    rows in (md5 draw, id) order, keep while the inclusive running sum
+    fits, with individually-oversized rows removed up front."""
+    from web_api_postgres_etl_spark.operators.sampling import (
+        hash_unit,
+        token_budget_by_group,
+    )
+
+    data = [(i, f"g{g}", t) for i, (g, t) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, grp string, tokens int")
+    # materialize the engine's own draw so the model sorts identically
+    draws = {
+        r["doc_id"]: r["u"]
+        for r in df.select(
+            "doc_id", hash_unit("doc_id", "budget").alias("u")
+        ).collect()
+    }
+    expected = {}
+    by_group: dict[str, list[tuple]] = {}
+    for i, g, t in data:
+        if t <= budget:
+            by_group.setdefault(g, []).append((draws[i], i, t))
+    for g, items in by_group.items():
+        run = 0
+        for _, i, t in sorted(items):
+            if run + t > budget:
+                break
+            run += t
+            expected[i] = run
+    got = {
+        r["doc_id"]: r["tokens_running"]
+        for r in token_budget_by_group(
+            df, "grp", "doc_id", "tokens", budget
+        ).collect()
+    }
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=40),
+    st.integers(min_value=1, max_value=6),
+)
+def test_quota_by_group_never_exceeds_and_is_stable(spark, groups, quota):
+    from web_api_postgres_etl_spark.operators.sampling import quota_by_group
+
+    data = [(i, f"g{g}") for i, g in enumerate(groups)]
+    df = spark.createDataFrame(data, "doc_id long, grp string")
+    out = quota_by_group(df, "grp", "doc_id", quota)
+    rows_out = [(r["doc_id"], r["grp"]) for r in out.collect()]
+    per_group: dict[str, int] = {}
+    for _, g in rows_out:
+        per_group[g] = per_group.get(g, 0) + 1
+    want = {g: min(groups.count(int(g[1:])), quota) for g in per_group}
+    assert per_group == want
+    again = sorted(
+        (r["doc_id"], r["grp"])
+        for r in quota_by_group(df.repartition(5), "grp", "doc_id", quota).collect()
+    )
+    assert sorted(rows_out) == again
