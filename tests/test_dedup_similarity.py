@@ -219,6 +219,37 @@ def test_ivf_topk_accepts_trained_centroids(spark):
     assert out[0]["vec_id"] == 1 and out[0]["cosine_sim"] == 1.0
 
 
+def test_minhash_survives_null_text(spark):
+    """A NULL-text document must flow through the shingle path as an
+    empty shingle array (NULL signature row), not crash the NGram UDF."""
+    from web_api_postgres_etl_spark.operators.dedup import (
+        minhash_table,
+        near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, None), (3, "the quick brown cat")],
+        "doc_id long, text string",
+    )
+    mh = minhash_table(docs, "doc_id", "text", shingle_n=2, num_hashes=4)
+    rows = {r["doc_id"]: r for r in mh.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2]["mh_0"] is None  # token-less → NULL signature
+    assert rows[1]["mh_0"] is not None
+    # the fused pipeline drops the null doc via drop_empty and still runs
+    assert near_dup_pairs(docs, "doc_id", "text", 2, 4, 2, 0.1).count() >= 0
+
+
+def test_dedup_corpus_lines_preserves_null_text(spark):
+    from web_api_postgres_etl_spark.operators.dedup import dedup_corpus_lines
+
+    docs = spark.createDataFrame(
+        [(1, "keep me"), (2, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["text"] for r in dedup_corpus_lines(docs, "doc_id", "text").collect()}
+    assert got == {1: "keep me", 2: None}
+
+
 def test_dedup_corpus_lines_strips_shared_boilerplate(spark):
     from web_api_postgres_etl_spark.operators.dedup import dedup_corpus_lines
 

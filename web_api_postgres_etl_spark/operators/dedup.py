@@ -170,15 +170,24 @@ def _shingled(
 
     ``drop_empty`` removes shingle-less documents via a TOKEN-COUNT
     pre-filter on the source (zero shingles ⇔ fewer than n tokens)."""
-    from pyspark.ml.feature import NGram
-
     src = ensure_parallelism(df)
     if drop_empty:
         src = src.filter(F.size(normalized_tokens(text_col)) >= n)
     toks = src.select(
         qcol(id_col).alias("__id"),
-        normalized_tokens(text_col).alias("__toks"),
+        # coalesce: NULL text tokenizes to NULL, and NGram's Scala UDF
+        # NPEs on a NULL array where the HOF form yielded [] — pin the
+        # empty-array behavior for both implementations
+        F.coalesce(
+            normalized_tokens(text_col), F.array().cast("array<string>")
+        ).alias("__toks"),
     )
+    try:
+        from pyspark.ml.feature import NGram
+    except ImportError:  # pyspark.ml needs numpy; stay pure-Column without
+        return toks.select(
+            "__id", word_shingles(F.col("__toks"), n).alias("__sh")
+        )
     sh = NGram(n=n, inputCol="__toks", outputCol="__sh").transform(toks)
     return sh.select("__id", "__sh")
 
@@ -504,6 +513,13 @@ def dedup_corpus_lines(
 
     ``sep`` is a regex for splitting but a literal for rejoining —
     the newline default is both; pass only regex-neutral separators.
+
+    Cost note: the corpus is READ twice (once to count line digests,
+    once to probe the anti-join) — deliberate: materializing the
+    exploded line frame to avoid the second pass would write a
+    corpus-sized intermediate to executor storage, which loses to
+    recomputing split+md5 for text-shaped data. ``.persist()`` the
+    input yourself for small corpora if the scan dominates.
     """
     lines = ensure_parallelism(df).select(
         qcol(id_col).alias("__id"),
@@ -535,12 +551,18 @@ def dedup_corpus_lines(
             ),
         ).alias("__clean")
     )
-    ids = df.select(qcol(id_col).alias("__id"))
+    # preserve the NULL/empty distinction: only docs that HAD text get
+    # the empty-string backfill when every line was boilerplate
+    ids = df.select(
+        qcol(id_col).alias("__id"), qcol(text_col).isNotNull().alias("__had")
+    )
     return (
         ids.join(assembled, "__id", "left")
         .select(
             F.col("__id").alias(id_col),
-            F.coalesce(F.col("__clean"), F.lit("")).alias(text_col),
+            F.when(
+                F.col("__had"), F.coalesce(F.col("__clean"), F.lit(""))
+            ).alias(text_col),
         )
     )
 

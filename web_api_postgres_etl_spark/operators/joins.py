@@ -235,16 +235,33 @@ def asof_join_keyless(
     # calendar days + one broadcast equi-join (zero fact-side shuffle).
     # Falls through to the generic bucketed merge for continuous
     # timestamps or an unbounded/empty span.
+    def _tnum(df: DataFrame, tcol: str):
+        # monotonic numeric image of the time column (for quantiles +
+        # bucket assignment only — the merge compares raw values);
+        # TIMESTAMP_NTZ/DATE need the ltz hop to reach DOUBLE
+        if df.schema[tcol].dataType.typeName() in {
+            "timestamp", "timestamp_ntz", "date"
+        }:
+            return qcol(tcol).cast("timestamp_ltz").cast("double")
+        return qcol(tcol).cast("double")
+
     rt_tn = rf.schema[rt].dataType.typeName()
     lt_tn = lf.schema[lt].dataType.typeName()
+    num_lo = num_hi = None
+    probed_num = False
     if (
         discrete_max_days
         and rt_tn in {"date", "timestamp", "timestamp_ntz"}
         and lt_tn in {"date", "timestamp", "timestamp_ntz"}
     ):
+        # ONE probe aggregate decides the fast path AND carries the
+        # numeric span the generic fallback needs — a misaligned right
+        # side must not pay a second driver-blocking job
         aggs = [
             F.min(F.to_date(qcol(rt))).alias("lo"),
             F.max(F.to_date(qcol(rt))).alias("hi"),
+            F.min(_tnum(rf, rt)).alias("nlo"),
+            F.max(_tnum(rf, rt)).alias("nhi"),
         ]
         if rt_tn != "date":
             aggs.append(
@@ -261,29 +278,23 @@ def asof_join_keyless(
             and (dhi - dlo).days + 1 <= discrete_max_days
         ):
             return _asof_keyless_discrete(lf, rf, lt, rt, lcols, rcols, dhi)
-
-    def _tnum(df: DataFrame, tcol: str):
-        # monotonic numeric image of the time column (for quantiles +
-        # bucket assignment only — the merge compares raw values);
-        # TIMESTAMP_NTZ/DATE need the ltz hop to reach DOUBLE
-        if df.schema[tcol].dataType.typeName() in {
-            "timestamp", "timestamp_ntz", "date"
-        }:
-            return qcol(tcol).cast("timestamp_ltz").cast("double")
-        return qcol(tcol).cast("double")
+        num_lo, num_hi = dspan["nlo"], dspan["nhi"]
+        probed_num = True
 
     # evenly spaced cut points across the right side's [min, max] time
     # span (any cuts are CORRECT — the carry fixes boundaries — cuts
     # only balance work); num_buckets=1 means no cuts (single bucket)
     bounds: list[float] = []
     if num_buckets > 1:
-        span = rf.agg(
-            F.min(_tnum(rf, rt)).alias("lo"), F.max(_tnum(rf, rt)).alias("hi")
-        ).first()
-        lo, hi = span["lo"], span["hi"]
-        if lo is not None and hi is not None and hi > lo:
-            step = (hi - lo) / num_buckets
-            bounds = sorted({lo + i * step for i in range(1, num_buckets)})
+        if not probed_num:
+            span = rf.agg(
+                F.min(_tnum(rf, rt)).alias("lo"),
+                F.max(_tnum(rf, rt)).alias("hi"),
+            ).first()
+            num_lo, num_hi = span["lo"], span["hi"]
+        if num_lo is not None and num_hi is not None and num_hi > num_lo:
+            step = (num_hi - num_lo) / num_buckets
+            bounds = sorted({num_lo + i * step for i in range(1, num_buckets)})
     barr = F.array(*[F.lit(float(b)) for b in bounds])
 
     def bucketed(df: DataFrame, tcol: str) -> DataFrame:

@@ -27,16 +27,22 @@ from pyspark.sql import functions as F
 from .project import qcol
 
 
-def hash_unit(id_col: Column | str, salt: str = "") -> Column:
-    """Deterministic uniform draw in [0, 1): the first 15 hex chars of
-    md5(salt || id) scaled by 16^15 — 60 bits of the digest, exactly
-    representable in a DOUBLE and bit-identical in any engine with md5
-    (the oracle writes the same conv/division)."""
+def _md5_key(id_col: Column | str, salt: str, hex_chars: int) -> Column:
+    """The ONE definition of the portable md5 integer key every
+    sampling draw derives from: the first ``hex_chars`` hex chars of
+    md5(salt # id) as a BIGINT — replicable in any engine with md5."""
     c = qcol(id_col) if isinstance(id_col, str) else id_col
     digest = F.md5(F.concat_ws("#", F.lit(salt), c.cast("string")))
-    return F.conv(F.substring(digest, 1, 15), 16, 10).cast("double") / F.lit(
-        float(16**15)
-    )
+    return F.conv(F.substring(digest, 1, hex_chars), 16, 10).cast("long")
+
+
+def hash_unit(id_col: Column | str, salt: str = "") -> Column:
+    """Deterministic uniform draw in [0, 1): the first 13 hex chars of
+    md5(salt || id) scaled by 16^13. 13 hex chars = 52 bits, within the
+    DOUBLE mantissa, so the integer→double cast is EXACT and any SQL
+    engine computing the same construction lands on the identical
+    double — no rounding disagreement at split boundaries."""
+    return _md5_key(id_col, salt, 13).cast("double") / F.lit(float(16**13))
 
 
 def deterministic_split(
@@ -157,13 +163,13 @@ def shuffle_shards(
     property that makes data-loading order auditable).
 
     Returns the input plus ``shard`` and ``shard_pos`` columns so
-    callers can also just ``orderBy(shard, shard_pos)`` at small scale.
+    callers can also just ``orderBy(shard, shard_pos, id)`` at small
+    scale (always tie-break on the id: ``shard_pos`` is a 60-bit
+    digest, which WILL collide at billions of rows).
     """
     if num_shards < 1:
         raise ValueError(f"num_shards must be >= 1, got {num_shards}")
-    c = qcol(id_col).cast("string")
-    digest = F.md5(F.concat_ws("#", F.lit(salt), c))
-    key = F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
+    key = _md5_key(id_col, salt, 15)
     return df.withColumn("shard", (key % num_shards).cast("int")).withColumn(
         "shard_pos", key
     )
@@ -222,8 +228,11 @@ def write_shuffled_shards(
     ordered by the deterministic position within each."""
     sharded = shuffle_shards(df, id_col, num_shards, salt)
     (
+        # id tiebreaker: shard_pos is a 60-bit digest — collisions are
+        # expected at billions of rows, and an untied sort would make
+        # "byte-identical rerun" silently false exactly at scale
         sharded.repartition(num_shards, "shard")
-        .sortWithinPartitions("shard", "shard_pos")
+        .sortWithinPartitions("shard", "shard_pos", qcol(id_col))
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)

@@ -33,7 +33,7 @@ def curate_batch(
     THIS): score quality on the raw text, drop low-quality rows, scrub
     PII, and attach the exact-dup digest of the SCRUBBED text (dedup
     must key on what actually lands in the corpus)."""
-    scored = df.withColumn("quality", F.round(quality_score(text_col), 6))
+    scored = df.withColumn("quality", quality_score(text_col))
     kept = scored.filter(F.col("quality") >= min_quality)
     scrubbed = kept.withColumn(text_col, redact_pii(text_col))
     return scrubbed.withColumn("content_digest", content_hash(text_col))
