@@ -48,6 +48,65 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
 
 
+# ------------------------------------------------ SQL-text expression kit
+# Every Column method call is one py4j round-trip (~0.5–1 ms of driver
+# latency). The loop-built vector expressions below (64-element array
+# literals, per-plane folds, per-bit sign tests) cost THOUSANDS of round
+# trips when composed from Column objects — 2+ s of pure driver time per
+# query construction, on a real cluster exactly as on local mode. These
+# helpers render the identical expression tree as ONE SQL string handed
+# to a single F.expr/selectExpr call. Value semantics are unchanged: the
+# SQL parser produces the same Catalyst nodes (ArrayAggregate /
+# ZipWith / CaseWhen) the Column API would, so fold order — and
+# therefore oracle bit-parity — is preserved.
+
+
+def _dlit(x: float) -> str:
+    """Exact Spark-SQL DOUBLE literal for a Python float (repr
+    round-trips through Java's Double.parseDouble to the same bits)."""
+    x = float(x)
+    if x != x or x == float("inf") or x == float("-inf"):
+        return f"CAST('{x}' AS DOUBLE)"
+    return repr(x) + "D"
+
+
+def _qident(name: str) -> str:
+    """Backtick-quoted SQL identifier (safe for dotted names)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _sql_to_double(arr_sql: str) -> str:
+    """array<float> → array<double>, elementwise (same cast
+    ``as_double_array`` applies)."""
+    return f"transform({arr_sql}, x -> CAST(x AS DOUBLE))"
+
+
+def _sql_array_lit(vec) -> str:
+    """Literal array<double> from a Python vector."""
+    return "array(" + ", ".join(_dlit(v) for v in vec) + ")"
+
+
+def _sql_dot(a_sql: str, b_sql: str) -> str:
+    """Same strict left fold as ``dot`` — deterministic accumulation."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _sql_norm(a_sql: str) -> str:
+    return f"sqrt({_sql_dot(a_sql, a_sql)})"
+
+
+def _sql_cosine(a_sql: str, b_sql: str) -> str:
+    """Inline-norm cosine — mirrors ``cosine`` exactly (norms inside
+    the expression, nullif zero guard)."""
+    return (
+        f"({_sql_dot(a_sql, b_sql)} / "
+        f"nullif({_sql_norm(a_sql)} * {_sql_norm(b_sql)}, 0.0D))"
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     query_vec: list[float],
@@ -62,10 +121,11 @@ def cosine_topk(
     at scale prefer ``ORDER BY … LIMIT k`` which Spark executes as a
     per-partition top-k + tiny final merge (TakeOrderedAndProject).
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = _sql_to_double(_qident(vec_col))
+    q = _sql_array_lit(query_vec)
     scored = corpus.select(
         qcol(id_col).alias(id_col),
-        F.round(cosine(as_double_array(vec_col), q), 6).alias("cosine_sim"),
+        F.expr(f"round({_sql_cosine(v, q)}, 6)").alias("cosine_sim"),
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
 
@@ -86,11 +146,11 @@ def cosine_pairs(
     bit-identical to the inline-``cosine`` form the oracle mirrors."""
     prepped = corpus.select(
         qcol(id_col).alias("__id"), as_double_array(vec_col).alias("__v")
-    ).select("__id", "__v", l2_norm(F.col("__v")).alias("__n"))
+    ).selectExpr("__id", "__v", f"{_sql_norm('__v')} AS __n")
     a = prepped.alias("a")
     b = prepped.alias("b")
-    sim = dot(F.col("a.__v"), F.col("b.__v")) / F.nullif(
-        F.col("a.__n") * F.col("b.__n"), F.lit(0.0)
+    sim = F.expr(
+        f"{_sql_dot('a.__v', 'b.__v')} / nullif(a.__n * b.__n, 0.0D)"
     )
     return (
         a.join(b, F.col("a.__id") < F.col("b.__id"))
@@ -104,24 +164,26 @@ def cosine_pairs(
 
 
 # ------------------------------------------------------------------ LSH
-def _hyperplane_sign(plane: int, dim_index: Column) -> Column:
+def _sql_hyperplane_sign(plane: int, dim_index: int) -> str:
     """Deterministic ±1 weight for (plane, dim): sign of xxhash64."""
-    h = F.xxhash64(F.concat_ws(":", F.lit(str(plane)), dim_index.cast("string")))
-    return F.when(h >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    return (
+        f"CASE WHEN xxhash64(concat_ws(':', '{plane}', '{dim_index}')) >= 0 "
+        "THEN 1.0D ELSE -1.0D END"
+    )
 
 
 def hyperplane_matrix(spark, dims: int, num_planes: int) -> list[list[float]]:
     """±1 hyperplane weights, derived once from xxhash64(plane, dim) —
     no stored model, reproducible across runs/sessions/executors. One
-    tiny Spark job (num_planes × dims cells) materializes them so the
-    per-row signature math uses plain literals."""
+    tiny Spark job (num_planes × dims cells, one SQL string) materializes
+    them so the per-row signature math uses plain literals."""
     row = (
         spark.range(1)
-        .select(
+        .selectExpr(
             *[
-                F.array(
-                    *[_hyperplane_sign(p, F.lit(i)) for i in range(dims)]
-                ).alias(f"p{p}")
+                "array("
+                + ", ".join(_sql_hyperplane_sign(p, i) for i in range(dims))
+                + f") AS p{p}"
                 for p in range(num_planes)
             ]
         )
@@ -130,14 +192,28 @@ def hyperplane_matrix(spark, dims: int, num_planes: int) -> list[list[float]]:
     return [[float(x) for x in row[f"p{p}"]] for p in range(num_planes)]
 
 
+def _sql_rhp_signature(v_sql: str, planes: list[list[float]]) -> str:
+    """SQL text of the ``rhp_signature`` bit array over ``v_sql`` (an
+    array<double> expression)."""
+    bits = []
+    for weights in planes:
+        proj = _sql_dot(v_sql, _sql_array_lit(weights))
+        bits.append(f"CASE WHEN {proj} >= 0.0D THEN 1 ELSE 0 END")
+    return "array(" + ", ".join(bits) + ")"
+
+
 def rhp_signature(vec_col: Column | str, planes: list[list[float]]) -> Column:
     """Random-hyperplane (SimHash-for-vectors) bit signature.
 
     Bit p = [vec · plane_p ≥ 0], planes given as literal ±1 matrices
     (see ``hyperplane_matrix``). Each projection is a fixed-order fold
     in DOUBLE — deterministic, so the same vector always gets the same
-    signature regardless of partitioning.
+    signature regardless of partitioning. String column names render as
+    one SQL expression (single py4j call); Column inputs fall back to
+    the equivalent Column composition.
     """
+    if isinstance(vec_col, str):
+        return F.expr(_sql_rhp_signature(_sql_to_double(_qident(vec_col)), planes))
     v = as_double_array(vec_col)
     bits = []
     for weights in planes:
@@ -199,19 +275,22 @@ def rhp_lsh_topk(
         as_double_array(vec_col).alias("__v"),
         sig_col.alias("__sig"),
     )
-    band_match = None
-    for b in range(bands):
-        cond = F.lit(True)
-        for j in range(rows):
-            cond = cond & (
-                F.element_at(F.col("__sig"), b * rows + j + 1)
-                == qsig[b * rows + j]
-            )
-        band_match = cond if band_match is None else (band_match | cond)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    band_match = " OR ".join(
+        "("
+        + " AND ".join(
+            f"element_at(__sig, {b * rows + j + 1}) = {qsig[b * rows + j]}"
+            for j in range(rows)
+        )
+        + ")"
+        for b in range(bands)
+    )
+    q = _sql_array_lit(query_vec)
     return (
-        sigd.filter(band_match)
-        .select(id_col, F.round(cosine(F.col("__v"), q), 6).alias("cosine_sim"))
+        sigd.filter(F.expr(band_match))
+        .select(
+            id_col,
+            F.expr(f"round({_sql_cosine('__v', q)}, 6)").alias("cosine_sim"),
+        )
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
@@ -304,18 +383,16 @@ def kmeans_centroids(
     dim = len(cents[0][1])
     for _ in range(iters):
         assigned = ivf_assign(corpus, cents, id_col, vec_col)
+        mean_arr = ", ".join(
+            f"avg(element_at(__v, {i + 1}))" for i in range(dim)
+        )
         means = (
             assigned.groupBy("cluster")
-            .agg(
-                *[
-                    F.avg(F.element_at(F.col("__v"), i + 1)).alias(f"m{i}")
-                    for i in range(dim)
-                ]
-            )
+            .agg(F.expr(f"array({mean_arr})").alias("__means"))
             .collect()
         )
         by_cluster = {
-            int(r["cluster"]): [float(r[f"m{i}"]) for i in range(dim)]
+            int(r["cluster"]): [float(x) for x in r["__means"]]
             for r in means
         }
         cents = [(cid, by_cluster.get(cid, prev)) for cid, prev in cents]
@@ -342,23 +419,16 @@ def ivf_assign(
     """
     prepped = corpus.select(
         qcol(id_col).alias(id_col), as_double_array(vec_col).alias("__v")
+    ).selectExpr(_qident(id_col), "__v", f"{_sql_norm('__v')} AS __nv")
+    cells = ", ".join(
+        "named_struct('s', "
+        f"{_sql_dot('__v', _sql_array_lit(cvec))} / "
+        f"nullif(__nv * {_dlit(_py_norm(cvec))}, 0.0D), "
+        f"'c', {int(cid)})"
+        for cid, cvec in centroids
     )
-    prepped = prepped.select(
-        id_col, "__v", l2_norm(F.col("__v")).alias("__nv")
-    )
-    scored = F.array(
-        *[
-            F.struct(
-                (
-                    dot(F.col("__v"), F.array(*[F.lit(x) for x in cvec]))
-                    / F.nullif(F.col("__nv") * F.lit(_py_norm(cvec)), F.lit(0.0))
-                ).alias("s"),
-                F.lit(cid).alias("c"),
-            )
-            for cid, cvec in centroids
-        ]
-    )
-    best = F.array_max(scored)  # struct order: (sim, cid) — tie → larger cid
+    # struct order: (sim, cid) — tie → larger cid
+    best = F.expr(f"array_max(array({cells}))")
     return prepped.select(
         id_col, "__v", "__nv", best.getField("c").alias("cluster")
     )
@@ -387,16 +457,15 @@ def ivf_topk(
     )[:nprobe]
     probe_ids = [cid for cid, _ in probed]
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _sql_array_lit(query_vec)
     nq = _py_norm([float(x) for x in query_vec])
     return (
         assigned.filter(F.col("cluster").isin(probe_ids))
         .select(
             id_col,
-            F.round(
-                dot(F.col("__v"), q)
-                / F.nullif(F.col("__nv") * F.lit(nq), F.lit(0.0)),
-                6,
+            F.expr(
+                f"round({_sql_dot('__v', q)} / "
+                f"nullif(__nv * {_dlit(nq)}, 0.0D), 6)"
             ).alias("cosine_sim"),
         )
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
@@ -466,17 +535,16 @@ def ivf_probe(
         cents, key=lambda cv: (-_py_cos_key(query_vec, cv[1]), -cv[0])
     )[:nprobe]
     probe_ids = [cid for cid, _ in probed]
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _sql_array_lit(query_vec)
     nq = _py_norm([float(x) for x in query_vec])
     idx = spark.read.parquet(path)
     return (
         idx.filter(F.col("cluster").isin(probe_ids))
         .select(
             id_col,
-            F.round(
-                dot(F.col(vec_col), q)
-                / F.nullif(F.col("_norm") * F.lit(nq), F.lit(0.0)),
-                6,
+            F.expr(
+                f"round({_sql_dot(_qident(vec_col), q)} / "
+                f"nullif(_norm * {_dlit(nq)}, 0.0D), 6)"
             ).alias("cosine_sim"),
         )
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
@@ -500,12 +568,12 @@ def nearest_neighbor_join(
     """
     l = left.select(
         qcol(left_id).alias("__lid"), as_double_array(vec_col).alias("__lv")
-    ).select("__lid", "__lv", l2_norm(F.col("__lv")).alias("__lnorm"))
+    ).selectExpr("__lid", "__lv", f"{_sql_norm('__lv')} AS __lnorm")
     r = right.select(
         qcol(right_id).alias("__rid"), as_double_array(vec_col).alias("__rv")
-    ).select("__rid", "__rv", l2_norm(F.col("__rv")).alias("__rnorm"))
-    sim = dot(F.col("__lv"), F.col("__rv")) / F.nullif(
-        F.col("__lnorm") * F.col("__rnorm"), F.lit(0.0)
+    ).selectExpr("__rid", "__rv", f"{_sql_norm('__rv')} AS __rnorm")
+    sim = F.expr(
+        f"{_sql_dot('__lv', '__rv')} / nullif(__lnorm * __rnorm, 0.0D)"
     )
     scored = l.crossJoin(F.broadcast(r)).select(
         "__lid",
@@ -532,6 +600,13 @@ def sign_bits_signature(vec_col: Column | str, num_bits: int) -> Column:
     oracle-expressible definition — DuckDB computes the identical bits,
     so an approximate NN result can be verified EXACTLY, not just by
     recall."""
+    if isinstance(vec_col, str):
+        cases = ", ".join(
+            f"CASE WHEN CAST(element_at({_qident(vec_col)}, {i + 1}) "
+            "AS DOUBLE) >= 0.0D THEN 1 ELSE 0 END"
+            for i in range(num_bits)
+        )
+        return F.expr(f"array({cases})")
     v = as_double_array(vec_col)
     return F.array(
         *[
@@ -541,7 +616,7 @@ def sign_bits_signature(vec_col: Column | str, num_bits: int) -> Column:
     )
 
 
-def rhp_band_keys(sig_col: Column, num_planes: int, bands: int) -> Column:
+def rhp_band_keys(sig_col: Column | str, num_planes: int, bands: int) -> Column:
     """Column: RHP bit signature → array of per-band BIGINT bucket keys.
 
     Key = the band's bits packed little-endian, namespaced by the band
@@ -555,6 +630,16 @@ def rhp_band_keys(sig_col: Column, num_planes: int, bands: int) -> Column:
             "recall"
         )
     rows = num_planes // bands
+    if isinstance(sig_col, str):
+        sig = _qident(sig_col)
+        keys = []
+        for b in range(bands):
+            terms = [str(b * (1 << rows))] + [
+                f"element_at({sig}, {b * rows + j + 1}) * {1 << j}"
+                for j in range(rows)
+            ]
+            keys.append(f"CAST({' + '.join(terms)} AS BIGINT)")
+        return F.expr("array(" + ", ".join(keys) + ")")
     keys = []
     for b in range(bands):
         key: Column = F.lit(b * (1 << rows))
@@ -577,9 +662,9 @@ def _signature_expr(
         if dims is None:
             raise ValueError("rhp signature needs dims")
         planes = hyperplane_matrix(spark, dims, num_planes)
-        return lambda c: rhp_signature(F.col(c), planes)
+        return lambda c: rhp_signature(c, planes)
     if signature == "axis":
-        return lambda c: sign_bits_signature(F.col(c), num_planes)
+        return lambda c: sign_bits_signature(c, num_planes)
     raise ValueError(f"unknown signature kind {signature!r}")
 
 
@@ -613,7 +698,7 @@ def lsh_cosine_pairs(
     banded = sigd.select(
         "__id",
         F.explode_outer(
-            rhp_band_keys(F.col("__sig"), num_planes, bands)
+            rhp_band_keys("__sig", num_planes, bands)
         ).alias("__bkey"),
     )
     cand = (
@@ -628,7 +713,7 @@ def lsh_cosine_pairs(
     )
     # norms once per vector, one fold per candidate pair (bit-identical
     # to inline cosine — the norm fold yields the same double)
-    withn = prep.select("__id", "__v", l2_norm(F.col("__v")).alias("__n"))
+    withn = prep.selectExpr("__id", "__v", f"{_sql_norm('__v')} AS __n")
     va = withn.select(
         F.col("__id").alias("id_a"),
         F.col("__v").alias("__va"),
@@ -639,8 +724,8 @@ def lsh_cosine_pairs(
         F.col("__v").alias("__vb"),
         F.col("__n").alias("__nb"),
     )
-    sim = dot(F.col("__va"), F.col("__vb")) / F.nullif(
-        F.col("__na") * F.col("__nb"), F.lit(0.0)
+    sim = F.expr(
+        f"{_sql_dot('__va', '__vb')} / nullif(__na * __nb, 0.0D)"
     )
     return (
         cand.join(va, "id_a")
@@ -704,7 +789,7 @@ def lsh_nn_join(
         # the per-band element_at references an attribute, not the fold
         # subtree (the HOF inline trap, see operators.dedup.word_shingles)
         sigd = prep.select(idc, sig_of(vecc).alias("__sig"))
-        keys = rhp_band_keys(F.col("__sig"), num_planes, bands)
+        keys = rhp_band_keys("__sig", num_planes, bands)
         # explode_outer, not explode: plain explode invites
         # InferFiltersFromGenerate to synthesize size(keys) > 0, which
         # substitutes the signature subtree back in (see operators.dedup)
@@ -716,14 +801,14 @@ def lsh_nn_join(
         .select("__lid", "__rid")
         .distinct()
     )
-    l_norm = l_prep.select(
-        "__lid", "__lv", l2_norm(F.col("__lv")).alias("__lnorm")
+    l_norm = l_prep.selectExpr(
+        "__lid", "__lv", f"{_sql_norm('__lv')} AS __lnorm"
     )
-    r_norm = r_prep.select(
-        "__rid", "__rv", l2_norm(F.col("__rv")).alias("__rnorm")
+    r_norm = r_prep.selectExpr(
+        "__rid", "__rv", f"{_sql_norm('__rv')} AS __rnorm"
     )
-    sim = dot(F.col("__lv"), F.col("__rv")) / F.nullif(
-        F.col("__lnorm") * F.col("__rnorm"), F.lit(0.0)
+    sim = F.expr(
+        f"{_sql_dot('__lv', '__rv')} / nullif(__lnorm * __rnorm, 0.0D)"
     )
     scored = (
         cand.join(l_norm, "__lid")
