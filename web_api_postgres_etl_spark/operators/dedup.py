@@ -246,12 +246,14 @@ def minhash_agg_exprs(
     callers that pre-drop shingle-less docs skip the guard. Shared by
     ``minhash_table`` and ``near_dup_pairs`` so the standalone operator
     and the fused pipeline can never drift."""
+    # one F.expr per seed (16 py4j calls), not ~7 Column calls per seed
+    # — driver-side construction latency, same Catalyst tree
     out = []
     for i in range(num_hashes):
-        digest = F.md5(F.concat_ws("|", F.lit(str(i)), F.col(shingle_col)))
+        digest = f"md5(concat_ws('|', '{i}', {shingle_col}))"
         if guard_nulls:
-            digest = F.when(F.col(shingle_col).isNotNull(), digest)
-        out.append(F.min(digest).alias(f"mh_{i}"))
+            digest = f"CASE WHEN {shingle_col} IS NOT NULL THEN {digest} END"
+        out.append(F.expr(f"min({digest})").alias(f"mh_{i}"))
     return out
 
 
@@ -266,18 +268,14 @@ def minhash_band_keys(num_hashes: int, bands: int):
             "trailing signature hashes would be silently dropped"
         )
     rows = num_hashes // bands
-    return F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.lit(f"{b}#"),
-                    *[F.col(f"mh_{b * rows + j}") for j in range(rows)],
-                )
-            )
-            for b in range(bands)
-        ]
+    keys = ", ".join(
+        "md5(concat_ws(',', '"
+        + f"{b}#', "
+        + ", ".join(f"mh_{b * rows + j}" for j in range(rows))
+        + "))"
+        for b in range(bands)
     )
+    return F.expr(f"array({keys})")
 
 
 def _band_self_join(banded: DataFrame) -> DataFrame:
@@ -616,19 +614,21 @@ def simhash_table(
         qcol(id_col).alias("__id"),
         F.explode(normalized_tokens(text_col)).alias("__t"),
     ).withColumn("__h", _token_hash(hash_fn))
-    votes = toks.groupBy("__id").agg(
-        *[
-            F.sum(
-                F.when(F.col("__h").bitwiseAND(F.lit(_bit_mask(b))) != 0, 1).otherwise(-1)
-            ).alias(f"b{b}")
-            for b in range(nbits)
-        ]
+    # the per-bit vote sums and the sign assembly are rendered as two
+    # SQL strings (2 py4j calls instead of ~500 for 60+ bits); each
+    # sum() stays an independent aggregate with map-side partial agg.
+    # shiftleft(1L, b) == _bit_mask(b) for every b incl. the sign bit.
+    vote_sql = ", ".join(
+        f"sum(CASE WHEN (__h & shiftleft(1L, {b})) != 0 THEN 1 ELSE -1 END)"
+        for b in range(nbits)
     )
-    sig = None
-    for b in range(nbits):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(_bit_mask(b))).otherwise(F.lit(0))
-        sig = term if sig is None else sig.bitwiseOR(term)
-    signed = votes.select("__id", sig.alias("__sh"))
+    votes = toks.groupBy("__id").agg(F.expr(f"array({vote_sql})").alias("__votes"))
+    sig_sql = " | ".join(
+        f"(CASE WHEN element_at(__votes, {b + 1}) > 0 "
+        f"THEN shiftleft(1L, {b}) ELSE 0L END)"
+        for b in range(nbits)
+    )
+    signed = votes.selectExpr("__id", f"({sig_sql}) AS __sh")
     return ids.join(signed, "__id", "left")
 
 
