@@ -1,0 +1,271 @@
+"""Curation operators: Gopher rule gate, benchmark decontamination,
+cross-corpus incremental dedup — ground truth on crafted docs plus
+DuckDB oracle parity on the testdata documents table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from web_api_postgres_etl_spark.functions.text import gopher_flags
+from web_api_postgres_etl_spark.operators.dedup import (
+    contamination_hits,
+    decontaminate,
+    dedup_against_corpus,
+    minhash_table,
+)
+
+GOOD = " ".join(
+    "the quick brown fox jumps over the lazy dog and that dog would have "
+    "to be quick with the pace of every chase through fields of tall grass "
+    "while the sun was up and the wind kept low so that every creature "
+    "could rest in the shade of the old oak tree near the river bend".split()
+)
+
+
+def test_gopher_good_doc_keeps(spark):
+    df = spark.createDataFrame([(1, GOOD)], "id long, text string")
+    row = df.select(gopher_flags("text").alias("g")).collect()[0]["g"]
+    assert row["keep"] is True
+    assert all(row[k] for k in row.asDict() if k.startswith("r_"))
+
+
+def test_gopher_rule_failures(spark):
+    bullets = "\n".join(f"- item {i} ok" for i in range(20))
+    ellipses = "\n".join(f"line {i} trails off..." for i in range(10))
+    numbers = " ".join(str(i) for i in range(80))
+    cases = [
+        (1, "too short", "r_word_count"),
+        (2, bullets, "r_bullet_lines"),
+        (3, ellipses, "r_ellipsis_lines"),
+        (4, numbers, "r_alpha_words"),
+        (5, GOOD + " " + "#" * 40, "r_symbol_ratio"),
+        (6, None, "r_word_count"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in cases], "id long, text string"
+    )
+    got = {
+        r["id"]: r["g"]
+        for r in df.select("id", gopher_flags("text").alias("g")).collect()
+    }
+    for i, _, rule in cases:
+        assert got[i][rule] is False, f"doc {i} should fail {rule}"
+        assert got[i]["keep"] is False
+
+
+GOPHER_SQL = """
+WITH base AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS words,
+    list_filter(regexp_split_to_array(text, '\\n'), l -> trim(l) <> '') AS lines,
+    list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(
+      lower(text),'[^a-z0-9\\s]',' ','g'),'\\s+',' ','g')),' '), x -> x <> '') AS toks,
+    length(text) - length(regexp_replace(text, '#', '', 'g')) AS n_hash,
+    len(regexp_extract_all(text, '\\.\\.\\.|…')) AS n_ell
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    len(words) AS nw,
+    list_sum(list_transform(words, w -> length(w)))
+      / CAST(nullif(len(words), 0) AS DOUBLE) AS mean_len,
+    (n_hash + n_ell) / CAST(nullif(len(words), 0) AS DOUBLE) AS sym,
+    len(list_filter(lines, l -> regexp_matches(trim(l), '^[•\\-\\*]')))
+      / CAST(nullif(len(lines), 0) AS DOUBLE) AS bullet,
+    len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+      / CAST(nullif(len(lines), 0) AS DOUBLE) AS ell,
+    len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+      / CAST(nullif(len(words), 0) AS DOUBLE) AS alpha,
+    len(list_intersect(list_distinct(toks),
+        ['the','be','to','of','and','that','have','with'])) AS req
+  FROM base)
+SELECT doc_id,
+  coalesce(nw BETWEEN 50 AND 100000, false) AS r_word_count,
+  coalesce(mean_len BETWEEN 3 AND 10, false) AS r_mean_word_len,
+  coalesce(sym < 0.1, false) AS r_symbol_ratio,
+  coalesce(bullet < 0.9, true) AS r_bullet_lines,
+  coalesce(ell < 0.3, true) AS r_ellipsis_lines,
+  coalesce(alpha >= 0.8, false) AS r_alpha_words,
+  coalesce(req >= 2, false) AS r_required_words
+FROM m
+"""
+
+
+def test_gopher_oracle_parity(spark, oracle):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    got = {
+        r["doc_id"]: r["g"].asDict()
+        for r in docs.select(
+            "doc_id", gopher_flags("text").alias("g")
+        ).collect()
+    }
+    want = {
+        r[0]: dict(
+            zip(
+                [
+                    "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+                    "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+                    "r_required_words",
+                ],
+                r[1:],
+            )
+        )
+        for r in oracle.execute(GOPHER_SQL).fetchall()
+    }
+    assert set(got) == set(want)
+    for doc_id, flags in want.items():
+        for rule, v in flags.items():
+            assert got[doc_id][rule] == v, (doc_id, rule)
+
+
+# --------------------------------------------------- decontamination
+BENCH_SNIPPET = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lambda mu nu"
+)  # exactly 13 words → one 13-gram
+
+
+def _train(spark):
+    rows = [
+        (1, "completely clean document about spark and parquet with many "
+            "ordinary words that never overlap the benchmark at all here"),
+        (2, "prefix words then " + BENCH_SNIPPET + " then suffix words"),
+        (3, BENCH_SNIPPET),
+        (4, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _bench(spark):
+    return spark.createDataFrame(
+        [(BENCH_SNIPPET,), ("some unrelated benchmark question here",)],
+        "text string",
+    )
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    kept = decontaminate(
+        _train(spark), _bench(spark), "doc_id", "text", ngram_n=13
+    )
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 4]  # 2 and 3 contain the benchmark 13-gram
+
+
+def test_contamination_hits_counts(spark):
+    hits = {
+        r["doc_id"]: r["n_hits"]
+        for r in contamination_hits(
+            _train(spark), _bench(spark), "doc_id", "text", ngram_n=13
+        ).collect()
+    }
+    assert hits == {2: 1, 3: 1}
+
+
+def test_decontaminate_min_hits_gate(spark):
+    kept = decontaminate(
+        _train(spark), _bench(spark), "doc_id", "text",
+        ngram_n=13, min_hits=2,
+    )
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 2, 3, 4]  # nobody reaches 2 distinct gram hits
+
+
+DECON_SQL_TMPL = """
+WITH bt AS (
+  SELECT list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(
+    lower(text),'[^a-z0-9\\s]',' ','g'),'\\s+',' ','g')),' '), x -> x <> '') AS toks
+  FROM documents WHERE doc_id % 10 = 0),
+bg AS (
+  SELECT DISTINCT unnest(list_transform(
+    generate_series(1, greatest(len(toks)-{nm1}, 0)),
+    i -> array_to_string(toks[i:i+{nm1}],' '))) AS g
+  FROM bt),
+tt AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(
+    lower(text),'[^a-z0-9\\s]',' ','g'),'\\s+',' ','g')),' '), x -> x <> '') AS toks
+  FROM documents WHERE doc_id % 10 <> 0),
+tg AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(
+    generate_series(1, greatest(len(toks)-{nm1}, 0)),
+    i -> array_to_string(toks[i:i+{nm1}],' '))) AS g
+  FROM tt)
+SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (g) ORDER BY doc_id
+"""
+
+
+def test_decontaminate_oracle_parity(spark, oracle):
+    """Benchmark = every 10th testdata document; train = the rest.
+    The contaminated-id set must match an exact SQL n-gram overlap."""
+    n = 5
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 10 == 0).select("text")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    hits = contamination_hits(train, bench, "doc_id", "text", ngram_n=n)
+    got = sorted(r["doc_id"] for r in hits.collect())
+    want = [
+        r[0]
+        for r in oracle.execute(DECON_SQL_TMPL.format(nm1=n - 1)).fetchall()
+    ]
+    assert got == want
+    kept = decontaminate(train, bench, "doc_id", "text", ngram_n=n)
+    assert kept.count() == train.count() - len(want)
+
+
+# ---------------------------------------------- cross-corpus dedup
+def test_dedup_against_corpus_drops_exact_dup(spark):
+    corpus = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog every day"),
+            (101, "spark engines read parquet files with columnar batches"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = minhash_table(corpus, "doc_id", "text", shingle_n=2, num_hashes=8)
+    new = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog every day"),
+            (2, "an entirely novel document mentioning neither foxes nor "
+                "parquet in any recognizable overlapping phrasing"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = dedup_against_corpus(
+        new, sigs, "doc_id", "text", shingle_n=2, num_hashes=8, bands=4,
+        threshold=0.9,
+    )
+    assert [r["doc_id"] for r in kept.collect()] == [2]
+
+
+def test_dedup_against_corpus_estimator_matches_self_signature(spark):
+    """An exact duplicate matches all k minhashes (estimate 1.0) and is
+    dropped at ANY threshold; a disjoint doc matches none and survives
+    threshold 0+."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_table(corpus, "doc_id", "text", shingle_n=2, num_hashes=8)
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta"),
+            (11, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = dedup_against_corpus(
+        new, sigs, "doc_id", "text", shingle_n=2, num_hashes=8, bands=4,
+        threshold=1.0,
+    )
+    assert [r["doc_id"] for r in kept.collect()] == [11]
+
+
+def test_dedup_against_corpus_validates_signature_width(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    )
+    sigs = minhash_table(corpus, "doc_id", "text", shingle_n=2, num_hashes=4)
+    import pytest
+
+    with pytest.raises(ValueError, match="num_hashes"):
+        dedup_against_corpus(
+            corpus, sigs, "doc_id", "text", num_hashes=8
+        )

@@ -164,6 +164,90 @@ def content_hash(text_col: Column | str) -> Column:
     return F.md5(_c(text_col))
 
 
+# Gopher-style rule-based quality gate (Rae et al. 2021, table A1 — the
+# public rule set most 100 TB curation pipelines start from). Every rule
+# is a pure Column expression over one scan; thresholds are the paper's.
+GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def _raw_words(text_col: Column | str) -> Column:
+    """Whitespace-split words of the RAW text (case/punct preserved) —
+    Gopher's rules run over surface words, not normalized tokens."""
+    c = _c(text_col)
+    return F.filter(F.split(c, r"\s+"), lambda w: w != "")
+
+
+def gopher_flags(text_col: Column | str) -> Column:
+    """Struct of the seven Gopher quality-filter rules plus the overall
+    ``keep`` verdict (AND of all rules). Each field is a boolean "this
+    rule passes" flag so downstream can report WHY a document was
+    dropped, not just that it was.
+
+    Rules (thresholds from the paper):
+      r_word_count      50 ≤ #words ≤ 100000
+      r_mean_word_len   3 ≤ mean word length ≤ 10
+      r_symbol_ratio    (#'#' + #'...') / #words < 0.1
+      r_bullet_lines    < 90% of lines start with a bullet (• - *)
+      r_ellipsis_lines  < 30% of lines end with ... or …
+      r_alpha_words     ≥ 80% of words contain a letter
+      r_required_words  ≥ 2 distinct hits in {the,be,to,of,and,that,have,with}
+
+    NULL/empty text fails ``keep`` (word count 0). One scan, no
+    shuffle, fully codegen'd; the whole struct is ANSI-SQL mirrorable
+    for the DuckDB oracle (tests/test_curation.py pins it).
+    """
+    c = _c(text_col)
+    words = _raw_words(c)
+    n_words = F.size(words)
+    nw = F.nullif(n_words, F.lit(0)).cast("double")
+    mean_len = F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)) / nw
+    n_hash = F.length(c) - F.length(F.regexp_replace(c, r"#", ""))
+    n_ellipsis = F.size(
+        F.regexp_extract_all(c, F.lit(r"\.\.\.|…"), 0)
+    )
+    symbol_ratio = (n_hash + n_ellipsis) / nw
+    lines = F.filter(F.split(c, r"\n"), lambda l: F.trim(l) != "")
+    nl = F.nullif(F.size(lines), F.lit(0)).cast("double")
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[•\-\*]")))
+        / nl
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$")))
+        / nl
+    )
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike(r"[A-Za-z]"))) / nw
+    )
+    toks = normalized_tokens(c)
+    req_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS]),
+        )
+    )
+    r = {
+        "r_word_count": F.coalesce(
+            (n_words >= 50) & (n_words <= 100_000), F.lit(False)
+        ),
+        "r_mean_word_len": F.coalesce(
+            (mean_len >= 3) & (mean_len <= 10), F.lit(False)
+        ),
+        "r_symbol_ratio": F.coalesce(symbol_ratio < 0.1, F.lit(False)),
+        # line rules PASS vacuously for single/no-line docs (frac NULL)
+        "r_bullet_lines": F.coalesce(bullet_frac < 0.9, F.lit(True)),
+        "r_ellipsis_lines": F.coalesce(ellipsis_frac < 0.3, F.lit(True)),
+        "r_alpha_words": F.coalesce(alpha_frac >= 0.8, F.lit(False)),
+        "r_required_words": F.coalesce(req_hits >= 2, F.lit(False)),
+    }
+    keep = None
+    for flag in r.values():
+        keep = flag if keep is None else (keep & flag)
+    return F.struct(
+        *[v.alias(k) for k, v in r.items()], keep.alias("keep")
+    )
+
+
 # Heuristic PII scrubbing for corpus curation: replaced in the order
 # email → IPv4 → phone, because the phone pattern's charset includes
 # dots and would otherwise swallow IPs, and emails contain digit runs.

@@ -713,3 +713,158 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ------------------------------------------------------- decontamination
+def benchmark_ngram_digests(
+    bench_df: DataFrame, text_col: str, ngram_n: int = 13
+) -> DataFrame:
+    """Distinct md5 digests of a benchmark set's word n-grams — the
+    probe side of train/test decontamination (GPT-3 appendix C-style
+    13-gram collision scrub). Output: one column ``__bg``.
+
+    Benchmarks are tiny next to a 100 TB corpus (MBs of text → at most
+    a few million digests), so the result is broadcast-joined against
+    the corpus; only the corpus side ever shuffles — and it shuffles
+    16-byte digests, not text."""
+    sh = _shingled(
+        bench_df.select(F.lit(0).alias("__bid"), qcol(text_col).alias("__bt")),
+        "__bid",
+        "__bt",
+        ngram_n,
+        drop_empty=True,
+    )
+    return (
+        sh.select(F.explode("__sh").alias("__g"))
+        .select(F.md5("__g").alias("__bg"))
+        .distinct()
+    )
+
+
+def contamination_hits(
+    train_df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    ngram_n: int = 13,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Per-document benchmark-overlap counts: (id, n_hits) for every
+    training document sharing ≥1 word ``ngram_n``-gram with the
+    benchmark set; clean documents are absent from the output.
+
+    Scale shape: the corpus explodes to distinct (doc, gram-digest)
+    pairs — one pass, digests not bodies — and inner-joins the
+    broadcast benchmark digest set; the surviving rows (hits only, a
+    vanishing fraction of the corpus) group per document. Set
+    ``broadcast_bench=False`` for a pathologically large benchmark
+    union; the join then degrades gracefully to a shuffle join on the
+    digest."""
+    bench = benchmark_ngram_digests(
+        bench_df, bench_text_col or text_col, ngram_n
+    )
+    if broadcast_bench:
+        bench = F.broadcast(bench)
+    grams = (
+        _shingled(train_df, id_col, text_col, ngram_n, drop_empty=True)
+        .select("__id", F.explode("__sh").alias("__g"))
+        .select("__id", F.md5("__g").alias("__d"))
+        .distinct()
+    )
+    return (
+        grams.join(bench, grams["__d"] == bench["__bg"], "inner")
+        .groupBy("__id")
+        .agg(F.count("*").alias("n_hits"))
+        .select(F.col("__id").alias(id_col), "n_hits")
+    )
+
+
+def decontaminate(
+    train_df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    ngram_n: int = 13,
+    min_hits: int = 1,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Remove training documents that overlap the benchmark set by at
+    least ``min_hits`` distinct word n-grams (train/test leakage
+    scrub). Returns the surviving training rows, schema unchanged.
+
+    The anti-join probes only the contaminated-id set — bounded by the
+    hit count, effectively tiny — so the corpus passes through once
+    for gram hashing and once for the anti-join, with no corpus-sized
+    intermediate state."""
+    hits = contamination_hits(
+        train_df, bench_df, id_col, text_col, bench_text_col,
+        ngram_n, broadcast_bench,
+    ).filter(F.col("n_hits") >= min_hits).select(qcol(id_col))
+    return train_df.join(F.broadcast(hits), on=id_col, how="left_anti")
+
+
+# ------------------------------------------------- cross-corpus dedup
+def dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup dedup: drop new-batch documents that are
+    near-duplicates of an EXISTING corpus, given only the corpus's
+    persisted minhash signature table (``minhash_table`` output — the
+    only state a 100 TB pipeline keeps between ingests; re-deduping
+    the whole corpus per batch would re-scan everything ever ingested).
+
+    Pipeline: sign the new batch with the same (shingle_n, num_hashes)
+    family → band both sides with the shared ``minhash_band_keys``
+    definition → per-band equi-join new×corpus (linear shuffle of
+    (band_key, id)) → estimate Jaccard as the matching-minhash
+    fraction (the unbiased MinHash estimator; corpus TEXT is not
+    retained, so exact verification is impossible by design) → drop
+    new docs with any estimate ≥ ``threshold``. Returns surviving
+    new-batch rows, schema unchanged.
+    """
+    sig_cols = [f"mh_{i}" for i in range(num_hashes)]
+    missing = [c for c in sig_cols if c not in corpus_sigs.columns]
+    if missing:
+        raise ValueError(
+            f"corpus_sigs lacks signature columns {missing}: was it built "
+            f"with num_hashes={num_hashes}?"
+        )
+    new_sigs = minhash_table(new_df, id_col, text_col, shingle_n, num_hashes)
+
+    def _banded(sigs: DataFrame, side: str) -> DataFrame:
+        return sigs.filter(F.col("mh_0").isNotNull()).select(
+            qcol(id_col).alias(f"__{side}_id"),
+            *[F.col(c).alias(f"__{side}_{c}") for c in sig_cols],
+            F.explode(minhash_band_keys(num_hashes, bands)).alias("__band"),
+        )
+
+    n = _banded(new_sigs, "n")
+    c = _banded(corpus_sigs, "c")
+    matches = F.expr(
+        "("
+        + " + ".join(
+            f"CASE WHEN __n_mh_{i} = __c_mh_{i} THEN 1 ELSE 0 END"
+            for i in range(num_hashes)
+        )
+        + f") / CAST({num_hashes} AS DOUBLE)"
+    )
+    dup_ids = (
+        n.join(c, "__band")
+        .select(F.col("__n_id"), matches.alias("__est"))
+        .filter(F.col("__est") >= threshold)
+        .select(F.col("__n_id").alias(id_col))
+        .distinct()
+    )
+    # no forced broadcast: the dup-id set scales with the NEW BATCH
+    # (a mostly-duplicate ingest makes it batch-sized); AQE picks
+    # broadcast at runtime when it is actually small
+    return new_df.join(dup_ids, on=id_col, how="left_anti")
