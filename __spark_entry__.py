@@ -31,6 +31,7 @@ from web_api_postgres_etl_spark.functions.text import (
     char_count,
     content_hash,
     fingerprint,
+    gopher_flags,
     lang_id,
     punct_ratio,
     quality_score,
@@ -39,6 +40,7 @@ from web_api_postgres_etl_spark.functions.text import (
 )
 from web_api_postgres_etl_spark.operators.aggregates import max_watermark
 from web_api_postgres_etl_spark.operators.dedup import (
+    decontaminate,
     dedup_exact,
     dedup_last_wins,
     minhash_lsh_candidates,
@@ -2008,14 +2010,28 @@ QUALIFY row_number() OVER (
 """
 
 
+GOPHER_RULES = [
+    "r_word_count", "r_mean_word_len", "r_symbol_ratio", "r_bullet_lines",
+    "r_ellipsis_lines", "r_alpha_words", "r_required_words",
+]
+
+
 def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
-    """The end-to-end training-data curation shape: quality score →
-    language gate → exact-content dedup → token-fingerprint near-dup
-    dedup, each stage a verified operator, composed into one lazy plan
-    (Catalyst fuses the filters into the scan; the two dedup windows
-    shuffle 16-byte digests, never text)."""
+    """The end-to-end training-data curation shape: benchmark
+    DECONTAMINATION (drop training docs sharing any word 4-gram with
+    the held-out doc_id%10==0 eval slice — broadcast digest semi-join,
+    operators/dedup.py:decontaminate) → quality score + language gate →
+    exact-content dedup → token-fingerprint near-dup dedup, each stage
+    a verified operator in one lazy plan (filters fuse into the scan;
+    dedup windows shuffle 16-byte digests, never text). The seven-rule
+    Gopher quality struct (functions/text.py:gopher_flags) rides along
+    as ``n_gopher_rules`` so every rule expression is oracle-checked
+    without perturbing the keep decision."""
     docs = _t(spark, sf, "documents")
-    scored = docs.select(
+    bench = docs.filter(F.col("doc_id") % 10 == 0).select("text")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    clean = decontaminate(train, bench, "doc_id", "text", ngram_n=4)
+    scored = clean.select(
         "doc_id",
         "text",
         "lang",
@@ -2023,6 +2039,7 @@ def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         lang_id("text").alias("lang_pred"),
         content_hash("text").alias("__md5"),
         fingerprint("text").alias("__fp"),
+        gopher_flags("text").alias("__gf"),
     ).filter((F.col("quality") >= 0.4) & (F.col("lang_pred") == "en"))
     w_exact = Window.partitionBy("__md5").orderBy("doc_id")
     exact = scored.withColumn("__r1", F.row_number().over(w_exact)).filter(
@@ -2032,13 +2049,68 @@ def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     final = exact.withColumn("__r2", F.row_number().over(w_fp)).filter(
         F.col("__r2") == 1
     )
+    n_rules = None
+    for r in GOPHER_RULES:
+        term = F.col(f"__gf.{r}").cast("int")
+        n_rules = term if n_rules is None else (n_rules + term)
     return final.select(
-        "doc_id", "lang", F.col("quality"), F.length("text").alias("n_chars_kept")
+        "doc_id",
+        "lang",
+        F.col("quality"),
+        F.length("text").alias("n_chars_kept"),
+        n_rules.alias("n_gopher_rules"),
     )
 
 
 SQL_CURATION = f"""
-WITH t AS (SELECT doc_id, text, lang, {TOK.format(col="text")} AS toks FROM documents),
+WITH bt AS (SELECT {TOK.format(col="text")} AS toks FROM documents WHERE doc_id % 10 = 0),
+bg AS (
+  SELECT DISTINCT unnest(list_transform(
+    generate_series(1, greatest(len(toks)-3, 0)),
+    i -> array_to_string(toks[i:i+3],' '))) AS g
+  FROM bt),
+t0 AS (SELECT doc_id, text, lang, {TOK.format(col="text")} AS toks
+       FROM documents WHERE doc_id % 10 <> 0),
+tg AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(
+    generate_series(1, greatest(len(toks)-3, 0)),
+    i -> array_to_string(toks[i:i+3],' '))) AS g
+  FROM t0),
+contaminated AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (g)),
+t AS (SELECT * FROM t0 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+gw AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS words,
+    list_filter(regexp_split_to_array(text, '\\n'), l -> trim(l) <> '') AS lines,
+    toks,
+    length(text) - length(regexp_replace(text, '#', '', 'g')) AS n_hash,
+    len(regexp_extract_all(text, '\\.\\.\\.|…')) AS n_ell
+  FROM t),
+gm AS (
+  SELECT doc_id,
+    len(words) AS nw,
+    list_sum(list_transform(words, w -> length(w)))
+      / CAST(nullif(len(words), 0) AS DOUBLE) AS mean_len,
+    (n_hash + n_ell) / CAST(nullif(len(words), 0) AS DOUBLE) AS sym,
+    len(list_filter(lines, l -> regexp_matches(trim(l), '^[•\\-\\*]')))
+      / CAST(nullif(len(lines), 0) AS DOUBLE) AS bullet,
+    len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+      / CAST(nullif(len(lines), 0) AS DOUBLE) AS ell,
+    len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+      / CAST(nullif(len(words), 0) AS DOUBLE) AS alpha,
+    len(list_intersect(list_distinct(toks),
+        ['the','be','to','of','and','that','have','with'])) AS req
+  FROM gw),
+gr AS (
+  SELECT doc_id,
+    CAST(coalesce(nw BETWEEN 50 AND 100000, false) AS INT)
+    + CAST(coalesce(mean_len BETWEEN 3 AND 10, false) AS INT)
+    + CAST(coalesce(sym < 0.1, false) AS INT)
+    + CAST(coalesce(bullet < 0.9, true) AS INT)
+    + CAST(coalesce(ell < 0.3, true) AS INT)
+    + CAST(coalesce(alpha >= 0.8, false) AS INT)
+    + CAST(coalesce(req >= 2, false) AS INT) AS n_gopher_rules
+  FROM gm),
 s AS (
   SELECT doc_id, text, lang,
     CAST(nullif(len(toks), 0) AS DOUBLE) AS n,
@@ -2069,8 +2141,8 @@ kept AS (SELECT * FROM q WHERE quality >= 0.4 AND lang_pred = 'en'),
 exact AS (
   SELECT * FROM kept
   QUALIFY row_number() OVER (PARTITION BY __md5 ORDER BY doc_id) = 1)
-SELECT doc_id, lang, quality, length(text) AS n_chars_kept
-FROM exact
+SELECT doc_id, lang, quality, length(text) AS n_chars_kept, gr.n_gopher_rules
+FROM exact JOIN gr USING (doc_id)
 QUALIFY row_number() OVER (PARTITION BY __fp ORDER BY doc_id) = 1
 """
 
