@@ -63,12 +63,22 @@ def main(names: list[str]) -> int:
     for name in names:
         try:
             df = queries[name](spark, SF)
+            # AQE hides join strategy changes and codegen markers until
+            # the plan actually runs (isFinalPlan=false): execute the
+            # frame, then census the FINAL adaptive plan — the physical
+            # truth, not the pre-runtime guess
+            df.collect()
             plan = df._jdf.queryExecution().executedPlan().toString()
+            # the executed AdaptiveSparkPlan prints "== Final Plan ==" +
+            # "== Initial Plan ==" — census only the final section or
+            # every operator double-counts
+            plan = plan.split("== Initial Plan ==")[0]
         except Exception as exc:  # noqa: BLE001
             print(f"{name:28s} ERR {exc}")
             bad += 1
             continue
         counts = {k: len(re.findall(pat, plan)) for k, pat in COUNTERS}
+        counts["codegen"] = len(set(re.findall(r"\*\((\d+)\)", plan)))
         flags = [f for f in FLAGS if f in plan]
         if flags and name in INTENTIONAL_EXACT:
             flags = [f + "(intentional-exact-baseline)" for f in flags]

@@ -797,11 +797,32 @@ def decontaminate(
     The anti-join probes only the contaminated-id set — bounded by the
     hit count, effectively tiny — so the corpus passes through once
     for gram hashing and once for the anti-join, with no corpus-sized
-    intermediate state."""
-    hits = contamination_hits(
-        train_df, bench_df, id_col, text_col, bench_text_col,
-        ngram_n, broadcast_bench,
-    ).filter(F.col("n_hits") >= min_hits).select(qcol(id_col))
+    intermediate state.
+
+    ``min_hits == 1`` (the common scrub) takes a cheaper plan: a
+    semi-join against the benchmark digests needs NO corpus-wide
+    distinct of (doc, gram) pairs — the only corpus-sized shuffle of
+    the counting path — because existence doesn't care about
+    multiplicity; only the surviving hit ids are distinct'd."""
+    if min_hits <= 1:
+        grams = _shingled(
+            train_df, id_col, text_col, ngram_n, drop_empty=True
+        ).select("__id", F.explode("__sh").alias("__g"))
+        bench = benchmark_ngram_digests(
+            bench_df, bench_text_col or text_col, ngram_n
+        )
+        if broadcast_bench:
+            bench = F.broadcast(bench)
+        hits = (
+            grams.join(bench, F.md5(grams["__g"]) == bench["__bg"], "left_semi")
+            .select(F.col("__id").alias(id_col))
+            .distinct()
+        )
+    else:
+        hits = contamination_hits(
+            train_df, bench_df, id_col, text_col, bench_text_col,
+            ngram_n, broadcast_bench,
+        ).filter(F.col("n_hits") >= min_hits).select(qcol(id_col))
     return train_df.join(F.broadcast(hits), on=id_col, how="left_anti")
 
 
