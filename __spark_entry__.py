@@ -1242,6 +1242,45 @@ FROM m
 """
 
 
+def q_semantic_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style embedding near-dup pairs (arXiv:2303.09540):
+    cluster the corpus on the deterministic fixed-sample centroids
+    (every 97th vector, the ivf_centroids family), compare pairs ONLY
+    within a cluster — the pair space is Σ|cluster|², not |N|². Same
+    fixed-order double folds as the exact baseline, so assignment AND
+    pair cosines reproduce bit-for-bit in the oracle. The trained
+    k-means path and the keep-set resolution (semantic_dedup →
+    connected components) are pinned by tests/test_dedup_similarity.py."""
+    from web_api_postgres_etl_spark.operators.similarity import (
+        ivf_centroids,
+        semantic_dup_pairs,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    cents = ivf_centroids(emb, "vec_id", "embedding", every=97, max_centroids=8)
+    return semantic_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.35, centroids=cents
+    )
+
+
+SQL_SEMANTIC_PAIRS = f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+              WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 8),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid AS cluster
+  FROM embeddings e CROSS JOIN cent c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY {_cos_sql("e.embedding", "c.cv")} DESC, c.cid DESC) = 1
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_cos_sql("a.embedding", "b.embedding")}, 6) AS cosine_sim
+FROM assign a JOIN assign b
+  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE round({_cos_sql("a.embedding", "b.embedding")}, 6) >= 0.35
+"""
+
+
 def q_near_dup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """The composed 100 TB near-dup plan: MinHash+LSH candidate pairs →
     exact Jaccard verification restricted to candidates (array_intersect
@@ -2300,7 +2339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "t4_stateful_stream": q_t4_stateful_stream,
         "t5_watermark_late_drop": q_t5_watermark_late_drop,
-        "multimodal_resize": q_multimodal_resize,
+        "semantic_dup_pairs": q_semantic_dup_pairs,
         "pipeline_e2e": q_pipeline_e2e,
         # aggregation / window / OLAP
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -2362,7 +2401,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": SQL_CLUSTERS,
         "t4_stateful_stream": SQL_STATEFUL,
         "t5_watermark_late_drop": SQL_T5_WATERMARK,
-        "multimodal_resize": SQL_RESIZE,
+        "semantic_dup_pairs": SQL_SEMANTIC_PAIRS,
         "pipeline_e2e": SQL_PIPELINE_E2E,
         "agg_pricing_summary": SQL_AGG,
         "q3_topk_join_agg": SQL_Q3,

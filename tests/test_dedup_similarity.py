@@ -358,3 +358,53 @@ def test_centroid_sort_key_pins_degenerate_centroids_last():
         key=lambda cv: (-_py_cos_key(q, cv[1]), -cv[0]),
     )
     assert [c for c, _ in ranked][-1] == 1
+
+
+# ----------------------------------------------------- semantic dedup
+from web_api_postgres_etl_spark.operators.similarity import (  # noqa: E402
+    semantic_dedup,
+    semantic_dup_pairs,
+)
+
+VECS = [
+    (1, [1.0, 0.0, 0.0]),
+    (2, [0.999, 0.01, 0.0]),   # near-dup of 1 (same cluster)
+    (3, [0.0, 1.0, 0.0]),
+    (4, [0.0, 0.0, 1.0]),
+    (5, [1.0, 0.0, 0.0]),      # exact dup of 1
+]
+CENTS = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])]
+
+
+def _vecs(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<double>")
+
+
+def test_semantic_dup_pairs_within_cluster(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in semantic_dup_pairs(
+            _vecs(spark), threshold=0.95, centroids=CENTS
+        ).collect()
+    }
+    assert set(pairs) == {(1, 2), (1, 5), (2, 5)}
+    assert pairs[(1, 5)] == 1.0
+
+
+def test_semantic_dedup_keeps_min_id_survivor(spark):
+    kept = semantic_dedup(_vecs(spark), threshold=0.95, centroids=CENTS)
+    assert sorted(r["vec_id"] for r in kept.collect()) == [1, 3, 4]
+
+
+def test_semantic_dedup_trained_centroids_deterministic(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(emb, threshold=0.99, k=4, iters=1).collect()
+    )
+    b = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(emb, threshold=0.99, k=4, iters=1).collect()
+    )
+    assert a == b            # deterministic end to end
+    assert 0 < len(a) <= emb.count()

@@ -64,3 +64,47 @@ def test_media_stats_jvm_only(spark):
     stats = {r["mime"]: r for r in media_stats(_media(spark)).collect()}
     assert stats["image/png"]["n"] == 2
     assert stats["audio/wav"]["total_bytes"] == len(b"RIFF-fake-audio")
+
+
+def test_resize_plan_geometry_exact(spark):
+    """Aspect-preserving fit: floor(dim * min(512/w, 512/h, 1))."""
+    from web_api_postgres_etl_spark.operators.multimodal import resize_image_plan
+    from pyspark.sql import functions as F
+
+    rows = [(1, 1024, 512), (2, 256, 128), (3, 100, 700)]
+    media = spark.createDataFrame(
+        rows, "media_id long, w int, h int"
+    ).select(
+        "media_id",
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.col("w").alias("width"),
+            F.col("h").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit("fake").alias("codec"),
+        ).alias("media_meta"),
+    )
+    got = {
+        r["media_id"]: (r["src_w"], r["src_h"], r["dst_w"], r["dst_h"])
+        for r in resize_image_plan(media, 512, 512).collect()
+    }
+    assert got[1] == (1024, 512, 512, 256)
+    assert got[2] == (256, 128, 256, 128)   # no upscale
+    assert got[3] == (100, 700, 73, 512)    # floor(100 * 512/700) = 73
+
+
+def test_resize_plan_oracle_parity(spark, oracle):
+    """The retired driver slot's check, kept at test level: the resize
+    entry still matches its DuckDB oracle exactly (q_multimodal_resize
+    was swapped out of queries() for semantic_dup_pairs, not deleted)."""
+    import __spark_entry__ as em
+
+    s = sorted(
+        tuple(r)
+        for r in em.q_multimodal_resize(
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    )
+    d = sorted(tuple(r) for r in oracle.execute(em.SQL_RESIZE).fetchall())
+    assert s == d

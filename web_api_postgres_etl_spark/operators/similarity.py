@@ -827,3 +827,87 @@ def lsh_nn_join(
             "cosine_sim",
         )
     )
+
+
+# ----------------------------------------------------- semantic dedup
+def semantic_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    k: int = 8,
+    iters: int = 2,
+    every: int = 97,
+) -> DataFrame:
+    """Embedding near-duplicate pairs the SemDeDup way (Abbas et al.
+    2023, arXiv:2303.09540): cluster the corpus (k-means over cosine),
+    then compare pairs ONLY within a cluster — (id_a, id_b,
+    cosine_sim) for same-cluster pairs with cosine ≥ ``threshold``.
+
+    Scale shape: the only shuffle is the per-cluster self-join keyed on
+    the cluster id; the pair space is Σ|cluster|², bounded by
+    clustering instead of the corpus-wide |N|² of ``cosine_pairs``.
+    Grow ``k`` with corpus size (k ≈ √N keeps expected cluster width
+    flat); skewed clusters split further under AQE skew-join handling.
+    Row norms are computed once per row before the join, so each pair
+    costs one fold dot product.
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus, id_col, vec_col, k=k, iters=iters, every=every
+        )
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    a = assigned.select(
+        F.col("cluster"),
+        qcol(id_col).alias("__ida"),
+        F.col("__v").alias("__va"),
+        F.col("__nv").alias("__nva"),
+    )
+    b = assigned.select(
+        F.col("cluster"),
+        qcol(id_col).alias("__idb"),
+        F.col("__v").alias("__vb"),
+        F.col("__nv").alias("__nvb"),
+    )
+    return (
+        a.join(b, ["cluster"])
+        .filter(F.col("__ida") < F.col("__idb"))
+        .selectExpr(
+            "__ida AS id_a",
+            "__idb AS id_b",
+            f"round({_sql_dot('__va', '__vb')} / "
+            "nullif(__nva * __nvb, 0.0D), 6) AS cosine_sim",
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    k: int = 8,
+    iters: int = 2,
+    every: int = 97,
+) -> DataFrame:
+    """SemDeDup keep-set: resolve ``semantic_dup_pairs`` into connected
+    components (operators.graph.dedup_clusters, pointer-doubling) and
+    keep each component's minimum-id row. Returns surviving corpus
+    rows, schema unchanged.
+
+    Duplicates missed because the cluster boundary separates them are
+    the method's documented recall loss (the paper's trade); raise
+    ``k``'s ``iters`` or threshold margin rather than falling back to
+    all-pairs.
+    """
+    from .graph import dedup_clusters
+
+    pairs = semantic_dup_pairs(
+        corpus, id_col, vec_col, threshold, centroids, k, iters, every
+    )
+    clusters = dedup_clusters(corpus, pairs, id_col)
+    keep = clusters.filter(F.col("is_canonical")).select(qcol(id_col))
+    return corpus.join(keep, on=id_col, how="left_semi")
