@@ -269,3 +269,126 @@ def test_dedup_against_corpus_validates_signature_width(spark):
         dedup_against_corpus(
             corpus, sigs, "doc_id", "text", num_hashes=8
         )
+
+
+# ------------------------------------- flag form + streaming decontam
+from web_api_postgres_etl_spark.operators.dedup import (  # noqa: E402
+    benchmark_ngram_digests,
+    contaminated_flag,
+)
+
+
+def test_contaminated_flag_equals_join_form(spark):
+    """The pure-expression face and the join face of decontamination
+    agree document-for-document on real data (sf0.001)."""
+    n = 5
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 10 == 0).select("text")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    digests = [
+        r["__bg"] for r in benchmark_ngram_digests(bench, "text", n).collect()
+    ]
+    flag_clean = sorted(
+        r["doc_id"]
+        for r in train.filter(
+            ~contaminated_flag("text", digests, ngram_n=n)
+        ).collect()
+    )
+    join_clean = sorted(
+        r["doc_id"]
+        for r in decontaminate(train, bench, "doc_id", "text", ngram_n=n).collect()
+    )
+    assert flag_clean == join_clean
+
+
+def test_decontaminate_output_shares_no_benchmark_gram(spark):
+    """Invariant: after the scrub, NO surviving document shares any
+    n-gram with the benchmark (recomputed independently)."""
+    n = 4
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 10 == 0).select("text")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    kept = decontaminate(train, bench, "doc_id", "text", ngram_n=n)
+    digests = [
+        r["__bg"] for r in benchmark_ngram_digests(bench, "text", n).collect()
+    ]
+    offenders = kept.filter(contaminated_flag("text", digests, ngram_n=n))
+    assert offenders.count() == 0
+
+
+def test_streaming_decontamination(spark, tmp_path):
+    """contaminated_flag runs unchanged inside Structured Streaming
+    (AvailableNow over a parquet source): the streamed survivors equal
+    the batch decontaminate of the same input."""
+    n = 13
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    train = _train(spark).filter(F.col("text").isNotNull())
+    train.write.parquet(src)
+    digests = [
+        r["__bg"]
+        for r in benchmark_ngram_digests(_bench(spark), "text", n).collect()
+    ]
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        stream.filter(~contaminated_flag("text", digests, ngram_n=n))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = sorted(
+        r["doc_id"] for r in spark.read.parquet(sink).collect()
+    )
+    batch = sorted(
+        r["doc_id"]
+        for r in decontaminate(
+            train, _bench(spark), "doc_id", "text", ngram_n=n
+        ).collect()
+    )
+    assert streamed == batch == [1]
+
+
+def test_dedup_against_corpus_oracle_parity(spark, oracle):
+    """Incremental dedup vs a full SQL mirror of the minhash-estimate
+    plan: corpus = even doc_ids' signatures, new batch = odd doc_ids;
+    the surviving id set must match DuckDB exactly."""
+    import __spark_entry__ as em
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    sigs = minhash_table(corpus, "doc_id", "text", shingle_n=2, num_hashes=8)
+    kept = dedup_against_corpus(
+        new, sigs, "doc_id", "text",
+        shingle_n=2, num_hashes=8, bands=4, threshold=0.5,
+    )
+    got = sorted(r["doc_id"] for r in kept.collect())
+    sql = f"""
+    WITH t AS (SELECT doc_id, {em.TOK.format(col="text")} AS toks FROM documents),
+    s AS (SELECT doc_id, {em._shingle_sql("toks", 2)} AS sh FROM t),
+    m AS (SELECT doc_id, {em._mh_cols} FROM s WHERE len(sh) > 0),
+    corp AS (SELECT * FROM m WHERE doc_id % 2 = 0),
+    newm AS (SELECT * FROM m WHERE doc_id % 2 = 1),
+    cb AS (SELECT doc_id, unnest([{em._band_keys}]) AS band FROM corp),
+    nb AS (SELECT doc_id, unnest([{em._band_keys}]) AS band FROM newm),
+    cand AS (SELECT DISTINCT nb.doc_id AS nid, cb.doc_id AS cid
+             FROM nb JOIN cb USING (band)),
+    est AS (
+      SELECT cand.nid,
+        ({" + ".join(f"CASE WHEN n.mh_{i} = c.mh_{i} THEN 1 ELSE 0 END" for i in range(8))})
+          / 8.0 AS e
+      FROM cand JOIN newm n ON n.doc_id = cand.nid
+                JOIN corp c ON c.doc_id = cand.cid),
+    dups AS (SELECT DISTINCT nid FROM est WHERE e >= 0.5)
+    SELECT doc_id FROM documents
+    WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT nid FROM dups)
+    ORDER BY doc_id
+    """
+    want = [r[0] for r in oracle.execute(sql).fetchall()]
+    assert got == want
+    assert len(got) < new.count()  # the corpus DID absorb some near-dups

@@ -889,3 +889,24 @@ def dedup_against_corpus(
     # (a mostly-duplicate ingest makes it batch-sized); AQE picks
     # broadcast at runtime when it is actually small
     return new_df.join(dup_ids, on=id_col, how="left_anti")
+
+
+def contaminated_flag(
+    text_col, bench_digests: Sequence[str], ngram_n: int = 13
+):
+    """Column: TRUE iff the text shares ≥1 word n-gram with the
+    benchmark digest list — the PURE-EXPRESSION face of decontamination
+    (no joins, no shuffles, single scan), usable on batch AND streaming
+    frames alike (the join form needs df.rdd / anti-joins, both
+    unavailable mid-stream).
+
+    ``bench_digests`` (md5 hex of space-joined word n-grams, the
+    ``benchmark_ngram_digests`` output) ships as an array literal —
+    benchmark suites are MBs of text by nature, so the digest set is
+    bounded and broadcast-sized; for corpus-scale "benchmarks" use the
+    join form (``decontaminate``). NULL/short texts flag False.
+    """
+    toks = normalized_tokens(text_col)
+    grams = F.transform(word_shingles(toks, ngram_n), lambda g: F.md5(g))
+    bench = F.array(*[F.lit(d) for d in bench_digests])
+    return F.coalesce(F.arrays_overlap(grams, bench), F.lit(False))
