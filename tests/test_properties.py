@@ -262,3 +262,81 @@ def test_quota_by_group_never_exceeds_and_is_stable(spark, groups, quota):
         for r in quota_by_group(df.repartition(5), "grp", "doc_id", quota).collect()
     )
     assert sorted(rows_out) == again
+
+
+# ------------------------------------------------------- gopher gate
+import re  # noqa: E402
+
+from web_api_postgres_etl_spark.functions.text import (  # noqa: E402
+    GOPHER_REQUIRED_WORDS,
+    gopher_flags,
+)
+
+_GOPHER_ALPHABET = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    " \n#.-*•…"
+)
+
+
+def _gopher_model(text):
+    """Pure-Python mirror of functions.text.gopher_flags (restricted to
+    the test alphabet, where Java trim == Python strip(' '))."""
+    if text is None:
+        return dict(
+            r_word_count=False, r_mean_word_len=False, r_symbol_ratio=False,
+            r_bullet_lines=True, r_ellipsis_lines=True, r_alpha_words=False,
+            r_required_words=False,
+        )
+    words = [w for w in re.split(r"\s+", text) if w != ""]
+    nw = len(words)
+    mean = sum(len(w) for w in words) / nw if nw else None
+    n_sym = text.count("#") + len(re.findall(r"\.\.\.|…", text))
+    sym = n_sym / nw if nw else None
+    lines = [l for l in text.split("\n") if l.strip(" ") != ""]
+    nl = len(lines)
+    bullet = (
+        sum(1 for l in lines if re.match(r"[•\-\*]", l.strip(" "))) / nl
+        if nl else None
+    )
+    ell = (
+        sum(1 for l in lines if re.search(r"(\.\.\.|…)$", l.rstrip(" "))) / nl
+        if nl else None
+    )
+    alpha = (
+        sum(1 for w in words if re.search(r"[A-Za-z]", w)) / nw if nw else None
+    )
+    low = re.sub(r"\s+", " ", re.sub(r"[^a-z0-9\s]", " ", text.lower())).strip()
+    toks = [t for t in low.split(" ") if t != ""]
+    req = len(set(toks) & set(GOPHER_REQUIRED_WORDS))
+    return dict(
+        r_word_count=bool(nw and 50 <= nw <= 100_000),
+        r_mean_word_len=bool(mean is not None and 3 <= mean <= 10),
+        r_symbol_ratio=bool(sym is not None and sym < 0.1),
+        r_bullet_lines=True if bullet is None else bullet < 0.9,
+        r_ellipsis_lines=True if ell is None else ell < 0.3,
+        r_alpha_words=bool(alpha is not None and alpha >= 0.8),
+        r_required_words=req >= 2,
+    )
+
+
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(alphabet=_GOPHER_ALPHABET, max_size=400)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_gopher_flags_match_python_model(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = {
+        r["id"]: r["g"].asDict()
+        for r in df.select("id", gopher_flags("text").alias("g")).collect()
+    }
+    for i, t in enumerate(texts):
+        want = _gopher_model(t)
+        spark_flags = {k: v for k, v in got[i].items() if k != "keep"}
+        assert spark_flags == want, (t, spark_flags, want)
+        assert got[i]["keep"] == all(want.values())
