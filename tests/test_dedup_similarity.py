@@ -408,3 +408,25 @@ def test_semantic_dedup_trained_centroids_deterministic(spark):
     )
     assert a == b            # deterministic end to end
     assert 0 < len(a) <= emb.count()
+
+
+def test_ivf_assign_join_path_matches_literal_path(spark):
+    """The broadcast-join centroid assignment (the k ≈ √N scale form)
+    must produce the same clusters as the inlined-literal form."""
+    from web_api_postgres_etl_spark.operators.similarity import ivf_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") % 97 == 0).limit(8).collect()
+    ]
+    lit_path = {
+        r["vec_id"]: r["cluster"]
+        for r in ivf_assign(emb, cents, via_join=False).collect()
+    }
+    join_path = {
+        r["vec_id"]: r["cluster"]
+        for r in ivf_assign(emb, cents, via_join=True).collect()
+    }
+    assert lit_path == join_path
+    assert len(lit_path) == emb.count()

@@ -399,38 +399,87 @@ def kmeans_centroids(
     return cents
 
 
+# above this many centroids, assignment switches from inlined literal
+# expressions to a broadcast-join: the literal plan grows |C|×dim
+# doubles and chokes Catalyst/codegen long before |C| reaches the
+# k ≈ √N a large corpus needs
+ASSIGN_LITERAL_MAX = 32
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: list[tuple[int, list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    via_join: bool | None = None,
 ) -> DataFrame:
     """(id, vec, cluster) — nearest-centroid assignment, ties to the
-    larger centroid id. Centroids enter the plan as literals (broadcast
-    by construction); each row computes |C| fold dot products — no
-    shuffle, no UDF. At 100 TB this runs ONCE at index build and
+    larger centroid id. At 100 TB this runs ONCE at index build and
     ``cluster`` becomes a partition column so probes prune partitions.
 
-    Perf shape: the vector is bound to a projected column and the row
-    norm computed a single time (two-step projection — the HOF
-    inline-subtree trap, see operators.dedup.word_shingles); centroid
-    norms are driver-side literals, so scoring is ONE fold per centroid
-    instead of three.
+    Two physical forms, same results:
+
+    - ``via_join=False`` (default up to ``ASSIGN_LITERAL_MAX``):
+      centroids enter the plan as literals; each row computes |C| fold
+      dot products inside one codegen'd projection — no shuffle, no
+      join, and exactly reproducible in the SQL oracle.
+    - ``via_join=True`` (default above the cap): centroids become a
+      broadcast DataFrame; corpus × centroids is a broadcast
+      nested-loop fan-out (k rows per vector, corpus never shuffled)
+      collapsed by a partial-aggregating max over the (sim, cid)
+      struct — the form that scales to k ≈ √N centroids, where the
+      literal plan would be megabytes of expression tree.
+
+    Perf shape (both forms): the vector is bound to a projected column
+    and the row norm computed a single time (the HOF inline-subtree
+    trap, see operators.dedup.word_shingles); centroid norms are
+    computed once driver-side.
     """
     prepped = corpus.select(
         qcol(id_col).alias(id_col), as_double_array(vec_col).alias("__v")
     ).selectExpr(_qident(id_col), "__v", f"{_sql_norm('__v')} AS __nv")
-    cells = ", ".join(
-        "named_struct('s', "
-        f"{_sql_dot('__v', _sql_array_lit(cvec))} / "
-        f"nullif(__nv * {_dlit(_py_norm(cvec))}, 0.0D), "
-        f"'c', {int(cid)})"
-        for cid, cvec in centroids
+    if via_join is None:
+        via_join = len(centroids) > ASSIGN_LITERAL_MAX
+    if not via_join:
+        cells = ", ".join(
+            "named_struct('s', "
+            f"{_sql_dot('__v', _sql_array_lit(cvec))} / "
+            f"nullif(__nv * {_dlit(_py_norm(cvec))}, 0.0D), "
+            f"'c', {int(cid)})"
+            for cid, cvec in centroids
+        )
+        # struct order: (sim, cid) — tie → larger cid
+        best = F.expr(f"array_max(array({cells}))")
+        return prepped.select(
+            id_col, "__v", "__nv", best.getField("c").alias("cluster")
+        )
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(
+        [(int(cid), [float(x) for x in cvec], _py_norm(cvec))
+         for cid, cvec in centroids],
+        "cid long, cv array<double>, ncv double",
     )
-    # struct order: (sim, cid) — tie → larger cid
-    best = F.expr(f"array_max(array({cells}))")
-    return prepped.select(
-        id_col, "__v", "__nv", best.getField("c").alias("cluster")
+    scored = prepped.join(F.broadcast(cents)).selectExpr(
+        _qident(id_col),
+        "__v",
+        "__nv",
+        "named_struct('s', "
+        f"{_sql_dot('__v', 'cv')} / nullif(__nv * ncv, 0.0D), "
+        "'c', cid) AS __sc",
+    )
+    # the BNLJ fan-out preserves corpus partitioning, so every vector's
+    # k candidate rows sit in one partition and the max collapses
+    # map-side before any shuffle
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.first("__v").alias("__v"),
+            F.first("__nv").alias("__nv"),
+            F.max("__sc").alias("__best"),
+        )
+        .select(
+            id_col, "__v", "__nv", F.col("__best.c").alias("cluster")
+        )
     )
 
 
