@@ -436,3 +436,89 @@ def salted_join(
 
 def _q(name: str) -> str:
     return f"`{name}`" if "." in name else name
+
+
+# ------------------------------------------------------------ range join
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    time_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+    max_buckets_per_interval: int = 100_000,
+) -> DataFrame:
+    """Point-in-interval range join: every (point, interval) pair with
+    ``start <= ts <= end`` — the classic Spark pain point (a naive
+    ``ON ts BETWEEN s AND e`` is a BroadcastNestedLoopJoin / cartesian
+    at scale because there is no equi-key).
+
+    Scale shape: both sides map onto coarse time buckets of
+    ``bucket_seconds``; each interval explodes to the buckets it
+    covers, each point to exactly one, and the match becomes a bucket
+    EQUI-join + exact containment filter. A matching pair meets in
+    precisely one bucket (the point's), so no post-join distinct is
+    needed. The shuffle is keyed on bucket — time-uniform data spreads
+    evenly; a hot bucket is AQE skew-split.
+
+    Pick ``bucket_seconds`` near the median interval length: the
+    explode factor is ~len/bucket_seconds per interval, while too-wide
+    buckets inflate the false-pair filter work. An interval wider than
+    ``max_buckets_per_interval`` buckets fails the job loudly
+    (``raise_error``) rather than exploding unboundedly or being
+    silently dropped — widen the bucket or split such intervals first.
+    Column names of the two inputs must be disjoint (raise otherwise)
+    — alias before joining.
+
+    Timestamp columns are bucketed via ``unix_timestamp``; numeric
+    columns are used as-is (already in seconds).
+    """
+    overlap = set(points.columns) & set(intervals.columns)
+    if overlap:
+        raise ValueError(
+            f"point/interval column names must be disjoint, both have "
+            f"{sorted(overlap)} — alias one side first"
+        )
+
+    def _secs(df: DataFrame, col: str):
+        dt = dict(df.dtypes)[col]
+        c = qcol(col)
+        return c.cast("double") if dt in ("bigint", "int", "double",
+                                          "float", "long") else (
+            F.unix_timestamp(c).cast("double")
+        )
+
+    w = float(bucket_seconds)
+    p = points.withColumn(
+        "__b", F.floor(_secs(points, time_col) / w).cast("long")
+    )
+    s_b = F.floor(_secs(intervals, start_col) / w).cast("long")
+    e_b = F.floor(_secs(intervals, end_col) / w).cast("long")
+    guard = (e_b - s_b) < max_buckets_per_interval
+    iv = (
+        intervals.withColumn("__sb", s_b)
+        .withColumn("__eb", e_b)
+        .withColumn(
+            "__b",
+            F.explode(
+                F.when(guard, F.sequence(F.col("__sb"), F.col("__eb")))
+                .otherwise(
+                    F.raise_error(
+                        F.format_string(
+                            "interval_join: interval spans %s buckets "
+                            "(max %s) — widen bucket_seconds or split "
+                            "the interval",
+                            (F.col("__eb") - F.col("__sb") + 1).cast("string"),
+                            F.lit(str(max_buckets_per_interval)),
+                        )
+                    ).cast("array<bigint>")
+                )
+            ),
+        )
+        .drop("__sb", "__eb")
+    )
+    joined = p.join(iv, "__b").filter(
+        (qcol(time_col) >= qcol(start_col))
+        & (qcol(time_col) <= qcol(end_col))
+    )
+    return joined.drop("__b")
