@@ -1,0 +1,76 @@
+"""Physical-plan regression guards: the scale-critical queries must keep
+their shapes — no cartesian/nested-loop joins outside the documented
+exact baselines, broadcast joins on the star, bounded exchange counts.
+Census is over the FINAL adaptive plan (AQE hides strategy changes until
+execution), same method as tools/plan_audit.py."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as em
+
+SF = "/root/testdata/sf0.001"
+
+# exact all-pairs baselines where the nested-loop IS the semantics
+INTENTIONAL_EXACT = {"ann_cosine_pairs", "ann_nn_join"}
+# run-to-produce streaming/pipeline entries — their plan is post-hoc
+SKIP = {
+    "pipeline_e2e", "t1_streaming_compact", "t4_stateful_stream",
+    "t5_watermark_late_drop", "curation_pipeline",
+}
+
+
+def _final_plan(spark, name: str) -> str:
+    df = em.queries()[name](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_no_unintended_cartesian_or_nested_loop(spark):
+    offenders = {}
+    for name in em.queries():
+        if name in SKIP or name in INTENTIONAL_EXACT:
+            continue
+        plan = _final_plan(spark, name)
+        bad = [
+            f for f in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if f in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
+def test_flagship_star_join_is_all_broadcast(spark):
+    plan = _final_plan(spark, "flagship_star_join")
+    assert len(re.findall(r"BroadcastHashJoin", plan)) == 4
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan  # fact never shuffles
+
+
+def test_near_dup_pipeline_exchange_budget(spark):
+    """The fused near-dup plan's shuffle count is part of its design
+    (signature agg, banding self-join, pair distinct, verify joins);
+    a regression that re-inlines the shingle subtree or loses the
+    exchange reuse shows up as extra exchanges."""
+    plan = _final_plan(spark, "near_dup_pipeline")
+    n_exch = len(re.findall(r"\bExchange\b", plan))
+    assert n_exch <= 7, f"near_dup_pipeline now has {n_exch} exchanges"
+
+
+def test_scans_prune_columns(spark):
+    """stg_transform reads a wide table but must scan only the columns
+    it uses (ReadSchema pruning reached the parquet scan)."""
+    df = em.queries()["stg_transform"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert scans, "no parquet FileScan in plan"
+    for cols_str in scans:
+        cols = [c for c in cols_str.split(",") if c]
+        assert len(cols) <= 12, f"scan reads {len(cols)} columns: {cols_str}"
+    assert "PushedFilters: [IsNotNull" in plan  # date window reached the scan
