@@ -1,0 +1,114 @@
+"""BM25 retrieval: hand-computed ground truth, a DuckDB oracle on the
+testdata documents table, and ranking sanity properties."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from web_api_postgres_etl_spark.operators.retrieval import (
+    bm25_topk,
+    doc_frequencies,
+    term_counts,
+)
+
+DOCS = [
+    (1, "spark reads parquet files and spark writes parquet files"),
+    (2, "spark is a distributed engine"),
+    (3, "ducks swim in the pond"),
+    (4, "parquet is a columnar format"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_term_counts_and_df(spark):
+    tc = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in term_counts(_docs(spark), "doc_id", "text").collect()
+    }
+    assert tc[(1, "spark")] == 2
+    assert tc[(1, "parquet")] == 2
+    assert tc[(2, "spark")] == 1
+    dfs = {
+        r["term"]: r["df"]
+        for r in doc_frequencies(
+            _docs(spark), "doc_id", "text", ["spark", "parquet", "pond"]
+        ).collect()
+    }
+    assert dfs == {"spark": 2, "parquet": 2, "pond": 1}
+
+
+def test_bm25_hand_computed(spark):
+    """Single-term query against doc 3: exactly one scoring term, so
+    the score is checkable by hand."""
+    out = bm25_topk(_docs(spark), "pond", k=3)
+    rows = out.collect()
+    assert [r["doc_id"] for r in rows] == [3]
+    n, df_t, tf, k1, b = 4, 1, 1, 1.2, 0.75
+    dls = [9, 5, 5, 5]
+    avgdl = sum(dls) / 4
+    idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+    want = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * 5 / avgdl))
+    assert rows[0]["score"] == pytest.approx(want, abs=1e-6)
+
+
+def test_bm25_ranking_sanity(spark):
+    """Docs matching more query terms with higher tf rank first; docs
+    with zero query terms are absent."""
+    out = bm25_topk(_docs(spark), "spark parquet", k=10)
+    ids = [r["doc_id"] for r in out.collect()]
+    assert ids[0] == 1            # tf(spark)=2 + tf(parquet)=2
+    assert set(ids) == {1, 2, 4}  # doc 3 shares no term
+
+
+def test_bm25_oracle_parity(spark, oracle):
+    """Full BM25 against a self-contained DuckDB implementation on the
+    sf0.01 documents table (scores to 1e-6, same tiebreak)."""
+    query = "spark window merge"
+    got = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk(
+            spark.read.parquet("/root/testdata/sf0.01/documents.parquet"),
+            query, k=20,
+        ).collect()
+    ]
+    want = oracle.execute(
+        """
+        WITH t AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(
+            regexp_replace(lower(text),'[^a-z0-9\\s]',' ','g'),'\\s+',' ','g')),
+            ' '), x -> x <> '') AS toks
+          FROM documents),
+        stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM t),
+        q(term) AS (VALUES ('spark'), ('window'), ('merge')),
+        tf AS (
+          SELECT doc_id, unnest(toks) AS term FROM t),
+        tfq AS (
+          SELECT doc_id, term, count(*) AS tf FROM tf
+          WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+        dfs AS (
+          SELECT term, count(DISTINCT doc_id) AS df FROM tf
+          WHERE term IN (SELECT term FROM q) GROUP BY 1),
+        dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+        scored AS (
+          SELECT tfq.doc_id,
+            ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * (tfq.tf * 2.2)
+              / (tfq.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+          FROM tfq JOIN dfs USING (term) JOIN dl USING (doc_id), stats)
+        SELECT doc_id, round(sum(s), 6) AS score FROM scored
+        GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20
+        """
+    ).fetchall()
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gid, gs), (wid, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-5), (gid, gs, ws)
+
+
+def test_bm25_rejects_empty_query(spark):
+    with pytest.raises(ValueError, match="no tokens"):
+        bm25_topk(_docs(spark), "!!!")

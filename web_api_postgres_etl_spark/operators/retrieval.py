@@ -1,0 +1,121 @@
+"""Corpus keyword retrieval: document frequencies, TF-IDF weights, and
+BM25 top-k search over the documents table — the text-retrieval face of
+the training-data pipeline (query a 100 TB corpus for documents about a
+topic without an external search system).
+
+Scale shape: everything reduces to one explode of the corpus into
+(doc, term) counts with map-side combine — the shuffle carries terms
+and counts, never text. Query-time statistics are restricted to the
+query's terms BEFORE any aggregation, so a search touches a
+|query|-sized slice of the term space; corpus-level constants (N,
+average document length) are bounded metadata computed once and reused
+across queries.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized_tokens
+from .project import qcol
+
+
+def term_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term, tf) — per-document term frequencies over the shared
+    normalized tokenizer. One explode + one map-side-combining count."""
+    toks = df.select(
+        qcol(id_col).alias("__id"), normalized_tokens(text_col).alias("__t")
+    )
+    return (
+        toks.select("__id", F.explode("__t").alias("term"))
+        .groupBy("__id", "term")
+        .agg(F.count("*").alias("tf"))
+        .select(F.col("__id").alias(id_col), "term", "tf")
+    )
+
+
+def doc_frequencies(
+    df: DataFrame, id_col: str, text_col: str, terms: list[str] | None = None
+) -> DataFrame:
+    """(term, df) — number of documents containing each term.
+    Pass ``terms`` to restrict the scan to a query's vocabulary (the
+    search path); omit for the full index-build sweep."""
+    toks = df.select(
+        qcol(id_col).alias("__id"),
+        F.array_distinct(normalized_tokens(text_col)).alias("__t"),
+    )
+    exploded = toks.select("__id", F.explode("__t").alias("term"))
+    if terms is not None:
+        exploded = exploded.filter(F.col("term").isin(list(terms)))
+    return exploded.groupBy("term").agg(F.count("*").alias("df"))
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for ``query`` by BM25 (Robertson idf,
+    ln(1 + (N - df + 0.5)/(df + 0.5))). Returns (id, score) with a
+    deterministic id tiebreak.
+
+    Query-time plan: tokenize the query driver-side → per-doc tf of
+    ONLY the query terms (the explode filter prunes before the count
+    shuffle) → document frequencies of those terms collected as a
+    |query|-sized broadcast literal map → one scoring aggregate →
+    TakeOrderedAndProject. Corpus text is scanned once; nothing
+    document-sized shuffles. N and avgdl are two scalar aggregates —
+    persist/memoize them for repeated queries against a static corpus.
+    """
+    q_terms = sorted(
+        {t for t in re.split(r"[^a-z0-9]+", query.lower()) if t}
+    )
+    if not q_terms:
+        raise ValueError("query has no tokens after normalization")
+    stats = df.select(
+        F.count("*").alias("n"),
+        F.avg(F.size(normalized_tokens(text_col))).alias("avgdl"),
+    ).first()
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
+    if n_docs == 0 or avgdl == 0.0:
+        raise ValueError("empty corpus")
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in doc_frequencies(df, id_col, text_col, q_terms).collect()
+    }
+    idf = {
+        t: math.log(1.0 + (n_docs - dfs.get(t, 0) + 0.5) / (dfs.get(t, 0) + 0.5))
+        for t in q_terms
+    }
+    tfs = term_counts(df, id_col, text_col).filter(
+        F.col("term").isin(q_terms)
+    )
+    dl = df.select(
+        qcol(id_col).alias(id_col),
+        F.size(normalized_tokens(text_col)).alias("__dl"),
+    )
+    idf_map = F.create_map(
+        *[x for t in q_terms for x in (F.lit(t), F.lit(idf[t]))]
+    )
+    scored = tfs.join(dl, id_col).select(
+        qcol(id_col).alias(id_col),
+        (
+            idf_map[F.col("term")]
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("__dl") / avgdl))
+        ).alias("__s"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("__s"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), qcol(id_col))
+        .limit(k)
+    )
