@@ -130,3 +130,43 @@ def test_shards_partition_and_reproduce(spark, tmp_path):
     one = spark.read.parquet(path + "/shard=3").coalesce(1).collect()
     pos = [r["shard_pos"] for r in one]
     assert pos == sorted(pos)
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark):
+    """Every near-dup pair must land in one split; isolated docs get
+    the same label the plain split would give them."""
+    from pyspark.sql import functions as F
+
+    from web_api_postgres_etl_spark.operators.dedup import near_dup_pairs
+    from web_api_postgres_etl_spark.operators.sampling import (
+        deterministic_split,
+        leakage_safe_split,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    pairs = near_dup_pairs(
+        docs, "doc_id", "text", shingle_n=2, num_hashes=8, bands=4,
+        threshold=0.5,
+    ).select("id_a", "id_b")
+    out = leakage_safe_split(
+        docs, pairs, "doc_id", {"train": 0.8, "val": 0.2}
+    )
+    split_of = {r["doc_id"]: r["split"] for r in out.collect()}
+    pair_rows = pairs.collect()
+    assert pair_rows, "need near-dup pairs for the test to bite"
+    for r in pair_rows:
+        assert split_of[r["id_a"]] == split_of[r["id_b"]], (
+            r["id_a"], r["id_b"])
+    # isolated docs: same label as the plain split keyed on their id
+    paired_ids = {x for r in pair_rows for x in (r["id_a"], r["id_b"])}
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(
+            docs, "doc_id", {"train": 0.8, "val": 0.2}
+        ).collect()
+    }
+    isolated = set(split_of) - paired_ids
+    assert isolated
+    # representative of an isolated doc is itself → identical draw
+    for d in isolated:
+        assert split_of[d] == plain[d]

@@ -237,3 +237,39 @@ def write_shuffled_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """``deterministic_split`` with a leakage guarantee: near-duplicate
+    documents always land in the SAME split. Splitting by document id
+    leaks — a train doc's near-twin in the eval split inflates every
+    metric — so the draw is keyed on the document's near-dup CLUSTER
+    representative (connected components over ``pairs``, min reachable
+    id), not the document itself. Isolated docs are their own cluster,
+    so for a dedup'd corpus this degrades to the plain split.
+
+    ``pairs`` (id_a, id_b): any near-dup pair source —
+    minhash_lsh_candidates output, verified near_dup_pairs, or
+    semantic_dup_pairs. Returns the input plus ``split`` and the
+    ``split_key`` (cluster representative) it was keyed on.
+
+    Scale shape: the components loop shuffles (node, label) ids only
+    (O(log n) pointer-doubling rounds), then ONE broadcast-or-shuffle
+    join attaches the representative; the split itself stays a narrow
+    projection.
+    """
+    from .graph import dedup_clusters
+
+    clusters = dedup_clusters(df, pairs, id_col).select(
+        qcol(id_col).alias(id_col), F.col("cluster").alias("split_key")
+    )
+    with_key = df.join(clusters, on=id_col, how="left").withColumn(
+        "split_key", F.coalesce(F.col("split_key"), qcol(id_col))
+    )
+    return deterministic_split(with_key, "split_key", weights, salt)
