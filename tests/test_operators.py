@@ -116,3 +116,39 @@ def test_project_and_alias_with_dotted_names(spark):
     a = project_alias(df, {"company.id": "instrument.id", "version": "meta.version"})
     assert a.columns == ["company.id", "version"]
     assert a.first()["company.id"] == "i1"
+
+
+def test_corpus_stats_sketches_track_exact_values(spark):
+    """The one-pass sketch profile must agree with exact computations
+    within sketch tolerance (HLL rsd 5%, quantile sketch default
+    accuracy) on the sf0.01 documents table."""
+    from pyspark.sql import functions as F
+
+    from web_api_postgres_etl_spark.functions.text import token_count
+    from web_api_postgres_etl_spark.operators.aggregates import corpus_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    row = corpus_stats(docs, "doc_id", "text").collect()[0]
+    n = docs.count()
+    assert row["n_docs"] == n
+    exact_distinct = docs.select("text").distinct().count()
+    assert abs(row["approx_distinct_docs"] - exact_distinct) <= 0.1 * exact_distinct
+    exact_total = docs.select(
+        F.sum(token_count("text")).alias("t")
+    ).collect()[0]["t"]
+    assert row["total_tokens"] == exact_total
+    p50, p90, p99 = row["token_quantiles"]
+    nts = sorted(
+        r["n"] for r in docs.select(token_count("text").alias("n")).collect()
+    )
+    assert abs(p50 - nts[len(nts) // 2]) <= max(3, 0.1 * nts[len(nts) // 2])
+    assert p50 <= p90 <= p99 <= nts[-1]
+
+
+def test_corpus_stats_grouped(spark):
+    from web_api_postgres_etl_spark.operators.aggregates import corpus_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    rows = corpus_stats(docs, "doc_id", "text", group_col="lang").collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert len(rows) == docs.select("lang").distinct().count()

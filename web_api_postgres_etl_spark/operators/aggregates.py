@@ -46,3 +46,42 @@ def max_watermark_union(
     for p in parts[1:]:
         out = out.unionAll(p)
     return {r["t"]: r["wm"] for r in out.collect()}
+
+
+def corpus_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """One-pass corpus profile (per ``group_col``, or one global row):
+    document count, total/average token counts, approximate token-count
+    quantiles (p50/p90/p99), approximate distinct content digests, and
+    the implied exact-duplicate rate.
+
+    Sketch-based by design — at 100 TB a profile must not shuffle
+    documents: ``approx_count_distinct`` is an HLL (±5% default rsd)
+    and ``percentile_approx`` a mergeable quantile sketch, so the whole
+    report is ONE map-side-combining aggregate whose shuffle carries a
+    few KB of sketch state per group. Exact forms exist when needed
+    (groupBy digest / exact percentile) at full shuffle cost —
+    tests/test_operators.py pins the sketches against them.
+    """
+    from ..functions.text import token_count
+
+    prepped = df.select(
+        *([qcol(group_col).alias("group")] if group_col else []),
+        token_count(text_col).alias("__nt"),
+        F.md5(qcol(text_col)).alias("__digest"),
+    )
+    keys = ["group"] if group_col else []
+    return prepped.groupBy(*keys).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__nt").alias("total_tokens"),
+        F.round(F.avg("__nt"), 6).alias("avg_tokens"),
+        F.percentile_approx("__nt", [0.5, 0.9, 0.99]).alias("token_quantiles"),
+        F.approx_count_distinct("__digest").alias("approx_distinct_docs"),
+        F.round(
+            F.lit(1.0) - F.approx_count_distinct("__digest") / F.count("*"), 6
+        ).alias("approx_dup_rate"),
+    )
