@@ -76,6 +76,14 @@ def probe(spark, n: int) -> None:
     vecs.count()
     ops = {}
 
+    def reset_cache():
+        # operators persist bounded intermediates (signature tables,
+        # candidate sets); clear between measurements so one op's cache
+        # does not pressure the next, then re-pin the inputs
+        spark.catalog.clearCache()
+        docs.persist().count()
+        vecs.persist().count()
+
     t0 = time.time()
     pairs = near_dup_pairs(
         docs, "doc_id", "text", shingle_n=2, num_hashes=8, bands=4,
@@ -83,6 +91,7 @@ def probe(spark, n: int) -> None:
     ).count()
     ops["near_dup_pairs"] = (time.time() - t0, pairs)
 
+    reset_cache()
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
     t0 = time.time()
@@ -93,12 +102,14 @@ def probe(spark, n: int) -> None:
     ).count()
     ops["dedup_against_corpus"] = (time.time() - t0, kept)
 
+    reset_cache()
     bench = docs.filter(F.col("doc_id") % 100 == 0).select("text")
     train = docs.filter(F.col("doc_id") % 100 != 0)
     t0 = time.time()
     clean = decontaminate(train, bench, "doc_id", "text", ngram_n=4).count()
     ops["decontaminate"] = (time.time() - t0, clean)
 
+    reset_cache()
     # SemDeDup's scale rule: k ≈ √N keeps expected cluster width flat
     # (fixed k is quadratic in N — measured 12× cost at 10× size)
     k = max(8, min(256, int(n ** 0.5)))
