@@ -888,6 +888,7 @@ def semantic_dup_pairs(
     k: int = 8,
     iters: int = 2,
     every: int = 97,
+    cache_assignments: bool = True,
 ) -> DataFrame:
     """Embedding near-duplicate pairs the SemDeDup way (Abbas et al.
     2023, arXiv:2303.09540): cluster the corpus (k-means over cosine),
@@ -901,12 +902,20 @@ def semantic_dup_pairs(
     flat); skewed clusters split further under AQE skew-join handling.
     Row norms are computed once per row before the join, so each pair
     costs one fold dot product.
+
+    ``cache_assignments`` persists the assigned (id, vec, cluster)
+    frame — the same artifact ``write_ivf_index`` materializes to
+    parquet — because the self-join otherwise evaluates the |C|-way
+    assignment fan-out once per side. Pass False to keep the plan
+    fully lazy.
     """
     if centroids is None:
         centroids = kmeans_centroids(
             corpus, id_col, vec_col, k=k, iters=iters, every=every
         )
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    if cache_assignments:
+        assigned = assigned.persist()
     a = assigned.select(
         F.col("cluster"),
         qcol(id_col).alias("__ida"),
