@@ -160,3 +160,50 @@ def test_curation_stream_filters_scrubs_and_dedups(spark, tmp_path):
         } == expected
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_corpus_ingest_dedups_across_batches(spark, tmp_path):
+    """Two source files → two micro-batches (maxFilesPerTrigger=1 via
+    separate runs): a doc near-duplicating batch-1 content must be
+    dropped in batch 2; novel docs land; the signature table grows to
+    cover survivors only."""
+    from web_api_postgres_etl_spark.streaming.curation_stream import (
+        corpus_ingest_run,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    sig = str(tmp_path / "sigs")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    batch1 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog every day"),
+            (2, "spark engines read parquet files with columnar batches"),
+        ],
+        schema,
+    )
+    batch1.write.parquet(src + "/b1")
+    corpus_ingest_run(
+        spark, src + "/b1", sink, sig, ckpt + "/1", schema,
+        shingle_n=2, num_hashes=8, bands=4, threshold=0.9,
+    )
+    batch2 = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog every day"),
+            (11, "a completely novel document with entirely fresh phrasing "
+                 "about distributed query planning"),
+        ],
+        schema,
+    )
+    batch2.write.parquet(src + "/b2")
+    corpus_ingest_run(
+        spark, src + "/b2", sink, sig, ckpt + "/2", schema,
+        shingle_n=2, num_hashes=8, bands=4, threshold=0.9,
+    )
+    landed = sorted(
+        r["doc_id"] for r in spark.read.parquet(sink).collect()
+    )
+    assert landed == [1, 2, 11]  # 10 is a dup of already-ingested 1
+    sig_ids = sorted(r["doc_id"] for r in spark.read.parquet(sig).collect())
+    assert sig_ids == [1, 2, 11]  # signature table covers survivors only

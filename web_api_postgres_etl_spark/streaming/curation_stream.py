@@ -70,3 +70,74 @@ def curation_stream_run(
         .start()
     )
     q.awaitTermination()
+
+
+def corpus_ingest_run(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    sig_dir: str,
+    checkpoint_dir: str,
+    schema,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 2,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> None:
+    """Continuous corpus ingestion with cross-batch near-dup dedup:
+    every micro-batch is (1) deduped against the PERSISTED minhash
+    signature table (``dedup_against_corpus`` — batch cost scales with
+    the batch, never with everything ever ingested), (2) appended to
+    the corpus sink, and (3) its survivors' signatures appended to the
+    signature table so later batches dedup against it.
+
+    Batch logic runs verbatim inside ``foreachBatch`` — the standard
+    Structured Streaming face for flows that need joins/aggregations
+    per micro-batch beyond the stateful-operator whitelist. Exactly
+    the reference's append+watermark layering (mabna_tables_update.py:
+    262-287), applied to corpus hygiene: the signature table IS the
+    watermark state, stored as plain parquet.
+
+    First-batch bootstrap: an absent/empty signature directory means
+    an empty corpus — the batch self-signs and lands whole. In-batch
+    near-dups are NOT collapsed here (two twins in one batch both
+    land); run the batch ``near_dup_pairs`` compaction as the backstop,
+    the same layering the exact-dup stream documents.
+    """
+    from ..operators.dedup import dedup_against_corpus, minhash_table
+
+    sig_cols = [f"mh_{i}" for i in range(num_hashes)]
+
+    def _process(batch_df, batch_id: int) -> None:
+        try:
+            sigs = spark.read.parquet(sig_dir)
+            have_sigs = len(sigs.take(1)) > 0
+        except Exception:  # noqa: BLE001 — first batch, no table yet
+            sigs, have_sigs = None, False
+        if have_sigs:
+            kept = dedup_against_corpus(
+                batch_df, sigs, id_col, text_col,
+                shingle_n, num_hashes, bands, threshold,
+            )
+        else:
+            kept = batch_df
+        # one pass per batch: persist survivors, then derive+append
+        # their signatures from the cached frame
+        kept = kept.persist()
+        kept.write.mode("append").parquet(sink_dir)
+        minhash_table(
+            kept, id_col, text_col, shingle_n, num_hashes
+        ).select(id_col, *sig_cols).write.mode("append").parquet(sig_dir)
+        kept.unpersist()
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
