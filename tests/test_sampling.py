@@ -170,3 +170,61 @@ def test_leakage_safe_split_keeps_near_dups_together(spark):
     # representative of an isolated doc is itself → identical draw
     for d in isolated:
         assert split_of[d] == plain[d]
+
+
+def test_chunk_documents_ground_truth(spark):
+    from web_api_postgres_etl_spark.operators.sampling import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))  # w0..w9
+    df = spark.createDataFrame(
+        [(1, text), (2, "short doc"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk_words=4, overlap=1)
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_chunk_words"])
+        for r in out.collect()
+    }
+    # doc 1: n=10, step 3 → ceil((10-1)/3) = 3 chunks at starts 1,4,7;
+    # a 4th chunk (start 10, just "w9") would contain only words the
+    # overlap already covered, so it is not emitted
+    assert rows[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert rows[(1, 1)] == ("w3 w4 w5 w6", 4)
+    assert rows[(1, 2)] == ("w6 w7 w8 w9", 4)
+    assert (1, 3) not in rows
+    assert rows[(2, 0)] == ("short doc", 2)
+    assert not any(k[0] in (3, 4) for k in rows)  # NULL/empty → no chunks
+
+
+def test_chunk_documents_covers_every_word_no_overlap(spark):
+    from pyspark.sql import functions as F
+
+    from web_api_postgres_etl_spark.operators.sampling import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = chunk_documents(docs, "doc_id", "text", chunk_words=32, overlap=0)
+    # with zero overlap, total chunk words == total doc words
+    total_chunk = out.agg(F.sum("n_chunk_words")).collect()[0][0]
+    total_doc = docs.select(
+        F.size(
+            F.filter(F.split("text", r"\s+"), lambda w: w != "")
+        ).alias("n")
+    ).agg(F.sum("n")).collect()[0][0]
+    assert total_chunk == total_doc
+    # chunk_idx dense from 0 per doc
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("doc_id").orderBy("chunk_idx")
+    dense = out.withColumn("rn", F.row_number().over(w) - 1)
+    assert dense.filter(F.col("rn") != F.col("chunk_idx")).count() == 0
+
+
+def test_chunk_documents_validates_params(spark):
+    import pytest
+
+    from web_api_postgres_etl_spark.operators.sampling import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="chunk_words"):
+        chunk_documents(df, "doc_id", "text", chunk_words=0)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "doc_id", "text", chunk_words=4, overlap=4)

@@ -273,3 +273,71 @@ def leakage_safe_split(
         "split_key", F.coalesce(F.col("split_key"), qcol(id_col))
     )
     return deterministic_split(with_key, "split_key", weights, salt)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_words: int = 512,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split documents into fixed word-count chunks with optional
+    overlap — the standard pre-training prep step between curation and
+    sequence packing (long documents must become context-window-sized
+    pieces; the overlap preserves cross-boundary context).
+
+    Output: (id, chunk_idx, chunk_text, n_chunk_words), one row per
+    chunk, whitespace normalized to single spaces inside chunks
+    (chunks are reassembled word lists). A document shorter than one
+    chunk yields exactly one chunk; NULL/empty text yields none.
+
+    Pure expressions + one posexplode: the only row growth is the
+    chunk fan-out itself, there is no shuffle at all. The word array is
+    bound to a projected column before the slicing lambda (the HOF
+    inline-subtree trap, see operators.dedup.word_shingles).
+    """
+    if chunk_words < 1:
+        raise ValueError(f"chunk_words must be >= 1, got {chunk_words}")
+    if not 0 <= overlap < chunk_words:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_words, got overlap={overlap}"
+        )
+    step = chunk_words - overlap
+    words_df = df.select(
+        qcol(id_col).alias("__id"),
+        F.filter(
+            F.split(qcol(text_col), r"\s+"), lambda w: w != ""
+        ).alias("__w"),
+    )
+    n = F.size(F.col("__w"))
+    # starts: 1, 1+step, 1+2*step, ... while start <= max(n - overlap, 1)
+    n_chunks = F.when(
+        n > 0, F.ceil((n - F.lit(overlap)).cast("double") / F.lit(step))
+    ).otherwise(F.lit(0)).cast("int")
+    starts = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: i * F.lit(step) + 1,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = words_df.select(
+        "__id",
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda s: F.concat_ws(
+                    " ", F.slice(F.col("__w"), s, chunk_words)
+                ),
+            )
+        ).alias("chunk_idx", "chunk_text"),
+    )
+    return chunks.select(
+        F.col("__id").alias(id_col),
+        "chunk_idx",
+        "chunk_text",
+        F.size(
+            F.filter(F.split("chunk_text", " "), lambda w: w != "")
+        ).alias("n_chunk_words"),
+    )
