@@ -333,6 +333,7 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    cache_signatures: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate candidate pairs.
 
@@ -343,8 +344,14 @@ def minhash_lsh_candidates(
     corpus size. Exact Jaccard verification of candidates is
     ``ngram_jaccard_pairs`` restricted to this output (at 100 TB, via a
     semi-join on the candidate pairs).
+
+    ``cache_signatures`` persists the signature table (k×32 B per doc)
+    — the self-join otherwise evaluates the shingle+minhash subtree
+    once per side (see ``near_dup_pairs``).
     """
     mh = minhash_table(df, id_col, text_col, shingle_n, num_hashes)
+    if cache_signatures:
+        mh = mh.persist()
     # shingle-less docs (NULL signature) can never be near-dups — drop
     # before banding (concat_ws would otherwise give them equal keys,
     # diverging from SQL's NULL-propagating ||)
@@ -698,9 +705,13 @@ def simhash_near_dups(
     """
     nbands = max_hamming + 1
     width = simhash_bits(hash_fn) // nbands
+    # persisted: the banded self-join below reads this frame on both
+    # sides, and the simhash aggregate (tokenize + per-token hash +
+    # 60-64 bit votes) is the expensive subtree; (id, int64) rows are
+    # the cheapest cacheable shape in the codebase
     sh = simhash_table(df, id_col, text_col, hash_fn).filter(
         F.col("__sh").isNotNull()
-    )
+    ).persist()
     # one (band, key) struct array exploded in a single pass — a
     # unionAll of per-band projections would scan the simhash subplan
     # nbands times per join side (2 × nbands subplans; measured 16

@@ -743,7 +743,10 @@ def lsh_cosine_pairs(
     sig_of = _signature_expr(
         corpus.sparkSession, "__v", signature, num_planes, dims
     )
-    sigd = prep.select("__id", sig_of("__v").alias("__sig"))
+    # persisted: the banded self-join reads the signature frame on both
+    # sides (id + num_planes sign bits — tiny), same rationale as
+    # minhash_lsh_candidates' cached signature table
+    sigd = prep.select("__id", sig_of("__v").alias("__sig")).persist()
     banded = sigd.select(
         "__id",
         F.explode_outer(
