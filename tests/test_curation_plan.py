@@ -1,0 +1,103 @@
+"""End-to-end training-data preparation plan: every stage's effect is
+observable in the output, and the whole chain is deterministic."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_api_postgres_etl_spark.plans.curation import (
+    CurationConfig,
+    prepare_training_data,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and that dog would have "
+    "to be quick with the pace of every chase through fields of tall grass "
+    "while the sun was up and the wind kept low so that every creature "
+    "could rest in the shade of the old oak tree near the river bend"
+)
+BENCH_TEXT = (
+    "benchmark question about the capital of france and the longest river "
+    "of europe with exactly enough words to form distinctive eight grams"
+)
+
+
+def _inputs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, BASE + " first variant with extra tail words"),
+            (2, BASE + " first variant with extra tail words"),   # exact dup of 1
+            (3, BASE + " second variant with extra tail words"),  # near-dup of 1
+            (4, "too short to pass the gopher gate"),
+            (5, BASE + " " + BENCH_TEXT),                         # contaminated
+            (6, "a wholly different account of harbor towns and that trade "
+                "which moved with the tide while every merchant kept a ledger "
+                "of salt and grain and the ships would have to wait for wind "
+                "so the harbormaster read the sky and the crews mended nets "
+                "with patient hands beneath the tall white light of the "
+                "morning and the gulls carried on above the quiet water"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(BENCH_TEXT,)], "text string")
+    return docs, bench
+
+
+CFG = CurationConfig(
+    ngram_n=8, shingle_n=2, num_hashes=8, bands=4,
+    jaccard_threshold=0.5, chunk_words=16, window_tokens=64, num_shards=2,
+)
+
+
+def test_prepare_training_data_stage_effects(spark):
+    docs, bench = _inputs(spark)
+    out = prepare_training_data(docs, bench, config=CFG)
+    rows = out.collect()
+    kept_ids = {r["doc_id"] for r in rows}
+    assert 4 not in kept_ids      # gopher word-count gate
+    assert 5 not in kept_ids      # benchmark 8-gram overlap
+    assert 2 not in kept_ids      # exact dup of 1
+    assert 3 not in kept_ids      # near-dup cluster of 1 → min id survives
+    assert 1 in kept_ids and 6 in kept_ids
+    # packing invariants
+    for r in rows:
+        assert 0 <= r["pack_offset"] < CFG.window_tokens + CFG.chunk_words
+        assert r["split"] in ("train", "val")
+        assert 0 <= r["shard"] < CFG.num_shards
+        assert r["n_chunk_words"] <= CFG.chunk_words
+    # chunks reassemble the full scrubbed document
+    doc1_words = sum(
+        r["n_chunk_words"] for r in rows if r["doc_id"] == 1
+    )
+    n_words_doc1 = len((BASE + " first variant with extra tail words").split())
+    assert doc1_words == n_words_doc1
+
+
+def test_prepare_training_data_deterministic(spark):
+    docs, bench = _inputs(spark)
+    a = sorted(
+        tuple(r)
+        for r in prepare_training_data(docs, bench, config=CFG).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in prepare_training_data(docs, bench, config=CFG).collect()
+    )
+    assert a == b and a
+
+
+def test_prepare_training_data_on_testdata(spark):
+    """Smoke at sf0.001: runs end to end, keeps a plausible fraction,
+    and every output chunk traces to a surviving document."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    out = prepare_training_data(train, bench, config=CurationConfig(
+        min_gopher_rules=4, ngram_n=4, chunk_words=32,
+        window_tokens=128, num_shards=4,
+    ))
+    n_chunks = out.count()
+    n_docs = out.select("doc_id").distinct().count()
+    assert 0 < n_docs < train.count()
+    assert n_chunks >= n_docs

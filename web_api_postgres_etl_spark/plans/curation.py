@@ -1,0 +1,138 @@
+"""The end-to-end training-data preparation plan: one callable that
+takes a raw documents table and a benchmark table and produces packed,
+sharded, leakage-safe training examples — every stage a verified
+operator from this package, composed in the order a production corpus
+run uses them:
+
+    gopher gate → PII scrub → benchmark decontamination
+    → exact dedup → near-dup cluster dedup → leakage-safe split
+    → chunk → pack per shard
+
+Scale posture inherits from the stages: filters/scrubs are one-scan
+column expressions, every dedup shuffles digests/ids (never bodies),
+near-dup candidate generation is banded, the split is md5 arithmetic,
+and chunk+pack add no shuffle beyond the per-shard pack window.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import gopher_flags, redact_pii
+from ..operators.dedup import (
+    dedup_exact_hashed,
+    decontaminate,
+    near_dup_pairs,
+)
+from ..operators.graph import dedup_clusters
+from ..operators.sampling import (
+    chunk_documents,
+    leakage_safe_split,
+    pack_sequences,
+)
+
+
+@dataclass
+class CurationConfig:
+    min_gopher_rules: int = 7           # rules required to keep (7 = all)
+    ngram_n: int = 8                    # decontamination gram width
+    shingle_n: int = 2                  # near-dup shingles
+    num_hashes: int = 8
+    bands: int = 4
+    jaccard_threshold: float = 0.5
+    split_weights: dict = field(
+        default_factory=lambda: {"train": 0.9, "val": 0.1}
+    )
+    chunk_words: int = 256
+    chunk_overlap: int = 0
+    window_tokens: int = 1024           # pack window (word-count proxy)
+    num_shards: int = 8
+
+
+def prepare_training_data(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    config: CurationConfig | None = None,
+) -> DataFrame:
+    """Raw documents + benchmark → packed training chunks.
+
+    Returns one row per chunk: (id, chunk_idx, chunk_text,
+    n_chunk_words, split, shard, pack_id, pack_offset). Deterministic
+    end to end — reruns produce identical assignments (md5 draws,
+    min-id survivors, pinned pack order).
+
+    Near-dup handling keeps each cluster's min-id document and keys
+    the split on cluster representatives, so a dropped twin can never
+    reappear and a kept twin can never straddle the split boundary.
+    """
+    cfg = config or CurationConfig()
+
+    # 1. rule gate + scrub (one scan, pure expressions). The gate is
+    # "≥ min_gopher_rules of 7 pass" — 7 is the paper's strict AND;
+    # corpora without natural English prose need a looser bar
+    n_rules = None
+    for r in (
+        "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+        "r_required_words",
+    ):
+        term = F.col(f"__gf.{r}").cast("int")
+        n_rules = term if n_rules is None else (n_rules + term)
+    gated = (
+        docs.withColumn("__gf", gopher_flags(text_col))
+        .filter(n_rules >= cfg.min_gopher_rules)
+        .drop("__gf")
+        .withColumn(text_col, redact_pii(text_col))
+    )
+
+    # 2. benchmark decontamination (broadcast digest semi-join)
+    clean = decontaminate(
+        gated, bench, id_col, text_col, ngram_n=cfg.ngram_n
+    )
+
+    # 3. exact dedup on the scrubbed digest (16-byte shuffle keys)
+    exact = dedup_exact_hashed(clean, text_col, id_col)
+
+    # 4. near-dup pairs → clusters → keep min-id survivor; the SAME
+    # pairs key the leakage-safe split so survivors of different
+    # clusters never share near-dup content across the boundary
+    pairs = near_dup_pairs(
+        exact, id_col, text_col,
+        shingle_n=cfg.shingle_n, num_hashes=cfg.num_hashes,
+        bands=cfg.bands, threshold=cfg.jaccard_threshold,
+    ).select("id_a", "id_b")
+    clusters = dedup_clusters(exact, pairs, id_col)
+    survivors = exact.join(
+        clusters.filter(F.col("is_canonical")).select(F.col(id_col)),
+        on=id_col, how="left_semi",
+    )
+
+    # 5. split BEFORE chunking (chunks inherit their document's split)
+    split_docs = leakage_safe_split(
+        survivors, pairs, id_col, cfg.split_weights
+    )
+
+    # 6. chunk → deterministic shard → pack per (split, shard)
+    chunks = chunk_documents(
+        split_docs.select(id_col, text_col, "split"),
+        id_col, text_col, cfg.chunk_words, cfg.chunk_overlap,
+    )
+    with_split = chunks.join(
+        split_docs.select(id_col, "split"), on=id_col, how="inner"
+    ).withColumn(
+        "__cid",
+        F.concat_ws("#", F.col(id_col).cast("string"), F.col("chunk_idx")),
+    )
+    packed = pack_sequences(
+        with_split,
+        id_col="__cid",
+        token_col="n_chunk_words",
+        window=cfg.window_tokens,
+        num_shards=cfg.num_shards,
+    )
+    return packed.drop("__cid")
