@@ -430,3 +430,34 @@ def test_ivf_assign_join_path_matches_literal_path(spark):
     }
     assert lit_path == join_path
     assert len(lit_path) == emb.count()
+
+
+def test_ivf_index_append_probe_sees_new_vectors(spark, tmp_path):
+    """Append a batch to a built index: probes immediately rank the new
+    vectors, old data is untouched, and appended assignments equal the
+    build-time assignment rule (shared sidecar centroids)."""
+    from web_api_postgres_etl_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_probe,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    write_ivf_index(old, path, every=97, max_centroids=8)
+    n = ivf_index_append(new, path)
+    assert n == new.count()
+    # probe with a NEW vector as the query: it must rank itself first
+    qrow = new.orderBy("vec_id").first()
+    got = ivf_probe(
+        spark, path, [float(x) for x in qrow["embedding"]], k=3, nprobe=8
+    ).collect()
+    assert got[0]["vec_id"] == qrow["vec_id"]
+    assert got[0]["cosine_sim"] == 1.0
+    # index now covers the full corpus exactly once
+    idx_ids = sorted(
+        r["vec_id"] for r in spark.read.parquet(path).collect()
+    )
+    assert idx_ids == sorted(r["vec_id"] for r in emb.collect())

@@ -972,3 +972,47 @@ def semantic_dedup(
     clusters = dedup_clusters(corpus, pairs, id_col)
     keep = clusters.filter(F.col("is_canonical")).select(qcol(id_col))
     return corpus.join(keep, on=id_col, how="left_semi")
+
+
+def ivf_index_append(
+    new_df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Append a new batch of vectors to an existing ``write_ivf_index``
+    index WITHOUT rebuilding it: read the centroid sidecar, assign the
+    batch with the SAME centroids, and append into the cluster
+    partition directories. Probes see the new vectors immediately; the
+    index never rescans old data — the incremental-ingest half of the
+    IVF story, mirroring ``dedup_against_corpus``'s posture that
+    per-batch cost must scale with the batch.
+
+    Returns the number of appended rows. Centroids drift as the corpus
+    grows (appended vectors may be better served by retrained
+    centroids); recall-sensitive deployments rebuild on a cadence —
+    the routing stays CORRECT regardless, because probe and assignment
+    share the sidecar centroids.
+    """
+    spark = new_df.sparkSession
+    cents = [
+        (int(r["cid"]), [float(x) for x in r["cvec"]])
+        for r in spark.read.parquet(path + "_centroids").collect()
+    ]
+    if not cents:
+        raise ValueError(f"no centroid sidecar at {path}_centroids")
+    assigned = ivf_assign(new_df, cents, id_col, vec_col).persist()
+    n = assigned.count()
+    (
+        assigned.select(
+            qcol(id_col),
+            F.col("__v").alias(vec_col),
+            F.col("__nv").alias("_norm"),
+            "cluster",
+        )
+        .write.mode("append")
+        .partitionBy("cluster")
+        .parquet(path)
+    )
+    assigned.unpersist()
+    return n
