@@ -461,3 +461,33 @@ def test_ivf_index_append_probe_sees_new_vectors(spark, tmp_path):
         r["vec_id"] for r in spark.read.parquet(path).collect()
     )
     assert idx_ids == sorted(r["vec_id"] for r in emb.collect())
+
+
+def test_jaccard_on_pairs_matches_exact_on_candidates(spark):
+    """Restricting exact Jaccard to LSH candidates must reproduce the
+    all-pairs values for every candidate pair."""
+    from web_api_postgres_etl_spark.operators.dedup import jaccard_on_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cands = minhash_lsh_candidates(
+        docs, "doc_id", "text", shingle_n=2, num_hashes=8, bands=4
+    ).persist()
+    on_cands = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_on_pairs(
+            docs, cands, "doc_id", "text", shingle_n=2, threshold=0.3
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", shingle_n=2, threshold=0.3
+        ).collect()
+    }
+    cand_set = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    cands.unpersist()
+    assert on_cands  # candidates produced verified pairs
+    for pair, j in on_cands.items():
+        assert exact[pair] == j
+    # every exact pair that was a candidate is present
+    assert set(on_cands) == {p for p in exact if p in cand_set}

@@ -439,11 +439,21 @@ def jaccard_on_pairs(
     output — is joined twice against per-doc distinct shingle sets;
     similarity is ``|A∩B| / (|A|+|B|−|A∩B|)`` via ``array_intersect``
     per pair. No shingle explode self-join: work is linear in candidate
-    count, and the shuffle moves each doc's shingle set once per side.
+    count. Shingle sets are semi-joined down to candidate docs first,
+    so the two-sided pair join touches a candidate-bounded frame (the
+    corpus is scanned once to build it) — same shape as the fused
+    ``near_dup_pairs`` verify tail.
     """
-    sh = _shingled(
-        df, id_col, text_col, shingle_n, drop_empty=True
-    ).select("__id", F.array_distinct("__sh").alias("__sh"))
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("__id"))
+        .union(pairs.select(F.col("id_b").alias("__id")))
+        .distinct()
+    )
+    sh = (
+        _shingled(df, id_col, text_col, shingle_n, drop_empty=True)
+        .select("__id", F.array_distinct("__sh").alias("__sh"))
+        .join(cand_ids, "__id", "left_semi")
+    )
     return _jaccard_on_shingled(sh, pairs, threshold)
 
 
