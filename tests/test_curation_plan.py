@@ -101,3 +101,22 @@ def test_prepare_training_data_on_testdata(spark):
     n_docs = out.select("doc_id").distinct().count()
     assert 0 < n_docs < train.count()
     assert n_chunks >= n_docs
+
+
+def test_repetition_gate_drops_boilerplate(spark):
+    """With the optional repetition gate on, a spam document (one
+    bigram dominating) is dropped while normal prose passes."""
+    docs, bench = _inputs(spark)
+    spam = " ".join(["buy now"] * 40)  # 40x the same bigram, 80 words
+    docs = docs.union(
+        spark.createDataFrame([(7, spam)], "doc_id long, text string")
+    )
+    from dataclasses import replace
+
+    cfg = replace(CFG, max_top_ngram_frac=0.2, min_gopher_rules=2)
+    out_ids = {
+        r["doc_id"]
+        for r in prepare_training_data(docs, bench, config=cfg).collect()
+    }
+    assert 7 not in out_ids
+    assert 1 in out_ids  # prose passes the repetition gate

@@ -38,6 +38,9 @@ from ..operators.sampling import (
 @dataclass
 class CurationConfig:
     min_gopher_rules: int = 7           # rules required to keep (7 = all)
+    max_top_ngram_frac: float | None = None   # Gopher repetition gates
+    max_dup_ngram_frac: float | None = None   # (None = stage skipped)
+    repetition_ngram: int = 2
     ngram_n: int = 8                    # decontamination gram width
     shingle_n: int = 2                  # near-dup shingles
     num_hashes: int = 8
@@ -89,6 +92,33 @@ def prepare_training_data(
         .drop("__gf")
         .withColumn(text_col, redact_pii(text_col))
     )
+
+    # 1b. optional Gopher repetition gates (top/dup n-gram fractions —
+    # the shuffle-bearing half of the rule set, so opt-in): documents
+    # with NULL signals (no n-grams) pass, matching the operator's
+    # "kept" contract
+    if cfg.max_top_ngram_frac is not None or cfg.max_dup_ngram_frac is not None:
+        from ..operators.dedup import repetition_signals
+
+        sig = repetition_signals(
+            gated, id_col, text_col, n=cfg.repetition_ngram
+        )
+        gated = gated.join(sig, on=id_col, how="left")
+        if cfg.max_top_ngram_frac is not None:
+            gated = gated.filter(
+                F.coalesce(
+                    F.col("top_ngram_frac") <= cfg.max_top_ngram_frac,
+                    F.lit(True),
+                )
+            )
+        if cfg.max_dup_ngram_frac is not None:
+            gated = gated.filter(
+                F.coalesce(
+                    F.col("dup_ngram_frac") <= cfg.max_dup_ngram_frac,
+                    F.lit(True),
+                )
+            )
+        gated = gated.drop("top_ngram_frac", "dup_ngram_frac")
 
     # 2. benchmark decontamination (broadcast digest semi-join)
     clean = decontaminate(
