@@ -47,10 +47,16 @@ def connected_components(
     needs O(diameter) rounds; for long chains use
     ``connected_components_fast`` (pointer doubling, O(log n)).
     """
+    # persist the symmetrized edge list: every propagation round joins
+    # against it, and ``edges`` is often a LAZY near-dup pipeline —
+    # without pinning, each round re-runs that entire upstream plan
+    # (measured: the end-to-end curation plan spent minutes re-deriving
+    # LSH pairs per round before this persist)
     sym = (
         edges.select(qcol(edge_src).alias("src"), qcol(edge_dst).alias("dst"))
         .union(edges.select(qcol(edge_dst).alias("src"), qcol(edge_src).alias("dst")))
         .distinct()
+        .persist()
     )
     labels = nodes.select(
         qcol(node_id).alias("id"), qcol(node_id).alias("component")
@@ -81,6 +87,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    sym.unpersist()
     if changed != 0:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
@@ -114,10 +121,14 @@ def connected_components_fast(
     quiet round is allowed so convergence on the final productive round
     is still recognized.
     """
+    # pinned for the same reason as the plain-propagation loop: every
+    # doubling round probes the edge list, which may be a lazy upstream
+    # pipeline (LSH candidate generation) if not materialized here
     sym = (
         edges.select(qcol(edge_src).alias("src"), qcol(edge_dst).alias("dst"))
         .union(edges.select(qcol(edge_dst).alias("src"), qcol(edge_src).alias("dst")))
         .distinct()
+        .persist()
     )
     labels = nodes.select(
         qcol(node_id).alias("id"), qcol(node_id).alias("component")
@@ -158,6 +169,7 @@ def connected_components_fast(
         labels = jumped
         if changed == 0:
             break
+    sym.unpersist()
     if changed != 0:
         raise RuntimeError(
             f"connected_components_fast did not converge in {max_iter} "

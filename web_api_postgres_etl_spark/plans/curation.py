@@ -125,27 +125,44 @@ def prepare_training_data(
         gated, bench, id_col, text_col, ngram_n=cfg.ngram_n
     )
 
-    # 3. exact dedup on the scrubbed digest (16-byte shuffle keys)
-    exact = dedup_exact_hashed(clean, text_col, id_col)
+    # 3. exact dedup on the scrubbed digest (16-byte shuffle keys).
+    # PERSISTED: this is the plan's staging layer — five downstream
+    # consumers (signatures, verify, survivors, split, chunks) would
+    # each re-run gate+scrub+decontam+dedup otherwise. A production
+    # run writes this frame to storage (the medallion stg_ table);
+    # MEMORY_AND_DISK is the in-session equivalent.
+    exact = dedup_exact_hashed(clean, text_col, id_col).persist()
 
-    # 4. near-dup pairs → clusters → keep min-id survivor; the SAME
-    # pairs key the leakage-safe split so survivors of different
-    # clusters never share near-dup content across the boundary
+    # 4. near-dup pairs → clusters, computed ONCE and reused for both
+    # the survivor choice and the split key (the leakage guarantee):
+    # pairs are pinned because the component loop would otherwise
+    # re-run the whole LSH pipeline every propagation round, and a
+    # second dedup_clusters inside leakage_safe_split would double it
+    # all again (measured 500 s → 42 s at 50k docs for this plan)
     pairs = near_dup_pairs(
         exact, id_col, text_col,
         shingle_n=cfg.shingle_n, num_hashes=cfg.num_hashes,
         bands=cfg.bands, threshold=cfg.jaccard_threshold,
-    ).select("id_a", "id_b")
-    clusters = dedup_clusters(exact, pairs, id_col)
+    ).select("id_a", "id_b").persist()
+    clusters = dedup_clusters(exact, pairs, id_col).persist()
     survivors = exact.join(
         clusters.filter(F.col("is_canonical")).select(F.col(id_col)),
         on=id_col, how="left_semi",
     )
 
-    # 5. split BEFORE chunking (chunks inherit their document's split)
-    split_docs = leakage_safe_split(
-        survivors, pairs, id_col, cfg.split_weights
-    )
+    # 5. split BEFORE chunking (chunks inherit their document's split),
+    # keyed on the cluster representative from the SAME clusters frame
+    # — inlines leakage_safe_split over the already-computed components
+    from ..operators.sampling import deterministic_split
+
+    with_key = survivors.join(
+        clusters.select(F.col(id_col), F.col("cluster").alias("split_key")),
+        on=id_col, how="left",
+    ).withColumn("split_key", F.coalesce(F.col("split_key"), F.col(id_col)))
+    # persisted: consumed twice below (chunk input + split re-attach)
+    split_docs = deterministic_split(
+        with_key, "split_key", cfg.split_weights
+    ).drop("split_key").persist()
 
     # 6. chunk → deterministic shard → pack per (split, shard)
     chunks = chunk_documents(
