@@ -392,3 +392,29 @@ def test_dedup_against_corpus_oracle_parity(spark, oracle):
     want = [r[0] for r in oracle.execute(sql).fetchall()]
     assert got == want
     assert len(got) < new.count()  # the corpus DID absorb some near-dups
+
+
+# ------------------------------------------------ text normalization
+def test_clean_text_rules_and_idempotence(spark):
+    from web_api_postgres_etl_spark.functions.text import clean_text
+
+    dirty = (
+        "hello\x00world\x1f ok here​zw\n"
+        "line with trailing   \n\n\n\n\n"
+        "after the wall　wide"
+    )
+    df = spark.createDataFrame([(1, dirty)], "id long, text string")
+    once = df.select(clean_text("text").alias("t")).collect()[0]["t"]
+    assert "\x00" not in once and "\x1f" not in once
+    assert " " not in once and "​" not in once
+    assert "helloworld ok here" in once
+    assert "zw" in once                      # zero-width removed, joined
+    assert "\n\n\n" not in once              # blank wall collapsed
+    assert "after the wall wide" in once     # ideographic space → space
+    assert "trailing\n" in once or once.endswith("trailing")
+    twice = (
+        spark.createDataFrame([(1, once)], "id long, text string")
+        .select(clean_text("text").alias("t"))
+        .collect()[0]["t"]
+    )
+    assert twice == once                     # idempotent

@@ -269,3 +269,45 @@ def redact_pii(text_col: Column | str) -> Column:
     for _, pat, tag in PII_PATTERNS:
         c = F.regexp_replace(c, pat, tag)
     return c
+
+
+# C4-style text normalization: the clean-before-analyze step most web
+# corpora need. Chained regexp_replace (JVM, codegen), no UDFs; each
+# rule is separable so pipelines can compose a subset.
+def strip_control_chars(text_col: Column | str) -> Column:
+    """Remove C0/C1 control characters except tab and newline."""
+    return F.regexp_replace(
+        _c(text_col), r"[\x00-\x08\x0B-\x1F\x7F-\x9F]", ""
+    )
+
+
+def normalize_unicode_spaces(text_col: Column | str) -> Column:
+    """Map exotic Unicode spaces (NBSP, thin/zero-width, ideographic)
+    to plain spaces, and zero-width characters to nothing."""
+    c = F.regexp_replace(
+        _c(text_col), "[​‌‍﻿]", ""
+    )
+    return F.regexp_replace(
+        c, "[   -   　]", " "
+    )
+
+
+def collapse_blank_lines(text_col: Column | str, max_blank: int = 1) -> Column:
+    """Collapse runs of blank lines to at most ``max_blank`` (C4 keeps
+    paragraph structure but drops whitespace walls); also trims
+    trailing spaces per line."""
+    c = F.regexp_replace(_c(text_col), r"[ \t]+\n", "\n")
+    return F.regexp_replace(
+        c, r"\n{" + str(max_blank + 2) + r",}", "\n" * (max_blank + 1)
+    )
+
+
+def clean_text(text_col: Column | str) -> Column:
+    """The composed normalization: control chars → unicode spaces →
+    blank-line collapse → outer trim. Idempotent (cleaning twice equals
+    cleaning once — pinned by tests)."""
+    return F.trim(
+        collapse_blank_lines(
+            normalize_unicode_spaces(strip_control_chars(text_col))
+        )
+    )
