@@ -340,3 +340,86 @@ def test_gopher_flags_match_python_model(spark, texts):
         spark_flags = {k: v for k, v in got[i].items() if k != "keep"}
         assert spark_flags == want, (t, spark_flags, want)
         assert got[i]["keep"] == all(want.values())
+
+
+# ------------------------------------------------- chunking / intervals
+from web_api_postgres_etl_spark.operators.joins import interval_join  # noqa: E402
+from web_api_postgres_etl_spark.operators.sampling import chunk_documents  # noqa: E402
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=12),
+    st.integers(min_value=2, max_value=16),
+    st.integers(min_value=0, max_value=8),
+)
+@settings(max_examples=8, deadline=None)
+def test_chunk_documents_model(spark, word_counts, chunk_words, overlap):
+    """Chunks must follow the start-arithmetic model exactly for any
+    (doc length, chunk, overlap) combination."""
+    if overlap >= chunk_words:
+        overlap = chunk_words - 1
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(n)) if n else "")
+        for i, n in enumerate(word_counts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for r in chunk_documents(
+        df, "doc_id", "text", chunk_words, overlap
+    ).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_text"], r["n_chunk_words"])
+        )
+    step = chunk_words - overlap
+    for i, n in enumerate(word_counts):
+        words = [f"w{i}_{j}" for j in range(n)]
+        if n == 0:
+            assert i not in out
+            continue
+        import math
+        want_chunks = math.ceil((n - overlap) / step)
+        got = sorted(out.get(i, []))
+        assert len(got) == want_chunks, (n, chunk_words, overlap, got)
+        for idx, text, nw in got:
+            start = idx * step
+            expect = words[start:start + chunk_words]
+            assert text == " ".join(expect)
+            assert nw == len(expect)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=30),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=280),
+            st.integers(min_value=0, max_value=60),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(min_value=1, max_value=50),
+)
+@settings(max_examples=8, deadline=None)
+def test_interval_join_model(spark, points, spans, bucket):
+    """Bucketed range join equals the brute-force containment set for
+    any points/intervals/bucket width."""
+    p_df = spark.createDataFrame(
+        [(i, float(t)) for i, t in enumerate(points)], "pid long, ts double"
+    )
+    iv_df = spark.createDataFrame(
+        [(i, float(s), float(s + w)) for i, (s, w) in enumerate(spans)],
+        "iid long, s double, e double",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            p_df, iv_df, "ts", "s", "e", bucket_seconds=bucket
+        ).collect()
+    )
+    want = sorted(
+        (pi, ii)
+        for pi, t in enumerate(points)
+        for ii, (s, w) in enumerate(spans)
+        if s <= t <= s + w
+    )
+    assert got == want
