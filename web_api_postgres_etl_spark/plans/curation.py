@@ -37,6 +37,7 @@ from ..operators.sampling import (
 
 @dataclass
 class CurationConfig:
+    normalize_text: bool = True         # C4-style clean_text first
     min_gopher_rules: int = 7           # rules required to keep (7 = all)
     max_top_ngram_frac: float | None = None   # Gopher repetition gates
     max_dup_ngram_frac: float | None = None   # (None = stage skipped)
@@ -74,6 +75,13 @@ def prepare_training_data(
     reappear and a kept twin can never straddle the split boundary.
     """
     cfg = config or CurationConfig()
+
+    # 0. normalization (control chars, unicode spaces, blank walls) —
+    # BEFORE gating so rule counters and dedup digests see clean text
+    if cfg.normalize_text:
+        from ..functions.text import clean_text
+
+        docs = docs.withColumn(text_col, clean_text(text_col))
 
     # 1. rule gate + scrub (one scan, pure expressions). The gate is
     # "≥ min_gopher_rules of 7 pass" — 7 is the paper's strict AND;
