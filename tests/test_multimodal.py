@@ -108,3 +108,31 @@ def test_resize_plan_oracle_parity(spark, oracle):
     )
     d = sorted(tuple(r) for r in oracle.execute(em.SQL_RESIZE).fetchall())
     assert s == d
+
+
+def test_image_near_dups_finds_byte_duplicates(spark):
+    """Identical bytes → identical fake features → cosine 1.0 pair;
+    distinct content stays unpaired at a high threshold."""
+    from web_api_postgres_etl_spark.operators.multimodal import (
+        image_near_dups,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, b"imagebytes-alpha" * 100),
+        (2, b"imagebytes-alpha" * 100),   # byte-dup of 1
+        (3, b"imagebytes-beta" * 100),
+        (4, b"imagebytes-gamma" * 90),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, content binary"
+    ).withColumn("media_meta", F.lit(None).cast(
+        "struct<mime:string,width:int,height:int,sample_rate:int,"
+        "duration_ms:int,codec:string>"
+    ))
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in image_near_dups(media, threshold=0.999).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0
+    assert all(p == (1, 2) for p in pairs)

@@ -206,3 +206,39 @@ def media_stats(media: DataFrame) -> DataFrame:
         F.sum(F.length("content")).alias("total_bytes"),
         F.avg(F.length("content")).alias("avg_bytes"),
     )
+
+
+def image_near_dups(
+    media: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 8,
+    num_planes: int = 8,
+    bands: int = 2,
+) -> DataFrame:
+    """Image near-duplicate pairs: feature-extract (mapInPandas kernel,
+    fake here / CLIP-style in production) → sign-bit LSH banding →
+    exact cosine on band candidates only — the multimodal face of the
+    text near-dup plan, composed from ``extract_image_features`` and
+    ``similarity.lsh_cosine_pairs`` (no new join machinery).
+
+    Output: (id_a, id_b, cosine_sim). Exact byte-dups additionally
+    share ``sha256`` (catch those first with the cheaper
+    ``dedup_exact_hashed`` on the digest — identical bytes always
+    reach cosine 1.0 here, but hashing is a scan, not a join).
+
+    At 100 TB the feature extraction is the cost center (GPU batch per
+    partition); everything after moves (id, dim floats) only.
+    """
+    from .similarity import lsh_cosine_pairs
+
+    feats = extract_image_features(media, dim).select(
+        "media_id", F.col("feature").alias("embedding")
+    )
+    return lsh_cosine_pairs(
+        feats,
+        id_col="media_id",
+        vec_col="embedding",
+        threshold=threshold,
+        num_planes=num_planes,
+        bands=bands,
+    )
