@@ -377,7 +377,9 @@ def test_chunk_documents_model(spark, word_counts, chunk_words, overlap):
             assert i not in out
             continue
         import math
-        want_chunks = math.ceil((n - overlap) / step)
+        # floor at 1: a non-empty doc with n <= overlap still yields
+        # one (short) chunk
+        want_chunks = max(math.ceil((n - overlap) / step), 1)
         got = sorted(out.get(i, []))
         assert len(got) == want_chunks, (n, chunk_words, overlap, got)
         for idx, text, nw in got:

@@ -228,3 +228,51 @@ def test_chunk_documents_validates_params(spark):
         chunk_documents(df, "doc_id", "text", chunk_words=0)
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, "doc_id", "text", chunk_words=4, overlap=4)
+
+
+def test_pack_sequences_group_col_isolates_packs(spark):
+    """With group_col, a (group, shard, pack_id) pack never mixes
+    groups, and offsets restart per group — the guard against train
+    packs absorbing eval text."""
+    from pyspark.sql import functions as F
+
+    from web_api_postgres_etl_spark.operators.sampling import pack_sequences
+
+    df = spark.range(200).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, "val").otherwise("train").alias("split"),
+        (F.col("id") % 7 + 3).alias("toks"),
+    )
+    out = pack_sequences(
+        df, "id", "toks", window=20, num_shards=4, group_col="split"
+    )
+    packs = (
+        out.groupBy("split", "shard", "pack_id")
+        .agg(F.countDistinct("split").alias("ng"), F.min("pack_offset").alias("mn"))
+        .collect()
+    )
+    assert all(r["ng"] == 1 for r in packs)
+    # every group's shard starts its own pack 0 at offset 0
+    first = (
+        out.groupBy("split", "shard")
+        .agg(F.min("pack_id").alias("p0"), F.min("pack_offset").alias("o0"))
+        .collect()
+    )
+    assert all(r["p0"] == 0 and r["o0"] == 0 for r in first)
+
+
+def test_chunk_documents_short_doc_still_chunks_with_overlap(spark):
+    """A non-empty doc with word count <= overlap must yield its one
+    short chunk, not vanish."""
+    from web_api_postgres_etl_spark.operators.sampling import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "only")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["chunk_idx"], r["chunk_text"])
+        for r in chunk_documents(
+            df, "doc_id", "text", chunk_words=8, overlap=4
+        ).collect()
+    }
+    assert out == {1: (0, "a b"), 2: (0, "only")}

@@ -9,6 +9,11 @@ Heavy side-effecting queries (streaming/pipeline contract entries that
 must RUN to produce a frame) are planned on their final result — their
 interesting physics happens across jobs, so they are listed but not
 flagged.
+
+Each query is collect()ed so the census reads the FINAL adaptive plan
+(AQE hides join strategies and codegen until execution) — run at small
+SF only (the sf0.01 default); table-sized results at large SF would
+land on the driver.
 """
 
 from __future__ import annotations

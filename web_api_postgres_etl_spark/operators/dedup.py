@@ -442,8 +442,12 @@ def jaccard_on_pairs(
     count. Shingle sets are semi-joined down to candidate docs first,
     so the two-sided pair join touches a candidate-bounded frame (the
     corpus is scanned once to build it) — same shape as the fused
-    ``near_dup_pairs`` verify tail.
+    ``near_dup_pairs`` verify tail. ``pairs`` is read twice (candidate
+    ids + the verify join), so it is pinned here; without the persist a
+    lazy ``minhash_lsh_candidates`` input would run its banding
+    pipeline once per read.
     """
+    pairs = pairs.persist()
     cand_ids = (
         pairs.select(F.col("id_a").alias("__id"))
         .union(pairs.select(F.col("id_b").alias("__id")))
@@ -702,6 +706,7 @@ def simhash_near_dups(
     text_col: str,
     max_hamming: int = 3,
     hash_fn: str = "xxhash64",
+    cache_signatures: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
 
@@ -715,13 +720,17 @@ def simhash_near_dups(
     """
     nbands = max_hamming + 1
     width = simhash_bits(hash_fn) // nbands
-    # persisted: the banded self-join below reads this frame on both
-    # sides, and the simhash aggregate (tokenize + per-token hash +
+    # cached by default: the banded self-join below reads this frame on
+    # both sides, and the simhash aggregate (tokenize + per-token hash +
     # 60-64 bit votes) is the expensive subtree; (id, int64) rows are
-    # the cheapest cacheable shape in the codebase
+    # the cheapest cacheable shape in the codebase. Pass
+    # cache_signatures=False to stay fully lazy (composing into a
+    # larger cached pipeline).
     sh = simhash_table(df, id_col, text_col, hash_fn).filter(
         F.col("__sh").isNotNull()
-    ).persist()
+    )
+    if cache_signatures:
+        sh = sh.persist()
     # one (band, key) struct array exploded in a single pass — a
     # unionAll of per-band projections would scan the simhash subplan
     # nbands times per join side (2 × nbands subplans; measured 16
@@ -872,7 +881,10 @@ def decontaminate(
             train_df, bench_df, id_col, text_col, bench_text_col,
             ngram_n, broadcast_bench,
         ).filter(F.col("n_hits") >= min_hits).select(qcol(id_col))
-    return train_df.join(F.broadcast(hits), on=id_col, how="left_anti")
+    # no forced broadcast: the hit set is bounded by the CONTAMINATED
+    # population, which on a heavily contaminated corpus approaches
+    # corpus scale — AQE broadcasts at runtime when it is actually small
+    return train_df.join(hits, on=id_col, how="left_anti")
 
 
 # ------------------------------------------------- cross-corpus dedup
@@ -956,6 +968,20 @@ def contaminated_flag(
     join form (``decontaminate``). NULL/short texts flag False.
     """
     toks = normalized_tokens(text_col)
-    grams = F.transform(word_shingles(toks, ngram_n), lambda g: F.md5(g))
     bench = F.array(*[F.lit(d) for d in bench_digests])
-    return F.coalesce(F.arrays_overlap(grams, bench), F.lit(False))
+    # bind the token array to a lambda variable before shingling: the
+    # HOF inline-subtree trap (see word_shingles) — slice() inside the
+    # shingle lambda re-evaluates its child per element, and an inline
+    # tokenize tree would re-run the regex chain per shingle per row.
+    # transform(array(toks), t -> …) evaluates toks exactly once.
+    overlap = F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda t: F.arrays_overlap(
+                F.transform(word_shingles(t, ngram_n), lambda g: F.md5(g)),
+                bench,
+            ),
+        ),
+        1,
+    )
+    return F.coalesce(overlap, F.lit(False))

@@ -182,6 +182,7 @@ def pack_sequences(
     window: int,
     num_shards: int = 64,
     salt: str = "pack",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Assign documents to fixed-token-window packs (the training-side
     'concatenate docs to sequence length' step, minus tokenization):
@@ -200,14 +201,20 @@ def pack_sequences(
 
     Scale shape: one hash-partitioned window per shard — no global
     sort, no driver state; reruns reproduce the identical packing.
+
+    ``group_col`` scopes packs: the running sum partitions on
+    (group, shard) so a pack never mixes rows from different groups —
+    pass the train/val split column or a pack can straddle the split
+    boundary (train sequences silently absorbing eval text).
     """
     if window < 1 or num_shards < 1:
         raise ValueError(
             f"need window >= 1 and num_shards >= 1, got {window}, {num_shards}"
         )
     sharded = shuffle_shards(df, id_col, num_shards, salt)
+    part_cols = [qcol(group_col), F.col("shard")] if group_col else [F.col("shard")]
     w = (
-        Window.partitionBy("shard")
+        Window.partitionBy(*part_cols)
         .orderBy(F.col("shard_pos").asc(), qcol(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -311,9 +318,15 @@ def chunk_documents(
         ).alias("__w"),
     )
     n = F.size(F.col("__w"))
-    # starts: 1, 1+step, 1+2*step, ... while start <= max(n - overlap, 1)
+    # starts: 1, 1+step, 1+2*step, …; ceil((n-overlap)/step) chunks,
+    # floored at 1 so a non-empty doc with n <= overlap still yields
+    # its single (short) chunk instead of silently vanishing
     n_chunks = F.when(
-        n > 0, F.ceil((n - F.lit(overlap)).cast("double") / F.lit(step))
+        n > 0,
+        F.greatest(
+            F.ceil((n - F.lit(overlap)).cast("double") / F.lit(step)),
+            F.lit(1),
+        ),
     ).otherwise(F.lit(0)).cast("int")
     starts = F.when(
         n_chunks > 0,

@@ -726,6 +726,7 @@ def lsh_cosine_pairs(
     bands: int = 2,
     signature: str = "axis",
     dims: int | None = None,
+    cache_signatures: bool = True,
 ) -> DataFrame:
     """LSH-bucketed cosine near-dup pairs — the 100 TB form of
     ``cosine_pairs``: only vectors sharing ≥1 signature band are scored
@@ -743,10 +744,12 @@ def lsh_cosine_pairs(
     sig_of = _signature_expr(
         corpus.sparkSession, "__v", signature, num_planes, dims
     )
-    # persisted: the banded self-join reads the signature frame on both
-    # sides (id + num_planes sign bits — tiny), same rationale as
-    # minhash_lsh_candidates' cached signature table
-    sigd = prep.select("__id", sig_of("__v").alias("__sig")).persist()
+    # cached by default: the banded self-join reads the signature frame
+    # on both sides (id + num_planes sign bits — tiny), same rationale
+    # as minhash_lsh_candidates; cache_signatures=False stays lazy
+    sigd = prep.select("__id", sig_of("__v").alias("__sig"))
+    if cache_signatures:
+        sigd = sigd.persist()
     banded = sigd.select(
         "__id",
         F.explode_outer(

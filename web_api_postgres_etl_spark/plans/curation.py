@@ -189,5 +189,6 @@ def prepare_training_data(
         token_col="n_chunk_words",
         window=cfg.window_tokens,
         num_shards=cfg.num_shards,
+        group_col="split",   # a pack must never mix train and val
     )
     return packed.drop("__cid")

@@ -111,10 +111,19 @@ def corpus_ingest_run(
     sig_cols = [f"mh_{i}" for i in range(num_hashes)]
 
     def _process(batch_df, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         try:
             sigs = spark.read.parquet(sig_dir)
             have_sigs = len(sigs.take(1)) > 0
-        except Exception:  # noqa: BLE001 — first batch, no table yet
+        except AnalysisException as exc:
+            # ONLY the missing-table bootstrap may be swallowed: any
+            # other read failure (permissions, corrupt footer) must
+            # fail the batch — treating it as "first batch" would land
+            # the whole batch UNDEDUPED and append its signatures,
+            # permanently ingesting duplicates with no error surfaced
+            if "PATH_NOT_FOUND" not in str(exc):
+                raise
             sigs, have_sigs = None, False
         if have_sigs:
             kept = dedup_against_corpus(
