@@ -973,15 +973,15 @@ def contaminated_flag(
     # HOF inline-subtree trap (see word_shingles) — slice() inside the
     # shingle lambda re-evaluates its child per element, and an inline
     # tokenize tree would re-run the regex chain per shingle per row.
-    # transform(array(toks), t -> …) evaluates toks exactly once.
-    overlap = F.element_at(
+    # transform(array(toks), t -> …) evaluates toks exactly once. The
+    # arrays_overlap itself stays OUTSIDE the lambda: HOF lambda bodies
+    # are interpreted, and probing a many-thousand-digest literal
+    # interpreted per row measured 3× slower than the codegen'd form.
+    grams = F.element_at(
         F.transform(
             F.array(toks),
-            lambda t: F.arrays_overlap(
-                F.transform(word_shingles(t, ngram_n), lambda g: F.md5(g)),
-                bench,
-            ),
+            lambda t: F.transform(word_shingles(t, ngram_n), lambda g: F.md5(g)),
         ),
         1,
     )
-    return F.coalesce(overlap, F.lit(False))
+    return F.coalesce(F.arrays_overlap(grams, bench), F.lit(False))
