@@ -46,3 +46,12 @@ def test_bench_headline_names_exist():
     q = entrymod.queries()
     missing = [n for n in bench.HEADLINE if n not in q]
     assert not missing, f"bench HEADLINE names missing from queries(): {missing}"
+
+
+def test_operator_package_exports_resolve():
+    """Every name in operators.__all__ imports and is callable — the
+    public API surface a user of the package reaches for."""
+    import web_api_postgres_etl_spark.operators as ops
+
+    for name in ops.__all__:
+        assert callable(getattr(ops, name)), name

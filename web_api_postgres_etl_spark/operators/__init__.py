@@ -6,24 +6,79 @@ Catalyst still sees one lazy plan per pipeline — filters and projections
 written here reach the parquet scan as PushedFilters/ReadSchema.
 """
 
-from .aggregates import max_watermark, max_watermarks
-from .dedup import dedup_exact, dedup_last_wins
+from .aggregates import corpus_stats, max_watermark, max_watermarks
+from .dedup import (
+    contaminated_flag,
+    decontaminate,
+    dedup_against_corpus,
+    dedup_exact,
+    dedup_last_wins,
+    minhash_lsh_candidates,
+    minhash_table,
+    near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
 from .filters import drop_required_nulls, in_range, newer_than
-from .joins import star_join, two_way_join
+from .graph import dedup_clusters
+from .joins import asof_join, interval_join, salted_join, star_join, two_way_join
 from .project import project, project_alias, drop_columns, qcol
+from .retrieval import bm25_topk
+from .sampling import (
+    chunk_documents,
+    deterministic_split,
+    leakage_safe_split,
+    pack_sequences,
+    quota_by_group,
+)
+from .similarity import (
+    cosine_topk,
+    ivf_probe,
+    ivf_topk,
+    lsh_cosine_pairs,
+    semantic_dedup,
+    semantic_dup_pairs,
+    write_ivf_index,
+)
 
 __all__ = [
+    "asof_join",
+    "bm25_topk",
+    "chunk_documents",
+    "contaminated_flag",
+    "corpus_stats",
+    "cosine_topk",
+    "decontaminate",
+    "dedup_against_corpus",
+    "dedup_clusters",
     "dedup_exact",
     "dedup_last_wins",
+    "deterministic_split",
     "drop_columns",
     "drop_required_nulls",
     "in_range",
+    "interval_join",
+    "ivf_probe",
+    "ivf_topk",
+    "leakage_safe_split",
+    "lsh_cosine_pairs",
     "max_watermark",
     "max_watermarks",
+    "minhash_lsh_candidates",
+    "minhash_table",
+    "near_dup_pairs",
     "newer_than",
+    "ngram_jaccard_pairs",
+    "pack_sequences",
     "project",
     "project_alias",
     "qcol",
+    "quota_by_group",
+    "salted_join",
+    "semantic_dedup",
+    "semantic_dup_pairs",
+    "simhash_near_dups",
     "star_join",
     "two_way_join",
+    "write_ivf_index",
 ]
