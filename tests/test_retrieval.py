@@ -112,3 +112,27 @@ def test_bm25_oracle_parity(spark, oracle):
 def test_bm25_rejects_empty_query(spark):
     with pytest.raises(ValueError, match="no tokens"):
         bm25_topk(_docs(spark), "!!!")
+
+
+def test_tfidf_table_values_and_min_df(spark):
+    import math
+
+    from web_api_postgres_etl_spark.operators.retrieval import tfidf_table
+
+    out = {
+        (r["doc_id"], r["term"]): (r["tf"], r["df"], r["tfidf"])
+        for r in tfidf_table(_docs(spark), "doc_id", "text").collect()
+    }
+    n = 4
+    tf, dfc = out[(1, "spark")][0], out[(1, "spark")][1]
+    assert (tf, dfc) == (2, 2)
+    want = round(tf * (math.log((1 + n) / (1 + dfc)) + 1), 6)
+    assert out[(1, "spark")][2] == pytest.approx(want, abs=1e-6)
+    # min_df prunes terms in fewer docs
+    pruned = {
+        r["term"]
+        for r in tfidf_table(
+            _docs(spark), "doc_id", "text", min_df=2
+        ).collect()
+    }
+    assert "pond" not in pruned and "spark" in pruned

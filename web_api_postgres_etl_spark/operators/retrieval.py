@@ -119,3 +119,43 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), qcol(id_col))
         .limit(k)
     )
+
+
+def tfidf_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 1,
+) -> DataFrame:
+    """(id, term, tf, df, tfidf) — the materialized index-build half of
+    the retrieval story (``bm25_topk`` is the query-time half): every
+    document's term weights with smoothed idf
+    ``ln((1 + N) / (1 + df)) + 1`` (sklearn's formulation — strictly
+    positive, so downstream cosine over tfidf vectors is well-defined).
+
+    Scale shape: ONE explode of the corpus feeds both the per-doc
+    counts and the document frequencies (same (id, term) frame, two
+    map-side-combining aggregates); the df table joins back by term —
+    a shuffle of (term, count) pairs, never text. ``min_df`` prunes
+    hapax noise before the join. N is one scalar aggregate.
+
+    Persist/write the result once per corpus snapshot; query-time
+    scoring then never touches raw text.
+    """
+    n_docs = df.count()
+    tc = term_counts(df, id_col, text_col)
+    dfs = (
+        tc.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    idf = F.log(
+        (F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df"))
+    ) + F.lit(1.0)
+    return tc.join(dfs, "term").select(
+        qcol(id_col),
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    )
