@@ -128,11 +128,11 @@ def test_tfidf_table_values_and_min_df(spark):
     assert (tf, dfc) == (2, 2)
     want = round(tf * (math.log((1 + n) / (1 + dfc)) + 1), 6)
     assert out[(1, "spark")][2] == pytest.approx(want, abs=1e-6)
-    # min_df prunes terms in fewer docs
-    pruned = {
+    # min_df=2 drops terms appearing in fewer than 2 docs
+    kept_terms = {
         r["term"]
         for r in tfidf_table(
             _docs(spark), "doc_id", "text", min_df=2
         ).collect()
     }
-    assert "pond" not in pruned and "spark" in pruned
+    assert "pond" not in kept_terms and "spark" in kept_terms

@@ -23,7 +23,7 @@ from .filters import drop_required_nulls, in_range, newer_than
 from .graph import dedup_clusters
 from .joins import asof_join, interval_join, salted_join, star_join, two_way_join
 from .project import project, project_alias, drop_columns, qcol
-from .retrieval import bm25_topk
+from .retrieval import bm25_topk, tfidf_table
 from .sampling import (
     chunk_documents,
     deterministic_split,
@@ -79,6 +79,7 @@ __all__ = [
     "semantic_dup_pairs",
     "simhash_near_dups",
     "star_join",
+    "tfidf_table",
     "two_way_join",
     "write_ivf_index",
 ]

@@ -42,8 +42,11 @@ def doc_frequencies(
     df: DataFrame, id_col: str, text_col: str, terms: list[str] | None = None
 ) -> DataFrame:
     """(term, df) — number of documents containing each term.
-    Pass ``terms`` to restrict the scan to a query's vocabulary (the
-    search path); omit for the full index-build sweep."""
+    Pass ``terms`` to restrict the scan to a query's vocabulary — the
+    ``bm25_topk`` search path. (The index build, ``tfidf_table``,
+    derives df from its own term-count frame instead so one explode
+    feeds both aggregates; keep any tokenizer change in
+    ``normalized_tokens`` so the two paths cannot diverge.)"""
     toks = df.select(
         qcol(id_col).alias("__id"),
         F.array_distinct(normalized_tokens(text_col)).alias("__t"),
