@@ -163,10 +163,11 @@ def test_curation_stream_filters_scrubs_and_dedups(spark, tmp_path):
 
 
 def test_corpus_ingest_dedups_across_batches(spark, tmp_path):
-    """Two source files → two micro-batches (maxFilesPerTrigger=1 via
-    separate runs): a doc near-duplicating batch-1 content must be
-    dropped in batch 2; novel docs land; the signature table grows to
-    cover survivors only."""
+    """One checkpointed query fed incrementally (the production shape —
+    batch ids must be stable for the idempotent partition writes): a
+    doc near-duplicating batch-1 content must be dropped in batch 2;
+    novel docs land; the signature table grows to cover survivors
+    only."""
     from web_api_postgres_etl_spark.streaming.curation_stream import (
         corpus_ingest_run,
     )
@@ -183,9 +184,9 @@ def test_corpus_ingest_dedups_across_batches(spark, tmp_path):
         ],
         schema,
     )
-    batch1.write.parquet(src + "/b1")
+    batch1.write.mode("append").parquet(src)
     corpus_ingest_run(
-        spark, src + "/b1", sink, sig, ckpt + "/1", schema,
+        spark, src, sink, sig, ckpt, schema,
         shingle_n=2, num_hashes=8, bands=4, threshold=0.9,
     )
     batch2 = spark.createDataFrame(
@@ -196,9 +197,9 @@ def test_corpus_ingest_dedups_across_batches(spark, tmp_path):
         ],
         schema,
     )
-    batch2.write.parquet(src + "/b2")
+    batch2.write.mode("append").parquet(src)
     corpus_ingest_run(
-        spark, src + "/b2", sink, sig, ckpt + "/2", schema,
+        spark, src, sink, sig, ckpt, schema,
         shingle_n=2, num_hashes=8, bands=4, threshold=0.9,
     )
     landed = sorted(
@@ -207,3 +208,42 @@ def test_corpus_ingest_dedups_across_batches(spark, tmp_path):
     assert landed == [1, 2, 11]  # 10 is a dup of already-ingested 1
     sig_ids = sorted(r["doc_id"] for r in spark.read.parquet(sig).collect())
     assert sig_ids == [1, 2, 11]  # signature table covers survivors only
+
+
+def test_corpus_ingest_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: deleting the checkpoint commit
+    marker replays the batch (the crash-after-write retry). The
+    per-batch dynamic partition overwrite must leave exactly ONE copy
+    in both the sink and the signature table."""
+    import os
+
+    from web_api_postgres_etl_spark.streaming.curation_stream import (
+        corpus_ingest_run,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    sig = str(tmp_path / "sigs")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog every day"),
+            (2, "spark engines read parquet files with columnar batches"),
+        ],
+        schema,
+    ).write.mode("append").parquet(src)
+    args = dict(shingle_n=2, num_hashes=8, bands=4, threshold=0.9)
+    corpus_ingest_run(spark, src, sink, sig, ckpt, schema, **args)
+    # simulate crash after both writes but before the commit: batch 0
+    # replays on restart with the SAME batch_id (the .crc checksum
+    # sidecar must go too or the commit rewrite trips on it)
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    corpus_ingest_run(spark, src, sink, sig, ckpt, schema, **args)
+    landed = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
+    assert landed == [1, 2], landed  # no duplicates from the replay
+    sig_ids = sorted(r["doc_id"] for r in spark.read.parquet(sig).collect())
+    assert sig_ids == [1, 2], sig_ids

@@ -432,6 +432,7 @@ def jaccard_on_pairs(
     text_col: str,
     shingle_n: int = 2,
     threshold: float = 0.5,
+    cache_pairs: bool = True,
 ) -> DataFrame:
     """Exact Jaccard ONLY on given candidate pairs — the 100 TB shape.
 
@@ -443,11 +444,15 @@ def jaccard_on_pairs(
     so the two-sided pair join touches a candidate-bounded frame (the
     corpus is scanned once to build it) — same shape as the fused
     ``near_dup_pairs`` verify tail. ``pairs`` is read twice (candidate
-    ids + the verify join), so it is pinned here; without the persist a
-    lazy ``minhash_lsh_candidates`` input would run its banding
-    pipeline once per read.
+    ids + the verify join), so ``cache_pairs`` pins it by default;
+    without the persist a lazy ``minhash_lsh_candidates`` input would
+    run its banding pipeline once per read. Pass False when the caller
+    already persisted (or will unpersist) the pairs frame — same
+    switch as ``near_dup_pairs``'s ``cache_intermediates``, so a
+    long-lived session doesn't accumulate pinned RDDs.
     """
-    pairs = pairs.persist()
+    if cache_pairs:
+        pairs = pairs.persist()
     cand_ids = (
         pairs.select(F.col("id_a").alias("__id"))
         .union(pairs.select(F.col("id_b").alias("__id")))

@@ -470,6 +470,14 @@ def interval_join(
     Column names of the two inputs must be disjoint (raise otherwise)
     — alias before joining.
 
+    Degenerate rows are handled consistently with how the containment
+    filter would treat them, without detouring through the loud-failure
+    branch: an interval with a NULL start or end matches nothing and is
+    dropped (mirroring a NULL point timestamp, which can satisfy no
+    BETWEEN), and an inverted interval (end < start) is empty — it
+    produces no buckets at all rather than a descending bucket sequence
+    the filter would discard row by row.
+
     Timestamp columns are bucketed via ``unix_timestamp``; numeric
     columns are used as-is (already in seconds).
     """
@@ -494,6 +502,15 @@ def interval_join(
     )
     s_b = F.floor(_secs(intervals, start_col) / w).cast("long")
     e_b = F.floor(_secs(intervals, end_col) / w).cast("long")
+    empty = F.array().cast("array<bigint>")
+    # NULL-bound and inverted intervals match nothing: empty bucket
+    # array → explode drops the row (the loud failure is reserved for
+    # genuinely oversized intervals, where proceeding would blow up)
+    degenerate = (
+        F.col("__sb").isNull()
+        | F.col("__eb").isNull()
+        | (F.col("__eb") < F.col("__sb"))
+    )
     guard = (e_b - s_b) < max_buckets_per_interval
     iv = (
         intervals.withColumn("__sb", s_b)
@@ -501,7 +518,8 @@ def interval_join(
         .withColumn(
             "__b",
             F.explode(
-                F.when(guard, F.sequence(F.col("__sb"), F.col("__eb")))
+                F.when(degenerate, empty)
+                .when(guard, F.sequence(F.col("__sb"), F.col("__eb")))
                 .otherwise(
                     F.raise_error(
                         F.format_string(

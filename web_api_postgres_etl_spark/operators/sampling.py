@@ -186,8 +186,14 @@ def pack_sequences(
 ) -> DataFrame:
     """Assign documents to fixed-token-window packs (the training-side
     'concatenate docs to sequence length' step, minus tokenization):
-    every row gets (shard, pack_id, pack_offset) where ``pack_offset``
-    is the document's first token position inside its pack.
+    every row gets (shard, pack_id, pack_offset, pack_key) where
+    ``pack_offset`` is the document's first token position inside its
+    pack and ``pack_key`` is the SELF-CONTAINED pack identity
+    (``[group#]shard#pack_id``). With ``group_col`` set, ``pack_id``
+    restarts per (group, shard) — consumers must key packs by
+    ``pack_key`` (or the full (group, shard, pack_id) triple), never by
+    (shard, pack_id) alone, or rows from different groups (e.g. train
+    and val) silently share a pack identity.
 
     Construction: deterministic md5 shard + in-shard pseudorandom order
     (both pure functions of the id), then an inclusive running token
@@ -220,9 +226,13 @@ def pack_sequences(
     )
     run = F.sum(qcol(token_col).cast("long")).over(w)
     excl = run - qcol(token_col).cast("long")
+    key_parts = (
+        [qcol(group_col).cast("string")] if group_col else []
+    ) + [F.col("shard").cast("string"), F.col("pack_id").cast("string")]
     return (
         sharded.withColumn("pack_id", F.floor(excl / F.lit(window)))
         .withColumn("pack_offset", excl - F.col("pack_id") * F.lit(window))
+        .withColumn("pack_key", F.concat_ws("#", *key_parts))
         .drop("shard_pos")
     )
 

@@ -105,24 +105,50 @@ def corpus_ingest_run(
     near-dups are NOT collapsed here (two twins in one batch both
     land); run the batch ``near_dup_pairs`` compaction as the backstop,
     the same layering the exact-dup stream documents.
+
+    foreachBatch is at-least-once, so both writes are IDEMPOTENT per
+    batch: sink and signature table are partitioned by
+    ``ingest_batch_id`` and written with dynamic partition overwrite —
+    a retried batch replaces its own partition instead of appending a
+    second copy. The retry paths compose correctly: if the signature
+    append (or the checkpoint commit) failed after the sink landed, the
+    rerun either reproduces the identical survivor set (signatures not
+    yet visible) and overwrites the partition with the same rows, or —
+    when the first attempt's signatures DID land — dedups the batch
+    against its own signatures to an empty survivor set, and dynamic
+    overwrite of an empty frame touches no partitions. Either way the
+    corpus ends up with exactly one copy. This keys on ``batch_id``,
+    which Spark keeps stable across restart-retries of the SAME
+    checkpoint; one sink must be fed by one checkpointed query.
     """
     from ..operators.dedup import dedup_against_corpus, minhash_table
 
     sig_cols = [f"mh_{i}" for i in range(num_hashes)]
 
+    def _write_partition(df, path: str) -> None:
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch_id")
+            .parquet(path)
+        )
+
     def _process(batch_df, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
 
         try:
-            sigs = spark.read.parquet(sig_dir)
+            sigs = spark.read.parquet(sig_dir).select(id_col, *sig_cols)
             have_sigs = len(sigs.take(1)) > 0
         except AnalysisException as exc:
             # ONLY the missing-table bootstrap may be swallowed: any
             # other read failure (permissions, corrupt footer) must
             # fail the batch — treating it as "first batch" would land
             # the whole batch UNDEDUPED and append its signatures,
-            # permanently ingesting duplicates with no error surfaced
-            if "PATH_NOT_FOUND" not in str(exc):
+            # permanently ingesting duplicates with no error surfaced.
+            # Older Spark spells the condition "Path does not exist";
+            # match both faces, not just the 4.x error class.
+            msg = str(exc)
+            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
                 raise
             sigs, have_sigs = None, False
         if have_sigs:
@@ -132,13 +158,17 @@ def corpus_ingest_run(
             )
         else:
             kept = batch_df
-        # one pass per batch: persist survivors, then derive+append
-        # their signatures from the cached frame
+        # one pass per batch: persist survivors, then derive their
+        # signatures from the cached frame
         kept = kept.persist()
-        kept.write.mode("append").parquet(sink_dir)
-        minhash_table(
-            kept, id_col, text_col, shingle_n, num_hashes
-        ).select(id_col, *sig_cols).write.mode("append").parquet(sig_dir)
+        tag = F.lit(int(batch_id)).alias("ingest_batch_id")
+        _write_partition(kept.select("*", tag), sink_dir)
+        _write_partition(
+            minhash_table(
+                kept, id_col, text_col, shingle_n, num_hashes
+            ).select(id_col, *sig_cols, tag),
+            sig_dir,
+        )
         kept.unpersist()
 
     q = (
