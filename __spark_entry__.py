@@ -738,13 +738,19 @@ WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
 
 def q_agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """ROLLUP over (region, nation): subtotal + grand-total rows in one
-    pass (Spark expands grouping sets map-side; no extra scan)."""
+    pass (Spark expands grouping sets map-side; no extra scan).
+
+    customer is sf-proportional (like orders), so it is NOT broadcast —
+    the orders⋈customer join shuffles on the key and AQE picks the
+    strategy from runtime stats; only the fixed-size nation/region dims
+    carry an explicit broadcast hint (same reasoning as the flagship
+    star join's docstring)."""
     o = _t(spark, sf, "orders")
     c = _t(spark, sf, "customer")
     n = _t(spark, sf, "nation")
     r = _t(spark, sf, "region")
     joined = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .select(
@@ -963,8 +969,15 @@ GROUP BY event_type
 
 def q_q3_topk_join_agg(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → fact join → group → top-10
-    by aggregate. Compiles to broadcast joins + partial agg +
-    TakeOrderedAndProject — the canonical scan-heavy OLAP plan."""
+    by aggregate. Compiles to shuffle/broadcast joins (AQE's choice) +
+    partial agg + TakeOrderedAndProject — the canonical scan-heavy OLAP
+    plan.
+
+    The BUILDING-segment filter keeps ~1/5 of customer, but customer is
+    sf-proportional so the filtered side still grows with the data; no
+    explicit broadcast hint — the filter is pushed to the scan and AQE
+    decides the join strategy from the filtered side's runtime size
+    (broadcast at small sf, shuffle at scale)."""
     c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1997-03-15")
     li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1997-03-15")
@@ -973,7 +986,7 @@ def q_q3_topk_join_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
         .select(
@@ -2317,6 +2330,284 @@ FROM m
 """
 
 
+def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-20 for a three-term query over the documents corpus
+    (operators/retrieval.py:bm25_topk — the query-time retrieval face;
+    the index-build face, tfidf_table, is pinned in
+    tests/test_retrieval.py). Plan: per-doc tf of ONLY the query terms,
+    |query|-sized idf literal map, one scoring aggregate,
+    TakeOrderedAndProject — corpus text scanned once, nothing
+    document-sized shuffles."""
+    from web_api_postgres_etl_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf, "documents")
+    return bm25_topk(
+        docs, "spark window merge", id_col="doc_id", text_col="text", k=20
+    )
+
+
+# Self-contained DuckDB BM25 (Robertson idf, k1=1.2, b=0.75) — same
+# tokenizer, same rounding, same (score DESC, doc_id) tiebreak.
+SQL_BM25 = f"""
+WITH t AS (
+  SELECT doc_id, {TOK.format(col="text")} AS toks FROM documents),
+stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM t),
+q(term) AS (VALUES ('merge'), ('spark'), ('window')),
+tf AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tfq AS (
+  SELECT doc_id, term, count(*) AS tf FROM tf
+  WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf
+  WHERE term IN (SELECT term FROM q) GROUP BY 1),
+dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+scored AS (
+  SELECT tfq.doc_id,
+    ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+      * (tfq.tf * 2.2)
+      / (tfq.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+  FROM tfq JOIN dfs USING (term) JOIN dl USING (doc_id), stats)
+SELECT doc_id, round(sum(s), 6) AS score FROM scored
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+def q_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-interval range join (operators/joins.py:interval_join):
+    events within ±30 min of every 50th event's timestamp. A naive
+    ``ON ts BETWEEN s AND e`` is a BroadcastNestedLoopJoin; the
+    operator maps both sides onto 900 s time buckets and the match
+    becomes a bucket EQUI-join + exact containment filter — shuffle
+    keyed on bucket, AQE skew-splits a hot bucket. Output (pid, iid)
+    is bucket-width invariant (pinned in tests/test_interval_join.py),
+    and shift-invariant in the session timezone because both sides
+    derive from the same unix-seconds expression."""
+    from web_api_postgres_etl_spark.operators.joins import interval_join
+
+    ev = _t(spark, sf, "events")
+    points = ev.select(
+        F.col("event_id").alias("pid"),
+        F.unix_timestamp("ts").cast("double").alias("pts"),
+    )
+    intervals = ev.filter(F.col("event_id") % 50 == 0).select(
+        F.col("event_id").alias("iid"),
+        (F.unix_timestamp("ts").cast("double") - 1800).alias("s"),
+        (F.unix_timestamp("ts").cast("double") + 1800).alias("e"),
+    )
+    out = interval_join(points, intervals, "pts", "s", "e", bucket_seconds=900)
+    return out.select("pid", "iid")
+
+
+SQL_INTERVAL = """
+WITH p AS (SELECT event_id AS pid, floor(epoch(ts)) AS pts FROM events),
+iv AS (SELECT event_id AS iid, floor(epoch(ts)) - 1800 AS s,
+              floor(epoch(ts)) + 1800 AS e
+       FROM events WHERE event_id % 50 = 0)
+SELECT pid, iid FROM p JOIN iv ON pts BETWEEN s AND e
+"""
+
+
+def _clean_sql(col: str) -> str:
+    """DuckDB mirror of functions.text.clean_text (control chars →
+    zero-width chars → unicode spaces → blank-line collapse → trim),
+    byte-faithful to the Spark regex chain."""
+    c = (
+        "regexp_replace(" + col
+        + r", '[\x{00}-\x{08}\x{0B}-\x{1F}\x{7F}-\x{9F}]', '', 'g')"
+    )
+    c = (
+        "regexp_replace(" + c
+        + r", '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g')"
+    )
+    c = (
+        "regexp_replace(" + c
+        + r", '[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]', ' ', 'g')"
+    )
+    c = "regexp_replace(" + c + r", '[ \t]+\n', chr(10), 'g')"
+    c = "regexp_replace(" + c + r", '\n{3,}', chr(10) || chr(10), 'g')"
+    return "trim(" + c + ")"
+
+
+def _pii_sql(col: str) -> str:
+    """DuckDB mirror of functions.text.redact_pii (email → IPv4 →
+    phone, order load-bearing)."""
+    c = (
+        "regexp_replace(" + col
+        + r", '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')"
+    )
+    c = (
+        "regexp_replace(" + c
+        + r", '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')"
+    )
+    return (
+        "regexp_replace(" + c
+        + r", '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g')"
+    )
+
+
+def q_training_data_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """The full training-data preparation plan end to end
+    (plans/curation.py:prepare_training_data): clean_text → Gopher gate
+    (≥4 of 7 rules) → PII scrub → benchmark 4-gram decontamination →
+    exact md5 dedup → MinHash-LSH near-dup clusters (min-id survivor)
+    → deterministic md5 split keyed on the cluster representative →
+    32-word chunking → per-(split,shard) sequence packing. Every stage
+    is a separately-verified operator; this entry pins their
+    COMPOSITION — the md5 draws, min-id survivors and pack arithmetic
+    reproduce bit-for-bit in the oracle."""
+    from web_api_postgres_etl_spark.plans.curation import (
+        CurationConfig,
+        prepare_training_data,
+    )
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    train = docs.filter(F.col("doc_id") % 50 != 0).select("doc_id", "text")
+    out = prepare_training_data(
+        train,
+        bench,
+        config=CurationConfig(
+            min_gopher_rules=4, ngram_n=4, chunk_words=32,
+            window_tokens=128, num_shards=4,
+        ),
+    )
+    return out.select(
+        "doc_id", "chunk_idx", "chunk_text", "n_chunk_words",
+        "split", "shard", "pack_id", "pack_offset", "pack_key",
+    )
+
+
+_E2E_GRAM4 = (
+    "list_transform(generate_series(1, greatest(len(toks)-3, 0)), "
+    "i -> array_to_string(toks[i:i+3],' '))"
+)
+
+SQL_TRAINING_E2E = f"""
+WITH RECURSIVE
+src AS (
+  SELECT doc_id, {_clean_sql("text")} AS text
+  FROM documents WHERE doc_id % 50 <> 0),
+gw AS (
+  SELECT doc_id, text,
+    list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS words,
+    list_filter(regexp_split_to_array(text, '\\n'), l -> trim(l) <> '') AS lines,
+    {TOK.format(col="text")} AS toks,
+    length(text) - length(regexp_replace(text, '#', '', 'g')) AS n_hash,
+    len(regexp_extract_all(text, '\\.\\.\\.|…')) AS n_ell
+  FROM src),
+gm AS (
+  SELECT doc_id,
+    len(words) AS nw,
+    list_sum(list_transform(words, w -> length(w)))
+      / CAST(nullif(len(words), 0) AS DOUBLE) AS mean_len,
+    (n_hash + n_ell) / CAST(nullif(len(words), 0) AS DOUBLE) AS sym,
+    len(list_filter(lines, l -> regexp_matches(trim(l), '^[•\\-\\*]')))
+      / CAST(nullif(len(lines), 0) AS DOUBLE) AS bullet,
+    len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+      / CAST(nullif(len(lines), 0) AS DOUBLE) AS ell,
+    len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+      / CAST(nullif(len(words), 0) AS DOUBLE) AS alpha,
+    len(list_intersect(list_distinct(toks),
+        ['the','be','to','of','and','that','have','with'])) AS req
+  FROM gw),
+gr AS (
+  SELECT doc_id,
+    CAST(coalesce(nw BETWEEN 50 AND 100000, false) AS INT)
+    + CAST(coalesce(mean_len BETWEEN 3 AND 10, false) AS INT)
+    + CAST(coalesce(sym < 0.1, false) AS INT)
+    + CAST(coalesce(bullet < 0.9, true) AS INT)
+    + CAST(coalesce(ell < 0.3, true) AS INT)
+    + CAST(coalesce(alpha >= 0.8, false) AS INT)
+    + CAST(coalesce(req >= 2, false) AS INT) AS nr
+  FROM gm),
+gated AS (
+  SELECT gw.doc_id, {_pii_sql("gw.text")} AS text
+  FROM gw JOIN gr USING (doc_id) WHERE gr.nr >= 4),
+bt AS (SELECT {TOK.format(col="text")} AS toks
+       FROM documents WHERE doc_id % 50 = 0),
+bg AS (SELECT DISTINCT unnest({_E2E_GRAM4}) AS g FROM bt),
+t0 AS (SELECT doc_id, text, {TOK.format(col="text")} AS toks FROM gated),
+tgr AS (SELECT DISTINCT doc_id, unnest({_E2E_GRAM4}) AS g FROM t0),
+contaminated AS (SELECT DISTINCT tgr.doc_id FROM tgr JOIN bg USING (g)),
+cleaned AS (
+  SELECT doc_id, text, toks FROM t0
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+exact AS (
+  SELECT * FROM cleaned
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+s AS (SELECT doc_id, {_shingle_sql("toks", 2)} AS sh FROM exact),
+m AS (SELECT doc_id, {_mh_cols} FROM s WHERE len(sh) > 0),
+b AS (SELECT doc_id, unnest([{_band_keys}]) AS band FROM m),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM b a JOIN b c ON a.band = c.band AND a.doc_id < c.doc_id),
+ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM s WHERE len(sh) > 0),
+scored AS (
+  SELECT id_a, id_b,
+         len(list_intersect(sa.sh, sb.sh)) /
+           CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
+                AS DOUBLE) AS jaccard
+  FROM cand JOIN ds sa ON id_a = sa.doc_id JOIN ds sb ON id_b = sb.doc_id),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM scored WHERE jaccard >= 0.5
+  UNION
+  SELECT id_b AS a, id_a AS b FROM scored WHERE jaccard >= 0.5),
+reach AS (
+  SELECT doc_id AS id, doc_id AS lbl FROM exact
+  UNION
+  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+comp AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id),
+surv AS (
+  SELECT exact.doc_id, exact.text
+  FROM exact JOIN comp USING (doc_id) WHERE comp.cluster = exact.doc_id),
+spl AS (
+  SELECT doc_id, text,
+    CASE WHEN CAST(('0x' || substr(md5('split#' || CAST(doc_id AS VARCHAR)),
+                                   1, 13)) AS BIGINT)
+              / 4503599627370496.0 < 0.9
+         THEN 'train' ELSE 'val' END AS split
+  FROM surv),
+wd AS (
+  SELECT doc_id, split,
+    list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS words
+  FROM spl),
+ch0 AS (
+  SELECT doc_id, split, words,
+         CAST(greatest(ceil(len(words) / 32.0), 1) AS INT) AS n_chunks
+  FROM wd WHERE len(words) > 0),
+ch1 AS (
+  SELECT doc_id, split, words,
+         unnest(generate_series(0, n_chunks - 1)) AS ci
+  FROM ch0),
+chunks AS (
+  SELECT doc_id, split, CAST(ci AS INT) AS chunk_idx,
+         array_to_string(list_slice(words, ci*32+1, ci*32+32), ' ') AS chunk_text,
+         CAST(len(list_slice(words, ci*32+1, ci*32+32)) AS INT) AS n_chunk_words
+  FROM ch1),
+pk1 AS (
+  SELECT doc_id, chunk_idx, chunk_text, n_chunk_words, split,
+         CAST(doc_id AS VARCHAR) || '#' || CAST(chunk_idx AS VARCHAR) AS cid
+  FROM chunks),
+pk2 AS (
+  SELECT *, CAST(('0x' || substr(md5('pack#' || cid), 1, 15)) AS BIGINT) AS key
+  FROM pk1),
+pk3 AS (SELECT *, CAST(key % 4 AS INT) AS shard FROM pk2),
+pk4 AS (
+  SELECT *,
+    SUM(n_chunk_words) OVER (
+      PARTITION BY split, shard ORDER BY key, cid
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chunk_words AS excl
+  FROM pk3)
+SELECT doc_id, chunk_idx, chunk_text, n_chunk_words, split, shard,
+       CAST(floor(excl / 128.0) AS BIGINT) AS pack_id,
+       CAST(excl - CAST(floor(excl / 128.0) AS BIGINT) * 128 AS BIGINT)
+         AS pack_offset,
+       split || '#' || CAST(shard AS VARCHAR) || '#'
+         || CAST(CAST(floor(excl / 128.0) AS BIGINT) AS VARCHAR) AS pack_key
+FROM pk4
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2334,6 +2625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # flagship + composed pipelines
         "flagship_star_join": q_flagship_star_join,
+        "training_data_e2e": q_training_data_e2e,
         "curation_pipeline": q_curation_pipeline,
         "near_dup_pipeline": q_near_dup_pipeline,
         "dedup_clusters": q_dedup_clusters,
@@ -2356,7 +2648,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_cosine_pairs": q_ann_cosine_pairs,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ivf_index_probe": q_ivf_index_probe,
         "ann_nn_join": q_ann_nn_join,
@@ -2364,13 +2655,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "rhp_lsh_topk": q_rhp_lsh_topk,
         # joins
+        "interval_join": q_interval_join,
         "j2_two_way_join": q_j2_two_way_join,
         "j34_semi_anti_join": q_j34_semi_anti_join,
         "j5_salted_join": q_j5_salted_join,
         "j6_asof_join": q_j6_asof_join,
         "j7_asof_keyless": q_j7_asof_keyless,
-        # text analysis (stats+quality+lang-id merged: one corpus pass)
+        # text analysis / retrieval
         "text_stats": q_text_stats,
+        "bm25_topk": q_bm25_topk,
         "lsh_cosine_pairs": q_lsh_cosine_pairs,
         # multimodal
         "multimodal_stats": q_multimodal_stats,
@@ -2383,11 +2676,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_o1_catalog_topk": q_s7_o1_catalog_topk,
         "t1_streaming_compact": q_t1_streaming_compact,
         "o2_dedup_last_wins": q_o2_dedup_last_wins,
-        # projection / filter / function primitives
-        "p123_project": q_p123_project,
+        # projection / filter / function primitives.
+        # p123_project and a1_max_watermark were swapped out of the
+        # 50-entry driver window in round 5 (P1-P3 stay oracle-covered
+        # inside stg_transform's chain; A1 inside p6_watermark_delta's
+        # derivation); their oracle parity moved to pytest
+        # (tests/test_oracle_parity.py::test_retired_contract_entries),
+        # as did ann_cosine_pairs' (exact baseline of the separately
+        # green lsh_cosine_pairs).
         "stg_transform": q_stg_transform,
         "p6_watermark_delta": q_p6_watermark_delta,
-        "a1_max_watermark": q_a1_max_watermark,
         "f3_struct_array": q_f3_struct_array,
         "set_ops": q_set_ops,
     }
@@ -2396,6 +2694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "flagship_star_join": SQL_FLAGSHIP,
+        "training_data_e2e": SQL_TRAINING_E2E,
         "curation_pipeline": SQL_CURATION,
         "near_dup_pipeline": SQL_NEAR_DUP,
         "dedup_clusters": SQL_CLUSTERS,
@@ -2416,7 +2715,6 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": SQL_LSH_PAIRS,
         "ngram_jaccard_pairs": SQL_JACCARD,
         "ann_cosine_topk": SQL_ANN_TOPK,
-        "ann_cosine_pairs": SQL_ANN_PAIRS,
         "ann_ivf_topk": SQL_IVF_TOPK,
         # probe of the persisted index must equal the in-memory IVF top-k
         "ivf_index_probe": SQL_IVF_TOPK,
@@ -2424,12 +2722,14 @@ def oracle_sql() -> dict[str, str]:
         "lsh_nn_join": SQL_LSH_NN_JOIN,
         "simhash_near_dups": SQL_SIMHASH,
         "rhp_lsh_topk": SQL_RHP_TOPK,
+        "interval_join": SQL_INTERVAL,
         "j2_two_way_join": SQL_J2,
         "j34_semi_anti_join": SQL_J34,
         "j5_salted_join": SQL_J5,
         "j6_asof_join": SQL_J6,
         "j7_asof_keyless": SQL_J7_KEYLESS,
         "text_stats": SQL_TEXT_STATS,
+        "bm25_topk": SQL_BM25,
         "lsh_cosine_pairs": SQL_LSH_COSINE_PAIRS,
         "multimodal_stats": SQL_MULTIMODAL_STATS,
         "multimodal_frame_sample": SQL_FRAME_SAMPLE,
@@ -2440,10 +2740,8 @@ def oracle_sql() -> dict[str, str]:
         "s7_o1_catalog_topk": SQL_S7_O1,
         "t1_streaming_compact": SQL_STREAMING,
         "o2_dedup_last_wins": SQL_O2,
-        "p123_project": SQL_P123,
         "stg_transform": SQL_STG_TRANSFORM,
         "p6_watermark_delta": SQL_P6,
-        "a1_max_watermark": SQL_A1,
         "f3_struct_array": SQL_F3_STRUCT,
         "set_ops": SQL_SET_OPS,
     }

@@ -61,6 +61,31 @@ def test_rows_only_query_runs(name, spark):
     assert sdf.count() >= 0
 
 
+# Entries swapped out of the driver's 50-slot window keep their oracle
+# parity HERE so no validation is lost (same pattern as
+# test_multimodal.py's retired resize slot): P1-P3 and A1 remain
+# driver-covered inside stg_transform / p6_watermark_delta; these pin
+# the standalone forms.
+RETIRED = [
+    ("p123_project", "SQL_P123"),
+    ("a1_max_watermark", "SQL_A1"),
+    ("ann_cosine_pairs", "SQL_ANN_PAIRS"),
+]
+
+
+@pytest.mark.parametrize("name,sql_attr", RETIRED)
+def test_retired_contract_entries(name, sql_attr, spark, oracle):
+    sdf = getattr(entrymod, f"q_{name}")(spark, SF_ORACLE)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    res = oracle.execute(getattr(entrymod, sql_attr))
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+    assert sorted(s_cols) == sorted(d_cols)
+    assert len(s_rows) == len(d_rows)
+    assert _rows_canon(s_cols, s_rows) == _rows_canon(d_cols, d_rows)
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0

@@ -1,0 +1,38 @@
+"""Systematic superlinearity guard (VERDICT r4 #5): the heavy
+curation/dedup operators must grow SUB-QUADRATICALLY in corpus size.
+The probe caught fixed-k SemDeDup going quadratic in round 4; this
+test makes that protection permanent instead of one-off.
+
+Sizes are a compressed version of the CLI's 5k/50k/500k sweep so the
+suite stays runnable (two points, 5× apart — a quadratic op still
+shows unmistakably: 25× vs 5×; the CLI keeps the full three-point
+sweep for deeper runs). Exponent = log(t2/t1)/log(n2/n1); fixed
+per-job overhead biases it BELOW 1, so a 1.5 bar has wide noise
+margin while catching any O(n²) regression."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from tools.scale_probe import probe, scaling_exponents  # noqa: E402
+
+SIZES = [10_000, 50_000]
+OPS = {"near_dup_pairs", "semantic_dup_pairs", "prepare_training_data"}
+
+
+def test_heavy_ops_subquadratic(spark):
+    results = {n: probe(spark, n, ops_filter=OPS) for n in SIZES}
+    exps = scaling_exponents(results)
+    assert set(exps) == OPS
+    for op, pairs in exps.items():
+        a, b, exp_top = pairs[-1]  # the two largest sizes
+        assert exp_top < 1.5, (
+            f"{op} grows superlinearly: exponent {exp_top:.2f} "
+            f"between n={a} and n={b} (all pairs: {pairs})"
+        )
+        # output sanity: the synthetic corpus guarantees hits at
+        # every size, so a zero-row result means the op silently broke
+        for n in SIZES:
+            assert results[n][op][1] > 0, (op, n, results[n][op])

@@ -3,7 +3,14 @@ corpora of increasing size and report wall time + output rows, as
 evidence that the shapes scale linearly (shuffles carry digests/ids,
 candidate generation is banded, verification is candidates-only).
 
-    python tools/scale_probe.py [sizes ...]     # default: 5000 50000
+    python tools/scale_probe.py [sizes ...]   # default: 5000 50000 500000
+
+With two or more sizes the probe also prints the empirical scaling
+exponent between consecutive points (log(t2/t1) / log(n2/n1)) and
+between the two TOP points — the number that exposes superlinear
+behavior (this probe caught fixed-k SemDeDup going quadratic in round
+4; exponents are asserted < 1.5 in tests/test_scale_probe.py so the
+protection is systematic, not one-off).
 
 The corpus is generated deterministically JVM-side (spark.range →
 seeded md5 word picks), so runs are reproducible and generation cost
@@ -14,6 +21,7 @@ realistic hit rate at every size.
 
 from __future__ import annotations
 
+import math
 import sys
 import time
 
@@ -69,12 +77,18 @@ def synth_vecs(spark, n: int, dim: int = 32):
     )
 
 
-def probe(spark, n: int) -> None:
+def probe(spark, n: int, ops_filter: set[str] | None = None) -> dict:
+    """Time each heavy operator at corpus size ``n``; returns
+    {op_name: (seconds, result_rows)}. ``ops_filter`` restricts to a
+    subset (names must match the keys below, sans parameter suffix)."""
     docs = synth_docs(spark, n).persist()
     docs.count()  # materialize generation outside the timings
     vecs = synth_vecs(spark, n).persist()
     vecs.count()
-    ops = {}
+    ops: dict = {}
+
+    def want(name: str) -> bool:
+        return ops_filter is None or name in ops_filter
 
     def reset_cache():
         # operators persist bounded intermediates (signature tables,
@@ -84,52 +98,98 @@ def probe(spark, n: int) -> None:
         docs.persist().count()
         vecs.persist().count()
 
-    t0 = time.time()
-    pairs = near_dup_pairs(
-        docs, "doc_id", "text", shingle_n=2, num_hashes=8, bands=4,
-        threshold=0.5,
-    ).count()
-    ops["near_dup_pairs"] = (time.time() - t0, pairs)
+    if want("near_dup_pairs"):
+        t0 = time.time()
+        pairs = near_dup_pairs(
+            docs, "doc_id", "text", shingle_n=2, num_hashes=8, bands=4,
+            threshold=0.5,
+        ).count()
+        ops["near_dup_pairs"] = (time.time() - t0, pairs)
 
-    reset_cache()
-    corpus = docs.filter(F.col("doc_id") % 2 == 0)
-    new = docs.filter(F.col("doc_id") % 2 == 1)
-    t0 = time.time()
-    sigs = minhash_table(corpus, "doc_id", "text", shingle_n=2, num_hashes=8)
-    kept = dedup_against_corpus(
-        new, sigs, "doc_id", "text", shingle_n=2, num_hashes=8, bands=4,
-        threshold=0.5,
-    ).count()
-    ops["dedup_against_corpus"] = (time.time() - t0, kept)
+    if want("dedup_against_corpus"):
+        reset_cache()
+        corpus = docs.filter(F.col("doc_id") % 2 == 0)
+        new = docs.filter(F.col("doc_id") % 2 == 1)
+        t0 = time.time()
+        sigs = minhash_table(corpus, "doc_id", "text", shingle_n=2, num_hashes=8)
+        kept = dedup_against_corpus(
+            new, sigs, "doc_id", "text", shingle_n=2, num_hashes=8, bands=4,
+            threshold=0.5,
+        ).count()
+        ops["dedup_against_corpus"] = (time.time() - t0, kept)
 
-    reset_cache()
-    bench = docs.filter(F.col("doc_id") % 100 == 0).select("text")
-    train = docs.filter(F.col("doc_id") % 100 != 0)
-    t0 = time.time()
-    clean = decontaminate(train, bench, "doc_id", "text", ngram_n=4).count()
-    ops["decontaminate"] = (time.time() - t0, clean)
+    if want("decontaminate"):
+        reset_cache()
+        bench = docs.filter(F.col("doc_id") % 100 == 0).select("text")
+        train = docs.filter(F.col("doc_id") % 100 != 0)
+        t0 = time.time()
+        clean = decontaminate(train, bench, "doc_id", "text", ngram_n=4).count()
+        ops["decontaminate"] = (time.time() - t0, clean)
 
-    reset_cache()
-    # SemDeDup's scale rule: k ≈ √N keeps expected cluster width flat
-    # (fixed k is quadratic in N — measured 12× cost at 10× size)
-    k = max(8, min(256, int(n ** 0.5)))
-    t0 = time.time()
-    sem = semantic_dup_pairs(
-        vecs, "vec_id", "embedding", threshold=0.999, k=k, iters=1
-    ).count()
-    ops[f"semantic_dup_pairs(k={k})"] = (time.time() - t0, sem)
+    if want("semantic_dup_pairs"):
+        reset_cache()
+        # SemDeDup's scale rule: k ≈ √N keeps expected cluster width flat
+        # (fixed k is quadratic in N — measured 12× cost at 10× size)
+        k = max(8, min(256, int(n ** 0.5)))
+        t0 = time.time()
+        sem = semantic_dup_pairs(
+            vecs, "vec_id", "embedding", threshold=0.999, k=k, iters=1
+        ).count()
+        ops["semantic_dup_pairs"] = (time.time() - t0, sem)
 
-    for name, (secs, rows) in ops.items():
-        print(f"n={n:>7d}  {name:22s} {secs:7.2f}s  rows={rows}")
+    if want("prepare_training_data"):
+        reset_cache()
+        from web_api_postgres_etl_spark.plans.curation import (
+            CurationConfig,
+            prepare_training_data,
+        )
+
+        # synthetic words carry no English stopwords, so the
+        # required-words rule can never pass: gate on 5 of 7
+        cfg = CurationConfig(
+            min_gopher_rules=5, ngram_n=4, chunk_words=32,
+            window_tokens=128, num_shards=8,
+        )
+        bench = docs.filter(F.col("doc_id") % 100 == 0).select("text")
+        train = docs.filter(F.col("doc_id") % 100 != 0)
+        t0 = time.time()
+        n_chunks = prepare_training_data(train, bench, config=cfg).count()
+        ops["prepare_training_data"] = (time.time() - t0, n_chunks)
+
     docs.unpersist()
     vecs.unpersist()
+    return ops
+
+
+def scaling_exponents(results: dict[int, dict]) -> dict[str, list[tuple]]:
+    """{op: [(n1, n2, exponent), ...]} for consecutive size pairs —
+    exponent = log(t2/t1)/log(n2/n1); 1.0 is linear, 2.0 quadratic."""
+    sizes = sorted(results)
+    out: dict[str, list[tuple]] = {}
+    for a, b in zip(sizes, sizes[1:]):
+        for op in results[a]:
+            if op not in results[b]:
+                continue
+            t1, t2 = results[a][op][0], results[b][op][0]
+            if t1 <= 0:
+                continue
+            exp = math.log(t2 / t1) / math.log(b / a)
+            out.setdefault(op, []).append((a, b, exp))
+    return out
 
 
 def main(argv: list[str]) -> int:
-    sizes = [int(a) for a in argv] or [5_000, 50_000]
+    sizes = [int(a) for a in argv] or [5_000, 50_000, 500_000]
     spark = get_spark(app_name="scale-probe")
+    results: dict[int, dict] = {}
     for n in sizes:
-        probe(spark, n)
+        results[n] = probe(spark, n)
+        for name, (secs, rows) in results[n].items():
+            print(f"n={n:>7d}  {name:22s} {secs:7.2f}s  rows={rows}")
+    if len(sizes) >= 2:
+        for op, pairs in scaling_exponents(results).items():
+            for a, b, exp in pairs:
+                print(f"exponent {op:22s} {a}->{b}: {exp:5.2f}")
     spark.stop()
     return 0
 
