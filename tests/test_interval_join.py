@@ -92,6 +92,35 @@ def test_interval_join_oracle_parity(spark, oracle):
     assert len(got) > 0
 
 
+def test_interval_join_degenerate_intervals_drop(spark):
+    """NULL-bound and inverted intervals match nothing (consistent with
+    a NULL point timestamp); a badly inverted interval must not expand
+    into a descending bucket sequence (the pre-fix blowup: a negative
+    span passed the `(e_b - s_b) < max` guard and F.sequence generated
+    a huge DESCENDING array)."""
+    points = spark.createDataFrame(
+        [(1, 5.0), (2, None)], "pid long, ts double"
+    )
+    intervals = spark.createDataFrame(
+        [
+            (10, None, 10.0),     # NULL start
+            (20, 0.0, None),      # NULL end
+            (30, 30.0, 10.0),     # inverted
+            (40, 1.0e15, 0.0),    # badly inverted — would OOM pre-fix
+            (50, 0.0, 10.0),      # the one real interval
+        ],
+        "iid long, s double, e double",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            points, intervals, "ts", "s", "e",
+            bucket_seconds=1, max_buckets_per_interval=1000,
+        ).collect()
+    )
+    assert got == [(1, 50)]
+
+
 def test_interval_join_rejects_column_overlap(spark):
     df = spark.createDataFrame([(1, 2.0)], "id long, ts double")
     with pytest.raises(ValueError, match="disjoint"):

@@ -18,7 +18,7 @@ sys.path.insert(0, "/root/repo")
 
 from tools.scale_probe import probe, scaling_exponents  # noqa: E402
 
-SIZES = [10_000, 50_000]
+SIZES = [5_000, 25_000]
 OPS = {"near_dup_pairs", "semantic_dup_pairs", "prepare_training_data"}
 
 

@@ -247,3 +247,67 @@ def test_corpus_ingest_retry_is_idempotent(spark, tmp_path):
     assert landed == [1, 2], landed  # no duplicates from the replay
     sig_ids = sorted(r["doc_id"] for r in spark.read.parquet(sig).collect())
     assert sig_ids == [1, 2], sig_ids
+
+
+def test_corpus_ingest_checkpoint_reset_never_loses_data(spark, tmp_path):
+    """A NEW checkpoint restarts batch ids at 0; the partition key is
+    scoped to the checkpoint so the reset run's batch 0 must NOT
+    overwrite the first run's partitions (pre-fix: bare batch_id +
+    dynamic overwrite silently deleted the oldest ingested data).
+    Cross-run dedup against the signature table still applies."""
+    from web_api_postgres_etl_spark.streaming.curation_stream import (
+        corpus_ingest_run,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    sig = str(tmp_path / "sigs")
+    schema = "doc_id long, text string"
+    args = dict(shingle_n=2, num_hashes=8, bands=4, threshold=0.9)
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog every day"),
+            (2, "spark engines read parquet files with columnar batches"),
+        ],
+        schema,
+    ).write.mode("append").parquet(src)
+    corpus_ingest_run(spark, src, sink, sig, str(tmp_path / "ckpt1"), schema, **args)
+    spark.createDataFrame(
+        [(11, "a completely novel document with entirely fresh phrasing "
+              "about distributed query planning")],
+        schema,
+    ).write.mode("append").parquet(src)
+    # abandoned checkpoint → fresh one reprocesses EVERYTHING as batch 0
+    corpus_ingest_run(spark, src, sink, sig, str(tmp_path / "ckpt2"), schema, **args)
+    landed = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
+    # 1 and 2 survive the reset (no partition overwritten) and are not
+    # re-ingested (signature dedup); the novel doc lands once
+    assert landed == [1, 2, 11], landed
+    sig_ids = sorted(r["doc_id"] for r in spark.read.parquet(sig).collect())
+    assert sig_ids == [1, 2, 11], sig_ids
+
+
+def test_corpus_ingest_zero_row_first_batch_bootstraps(spark, tmp_path):
+    """A zero-row first batch leaves the signature dir holding only
+    _SUCCESS; the next batch's read raises UNABLE_TO_INFER_SCHEMA,
+    which must be treated as bootstrap (no signatures exist), not a
+    permanent failure."""
+    from web_api_postgres_etl_spark.streaming.curation_stream import (
+        corpus_ingest_run,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    sig = str(tmp_path / "sigs")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    args = dict(shingle_n=2, num_hashes=8, bands=4, threshold=0.9)
+    spark.createDataFrame([], schema).write.mode("append").parquet(src)
+    corpus_ingest_run(spark, src, sink, sig, ckpt, schema, **args)
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog every day")],
+        schema,
+    ).write.mode("append").parquet(src)
+    corpus_ingest_run(spark, src, sink, sig, ckpt, schema, **args)
+    landed = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
+    assert landed == [1], landed

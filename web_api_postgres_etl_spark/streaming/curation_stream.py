@@ -117,13 +117,28 @@ def corpus_ingest_run(
     when the first attempt's signatures DID land — dedups the batch
     against its own signatures to an empty survivor set, and dynamic
     overwrite of an empty frame touches no partitions. Either way the
-    corpus ends up with exactly one copy. This keys on ``batch_id``,
-    which Spark keeps stable across restart-retries of the SAME
-    checkpoint; one sink must be fed by one checkpointed query.
+    corpus ends up with exactly one copy.
+
+    The partition key is ``md5(checkpoint_dir)[:8]-batch_id``, not the
+    bare batch id: Spark keeps ``batch_id`` stable across
+    restart-retries of the SAME checkpoint (the idempotency that
+    matters), but a NEW checkpoint restarts ids at 0 — with a bare key
+    its batch 0 would silently OVERWRITE the oldest existing
+    partitions. Scoping the key to the checkpoint makes a checkpoint
+    reset degrade to duplication (the backstop compaction's job), never
+    to data loss. Corollary: when abandoning a corrupt checkpoint,
+    point the query at a FRESH checkpoint path — recreating the same
+    path reuses its partition keys. Sink and signature directories must
+    be fresh or written by this layout (a pre-partitioning flat
+    directory mixed with ``ingest_batch_id=N/`` dirs fails Spark's
+    partition discovery loudly).
     """
+    import hashlib
+
     from ..operators.dedup import dedup_against_corpus, minhash_table
 
     sig_cols = [f"mh_{i}" for i in range(num_hashes)]
+    ckpt_tag = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
 
     def _write_partition(df, path: str) -> None:
         (
@@ -146,9 +161,19 @@ def corpus_ingest_run(
             # the whole batch UNDEDUPED and append its signatures,
             # permanently ingesting duplicates with no error surfaced.
             # Older Spark spells the condition "Path does not exist";
-            # match both faces, not just the 4.x error class.
+            # match both faces, not just the 4.x error class. A
+            # schema-inference failure is the OTHER empty-corpus face:
+            # a zero-row first batch leaves sig_dir holding only
+            # _SUCCESS, and reading it raises UNABLE_TO_INFER_SCHEMA —
+            # also bootstrap (no signatures exist), NOT an error.
             msg = str(exc)
-            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            bootstrap = (
+                "PATH_NOT_FOUND" in msg
+                or "Path does not exist" in msg
+                or "UNABLE_TO_INFER_SCHEMA" in msg
+                or "Unable to infer schema" in msg
+            )
+            if not bootstrap:
                 raise
             sigs, have_sigs = None, False
         if have_sigs:
@@ -161,7 +186,7 @@ def corpus_ingest_run(
         # one pass per batch: persist survivors, then derive their
         # signatures from the cached frame
         kept = kept.persist()
-        tag = F.lit(int(batch_id)).alias("ingest_batch_id")
+        tag = F.lit(f"{ckpt_tag}-{int(batch_id)}").alias("ingest_batch_id")
         _write_partition(kept.select("*", tag), sink_dir)
         _write_partition(
             minhash_table(
