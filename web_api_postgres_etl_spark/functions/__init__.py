@@ -8,12 +8,24 @@ inside whole-stage codegen and survives predicate pushdown.
 from .arrays import first_element_field
 from .dates import fa_today, jalali_compact_to_slashed, jalali_reformat
 from .math import pct_change, safe_div
+from .urls import (
+    dedup_by_url,
+    domain_quota,
+    normalize_url,
+    url_host,
+    url_registrable_domain,
+)
 
 __all__ = [
+    "dedup_by_url",
+    "domain_quota",
     "fa_today",
     "first_element_field",
     "jalali_compact_to_slashed",
     "jalali_reformat",
+    "normalize_url",
     "pct_change",
     "safe_div",
+    "url_host",
+    "url_registrable_domain",
 ]
