@@ -79,42 +79,52 @@ def pg():
         rows = list(csv.reader(io.StringIO(out)))
         return [tuple(r) for r in rows[1:]]  # drop header
 
-    for _ in range(20):  # socket may lag the ctl return
-        try:
-            q("SELECT 1")
-            break
-        except subprocess.CalledProcessError:
-            time.sleep(0.25)
-    else:
-        pytest.skip("postgres socket never came up")
-
-    # load the shared testdata (columns the two parity queries touch)
-    con = duckdb.connect()
-    exports = {
-        "orders": ("o_orderkey BIGINT, o_custkey BIGINT, "
-                   "o_totalprice DOUBLE PRECISION, o_orderdate TIMESTAMP",
-                   "SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate"),
-        "customer": ("c_custkey BIGINT, c_nationkey INT",
-                     "SELECT c_custkey, c_nationkey"),
-        "nation": ("n_nationkey INT, n_name TEXT",
-                   "SELECT n_nationkey, n_name"),
-    }
-    for t, (ddl, proj) in exports.items():
-        path = os.path.join(work, f"{t}.csv")
-        con.execute(
-            f"COPY ({proj} FROM '{SF}/{t}.parquet') TO '{path}' (HEADER)"
+    def _teardown():
+        subprocess.run(
+            _as_pg_user(f"pg_ctl -D {data} stop -m immediate"),
+            capture_output=True, text=True,
         )
-        os.chmod(path, 0o644)
-        q(f"CREATE TABLE {t} ({ddl})")
-        q(f"COPY {t} FROM '{path}' CSV HEADER")
-    con.close()
+        shutil.rmtree(work, ignore_errors=True)
+
+    # everything after the server is up must stop it on failure, or a
+    # setup error leaks a running postgres into later rounds
+    try:
+        for _ in range(20):  # socket may lag the ctl return
+            try:
+                q("SELECT 1")
+                break
+            except subprocess.CalledProcessError:
+                time.sleep(0.25)
+        else:
+            _teardown()
+            pytest.skip("postgres socket never came up")
+
+        # load the shared testdata (columns the two parity queries touch)
+        con = duckdb.connect()
+        exports = {
+            "orders": ("o_orderkey BIGINT, o_custkey BIGINT, "
+                       "o_totalprice DOUBLE PRECISION, o_orderdate TIMESTAMP",
+                       "SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate"),
+            "customer": ("c_custkey BIGINT, c_nationkey INT",
+                         "SELECT c_custkey, c_nationkey"),
+            "nation": ("n_nationkey INT, n_name TEXT",
+                       "SELECT n_nationkey, n_name"),
+        }
+        for t, (ddl, proj) in exports.items():
+            path = os.path.join(work, f"{t}.csv")
+            con.execute(
+                f"COPY ({proj} FROM '{SF}/{t}.parquet') TO '{path}' (HEADER)"
+            )
+            os.chmod(path, 0o644)
+            q(f"CREATE TABLE {t} ({ddl})")
+            q(f"COPY {t} FROM '{path}' CSV HEADER")
+        con.close()
+    except BaseException:
+        _teardown()
+        raise
 
     yield q
-    subprocess.run(
-        _as_pg_user(f"pg_ctl -D {data} stop -m immediate"),
-        capture_output=True, text=True,
-    )
-    shutil.rmtree(work, ignore_errors=True)
+    _teardown()
 
 
 def test_last_wins_compaction_matches_postgres(spark, pg):
