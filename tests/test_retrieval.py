@@ -136,3 +136,108 @@ def test_tfidf_table_values_and_min_df(spark):
         ).collect()
     }
     assert "pond" not in kept_terms and "spark" in kept_terms
+
+
+def test_unigram_perplexity_hand_computed(spark):
+    """Two-doc corpus, self-scored: logp values checkable by hand."""
+    import math as m
+
+    import pytest as pt
+
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        unigram_perplexity,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["cross_entropy"], r["ppl"])
+        for r in unigram_perplexity(docs, "doc_id", "text").collect()
+    }
+    # counts: a=3, b=1, c=1; N=5, V=3, alpha=0.5 → denom = 5 + 0.5*4 = 7
+    lp = {t: m.log((c + 0.5) / 7.0) for t, c in {"a": 3, "b": 1, "c": 1}.items()}
+    ce1 = -(lp["a"] + lp["a"] + lp["b"]) / 3
+    ce2 = -(lp["a"] + lp["c"]) / 2
+    assert out[1][0] == 3 and out[2][0] == 2
+    assert out[1][1] == pt.approx(round(ce1, 6), abs=2e-6)
+    assert out[2][1] == pt.approx(round(ce2, 6), abs=2e-6)
+    assert out[1][2] == pt.approx(round(m.exp(ce1), 4), abs=2e-4)
+
+
+def test_unigram_perplexity_reference_model_and_oov(spark):
+    """Scored against a SEPARATE reference corpus: in-vocabulary prose
+    scores lower (better) than out-of-vocabulary junk; token-less docs
+    get NULL scores."""
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        unigram_perplexity,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(5)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),       # fully in-vocab
+            (2, "zxqv wknd pltf grmb"),       # fully OOV
+            (3, "!!! ???"),                   # no tokens at all
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["cross_entropy"])
+        for r in unigram_perplexity(docs, "doc_id", "text", model_df=ref).collect()
+    }
+    assert out[1][1] < out[2][1]
+    assert out[3] == (0, None)
+
+
+def test_unigram_perplexity_oracle_parity(spark, oracle):
+    """Self-scored corpus vs a DuckDB mirror of the smoothed model +
+    per-doc average (scores to 1e-6 after rounding)."""
+    import pytest as pt
+
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        unigram_perplexity,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["cross_entropy"])
+        for r in unigram_perplexity(docs, "doc_id", "text").collect()
+    }
+    want = {
+        row[0]: (row[1], row[2])
+        for row in oracle.execute(
+            """
+            WITH t AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(trim(
+                regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '),
+                x -> x <> '') AS toks
+              FROM documents),
+            tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+            tc AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+            tot AS (SELECT sum(c) AS n, count(*) AS v FROM tc),
+            model AS (
+              SELECT term, ln((c + 0.5) / (n + 0.5 * (v + 1))) AS lp
+              FROM tc, tot),
+            scored AS (
+              SELECT tok.doc_id, count(*) AS n_tokens,
+                     avg(-model.lp) AS ce
+              FROM tok JOIN model USING (term) GROUP BY tok.doc_id)
+            SELECT t.doc_id,
+                   CAST(coalesce(scored.n_tokens, 0) AS INT) AS n_tokens,
+                   round(scored.ce, 6) AS cross_entropy
+            FROM t LEFT JOIN scored USING (doc_id)
+            """
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d][0] == want[d][0], d
+        if got[d][1] is None:
+            assert want[d][1] is None, d
+        else:
+            assert got[d][1] == pt.approx(want[d][1], abs=2e-6), d

@@ -13,6 +13,8 @@ from .dedup import (
     dedup_against_corpus,
     dedup_exact,
     dedup_last_wins,
+    duplicated_window_positions,
+    exact_substring_dedup,
     minhash_lsh_candidates,
     minhash_table,
     near_dup_pairs,
@@ -23,7 +25,7 @@ from .filters import drop_required_nulls, in_range, newer_than
 from .graph import dedup_clusters
 from .joins import asof_join, interval_join, salted_join, star_join, two_way_join
 from .project import project, project_alias, drop_columns, qcol
-from .retrieval import bm25_topk, tfidf_table
+from .retrieval import bm25_topk, tfidf_table, unigram_perplexity
 from .sampling import (
     chunk_documents,
     deterministic_split,
@@ -53,6 +55,8 @@ __all__ = [
     "dedup_clusters",
     "dedup_exact",
     "dedup_last_wins",
+    "duplicated_window_positions",
+    "exact_substring_dedup",
     "deterministic_split",
     "drop_columns",
     "drop_required_nulls",
@@ -80,6 +84,7 @@ __all__ = [
     "simhash_near_dups",
     "star_join",
     "tfidf_table",
+    "unigram_perplexity",
     "two_way_join",
     "write_ivf_index",
 ]

@@ -619,6 +619,129 @@ def dedup_corpus_lines(
     )
 
 
+def duplicated_window_positions(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 32,
+    min_count: int = 2,
+) -> DataFrame:
+    """(id, pos) — 1-based word positions whose k-word window occurs at
+    least ``min_count`` times across the corpus (within-document
+    repeats count). The discovery half of ``exact_substring_dedup``,
+    exposed separately so pipelines can audit WHAT would be cut before
+    cutting it.
+
+    Scale shape: one sliding NGram pass per row (compiled JVM, no HOF
+    re-evaluation), then the count shuffle carries (16-byte digest)
+    keys — window text never moves; the duplicated-digest set is
+    joined back as a semi-join (AQE broadcasts it when small)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    words = ensure_parallelism(df).select(
+        qcol(id_col).alias("__id"),
+        F.coalesce(
+            F.filter(F.split(qcol(text_col), r"\s+"), lambda w: w != ""),
+            F.array().cast("array<string>"),
+        ).alias("__w"),
+    )
+    try:
+        from pyspark.ml.feature import NGram
+
+        grams = NGram(n=k, inputCol="__w", outputCol="__g").transform(words)
+    except ImportError:  # pure-Column fallback (pyspark.ml needs numpy)
+        grams = words.select(
+            "__id", "__w", word_shingles(F.col("__w"), k).alias("__g")
+        )
+    windows = grams.select(
+        "__id", F.posexplode("__g").alias("__p0", "__gram")
+    ).select(
+        "__id",
+        (F.col("__p0") + 1).cast("int").alias("pos"),
+        F.md5("__gram").alias("__k"),
+    )
+    dup = (
+        windows.groupBy("__k")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("__k")
+    )
+    return windows.join(dup, "__k", "left_semi").select(
+        F.col("__id").alias(id_col), "pos"
+    )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 32,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup (the ExactSubstr pass of Lee et al. 2021,
+    arXiv:2107.06499 — 'Deduplicating Training Data Makes Language
+    Models Better'): any k-word window occurring ``min_count``+ times
+    in the corpus is cut from EVERY document containing it (the
+    released tool's all-occurrences semantics; near-dup dedup keeps a
+    canonical copy, this pass targets boilerplate/licenses/templates
+    that repeat inside otherwise-unique pages).
+
+    Returns (id, text, n_words_removed, n_dup_windows) — text is the
+    surviving words re-joined by single spaces (whitespace-normalized,
+    the same trade ``chunk_documents`` makes), NULL in → NULL out, a
+    fully-duplicated document survives as an empty string (drop
+    separately if desired).
+
+    Scale shape: the window-digest count shuffles 16-byte keys only;
+    per-document span masking is a bounded column expression over the
+    document's own duplicated-start list (positions, not text). The
+    word/start arrays are bound to projected columns before the
+    masking lambdas — the HOF-inline trap ``word_shingles``
+    documents."""
+    dup_pos = duplicated_window_positions(df, id_col, text_col, k, min_count)
+    starts = dup_pos.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("pos")).alias("__ss")
+    )
+    words = df.select(
+        qcol(id_col).alias("__id"),
+        qcol(text_col).isNotNull().alias("__had"),
+        F.coalesce(
+            F.filter(F.split(qcol(text_col), r"\s+"), lambda w: w != ""),
+            F.array().cast("array<string>"),
+        ).alias("__w"),
+    )
+    base = words.join(
+        starts.select(qcol(id_col).alias("__id"), "__ss"), "__id", "left"
+    ).select(
+        "__id", "__had", "__w",
+        F.coalesce("__ss", F.array().cast("array<int>")).alias("__ss"),
+    )
+    # bind the filtered array once so size() and concat_ws() don't each
+    # re-run the mask
+    masked = base.select(
+        "__id", "__had",
+        F.size("__w").alias("__n"),
+        F.size("__ss").alias("__ndw"),
+        F.filter(
+            F.col("__w"),
+            lambda w, i: ~F.exists(
+                F.col("__ss"),
+                lambda s: ((i + 1) >= s) & ((i + 1) <= s + F.lit(k - 1)),
+            ),
+        ).alias("__kept"),
+    )
+    return masked.select(
+        F.col("__id").alias(id_col),
+        F.when(F.col("__had"), F.concat_ws(" ", F.col("__kept"))).alias(
+            text_col
+        ),
+        (F.col("__n") - F.size("__kept")).cast("int").alias("n_words_removed"),
+        F.col("__ndw").cast("int").alias("n_dup_windows"),
+    )
+
+
 def _bit_mask(bit: int) -> int:
     """Signed-BIGINT mask for bit i (bit 63 is the sign bit)."""
     return 1 << bit if bit < 63 else -(2**63)

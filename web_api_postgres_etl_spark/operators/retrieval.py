@@ -124,6 +124,77 @@ def bm25_topk(
     )
 
 
+def unigram_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model_df: DataFrame | None = None,
+    model_text_col: str | None = None,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document unigram cross-entropy / perplexity — the
+    transparent stand-in for CCNet's KenLM quality filter (docs whose
+    token distribution is far from a reference corpus score HIGH; the
+    standard curation move keeps the low/middle-perplexity band).
+
+    Model: add-``alpha`` smoothed unigram over the normalized tokens
+    of ``model_df`` (default: score the corpus against itself);
+    ``logp(t) = ln((c_t + α) / (N + α(V+1)))`` with every
+    out-of-vocabulary token at the ``c_t = 0`` floor. Returns
+    (id, n_tokens, cross_entropy, ppl); token-less documents get NULL
+    scores.
+
+    Scale shape: the model is one (term, count) shuffle with map-side
+    combine — term strings, never text; N and V are ONE scalar
+    aggregate collected to the driver; scoring explodes (id, term)
+    and joins on term (AQE broadcasts a small vocabulary), then one
+    per-doc average. Persist the model frame across corpora scored
+    against the same reference.
+    """
+    src = model_df if model_df is not None else df
+    src_text = model_text_col or text_col
+    tc = (
+        src.select(F.explode(normalized_tokens(src_text)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("__c"))
+    )
+    tc = tc.persist()
+    totals = tc.select(
+        F.sum("__c").alias("n"), F.count("*").alias("v")
+    ).first()
+    n_tok, vocab = int(totals["n"] or 0), int(totals["v"] or 0)
+    if n_tok == 0:
+        raise ValueError("model corpus has no tokens")
+    denom = float(n_tok) + alpha * (vocab + 1)
+    model = tc.select(
+        "term",
+        F.log((F.col("__c") + F.lit(alpha)) / F.lit(denom)).alias("__lp"),
+    )
+    oov_lp = math.log(alpha / denom)
+    toks = df.select(
+        qcol(id_col).alias("__id"),
+        F.explode_outer(normalized_tokens(text_col)).alias("term"),
+    )
+    # the OOV floor applies to real tokens only — explode_outer's NULL
+    # placeholder row (token-less doc) must yield a NULL average, not
+    # the floor
+    scored = toks.join(model, "term", "left").groupBy("__id").agg(
+        F.count("term").alias("n_tokens"),
+        F.avg(
+            F.when(
+                F.col("term").isNotNull(),
+                -F.coalesce(F.col("__lp"), F.lit(oov_lp)),
+            )
+        ).alias("__ce"),
+    )
+    return scored.select(
+        F.col("__id").alias(id_col),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.round("__ce", 6).alias("cross_entropy"),
+        F.round(F.exp("__ce"), 4).alias("ppl"),
+    )
+
+
 def tfidf_table(
     df: DataFrame,
     id_col: str,
