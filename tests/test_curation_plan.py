@@ -120,3 +120,93 @@ def test_repetition_gate_drops_boilerplate(spark):
     }
     assert 7 not in out_ids
     assert 1 in out_ids  # prose passes the repetition gate
+
+
+def test_url_dedup_and_domain_quota_stages(spark):
+    """With url_col set, same-URL twins collapse before any text work
+    and the optional per-domain cap bounds a bulk source."""
+    from dataclasses import replace
+
+    rows = [
+        (1, BASE + " first variant", "https://a.com/page?utm_source=x"),
+        (2, BASE + " second variant", "https://A.com/page/"),   # same URL normalized
+        (3, BASE + " third variant", "https://b.org/x"),
+    ]
+    # bulk.com floods with distinct pages — quota must cap it
+    rows += [
+        (10 + i, BASE + f" bulk variant number {i}",
+         f"https://bulk.com/p/{i}")
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    bench = spark.createDataFrame([(BENCH_TEXT,)], "text string")
+    cfg = replace(
+        CFG, url_col="url", domain_quota=2,
+        jaccard_threshold=0.99,  # text variants are NOT near-dups here
+    )
+    out_ids = {
+        r["doc_id"]
+        for r in prepare_training_data(docs, bench, config=cfg).collect()
+    }
+    assert 2 not in out_ids          # URL twin of 1 (min id survives)
+    assert 1 in out_ids and 3 in out_ids
+    assert len([i for i in out_ids if i >= 10]) == 2  # domain cap
+
+
+def test_perplexity_gate_stage(spark):
+    """max_ppl with a prose reference drops the gibberish document and
+    keeps prose."""
+    from dataclasses import replace
+
+    gibberish = " ".join(f"zx{i}qv wk{i}nd" for i in range(30))
+    docs, bench = _inputs(spark)
+    docs = docs.union(
+        spark.createDataFrame([(7, gibberish)], "doc_id long, text string")
+    )
+    ref = spark.createDataFrame(
+        [(i, BASE) for i in range(3)], "doc_id long, text string"
+    )
+    # prose against this tiny reference scores ~50 ppl (most words seen
+    # 3x), gibberish sits at the all-OOV floor ~400 — gate between them
+    cfg = replace(CFG, min_gopher_rules=2, max_ppl=150.0, ppl_reference=ref)
+    out_ids = {
+        r["doc_id"]
+        for r in prepare_training_data(docs, bench, config=cfg).collect()
+    }
+    assert 7 not in out_ids
+    assert 1 in out_ids
+
+
+def test_exact_substring_stage_cuts_boilerplate(spark):
+    """exact_substring_k cuts a license header shared by otherwise
+    unique documents; their unique text still lands in chunks."""
+    from dataclasses import replace
+
+    header = "this work is licensed under the creative commons attribution share alike license"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{header} {BASE}"),
+            (2, f"{header} a wholly different account of harbor towns and "
+                "that trade which moved with the tide while every merchant "
+                "kept a ledger of salt and grain and the ships would have "
+                "to wait for wind so the harbormaster read the sky and the "
+                "crews mended nets with patient hands beneath the tall "
+                "white light of the morning and the gulls carried on above "
+                "the quiet water"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(BENCH_TEXT,)], "text string")
+    cfg = replace(CFG, min_gopher_rules=4, exact_substring_k=6)
+    out = prepare_training_data(docs, bench, config=cfg).collect()
+    assert {r["doc_id"] for r in out} == {1, 2}
+    joined = {d: " ".join(
+        r["chunk_text"] for r in sorted(
+            (x for x in out if x["doc_id"] == d), key=lambda x: x["chunk_idx"]
+        )
+    ) for d in (1, 2)}
+    for d in (1, 2):
+        assert "licensed" not in joined[d]
+        assert "creative" not in joined[d]
+    assert "quick brown fox" in joined[1]
+    assert "harbor towns" in joined[2]

@@ -131,6 +131,7 @@ def unigram_perplexity(
     model_df: DataFrame | None = None,
     model_text_col: str | None = None,
     alpha: float = 0.5,
+    cache_model: bool = True,
 ) -> DataFrame:
     """Per-document unigram cross-entropy / perplexity — the
     transparent stand-in for CCNet's KenLM quality filter (docs whose
@@ -148,8 +149,10 @@ def unigram_perplexity(
     combine — term strings, never text; N and V are ONE scalar
     aggregate collected to the driver; scoring explodes (id, term)
     and joins on term (AQE broadcasts a small vocabulary), then one
-    per-doc average. Persist the model frame across corpora scored
-    against the same reference.
+    per-doc average. ``cache_model`` pins the (term, count) frame —
+    it is read twice (the N/V scalar collect + the scoring join);
+    pass False when composing into an externally-cached plan, the
+    same switch every persisting operator here carries.
     """
     src = model_df if model_df is not None else df
     src_text = model_text_col or text_col
@@ -158,7 +161,8 @@ def unigram_perplexity(
         .groupBy("term")
         .agg(F.count("*").alias("__c"))
     )
-    tc = tc.persist()
+    if cache_model:
+        tc = tc.persist()
     totals = tc.select(
         F.sum("__c").alias("n"), F.count("*").alias("v")
     ).first()

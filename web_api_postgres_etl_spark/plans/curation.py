@@ -4,9 +4,14 @@ sharded, leakage-safe training examples — every stage a verified
 operator from this package, composed in the order a production corpus
 run uses them:
 
-    gopher gate → PII scrub → benchmark decontamination
+    [URL dedup → domain caps] → clean_text → gopher gate
+    → [repetition gates] → PII scrub → [LM perplexity gate]
+    → benchmark decontamination → [exact-substring cut]
     → exact dedup → near-dup cluster dedup → leakage-safe split
     → chunk → pack per shard
+
+(bracketed stages are config-gated and default OFF — the driver
+oracle `training_data_e2e` pins the unbracketed spine bit-for-bit)
 
 Scale posture inherits from the stages: filters/scrubs are one-scan
 column expressions, every dedup shuffles digests/ids (never bodies),
@@ -38,10 +43,16 @@ from ..operators.sampling import (
 @dataclass
 class CurationConfig:
     normalize_text: bool = True         # C4-style clean_text first
+    url_col: str | None = None          # set → C4-style URL dedup first
+    domain_quota: int | None = None     # with url_col: per-domain cap
     min_gopher_rules: int = 7           # rules required to keep (7 = all)
     max_top_ngram_frac: float | None = None   # Gopher repetition gates
     max_dup_ngram_frac: float | None = None   # (None = stage skipped)
     repetition_ngram: int = 2
+    max_ppl: float | None = None        # LM-filter gate (None = skipped)
+    ppl_reference: object | None = None  # reference-corpus DataFrame
+    exact_substring_k: int | None = None   # ExactSubstr window (None = off)
+    exact_substring_min_count: int = 2
     ngram_n: int = 8                    # decontamination gram width
     shingle_n: int = 2                  # near-dup shingles
     num_hashes: int = 8
@@ -76,7 +87,20 @@ def prepare_training_data(
     """
     cfg = config or CurationConfig()
 
-    # 0. normalization (control chars, unicode spaces, blank walls) —
+    # 0a. URL-level reduction (C4 order: the cheapest corpus-wide cut
+    # runs first — one normalized-URL digest dedup, then the optional
+    # per-registrable-domain cap)
+    if cfg.url_col is not None:
+        from ..functions.urls import dedup_by_url
+        from ..functions.urls import domain_quota as _domain_quota
+
+        docs = dedup_by_url(docs, cfg.url_col, id_col)
+        if cfg.domain_quota is not None:
+            docs = _domain_quota(
+                docs, cfg.url_col, id_col, cfg.domain_quota
+            ).drop("domain")
+
+    # 0b. normalization (control chars, unicode spaces, blank walls) —
     # BEFORE gating so rule counters and dedup digests see clean text
     if cfg.normalize_text:
         from ..functions.text import clean_text
@@ -128,10 +152,40 @@ def prepare_training_data(
             )
         gated = gated.drop("top_ngram_frac", "dup_ngram_frac")
 
+    # 1c. optional LM-filter gate (CCNet shape): per-doc unigram
+    # perplexity against the reference corpus (or self-scored when no
+    # reference is given); token-less docs drop with the gate on
+    if cfg.max_ppl is not None:
+        from ..operators.retrieval import unigram_perplexity
+
+        ref = cfg.ppl_reference if cfg.ppl_reference is not None else gated
+        ppl = unigram_perplexity(
+            gated, id_col, text_col, model_df=ref
+        ).select(id_col, "ppl")
+        gated = (
+            gated.join(ppl, on=id_col, how="left")
+            .filter(F.coalesce(F.col("ppl") <= cfg.max_ppl, F.lit(False)))
+            .drop("ppl")
+        )
+
     # 2. benchmark decontamination (broadcast digest semi-join)
     clean = decontaminate(
         gated, bench, id_col, text_col, ngram_n=cfg.ngram_n
     )
+
+    # 2b. optional exact-substring cut (ExactSubstr): duplicated
+    # k-word windows removed from every survivor BEFORE the digest
+    # dedups, so boilerplate can no longer mask real near-dups (and a
+    # doc reduced to boilerplate-only dedups away as empty text)
+    if cfg.exact_substring_k is not None:
+        from ..operators.dedup import exact_substring_dedup
+
+        cut = exact_substring_dedup(
+            clean, id_col, text_col,
+            k=cfg.exact_substring_k,
+            min_count=cfg.exact_substring_min_count,
+        ).select(id_col, text_col)
+        clean = clean.drop(text_col).join(cut, on=id_col, how="inner")
 
     # 3. exact dedup on the scrubbed digest (16-byte shuffle keys).
     # PERSISTED: this is the plan's staging layer — five downstream
