@@ -241,3 +241,25 @@ def test_unigram_perplexity_oracle_parity(spark, oracle):
             assert want[d][1] is None, d
         else:
             assert got[d][1] == pt.approx(want[d][1], abs=2e-6), d
+
+
+def test_unigram_perplexity_empty_model_is_total(spark):
+    """An empty (or token-less) model corpus yields NULL scores for
+    every document instead of raising — a threshold gate then drops
+    all rows, the graceful-empty behavior scheduled pipelines need."""
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        unigram_perplexity,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some words here"), (2, None)], "doc_id long, text string"
+    )
+    empty_ref = spark.createDataFrame([], "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["cross_entropy"], r["ppl"])
+        for r in unigram_perplexity(
+            docs, "doc_id", "text", model_df=empty_ref
+        ).collect()
+    }
+    assert out[1] == (3, None, None)
+    assert out[2] == (0, None, None)

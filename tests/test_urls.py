@@ -103,3 +103,60 @@ def test_domain_quota_caps_per_registrable_domain(spark):
     a = sorted(r["id"] for r in out.collect())
     b = sorted(r["id"] for r in domain_quota(df, "url", "id", quota=5).collect())
     assert a == b
+
+
+def test_dedup_by_url_keeps_null_and_blank_urls(spark):
+    """A NULL or blank URL is NOT a duplicate of anything: such rows
+    must all survive (per-row sentinel key), never vanish on a NULL
+    join key or collapse into one blank-URL survivor."""
+    df = spark.createDataFrame(
+        [
+            (1, "https://e.com/p"),
+            (2, None),
+            (3, None),
+            (4, ""),
+            (5, "   "),
+            (6, "https://e.com/p/"),  # true dup of 1
+        ],
+        "id long, url string",
+    )
+    kept = sorted(r["id"] for r in dedup_by_url(df, "url", "id").collect())
+    assert kept == [1, 2, 3, 4, 5]
+
+
+def test_registrable_domain_keeps_ipv4_whole(spark):
+    df = spark.createDataFrame(
+        [(1, "https://192.168.7.4/x"), (2, "https://10.0.7.4/y")],
+        "id long, url string",
+    )
+    out = {
+        r["id"]: r["d"]
+        for r in df.select(
+            "id", url_registrable_domain("url").alias("d")
+        ).collect()
+    }
+    # octets are not labels: unrelated IP hosts must not pool as '7.4'
+    assert out == {1: "192.168.7.4", 2: "10.0.7.4"}
+
+
+def test_content_bearing_ref_param_survives(spark):
+    got = _norm(spark, [
+        "https://g.com/org/repo/blob/readme?ref=main",
+        "https://g.com/org/repo/blob/readme?ref=release-2.0",
+    ])
+    assert got[0] != got[1]
+    assert "ref=main" in got[0]
+
+
+def test_domain_quota_refuses_to_clobber_existing_column(spark):
+    import pytest as pt
+
+    df = spark.createDataFrame(
+        [(1, "https://e.com/x", "keep-me")],
+        "id long, url string, domain string",
+    )
+    with pt.raises(ValueError, match="already exists"):
+        domain_quota(df, "url", "id", quota=5)
+    out = domain_quota(df, "url", "id", quota=5, domain_col="__d")
+    row = out.collect()[0]
+    assert row["domain"] == "keep-me" and row["__d"] == "e.com"

@@ -22,10 +22,14 @@ from .text import _c
 
 # Tracking parameters stripped by normalize_url: the industry-common
 # click/campaign identifiers that fragment otherwise-identical URLs.
+# Deliberately precision-biased: bare "ref" is NOT here — on many
+# sites (github blob ?ref=branch, storefront ?ref=product) it selects
+# CONTENT, and a dedup key that merges distinct pages silently drops
+# data; pass a custom list to strip site-specific params.
 TRACKING_PARAMS = [
     "utm_source", "utm_medium", "utm_campaign", "utm_term",
     "utm_content", "gclid", "fbclid", "msclkid", "mc_cid", "mc_eid",
-    "ref", "ref_src",
+    "ref_src",
 ]
 
 # Common multi-label public suffixes for the registrable-domain
@@ -47,10 +51,14 @@ def url_registrable_domain(url_col: Column | str) -> Column:
     """Registrable-domain heuristic: the last two host labels, or the
     last three when the trailing two are a known multi-label public
     suffix (``a.b.co.uk`` → ``b.co.uk``; ``www.example.com`` →
-    ``example.com``). NULL for non-URLs. This is the CCNet-style
-    grouping key for per-source caps; swap in a broadcast
-    public-suffix table for exactness at the tail."""
+    ``example.com``). An IPv4-literal host is returned WHOLE — its
+    octets are not registrable labels, and truncating would pool
+    unrelated IP-hosted servers under one "domain". NULL for
+    non-URLs. This is the CCNet-style grouping key for per-source
+    caps; swap in a broadcast public-suffix table for exactness at
+    the tail."""
     host = url_host(url_col)
+    is_ipv4 = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
     labels = F.split(host, r"\.")
     n = F.size(labels)
     last2 = F.concat_ws(
@@ -63,6 +71,7 @@ def url_registrable_domain(url_col: Column | str) -> Column:
     is_two_label_suffix = last2.isin(_TWO_LABEL_SUFFIXES)
     return (
         F.when(host.isNull(), F.lit(None).cast("string"))
+        .when(is_ipv4, host)
         .when(n <= 2, host)
         .when(is_two_label_suffix & (n >= 3), last3)
         .otherwise(last2)
@@ -77,8 +86,9 @@ def normalize_url(
     fragment dropped, tracking query params removed and the rest
     SORTED (param order never distinguishes two fetches of the same
     page), trailing path slash stripped. Non-URL strings (no
-    parseable host) pass through trimmed — the column stays total so
-    it can key a dedup without dropping rows.
+    parseable host) pass through trimmed; NULL stays NULL — dedup
+    keys built on this must handle NULL/blank themselves (see
+    ``dedup_by_url``'s per-row sentinel).
 
     Built entirely from ``parse_url`` + regex/array expressions; the
     param filter binds the split array to a projected alias implicitly
@@ -121,12 +131,27 @@ def normalize_url(
 def dedup_by_url(
     df: DataFrame, url_col: str, id_col: str
 ) -> DataFrame:
-    """C4-style URL dedup: keep the min-id row per NORMALIZED URL.
-    Same digest-groupBy shape as ``dedup_exact_hashed`` — the shuffle
-    carries (md5(normalized), id), never page bodies."""
-    hashed = df.withColumn("__u", F.md5(normalize_url(url_col)))
-    survivors = hashed.groupBy("__u").agg(F.min(F.col(id_col)).alias(id_col))
-    return hashed.join(survivors, on=["__u", id_col], how="left_semi").drop("__u")
+    """C4-style URL dedup: keep the min-id row per NORMALIZED URL —
+    delegated to ``dedup_exact_hashed`` (ONE definition of the
+    digest-groupBy dedup shape; the shuffle carries (md5(key), id),
+    never page bodies).
+
+    The key is TOTAL: a row whose URL is NULL or blank gets a
+    per-row sentinel key (``#no-url#<id>``), so URL-less documents
+    are all KEPT rather than silently vanishing on a NULL join key or
+    collapsing into one blank-URL survivor."""
+    # call-time import: operators.dedup itself imports functions.text,
+    # so a module-level import here would cycle
+    from ..operators.dedup import dedup_exact_hashed
+
+    norm = normalize_url(url_col)
+    key = F.when(
+        norm.isNull() | (F.trim(norm) == ""),
+        F.concat(F.lit("#no-url#"), F.col(id_col).cast("string")),
+    ).otherwise(norm)
+    return dedup_exact_hashed(
+        df.withColumn("__u", key), "__u", id_col
+    ).drop("__u")
 
 
 def domain_quota(
@@ -135,15 +160,24 @@ def domain_quota(
     id_col: str,
     quota: int,
     priority_col: str | None = None,
+    domain_col: str = "domain",
 ) -> DataFrame:
     """Cap rows per registrable domain (CCNet-style source-mix
-    control): attaches ``domain`` and keeps at most ``quota`` rows per
-    domain via ``quota_by_group`` (priority order when given, else the
-    deterministic md5 draw). Non-URLs group under NULL domain and are
-    capped together."""
+    control): attaches ``domain_col`` and keeps at most ``quota`` rows
+    per domain via ``quota_by_group`` (priority order when given, else
+    the deterministic md5 draw). Non-URLs group under the empty-string
+    domain and are capped together. ``domain_col`` is configurable so
+    composing pipelines can use a private name instead of clobbering a
+    pre-existing ``domain`` column on crawl metadata (raise if the
+    chosen name already exists)."""
     from ..operators.sampling import quota_by_group
 
+    if domain_col in df.columns:
+        raise ValueError(
+            f"column {domain_col!r} already exists on the input — pass a "
+            "different domain_col instead of silently overwriting it"
+        )
     with_domain = df.withColumn(
-        "domain", F.coalesce(url_registrable_domain(url_col), F.lit(""))
+        domain_col, F.coalesce(url_registrable_domain(url_col), F.lit(""))
     )
-    return quota_by_group(with_domain, "domain", id_col, quota, priority_col)
+    return quota_by_group(with_domain, domain_col, id_col, quota, priority_col)

@@ -635,7 +635,15 @@ def duplicated_window_positions(
     Scale shape: one sliding NGram pass per row (compiled JVM, no HOF
     re-evaluation), then the count shuffle carries (16-byte digest)
     keys — window text never moves; the duplicated-digest set is
-    joined back as a semi-join (AQE broadcasts it when small)."""
+    joined back as a semi-join (AQE broadcasts it when small).
+
+    Cost note: the window frame feeds BOTH sides of that semi-join, so
+    the split+NGram+md5 pass runs twice — deliberate, the same
+    read-twice trade ``dedup_corpus_lines`` documents: materializing
+    the exploded window frame (one row PER WORD of the corpus) to
+    avoid the second pass would write an intermediate larger than the
+    corpus itself. ``.persist()`` the input df for small corpora if
+    the source scan dominates."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if min_count < 2:

@@ -168,7 +168,18 @@ def unigram_perplexity(
     ).first()
     n_tok, vocab = int(totals["n"] or 0), int(totals["v"] or 0)
     if n_tok == 0:
-        raise ValueError("model corpus has no tokens")
+        # a token-less model corpus carries no information: stay TOTAL
+        # (every doc gets NULL scores) instead of raising — a scheduled
+        # pipeline hitting an empty partition must degrade to zero
+        # kept rows, not crash (any threshold filter drops NULL)
+        return df.select(
+            qcol(id_col).alias(id_col),
+            F.coalesce(F.size(normalized_tokens(text_col)), F.lit(0))
+            .cast("int")
+            .alias("n_tokens"),
+            F.lit(None).cast("double").alias("cross_entropy"),
+            F.lit(None).cast("double").alias("ppl"),
+        )
     denom = float(n_tok) + alpha * (vocab + 1)
     model = tc.select(
         "term",

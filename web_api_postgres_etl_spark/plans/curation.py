@@ -96,9 +96,12 @@ def prepare_training_data(
 
         docs = dedup_by_url(docs, cfg.url_col, id_col)
         if cfg.domain_quota is not None:
+            # private column name: crawl metadata often already carries
+            # a 'domain' column that must survive untouched
             docs = _domain_quota(
-                docs, cfg.url_col, id_col, cfg.domain_quota
-            ).drop("domain")
+                docs, cfg.url_col, id_col, cfg.domain_quota,
+                domain_col="__curation_domain",
+            ).drop("__curation_domain")
 
     # 0b. normalization (control chars, unicode spaces, blank walls) —
     # BEFORE gating so rule counters and dedup digests see clean text
@@ -158,6 +161,12 @@ def prepare_training_data(
     if cfg.max_ppl is not None:
         from ..operators.retrieval import unigram_perplexity
 
+        # PERSIST before scoring: ppl derives from gated and is joined
+        # back onto gated — without the pin the gate+scrub subtree
+        # re-executes per join branch (the measured multi-x trap this
+        # plan's later `exact` persist documents); self-scoring adds a
+        # third read for the model build
+        gated = gated.persist()
         ref = cfg.ppl_reference if cfg.ppl_reference is not None else gated
         ppl = unigram_perplexity(
             gated, id_col, text_col, model_df=ref
@@ -180,6 +189,10 @@ def prepare_training_data(
     if cfg.exact_substring_k is not None:
         from ..operators.dedup import exact_substring_dedup
 
+        # PERSIST: clean is read three times here (the operator's
+        # window pass + word re-split + this join's left side) — the
+        # same re-execution trap as the ppl stage above
+        clean = clean.persist()
         cut = exact_substring_dedup(
             clean, id_col, text_col,
             k=cfg.exact_substring_k,
