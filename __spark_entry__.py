@@ -510,9 +510,110 @@ FROM s
 def q_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash signatures (k=8, word 2-gram shingles) — md5-based hash
     family, bit-identical in the oracle. Computed in the scale shape
-    (explode → codegen md5 → groupBy min), not per-row array folds."""
+    (explode → codegen md5 → groupBy min), not per-row array folds.
+    RETIRED from the driver contract in round 6 (strict subset of
+    minhash_lsh_pairs' construction) in favor of url_curation; parity
+    preserved in tests/test_oracle_parity.py."""
     docs = _t(spark, sf, "documents")
     return minhash_table(docs, "doc_id", "text", shingle_n=2, num_hashes=8)
+
+
+def q_url_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """The full URL-curation path (functions/urls.py): normalize_url
+    (case-fold scheme/host, drop default ports + fragments, strip
+    tracking params, sort the rest, trim trailing path slash) →
+    dedup_by_url (min-id per normalized URL, per-row sentinel for
+    NULL/non-URL rows — total) → domain_quota (≤10 rows per
+    registrable domain via the deterministic md5 draw; IPv4 hosts kept
+    whole, non-URLs pooled under ''). Input: a deterministic synthetic
+    crawl-URL family over documents covering every normalization face
+    (mixed case, :443, tracking params, unsorted queries, trailing
+    slash + fragment, non-default ports, bare non-URL strings, NULLs,
+    IP hosts, non-http schemes) — 220+ colliding pairs at sf0.01, so
+    every stage visibly drops rows. The oracle mirrors normalization
+    per constructed branch and the quota draw's md5 arithmetic."""
+    from web_api_postgres_etl_spark.functions.urls import (
+        dedup_by_url,
+        domain_quota,
+        normalize_url,
+    )
+
+    d = F.col("doc_id")
+    g = (d % 5).cast("string")
+    p = (d % 40).cast("string")
+    url = (
+        F.when(d % 7 == 0, F.concat(
+            F.lit("HTTPS://WWW.Site"), g, F.lit(".COM:443/Path/"), p,
+            F.lit("/?utm_source=feed&b=2&a=1#frag")))
+        .when(d % 7 == 1, F.concat(
+            F.lit("https://www.site"), g, F.lit(".com/Path/"), p,
+            F.lit("?a=1&b=2")))
+        .when(d % 7 == 2, F.concat(
+            F.lit("http://site"), g, F.lit(".org:8080/x?id="), p))
+        .when(d % 7 == 3, F.concat(F.lit("not a url at all "), p, F.lit("  ")))
+        .when(d % 7 == 4, F.lit(None).cast("string"))
+        .when(d % 7 == 5, F.concat(
+            F.lit("http://192.168."), g, F.lit(".1/res/"), p))
+        .otherwise(F.concat(
+            F.lit("ftp://files.site"), g, F.lit(".net/a/"), p))
+    )
+    docs = _t(spark, sf, "documents").select("doc_id").withColumn("url", url)
+    normed = docs.withColumn("norm_url", normalize_url("url"))
+    deduped = dedup_by_url(normed, "url", "doc_id")
+    capped = domain_quota(deduped, "url", "doc_id", quota=10,
+                          domain_col="domain")
+    return capped.select("doc_id", "norm_url", "domain")
+
+
+SQL_URL_CURATION = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(doc_id % 5 AS VARCHAR) AS g,
+         CAST(doc_id % 40 AS VARCHAR) AS p,
+         doc_id % 7 AS m
+  FROM documents),
+-- normalization mirrored per constructed branch (the Spark side runs
+-- the generic parse_url expression; on these shapes the results are
+-- the literal forms below)
+norm AS (
+  SELECT doc_id,
+    CASE m
+      WHEN 0 THEN 'https://www.site' || g || '.com/Path/' || p || '?a=1&b=2'
+      WHEN 1 THEN 'https://www.site' || g || '.com/Path/' || p || '?a=1&b=2'
+      WHEN 2 THEN 'http://site' || g || '.org:8080/x?id=' || p
+      WHEN 3 THEN 'not a url at all ' || p
+      WHEN 4 THEN NULL
+      WHEN 5 THEN 'http://192.168.' || g || '.1/res/' || p
+      ELSE 'ftp://files.site' || g || '.net/a/' || p
+    END AS norm_url,
+    CASE m
+      WHEN 0 THEN 'site' || g || '.com'
+      WHEN 1 THEN 'site' || g || '.com'
+      WHEN 2 THEN 'site' || g || '.org'
+      WHEN 5 THEN '192.168.' || g || '.1'
+      WHEN 6 THEN 'site' || g || '.net'
+      ELSE NULL
+    END AS domain
+  FROM base),
+keyed AS (
+  SELECT doc_id, norm_url, coalesce(domain, '') AS domain,
+    CASE WHEN norm_url IS NULL OR trim(norm_url) = ''
+         THEN '#no-url#' || CAST(doc_id AS VARCHAR) ELSE norm_url
+    END AS k
+  FROM norm),
+deduped AS (
+  SELECT * FROM keyed
+  QUALIFY row_number() OVER (PARTITION BY md5(k) ORDER BY doc_id) = 1),
+capped AS (
+  SELECT * FROM deduped
+  QUALIFY row_number() OVER (
+    PARTITION BY domain
+    ORDER BY CAST(('0x' || substr(md5('quota#' || CAST(doc_id AS VARCHAR)),
+                                  1, 13)) AS BIGINT)
+               / 4503599627370496.0 ASC,
+             doc_id ASC) <= 10)
+SELECT doc_id, norm_url, domain FROM capped
+"""
 
 
 _mh_cols = ",\n       ".join(
@@ -2448,13 +2549,19 @@ def _pii_sql(col: str) -> str:
 def q_training_data_e2e(spark: SparkSession, sf: str) -> DataFrame:
     """The full training-data preparation plan end to end
     (plans/curation.py:prepare_training_data): clean_text → Gopher gate
-    (≥4 of 7 rules) → PII scrub → benchmark 4-gram decontamination →
-    exact md5 dedup → MinHash-LSH near-dup clusters (min-id survivor)
-    → deterministic md5 split keyed on the cluster representative →
+    (≥4 of 7 rules) → PII scrub → self-scored unigram-perplexity gate
+    (ppl ≤ 30.15, the CCNet LM-filter stand-in) → benchmark 4-gram
+    decontamination → exact-substring cut (ExactSubstr k=8: corpus-
+    duplicated 8-word windows removed from every survivor) → exact md5
+    dedup → MinHash-LSH near-dup clusters (min-id survivor) →
+    deterministic md5 split keyed on the cluster representative →
     32-word chunking → per-(split,shard) sequence packing. Every stage
     is a separately-verified operator; this entry pins their
     COMPOSITION — the md5 draws, min-id survivors and pack arithmetic
-    reproduce bit-for-bit in the oracle."""
+    reproduce bit-for-bit in the oracle (the ppl gate's threshold sits
+    in a 0.0066-wide empirical gap at sf0.01, ~66x the max cross-
+    engine float drift at the 4-decimal rounding, so the survivor SET
+    is engine-stable even though raw ppl floats are not emitted)."""
     from web_api_postgres_etl_spark.plans.curation import (
         CurationConfig,
         prepare_training_data,
@@ -2469,6 +2576,7 @@ def q_training_data_e2e(spark: SparkSession, sf: str) -> DataFrame:
         config=CurationConfig(
             min_gopher_rules=4, ngram_n=4, chunk_words=32,
             window_tokens=128, num_shards=4,
+            max_ppl=30.15, exact_substring_k=8,
         ),
     )
     return out.select(
@@ -2523,17 +2631,68 @@ gr AS (
 gated AS (
   SELECT gw.doc_id, {_pii_sql("gw.text")} AS text
   FROM gw JOIN gr USING (doc_id) WHERE gr.nr >= 4),
+-- LM-filter gate: add-0.5-smoothed unigram model over the gated corpus
+-- itself (self-scored); docs above the ppl ceiling drop, token-less
+-- docs drop with the gate on (inner join to pscore)
+pt AS (SELECT doc_id, {TOK.format(col="text")} AS toks FROM gated),
+ptok AS (SELECT doc_id, unnest(toks) AS term FROM pt),
+ptc AS (SELECT term, count(*) AS c FROM ptok GROUP BY term),
+ptot AS (SELECT sum(c) AS n, count(*) AS v FROM ptc),
+pmodel AS (
+  SELECT term, ln((c + 0.5) / (n + 0.5 * (v + 1))) AS lp FROM ptc, ptot),
+pscore AS (
+  SELECT ptok.doc_id, round(exp(avg(-pmodel.lp)), 4) AS ppl
+  FROM ptok JOIN pmodel USING (term) GROUP BY ptok.doc_id),
+pgated AS (
+  SELECT gated.doc_id, gated.text FROM gated JOIN pscore USING (doc_id)
+  WHERE pscore.ppl <= 30.15),
 bt AS (SELECT {TOK.format(col="text")} AS toks
        FROM documents WHERE doc_id % 50 = 0),
 bg AS (SELECT DISTINCT unnest({_E2E_GRAM4}) AS g FROM bt),
-t0 AS (SELECT doc_id, text, {TOK.format(col="text")} AS toks FROM gated),
+t0 AS (SELECT doc_id, text, {TOK.format(col="text")} AS toks FROM pgated),
 tgr AS (SELECT DISTINCT doc_id, unnest({_E2E_GRAM4}) AS g FROM t0),
 contaminated AS (SELECT DISTINCT tgr.doc_id FROM tgr JOIN bg USING (g)),
 cleaned AS (
-  SELECT doc_id, text, toks FROM t0
+  SELECT doc_id, text FROM t0
   WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+-- ExactSubstr cut (k=8, min_count=2): any 8-word window occurring
+-- twice+ among the survivors is removed from EVERY document; the
+-- survivor text is the kept words re-joined by single spaces, and
+-- downstream dedup/shingles see the CUT text
+esw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS w
+  FROM cleaned),
+eswin AS (
+  SELECT doc_id, w,
+         unnest(generate_series(1, greatest(len(w) - 7, 0))) AS pos
+  FROM esw),
+esdig AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(list_slice(w, pos, pos + 7), ' ')) AS dg
+  FROM eswin),
+esdup AS (SELECT dg FROM esdig GROUP BY dg HAVING count(*) >= 2),
+esss AS (
+  SELECT doc_id, list_sort(list(pos)) AS ss FROM esdig
+  WHERE dg IN (SELECT dg FROM esdup) GROUP BY doc_id),
+esj AS (
+  SELECT esw.doc_id, esw.w,
+         coalesce(esss.ss, CAST([] AS BIGINT[])) AS ss
+  FROM esw LEFT JOIN esss USING (doc_id)),
+escut AS (
+  SELECT doc_id,
+         -- array_to_string([]) is NULL in DuckDB where Spark's
+         -- concat_ws is '' — coalesce so fully-cut docs compare as ''
+         coalesce(array_to_string(list_filter(
+           list_transform(generate_series(1, len(w)), j2 ->
+             CASE WHEN len(list_filter(ss,
+                    s -> j2 >= s AND j2 <= s + 7)) > 0
+                  THEN NULL ELSE w[j2] END),
+           x -> x IS NOT NULL), ' '), '') AS text
+  FROM esj),
+cut AS (SELECT doc_id, text, {TOK.format(col="text")} AS toks FROM escut),
 exact AS (
-  SELECT * FROM cleaned
+  SELECT * FROM cut
   QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
 s AS (SELECT doc_id, {_shingle_sql("toks", 2)} AS sh FROM exact),
 m AS (SELECT doc_id, {_mh_cols} FROM s WHERE len(sh) > 0),
@@ -2644,7 +2803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_session_window": q_agg_session_window,
         # dedup / similarity
         "dedup_exact": q_dedup_exact,
-        "minhash_signature": q_minhash_signature,
+        "url_curation": q_url_curation,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2711,7 +2870,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_time_window": SQL_TIME_WINDOW,
         "agg_session_window": SQL_SESSION_WINDOW,
         "dedup_exact": SQL_DEDUP_EXACT,
-        "minhash_signature": SQL_MINHASH,
+        "url_curation": SQL_URL_CURATION,
         "minhash_lsh_pairs": SQL_LSH_PAIRS,
         "ngram_jaccard_pairs": SQL_JACCARD,
         "ann_cosine_topk": SQL_ANN_TOPK,

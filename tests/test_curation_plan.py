@@ -210,3 +210,34 @@ def test_exact_substring_stage_cuts_boilerplate(spark):
         assert "creative" not in joined[d]
     assert "quick brown fox" in joined[1]
     assert "harbor towns" in joined[2]
+
+
+def test_pins_released_no_unbounded_growth(spark):
+    """Repeated prepare_training_data calls in one session must not
+    accumulate pinned RDDs when the caller uses the pins/release_pins
+    hygiene contract — and the pins list must actually capture every
+    persisted stage (incl. the optional ppl-stage model frame)."""
+    from web_api_postgres_etl_spark.plans.curation import release_pins
+
+    docs, bench = _inputs(spark)
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_persisted():
+        return jsc.getPersistentRDDs().size()
+
+    base = n_persisted()
+    cfg = CurationConfig(
+        ngram_n=8, shingle_n=2, num_hashes=8, bands=4,
+        jaccard_threshold=0.5, chunk_words=16, window_tokens=64,
+        num_shards=2, max_ppl=1e9,   # ppl gate ON → model pin exercised
+    )
+    for _ in range(3):
+        pins = []
+        out = prepare_training_data(docs, bench, config=cfg, pins=pins)
+        assert out.count() > 0
+        assert len(pins) >= 4          # gated, model tc, exact, pairs, ...
+        release_pins(pins)
+        assert pins == []
+    assert n_persisted() <= base, (
+        f"pinned RDDs grew {base} -> {n_persisted()} despite release_pins"
+    )

@@ -149,3 +149,28 @@ def test_exact_substring_oracle_parity(spark, oracle):
     # sanity: the synthetic corpus must actually contain duplicated
     # windows, or this parity proves nothing
     assert any(r[3] > 0 for r in got)
+
+
+def test_pathological_fully_duplicated_long_doc(spark):
+    """Two identical 20k-word docs: every window is duplicated, so the
+    duplicated-start list approaches the word count. The pre-round-6
+    exists-per-word mask was O(words x dup-starts) interpreted
+    (~4e8 lambda evaluations here — minutes); the interval-merge +
+    gap-slice form collapses all starts into ONE merged interval and
+    must finish in seconds."""
+    import time
+
+    n = 20_000
+    body = " ".join(f"w{i % 977}x{i % 31}" for i in range(n))
+    docs = spark.createDataFrame(
+        [(1, body), (2, body)], "doc_id long, text string"
+    )
+    t0 = time.monotonic()
+    out = {
+        r["doc_id"]: (r["text"], r["n_words_removed"])
+        for r in exact_substring_dedup(docs, "doc_id", "text", k=32).collect()
+    }
+    elapsed = time.monotonic() - t0
+    assert out[1] == ("", n) and out[2] == ("", n)
+    # generous bound: the quadratic form took minutes, this takes ~2s
+    assert elapsed < 90, f"masking took {elapsed:.1f}s — quadratic regression?"

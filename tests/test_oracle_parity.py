@@ -70,6 +70,9 @@ RETIRED = [
     ("p123_project", "SQL_P123"),
     ("a1_max_watermark", "SQL_A1"),
     ("ann_cosine_pairs", "SQL_ANN_PAIRS"),
+    # r6: swapped for url_curation (strict subset of minhash_lsh_pairs'
+    # signature construction, which stays driver-visible)
+    ("minhash_signature", "SQL_MINHASH"),
 ]
 
 

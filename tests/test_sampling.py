@@ -276,3 +276,28 @@ def test_chunk_documents_short_doc_still_chunks_with_overlap(spark):
         ).collect()
     }
     assert out == {1: (0, "a b"), 2: (0, "only")}
+
+
+def test_pack_key_injective_on_null_and_hash_groups(spark):
+    """pack_key must not alias across tricky group values: NULL group
+    gets the '%N' sentinel (concat_ws would have silently skipped it,
+    colliding with the no-group format), and '#' inside a group value
+    is escaped so 'a#1' cannot alias group 'a' shard 1."""
+    from pyspark.sql import functions as F
+
+    from web_api_postgres_etl_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, None, 5), (2, "a#0", 5), (3, "a", 5), (4, "25%", 5)],
+        "id long, split string, toks long",
+    )
+    out = pack_sequences(
+        df, "id", "toks", window=100, num_shards=1, group_col="split"
+    ).select("split", "pack_key").collect()
+    keys = {r["split"]: r["pack_key"] for r in out}
+    assert keys[None].startswith("%N#")
+    assert keys["a#0"].startswith("a%230#")
+    assert keys["a"].startswith("a#")
+    assert keys["25%"].startswith("25%25#")
+    # all four land in distinct packs — no aliasing
+    assert len(set(keys.values())) == 4

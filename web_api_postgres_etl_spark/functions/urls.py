@@ -95,7 +95,13 @@ def normalize_url(
     via a single expression tree (no HOF-inline trap: the array child
     is the cheap ``split``, not a tokenize chain).
     """
-    params = strip_params if strip_params is not None else TRACKING_PARAMS
+    # the filter below compares LOWERCASED param names, so lowercase the
+    # caller's list once here — 'UTM_Source' must strip the same as
+    # 'utm_source' (TRACKING_PARAMS only worked by being all-lowercase)
+    params = [
+        p.lower()
+        for p in (strip_params if strip_params is not None else TRACKING_PARAMS)
+    ]
     raw = F.trim(_c(url_col))
     scheme = F.lower(F.regexp_extract(raw, r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1))
     host = F.lower(F.try_parse_url(raw, F.lit("HOST")))

@@ -475,6 +475,7 @@ def near_dup_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     cache_intermediates: bool = True,
+    pins: list[DataFrame] | None = None,
 ) -> DataFrame:
     """End-to-end near-duplicate detection, composed the way it runs at
     100 TB: MinHash+LSH generates candidate pairs (linear shuffle of
@@ -513,6 +514,8 @@ def near_dup_pairs(
     )
     if cache_intermediates:
         mh = mh.persist()
+        if pins is not None:
+            pins.append(mh)
     banded = mh.select(
         "__id", F.explode(minhash_band_keys(num_hashes, bands)).alias("__band")
     )
@@ -521,6 +524,8 @@ def near_dup_pairs(
         # read twice below (pair join + candidate-id semi-join build);
         # bounded by the near-dup population like sh
         cands = cands.persist()
+        if pins is not None:
+            pins.append(cands)
 
     # --- stage 2: exact Jaccard on candidates only. Shingle sets are
     # semi-joined down to candidate docs BEFORE the pair joins, so the
@@ -537,6 +542,8 @@ def near_dup_pairs(
     )
     if cache_intermediates:
         sh = sh.persist()
+        if pins is not None:
+            pins.append(sh)
     return _jaccard_on_shingled(sh, cands, threshold)
 
 
@@ -702,12 +709,18 @@ def exact_substring_dedup(
     fully-duplicated document survives as an empty string (drop
     separately if desired).
 
-    Scale shape: the window-digest count shuffles 16-byte keys only;
-    per-document span masking is a bounded column expression over the
-    document's own duplicated-start list (positions, not text). The
-    word/start arrays are bound to projected columns before the
-    masking lambdas — the HOF-inline trap ``word_shingles``
-    documents."""
+    Scale shape: the window-digest count shuffles 16-byte keys only.
+    Per-document masking first folds the SORTED duplicated-start list
+    into merged disjoint cut intervals (overlapping/adjacent k-windows
+    coalesce, so the merged list is tiny even on fully-duplicated
+    boilerplate pages — the exact rows this operator targets), then
+    reassembles the survivors by slicing the gaps BETWEEN intervals:
+    O(words + intervals) per document, vs the O(words x dup-starts)
+    interpreted exists-per-word form this replaced (a 50k-word
+    fully-duplicated doc would have cost ~2.5e9 lambda evaluations in
+    one row — an unkillable straggler at 100 TB). Each intermediate
+    array is bound to a projected column before the next expression
+    consumes it — the HOF-inline trap ``word_shingles`` documents."""
     dup_pos = duplicated_window_positions(df, id_col, text_col, k, min_count)
     starts = dup_pos.groupBy(id_col).agg(
         F.array_sort(F.collect_list("pos")).alias("__ss")
@@ -726,18 +739,80 @@ def exact_substring_dedup(
         "__id", "__had", "__w",
         F.coalesce("__ss", F.array().cast("array<int>")).alias("__ss"),
     )
-    # bind the filtered array once so size() and concat_ws() don't each
-    # re-run the mask
-    masked = base.select(
-        "__id", "__had",
+    # fold the sorted starts into merged disjoint cut intervals: start s
+    # cuts [s, s+k-1]; a start within (or adjacent to) the running
+    # interval extends it, otherwise it opens a new one. Equal-length
+    # windows over a sorted list mean hi is monotone, so extending is a
+    # plain replace of the tail's hi.
+    iv = base.select(
+        "__id", "__had", "__w",
         F.size("__w").alias("__n"),
         F.size("__ss").alias("__ndw"),
-        F.filter(
-            F.col("__w"),
-            lambda w, i: ~F.exists(
-                F.col("__ss"),
-                lambda s: ((i + 1) >= s) & ((i + 1) <= s + F.lit(k - 1)),
+        F.aggregate(
+            F.col("__ss"),
+            F.array().cast("array<struct<lo:int,hi:int>>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (s <= F.element_at(acc, -1).getField("hi") + 1),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(
+                        F.struct(
+                            F.element_at(acc, -1)
+                            .getField("lo")
+                            .alias("lo"),
+                            (s + F.lit(k - 1)).cast("int").alias("hi"),
+                        )
+                    ),
+                ),
+            ).otherwise(
+                F.concat(
+                    acc,
+                    F.array(
+                        F.struct(
+                            s.cast("int").alias("lo"),
+                            (s + F.lit(k - 1)).cast("int").alias("hi"),
+                        )
+                    ),
+                )
             ),
+        ).alias("__iv"),
+    )
+    # the kept gaps: before the first interval, between intervals, after
+    # the last. CaseWhen branches evaluate lazily, so the element_at
+    # calls never see an out-of-range index.
+    gaps = iv.select(
+        "__id", "__had", "__w", "__n", "__ndw",
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__iv")),
+                lambda i: F.struct(
+                    F.when(i == 0, F.lit(1))
+                    .otherwise(
+                        F.element_at(F.col("__iv"), i).getField("hi") + 1
+                    )
+                    .alias("a"),
+                    F.when(i == F.size("__iv"), F.col("__n"))
+                    .otherwise(
+                        F.element_at(F.col("__iv"), i + 1).getField("lo") - 1
+                    )
+                    .alias("b"),
+                ),
+            ),
+            lambda g: g.getField("a") <= g.getField("b"),
+        ).alias("__gaps"),
+    )
+    masked = gaps.select(
+        "__id", "__had", "__n", "__ndw",
+        F.flatten(
+            F.transform(
+                F.col("__gaps"),
+                lambda g: F.slice(
+                    F.col("__w"),
+                    g.getField("a"),
+                    g.getField("b") - g.getField("a") + 1,
+                ),
+            )
         ).alias("__kept"),
     )
     return masked.select(

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import release_frame
 from .project import qcol
 
 
@@ -30,6 +31,7 @@ def connected_components(
     edge_src: str = "id_a",
     edge_dst: str = "id_b",
     max_iter: int = 25,
+    pins: list[DataFrame] | None = None,
 ) -> DataFrame:
     """(id, component) — min reachable node id per node.
 
@@ -62,6 +64,7 @@ def connected_components(
         qcol(node_id).alias("id"), qcol(node_id).alias("component")
     )
     changed = 1
+    prev_ckpt = None
     # max_iter productive rounds + 1 quiet confirmation round
     for _ in range(max_iter + 1):
         # labels each neighbor could offer, merged with current labels
@@ -84,10 +87,20 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # the previous round's checkpoint has no remaining consumer —
+        # release it NOW, or a d-round graph pins d label tables at
+        # once (a real cost when the label table is billions of rows)
+        if prev_ckpt is not None:
+            release_frame(prev_ckpt)
+        prev_ckpt = new_labels
         labels = new_labels
         if changed == 0:
             break
     sym.unpersist()
+    # the final checkpoint IS the result — the caller's pins list (if
+    # given) takes ownership of releasing it after materialization
+    if pins is not None and prev_ckpt is not None:
+        pins.append(prev_ckpt)
     if changed != 0:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
@@ -104,6 +117,7 @@ def connected_components_fast(
     edge_src: str = "id_a",
     edge_dst: str = "id_b",
     max_iter: int = 12,
+    pins: list[DataFrame] | None = None,
 ) -> DataFrame:
     """(id, component) via pointer doubling — O(log n) rounds.
 
@@ -134,6 +148,7 @@ def connected_components_fast(
         qcol(node_id).alias("id"), qcol(node_id).alias("component")
     )
     changed = 1
+    prev_ckpt = None
     for _ in range(max_iter + 1):
         offers = sym.join(labels, sym["src"] == labels["id"]).select(
             F.col("dst").alias("id"), F.col("component")
@@ -166,10 +181,19 @@ def connected_components_fast(
             .limit(1)
             .count()
         )
+        # release the superseded round's checkpoint (see the plain
+        # propagation loop) — at most two label tables pinned at once
+        if prev_ckpt is not None:
+            release_frame(prev_ckpt)
+        prev_ckpt = jumped
         labels = jumped
         if changed == 0:
             break
     sym.unpersist()
+    # the final checkpoint IS the result — the caller's pins list (if
+    # given) takes ownership of releasing it after materialization
+    if pins is not None and prev_ckpt is not None:
+        pins.append(prev_ckpt)
     if changed != 0:
         raise RuntimeError(
             f"connected_components_fast did not converge in {max_iter} "
@@ -182,13 +206,14 @@ def dedup_clusters(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str,
+    pins: list[DataFrame] | None = None,
 ) -> DataFrame:
     """(id, cluster, is_canonical) — resolve near-dup pairs into
     clusters; the minimum id in each component is the canonical
     survivor (the row a dedup pipeline keeps). Uses the pointer-doubling
     components (same deterministic labels, O(log n) rounds)."""
     nodes = df.select(qcol(id_col).alias("id"))
-    comp = connected_components_fast(nodes, pairs)
+    comp = connected_components_fast(nodes, pairs, pins=pins)
     return comp.select(
         F.col("id").alias(id_col),
         F.col("component").alias("cluster"),

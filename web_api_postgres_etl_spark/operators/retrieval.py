@@ -132,6 +132,7 @@ def unigram_perplexity(
     model_text_col: str | None = None,
     alpha: float = 0.5,
     cache_model: bool = True,
+    pins: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Per-document unigram cross-entropy / perplexity — the
     transparent stand-in for CCNet's KenLM quality filter (docs whose
@@ -152,7 +153,9 @@ def unigram_perplexity(
     per-doc average. ``cache_model`` pins the (term, count) frame —
     it is read twice (the N/V scalar collect + the scoring join);
     pass False when composing into an externally-cached plan, the
-    same switch every persisting operator here carries.
+    same switch every persisting operator here carries. A long-lived
+    session can pass ``pins=[]`` to receive the pinned model frame
+    for later unpersist (see ``plans.curation.release_pins``).
     """
     src = model_df if model_df is not None else df
     src_text = model_text_col or text_col
@@ -163,11 +166,17 @@ def unigram_perplexity(
     )
     if cache_model:
         tc = tc.persist()
+        if pins is not None:
+            pins.append(tc)
     totals = tc.select(
         F.sum("__c").alias("n"), F.count("*").alias("v")
     ).first()
     n_tok, vocab = int(totals["n"] or 0), int(totals["v"] or 0)
     if n_tok == 0:
+        if cache_model:
+            # nothing downstream will ever read tc again — don't leave
+            # an empty frame pinned in a long-lived session
+            tc.unpersist()
         # a token-less model corpus carries no information: stay TOTAL
         # (every doc gets NULL scores) instead of raising — a scheduled
         # pipeline hitting an empty partition must degrade to zero
@@ -231,7 +240,10 @@ def tfidf_table(
     Persist/write the result once per corpus snapshot; query-time
     scoring then never touches raw text.
     """
-    n_docs = df.count()
+    # N rides along as a broadcast 1-row frame instead of an eager
+    # df.count() driver job — the whole build stays ONE lazy plan
+    # (token-less docs still count toward N, matching sklearn)
+    n_docs = df.agg(F.count("*").cast("double").alias("__n"))
     tc = term_counts(df, id_col, text_col)
     dfs = (
         tc.groupBy("term")
@@ -239,9 +251,9 @@ def tfidf_table(
         .filter(F.col("df") >= min_df)
     )
     idf = F.log(
-        (F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df"))
+        (F.lit(1.0) + F.col("__n")) / (F.lit(1.0) + F.col("df"))
     ) + F.lit(1.0)
-    return tc.join(dfs, "term").select(
+    return tc.join(dfs, "term").crossJoin(F.broadcast(n_docs)).select(
         qcol(id_col),
         "term",
         "tf",

@@ -226,9 +226,24 @@ def pack_sequences(
     )
     run = F.sum(qcol(token_col).cast("long")).over(w)
     excl = run - qcol(token_col).cast("long")
-    key_parts = (
-        [qcol(group_col).cast("string")] if group_col else []
-    ) + [F.col("shard").cast("string"), F.col("pack_id").cast("string")]
+    # pack_key must be injective: concat_ws silently SKIPS NULLs (a
+    # NULL group would alias the no-group 'shard#pack' format) and a
+    # '#' inside a group value could alias another group — so escape
+    # '%'/'#' (URL-style, injective) and send NULL to '%N', which no
+    # escaped real value can produce ('%' always escapes to '%25')
+    if group_col:
+        esc = F.regexp_replace(
+            F.regexp_replace(qcol(group_col).cast("string"), "%", "%25"),
+            "#",
+            "%23",
+        )
+        group_parts = [F.coalesce(esc, F.lit("%N"))]
+    else:
+        group_parts = []
+    key_parts = group_parts + [
+        F.col("shard").cast("string"),
+        F.col("pack_id").cast("string"),
+    ]
     return (
         sharded.withColumn("pack_id", F.floor(excl / F.lit(window)))
         .withColumn("pack_offset", excl - F.col("pack_id") * F.lit(window))

@@ -67,12 +67,28 @@ class CurationConfig:
     num_shards: int = 8
 
 
+def release_pins(pins: list[DataFrame]) -> None:
+    """Unpersist every frame ``prepare_training_data`` appended to the
+    caller's ``pins`` list — call AFTER materializing the returned plan
+    (write/collect); the result is lazy, so releasing earlier would
+    silently void the pins and re-run the staged subtrees. The frames
+    (and anything derived but not yet materialized) are unusable after
+    release — a localCheckpointed staging frame has no lineage left to
+    recompute from."""
+    from ..caching import release_frame
+
+    for frame in pins:
+        release_frame(frame)
+    pins.clear()
+
+
 def prepare_training_data(
     docs: DataFrame,
     bench: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     config: CurationConfig | None = None,
+    pins: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Raw documents + benchmark → packed training chunks.
 
@@ -84,8 +100,21 @@ def prepare_training_data(
     Near-dup handling keeps each cluster's min-id document and keys
     the split on cluster representatives, so a dropped twin can never
     reappear and a kept twin can never straddle the split boundary.
+
+    Session hygiene: the plan pins 3-5 staging frames (the multi-
+    consumer subtrees documented inline). A one-shot run can ignore
+    them — executors release storage at session end. A LONG-LIVED
+    session calling this repeatedly should pass ``pins=[]`` and call
+    ``release_pins(pins)`` once the returned frame is materialized,
+    or pinned RDDs accumulate across invocations.
     """
     cfg = config or CurationConfig()
+
+    def _pin(frame: DataFrame) -> DataFrame:
+        frame = frame.persist()
+        if pins is not None:
+            pins.append(frame)
+        return frame
 
     # 0a. URL-level reduction (C4 order: the cheapest corpus-wide cut
     # runs first — one normalized-URL digest dedup, then the optional
@@ -166,10 +195,10 @@ def prepare_training_data(
         # re-executes per join branch (the measured multi-x trap this
         # plan's later `exact` persist documents); self-scoring adds a
         # third read for the model build
-        gated = gated.persist()
+        gated = _pin(gated)
         ref = cfg.ppl_reference if cfg.ppl_reference is not None else gated
         ppl = unigram_perplexity(
-            gated, id_col, text_col, model_df=ref
+            gated, id_col, text_col, model_df=ref, pins=pins
         ).select(id_col, "ppl")
         gated = (
             gated.join(ppl, on=id_col, how="left")
@@ -192,7 +221,7 @@ def prepare_training_data(
         # PERSIST: clean is read three times here (the operator's
         # window pass + word re-split + this join's left side) — the
         # same re-execution trap as the ppl stage above
-        clean = clean.persist()
+        clean = _pin(clean)
         cut = exact_substring_dedup(
             clean, id_col, text_col,
             k=cfg.exact_substring_k,
@@ -201,12 +230,21 @@ def prepare_training_data(
         clean = clean.drop(text_col).join(cut, on=id_col, how="inner")
 
     # 3. exact dedup on the scrubbed digest (16-byte shuffle keys).
-    # PERSISTED: this is the plan's staging layer — five downstream
-    # consumers (signatures, verify, survivors, split, chunks) would
-    # each re-run gate+scrub+decontam+dedup otherwise. A production
-    # run writes this frame to storage (the medallion stg_ table);
-    # MEMORY_AND_DISK is the in-session equivalent.
-    exact = dedup_exact_hashed(clean, text_col, id_col).persist()
+    # CHECKPOINTED, not just persisted: this is the plan's staging
+    # layer — five downstream consumers (signatures, verify, survivors,
+    # split, chunks) each reference it, and every LOGICAL reference
+    # duplicates the whole upstream lineage (gate+ppl+decontam+cut,
+    # themselves self-referencing), so the composed tree grows
+    # multiplicatively and Catalyst analysis/canonicalization blows the
+    # driver heap with the optional stages on. localCheckpoint
+    # materializes once and TRUNCATES lineage — the in-session
+    # equivalent of the medallion stg_ write a production run does
+    # here (which truncates lineage the same way).
+    exact = dedup_exact_hashed(clean, text_col, id_col).localCheckpoint(
+        eager=True
+    )
+    if pins is not None:
+        pins.append(exact)
 
     # 4. near-dup pairs → clusters, computed ONCE and reused for both
     # the survivor choice and the split key (the leakage guarantee):
@@ -218,8 +256,10 @@ def prepare_training_data(
         exact, id_col, text_col,
         shingle_n=cfg.shingle_n, num_hashes=cfg.num_hashes,
         bands=cfg.bands, threshold=cfg.jaccard_threshold,
-    ).select("id_a", "id_b").persist()
-    clusters = dedup_clusters(exact, pairs, id_col).persist()
+        pins=pins,
+    ).select("id_a", "id_b")
+    pairs = _pin(pairs)
+    clusters = _pin(dedup_clusters(exact, pairs, id_col, pins=pins))
     survivors = exact.join(
         clusters.filter(F.col("is_canonical")).select(F.col(id_col)),
         on=id_col, how="left_semi",
@@ -237,7 +277,8 @@ def prepare_training_data(
     # persisted: consumed twice below (chunk input + split re-attach)
     split_docs = deterministic_split(
         with_key, "split_key", cfg.split_weights
-    ).drop("split_key").persist()
+    ).drop("split_key")
+    split_docs = _pin(split_docs)
 
     # 6. chunk → deterministic shard → pack per (split, shard)
     chunks = chunk_documents(
