@@ -19,7 +19,12 @@ sys.path.insert(0, "/root/repo")
 from tools.scale_probe import probe, scaling_exponents  # noqa: E402
 
 SIZES = [5_000, 25_000]
-OPS = {"near_dup_pairs", "semantic_dup_pairs", "prepare_training_data"}
+OPS = {
+    "near_dup_pairs", "semantic_dup_pairs", "prepare_training_data",
+    # round 6: the two newest shuffle-bearing ops (ExactSubstr's
+    # interval-merge masking + the unigram LM gate)
+    "exact_substring_dedup", "unigram_perplexity",
+}
 
 
 def test_heavy_ops_subquadratic(spark):

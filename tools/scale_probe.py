@@ -137,6 +137,29 @@ def probe(spark, n: int, ops_filter: set[str] | None = None) -> dict:
         ).count()
         ops["semantic_dup_pairs"] = (time.time() - t0, sem)
 
+    if want("exact_substring_dedup"):
+        reset_cache()
+        from web_api_postgres_etl_spark.operators.dedup import (
+            exact_substring_dedup,
+        )
+
+        # every 10th doc shares a 59-word suffix with its predecessor,
+        # so k=8 windows are densely duplicated — exactly the regime
+        # where the pre-round-6 masking form went quadratic
+        t0 = time.time()
+        cut = exact_substring_dedup(docs, "doc_id", "text", k=8).count()
+        ops["exact_substring_dedup"] = (time.time() - t0, cut)
+
+    if want("unigram_perplexity"):
+        reset_cache()
+        from web_api_postgres_etl_spark.operators.retrieval import (
+            unigram_perplexity,
+        )
+
+        t0 = time.time()
+        scored = unigram_perplexity(docs, "doc_id", "text").count()
+        ops["unigram_perplexity"] = (time.time() - t0, scored)
+
     if want("prepare_training_data"):
         reset_cache()
         from web_api_postgres_etl_spark.plans.curation import (
