@@ -301,3 +301,130 @@ def test_pack_key_injective_on_null_and_hash_groups(spark):
     assert keys["25%"].startswith("25%25#")
     # all four land in distinct packs — no aliasing
     assert len(set(keys.values())) == 4
+
+
+def test_temperature_sample_rebalances_toward_uniform(spark, oracle):
+    """alpha<1 boosts small groups' share; alpha=1 is identity-ish
+    (p=1 for every group when target=corpus size); and the kept SET
+    matches a DuckDB mirror of the pow/md5 arithmetic exactly."""
+    from web_api_postgres_etl_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    df = docs.select("doc_id", "source")
+
+    # alpha=1: every group's keep probability is exactly 1 → identity
+    out1 = temperature_sample(df, "source", "doc_id", alpha=1.0)
+    assert out1.count() == df.count()
+
+    alpha, target = 0.5, 300
+    got = sorted(
+        r["doc_id"]
+        for r in temperature_sample(
+            df, "source", "doc_id", alpha=alpha, target_rows=target
+        ).collect()
+    )
+    want = sorted(
+        row[0]
+        for row in oracle.execute(f"""
+        WITH c AS (
+          SELECT source, count(*) AS c FROM documents GROUP BY source),
+        t AS (SELECT sum(pow(c, {alpha})) AS s FROM c),
+        p AS (
+          SELECT source,
+                 least(1.0, {target} * pow(c, {alpha}) / t.s / c) AS p
+          FROM c, t)
+        SELECT d.doc_id FROM documents d
+        JOIN p ON d.source IS NOT DISTINCT FROM p.source
+        WHERE CAST(('0x' || substr(md5('mix#' || CAST(d.doc_id AS VARCHAR)),
+                                   1, 13)) AS BIGINT)
+              / 4503599627370496.0 < p.p
+        """).fetchall()
+    )
+    assert got == want
+    assert 0 < len(got) < df.count()
+
+    # the boost property: with alpha<1 the smallest group's kept
+    # FRACTION is >= the largest group's kept fraction
+    from pyspark.sql import functions as F
+
+    sizes = {r["source"]: r["c"] for r in
+             df.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    kept = {r["source"]: r["c"] for r in
+            temperature_sample(df, "source", "doc_id", alpha=0.3,
+                               target_rows=200)
+            .groupBy("source").agg(F.count("*").alias("c")).collect()}
+    small = min(sizes, key=sizes.get)
+    big = max(sizes, key=sizes.get)
+    if sizes[small] < sizes[big]:  # guard: degenerate equal-size corpora
+        assert kept.get(small, 0) / sizes[small] >= kept.get(big, 0) / sizes[big]
+
+
+def test_temperature_sample_null_group_total(spark):
+    """NULL groups are a group (null-safe join): no row vanishes at
+    alpha=1."""
+    from web_api_postgres_etl_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "b")],
+        "id long, src string",
+    )
+    assert temperature_sample(df, "src", "id", alpha=1.0).count() == 4
+
+
+def test_upsample_by_factor_exact_copies(spark, oracle):
+    """Integer factors give exact copy counts; fractional factors give
+    floor/ceil per the md5 draw — mirrored in DuckDB."""
+    from web_api_postgres_etl_spark.operators.sampling import (
+        upsample_by_factor,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    df = docs.select("doc_id", "source")
+    factors = {"web": 2.0, "books": 2.5, "wiki": 0.0}
+    out = upsample_by_factor(df, "source", "doc_id", factors,
+                             default_factor=1.0)
+    got = sorted(
+        (r["doc_id"], r["copy_idx"]) for r in out.collect()
+    )
+    want = sorted(
+        (row[0], row[1])
+        for row in oracle.execute("""
+        WITH f AS (
+          SELECT doc_id, source,
+            CASE source WHEN 'web' THEN 2.0 WHEN 'books' THEN 2.5
+                        WHEN 'wiki' THEN 0.0 ELSE 1.0 END AS f
+          FROM documents),
+        n AS (
+          SELECT doc_id, source,
+            CAST(floor(f) AS INT)
+            + CASE WHEN CAST(('0x' || substr(md5('rep#' ||
+                     CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                   / 4503599627370496.0 < f - floor(f)
+                   THEN 1 ELSE 0 END AS nc
+          FROM f)
+        SELECT doc_id, CAST(unnest(generate_series(0, nc - 1)) AS INT)
+               AS copy_idx
+        FROM n WHERE nc > 0
+        """).fetchall()
+    )
+    assert got == want
+    # wiki rows are gone; web rows exactly doubled
+    srcs = {r["source"] for r in out.select("source").distinct().collect()}
+    assert "wiki" not in srcs
+    n_web_in = df.filter(df.source == "web").count()
+    n_web_out = out.filter(out.source == "web").count()
+    assert n_web_out == 2 * n_web_in
+
+
+def test_upsample_copy_col_collision_raises(spark):
+    from web_api_postgres_etl_spark.operators.sampling import (
+        upsample_by_factor,
+    )
+
+    df = spark.createDataFrame([(1, "a", 0)], "id long, src string, copy_idx int")
+    with pytest.raises(ValueError, match="copy_idx"):
+        upsample_by_factor(df, "src", "id", {"a": 2.0})

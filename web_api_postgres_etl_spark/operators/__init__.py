@@ -32,6 +32,8 @@ from .sampling import (
     leakage_safe_split,
     pack_sequences,
     quota_by_group,
+    temperature_sample,
+    upsample_by_factor,
 )
 from .similarity import (
     cosine_topk,
@@ -78,6 +80,8 @@ __all__ = [
     "project_alias",
     "qcol",
     "quota_by_group",
+    "temperature_sample",
+    "upsample_by_factor",
     "salted_join",
     "semantic_dedup",
     "semantic_dup_pairs",

@@ -379,3 +379,138 @@ def chunk_documents(
             F.filter(F.split("chunk_text", " "), lambda w: w != "")
         ).alias("n_chunk_words"),
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.7,
+    target_rows: int | None = None,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-based source mixing (the multilingual-LM data-
+    balancing move, mBERT/XLM-R exponential smoothing): resample so
+    group g's share of the output follows ``c_g^alpha / sum(c^alpha)``
+    instead of its raw share ``c_g / sum(c)``. ``alpha=1`` keeps
+    natural proportions; ``alpha=0`` equalizes groups; the common
+    0.3-0.7 band boosts low-resource sources without flattening the
+    mix. ``target_rows`` sets the expected output size (default: the
+    input size, i.e. pure re-balancing).
+
+    Down-sampling only: a group whose target share exceeds its size
+    keeps ALL its rows (keep probability capped at 1.0) — so the
+    realized total can undershoot ``target_rows`` when small groups
+    saturate. Up-sampling is a different operator
+    (``upsample_by_factor``) because it must replicate rows, not
+    filter them. NULL groups form their own group (the md5 draw and
+    the null-safe join-back both treat NULL as a value).
+
+    Deterministic: the keep decision is the ``hash_unit`` md5 draw on
+    (salt, id) against the group's keep probability — reruns and
+    engine ports reproduce the identical row set (pow() is IEEE
+    double on both engines; a draw landing within float-error of the
+    cutoff is a ~2^-40 event per corpus).
+
+    Scale shape: one count aggregate on the group key (map-side
+    combine), one 2-scalar collect (sum c, sum c^alpha), one join of
+    the tiny per-group frame back onto the corpus (AQE broadcasts
+    it), one filter. No window over the corpus, no global sort.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = df.groupBy(qcol(group_col).alias("__g")).agg(
+        F.count("*").alias("__c")
+    )
+    totals = counts.agg(
+        F.sum("__c").alias("n"),
+        F.sum(F.pow("__c", F.lit(float(alpha)))).alias("s"),
+    ).first()
+    n_total = int(totals["n"] or 0)
+    if n_total == 0:
+        return df
+    target = float(target_rows if target_rows is not None else n_total)
+    s_alpha = float(totals["s"])
+    probs = counts.select(
+        "__g",
+        F.least(
+            F.lit(1.0),
+            F.lit(target) * F.pow("__c", F.lit(float(alpha)))
+            / F.lit(s_alpha) / F.col("__c"),
+        ).alias("__p"),
+    )
+    joined = df.join(
+        probs,
+        qcol(group_col).eqNullSafe(F.col("__g")),
+        "left",
+    ).drop("__g")
+    return joined.filter(
+        hash_unit(qcol(id_col), salt) < F.col("__p")
+    ).drop("__p")
+
+
+def upsample_by_factor(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    factors: dict[str, float],
+    default_factor: float = 1.0,
+    salt: str = "rep",
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Deterministic per-group replication (the 'epochs per source'
+    half of a data recipe — e.g. books x3, wiki x2.5, crawl x1):
+    every row in group g appears ``floor(f_g)`` times, plus one more
+    with probability ``frac(f_g)`` decided by the md5 draw on
+    (salt, id) — so a 2.5x group gets exactly 2 or 3 copies per row,
+    deterministically, and the group's expected size is f_g * c_g.
+    Factors below 1 down-sample the same way (0 or 1 copies);
+    ``factor 0`` drops the group. Groups absent from ``factors`` get
+    ``default_factor``; NULL groups get ``default_factor`` too (map
+    lookup misses) — pre-bucket NULLs if they need their own factor.
+
+    Output rows carry ``copy_col`` (0-based copy index) so
+    (id, copy) stays unique for downstream shuffling/packing — pack
+    or shard on a composed key, never on the bare id, after
+    upsampling.
+
+    Scale shape: one broadcast map lookup + one per-row
+    sequence/posexplode bounded by ceil(f) — no shuffle at all; the
+    replication multiplies bytes exactly where the recipe asks for
+    it. Keep factors modest (single digits) or shard counts grow by
+    the same multiple.
+    """
+    if any(f < 0 for f in factors.values()) or default_factor < 0:
+        raise ValueError("factors must be >= 0")
+    if copy_col in df.columns:
+        raise ValueError(
+            f"column {copy_col!r} already exists on the input — pass a "
+            "different copy_col instead of silently overwriting it"
+        )
+    pairs: list[Column] = []
+    for k, v in sorted(factors.items()):
+        pairs.extend([F.lit(k), F.lit(float(v))])
+    fmap = F.create_map(*pairs) if pairs else None
+    looked = (
+        fmap[qcol(group_col).cast("string")] if fmap is not None
+        else F.lit(None).cast("double")
+    )
+    f = F.coalesce(looked, F.lit(float(default_factor)))
+    n_copies = (
+        F.floor(f).cast("int")
+        + F.when(hash_unit(qcol(id_col), salt) < (f - F.floor(f)), 1)
+        .otherwise(0)
+    )
+    with_n = df.withColumn("__nc", n_copies)
+    return (
+        with_n.select(
+            "*",
+            F.posexplode(
+                F.when(
+                    F.col("__nc") > 0,
+                    F.sequence(F.lit(1), F.col("__nc")),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias(copy_col, "__one"),
+        )
+        .drop("__one", "__nc")
+    )
