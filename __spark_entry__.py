@@ -656,10 +656,85 @@ FROM b a JOIN b c ON a.band = c.band AND a.doc_id < c.doc_id
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Exact word-2-gram Jaccard similarity pairs ≥ 0.5 (the
-    verification stage for LSH candidates)."""
+    verification stage for LSH candidates). RETIRED from the driver
+    contract in round 6 (the all-pairs exact baseline; the identical
+    Jaccard verify math stays driver-visible inside
+    near_dup_pipeline) in favor of corpus_ingest_replay; parity
+    preserved in tests/test_oracle_parity.py."""
     docs = _t(spark, sf, "documents")
     out = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=2, threshold=0.5)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_corpus_ingest_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """The engine's T3-at-scale story made driver-visible: idempotent
+    streaming corpus ingestion with cross-batch near-dup dedup
+    (streaming/curation_stream.py::corpus_ingest_run). One
+    checkpointed AvailableNow query fed two file batches — evens, then
+    odds — each micro-batch deduped against the PERSISTED minhash
+    signature table before landing, survivors' signatures appended as
+    the state for later batches. Returns (doc_id, ingest_batch); the
+    oracle replays the minhash-estimate plan in SQL: batch 0 lands
+    whole (empty-corpus bootstrap; in-batch twins both land — the
+    documented layering), batch 1 keeps odds whose banded-candidate
+    signature agreement stays below threshold 0.5 against the evens."""
+    import shutil
+    import tempfile
+
+    from web_api_postgres_etl_spark.streaming.curation_stream import (
+        corpus_ingest_run,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="wapeql_ingest_")
+    src, sink = f"{root}/src", f"{root}/sink"
+    sig, ckpt = f"{root}/sigs", f"{root}/ckpt"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        schema = "doc_id long, text string"
+        kwargs = dict(shingle_n=2, num_hashes=8, bands=4, threshold=0.5)
+        docs.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(src)
+        corpus_ingest_run(spark, src, sink, sig, ckpt, schema, **kwargs)
+        docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+        corpus_ingest_run(spark, src, sink, sig, ckpt, schema, **kwargs)
+        out = spark.read.parquet(sink).select(
+            "doc_id",
+            # partition key is md5(ckpt)[:8]-batch_id; the tag varies
+            # per tmpdir, the batch index is the stable driver signal
+            F.element_at(
+                F.split(F.col("ingest_batch_id").cast("string"), "-"), -1
+            ).cast("int").alias("ingest_batch"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_CORPUS_INGEST_REPLAY = f"""
+WITH t AS (SELECT doc_id, {TOK.format(col="text")} AS toks FROM documents),
+s AS (SELECT doc_id, {_shingle_sql("toks", 2)} AS sh FROM t),
+m AS (SELECT doc_id, {_mh_cols} FROM s WHERE len(sh) > 0),
+corp AS (SELECT * FROM m WHERE doc_id % 2 = 0),
+newm AS (SELECT * FROM m WHERE doc_id % 2 = 1),
+cb AS (SELECT doc_id, unnest([{_band_keys}]) AS band FROM corp),
+nb AS (SELECT doc_id, unnest([{_band_keys}]) AS band FROM newm),
+cand AS (SELECT DISTINCT nb.doc_id AS nid, cb.doc_id AS cid
+         FROM nb JOIN cb USING (band)),
+est AS (
+  SELECT cand.nid,
+    ({" + ".join(f"CASE WHEN n.mh_{i} = c.mh_{i} THEN 1 ELSE 0 END" for i in range(8))})
+      / 8.0 AS e
+  FROM cand JOIN newm n ON n.doc_id = cand.nid
+            JOIN corp c ON c.doc_id = cand.cid),
+dups AS (SELECT DISTINCT nid FROM est WHERE e >= 0.5)
+SELECT doc_id, 0 AS ingest_batch FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, 1 AS ingest_batch FROM documents
+WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT nid FROM dups)
+"""
 
 
 SQL_JACCARD = f"""
@@ -2805,7 +2880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "url_curation": q_url_curation,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "corpus_ingest_replay": q_corpus_ingest_replay,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ivf_index_probe": q_ivf_index_probe,
@@ -2872,7 +2947,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "url_curation": SQL_URL_CURATION,
         "minhash_lsh_pairs": SQL_LSH_PAIRS,
-        "ngram_jaccard_pairs": SQL_JACCARD,
+        "corpus_ingest_replay": SQL_CORPUS_INGEST_REPLAY,
         "ann_cosine_topk": SQL_ANN_TOPK,
         "ann_ivf_topk": SQL_IVF_TOPK,
         # probe of the persisted index must equal the in-memory IVF top-k

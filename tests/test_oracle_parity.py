@@ -73,6 +73,9 @@ RETIRED = [
     # r6: swapped for url_curation (strict subset of minhash_lsh_pairs'
     # signature construction, which stays driver-visible)
     ("minhash_signature", "SQL_MINHASH"),
+    # r6: swapped for corpus_ingest_replay (all-pairs exact baseline;
+    # the same Jaccard verify math stays inside near_dup_pipeline)
+    ("ngram_jaccard_pairs", "SQL_JACCARD"),
 ]
 
 
