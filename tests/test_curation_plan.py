@@ -241,3 +241,46 @@ def test_pins_released_no_unbounded_growth(spark):
     assert n_persisted() <= base, (
         f"pinned RDDs grew {base} -> {n_persisted()} despite release_pins"
     )
+
+
+def test_classifier_gate_stage(spark):
+    """The optional model-based quality stage: with a model trained to
+    reject spam, a planted spam doc that passes the loose rule gate is
+    dropped; with the stage off it survives to the output."""
+    from web_api_postgres_etl_spark.operators.classifier import (
+        train_quality_classifier,
+    )
+
+    docs, bench = _inputs(spark)
+    # spam long enough to clear the loose (>=4 rules) gopher gate
+    spam_words = ("buy cheap click here best price limited offer win free "
+                  "casino bonus claim now " * 8).strip()
+    with_spam = docs.union(
+        spark.createDataFrame([(90, spam_words)], "doc_id long, text string")
+    )
+    pos = docs.filter("doc_id in (1, 6)").select("text")
+    neg = spark.createDataFrame(
+        [("win win free free casino casino click click buy buy cheap "
+          "cheap offer offer now now",)], "text string"
+    )
+    model = train_quality_classifier(pos, neg, num_features=1 << 12)
+
+    base_cfg = CurationConfig(
+        ngram_n=8, shingle_n=2, num_hashes=8, bands=4,
+        jaccard_threshold=0.5, chunk_words=16, window_tokens=64,
+        num_shards=2, min_gopher_rules=3,
+    )
+    out_off = prepare_training_data(with_spam, bench, config=base_cfg)
+    ids_off = {r["doc_id"] for r in out_off.select("doc_id").distinct().collect()}
+    assert 90 in ids_off  # rule gate alone lets the spam through
+
+    gated_cfg = CurationConfig(
+        ngram_n=8, shingle_n=2, num_hashes=8, bands=4,
+        jaccard_threshold=0.5, chunk_words=16, window_tokens=64,
+        num_shards=2, min_gopher_rules=3,
+        quality_model=model, min_quality_prob=0.5,
+    )
+    out_on = prepare_training_data(with_spam, bench, config=gated_cfg)
+    ids_on = {r["doc_id"] for r in out_on.select("doc_id").distinct().collect()}
+    assert 90 not in ids_on          # the model catches it
+    assert ids_on & {1, 6}           # good docs still flow through

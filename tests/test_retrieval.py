@@ -263,3 +263,136 @@ def test_unigram_perplexity_empty_model_is_total(spark):
     }
     assert out[1] == (3, None, None)
     assert out[2] == (0, None, None)
+
+
+def test_bigram_perplexity_hand_computed(spark):
+    """Stupid backoff on a tiny planted corpus, checked against a
+    by-hand model: doc 1 = 'a b a b', doc 2 = 'b c'.
+    Unigram counts: a=2 b=3 c=1 (N=6, V=3); bigrams: (a,b)=2,
+    (b,a)=1, (b,c)=1."""
+    import math
+
+    import pytest as pt
+
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        bigram_perplexity,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b c"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["cross_entropy"])
+        for r in bigram_perplexity(docs, "doc_id", "text", alpha=0.5).collect()
+    }
+    N, V, a = 6, 3, 0.5
+    den = N + a * (V + 1)
+    u = {"a": math.log((2 + a) / den), "b": math.log((3 + a) / den),
+         "c": math.log((1 + a) / den)}
+    # doc 1: pos0 'a' → uni(a); 'b'|a → ln(2/2); 'a'|b → ln(1/3);
+    #        'b'|a → ln(2/2)
+    ce1 = -(u["a"] + math.log(2 / 2) + math.log(1 / 3) + math.log(2 / 2)) / 4
+    # doc 2: pos0 'b' → uni(b); 'c'|b → ln(1/3)
+    ce2 = -(u["b"] + math.log(1 / 3)) / 2
+    assert out[1][0] == 4 and out[1][1] == pt.approx(ce1, abs=2e-6)
+    assert out[2][0] == 2 and out[2][1] == pt.approx(ce2, abs=2e-6)
+    assert out[3] == (0, None)
+
+
+def test_bigram_backoff_penalizes_unseen_pairs(spark):
+    """Two docs with identical unigram distributions: the one whose
+    bigrams match the model corpus scores LOWER than the shuffled
+    one (the signal the unigram gate cannot see)."""
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        bigram_perplexity,
+        unigram_perplexity,
+    )
+
+    model = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(5)],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "dog the over quick lazy brown the jumps fox")],
+        "doc_id long, text string",
+    )
+    bg = {r["doc_id"]: r["cross_entropy"]
+          for r in bigram_perplexity(
+              probe, "doc_id", "text", model_df=model).collect()}
+    un = {r["doc_id"]: r["cross_entropy"]
+          for r in unigram_perplexity(
+              probe, "doc_id", "text", model_df=model).collect()}
+    assert bg[1] < bg[2]              # bigram model separates them
+    assert un[1] == un[2]             # unigram model cannot
+
+
+def test_bigram_perplexity_oracle_parity(spark, oracle):
+    """Full construction vs DuckDB at sf0.01 (self-scored)."""
+    import pytest as pt
+
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        bigram_perplexity,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["cross_entropy"])
+        for r in bigram_perplexity(docs, "doc_id", "text").collect()
+    }
+    want = {
+        row[0]: (row[1], row[2])
+        for row in oracle.execute(
+            """
+            WITH t AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(trim(
+                regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '),
+                x -> x <> '') AS toks
+              FROM documents),
+            tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+            tc AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+            tot AS (SELECT sum(c) AS n, count(*) AS v FROM tc),
+            uni AS (
+              SELECT term, ln((c + 0.5) / (n + 0.5 * (v + 1))) AS lp
+              FROM tc, tot),
+            bg AS (
+              SELECT w1, w2, count(*) AS bc FROM (
+                SELECT toks[i - 1] AS w1, toks[i] AS w2
+                FROM t, unnest(generate_series(2, len(toks))) AS u(i))
+              GROUP BY w1, w2),
+            pos AS (
+              SELECT doc_id, i - 1 AS p, toks[i] AS cur,
+                     CASE WHEN i > 1 THEN toks[i - 1] END AS prev
+              FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+            lp AS (
+              SELECT pos.doc_id,
+                CASE
+                  WHEN bg.bc IS NOT NULL THEN ln(bg.bc / pc.c)
+                  WHEN pos.p = 0 THEN coalesce(uni.lp,
+                    (SELECT ln(0.5 / (n + 0.5 * (v + 1))) FROM tot))
+                  ELSE ln(0.4) + coalesce(uni.lp,
+                    (SELECT ln(0.5 / (n + 0.5 * (v + 1))) FROM tot))
+                END AS lp
+              FROM pos
+              LEFT JOIN bg ON pos.prev = bg.w1 AND pos.cur = bg.w2
+              LEFT JOIN tc pc ON pos.prev = pc.term
+              LEFT JOIN uni ON pos.cur = uni.term),
+            scored AS (
+              SELECT doc_id, count(*) AS n_tokens, avg(-lp) AS ce
+              FROM lp GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(coalesce(scored.n_tokens, 0) AS INT) AS n_tokens,
+                   round(scored.ce, 6) AS cross_entropy
+            FROM t LEFT JOIN scored USING (doc_id)
+            """
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d][0] == want[d][0], d
+        if got[d][1] is None:
+            assert want[d][1] is None, d
+        else:
+            assert got[d][1] == pt.approx(want[d][1], abs=2e-6), d

@@ -22,10 +22,16 @@ from .dedup import (
     simhash_near_dups,
 )
 from .filters import drop_required_nulls, in_range, newer_than
+from .classifier import (
+    classifier_gate,
+    hashed_token_features,
+    score_documents,
+    train_quality_classifier,
+)
 from .graph import dedup_clusters
 from .joins import asof_join, interval_join, salted_join, star_join, two_way_join
 from .project import project, project_alias, drop_columns, qcol
-from .retrieval import bm25_topk, tfidf_table, unigram_perplexity
+from .retrieval import bigram_perplexity, bm25_topk, tfidf_table, unigram_perplexity
 from .sampling import (
     chunk_documents,
     deterministic_split,
@@ -47,6 +53,7 @@ from .similarity import (
 
 __all__ = [
     "asof_join",
+    "bigram_perplexity",
     "bm25_topk",
     "chunk_documents",
     "contaminated_flag",
@@ -79,6 +86,10 @@ __all__ = [
     "project",
     "project_alias",
     "qcol",
+    "classifier_gate",
+    "hashed_token_features",
+    "score_documents",
+    "train_quality_classifier",
     "quota_by_group",
     "temperature_sample",
     "upsample_by_factor",

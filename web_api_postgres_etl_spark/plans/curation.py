@@ -6,9 +6,9 @@ run uses them:
 
     [URL dedup → domain caps] → clean_text → gopher gate
     → [repetition gates] → PII scrub → [LM perplexity gate]
-    → benchmark decontamination → [exact-substring cut]
-    → exact dedup → near-dup cluster dedup → leakage-safe split
-    → chunk → pack per shard
+    → [classifier quality gate] → benchmark decontamination
+    → [exact-substring cut] → exact dedup → near-dup cluster dedup
+    → leakage-safe split → chunk → pack per shard
 
 (bracketed stages are config-gated and default OFF — the driver
 oracle `training_data_e2e` pins the unbracketed spine bit-for-bit)
@@ -51,6 +51,8 @@ class CurationConfig:
     repetition_ngram: int = 2
     max_ppl: float | None = None        # LM-filter gate (None = skipped)
     ppl_reference: object | None = None  # reference-corpus DataFrame
+    quality_model: object | None = None  # fitted classifier (None = skipped)
+    min_quality_prob: float = 0.5       # classifier gate threshold
     exact_substring_k: int | None = None   # ExactSubstr window (None = off)
     exact_substring_min_count: int = 2
     ngram_n: int = 8                    # decontamination gram width
@@ -204,6 +206,17 @@ def prepare_training_data(
             gated.join(ppl, on=id_col, how="left")
             .filter(F.coalesce(F.col("ppl") <= cfg.max_ppl, F.lit(False)))
             .drop("ppl")
+        )
+
+    # 1d. optional model-based quality gate (fastText-classifier
+    # stand-in, the DCLM/FineWeb move): broadcast-coefficient scoring,
+    # map-only — no persist needed, the gate consumes gated once
+    if cfg.quality_model is not None:
+        from ..operators.classifier import classifier_gate
+
+        gated = classifier_gate(
+            gated, id_col, text_col, cfg.quality_model,
+            min_prob=cfg.min_quality_prob,
         )
 
     # 2. benchmark decontamination (broadcast digest semi-join)
