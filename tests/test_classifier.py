@@ -142,3 +142,12 @@ def test_gate_on_testdata_is_deterministic(spark):
     )
     assert kept1 == kept2
     assert 0 < len(kept1) < docs.count()
+
+
+def test_gate_rejects_reserved_column_collisions(spark):
+    model = _model(spark)
+    df = spark.createDataFrame(
+        [(1, "some text", 0.5)], "doc_id long, text string, probability double"
+    )
+    with pytest.raises(ValueError, match="probability"):
+        classifier_gate(df, "doc_id", "text", model)

@@ -173,11 +173,21 @@ def probe(spark, n: int, ops_filter: set[str] | None = None) -> dict:
             min_gopher_rules=5, ngram_n=4, chunk_words=32,
             window_tokens=128, num_shards=8,
         )
+        from web_api_postgres_etl_spark.plans.curation import release_pins
+
         bench = docs.filter(F.col("doc_id") % 100 == 0).select("text")
         train = docs.filter(F.col("doc_id") % 100 != 0)
         t0 = time.time()
-        n_chunks = prepare_training_data(train, bench, config=cfg).count()
+        pins: list = []
+        n_chunks = prepare_training_data(
+            train, bench, config=cfg, pins=pins
+        ).count()
         ops["prepare_training_data"] = (time.time() - t0, n_chunks)
+        # the staging localCheckpoint is RDD-layer pinned —
+        # clearCache() never reclaims it, and leaking it into the next
+        # (larger) probe size would contaminate the exponent this tool
+        # exists to measure
+        release_pins(pins)
 
     docs.unpersist()
     vecs.unpersist()

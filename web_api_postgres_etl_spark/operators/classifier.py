@@ -84,12 +84,22 @@ def train_quality_classifier(
     treeAggregate over it. ``reg_param`` is L2 — keep small but
     nonzero so near-separable corpora converge to finite weights."""
     from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
 
     pos = positive.select(F.lit(1.0).alias("label"), qcol(text_col).alias("__t"))
     neg = negative.select(F.lit(0.0).alias("label"), qcol(text_col).alias("__t"))
-    labeled = pos.unionByName(neg).withColumn("__id", F.monotonically_increasing_id())
-    feats = hashed_token_features(labeled, "__id", "__t", num_features)
-    train = labeled.join(feats, "__id").select("label", "features")
+    # featurize IN PLACE (HashingTF preserves input columns) — never
+    # join labels back on a synthetic id: monotonically_increasing_id
+    # is evaluation-dependent, and two evaluations of the same frame
+    # can pair labels with the wrong feature vectors silently
+    labeled = pos.unionByName(neg).withColumn(
+        "__toks",
+        F.coalesce(normalized_tokens("__t"), F.array().cast("array<string>")),
+    )
+    tf = HashingTF(
+        inputCol="__toks", outputCol="features", numFeatures=num_features
+    )
+    train = tf.transform(labeled).select("label", "features")
     lr = LogisticRegression(
         featuresCol="features",
         labelCol="label",
@@ -105,16 +115,16 @@ def score_documents(
     id_col: str,
     text_col: str,
     model,
-    num_features: int | None = None,
     score_col: str = "quality_prob",
 ) -> DataFrame:
     """(id, quality_prob) — P(quality | doc) for every document.
 
     The scale path: featurize (narrow pass) → ``model.transform``
     (broadcast coefficients, map-only) → extract P(class 1). No
-    shuffle, no collect; safe to run over the full corpus."""
-    n_feat = num_features or model.numFeatures
-    feats = hashed_token_features(df, id_col, text_col, n_feat)
+    shuffle, no collect; safe to run over the full corpus. The
+    feature width always comes from the model itself — any other
+    width would hash into a different index space."""
+    feats = hashed_token_features(df, id_col, text_col, model.numFeatures)
     scored = model.transform(feats)
     # probability is an ml VectorUDT; element 1 is P(quality)
     from pyspark.ml.functions import vector_to_array
@@ -142,6 +152,15 @@ def classifier_gate(
     from pyspark.ml.feature import HashingTF
     from pyspark.ml.functions import vector_to_array
 
+    reserved = {"__toks", "features", "rawPrediction", "probability",
+                "prediction"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with the gate's "
+            "internal scoring columns — rename them before gating "
+            "(the gate would otherwise crash or silently overwrite)"
+        )
     cols = df.columns
     toks = df.withColumn(
         "__toks",
