@@ -555,3 +555,81 @@ def test_trained_kmeans_ivf_recall_beats_fixed_sample(spark):
     assert r_trained >= r_fixed, (r_trained, r_fixed)
     assert r_trained >= 0.95, r_trained   # one centroid per planted blob
     assert r_fixed >= 0.5, r_fixed        # fixed sample is usable, just worse
+
+
+def test_semantic_decontamination_vs_brute_force(spark):
+    """LSH-based semantic decontamination on the embeddings table,
+    with the bench = exact copies of every 25th vector: (a) exact
+    copies can NEVER slip through (identical signatures share every
+    band), and (b) the dropped set equals the brute-force exact
+    answer at this scale — the recall audit the docstring prescribes."""
+    from web_api_postgres_etl_spark.operators.similarity import (
+        decontaminate_semantic,
+        semantic_contamination_hits,
+    )
+
+    vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    train = vecs.select("vec_id", "embedding")
+    bench = (
+        vecs.filter(F.col("vec_id") % 25 == 0)
+        .select(F.col("vec_id").alias("bid"), "embedding")
+    )
+    thr = 0.999
+    kept = decontaminate_semantic(
+        train, bench, "vec_id", "bid", threshold=thr,
+        num_planes=16, bands=8,
+    )
+    kept_ids = {r["vec_id"] for r in kept.collect()}
+    planted = {r["bid"] for r in bench.collect()}
+    # (a) every planted exact copy was dropped
+    assert not (planted & kept_ids)
+
+    # (b) brute-force exact answer: max cosine to any bench vector
+    from web_api_postgres_etl_spark.operators.similarity import (
+        as_double_array, cosine,
+    )
+
+    j = train.alias("t").crossJoin(bench.alias("b")).select(
+        F.col("t.vec_id").alias("vec_id"),
+        cosine(
+            as_double_array(F.col("t.embedding")),
+            as_double_array(F.col("b.embedding")),
+        ).alias("c"),
+    )
+    exact_dropped = {
+        r["vec_id"]
+        for r in j.groupBy("vec_id").agg(F.max("c").alias("m"))
+        .filter(F.col("m") >= thr).collect()
+    }
+    assert kept_ids == set(
+        r["vec_id"] for r in train.collect()
+    ) - exact_dropped
+
+    # audit face agrees with the drop set
+    hits = semantic_contamination_hits(
+        train, bench, "vec_id", "bid", threshold=thr,
+        num_planes=16, bands=8,
+    )
+    assert {r["vec_id"] for r in hits.collect()} == exact_dropped
+
+
+def test_semantic_decontamination_null_vectors_kept(spark):
+    from web_api_postgres_etl_spark.operators.similarity import (
+        decontaminate_semantic,
+    )
+
+    train = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None)],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "bid long, embedding array<double>"
+    )
+    kept = {
+        r["vec_id"]
+        for r in decontaminate_semantic(
+            train, bench, "vec_id", "bid", threshold=0.99,
+            num_planes=2, bands=1, dims=2,
+        ).collect()
+    }
+    assert kept == {2}  # the exact copy drops; the NULL row is kept

@@ -43,6 +43,8 @@ from .sampling import (
 )
 from .similarity import (
     cosine_topk,
+    decontaminate_semantic,
+    semantic_contamination_hits,
     ivf_probe,
     ivf_topk,
     lsh_cosine_pairs,
@@ -95,6 +97,8 @@ __all__ = [
     "upsample_by_factor",
     "salted_join",
     "semantic_dedup",
+    "decontaminate_semantic",
+    "semantic_contamination_hits",
     "semantic_dup_pairs",
     "simhash_near_dups",
     "star_join",

@@ -1019,3 +1019,82 @@ def ivf_index_append(
     )
     assigned.unpersist()
     return n
+
+
+# ------------------------------------------- semantic decontamination
+def semantic_contamination_hits(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    bench_id_col: str,
+    vec_col: str = "embedding",
+    bench_vec_col: str | None = None,
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    bands: int = 8,
+    dims: int | None = None,
+    signature: str = "rhp",
+) -> DataFrame:
+    """(train id, bench id, cosine_sim) — training rows whose nearest
+    benchmark embedding is within ``threshold`` cosine, the audit face
+    of ``decontaminate_semantic`` (same pattern as the n-gram
+    ``contamination_hits``: see WHAT would be dropped before dropping
+    it). Only the nearest benchmark hit is reported per train row
+    (k=1 — one hit is enough to contaminate).
+
+    Rides ``lsh_nn_join``: banded signature equi-join for candidates
+    (the benchmark side is small, AQE broadcasts its banded form),
+    exact cosine verification on candidates only."""
+    bvec = bench_vec_col or vec_col
+    b = bench.select(
+        qcol(bench_id_col).alias("__bench_id"),
+        qcol(bvec).alias(vec_col) if bvec != vec_col else qcol(bvec),
+    )
+    hits = lsh_nn_join(
+        train, b, id_col, "__bench_id", vec_col,
+        k=1, num_planes=num_planes, bands=bands, dims=dims,
+        signature=signature,
+    )
+    return hits.filter(F.col("cosine_sim") >= threshold).select(
+        qcol(id_col), F.col("__bench_id").alias(bench_id_col), "cosine_sim"
+    )
+
+
+def decontaminate_semantic(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    bench_id_col: str,
+    vec_col: str = "embedding",
+    bench_vec_col: str | None = None,
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    bands: int = 8,
+    dims: int | None = None,
+    signature: str = "rhp",
+) -> DataFrame:
+    """Drop training rows whose embedding is within ``threshold``
+    cosine of ANY benchmark embedding — the semantic complement of the
+    n-gram ``decontaminate``: paraphrased or lightly-reworded eval
+    leakage shares no 8-gram but sits next to the benchmark in
+    embedding space (the contamination studies' motivating case).
+
+    Returns the surviving training rows, schema unchanged. Rows with
+    NULL embeddings are KEPT (no signature → never a candidate — the
+    comparison is undefined, and silently dropping unembeddable rows
+    would turn a missing-feature bug into data loss); run the n-gram
+    pass alongside, as `prepare_training_data` does, so text-level
+    leakage is still caught.
+
+    Approximate by construction (LSH recall < 1 for near-threshold
+    pairs — identical vectors always share every band, so EXACT
+    copies can never slip through); tighten ``bands``/``num_planes``
+    for recall, or verify with the brute-force ``cosine_pairs`` on a
+    sample, the same audit the near-dup pipeline documents."""
+    hits = semantic_contamination_hits(
+        train, bench, id_col, bench_id_col, vec_col, bench_vec_col,
+        threshold, num_planes, bands, dims, signature,
+    )
+    return train.join(
+        hits.select(qcol(id_col)), on=id_col, how="left_anti"
+    )
