@@ -74,3 +74,59 @@ def test_scans_prune_columns(spark):
         cols = [c for c in cols_str.split(",") if c]
         assert len(cols) <= 12, f"scan reads {len(cols)} columns: {cols_str}"
     assert "PushedFilters: [IsNotNull" in plan  # date window reached the scan
+
+
+def test_classifier_scoring_is_shuffle_free(spark):
+    """The 100 TB claim for model-based filtering is that scoring is
+    map-only: featurize + broadcast-coefficient transform + filter,
+    zero exchanges over the corpus."""
+    from web_api_postgres_etl_spark.operators.classifier import (
+        classifier_gate,
+        train_quality_classifier,
+    )
+
+    pos = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], "text string"
+    )
+    neg = spark.createDataFrame(
+        [("buy buy buy cheap cheap cheap click click click",)], "text string"
+    )
+    model = train_quality_classifier(pos, neg, num_features=1 << 10)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    gated = classifier_gate(docs, "doc_id", "text", model, min_prob=0.0)
+    gated.collect()
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in plan, f"scoring shuffles:\n{plan}"
+    assert "CartesianProduct" not in plan
+
+
+def test_upsample_is_narrow_and_mix_is_one_aggregate(spark):
+    """upsample_by_factor must stay a pure narrow map (zero exchanges);
+    temperature_sample's only exchanges are the tiny per-group count
+    aggregate and its broadcast back — the corpus itself is never
+    hash-partitioned."""
+    from web_api_postgres_etl_spark.operators.sampling import (
+        temperature_sample,
+        upsample_by_factor,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    up = upsample_by_factor(docs, "source", "doc_id", {"web": 2.0})
+    up.collect()
+    up_plan = up._jdf.queryExecution().executedPlan().toString()
+    up_plan = up_plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in up_plan, f"upsample shuffles:\n{up_plan}"
+
+    mix = temperature_sample(docs, "source", "doc_id", alpha=0.5,
+                             target_rows=100)
+    mix.collect()
+    mix_plan = mix._jdf.queryExecution().executedPlan().toString()
+    mix_plan = mix_plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in mix_plan, f"mix sort-merges:\n{mix_plan}"
+    n_exch = len(re.findall(r"\bExchange\b", mix_plan))
+    assert n_exch <= 3, f"temperature_sample has {n_exch} exchanges"
