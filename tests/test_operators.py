@@ -152,3 +152,73 @@ def test_corpus_stats_grouped(spark):
     rows = corpus_stats(docs, "doc_id", "text", group_col="lang").collect()
     assert sum(r["n_docs"] for r in rows) == docs.count()
     assert len(rows) == docs.select("lang").distinct().count()
+
+
+def test_corpus_diff_statuses(spark, oracle):
+    """Keyed snapshot diff vs a DuckDB mirror on the documents table:
+    odds removed, evens kept, every 10th changed, new ids added."""
+    from pyspark.sql import functions as F
+
+    from web_api_postgres_etl_spark.operators.dedup import corpus_diff
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    old = docs.select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 == 0,
+                   F.concat(F.coalesce(F.col("text"), F.lit("")),
+                            F.lit(" edited")))
+            .otherwise(F.col("text")).alias("text"),
+        )
+        .union(spark.createDataFrame(
+            [(100001, "a brand new document"), (100002, None)],
+            "doc_id long, text string"))
+    )
+    got = sorted(
+        (r["doc_id"], r["status"])
+        for r in corpus_diff(old, new, "doc_id", "text").collect()
+    )
+    want = sorted(
+        (row[0], row[1])
+        for row in oracle.execute("""
+        WITH o AS (SELECT doc_id, md5(text) AS h FROM documents),
+        n AS (
+          SELECT doc_id,
+                 md5(CASE WHEN doc_id % 10 = 0
+                          THEN coalesce(text, '') || ' edited'
+                          ELSE text END) AS h
+          FROM documents WHERE doc_id % 2 = 0
+          UNION ALL
+          SELECT 100001, md5('a brand new document')
+          UNION ALL SELECT 100002, md5(CAST(NULL AS VARCHAR)))
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.h IS NOT DISTINCT FROM n.h THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM o FULL OUTER JOIN n USING (doc_id)
+        """).fetchall()
+    )
+    assert got == want
+    by = {}
+    for _, st in got:
+        by[st] = by.get(st, 0) + 1
+    assert by["added"] == 2 and by["changed"] > 0 and by["removed"] > 0
+
+
+def test_corpus_diff_null_text_transitions(spark):
+    from web_api_postgres_etl_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, "now has text"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"]
+           for r in corpus_diff(old, new, "doc_id", "text").collect()}
+    # NULL → NULL is unchanged; NULL ↔ text is a change either way
+    assert got == {1: "unchanged", 2: "changed", 3: "changed"}

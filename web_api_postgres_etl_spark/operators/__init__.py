@@ -8,6 +8,7 @@ written here reach the parquet scan as PushedFilters/ReadSchema.
 
 from .aggregates import corpus_stats, max_watermark, max_watermarks
 from .dedup import (
+    corpus_diff,
     contaminated_flag,
     decontaminate,
     dedup_against_corpus,
@@ -64,6 +65,7 @@ __all__ = [
     "decontaminate",
     "dedup_against_corpus",
     "dedup_clusters",
+    "corpus_diff",
     "dedup_exact",
     "dedup_last_wins",
     "duplicated_window_positions",

@@ -1196,3 +1196,40 @@ def contaminated_flag(
         1,
     )
     return F.coalesce(F.arrays_overlap(grams, bench), F.lit(False))
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(id, status) — compare two corpus snapshots by content digest:
+    ``added`` (id only in new), ``removed`` (id only in old),
+    ``changed`` (both, digests differ — NULL↔non-NULL counts as a
+    change), ``unchanged``. The audit primitive for corpus versioning:
+    diff a re-crawl against the previous snapshot before re-running
+    expensive downstream dedup, and a release note ("N docs changed")
+    is one groupBy away.
+
+    Scale shape: each side reduces to (id, 16-byte digest) before the
+    single full-outer equi-join on id — document bodies never shuffle;
+    the join carries two digests per id. Ids must be unique per
+    snapshot (it is a keyed diff, not a multiset diff — run an exact
+    dedup first if ids can repeat)."""
+    o = old.select(
+        qcol(id_col).alias("__id"), F.md5(qcol(text_col)).alias("__ho")
+    )
+    n = new.select(
+        qcol(id_col).alias("__id"), F.md5(qcol(text_col)).alias("__hn")
+    )
+    j = o.withColumn("__in_o", F.lit(True)).join(
+        n.withColumn("__in_n", F.lit(True)), "__id", "full_outer"
+    )
+    status = (
+        F.when(F.col("__in_o").isNull(), "added")
+        .when(F.col("__in_n").isNull(), "removed")
+        .when(F.col("__ho").eqNullSafe(F.col("__hn")), "unchanged")
+        .otherwise("changed")
+    )
+    return j.select(F.col("__id").alias(id_col), status.alias("status"))
