@@ -428,3 +428,58 @@ def test_upsample_copy_col_collision_raises(spark):
     df = spark.createDataFrame([(1, "a", 0)], "id long, src string, copy_idx int")
     with pytest.raises(ValueError, match="copy_idx"):
         upsample_by_factor(df, "src", "id", {"a": 2.0})
+
+
+def test_shard_manifest_order_insensitive_and_sensitive_to_change(spark):
+    """The manifest digest is a multiset invariant: reshuffled row
+    order and partitioning reproduce it exactly; any single-row edit
+    flips it; n_rows/n_tokens are exact."""
+    from web_api_postgres_etl_spark.operators.sampling import shard_manifest
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "text")
+        .withColumn("shard", (F.col("doc_id") % 4).cast("int"))
+        .withColumn("toks", F.size(F.split(F.coalesce("text", F.lit("")), " ")))
+    )
+    m1 = {
+        r["shard"]: (r["n_rows"], r["n_tokens"], r["content_digest"])
+        for r in shard_manifest(
+            docs, "shard", token_col="toks",
+            content_cols=["doc_id", "text"],
+        ).collect()
+    }
+    # same data, different physical order/partitioning → same manifest
+    reshuffled = docs.orderBy(F.md5(F.col("doc_id").cast("string"))).repartition(13)
+    m2 = {
+        r["shard"]: (r["n_rows"], r["n_tokens"], r["content_digest"])
+        for r in shard_manifest(
+            reshuffled, "shard", token_col="toks",
+            content_cols=["doc_id", "text"],
+        ).collect()
+    }
+    assert m1 == m2
+    assert sum(v[0] for v in m1.values()) == docs.count()
+
+    # flip one row's text → exactly that shard's digest changes
+    edited = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 8, F.lit("tampered")).otherwise(F.col("text")),
+    )
+    m3 = {
+        r["shard"]: r["content_digest"]
+        for r in shard_manifest(
+            edited, "shard", token_col="toks",
+            content_cols=["doc_id", "text"],
+        ).collect()
+    }
+    changed = {s for s in m1 if m1[s][2] != m3[s]}
+    assert changed == {0}  # doc 8 lives in shard 8 % 4 == 0
+
+
+def test_shard_manifest_validates_empty_content(spark):
+    from web_api_postgres_etl_spark.operators.sampling import shard_manifest
+
+    df = spark.createDataFrame([(0,)], "shard int")
+    with pytest.raises(ValueError, match="content_cols"):
+        shard_manifest(df, "shard")

@@ -39,6 +39,7 @@ from .sampling import (
     leakage_safe_split,
     pack_sequences,
     quota_by_group,
+    shard_manifest,
     temperature_sample,
     upsample_by_factor,
 )
@@ -95,6 +96,7 @@ __all__ = [
     "score_documents",
     "train_quality_classifier",
     "quota_by_group",
+    "shard_manifest",
     "temperature_sample",
     "upsample_by_factor",
     "salted_join",

@@ -21,6 +21,8 @@ Design rules shared by every operator here:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -514,3 +516,66 @@ def upsample_by_factor(
         )
         .drop("__one", "__nc")
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    shard_col: str = "shard",
+    token_col: str | None = None,
+    content_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Per-shard reproducibility manifest: (shard, n_rows[, n_tokens],
+    content_digest) — the audit artifact a training run records next
+    to its shards so a re-materialized corpus can be verified without
+    re-reading it row-by-row against the original.
+
+    ``content_digest`` is an ORDER-INSENSITIVE fold: the md5 of each
+    row's concatenated ``content_cols`` is split into two 60-bit
+    integers and summed per shard with wraparound — a pure function of
+    the shard's row MULTISET, never of partitioning or task order (a
+    sorted-concat digest would need a per-shard global sort; the sum
+    needs only a map-side-combining aggregate). Any single-row
+    difference flips the digest (accidental collisions need matched
+    120-bit sums — an integrity audit, not a security boundary).
+
+    Scale shape: one pass, one (shard) aggregate; the shuffle carries
+    per-partition partial sums — three numbers per shard per task."""
+    if content_cols is None:
+        content_cols = [
+            c for c in df.columns if c != shard_col and c != token_col
+        ]
+    if not content_cols:
+        raise ValueError("content_cols resolved empty — nothing to digest")
+    row_h = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(qcol(c).cast("string"), F.lit("\x00"))
+                for c in content_cols
+            ],
+        )
+    )
+    # DECIMAL(38,0) accumulation, reduced mod 2^60 after the sum: a
+    # plain BIGINT sum would trip ANSI ARITHMETIC_OVERFLOW (Spark 4
+    # default) at ~16 rows of 60-bit values; decimal holds ~10^38
+    # (2^66 rows of 60-bit halves) and the explicit mod keeps the
+    # digest a pure multiset invariant
+    hi = F.conv(F.substring(row_h, 1, 15), 16, 10).cast("decimal(38,0)")
+    lo = F.conv(F.substring(row_h, 16, 15), 16, 10).cast("decimal(38,0)")
+    aggs = [
+        F.count("*").alias("n_rows"),
+        F.sum(hi).alias("__hi"),
+        F.sum(lo).alias("__lo"),
+    ]
+    if token_col is not None:
+        aggs.insert(1, F.sum(qcol(token_col).cast("long")).alias("n_tokens"))
+    out = df.groupBy(qcol(shard_col).alias(shard_col)).agg(*aggs)
+    two60 = F.lit(1 << 60).cast("decimal(38,0)")
+    return out.withColumn(
+        "content_digest",
+        F.concat_ws(
+            ":",
+            F.format_string("%015x", (F.col("__hi") % two60).cast("long")),
+            F.format_string("%015x", (F.col("__lo") % two60).cast("long")),
+        ),
+    ).drop("__hi", "__lo")
