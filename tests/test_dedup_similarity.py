@@ -633,3 +633,47 @@ def test_semantic_decontamination_null_vectors_kept(spark):
         ).collect()
     }
     assert kept == {2}  # the exact copy drops; the NULL row is kept
+
+
+def test_semantic_decontamination_same_id_names_and_null_lead_row(spark):
+    """The natural call — both tables keyed 'doc_id', dims inferred,
+    and the FIRST train row has a NULL embedding — must work and keep
+    the NULL row (the totality contract, previously only tested with
+    explicit dims and distinct id names)."""
+    from web_api_postgres_etl_spark.operators.similarity import (
+        decontaminate_semantic,
+        semantic_contamination_hits,
+    )
+
+    train = spark.createDataFrame(
+        [(1, None), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "doc_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "doc_id long, embedding array<double>"
+    )
+    kept = {
+        r["doc_id"]
+        for r in decontaminate_semantic(
+            train, bench, "doc_id", "doc_id", threshold=0.99,
+            num_planes=2, bands=1,
+        ).collect()
+    }
+    assert kept == {1, 3}  # exact copy (2) drops; NULL row (1) kept
+
+    # the hits face refuses ambiguous output column names loudly
+    import pytest
+    with pytest.raises(ValueError, match="bench_id_col"):
+        semantic_contamination_hits(train, bench, "doc_id", "doc_id")
+
+    # fully-NULL / empty train: total, nothing dropped, no crash
+    all_null = spark.createDataFrame(
+        [(1, None)], "doc_id long, embedding array<double>"
+    )
+    assert decontaminate_semantic(
+        all_null, bench, "doc_id", "doc_id", threshold=0.5
+    ).count() == 1
+    empty = all_null.filter("doc_id < 0")
+    assert decontaminate_semantic(
+        empty, bench, "doc_id", "doc_id", threshold=0.5
+    ).count() == 0

@@ -174,3 +174,40 @@ def test_pathological_fully_duplicated_long_doc(spark):
     assert out[1] == ("", n) and out[2] == ("", n)
     # generous bound: the quadratic form took minutes, this takes ~2s
     assert elapsed < 90, f"masking took {elapsed:.1f}s — quadratic regression?"
+
+
+def test_pathological_scattered_duplicates(spark):
+    """Many DISJOINT duplicated windows per doc (boilerplate sentences
+    interleaved with unique text — templated listings): ~1200 merged
+    intervals per document. An accumulator-fold merge is
+    O(intervals^2) per row; the linear boundary-detection form must
+    stay fast AND still cut exactly the planted segments."""
+    import time
+
+    k = 8
+    # segment i: 8 shared words then 8 unique-per-doc words
+    def doc(tag):
+        parts = []
+        for i in range(1200):
+            parts.append(" ".join(f"shared{i}w{j}" for j in range(k)))
+            parts.append(" ".join(f"{tag}u{i}w{j}" for j in range(k)))
+        return " ".join(parts)
+
+    docs = spark.createDataFrame(
+        [(1, doc("a")), (2, doc("b"))], "doc_id long, text string"
+    )
+    t0 = time.monotonic()
+    out = {
+        r["doc_id"]: (r["text"], r["n_words_removed"])
+        for r in exact_substring_dedup(docs, "doc_id", "text", k=k).collect()
+    }
+    elapsed = time.monotonic() - t0
+    assert elapsed < 90, f"scattered-dup masking took {elapsed:.1f}s"
+    # every shared segment cut from both docs, all unique words kept.
+    # straddling windows (part shared / part unique) are NOT corpus-
+    # duplicated, so exactly the 8 shared words per segment go
+    for d, tag in ((1, "a"), (2, "b")):
+        text, removed = out[d]
+        assert removed == 1200 * k
+        assert "shared" not in text
+        assert f"{tag}u0w0" in text and f"{tag}u1199w7" in text

@@ -483,3 +483,20 @@ def test_shard_manifest_validates_empty_content(spark):
     df = spark.createDataFrame([(0,)], "shard int")
     with pytest.raises(ValueError, match="content_cols"):
         shard_manifest(df, "shard")
+
+
+def test_shard_manifest_digest_injective_on_separator_values(spark):
+    """Values containing the separator/escape characters must not
+    alias across column boundaries, and NULL must differ from any
+    literal string."""
+    from web_api_postgres_etl_spark.operators.sampling import shard_manifest
+
+    def digest(rows):
+        df = spark.createDataFrame(rows, "shard int, a string, b string")
+        return shard_manifest(df, "shard", content_cols=["a", "b"]).first()[
+            "content_digest"
+        ]
+
+    assert digest([(0, "x\x1fy", "z")]) != digest([(0, "x", "y\x1fz")])
+    assert digest([(0, None, "z")]) != digest([(0, "%N", "z")])
+    assert digest([(0, "25%", "z")]) != digest([(0, "25%25", "z")])

@@ -173,6 +173,10 @@ def classifier_gate(
         numFeatures=model.numFeatures,
     )
     scored = model.transform(tf.transform(toks))
+    # filter on the SAME 6-decimal rounding score_documents reports, so
+    # a threshold read off the audit output can never disagree with the
+    # gate's survivor set at the boundary
     return scored.filter(
-        vector_to_array(F.col("probability")).getItem(1) >= min_prob
+        F.round(vector_to_array(F.col("probability")).getItem(1), 6)
+        >= min_prob
     ).select(*cols)

@@ -710,10 +710,11 @@ def exact_substring_dedup(
     separately if desired).
 
     Scale shape: the window-digest count shuffles 16-byte keys only.
-    Per-document masking first folds the SORTED duplicated-start list
-    into merged disjoint cut intervals (overlapping/adjacent k-windows
-    coalesce, so the merged list is tiny even on fully-duplicated
-    boilerplate pages — the exact rows this operator targets), then
+    Per-document masking first merges the SORTED duplicated-start
+    list into disjoint cut intervals via linear boundary detection
+    (overlapping/adjacent k-windows coalesce, so the merged list is
+    tiny even on fully-duplicated boilerplate pages — the exact rows
+    this operator targets), then
     reassembles the survivors by slicing the gaps BETWEEN intervals:
     O(words + intervals) per document, vs the O(words x dup-starts)
     interpreted exists-per-word form this replaced (a 50k-word
@@ -739,63 +740,56 @@ def exact_substring_dedup(
         "__id", "__had", "__w",
         F.coalesce("__ss", F.array().cast("array<int>")).alias("__ss"),
     )
-    # fold the sorted starts into merged disjoint cut intervals: start s
-    # cuts [s, s+k-1]; a start within (or adjacent to) the running
-    # interval extends it, otherwise it opens a new one. Equal-length
-    # windows over a sorted list mean hi is monotone, so extending is a
-    # plain replace of the tail's hi.
+    # merge the sorted starts into disjoint cut intervals: start s cuts
+    # [s, s+k-1]. With EQUAL-length windows over a sorted list, whether
+    # s_i opens a new interval is a purely LOCAL property — it merges
+    # into the running interval iff s_i <= s_{i-1} + k (the previous
+    # start is always the running interval's last member). So interval
+    # bounds fall out of two linear transform+filter passes, with no
+    # fold and no per-step accumulator copy (an aggregate-based merge
+    # is O(intervals²) per document — scattered non-adjacent boilerplate
+    # would still have produced stragglers). CaseWhen evaluates lazily,
+    # so element_at never sees index 0 / past-the-end.
+    ssc = F.col("__ss")
+    lo_arr = F.filter(
+        F.transform(
+            ssc,
+            lambda s, i: F.when(i == 0, s)
+            .when(s > F.element_at(ssc, i) + F.lit(k), s)
+            .cast("int"),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    hi_arr = F.filter(
+        F.transform(
+            ssc,
+            lambda s, i: F.when(i == F.size(ssc) - 1, s + F.lit(k - 1))
+            .when(F.element_at(ssc, i + 2) > s + F.lit(k), s + F.lit(k - 1))
+            .cast("int"),
+        ),
+        lambda x: x.isNotNull(),
+    )
     iv = base.select(
         "__id", "__had", "__w",
         F.size("__w").alias("__n"),
         F.size("__ss").alias("__ndw"),
-        F.aggregate(
-            F.col("__ss"),
-            F.array().cast("array<struct<lo:int,hi:int>>"),
-            lambda acc, s: F.when(
-                (F.size(acc) > 0)
-                & (s <= F.element_at(acc, -1).getField("hi") + 1),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(
-                        F.struct(
-                            F.element_at(acc, -1)
-                            .getField("lo")
-                            .alias("lo"),
-                            (s + F.lit(k - 1)).cast("int").alias("hi"),
-                        )
-                    ),
-                ),
-            ).otherwise(
-                F.concat(
-                    acc,
-                    F.array(
-                        F.struct(
-                            s.cast("int").alias("lo"),
-                            (s + F.lit(k - 1)).cast("int").alias("hi"),
-                        )
-                    ),
-                )
-            ),
-        ).alias("__iv"),
+        lo_arr.alias("__lo"),
+        hi_arr.alias("__hi"),
     )
     # the kept gaps: before the first interval, between intervals, after
-    # the last. CaseWhen branches evaluate lazily, so the element_at
-    # calls never see an out-of-range index.
+    # the last (__lo and __hi are index-aligned: one entry per merged
+    # interval)
     gaps = iv.select(
         "__id", "__had", "__w", "__n", "__ndw",
         F.filter(
             F.transform(
-                F.sequence(F.lit(0), F.size("__iv")),
+                F.sequence(F.lit(0), F.size("__lo")),
                 lambda i: F.struct(
                     F.when(i == 0, F.lit(1))
-                    .otherwise(
-                        F.element_at(F.col("__iv"), i).getField("hi") + 1
-                    )
+                    .otherwise(F.element_at(F.col("__hi"), i) + 1)
                     .alias("a"),
-                    F.when(i == F.size("__iv"), F.col("__n"))
-                    .otherwise(
-                        F.element_at(F.col("__iv"), i + 1).getField("lo") - 1
-                    )
+                    F.when(i == F.size("__lo"), F.col("__n"))
+                    .otherwise(F.element_at(F.col("__lo"), i + 1) - 1)
                     .alias("b"),
                 ),
             ),

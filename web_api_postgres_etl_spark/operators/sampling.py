@@ -546,15 +546,20 @@ def shard_manifest(
         ]
     if not content_cols:
         raise ValueError("content_cols resolved empty — nothing to digest")
-    row_h = F.md5(
-        F.concat_ws(
+    # injective row serialization: escape '%' then the separator inside
+    # each value ('%25'/'%1F'), NULL → '%N' (unreachable by escaping,
+    # same scheme as pack_key) — without this, ('x\x1fy','z') and
+    # ('x','y\x1fz') would concat identically and a changed shard
+    # could verify as unchanged
+    def _esc(c: str):
+        v = F.regexp_replace(
+            F.regexp_replace(qcol(c).cast("string"), "%", "%25"),
             "\x1f",
-            *[
-                F.coalesce(qcol(c).cast("string"), F.lit("\x00"))
-                for c in content_cols
-            ],
+            "%1F",
         )
-    )
+        return F.coalesce(v, F.lit("%N"))
+
+    row_h = F.md5(F.concat_ws("\x1f", *[_esc(c) for c in content_cols]))
     # DECIMAL(38,0) accumulation, reduced mod 2^60 after the sum: a
     # plain BIGINT sum would trip ANSI ARITHMETIC_OVERFLOW (Spark 4
     # default) at ~16 rows of 60-bit values; decimal holds ~10^38

@@ -836,7 +836,18 @@ def lsh_nn_join(
         qcol(right_id).alias("__rid"), as_double_array(vec_col).alias("__rv")
     )
     if signature == "rhp" and dims is None:
-        dims = int(l_prep.select(F.size("__lv").alias("n")).first()["n"])
+        # infer dims from the first NON-NULL vector: first() on the raw
+        # frame would return NULL size for a NULL-embedding lead row
+        # (int(None) TypeError) and None for an empty frame. With no
+        # usable vectors at all, any dims value is fine — NULL vectors
+        # produce NULL band keys, which an equi-join never matches, so
+        # the result is correctly empty either way.
+        row = (
+            l_prep.filter(F.col("__lv").isNotNull())
+            .select(F.size("__lv").alias("n"))
+            .first()
+        )
+        dims = int(row["n"]) if row is not None else 1
     sig_of = _signature_expr(spark, "__lv", signature, num_planes, dims)
 
     def banded(prep: DataFrame, idc: str, vecc: str) -> DataFrame:
@@ -1044,7 +1055,16 @@ def semantic_contamination_hits(
 
     Rides ``lsh_nn_join``: banded signature equi-join for candidates
     (the benchmark side is small, AQE broadcasts its banded form),
-    exact cosine verification on candidates only."""
+    exact cosine verification on candidates only. ``bench_id_col``
+    must differ from ``id_col`` — the output carries both, and two
+    identically-named columns would be unreferenceable downstream
+    (``decontaminate_semantic`` handles same-named inputs itself by
+    renaming the benchmark id internally)."""
+    if bench_id_col == id_col:
+        raise ValueError(
+            f"bench_id_col {bench_id_col!r} must differ from id_col — the "
+            "hits output carries both ids; alias the benchmark id first"
+        )
     bvec = bench_vec_col or vec_col
     b = bench.select(
         qcol(bench_id_col).alias("__bench_id"),
@@ -1091,8 +1111,15 @@ def decontaminate_semantic(
     copies can never slip through); tighten ``bands``/``num_planes``
     for recall, or verify with the brute-force ``cosine_pairs`` on a
     sample, the same audit the near-dup pipeline documents."""
+    # the drop only needs TRAIN ids — rename the benchmark id
+    # internally so same-named id columns (both tables keyed
+    # 'doc_id', the natural call) never produce an ambiguous output
+    bvec = bench_vec_col or vec_col
+    b = bench.select(
+        qcol(bench_id_col).alias("__dsb_id"), qcol(bvec).alias(bvec)
+    )
     hits = semantic_contamination_hits(
-        train, bench, id_col, bench_id_col, vec_col, bench_vec_col,
+        train, b, id_col, "__dsb_id", vec_col, bvec,
         threshold, num_planes, bands, dims, signature,
     )
     return train.join(
