@@ -425,3 +425,94 @@ def test_interval_join_model(spark, points, spans, bucket):
         if s <= t <= s + w
     )
     assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=25, deadline=None)
+def test_exact_substring_matches_python_model(spark, corpora, k):
+    """The interval-merge + gap-slice masking must equal a brute-force
+    Python model of ExactSubstr (cut every position covered by a
+    k-window occurring >= 2 times corpus-wide) on tiny random corpora
+    over a 3-letter alphabet — duplicates are dense, so the interval
+    boundary logic (merging, adjacency, doc edges) is exercised hard."""
+    from web_api_postgres_etl_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    texts = [" ".join(words) for words in corpora]
+    # python reference
+    from collections import Counter
+
+    wins = Counter()
+    for words in corpora:
+        for i in range(len(words) - k + 1):
+            wins[tuple(words[i:i + k])] += 1
+    expected = {}
+    for d, words in enumerate(corpora):
+        cut = [False] * len(words)
+        for i in range(len(words) - k + 1):
+            if wins[tuple(words[i:i + k])] >= 2:
+                for j in range(i, i + k):
+                    cut[j] = True
+        kept = [w for w, c in zip(words, cut) if not c]
+        expected[d] = (" ".join(kept), sum(cut))
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_words_removed"])
+        for r in exact_substring_dedup(df, "doc_id", "text", k=k).collect()
+    }
+    assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.one_of(
+                st.none(),
+                st.text(
+                    alphabet=["a", "#", "%", "N", "5", "2"],
+                    min_size=0, max_size=6,
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_pack_key_injective_property(spark, rows):
+    """pack_key must be injective over (group, shard, pack_id) for ANY
+    group strings — including NULLs and values built from the escape
+    alphabet itself ('#', '%', '%N', '%23'-shaped strings)."""
+    from web_api_postgres_etl_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, g, 1) for i, (_, g) in enumerate(rows)],
+        "id long, grp string, toks long",
+    )
+    out = pack_sequences(
+        df, "id", "toks", window=3, num_shards=2, group_col="grp"
+    ).select("grp", "shard", "pack_id", "pack_key").collect()
+    seen = {}
+    for r in out:
+        trip = (r["grp"], r["shard"], r["pack_id"])
+        key = r["pack_key"]
+        if key in seen:
+            assert seen[key] == trip, (
+                f"pack_key {key!r} maps to both {seen[key]} and {trip}"
+            )
+        seen[key] = trip
