@@ -2842,6 +2842,165 @@ FROM pk4
 """
 
 
+def q_bigram_ppl_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram stupid-backoff LM gate (operators.retrieval.
+    bigram_perplexity — Brants et al. 2007): every document scored
+    against the corpus's own bigram model, kept when ppl <= 28.95.
+    The conditional-probability upgrade of the unigram CCNet-style
+    filter already pinned inside training_data_e2e: fluent prose has
+    high bigram coverage, keyword stuffing and shuffled boilerplate
+    do not. The threshold sits mid-gap in a 0.072-wide hole of the
+    sf0.01 score distribution (~1,400x the measured 5e-5 cross-engine
+    ln/exp drift), so the kept SET is engine-independent even though
+    raw ppl floats are not — the contract pins (doc_id, n_tokens) of
+    the survivors, never a float column (the unigram precedent from
+    round 5, same gap-scan method)."""
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        bigram_perplexity,
+    )
+
+    docs = _t(spark, sf, "documents")
+    scored = bigram_perplexity(docs, "doc_id", "text")
+    return scored.filter(F.col("ppl") <= 28.95).select("doc_id", "n_tokens")
+
+
+SQL_BIGRAM_PPL_GATE = """
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(
+    regexp_replace(regexp_replace(lower(text),
+      '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '),
+    x -> x <> '') AS toks
+  FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tc AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+tot AS (SELECT sum(c) AS n, count(*) AS v FROM tc),
+uni AS (
+  SELECT term, ln((c + 0.5) / (n + 0.5 * (v + 1))) AS lp
+  FROM tc, tot),
+bg AS (
+  SELECT w1, w2, count(*) AS bc FROM (
+    SELECT toks[i - 1] AS w1, toks[i] AS w2
+    FROM t, unnest(generate_series(2, len(toks))) AS u(i))
+  GROUP BY w1, w2),
+pos AS (
+  SELECT doc_id, i - 1 AS p, toks[i] AS cur,
+         CASE WHEN i > 1 THEN toks[i - 1] END AS prev
+  FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+lp AS (
+  SELECT pos.doc_id,
+    CASE
+      WHEN bg.bc IS NOT NULL THEN ln(bg.bc / pc.c)
+      WHEN pos.p = 0 THEN coalesce(uni.lp,
+        (SELECT ln(0.5 / (n + 0.5 * (v + 1))) FROM tot))
+      ELSE ln(0.4) + coalesce(uni.lp,
+        (SELECT ln(0.5 / (n + 0.5 * (v + 1))) FROM tot))
+    END AS lp
+  FROM pos
+  LEFT JOIN bg ON pos.prev = bg.w1 AND pos.cur = bg.w2
+  LEFT JOIN tc pc ON pos.prev = pc.term
+  LEFT JOIN uni ON pos.cur = uni.term)
+SELECT doc_id, CAST(count(*) AS INT) AS n_tokens
+FROM lp GROUP BY doc_id
+HAVING exp(avg(-lp)) <= 28.95
+"""
+
+
+def q_data_recipe_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-recipe mixing (operators.sampling): temperature_sample —
+    the mBERT/XLM-R exponential-smoothing re-balance (alpha=0.5,
+    target 300 rows over the skewed lang mix: en 218 vs fr 64 at
+    sf0.01) — unioned with upsample_by_factor, the 'epochs per
+    source' half of a recipe (fr x2.5, de x2.0, zh x0, others x1).
+    Both halves decide every row by the md5-draw on (salt, doc_id):
+    13 hex chars = a 52-bit integer scaled by 16^-13, exact in a
+    double, so the kept/replicated MULTISET is bit-reproducible
+    across engines and the oracle mirrors the arithmetic term for
+    term. One count-aggregate + broadcast join-back per half — no
+    window over the corpus, no global sort."""
+    from web_api_postgres_etl_spark.operators.sampling import (
+        temperature_sample,
+        upsample_by_factor,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang")
+    temp = temperature_sample(
+        docs, "lang", "doc_id", alpha=0.5, target_rows=300
+    ).select(
+        F.lit("temp").alias("op"), "lang", "doc_id",
+        F.lit(0).alias("copy_idx"),
+    )
+    ups = upsample_by_factor(
+        docs, "lang", "doc_id",
+        {"fr": 2.5, "de": 2.0, "zh": 0.0}, default_factor=1.0,
+    ).select(F.lit("upsample").alias("op"), "lang", "doc_id", "copy_idx")
+    return temp.unionByName(ups)
+
+
+SQL_DATA_RECIPE_MIX = """
+WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+t AS (SELECT sum(pow(c, 0.5)) AS s FROM c),
+p AS (
+  SELECT lang, least(1.0, 300 * pow(c, 0.5) / t.s / c) AS p
+  FROM c, t),
+temp AS (
+  SELECT 'temp' AS op, d.lang, d.doc_id, CAST(0 AS INT) AS copy_idx
+  FROM documents d
+  JOIN p ON d.lang IS NOT DISTINCT FROM p.lang
+  WHERE CAST(('0x' || substr(md5('mix#' || CAST(d.doc_id AS VARCHAR)),
+                             1, 13)) AS BIGINT)
+        / 4503599627370496.0 < p.p),
+f AS (
+  SELECT doc_id, lang,
+    CASE lang WHEN 'fr' THEN 2.5 WHEN 'de' THEN 2.0 WHEN 'zh' THEN 0.0
+              ELSE 1.0 END AS f
+  FROM documents),
+n AS (
+  SELECT doc_id, lang,
+    CAST(floor(f) AS INT)
+    + CASE WHEN CAST(('0x' || substr(md5('rep#' ||
+             CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+           / 4503599627370496.0 < f - floor(f)
+           THEN 1 ELSE 0 END AS nc
+  FROM f),
+ups AS (
+  SELECT 'upsample' AS op, lang, doc_id,
+         CAST(unnest(generate_series(0, nc - 1)) AS INT) AS copy_idx
+  FROM n WHERE nc > 0)
+SELECT op, lang, doc_id, copy_idx FROM temp
+UNION ALL
+SELECT op, lang, doc_id, copy_idx FROM ups
+"""
+
+
+def q_classifier_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-based quality gate (operators.classifier — the
+    DCLM/FineWeb-Edu fastText-style move): train logistic regression
+    on hashed bag-of-words features over a planted separable labeling
+    (documents whose text contains the token 'vector' are the
+    reference-quality class), then classifier_gate the full corpus at
+    min_prob=0.5. No SQL oracle — L-BFGS is iterative floating-point
+    optimization, not relational algebra (same verdict as k-means;
+    the driver's rows-only check applies, and planted-ground-truth
+    recovery is pinned in tests/test_classifier.py). The gate itself
+    is robust: at sf0.01 the score distribution is bimodal (max
+    negative-class score 0.013, min positive-class 0.991), so the
+    kept-set cardinality cannot wiggle with float reduction order."""
+    from web_api_postgres_etl_spark.operators.classifier import (
+        classifier_gate,
+        train_quality_classifier,
+    )
+
+    docs = _t(spark, sf, "documents")
+    marker = F.array_contains(F.split(F.col("text"), " "), "vector")
+    model = train_quality_classifier(
+        docs.filter(marker), docs.filter(~marker),
+        text_col="text", num_features=1 << 15,
+    )
+    return classifier_gate(
+        docs, "doc_id", "text", model, min_prob=0.5
+    ).select("doc_id", "lang", "source")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2873,7 +3032,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_window_analytics": q_w1_window_analytics,
         "agg_rollup": q_agg_rollup,
         "agg_pivot": q_agg_pivot,
-        "agg_distinct": q_agg_distinct,
         "agg_time_window": q_agg_time_window,
         "agg_session_window": q_agg_session_window,
         # dedup / similarity
@@ -2881,23 +3039,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_curation": q_url_curation,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "corpus_ingest_replay": q_corpus_ingest_replay,
+        # data-recipe mixing (r6: swapped in for agg_distinct, whose
+        # expand-based distinct agg keeps oracle parity in
+        # tests/test_oracle_parity.py::test_retired_contract_entries)
+        "data_recipe_mix": q_data_recipe_mix,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ivf_index_probe": q_ivf_index_probe,
-        "ann_nn_join": q_ann_nn_join,
         "lsh_nn_join": q_lsh_nn_join,
         "simhash_near_dups": q_simhash_near_dups,
         "rhp_lsh_topk": q_rhp_lsh_topk,
         # joins
         "interval_join": q_interval_join,
         "j2_two_way_join": q_j2_two_way_join,
-        "j34_semi_anti_join": q_j34_semi_anti_join,
         "j5_salted_join": q_j5_salted_join,
         "j6_asof_join": q_j6_asof_join,
         "j7_asof_keyless": q_j7_asof_keyless,
         # text analysis / retrieval
         "text_stats": q_text_stats,
         "bm25_topk": q_bm25_topk,
+        # bigram LM gate (r6: swapped in for ann_nn_join — the brute
+        # cosine NN baseline whose math stays pinned by ann_cosine_topk
+        # and whose scale path, lsh_nn_join, stays driver-visible;
+        # retired parity in tests/test_oracle_parity.py)
+        "bigram_ppl_gate": q_bigram_ppl_gate,
         "lsh_cosine_pairs": q_lsh_cosine_pairs,
         # multimodal
         "multimodal_stats": q_multimodal_stats,
@@ -2922,6 +3087,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p6_watermark_delta": q_p6_watermark_delta,
         "f3_struct_array": q_f3_struct_array,
         "set_ops": q_set_ops,
+        # rows-only tail (position 50): L-BFGS training has no SQL
+        # oracle (classifier.py module docstring) — the driver records
+        # its weaker rows-check; planted-ground-truth recovery and
+        # determinism are pinned in tests/test_classifier.py. j34's
+        # semi/anti-join parity retired to tests/test_oracle_parity.py
+        # (the same join shapes stay driver-visible inside the
+        # decontamination stages of curation_pipeline and
+        # training_data_e2e).
+        "classifier_quality": q_classifier_quality,
     }
 
 
@@ -2941,29 +3115,28 @@ def oracle_sql() -> dict[str, str]:
         "w1_window_analytics": SQL_W1,
         "agg_rollup": SQL_ROLLUP,
         "agg_pivot": SQL_PIVOT,
-        "agg_distinct": SQL_AGG_DISTINCT,
         "agg_time_window": SQL_TIME_WINDOW,
         "agg_session_window": SQL_SESSION_WINDOW,
         "dedup_exact": SQL_DEDUP_EXACT,
         "url_curation": SQL_URL_CURATION,
         "minhash_lsh_pairs": SQL_LSH_PAIRS,
         "corpus_ingest_replay": SQL_CORPUS_INGEST_REPLAY,
+        "data_recipe_mix": SQL_DATA_RECIPE_MIX,
         "ann_cosine_topk": SQL_ANN_TOPK,
         "ann_ivf_topk": SQL_IVF_TOPK,
         # probe of the persisted index must equal the in-memory IVF top-k
         "ivf_index_probe": SQL_IVF_TOPK,
-        "ann_nn_join": SQL_NN_JOIN,
         "lsh_nn_join": SQL_LSH_NN_JOIN,
         "simhash_near_dups": SQL_SIMHASH,
         "rhp_lsh_topk": SQL_RHP_TOPK,
         "interval_join": SQL_INTERVAL,
         "j2_two_way_join": SQL_J2,
-        "j34_semi_anti_join": SQL_J34,
         "j5_salted_join": SQL_J5,
         "j6_asof_join": SQL_J6,
         "j7_asof_keyless": SQL_J7_KEYLESS,
         "text_stats": SQL_TEXT_STATS,
         "bm25_topk": SQL_BM25,
+        "bigram_ppl_gate": SQL_BIGRAM_PPL_GATE,
         "lsh_cosine_pairs": SQL_LSH_COSINE_PAIRS,
         "multimodal_stats": SQL_MULTIMODAL_STATS,
         "multimodal_frame_sample": SQL_FRAME_SAMPLE,

@@ -76,6 +76,17 @@ RETIRED = [
     # r6: swapped for corpus_ingest_replay (all-pairs exact baseline;
     # the same Jaccard verify math stays inside near_dup_pipeline)
     ("ngram_jaccard_pairs", "SQL_JACCARD"),
+    # r6 second wave — slots given to the newest curation operators:
+    # brute NN-join baseline → bigram_ppl_gate (cosine math stays
+    # pinned by ann_cosine_topk; the scale path lsh_nn_join stays
+    # driver-visible)
+    ("ann_nn_join", "SQL_NN_JOIN"),
+    # expand-based distinct agg → data_recipe_mix
+    ("agg_distinct", "SQL_AGG_DISTINCT"),
+    # semi/anti join → classifier_quality (the same join shapes stay
+    # driver-visible inside the decontamination stages of
+    # curation_pipeline / training_data_e2e)
+    ("j34_semi_anti_join", "SQL_J34"),
 ]
 
 
