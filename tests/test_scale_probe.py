@@ -24,6 +24,9 @@ OPS = {
     # round 6: the two newest shuffle-bearing ops (ExactSubstr's
     # interval-merge masking + the unigram LM gate)
     "exact_substring_dedup", "unigram_perplexity",
+    # round 6 second wave: the bigram LM (pair-explode + joins) and
+    # the LSH-banded semantic decontamination
+    "bigram_perplexity", "decontaminate_semantic",
 }
 
 

@@ -160,6 +160,38 @@ def probe(spark, n: int, ops_filter: set[str] | None = None) -> dict:
         scored = unigram_perplexity(docs, "doc_id", "text").count()
         ops["unigram_perplexity"] = (time.time() - t0, scored)
 
+    if want("bigram_perplexity"):
+        reset_cache()
+        from web_api_postgres_etl_spark.operators.retrieval import (
+            bigram_perplexity,
+        )
+
+        # model = (w1,w2) + term count shuffles, scoring = one pair
+        # explode + two broadcastable joins — expected linear
+        t0 = time.time()
+        scored = bigram_perplexity(docs, "doc_id", "text").count()
+        ops["bigram_perplexity"] = (time.time() - t0, scored)
+
+    if want("decontaminate_semantic"):
+        reset_cache()
+        from web_api_postgres_etl_spark.operators.similarity import (
+            decontaminate_semantic,
+        )
+
+        # every 20th synthetic vector is an exact copy of its
+        # predecessor, so train rows adjacent to bench rows (ids ≡ 1
+        # mod 100 copy a bench id) are guaranteed drops — banded
+        # candidates, never an all-pairs product
+        bench_v = vecs.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("bench_id"), "embedding"
+        )
+        train_v = vecs.filter(F.col("vec_id") % 100 != 0)
+        t0 = time.time()
+        kept = decontaminate_semantic(
+            train_v, bench_v, "vec_id", "bench_id", threshold=0.999
+        ).count()
+        ops["decontaminate_semantic"] = (time.time() - t0, kept)
+
     if want("prepare_training_data"):
         reset_cache()
         from web_api_postgres_etl_spark.plans.curation import (
