@@ -31,6 +31,7 @@ from .classifier import (
 )
 from .graph import dedup_clusters
 from .joins import asof_join, interval_join, salted_join, star_join, two_way_join
+from .layout import add_zorder_key, cluster_by_zorder, compact_small_files, zorder_key
 from .project import project, project_alias, drop_columns, qcol
 from .retrieval import bigram_perplexity, bm25_topk, tfidf_table, unigram_perplexity
 from .sampling import (
@@ -56,8 +57,12 @@ from .similarity import (
 )
 
 __all__ = [
+    "add_zorder_key",
     "asof_join",
     "bigram_perplexity",
+    "cluster_by_zorder",
+    "compact_small_files",
+    "zorder_key",
     "bm25_topk",
     "chunk_documents",
     "contaminated_flag",

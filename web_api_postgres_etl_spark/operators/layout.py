@@ -1,0 +1,187 @@
+"""Data-layout operators: multi-dimensional Z-order clustering and
+small-file compaction — the table-maintenance half of running a
+100 TB corpus, where SCAN cost is decided by how bytes sit on disk
+long before Catalyst sees a plan.
+
+The reference (a pandas/Airflow ETL, mabna_tables_etl.py) rewrites
+whole tables per run and never manages layout; at Spark scale layout
+IS the optimization:
+
+- Parquet keeps per-file (and per-row-group) min/max statistics for
+  every column. A reader prunes a file when the predicate cannot
+  intersect its [min, max] — but linear sorting concentrates only ONE
+  column; a filter on any other column intersects nearly every file.
+- Z-ordering interleaves the bits of several columns into one key and
+  sorts by it, so files become axis-aligned boxes in k-dimensional
+  space: a conjunctive range/point predicate on ANY prefix-free
+  subset of the z-columns intersects O(n^(1-1/k))-ish of the files
+  instead of all of them (the Delta Lake / Databricks OPTIMIZE
+  ZORDER move; vanilla Spark has no native operator for it).
+
+Engine-exactness: normalization uses ONLY integer arithmetic —
+``(v - vmin) * (2^bits - 1) DIV max(vmax - vmin, 1)`` on BIGINT, then
+a STATIC bit-interleave expression (a Python loop emits ~bits×k
+OR/shift terms — whole-stage codegen folds them; never a HOF lambda,
+whose interpreted body would run per row per bit). The identical
+arithmetic is expressible in any SQL engine, so the key itself is
+oracle-checkable bit for bit.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .project import qcol
+
+
+def zorder_key(
+    scaled_cols: Sequence[Column],
+    bits: int,
+) -> Column:
+    """Interleave ``bits`` low bits of each already-scaled column into
+    one BIGINT Morton key: output bit (i*k + j) = bit i of column j.
+    Static expression — k×bits OR/shift terms, fully codegen'd."""
+    k = len(scaled_cols)
+    if k * bits > 62:
+        raise ValueError(
+            f"{k} columns x {bits} bits = {k * bits} key bits > 62 — "
+            "lower bits (locality needs only the high bits anyway)"
+        )
+    out: Column = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(scaled_cols):
+            bit = F.shiftright(c, i).bitwiseAND(F.lit(1))
+            out = out.bitwiseOR(F.shiftleft(bit, i * k + j))
+    return out
+
+
+def add_zorder_key(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 16,
+    key_col: str = "z_key",
+    bounds: dict[str, tuple[int, int]] | None = None,
+) -> DataFrame:
+    """Append the Morton key over integral ``cols``.
+
+    ``bounds`` maps column → (min, max); omitted bounds are computed
+    in ONE aggregate (2k scalars collected — bounded metadata, the
+    same driver-collect budget as watermark probes). Pass explicit
+    bounds on incremental/streaming writes so new batches land in the
+    SAME key space as old files (recomputed bounds would shift every
+    key and silently destroy cross-file locality).
+
+    NULLs clamp to vmin (sort first, prune like the minimum); cast
+    non-long integrals freely — dates should be keyed via
+    ``datediff`` days by the caller."""
+    if not cols:
+        raise ValueError("zorder needs at least one column")
+    if key_col in df.columns:
+        raise ValueError(f"column {key_col!r} already exists on the input")
+    need = [c for c in cols if bounds is None or c not in bounds]
+    got: dict[str, tuple[int, int]] = dict(bounds or {})
+    if need:
+        aggs = []
+        for c in need:
+            aggs.append(F.min(qcol(c).cast("long")).alias(f"__mn_{c}"))
+            aggs.append(F.max(qcol(c).cast("long")).alias(f"__mx_{c}"))
+        row = df.agg(*aggs).first()
+        for c in need:
+            mn, mx = row[f"__mn_{c}"], row[f"__mx_{c}"]
+            if mn is None:  # all-NULL column: degenerate, key on 0
+                mn, mx = 0, 0
+            got[c] = (int(mn), int(mx))
+    scaled = []
+    for c in cols:
+        vmin, vmax = got[c]
+        levels = (1 << bits) - 1
+        span = max(vmax - vmin, 1)
+        if span * levels >= (1 << 53):
+            raise ValueError(
+                f"column {c!r} spans {span} values x {levels} levels — "
+                "the scaling product leaves the double-exact integer "
+                "range (2^53), so bucket boundaries would drift "
+                "between engines; pre-bucket the column (e.g. DIV a "
+                "coarser unit) before z-ordering"
+            )
+        clamped = F.greatest(
+            F.lit(vmin).cast("long"),
+            F.least(
+                F.lit(vmax).cast("long"),
+                F.coalesce(qcol(c).cast("long"), F.lit(vmin)),
+            ),
+        )
+        # long multiply (exact) then IEEE double divide + floor: both
+        # guarded < 2^53, so the quotient — and therefore the bucket —
+        # is bit-identical in any IEEE-754 engine
+        scaled.append(
+            F.floor(((clamped - F.lit(vmin)) * F.lit(levels)) / F.lit(span))
+            .cast("long")
+        )
+    return df.withColumn(key_col, zorder_key(scaled, bits))
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    cols: Sequence[str],
+    num_partitions: int,
+    bits: int = 16,
+    bounds: dict[str, tuple[int, int]] | None = None,
+    keep_key: bool = False,
+) -> DataFrame:
+    """Range-partition + sort the frame by its Morton key so a
+    subsequent ``.write.parquet`` emits files that are tight
+    k-dimensional boxes (each file's per-column min/max stats become
+    selective for predicates on ANY of ``cols``).
+
+    ``repartitionByRange`` samples key quantiles — one extra pass over
+    the keys, balanced output sizes even under key skew; the
+    within-partition sort is the only other cost. No join, no
+    wide-row shuffle beyond the single clustering exchange."""
+    keyed = add_zorder_key(df, cols, bits=bits, bounds=bounds)
+    out = keyed.repartitionByRange(num_partitions, F.col("z_key")).sortWithinPartitions(
+        "z_key"
+    )
+    return out if keep_key else out.drop("z_key")
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 1,
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_bytes`` files —
+    the maintenance pass that undoes streaming ingest's small-file
+    accumulation (each micro-batch commits its own files; a thousand
+    batches of 1 MB make a listing-and-open bound scan long before
+    the bytes matter). Returns the file count written.
+
+    Sizing reads ONLY filesystem metadata (os.walk over the local
+    path — the sandbox face of a FileSystem.listStatus call; byte
+    math is identical on any store). The rewrite is one
+    ``coalesce`` — a narrow, shuffle-free merge of existing
+    partitions — through the same .tmp/.old two-rename swap the
+    streaming compactor uses, so readers never observe a missing
+    path. Layout within files is preserved as-read; run
+    ``cluster_by_zorder`` first when re-clustering is wanted."""
+    from ..sources.writers import recover_swap, swap_compacted, write_overwrite
+
+    recover_swap(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(min_files, int(total / target_file_bytes) + (1 if total % target_file_bytes else 0))
+    df = spark.read.parquet(path)
+    compacted = df.coalesce(n)
+    compacted.cache().count()
+    write_overwrite(compacted, path + ".tmp")
+    compacted.unpersist()
+    swap_compacted(path)
+    return n
