@@ -418,3 +418,103 @@ def test_clean_text_rules_and_idempotence(spark):
         .collect()[0]["t"]
     )
     assert twice == once                     # idempotent
+
+
+# ------------------------------------------------ C4 line/page rules
+C4_DOCS = [
+    (1, "Good sentence number one here.\nshort line\n"
+        "Another full sentence that survives the filter!\n"
+        "Please enable javascript to view this site properly.\n"
+        "Is this a question with enough words?"),
+    (2, "function f() {\nThis page looks like source code overall.\n}"),
+    (3, "Lorem Ipsum dolor sit amet filler text here.\n"
+        "A second real sentence to keep the page long."),
+    (4, "Only one surviving sentence lives on this page.\n"
+        "tiny\nno punct either"),
+    (5, None),
+    (6, ""),
+]
+
+
+def test_c4_clean_lines_planted(spark):
+    from web_api_postgres_etl_spark.functions.text import c4_clean_lines
+
+    df = spark.createDataFrame(C4_DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["t"]
+        for r in df.select("doc_id", c4_clean_lines("text").alias("t")).collect()
+    }
+    # doc 1: keeps the 3 full sentences, drops the short + javascript lines
+    assert got[1] == (
+        "Good sentence number one here.\n"
+        "Another full sentence that survives the filter!\n"
+        "Is this a question with enough words?"
+    )
+    # doc 2: only the prose line ends with '.' and has >= 5 words
+    assert got[2] == "This page looks like source code overall."
+    assert got[4] == "Only one surviving sentence lives on this page."
+    assert got[5] is None            # NULL in, NULL out
+    assert got[6] == ""              # empty page -> no lines survive
+
+
+def test_c4_page_flags_planted(spark):
+    from pyspark.sql import functions as F
+
+    from web_api_postgres_etl_spark.functions.text import c4_page_flags
+
+    df = spark.createDataFrame(C4_DOCS, "doc_id long, text string")
+    flags = {
+        r["doc_id"]: (r["f"]["has_brace"], r["f"]["has_lorem"], r["f"]["too_short"])
+        for r in df.select("doc_id", c4_page_flags("text").alias("f")).collect()
+    }
+    assert flags[1] == (False, False, False)          # the only kept page
+    assert flags[2] == (True, False, True)
+    assert flags[3] == (False, True, True)
+    assert flags[4] == (False, False, True)
+    assert flags[5][0] is None or flags[5] == (None, None, None) or flags[5][2] is None
+    assert flags[6] == (False, False, True)
+    kept = (
+        df.select("doc_id", c4_page_flags("text").alias("f"))
+        .filter(~F.col("f.has_brace") & ~F.col("f.has_lorem") & ~F.col("f.too_short"))
+        .collect()
+    )
+    assert [r["doc_id"] for r in kept] == [1]
+
+
+def test_c4_clean_lines_oracle_parity(spark, oracle):
+    """The full rule set vs a DuckDB mirror on a planted VALUES table
+    (the sf tables are single-line word soup — every line fails the
+    terminal-punctuation rule, which the tail of this test pins too)."""
+    from web_api_postgres_etl_spark.functions.text import c4_clean_lines
+
+    rows = [(i, t) for i, t in C4_DOCS if t is not None]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["t"])
+        for r in df.select("doc_id", c4_clean_lines("text").alias("t")).collect()
+    )
+    values = ", ".join(
+        "(%d, '%s')" % (i, t.replace("'", "''").replace("\n", "' || chr(10) || '"))
+        for i, t in rows
+    )
+    want = sorted(
+        tuple(row)
+        for row in oracle.execute(f"""
+        WITH v(doc_id, text) AS (VALUES {values})
+        SELECT doc_id, coalesce(array_to_string(list_filter(
+            str_split(text, chr(10)),
+            l -> regexp_matches(trim(l), '[.!?”"'']$')
+                 AND len(list_filter(regexp_split_to_array(trim(l), ' +'),
+                                     w -> w <> '')) >= 5
+                 AND NOT contains(lower(trim(l)), 'javascript')
+        ), chr(10)), '') AS t
+        FROM v
+        """).fetchall()
+    )
+    assert got == want
+    # degenerate real-table face: word-soup docs have no terminal
+    # punctuation, so the cleaner empties every page (and crashes on
+    # nothing at sf0.01 scale)
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    emptied = docs.select(c4_clean_lines("text").alias("t"))
+    assert emptied.filter(F.col("t") != "").count() == 0

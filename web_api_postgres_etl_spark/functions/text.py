@@ -311,3 +311,52 @@ def clean_text(text_col: Column | str) -> Column:
             normalize_unicode_spaces(strip_control_chars(text_col))
         )
     )
+
+
+def c4_clean_lines(text_col: Column | str, min_words: int = 5) -> Column:
+    """C4's LINE-level retention rules (Raffel et al. 2020, §2.2) as
+    one pure column expression — keep a line only when it
+
+    - ends in terminal punctuation (period / ! / ? / closing quote),
+    - has at least ``min_words`` whitespace words, and
+    - does not mention 'javascript' (case-insensitive) — the cookie/
+      JS-warning boilerplate line.
+
+    Returns the text rebuilt from the surviving lines (NULL in, NULL
+    out; a page of pure boilerplate becomes ''). Narrow map only — no
+    shuffle, unlike the corpus-frequency line dedup
+    (``operators.dedup.dedup_corpus_lines``), which needs a count
+    pass; the two compose (rules first, frequency second). The
+    per-line lambda is a cheap fixed-size predicate — the documented
+    HOF trap is expensive probes against large literals, not this."""
+    lines = F.split(_c(text_col), "\n")
+
+    def _keep(line: Column) -> Column:
+        t = F.trim(line)
+        words = F.filter(F.split(t, " +"), lambda w: w != F.lit(""))
+        return (
+            t.rlike('[.!?”"\']$')
+            & (F.size(words) >= min_words)
+            & ~F.lower(t).contains("javascript")
+        )
+
+    return F.array_join(F.filter(lines, _keep), "\n")
+
+
+def c4_page_flags(text_col: Column | str, min_lines: int = 3) -> Column:
+    """C4's PAGE-level drop rules as a struct of booleans:
+    ``has_brace`` (source-code smell: '{' anywhere), ``has_lorem``
+    ('lorem ipsum' placeholder), ``too_short`` (fewer than
+    ``min_lines`` lines survive :func:`c4_clean_lines`). A page is
+    kept when none are true — the disposition every C4 reproduction
+    applies before dedup."""
+    low = F.lower(_c(text_col))
+    cleaned = c4_clean_lines(text_col)
+    n_kept = F.when(
+        cleaned.isNull() | (cleaned == ""), F.lit(0)
+    ).otherwise(F.size(F.split(cleaned, "\n")))
+    return F.struct(
+        low.contains("{").alias("has_brace"),
+        low.contains("lorem ipsum").alias("has_lorem"),
+        (n_kept < min_lines).alias("too_short"),
+    )
