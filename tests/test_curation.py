@@ -457,6 +457,28 @@ def test_c4_clean_lines_planted(spark):
     assert got[6] == ""              # empty page -> no lines survive
 
 
+def test_c4_clean_lines_crlf_and_tabs(spark):
+    """Review findings: CRLF pages must not leak \\r into the output
+    (or defeat the '$' punctuation anchor), and tab-separated words
+    count as words (the docstring promises WHITESPACE words)."""
+    from web_api_postgres_etl_spark.functions.text import c4_clean_lines
+
+    crlf = ("Good sentence here with enough words.\r\n"
+            "Another good long sentence right here.\r\n")
+    tabs = "alpha\tbeta\tgamma\tdelta\tepsilon ends with punctuation."
+    df = spark.createDataFrame(
+        [(1, crlf), (2, tabs)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["t"]
+        for r in df.select("doc_id", c4_clean_lines("text").alias("t")).collect()
+    }
+    assert got[1] == ("Good sentence here with enough words.\n"
+                      "Another good long sentence right here.")
+    assert "\r" not in got[1]
+    assert got[2] == tabs
+
+
 def test_c4_page_flags_planted(spark):
     from pyspark.sql import functions as F
 
@@ -504,7 +526,7 @@ def test_c4_clean_lines_oracle_parity(spark, oracle):
         SELECT doc_id, coalesce(array_to_string(list_filter(
             str_split(text, chr(10)),
             l -> regexp_matches(trim(l), '[.!?”"'']$')
-                 AND len(list_filter(regexp_split_to_array(trim(l), ' +'),
+                 AND len(list_filter(regexp_split_to_array(trim(l), '\\s+'),
                                      w -> w <> '')) >= 5
                  AND NOT contains(lower(trim(l)), 'javascript')
         ), chr(10)), '') AS t

@@ -15,7 +15,7 @@ import __spark_entry__ as em
 SF = "/root/testdata/sf0.001"
 
 # exact all-pairs baselines where the nested-loop IS the semantics
-INTENTIONAL_EXACT = {"ann_cosine_pairs", "ann_nn_join"}
+INTENTIONAL_EXACT = {"ann_cosine_pairs"}
 # run-to-produce streaming/pipeline entries — their plan is post-hoc
 SKIP = {
     "pipeline_e2e", "t1_streaming_compact", "t4_stateful_stream",

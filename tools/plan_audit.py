@@ -49,7 +49,7 @@ FLAGS = ["CartesianProduct", "BroadcastNestedLoopJoin"]
 # documented exact/verification-only baselines: the non-equi or cross
 # join IS their semantics; their scale forms (lsh_cosine_pairs,
 # lsh_nn_join) audit clean
-INTENTIONAL_EXACT = {"ann_cosine_pairs", "ann_nn_join"}
+INTENTIONAL_EXACT = {"ann_cosine_pairs"}
 
 
 def main(names: list[str]) -> int:

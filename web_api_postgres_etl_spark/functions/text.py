@@ -329,11 +329,15 @@ def c4_clean_lines(text_col: Column | str, min_words: int = 5) -> Column:
     pass; the two compose (rules first, frequency second). The
     per-line lambda is a cheap fixed-size predicate — the documented
     HOF trap is expensive probes against large literals, not this."""
-    lines = F.split(_c(text_col), "\n")
+    # split on every newline convention (CRLF / lone CR / LF) so no
+    # stray \r survives into a line — a trailing \r would both defeat
+    # the '$' punctuation anchor in RE2-family engines and leak into
+    # the rebuilt "clean" text
+    lines = F.split(_c(text_col), "\r\n|\r|\n")
 
     def _keep(line: Column) -> Column:
         t = F.trim(line)
-        words = F.filter(F.split(t, " +"), lambda w: w != F.lit(""))
+        words = F.filter(F.split(t, r"\s+"), lambda w: w != F.lit(""))
         return (
             t.rlike('[.!?”"\']$')
             & (F.size(words) >= min_words)

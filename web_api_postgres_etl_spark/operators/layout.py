@@ -178,10 +178,17 @@ def compact_small_files(
             if not f.startswith(("_", ".")):
                 total += os.path.getsize(os.path.join(root, f))
     n = max(min_files, int(total / target_file_bytes) + (1 if total % target_file_bytes else 0))
-    df = spark.read.parquet(path)
-    compacted = df.coalesce(n)
-    compacted.cache().count()
-    write_overwrite(compacted, path + ".tmp")
-    compacted.unpersist()
+    # no materialization needed: the write targets path + '.tmp' and
+    # the source directory is untouched until the post-write swap, so
+    # the read stays single-pass (coalesce cannot RAISE the partition
+    # count — when the reader already packs the small files into fewer
+    # partitions than n, fewer files come out, which is why the return
+    # value counts what was actually written, not the target)
+    write_overwrite(spark.read.parquet(path).coalesce(n), path + ".tmp")
     swap_compacted(path)
-    return n
+    written = 0
+    for root, _dirs, files in os.walk(path):
+        written += sum(
+            1 for f in files if not f.startswith(("_", "."))
+        )
+    return written
