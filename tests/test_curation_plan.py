@@ -284,3 +284,41 @@ def test_classifier_gate_stage(spark):
     ids_on = {r["doc_id"] for r in out_on.select("doc_id").distinct().collect()}
     assert 90 not in ids_on          # the model catches it
     assert ids_on & {1, 6}           # good docs still flow through
+
+
+def test_c4_rules_stage(spark):
+    """c4_line_rules=True drops brace/lorem/short pages and rebuilds
+    survivors from their retained lines before any other gate."""
+    from dataclasses import replace
+
+    prose = (
+        "The quick brown fox jumps over the lazy dog near the river bend.\n"
+        "menu home about\n"
+        "Every merchant kept a ledger of salt and grain through the season.\n"
+        "The harbormaster read the sky while patient crews mended their nets."
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, prose),
+            (2, "function f() {\nThis page looks like source code overall.\n}"),
+            (3, "Lorem ipsum dolor sit amet filler text here.\n"
+                "A second real sentence to keep the page long enough today.\n"
+                "A third real sentence to keep the page long enough today."),
+            (4, "no punctuation on this line at all\nshort one\ntiny"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(BENCH_TEXT,)], "text string")
+    cfg = replace(
+        CFG, c4_line_rules=True, min_gopher_rules=0, chunk_words=64,
+    )
+    out = prepare_training_data(docs, bench, config=cfg)
+    rows = out.collect()
+    kept = {r["doc_id"] for r in rows}
+    assert kept == {1}
+    text = " ".join(
+        r["chunk_text"] for r in sorted(rows, key=lambda r: r["chunk_idx"])
+    )
+    assert "menu home about" not in text     # short nav line cut
+    assert "harbormaster" in text            # real sentences retained

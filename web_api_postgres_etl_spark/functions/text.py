@@ -347,7 +347,9 @@ def c4_clean_lines(text_col: Column | str, min_words: int = 5) -> Column:
     return F.array_join(F.filter(lines, _keep), "\n")
 
 
-def c4_page_flags(text_col: Column | str, min_lines: int = 3) -> Column:
+def c4_page_flags(
+    text_col: Column | str, min_lines: int = 3, min_words: int = 5
+) -> Column:
     """C4's PAGE-level drop rules as a struct of booleans:
     ``has_brace`` (source-code smell: '{' anywhere), ``has_lorem``
     ('lorem ipsum' placeholder), ``too_short`` (fewer than
@@ -355,7 +357,7 @@ def c4_page_flags(text_col: Column | str, min_lines: int = 3) -> Column:
     kept when none are true — the disposition every C4 reproduction
     applies before dedup."""
     low = F.lower(_c(text_col))
-    cleaned = c4_clean_lines(text_col)
+    cleaned = c4_clean_lines(text_col, min_words=min_words)
     n_kept = F.when(
         cleaned.isNull() | (cleaned == ""), F.lit(0)
     ).otherwise(F.size(F.split(cleaned, "\n")))

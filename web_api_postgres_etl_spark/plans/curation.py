@@ -4,7 +4,8 @@ sharded, leakage-safe training examples — every stage a verified
 operator from this package, composed in the order a production corpus
 run uses them:
 
-    [URL dedup → domain caps] → clean_text → gopher gate
+    [URL dedup → domain caps] → clean_text → [C4 line/page rules]
+    → gopher gate
     → [repetition gates] → PII scrub → [LM perplexity gate]
     → [classifier quality gate] → benchmark decontamination
     → [exact-substring cut] → exact dedup → near-dup cluster dedup
@@ -43,6 +44,9 @@ from ..operators.sampling import (
 @dataclass
 class CurationConfig:
     normalize_text: bool = True         # C4-style clean_text first
+    c4_line_rules: bool = False         # C4 line/page retention rules
+    c4_min_words: int = 5               # words per surviving line
+    c4_min_lines: int = 3               # surviving lines per kept page
     url_col: str | None = None          # set → C4-style URL dedup first
     domain_quota: int | None = None     # with url_col: per-domain cap
     min_gopher_rules: int = 7           # rules required to keep (7 = all)
@@ -140,6 +144,35 @@ def prepare_training_data(
         from ..functions.text import clean_text
 
         docs = docs.withColumn(text_col, clean_text(text_col))
+
+    # 0c. optional C4 line/page retention rules (Raffel et al. 2020):
+    # drop source-code / placeholder / emptied pages, then rebuild the
+    # survivors from their retained lines — one narrow expression pass,
+    # before any gating so downstream digests see the cleaned text.
+    # NULL-text pages drop with the stage on (their flags are NULL —
+    # C4 has no disposition for a page with no text)
+    if cfg.c4_line_rules:
+        from ..functions.text import c4_clean_lines, c4_page_flags
+
+        docs = (
+            docs.withColumn(
+                "__c4",
+                c4_page_flags(
+                    text_col,
+                    min_lines=cfg.c4_min_lines,
+                    min_words=cfg.c4_min_words,
+                ),
+            )
+            .filter(
+                ~F.col("__c4.has_brace")
+                & ~F.col("__c4.has_lorem")
+                & ~F.col("__c4.too_short")
+            )
+            .drop("__c4")
+            .withColumn(
+                text_col, c4_clean_lines(text_col, min_words=cfg.c4_min_words)
+            )
+        )
 
     # 1. rule gate + scrub (one scan, pure expressions). The gate is
     # "≥ min_gopher_rules of 7 pass" — 7 is the paper's strict AND;
