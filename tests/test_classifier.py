@@ -151,3 +151,37 @@ def test_gate_rejects_reserved_column_collisions(spark):
     )
     with pytest.raises(ValueError, match="probability"):
         classifier_gate(df, "doc_id", "text", model)
+
+
+def test_model_save_load_roundtrip(spark, tmp_path):
+    """Saved and reloaded models score identically (the train-once /
+    score-everywhere seam): same numFeatures, same 6-decimal probs."""
+    from web_api_postgres_etl_spark.operators.classifier import (
+        load_quality_model,
+        save_quality_model,
+        score_documents,
+        train_quality_classifier,
+    )
+
+    pos = spark.createDataFrame(
+        [(i, "clean prose sentence number %d here" % i) for i in range(20)],
+        "id long, text string",
+    )
+    neg = spark.createDataFrame(
+        [(i, "buy cheap pills casino bonus %d" % i) for i in range(20)],
+        "id long, text string",
+    )
+    model = train_quality_classifier(pos, neg, num_features=1 << 12)
+    path = str(tmp_path / "qmodel")
+    save_quality_model(model, path)
+    save_quality_model(model, path)          # overwrite is idempotent
+    loaded = load_quality_model(path)
+    assert loaded.numFeatures == model.numFeatures
+    docs = pos.unionByName(
+        neg.select((F.col("id") + 100).alias("id"), "text")
+    )
+    a = {r["id"]: r["quality_prob"]
+         for r in score_documents(docs, "id", "text", model).collect()}
+    b = {r["id"]: r["quality_prob"]
+         for r in score_documents(docs, "id", "text", loaded).collect()}
+    assert a == b

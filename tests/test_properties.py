@@ -516,3 +516,76 @@ def test_pack_key_injective_property(spark, rows):
                 f"pack_key {key!r} maps to both {seen[key]} and {trip}"
             )
         seen[key] = trip
+
+
+# ------------------------------------------------------------------ zorder
+def _zmodel(v: int, mn: int, mx: int, bits: int) -> int:
+    import math
+
+    levels = (1 << bits) - 1
+    span = max(mx - mn, 1)
+    c = min(max(v, mn), mx)
+    # same long-multiply-then-IEEE-divide the column expression does
+    return math.floor(((c - mn) * levels) / span)
+
+
+def _interleave_model(scaled: tuple[int, ...], bits: int) -> int:
+    out = 0
+    k = len(scaled)
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            out |= ((s >> i) & 1) << (i * k + j)
+    return out
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(-10**6, 10**6), st.integers(-10**6, 10**6)),
+        min_size=1, max_size=40,
+    ),
+    st.integers(2, 10),
+)
+@settings(max_examples=8, deadline=None)
+def test_zorder_key_matches_python_model(spark, pts, bits):
+    """The full scale+interleave pipeline vs a pure-Python model on
+    arbitrary signed inputs (bounds derived from the data, as the
+    operator derives them)."""
+    from web_api_postgres_etl_spark.operators.layout import add_zorder_key
+
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)],
+        "id long, x long, y long",
+    )
+    got = {
+        r["id"]: r["z_key"]
+        for r in add_zorder_key(df, ["x", "y"], bits=bits).collect()
+    }
+    xs = [x for x, _ in pts]
+    ys = [y for _, y in pts]
+    bx = (min(xs), max(xs))
+    by = (min(ys), max(ys))
+    for i, (x, y) in enumerate(pts):
+        want = _interleave_model(
+            (_zmodel(x, *bx, bits), _zmodel(y, *by, bits)), bits
+        )
+        assert got[i] == want, (i, x, y, bx, by, bits)
+
+
+def test_zorder_key_bijective_on_aligned_grid(spark):
+    """With bounds exactly spanning the 2^bits levels, scaling is the
+    identity and the Morton key is a bijection onto [0, 4^bits)."""
+    from web_api_postgres_etl_spark.operators.layout import add_zorder_key
+
+    bits = 3
+    pts = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)],
+        "id long, x long, y long",
+    )
+    keys = [
+        r["z_key"]
+        for r in add_zorder_key(
+            df, ["x", "y"], bits=bits, bounds={"x": (0, 7), "y": (0, 7)}
+        ).collect()
+    ]
+    assert sorted(keys) == list(range(64))

@@ -26,6 +26,8 @@ from .filters import drop_required_nulls, in_range, newer_than
 from .classifier import (
     classifier_gate,
     hashed_token_features,
+    load_quality_model,
+    save_quality_model,
     score_documents,
     train_quality_classifier,
 )
@@ -98,6 +100,8 @@ __all__ = [
     "qcol",
     "classifier_gate",
     "hashed_token_features",
+    "load_quality_model",
+    "save_quality_model",
     "score_documents",
     "train_quality_classifier",
     "quota_by_group",

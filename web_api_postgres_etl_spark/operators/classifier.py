@@ -180,3 +180,22 @@ def classifier_gate(
         F.round(vector_to_array(F.col("probability")).getItem(1), 6)
         >= min_prob
     ).select(*cols)
+
+
+def save_quality_model(model, path: str) -> None:
+    """Persist the fitted model with pyspark.ml's native writer — the
+    train-once / score-everywhere seam: training runs wherever the
+    labeled sample lives, the saved artifact (coefficient vector +
+    intercept + metadata JSON, a few MB) ships to every scoring
+    cluster. Overwrites for idempotent re-runs of a training job."""
+    model.write().overwrite().save(path)
+
+
+def load_quality_model(path: str):
+    """Load a model saved by :func:`save_quality_model`. The feature
+    width travels inside the artifact (``model.numFeatures``), so
+    scoring reconstructs the identical hash space with no side
+    channel."""
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    return LogisticRegressionModel.load(path)
