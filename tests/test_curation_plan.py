@@ -322,3 +322,17 @@ def test_c4_rules_stage(spark):
     )
     assert "menu home about" not in text     # short nav line cut
     assert "harbormaster" in text            # real sentences retained
+
+
+def test_c4_stage_rejects_reserved_columns(spark):
+    from dataclasses import replace
+
+    docs = spark.createDataFrame(
+        [(1, "Some fine sentence with plenty of words here.", True)],
+        "doc_id long, text string, __c4 boolean",
+    )
+    bench = spark.createDataFrame([(BENCH_TEXT,)], "text string")
+    with pytest.raises(ValueError, match="__c4"):
+        prepare_training_data(
+            docs, bench, config=replace(CFG, c4_line_rules=True)
+        )

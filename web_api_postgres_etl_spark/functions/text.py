@@ -347,6 +347,25 @@ def c4_clean_lines(text_col: Column | str, min_words: int = 5) -> Column:
     return F.array_join(F.filter(lines, _keep), "\n")
 
 
+def _c4_flags_from_clean(
+    text_col: Column | str, cleaned: Column, min_lines: int
+) -> Column:
+    """Flag struct given an ALREADY-cleaned column — lets a plan that
+    also needs the rebuilt text compute :func:`c4_clean_lines` exactly
+    once (Catalyst does no common-subexpression elimination across a
+    Filter, so handing the same expression to flags and rebuild would
+    evaluate the whole line pipeline twice per page)."""
+    low = F.lower(_c(text_col))
+    n_kept = F.when(
+        cleaned.isNull() | (cleaned == ""), F.lit(0)
+    ).otherwise(F.size(F.split(cleaned, "\n")))
+    return F.struct(
+        low.contains("{").alias("has_brace"),
+        low.contains("lorem ipsum").alias("has_lorem"),
+        (n_kept < min_lines).alias("too_short"),
+    )
+
+
 def c4_page_flags(
     text_col: Column | str, min_lines: int = 3, min_words: int = 5
 ) -> Column:
@@ -356,13 +375,6 @@ def c4_page_flags(
     ``min_lines`` lines survive :func:`c4_clean_lines`). A page is
     kept when none are true — the disposition every C4 reproduction
     applies before dedup."""
-    low = F.lower(_c(text_col))
-    cleaned = c4_clean_lines(text_col, min_words=min_words)
-    n_kept = F.when(
-        cleaned.isNull() | (cleaned == ""), F.lit(0)
-    ).otherwise(F.size(F.split(cleaned, "\n")))
-    return F.struct(
-        low.contains("{").alias("has_brace"),
-        low.contains("lorem ipsum").alias("has_lorem"),
-        (n_kept < min_lines).alias("too_short"),
+    return _c4_flags_from_clean(
+        text_col, c4_clean_lines(text_col, min_words=min_words), min_lines
     )

@@ -152,15 +152,29 @@ def prepare_training_data(
     # NULL-text pages drop with the stage on (their flags are NULL —
     # C4 has no disposition for a page with no text)
     if cfg.c4_line_rules:
-        from ..functions.text import c4_clean_lines, c4_page_flags
+        from ..functions.text import _c4_flags_from_clean, c4_clean_lines
 
+        clash = {"__c4", "__c4_clean"} & set(docs.columns)
+        if clash:
+            raise ValueError(
+                f"input columns {sorted(clash)} collide with the C4 "
+                "stage's internal columns — rename them before running "
+                "with c4_line_rules=True (the stage would otherwise "
+                "silently overwrite and delete them)"
+            )
+        # clean ONCE (project), derive flags from the cleaned column,
+        # filter, then promote the cleaned text — Catalyst performs no
+        # CSE across the Filter, so flags and rebuild must share the
+        # materialized column, not the expression
         docs = (
             docs.withColumn(
+                "__c4_clean",
+                c4_clean_lines(text_col, min_words=cfg.c4_min_words),
+            )
+            .withColumn(
                 "__c4",
-                c4_page_flags(
-                    text_col,
-                    min_lines=cfg.c4_min_lines,
-                    min_words=cfg.c4_min_words,
+                _c4_flags_from_clean(
+                    text_col, F.col("__c4_clean"), cfg.c4_min_lines
                 ),
             )
             .filter(
@@ -168,10 +182,8 @@ def prepare_training_data(
                 & ~F.col("__c4.has_lorem")
                 & ~F.col("__c4.too_short")
             )
-            .drop("__c4")
-            .withColumn(
-                text_col, c4_clean_lines(text_col, min_words=cfg.c4_min_words)
-            )
+            .withColumn(text_col, F.col("__c4_clean"))
+            .drop("__c4", "__c4_clean")
         )
 
     # 1. rule gate + scrub (one scan, pure expressions). The gate is
