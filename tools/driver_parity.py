@@ -54,7 +54,7 @@ def main(names: list[str]) -> int:
     oracles = entrymod.oracle_sql()
     queries = entrymod.queries()
     if not names:
-        names = [n for n in queries if n in oracles]
+        names = list(queries)  # oracle-backed compared, rest rows-only
 
     spark = get_spark(app_name="parity", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
@@ -63,6 +63,17 @@ def main(names: list[str]) -> int:
 
     n_fail = 0
     for name in names:
+        if name not in oracles:
+            # the driver's weaker face for no-oracle entries: the
+            # query must run and yield a stable schema + >= 0 rows
+            try:
+                spdf = queries[name](spark, SF).toPandas()
+                print(f"pass {name} (rows-only: {len(spdf)} rows, "
+                      f"cols {list(spdf.columns)})")
+            except Exception as exc:  # noqa: BLE001
+                print(f"ERR  {name}: {exc}")
+                n_fail += 1
+            continue
         try:
             spdf = canon_frame(queries[name](spark, SF).toPandas())
             dkdf = canon_frame(con.execute(oracles[name]).df())
