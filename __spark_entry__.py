@@ -2845,13 +2845,15 @@ FROM pk4
 def q_bigram_ppl_gate(spark: SparkSession, sf: str) -> DataFrame:
     """Bigram stupid-backoff LM gate (operators.retrieval.
     bigram_perplexity — Brants et al. 2007): every document scored
-    against the corpus's own bigram model, kept when ppl <= 28.95.
+    against the corpus's own bigram model, kept when ppl <= 29.10.
     The conditional-probability upgrade of the unigram CCNet-style
     filter already pinned inside training_data_e2e: fluent prose has
     high bigram coverage, keyword stuffing and shuffled boilerplate
-    do not. The threshold sits mid-gap in a 0.072-wide hole of the
-    sf0.01 score distribution (~1,400x the measured 5e-5 cross-engine
-    ln/exp drift), so the kept SET is engine-independent even though
+    do not. The threshold sits mid-gap in a 0.035-wide hole
+    (29.085..29.120) of the sf0.01 score distribution (~700x the
+    measured 5e-5 cross-engine ln/exp drift) and keeps a non-empty
+    survivor set at every test SF (63/75/4 docs at sf0.001/0.01/0.1),
+    so the kept SET is engine-independent even though
     raw ppl floats are not — the contract pins (doc_id, n_tokens) of
     the survivors, never a float column (the unigram precedent from
     round 5, same gap-scan method)."""
@@ -2861,7 +2863,7 @@ def q_bigram_ppl_gate(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = _t(spark, sf, "documents")
     scored = bigram_perplexity(docs, "doc_id", "text")
-    return scored.filter(F.col("ppl") <= 28.95).select("doc_id", "n_tokens")
+    return scored.filter(F.col("ppl") <= 29.10).select("doc_id", "n_tokens")
 
 
 SQL_BIGRAM_PPL_GATE = """
@@ -2901,7 +2903,7 @@ lp AS (
   LEFT JOIN uni ON pos.cur = uni.term)
 SELECT doc_id, CAST(count(*) AS INT) AS n_tokens
 FROM lp GROUP BY doc_id
-HAVING exp(avg(-lp)) <= 28.95
+HAVING exp(avg(-lp)) <= 29.10
 """
 
 
