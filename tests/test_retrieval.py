@@ -396,3 +396,58 @@ def test_bigram_perplexity_oracle_parity(spark, oracle):
             assert want[d][1] is None, d
         else:
             assert got[d][1] == pt.approx(want[d][1], abs=2e-6), d
+
+
+def test_lm_model_tables_score_identically(spark, tmp_path):
+    """Scoring from prebuilt (persisted) model tables equals scoring
+    from the reference corpus directly — the train-once /
+    score-everywhere seam for both LM gates, parquet roundtrip
+    included."""
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        bigram_perplexity,
+        build_bigram_model,
+        build_unigram_model,
+        unigram_perplexity,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    ref = docs.filter(docs.doc_id % 2 == 0)       # reference corpus
+    target = docs.filter(docs.doc_id % 2 == 1)    # corpus to score
+
+    upath = str(tmp_path / "uni")
+    build_unigram_model(ref, "text").write.parquet(upath)
+    from_table = unigram_perplexity(
+        target, "doc_id", "text",
+        model_counts=spark.read.parquet(upath),
+    ).collect()
+    from_corpus = unigram_perplexity(
+        target, "doc_id", "text", model_df=ref
+    ).collect()
+    assert sorted(map(tuple, from_table)) == sorted(map(tuple, from_corpus))
+
+    uni, bg = build_bigram_model(ref, "text")
+    bpath = str(tmp_path / "bg")
+    bg.write.parquet(bpath)
+    b_table = bigram_perplexity(
+        target, "doc_id", "text",
+        model_counts=spark.read.parquet(upath),
+        bigram_counts=spark.read.parquet(bpath),
+    ).collect()
+    b_corpus = bigram_perplexity(
+        target, "doc_id", "text", model_df=ref
+    ).collect()
+    assert sorted(map(tuple, b_table)) == sorted(map(tuple, b_corpus))
+
+
+def test_lm_model_table_param_validation(spark):
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        bigram_perplexity,
+        unigram_perplexity,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    tbl = spark.createDataFrame([("a", 1)], "term string, count long")
+    with pytest.raises(ValueError, match="not both"):
+        unigram_perplexity(docs, model_df=docs, model_counts=tbl)
+    with pytest.raises(ValueError, match="pair"):
+        bigram_perplexity(docs, model_counts=tbl)

@@ -35,7 +35,14 @@ from .graph import dedup_clusters
 from .joins import asof_join, interval_join, salted_join, star_join, two_way_join
 from .layout import add_zorder_key, cluster_by_zorder, compact_small_files, zorder_key
 from .project import project, project_alias, drop_columns, qcol
-from .retrieval import bigram_perplexity, bm25_topk, tfidf_table, unigram_perplexity
+from .retrieval import (
+    bigram_perplexity,
+    bm25_topk,
+    build_bigram_model,
+    build_unigram_model,
+    tfidf_table,
+    unigram_perplexity,
+)
 from .sampling import (
     chunk_documents,
     deterministic_split,
@@ -62,6 +69,8 @@ __all__ = [
     "add_zorder_key",
     "asof_join",
     "bigram_perplexity",
+    "build_bigram_model",
+    "build_unigram_model",
     "cluster_by_zorder",
     "compact_small_files",
     "zorder_key",

@@ -124,6 +124,60 @@ def bm25_topk(
     )
 
 
+def build_unigram_model(src: DataFrame, text_col: str = "text") -> DataFrame:
+    """(term, count) — the persistable reference-model artifact for
+    ``unigram_perplexity(model_counts=...)`` (and the unigram half of
+    the bigram scorer): write it to parquet once per reference-corpus
+    snapshot, then score any corpus against it without ever re-reading
+    the reference text — the KenLM-binary equivalent of this package's
+    count-based LM gates. One map-side-combined (term, count) shuffle;
+    term strings only, never documents."""
+    return (
+        src.select(F.explode(normalized_tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("count"))
+    )
+
+
+def _bigram_pairs(frame: DataFrame, text_expr) -> DataFrame:
+    """(w1, w2) adjacent-token pairs — one slide per document."""
+    toks = frame.select(normalized_tokens(text_expr).alias("__t"))
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size("__t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(2), F.size("__t")),
+                    lambda i: F.struct(
+                        F.element_at(F.col("__t"), i - 1).alias("w1"),
+                        F.element_at(F.col("__t"), i).alias("w2"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<w1:string,w2:string>>")
+            )
+        ).alias("__bg")
+    )
+    return pairs.select("__bg.w1", "__bg.w2")
+
+
+def build_bigram_model(
+    src: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """((term, count), (w1, w2, count)) — the two persistable tables
+    ``bigram_perplexity(model_counts=..., bigram_counts=...)`` scores
+    from. Both are map-side-combined count shuffles over the reference
+    corpus; persist them as parquet and the stupid-backoff scorer
+    never touches the reference text again."""
+    uni = build_unigram_model(src, text_col)
+    bg = (
+        _bigram_pairs(src, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("count"))
+    )
+    return uni, bg
+
+
 def unigram_perplexity(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -133,6 +187,7 @@ def unigram_perplexity(
     alpha: float = 0.5,
     cache_model: bool = True,
     pins: list[DataFrame] | None = None,
+    model_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document unigram cross-entropy / perplexity — the
     transparent stand-in for CCNet's KenLM quality filter (docs whose
@@ -156,14 +211,30 @@ def unigram_perplexity(
     same switch every persisting operator here carries. A long-lived
     session can pass ``pins=[]`` to receive the pinned model frame
     for later unpersist (see ``plans.curation.release_pins``).
+
+    ``model_counts`` takes a PRECOMPUTED (term, count) table (from
+    :func:`build_unigram_model`, typically read back from parquet) and
+    skips the counting pass entirely — the production shape where one
+    reference model scores many corpora. Mutually exclusive with
+    ``model_df``.
     """
-    src = model_df if model_df is not None else df
-    src_text = model_text_col or text_col
-    tc = (
-        src.select(F.explode(normalized_tokens(src_text)).alias("term"))
-        .groupBy("term")
-        .agg(F.count("*").alias("__c"))
-    )
+    if model_counts is not None and model_df is not None:
+        raise ValueError(
+            "pass model_counts (a prebuilt (term, count) table) OR "
+            "model_df (a corpus to count), not both"
+        )
+    if model_counts is not None:
+        tc = model_counts.select(
+            F.col("term"), F.col("count").alias("__c")
+        )
+    else:
+        src = model_df if model_df is not None else df
+        src_text = model_text_col or text_col
+        tc = (
+            src.select(F.explode(normalized_tokens(src_text)).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("__c"))
+        )
     if cache_model:
         tc = tc.persist()
         if pins is not None:
@@ -272,6 +343,8 @@ def bigram_perplexity(
     backoff: float = 0.4,
     cache_model: bool = True,
     pins: list[DataFrame] | None = None,
+    model_counts: DataFrame | None = None,
+    bigram_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document bigram cross-entropy with STUPID BACKOFF (Brants
     et al. 2007, 'Large Language Models in Machine Translation' — the
@@ -300,16 +373,35 @@ def bigram_perplexity(
     vocabularies), then one per-doc average. N and V are ONE scalar
     collect. ``pins`` receives the persisted count frames (read twice
     each), as everywhere else.
+
+    ``model_counts`` + ``bigram_counts`` take the two PREBUILT tables
+    from :func:`build_bigram_model` (typically read back from parquet)
+    and skip both counting passes — one reference model, many scored
+    corpora. Both must be given together; mutually exclusive with
+    ``model_df``.
     """
+    if (model_counts is None) != (bigram_counts is None):
+        raise ValueError(
+            "model_counts and bigram_counts come as a pair (both from "
+            "build_bigram_model) — got only one"
+        )
+    if model_counts is not None and model_df is not None:
+        raise ValueError(
+            "pass prebuilt model tables OR model_df (a corpus to "
+            "count), not both"
+        )
     src = model_df if model_df is not None else df
     src_text = model_text_col or text_col
 
     # model unigram counts
-    tc = (
-        src.select(F.explode(normalized_tokens(src_text)).alias("term"))
-        .groupBy("term")
-        .agg(F.count("*").alias("__c"))
-    )
+    if model_counts is not None:
+        tc = model_counts.select(F.col("term"), F.col("count").alias("__c"))
+    else:
+        tc = (
+            src.select(F.explode(normalized_tokens(src_text)).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("__c"))
+        )
     if cache_model:
         tc = tc.persist()
         if pins is not None:
@@ -337,31 +429,18 @@ def bigram_perplexity(
     oov_lp = math.log(alpha / denom)
 
     # model bigram counts: slide the token array once per model doc
-    def _bigram_pairs(frame: DataFrame, text_expr) -> DataFrame:
-        toks = frame.select(normalized_tokens(text_expr).alias("__t"))
-        pairs = toks.select(
-            F.explode(
-                F.when(
-                    F.size("__t") >= 2,
-                    F.transform(
-                        F.sequence(F.lit(2), F.size("__t")),
-                        lambda i: F.struct(
-                            F.element_at(F.col("__t"), i - 1).alias("w1"),
-                            F.element_at(F.col("__t"), i).alias("w2"),
-                        ),
-                    ),
-                ).otherwise(
-                    F.array().cast("array<struct<w1:string,w2:string>>")
-                )
-            ).alias("__bg")
+    # (or take the prebuilt table — the same _bigram_pairs shuffle
+    # build_bigram_model ran at model-build time)
+    if bigram_counts is not None:
+        bc = bigram_counts.select(
+            F.col("w1"), F.col("w2"), F.col("count").alias("__bc")
         )
-        return pairs.select("__bg.w1", "__bg.w2")
-
-    bc = (
-        _bigram_pairs(src, src_text)
-        .groupBy("w1", "w2")
-        .agg(F.count("*").alias("__bc"))
-    )
+    else:
+        bc = (
+            _bigram_pairs(src, src_text)
+            .groupBy("w1", "w2")
+            .agg(F.count("*").alias("__bc"))
+        )
     if cache_model:
         bc = bc.persist()
         if pins is not None:
