@@ -336,3 +336,28 @@ def test_c4_stage_rejects_reserved_columns(spark):
         prepare_training_data(
             docs, bench, config=replace(CFG, c4_line_rules=True)
         )
+
+
+def test_ppl_gate_from_prebuilt_model_table(spark):
+    """ppl_model_counts (the persisted-model production shape) keeps
+    the same documents as counting the reference corpus in-plan."""
+    from dataclasses import replace
+
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        build_unigram_model,
+    )
+
+    docs, bench = _inputs(spark)
+    ref = docs.filter(docs.doc_id == 6).select("text")
+    cfg_corpus = replace(
+        CFG, min_gopher_rules=2, max_ppl=150.0, ppl_reference=ref,
+    )
+    cfg_table = replace(
+        CFG, min_gopher_rules=2, max_ppl=150.0,
+        ppl_model_counts=build_unigram_model(ref, "text"),
+    )
+    a = {r["doc_id"] for r in
+         prepare_training_data(docs, bench, config=cfg_corpus).collect()}
+    b = {r["doc_id"] for r in
+         prepare_training_data(docs, bench, config=cfg_table).collect()}
+    assert a == b and a

@@ -55,6 +55,9 @@ class CurationConfig:
     repetition_ngram: int = 2
     max_ppl: float | None = None        # LM-filter gate (None = skipped)
     ppl_reference: object | None = None  # reference-corpus DataFrame
+    ppl_model_counts: object | None = None  # prebuilt (term,count) table
+    #   (build_unigram_model output, e.g. read from parquet) — skips
+    #   the counting pass; takes precedence over ppl_reference
     quality_model: object | None = None  # fitted classifier (None = skipped)
     min_quality_prob: float = 0.5       # classifier gate threshold
     exact_substring_k: int | None = None   # ExactSubstr window (None = off)
@@ -243,10 +246,20 @@ def prepare_training_data(
         # plan's later `exact` persist documents); self-scoring adds a
         # third read for the model build
         gated = _pin(gated)
-        ref = cfg.ppl_reference if cfg.ppl_reference is not None else gated
-        ppl = unigram_perplexity(
-            gated, id_col, text_col, model_df=ref, pins=pins
-        ).select(id_col, "ppl")
+        if cfg.ppl_model_counts is not None:
+            # production shape: one persisted reference model scores
+            # every batch — no counting pass at all
+            ppl = unigram_perplexity(
+                gated, id_col, text_col,
+                model_counts=cfg.ppl_model_counts, pins=pins,
+            ).select(id_col, "ppl")
+        else:
+            ref = (
+                cfg.ppl_reference if cfg.ppl_reference is not None else gated
+            )
+            ppl = unigram_perplexity(
+                gated, id_col, text_col, model_df=ref, pins=pins
+            ).select(id_col, "ppl")
         gated = (
             gated.join(ppl, on=id_col, how="left")
             .filter(F.coalesce(F.col("ppl") <= cfg.max_ppl, F.lit(False)))
