@@ -276,3 +276,56 @@ def test_salted_join_accepts_spark_spellings(spark):
     dim = spark.createDataFrame([(0,), (1,)], "k long")
     got = salted_join(fact, dim, "k", "k", salt=4, how="leftsemi")
     assert got.count() == fact.join(dim, "k", "left_semi").count()
+
+
+def test_asof_join_tolerance_bounds_staleness(spark):
+    """tolerance (merge_asof parity): a match older than the bound is
+    rejected — the left row DROPS rather than pairing with stale
+    state. Interval form for dates, numeric form for numeric times."""
+    from pyspark.sql import functions as F
+
+    from web_api_postgres_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "2024-03-10"), (2, 100, "2024-03-20")],
+        "eid long, k long, lt string",
+    ).select("eid", "k", F.to_date("lt").alias("lt"))
+    right = spark.createDataFrame(
+        [(100, "2024-03-09", "fresh"), (100, "2024-03-01", "stale")],
+        "k long, rt string, tag string",
+    ).select("k", F.to_date("rt").alias("rt"), "tag")
+
+    no_tol = asof_join(
+        left, right, on="k", left_time="lt", right_time="rt", left_id="eid"
+    )
+    assert {(r["eid"], r["tag"]) for r in no_tol.collect()} == {
+        (1, "fresh"), (2, "fresh"),
+    }
+    tol = asof_join(
+        left, right, on="k", left_time="lt", right_time="rt",
+        left_id="eid", tolerance=F.expr("INTERVAL 5 DAYS"),
+    )
+    # eid 2's nearest match (03-09) is 11 days old -> dropped entirely
+    assert {(r["eid"], r["tag"]) for r in tol.collect()} == {(1, "fresh")}
+
+    nleft = spark.createDataFrame([(1, 7, 50)], "eid long, k long, lt long")
+    nright = spark.createDataFrame(
+        [(7, 10, "old"), (7, 47, "recent")], "k long, rt long, tag string"
+    )
+    out = asof_join(
+        nleft, nright, on="k", left_time="lt", right_time="rt",
+        left_id="eid", tolerance=5,
+    )
+    assert [(r["eid"], r["tag"]) for r in out.collect()] == [(1, "recent")]
+    none = asof_join(
+        nleft, nright, on="k", left_time="lt", right_time="rt",
+        left_id="eid", tolerance=2,
+    )
+    assert none.count() == 0
+
+    fwd = asof_join(
+        nleft, nright.withColumn("rt", F.col("rt") + 10),
+        on="k", left_time="lt", right_time="rt", left_id="eid",
+        direction="forward", tolerance=8,
+    )
+    assert [(r["tag"]) for r in fwd.collect()] == ["recent"]  # 57 <= 50+8

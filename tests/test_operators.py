@@ -222,3 +222,75 @@ def test_corpus_diff_null_text_transitions(spark):
            for r in corpus_diff(old, new, "doc_id", "text").collect()}
     # NULL → NULL is unchanged; NULL ↔ text is a change either way
     assert got == {1: "unchanged", 2: "changed", 3: "changed"}
+
+
+# ------------------------------------------------------------------ funnel
+def test_funnel_planted_semantics(spark):
+    """Order matters, equal timestamps don't advance, missing first
+    step zeroes the chain, counts are non-increasing."""
+    from web_api_postgres_etl_spark.operators.aggregates import funnel
+
+    rows = [
+        # u1: clean view -> click -> buy
+        (1, "view", 10), (1, "click", 20), (1, "buy", 30),
+        # u2: click BEFORE view -> stalls after view
+        (2, "click", 5), (2, "view", 10),
+        # u3: click at the SAME instant as view -> strictly-after fails
+        (3, "view", 10), (3, "click", 10),
+        # u4: never views; click+buy alone must not count anywhere
+        (4, "click", 1), (4, "buy", 2),
+        # u5: view then buy (skips click) -> stalls after view
+        (5, "view", 1), (5, "buy", 9),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+    out = {
+        (r["step_idx"], r["step"]): r["n_users"]
+        for r in funnel(df, "user_id", "ts", "event_type",
+                        ["view", "click", "buy"]).collect()
+    }
+    assert out == {(0, "view"): 4, (1, "click"): 1, (2, "buy"): 1}
+
+    import pytest as pt
+
+    with pt.raises(ValueError, match="at least one step"):
+        funnel(df, "user_id", "ts", "event_type", [])
+
+
+def test_funnel_oracle_parity_on_events(spark, oracle):
+    from web_api_postgres_etl_spark.operators.aggregates import funnel
+
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    steps = ["view", "click", "signup", "purchase"]
+    got = sorted(
+        tuple(r) for r in funnel(
+            events, "user_id", "ts", "event_type", steps
+        ).collect()
+    )
+    want = sorted(
+        tuple(row) for row in oracle.execute("""
+        WITH s0 AS (
+          SELECT user_id AS u, min(ts) AS t FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        s1 AS (
+          SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+          JOIN s0 ON e.user_id = s0.u AND e.ts > s0.t
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+        s2 AS (
+          SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+          JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+          WHERE e.event_type = 'signup' GROUP BY e.user_id),
+        s3 AS (
+          SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+          JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        SELECT CAST(0 AS INT) AS step_idx, 'view' AS step,
+               (SELECT count(*) FROM s0) AS n_users
+        UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+        UNION ALL SELECT 2, 'signup', (SELECT count(*) FROM s2)
+        UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        """).fetchall()
+    )
+    assert got == want
+    by_idx = dict((i, n) for i, _, n in got)
+    assert all(by_idx[i] >= by_idx[i + 1] for i in range(3))
+    assert by_idx[0] > 0

@@ -6,7 +6,7 @@ Catalyst still sees one lazy plan per pipeline — filters and projections
 written here reach the parquet scan as PushedFilters/ReadSchema.
 """
 
-from .aggregates import corpus_stats, max_watermark, max_watermarks
+from .aggregates import corpus_stats, funnel, max_watermark, max_watermarks
 from .dedup import (
     corpus_diff,
     contaminated_flag,
@@ -78,6 +78,7 @@ __all__ = [
     "chunk_documents",
     "contaminated_flag",
     "corpus_stats",
+    "funnel",
     "cosine_topk",
     "decontaminate",
     "dedup_against_corpus",

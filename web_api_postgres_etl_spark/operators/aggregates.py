@@ -85,3 +85,69 @@ def corpus_stats(
             F.lit(1.0) - F.approx_count_distinct("__digest") / F.count("*"), 6
         ).alias("approx_dup_rate"),
     )
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    step_col: str,
+    steps: Iterable[str],
+) -> DataFrame:
+    """Ordered funnel analysis (the product-analytics staple Spark has
+    no operator for): how many users performed ``steps[0]``, then
+    ``steps[1]`` STRICTLY AFTER it, then ``steps[2]`` strictly after
+    that, and so on. Returns one row per step — (step_idx, step,
+    n_users) — with counts non-increasing by construction.
+
+    Semantics pinned: each stage matches the EARLIEST qualifying event
+    (greedy, which is optimal for subsequence matching — taking the
+    earliest never excludes a later completion), and equal timestamps
+    do NOT advance the funnel (strictly-after, so an atomic batch of
+    same-ts events counts as one stage at most; use distinct event
+    times upstream if simultaneous steps must chain).
+
+    Scale shape — pure expressions, no per-event lambda: stage i is
+    one filtered map-side-combining aggregate min(ts) per user,
+    equi-joined on the user to stage i-1's result. k stages → k
+    aggregates + (k-1) joins whose shuffles carry (user, ts) pairs
+    only, never events; AQE broadcasts the shrinking stage frames as
+    they fall under the threshold. The final counts are k tiny
+    aggregates unioned into one result.
+    """
+    steps = list(steps)
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    u, t, s = qcol(user_col), qcol(ts_col), qcol(step_col)
+    prev: DataFrame | None = None
+    counts = []
+    for i, step in enumerate(steps):
+        stage_events = df.filter(s == step).select(
+            u.alias("__fu"), t.alias("__ft")
+        )
+        if prev is None:
+            stage = stage_events.groupBy("__fu").agg(
+                F.min("__ft").alias("__ft")
+            )
+        else:
+            stage = (
+                stage_events.join(
+                    prev.select("__fu", F.col("__ft").alias("__prev_t")),
+                    "__fu",
+                )
+                .filter(F.col("__ft") > F.col("__prev_t"))
+                .groupBy("__fu")
+                .agg(F.min("__ft").alias("__ft"))
+            )
+        counts.append(
+            stage.agg(
+                F.lit(i).cast("int").alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.count("*").alias("n_users"),
+            )
+        )
+        prev = stage
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out

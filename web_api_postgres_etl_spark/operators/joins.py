@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .project import qcol
@@ -81,14 +81,26 @@ def asof_join(
     right_on: str | None = None,
     tiebreaker: str | None = None,
     direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
     """AS-OF join (an operator Spark lacks natively): for each left row
     (identified by unique ``left_id``), the single most recent matching
     right row whose time is ≤ the left time (``backward``; ``forward``
     = earliest ≥). Inner semantics: unmatched left rows drop.
 
+    ``tolerance`` (pandas ``merge_asof`` parity) bounds the staleness:
+    backward matches must satisfy ``right_time >= left_time -
+    tolerance``, forward ones ``right_time <= left_time + tolerance``.
+    Pass whatever subtracts from the time columns' type — an ``INTERVAL``
+    expression (``F.expr("INTERVAL 7 DAYS")``) for timestamps/dates, a
+    number for numeric times. A join against a feed that went quiet
+    should surface the gap, not silently pair events with month-old
+    state.
+
     Composition: equi-join on key → time predicate → row_number window
-    per left row → rank 1. ``tiebreaker`` pins equal-time ties.
+    per left row → rank 1. ``tiebreaker`` pins equal-time ties. The
+    tolerance tightens the join condition itself (fewer candidates into
+    the window), never a post-filter.
 
     Scale shape: the equi-join bounds candidates per key so window
     partitions stay small; bucket both sides on the key (see
@@ -103,9 +115,25 @@ def asof_join(
     cond = F.col(f"l.{on}") == F.col(f"r.{rk}")
     if direction == "backward":
         cond = cond & (F.col(f"r.{right_time}") <= F.col(f"l.{left_time}"))
+        if tolerance is not None:
+            cond = cond & (
+                F.col(f"r.{right_time}")
+                >= F.col(f"l.{left_time}") - F.lit(tolerance)
+                if not isinstance(tolerance, Column)
+                else F.col(f"r.{right_time}")
+                >= F.col(f"l.{left_time}") - tolerance
+            )
         order = [F.col(f"r.{right_time}").desc()]
     else:
         cond = cond & (F.col(f"r.{right_time}") >= F.col(f"l.{left_time}"))
+        if tolerance is not None:
+            cond = cond & (
+                F.col(f"r.{right_time}")
+                <= F.col(f"l.{left_time}") + F.lit(tolerance)
+                if not isinstance(tolerance, Column)
+                else F.col(f"r.{right_time}")
+                <= F.col(f"l.{left_time}") + tolerance
+            )
         order = [F.col(f"r.{right_time}").asc()]
     if tiebreaker:
         order.append(F.col(f"r.{tiebreaker}").asc())
