@@ -294,3 +294,40 @@ def test_funnel_oracle_parity_on_events(spark, oracle):
     by_idx = dict((i, n) for i, _, n in got)
     assert all(by_idx[i] >= by_idx[i + 1] for i in range(3))
     assert by_idx[0] > 0
+
+
+def test_funnel_users_drilldown(spark):
+    """Per-user deepest stage agrees with the counts form: n_users at
+    step i equals the number of users whose max_step_idx >= i."""
+    from web_api_postgres_etl_spark.operators.aggregates import (
+        funnel,
+        funnel_users,
+    )
+
+    rows = [
+        (1, "view", 10), (1, "click", 20), (1, "buy", 30),
+        (2, "click", 5), (2, "view", 10),
+        (3, "view", 10), (3, "click", 10),
+        (4, "click", 1), (4, "buy", 2),
+        (5, "view", 1), (5, "buy", 9),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+    steps = ["view", "click", "buy"]
+    users = {
+        r["user_id"]: (r["max_step_idx"], r["max_step"], r["completed_at"])
+        for r in funnel_users(df, "user_id", "ts", "event_type", steps).collect()
+    }
+    assert users == {
+        1: (2, "buy", 30),
+        2: (0, "view", 10),
+        3: (0, "view", 10),
+        5: (0, "view", 1),
+    }
+    # consistency with the counts form: n_users at step i == number of
+    # users whose max_step_idx >= i
+    counts = {
+        r["step_idx"]: r["n_users"]
+        for r in funnel(df, "user_id", "ts", "event_type", steps).collect()
+    }
+    for i in range(len(steps)):
+        assert counts[i] == sum(1 for v in users.values() if v[0] >= i)

@@ -91,3 +91,56 @@ def test_jalali_roundtrip_and_known_dates():
 def test_fa_today_format():
     s = fa_today(dt.date(2021, 3, 21))
     assert s == "1400/01/01"
+
+
+# ------------------------------------------------------------------ jsonl
+def test_read_jsonl_corpus_quarantines_corrupt_lines(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from web_api_postgres_etl_spark.sources.jsonl import (
+        read_jsonl_corpus,
+        write_jsonl,
+    )
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "a fine document"}\n'
+        '{"doc_id": 2, "text": "another one"}\n'
+        '{"doc_id": 3, "text": "truncated\n'          # corrupt: unclosed
+        'not json at all\n'                            # corrupt: garbage
+        '{"doc_id": 4, "text": null}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    good, bad = read_jsonl_corpus(spark, str(p), schema=schema)
+    assert sorted(r["doc_id"] for r in good.collect()) == [1, 2, 4]
+    assert "_corrupt_record" not in good.columns
+    quarantined = bad.collect()
+    assert len(quarantined) == 2
+    raws = {r["_corrupt_record"] for r in quarantined}
+    assert 'not json at all' in raws
+    assert any(r.startswith('{"doc_id": 3') for r in raws)
+
+    # inference path over a clean file still returns the pair shape
+    clean = tmp_path / "clean.jsonl"
+    clean.write_text('{"doc_id": 9, "text": "ok"}\n')
+    g2, b2 = read_jsonl_corpus(spark, str(clean))
+    assert g2.count() == 1 and b2.count() == 0
+
+    # schema colliding with the corrupt column is rejected
+    import pytest as pt
+
+    bad_schema = T.StructType([T.StructField("_corrupt_record", T.StringType())])
+    with pt.raises(ValueError, match="_corrupt_record"):
+        read_jsonl_corpus(spark, str(p), schema=bad_schema)
+
+    # roundtrip through the writer
+    out = tmp_path / "export"
+    write_jsonl(good, str(out))
+    g3, b3 = read_jsonl_corpus(spark, str(out), schema=schema)
+    assert sorted(r["doc_id"] for r in g3.collect()) == [1, 2, 4]
+    assert b3.count() == 0

@@ -6,7 +6,13 @@ Catalyst still sees one lazy plan per pipeline — filters and projections
 written here reach the parquet scan as PushedFilters/ReadSchema.
 """
 
-from .aggregates import corpus_stats, funnel, max_watermark, max_watermarks
+from .aggregates import (
+    corpus_stats,
+    funnel,
+    funnel_users,
+    max_watermark,
+    max_watermarks,
+)
 from .dedup import (
     corpus_diff,
     contaminated_flag,
@@ -79,6 +85,7 @@ __all__ = [
     "contaminated_flag",
     "corpus_stats",
     "funnel",
+    "funnel_users",
     "cosine_topk",
     "decontaminate",
     "dedup_against_corpus",

@@ -116,12 +116,37 @@ def funnel(
     aggregates unioned into one result.
     """
     steps = list(steps)
+    stages = _funnel_stages(df, user_col, ts_col, step_col, steps)
+    counts = [
+        stage.agg(
+            F.lit(i).cast("int").alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.count("*").alias("n_users"),
+        )
+        for i, (step, stage) in enumerate(zip(steps, stages))
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def _funnel_stages(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    step_col: str,
+    steps: list,
+) -> list[DataFrame]:
+    """Stage frames [(__fu, __ft), ...] — stage i holds each user's
+    earliest qualifying time for steps[0..i] matched in strict order;
+    stage i's users are a subset of stage i-1's by construction."""
     if not steps:
         raise ValueError("funnel needs at least one step")
     u, t, s = qcol(user_col), qcol(ts_col), qcol(step_col)
     prev: DataFrame | None = None
-    counts = []
-    for i, step in enumerate(steps):
+    stages = []
+    for step in steps:
         stage_events = df.filter(s == step).select(
             u.alias("__fu"), t.alias("__ft")
         )
@@ -139,15 +164,50 @@ def funnel(
                 .groupBy("__fu")
                 .agg(F.min("__ft").alias("__ft"))
             )
-        counts.append(
-            stage.agg(
-                F.lit(i).cast("int").alias("step_idx"),
-                F.lit(step).alias("step"),
-                F.count("*").alias("n_users"),
-            )
-        )
+        stages.append(stage)
         prev = stage
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionByName(c)
-    return out
+    return stages
+
+
+def funnel_users(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    step_col: str,
+    steps: Iterable[str],
+) -> DataFrame:
+    """The drill-down behind :func:`funnel`'s counts: one row per user
+    who reached at least the first step — (user, max_step_idx,
+    max_step, completed_at), where ``completed_at`` is the timestamp
+    of the deepest stage's matched event. Users who never performed
+    ``steps[0]`` are absent (same inner semantics as the counts;
+    anti-join the input's distinct users for the zero-stage cohort).
+
+    Scale shape: the stage frames are shared with the counts form
+    (each is (user, ts) pairs); the union + max-aggregate adds one
+    more (user, idx, ts) shuffle."""
+    steps = list(steps)
+    stages = _funnel_stages(df, user_col, ts_col, step_col, steps)
+    tagged = [
+        stage.select(
+            "__fu",
+            F.lit(i).cast("int").alias("__idx"),
+            F.col("__ft"),
+        )
+        for i, stage in enumerate(stages)
+    ]
+    out = tagged[0]
+    for frame in tagged[1:]:
+        out = out.unionByName(frame)
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    # deepest stage per user: max over (idx, ts) structs — ts rides
+    # along so no second join is needed to recover completed_at
+    best = out.groupBy("__fu").agg(
+        F.max(F.struct("__idx", "__ft")).alias("__b")
+    )
+    return best.select(
+        F.col("__fu").alias(user_col),
+        F.col("__b.__idx").alias("max_step_idx"),
+        F.element_at(steps_arr, F.col("__b.__idx") + 1).alias("max_step"),
+        F.col("__b.__ft").alias("completed_at"),
+    )

@@ -1,0 +1,96 @@
+"""JSONL corpus source — the wire format web-scale text corpora
+actually arrive in (Common Crawl derivatives, Dolma, RedPajama all
+ship newline-delimited JSON), read with explicit corrupt-record
+capture instead of silent row loss.
+
+The reference ingests JSON only from its REST API via pandas
+(mabna_tables_create.py:58 ``pd.json_normalize``) and would drop or
+crash on a malformed line; at 100 TB a few corrupt lines per shard
+are CERTAIN (truncated uploads, encoding damage), and the difference
+between "quietly vanished" and "quarantined with the raw line" is an
+auditable pipeline.
+
+Spark-first: ``spark.read.json`` with PERMISSIVE mode and
+``columnNameOfCorruptRecord`` — the JVM JSON parser does the work,
+schema pruning and predicate pushdown still apply to the clean rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    corrupt_col: str = CORRUPT_COL,
+) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantine): parse a JSONL path; rows that fail to parse
+    land in ``quarantine`` with the raw line preserved in
+    ``corrupt_col`` (plus any fields that did parse), clean rows come
+    back without the bookkeeping column.
+
+    Pass ``schema`` in production — schema inference is an extra full
+    read of the data, and an inferred schema drifts with the batch
+    (a field null in every row of one shard infers as string in the
+    next). The corrupt column is appended to the schema here; don't
+    include it yourself.
+
+    Implementation note: the frames are built from ``spark.read.text``
+    + a ``from_json`` EXPRESSION rather than the JSON file source's
+    internal corrupt-record machinery — the file-source form forbids
+    any query whose pruned schema is only the corrupt column
+    (``quarantine.count()`` would throw QUERY_ONLY_CORRUPT_RECORD_
+    COLUMN); the expression form has no such restriction, and the
+    line scan costs the same bytes. Blank lines are skipped, matching
+    the native JSON reader."""
+    if schema is None:
+        # inference needs a parse pass anyway — let the native reader
+        # derive the field layout, then re-read through the text path
+        schema = T.StructType(
+            [
+                f
+                for f in spark.read.json(path).schema.fields
+                if f.name != corrupt_col
+            ]
+        )
+    if corrupt_col in schema.fieldNames():
+        raise ValueError(
+            f"schema must not already contain {corrupt_col!r} — "
+            "it is appended automatically"
+        )
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    parsed = (
+        spark.read.text(path)
+        .filter(F.trim(F.col("value")) != "")
+        .select(
+            F.col("value").alias("__raw"),
+            F.from_json(
+                F.col("value"),
+                full,
+                {"columnNameOfCorruptRecord": corrupt_col},
+            ).alias("__j"),
+        )
+    )
+    bad_flag = F.col(f"__j.{corrupt_col}").isNotNull()
+    data_cols = [F.col(f"__j.{f.name}").alias(f.name) for f in schema.fields]
+    good = parsed.filter(~bad_flag).select(*data_cols)
+    quarantine = parsed.filter(bad_flag).select(
+        *data_cols, F.col("__raw").alias(corrupt_col)
+    )
+    return good, quarantine
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Export a frame as JSONL — the interchange face for downstream
+    tokenizer/training jobs that read text, not parquet. One file per
+    partition; compose with ``coalesce``/``compact_small_files``
+    sizing upstream when file counts matter."""
+    df.write.mode(mode).json(path)
