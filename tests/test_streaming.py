@@ -311,3 +311,40 @@ def test_corpus_ingest_zero_row_first_batch_bootstraps(spark, tmp_path):
     corpus_ingest_run(spark, src, sink, sig, ckpt, schema, **args)
     landed = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
     assert landed == [1], landed
+
+
+def test_stream_jsonl_corpus_quarantine_semantics(spark, tmp_path):
+    """The streaming JSONL face parses + quarantines identically to
+    the batch reader (one AvailableNow pass over a planted file)."""
+    from pyspark.sql import types as T
+
+    from web_api_postgres_etl_spark.sources.jsonl import stream_jsonl_corpus
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "batch1.jsonl").write_text(
+        '{"doc_id": 1, "text": "clean"}\n'
+        'garbage line\n'
+        '{"doc_id": 2, "text": "also clean"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = stream_jsonl_corpus(spark, str(src), schema)
+    assert stream.isStreaming
+    collected = []
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .foreachBatch(lambda df, _id: collected.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    clean = {r["doc_id"] for r in collected if r["_corrupt_record"] is None}
+    bad = [r["_corrupt_record"] for r in collected
+           if r["_corrupt_record"] is not None]
+    assert clean == {1, 2}
+    assert bad == ["garbage line"]

@@ -88,6 +88,47 @@ def read_jsonl_corpus(
     return good, quarantine
 
 
+def stream_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = CORRUPT_COL,
+) -> DataFrame:
+    """Streaming face of :func:`read_jsonl_corpus` — the from_json
+    expression is stream-safe by construction (no corrupt-record file
+    machinery, no batch-only column pruning rules), so continuous
+    JSONL ingest gets the identical parse + quarantine semantics.
+
+    Returns ONE streaming frame: the schema's columns plus
+    ``corrupt_col`` (NULL for clean rows, the raw line for corrupt
+    ones) — split it in the sink (``foreachBatch`` writing clean rows
+    to the corpus and corrupt ones to a quarantine path), because two
+    filtered streaming frames would be two queries each re-reading
+    the source. Schema is REQUIRED: a stream cannot infer one."""
+    if corrupt_col in schema.fieldNames():
+        raise ValueError(
+            f"schema must not already contain {corrupt_col!r} — "
+            "it is appended automatically"
+        )
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    lines = spark.readStream.text(path).filter(F.trim(F.col("value")) != "")
+    parsed = lines.select(
+        F.col("value").alias("__raw"),
+        F.from_json(
+            F.col("value"), full, {"columnNameOfCorruptRecord": corrupt_col}
+        ).alias("__j"),
+    )
+    data_cols = [F.col(f"__j.{f.name}").alias(f.name) for f in schema.fields]
+    return parsed.select(
+        *data_cols,
+        F.when(
+            F.col(f"__j.{corrupt_col}").isNotNull(), F.col("__raw")
+        ).alias(corrupt_col),
+    )
+
+
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Export a frame as JSONL — the interchange face for downstream
     tokenizer/training jobs that read text, not parquet. One file per
