@@ -589,3 +589,64 @@ def test_zorder_key_bijective_on_aligned_grid(spark):
         ).collect()
     ]
     assert sorted(keys) == list(range(64))
+
+
+# ------------------------------------------------------------------ funnel
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),            # user
+            st.sampled_from("abcd"),      # step type
+            st.integers(0, 30),           # ts (small range forces ties)
+        ),
+        min_size=1, max_size=60,
+    ),
+    st.lists(st.sampled_from("abcd"), min_size=1, max_size=3, unique=True),
+)
+@settings(max_examples=8, deadline=None)
+def test_funnel_matches_python_model(spark, events, steps):
+    """funnel/funnel_users vs a pure-Python greedy-subsequence model
+    under dense timestamp collisions and repeated events."""
+    from web_api_postgres_etl_spark.operators.aggregates import (
+        funnel,
+        funnel_users,
+    )
+
+    df = spark.createDataFrame(events, "u long, s string, t long")
+
+    # model: per user, greedily advance through steps taking the
+    # EARLIEST event strictly after the previous match
+    def deepest(user_events):
+        matched, prev_t = 0, None
+        for _ in steps:
+            cand = [
+                t for (s, t) in user_events
+                if s == steps[matched] and (prev_t is None or t > prev_t)
+            ]
+            if not cand:
+                break
+            prev_t = min(cand)
+            matched += 1
+        return matched, prev_t
+
+    per_user = {}
+    for u, s, t in events:
+        per_user.setdefault(u, []).append((s, t))
+    model = {u: deepest(evs) for u, evs in per_user.items()}
+
+    got_counts = {
+        r["step_idx"]: r["n_users"]
+        for r in funnel(df, "u", "t", "s", steps).collect()
+    }
+    for i in range(len(steps)):
+        want = sum(1 for m, _ in model.values() if m > i)
+        assert got_counts[i] == want, (i, steps, model)
+
+    got_users = {
+        r["u"]: (r["max_step_idx"], r["completed_at"])
+        for r in funnel_users(df, "u", "t", "s", steps).collect()
+    }
+    want_users = {
+        u: (m - 1, t) for u, (m, t) in model.items() if m > 0
+    }
+    assert got_users == want_users

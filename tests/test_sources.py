@@ -144,3 +144,29 @@ def test_read_jsonl_corpus_quarantines_corrupt_lines(spark, tmp_path):
     g3, b3 = read_jsonl_corpus(spark, str(out), schema=schema)
     assert sorted(r["doc_id"] for r in g3.collect()) == [1, 2, 4]
     assert b3.count() == 0
+
+
+def test_read_csv_corpus_quarantines_malformed_rows(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from web_api_postgres_etl_spark.sources.jsonl import read_csv_corpus
+
+    p = tmp_path / "corpus.csv"
+    p.write_text(
+        "doc_id,text\n"
+        '1,"a fine document"\n'
+        "2,plain text\n"
+        "notanumber,bad id\n"
+        '4,"ok"\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    good, bad = read_csv_corpus(spark, str(p), schema)
+    assert sorted(r["doc_id"] for r in good.collect()) == [1, 2, 4]
+    q = bad.collect()
+    assert len(q) == 1 and q[0]["_corrupt_record"] == "notanumber,bad id"
+    assert bad.count() == 1  # no corrupt-only-column restriction

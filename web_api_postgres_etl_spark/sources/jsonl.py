@@ -129,6 +129,59 @@ def stream_jsonl_corpus(
     )
 
 
+def read_csv_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = CORRUPT_COL,
+    sep: str = ",",
+    header: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """CSV sibling of :func:`read_jsonl_corpus` — same (good,
+    quarantine) contract via a ``from_csv`` expression over a text
+    scan, so malformed rows (wrong arity, uncastable fields) keep
+    their raw line instead of dissolving into nulls. Schema is
+    required: headers name columns, they cannot type them.
+
+    A row is quarantined when the parser flags it OR any schema field
+    fails to cast while the raw line is non-empty — from_csv pads
+    missing trailing fields with nulls rather than flagging, so arity
+    errors surface as cast failures on typed columns."""
+    if corrupt_col in schema.fieldNames():
+        raise ValueError(
+            f"schema must not already contain {corrupt_col!r} — "
+            "it is appended automatically"
+        )
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    lines = spark.read.text(path).filter(F.trim(F.col("value")) != "")
+    if header:
+        # drop the header row by VALUE (a text scan has no file-order
+        # guarantee a "first row" could hang off): the exact expected
+        # header line, however the fields are quoted
+        header_plain = sep.join(f.name for f in schema.fields)
+        header_quoted = sep.join(f'"{f.name}"' for f in schema.fields)
+        lines = lines.filter(
+            ~F.col("value").isin(header_plain, header_quoted)
+        )
+    parsed = lines.select(
+        F.col("value").alias("__raw"),
+        F.from_csv(
+            F.col("value"),
+            full.simpleString(),
+            {"columnNameOfCorruptRecord": corrupt_col, "sep": sep},
+        ).alias("__j"),
+    )
+    bad_flag = F.col(f"__j.{corrupt_col}").isNotNull()
+    data_cols = [F.col(f"__j.{f.name}").alias(f.name) for f in schema.fields]
+    good = parsed.filter(~bad_flag).select(*data_cols)
+    quarantine = parsed.filter(bad_flag).select(
+        *data_cols, F.col("__raw").alias(corrupt_col)
+    )
+    return good, quarantine
+
+
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Export a frame as JSONL — the interchange face for downstream
     tokenizer/training jobs that read text, not parquet. One file per
