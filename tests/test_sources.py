@@ -170,3 +170,51 @@ def test_read_csv_corpus_quarantines_malformed_rows(spark, tmp_path):
     q = bad.collect()
     assert len(q) == 1 and q[0]["_corrupt_record"] == "notanumber,bad id"
     assert bad.count() == 1  # no corrupt-only-column restriction
+
+
+def test_corpus_readers_review_hardening(spark, tmp_path):
+    """Review findings: the JSON literal `null` quarantines instead of
+    dissolving into null padding; CSV lines with an unclosed quote
+    (a record split across physical lines) quarantine instead of
+    parsing as truncated 'good' rows; all-string CSV schema with
+    header=True raises (header/data ambiguity)."""
+    from pyspark.sql import types as T
+
+    from web_api_postgres_etl_spark.sources.jsonl import (
+        read_csv_corpus,
+        read_jsonl_corpus,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    j = tmp_path / "withnull.jsonl"
+    j.write_text('{"doc_id": 1, "text": "ok"}\nnull\n')
+    good, bad = read_jsonl_corpus(spark, str(j), schema=schema)
+    assert [r["doc_id"] for r in good.collect()] == [1]
+    assert [r["_corrupt_record"] for r in bad.collect()] == ["null"]
+
+    c = tmp_path / "split.csv"
+    c.write_text(
+        "doc_id,text\n"
+        '1,"line1\n'       # record split across lines: both halves
+        'line2"\n'         # carry an odd quote count
+        '2,"whole record with ""escaped"" quotes"\n'
+    )
+    cg, cb = read_csv_corpus(spark, str(c), schema)
+    assert [r["doc_id"] for r in cg.collect()] == [2]
+    assert cb.count() == 2
+
+    import pytest as pt
+
+    all_str = T.StructType(
+        [T.StructField("name", T.StringType()),
+         T.StructField("category", T.StringType())]
+    )
+    with pt.raises(ValueError, match="all-string"):
+        read_csv_corpus(spark, str(c), all_str)
+    g2, b2 = read_csv_corpus(spark, str(c), all_str, header=False)
+    assert g2.count() + b2.count() == 4   # header included, nothing lost

@@ -93,6 +93,8 @@ def funnel(
     ts_col: str,
     step_col: str,
     steps: Iterable[str],
+    cache_stages: bool = True,
+    pins: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Ordered funnel analysis (the product-analytics staple Spark has
     no operator for): how many users performed ``steps[0]``, then
@@ -114,9 +116,19 @@ def funnel(
     only, never events; AQE broadcasts the shrinking stage frames as
     they fall under the threshold. The final counts are k tiny
     aggregates unioned into one result.
+
+    ``cache_stages`` (default True) persists each stage frame — every
+    stage is read twice (its count branch + the next stage's join),
+    and Catalyst performs no subplan reuse across branches, so
+    without the pins the stage-0 event scan would re-execute once per
+    downstream branch (O(k²) scans; the repo's documented per-branch
+    recompute trap). Long-lived sessions pass ``pins=[]`` and release
+    after materializing, as everywhere else.
     """
     steps = list(steps)
-    stages = _funnel_stages(df, user_col, ts_col, step_col, steps)
+    stages = _funnel_stages(
+        df, user_col, ts_col, step_col, steps, cache_stages, pins
+    )
     counts = [
         stage.agg(
             F.lit(i).cast("int").alias("step_idx"),
@@ -137,10 +149,13 @@ def _funnel_stages(
     ts_col: str,
     step_col: str,
     steps: list,
+    cache_stages: bool = True,
+    pins: list[DataFrame] | None = None,
 ) -> list[DataFrame]:
     """Stage frames [(__fu, __ft), ...] — stage i holds each user's
     earliest qualifying time for steps[0..i] matched in strict order;
-    stage i's users are a subset of stage i-1's by construction."""
+    stage i's users are a subset of stage i-1's by construction. Each
+    frame is read twice downstream, hence the persist."""
     if not steps:
         raise ValueError("funnel needs at least one step")
     u, t, s = qcol(user_col), qcol(ts_col), qcol(step_col)
@@ -164,6 +179,10 @@ def _funnel_stages(
                 .groupBy("__fu")
                 .agg(F.min("__ft").alias("__ft"))
             )
+        if cache_stages:
+            stage = stage.persist()
+            if pins is not None:
+                pins.append(stage)
         stages.append(stage)
         prev = stage
     return stages
@@ -175,6 +194,8 @@ def funnel_users(
     ts_col: str,
     step_col: str,
     steps: Iterable[str],
+    cache_stages: bool = True,
+    pins: list[DataFrame] | None = None,
 ) -> DataFrame:
     """The drill-down behind :func:`funnel`'s counts: one row per user
     who reached at least the first step — (user, max_step_idx,
@@ -185,9 +206,12 @@ def funnel_users(
 
     Scale shape: the stage frames are shared with the counts form
     (each is (user, ts) pairs); the union + max-aggregate adds one
-    more (user, idx, ts) shuffle."""
+    more (user, idx, ts) shuffle. ``cache_stages``/``pins`` as on
+    :func:`funnel`."""
     steps = list(steps)
-    stages = _funnel_stages(df, user_col, ts_col, step_col, steps)
+    stages = _funnel_stages(
+        df, user_col, ts_col, step_col, steps, cache_stages, pins
+    )
     tagged = [
         stage.select(
             "__fu",

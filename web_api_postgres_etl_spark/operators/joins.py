@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .project import qcol
@@ -113,14 +113,13 @@ def asof_join(
     l = left.alias("l")
     r = right.alias("r")
     cond = F.col(f"l.{on}") == F.col(f"r.{rk}")
+    # Column arithmetic lifts scalars via lit, so one form serves both
+    # the numeric and the INTERVAL-expression tolerance
     if direction == "backward":
         cond = cond & (F.col(f"r.{right_time}") <= F.col(f"l.{left_time}"))
         if tolerance is not None:
             cond = cond & (
                 F.col(f"r.{right_time}")
-                >= F.col(f"l.{left_time}") - F.lit(tolerance)
-                if not isinstance(tolerance, Column)
-                else F.col(f"r.{right_time}")
                 >= F.col(f"l.{left_time}") - tolerance
             )
         order = [F.col(f"r.{right_time}").desc()]
@@ -129,9 +128,6 @@ def asof_join(
         if tolerance is not None:
             cond = cond & (
                 F.col(f"r.{right_time}")
-                <= F.col(f"l.{left_time}") + F.lit(tolerance)
-                if not isinstance(tolerance, Column)
-                else F.col(f"r.{right_time}")
                 <= F.col(f"l.{left_time}") + tolerance
             )
         order = [F.col(f"r.{right_time}").asc()]

@@ -471,10 +471,16 @@ def bigram_perplexity(
     )
     # the per-position log-score: seen bigram → ln(c12/c1);
     # else (incl. pos 0 and OOV) → ln(backoff) + unigram logp
-    # (pos 0 takes the PLAIN unigram, no backoff penalty)
+    # (pos 0 takes the PLAIN unigram, no backoff penalty).
+    # The __pc guard matters only for USER-SUPPLIED prebuilt tables:
+    # consistent tables can't have a bigram whose w1 is missing from
+    # the unigram counts, but two artifacts from different snapshots
+    # can — without the guard those positions would score NULL and
+    # silently drop out of the average (optimistic ppl); with it they
+    # take the backoff path like any unseen transition
     lp = (
         F.when(
-            F.col("__bc").isNotNull(),
+            F.col("__bc").isNotNull() & F.col("__pc").isNotNull(),
             F.log(F.col("__bc") / F.col("__pc")),
         )
         .when(

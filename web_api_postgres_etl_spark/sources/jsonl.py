@@ -79,7 +79,10 @@ def read_jsonl_corpus(
             ).alias("__j"),
         )
     )
-    bad_flag = F.col(f"__j.{corrupt_col}").isNotNull()
+    # the JSON literal `null` parses to a NULL struct (no corrupt
+    # column populated) — a truncation artifact, not a record;
+    # quarantine it rather than letting it dissolve into null padding
+    bad_flag = F.col(f"__j.{corrupt_col}").isNotNull() | F.col("__j").isNull()
     data_cols = [F.col(f"__j.{f.name}").alias(f.name) for f in schema.fields]
     good = parsed.filter(~bad_flag).select(*data_cols)
     quarantine = parsed.filter(bad_flag).select(
@@ -124,7 +127,8 @@ def stream_jsonl_corpus(
     return parsed.select(
         *data_cols,
         F.when(
-            F.col(f"__j.{corrupt_col}").isNotNull(), F.col("__raw")
+            F.col(f"__j.{corrupt_col}").isNotNull() | F.col("__j").isNull(),
+            F.col("__raw"),
         ).alias(corrupt_col),
     )
 
@@ -143,27 +147,52 @@ def read_csv_corpus(
     their raw line instead of dissolving into nulls. Schema is
     required: headers name columns, they cannot type them.
 
-    A row is quarantined when the parser flags it OR any schema field
-    fails to cast while the raw line is non-empty — from_csv pads
-    missing trailing fields with nulls rather than flagging, so arity
-    errors surface as cast failures on typed columns."""
+    A row is quarantined when the parser flags it, when any schema
+    field fails to cast (from_csv pads missing trailing fields with
+    nulls rather than flagging, so arity errors surface as cast
+    failures on typed columns), or when the line carries an ODD number
+    of quote characters — the signature of a quoted field split
+    across physical lines. RECORDS MUST BE SINGLE-LINE: the text scan
+    splits on newlines before the CSV parser runs, so a writer that
+    embeds raw newlines inside quoted fields needs
+    ``spark.read.csv(multiLine=True)`` instead (at the cost of losing
+    splittable scans AND this function's quarantine contract); the
+    parity check turns such records into quarantine entries instead
+    of silently truncated "good" rows.
+
+    Header lines are matched by VALUE (a distributed text scan has no
+    file-order guarantee to hang a "first row" off; part-file
+    concatenation emits many header lines): the schema's exact
+    rendering, plain / fully-quoted / BOM-prefixed. A differently
+    spelled header lands in quarantine — visible, not silent. With an
+    all-string schema a data row could be indistinguishable from a
+    header, so that combination raises: strip headers upstream and
+    pass ``header=False``."""
     if corrupt_col in schema.fieldNames():
         raise ValueError(
             f"schema must not already contain {corrupt_col!r} — "
             "it is appended automatically"
+        )
+    if header and all(
+        isinstance(f.dataType, T.StringType) for f in schema.fields
+    ):
+        raise ValueError(
+            "header=True with an all-string schema cannot distinguish "
+            "a header line from a data row whose values equal the "
+            "column names — strip headers upstream and pass "
+            "header=False"
         )
     full = T.StructType(
         list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
     )
     lines = spark.read.text(path).filter(F.trim(F.col("value")) != "")
     if header:
-        # drop the header row by VALUE (a text scan has no file-order
-        # guarantee a "first row" could hang off): the exact expected
-        # header line, however the fields are quoted
         header_plain = sep.join(f.name for f in schema.fields)
         header_quoted = sep.join(f'"{f.name}"' for f in schema.fields)
         lines = lines.filter(
-            ~F.col("value").isin(header_plain, header_quoted)
+            ~F.col("value").isin(
+                header_plain, header_quoted, "﻿" + header_plain
+            )
         )
     parsed = lines.select(
         F.col("value").alias("__raw"),
@@ -173,7 +202,22 @@ def read_csv_corpus(
             {"columnNameOfCorruptRecord": corrupt_col, "sep": sep},
         ).alias("__j"),
     )
-    bad_flag = F.col(f"__j.{corrupt_col}").isNotNull()
+    # odd quote count == an unclosed quoted field (a record split
+    # across lines, or plain damage) — from_csv may still "parse" the
+    # fragment, so catch it explicitly
+    odd_quotes = (
+        (
+            F.length("__raw")
+            - F.length(F.replace(F.col("__raw"), F.lit('"'), F.lit("")))
+        )
+        % 2
+        == 1
+    )
+    bad_flag = (
+        F.col(f"__j.{corrupt_col}").isNotNull()
+        | F.col("__j").isNull()
+        | odd_quotes
+    )
     data_cols = [F.col(f"__j.{f.name}").alias(f.name) for f in schema.fields]
     good = parsed.filter(~bad_flag).select(*data_cols)
     quarantine = parsed.filter(bad_flag).select(
