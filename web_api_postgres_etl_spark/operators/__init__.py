@@ -29,6 +29,12 @@ from .dedup import (
     simhash_near_dups,
 )
 from .filters import drop_required_nulls, in_range, newer_than
+from .winnow import (
+    winnow_candidates,
+    winnow_dup_pairs,
+    winnow_fingerprint_table,
+    winnow_fingerprints,
+)
 from .classifier import (
     classifier_gate,
     hashed_token_features,
@@ -132,6 +138,10 @@ __all__ = [
     "semantic_dup_pairs",
     "simhash_near_dups",
     "star_join",
+    "winnow_candidates",
+    "winnow_dup_pairs",
+    "winnow_fingerprint_table",
+    "winnow_fingerprints",
     "tfidf_table",
     "unigram_perplexity",
     "two_way_join",
