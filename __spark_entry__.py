@@ -1781,6 +1781,45 @@ WHERE n_chars * 17 >= 1
 """
 
 
+def q_winnow_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprint dup pairs (Schleimer et al.
+    2003, operators.winnow): char 8-gram md5 hashes → window-of-4
+    minima → distinct fingerprints per doc → equi-self-join, keeping
+    pairs sharing >= 2 fingerprints. max_fingerprint_df=10 drops
+    boilerplate fingerprints (the hot-key guard). Every hash is the
+    portable 52-bit md5 prefix, so the pair set is bit-identical in
+    any engine with md5 — the oracle mirrors the construction term
+    for term. Output (id_a, id_b, shared) — integer columns only."""
+    from web_api_postgres_etl_spark.operators.winnow import winnow_dup_pairs
+
+    docs = _t(spark, sf, "documents")
+    return winnow_dup_pairs(
+        docs, "doc_id", "text", k=8, window=4, min_shared=2,
+        max_fingerprint_df=10,
+    )
+
+
+SQL_WINNOW = """
+WITH n AS (SELECT doc_id,
+             regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+           FROM documents),
+h AS (SELECT doc_id, CASE WHEN len(s) >= 8
+        THEN list_transform(generate_series(1, len(s)-8+1),
+             i -> CAST('0x'||substr(md5(substr(s,i,8)),1,13) AS BIGINT))
+        ELSE [] END AS hs FROM n),
+w AS (SELECT doc_id, CASE WHEN len(hs) >= 4
+        THEN list_transform(generate_series(1, len(hs)-4+1),
+             i -> list_min(list_slice(hs, i, i+4-1)))
+      WHEN len(hs) > 0 THEN [list_min(hs)] ELSE [] END AS wins FROM h),
+fp AS (SELECT DISTINCT doc_id, unnest(wins) AS fp FROM w),
+keepfp AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 10),
+k AS (SELECT f.doc_id, f.fp FROM fp f JOIN keepfp USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
 def q_ann_nn_join(spark: SparkSession, sf: str) -> DataFrame:
     """Nearest-neighbor join: for each query vector (every 25th), its 2
     nearest corpus neighbors by cosine — broadcast + window top-k (the
@@ -3066,9 +3105,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # retired parity in tests/test_oracle_parity.py)
         "bigram_ppl_gate": q_bigram_ppl_gate,
         "lsh_cosine_pairs": q_lsh_cosine_pairs,
+        # winnowing fingerprint dup pairs (slot swapped from
+        # multimodal_frame_sample, whose full parity stays pinned in
+        # tests/test_oracle_parity.py; multimodal keeps two driver
+        # rows — stats + features)
+        "winnow_dup_pairs": q_winnow_dup_pairs,
         # multimodal
         "multimodal_stats": q_multimodal_stats,
-        "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_features": q_multimodal_features,
         # sources / sinks / streaming
         "s1_rest_source": q_s1_rest_source,
@@ -3140,8 +3183,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": SQL_BM25,
         "bigram_ppl_gate": SQL_BIGRAM_PPL_GATE,
         "lsh_cosine_pairs": SQL_LSH_COSINE_PAIRS,
+        "winnow_dup_pairs": SQL_WINNOW,
         "multimodal_stats": SQL_MULTIMODAL_STATS,
-        "multimodal_frame_sample": SQL_FRAME_SAMPLE,
         "multimodal_features": SQL_MM_FEATURES,
         "s1_rest_source": SQL_REST,
         "s3_flatten_struct": SQL_FLATTEN,

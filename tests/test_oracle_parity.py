@@ -87,6 +87,10 @@ RETIRED = [
     # driver-visible inside the decontamination stages of
     # curation_pipeline / training_data_e2e)
     ("j34_semi_anti_join", "SQL_J34"),
+    # r6 third wave: frame-sample fan-out → winnow_dup_pairs
+    # (multimodal keeps two driver rows — stats + features; the
+    # sequence+explode fan-out shape also rides s8_dim_date)
+    ("multimodal_frame_sample", "SQL_FRAME_SAMPLE"),
 ]
 
 
