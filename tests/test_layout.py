@@ -143,3 +143,81 @@ def test_compact_small_files_roundtrip(spark, tmp_path):
     # idempotent: a second pass is a no-op rewrite, data unchanged
     compact_small_files(spark, path, target_file_bytes=1 << 30)
     assert spark.read.parquet(path).count() == 10_000
+
+
+def test_zone_map_shape_and_totals(spark, tmp_path):
+    from web_api_postgres_etl_spark.operators.layout import zone_map
+
+    grid = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    path = str(tmp_path / "t")
+    cluster_by_zorder(grid, ["x", "y"], 16, bits=6).write.parquet(path)
+    zm = zone_map(spark, path, ["x", "y"]).collect()
+    n_files = len(glob.glob(os.path.join(path, "part-*")))
+    assert len(zm) == n_files
+    assert sum(r["n_rows"] for r in zm) == 4096
+    for r in zm:
+        assert r["x_min"] <= r["x_max"] and r["x_nulls"] == 0
+
+
+def test_read_pruned_equals_full_scan(spark, tmp_path):
+    from web_api_postgres_etl_spark.operators.layout import (
+        prune_files,
+        read_pruned,
+        zone_map,
+    )
+
+    grid = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    path = str(tmp_path / "t")
+    cluster_by_zorder(grid, ["x", "y"], 16, bits=6).write.parquet(path)
+    zm = zone_map(spark, path, ["x", "y"]).persist()
+    ranges = {"x": (8, 15), "y": (8, 15)}
+    files = prune_files(zm, ranges)
+    n_files = len(glob.glob(os.path.join(path, "part-*")))
+    # the box predicate must actually skip files on a z-ordered table
+    assert 0 < len(files) < n_files
+    got = sorted(
+        (r["x"], r["y"]) for r in read_pruned(spark, path, zm, ranges).collect()
+    )
+    want = sorted(
+        (r["x"], r["y"])
+        for r in spark.read.parquet(path)
+        .filter((F.col("x").between(8, 15)) & (F.col("y").between(8, 15)))
+        .collect()
+    )
+    assert got == want and len(got) == 64
+    # open-ended bound: hi=None keeps everything above lo, exactly
+    open_got = read_pruned(spark, path, zm, {"x": (60, None)}).count()
+    assert open_got == spark.read.parquet(path).filter("x >= 60").count()
+    zm.unpersist()
+
+
+def test_prune_files_null_and_empty_semantics(spark, tmp_path):
+    from web_api_postgres_etl_spark.operators.layout import (
+        prune_files,
+        read_pruned,
+        zone_map,
+    )
+
+    path = str(tmp_path / "t")
+    # file 0: all-NULL v; file 1: v in [0, 9] — one file per partition
+    df = spark.range(20).select(
+        F.col("id"),
+        F.when(F.col("id") < 10, F.col("id")).alias("v"),
+        (F.col("id") < 10).cast("int").alias("p"),
+    )
+    # range-partition so the two p-values land in two distinct files
+    # (hash-partitioning can collide both into one bucket)
+    df.repartitionByRange(2, "p").write.parquet(path)
+    zm = zone_map(spark, path, ["v"])
+    rows = zm.collect()
+    assert any(r["v_min"] is None and r["v_nulls"] == 10 for r in rows)
+    # a range predicate can never match the all-NULL file
+    files = prune_files(zm, {"v": (0, 100)})
+    assert len(files) == 1
+    # no file overlaps [50, 60] -> empty result, schema intact
+    out = read_pruned(spark, path, zm, {"v": (50, 60)})
+    assert out.columns == ["id", "v", "p"] and out.count() == 0

@@ -348,3 +348,90 @@ def test_stream_jsonl_corpus_quarantine_semantics(spark, tmp_path):
            if r["_corrupt_record"] is not None]
     assert clean == {1, 2}
     assert bad == ["garbage line"]
+
+
+def test_streaming_sessionization_converges_to_batch(spark, tmp_path):
+    """session_counts_run: merging in-flight sessions, exactly-once
+    APPEND emission, late-row drop, and convergence to the batch
+    session_window over the accepted rows."""
+    from web_api_postgres_etl_spark.streaming.windowed import (
+        session_counts_run,
+    )
+
+    schema = "user_id long, ts timestamp"
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    import datetime as dt
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+
+    def _push(rows, fname):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/.stage_{fname}")
+        import glob
+        import shutil
+
+        part = glob.glob(f"{src}/.stage_{fname}/part-*.parquet")[0]
+        shutil.move(part, f"{src}/{fname}.parquet")
+        shutil.rmtree(f"{src}/.stage_{fname}")
+
+    def _run():
+        session_counts_run(
+            spark, src, sink, ckpt, schema,
+            gap="30 minutes", watermark="30 minutes",
+        )
+
+    def _sink():
+        try:
+            return sorted(
+                (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+                for r in spark.read.parquet(sink).collect()
+            )
+        except Exception:
+            return []
+
+    # batch 1: two events 10 min apart MERGE into one session; the
+    # 13:00 sentinel advances the watermark to 12:30, finalizing the
+    # [10:00, 10:40) session but leaving its own session open
+    _push([(1, t(10, 0)), (1, t(10, 10)), (2, t(13, 0))], "b1")
+    _run()
+    assert _sink() == [(1, t(10, 0), t(10, 40), 2)]
+
+    # batch 2: a late row behind the watermark whose session is
+    # already finalized is DROPPED (no duplicate emission, count
+    # unchanged); 16:00 advances the watermark to 15:30, flushing the
+    # 13:00 session; 16:00's own session stays open
+    _push([(1, t(10, 5)), (2, t(16, 0))], "b2")
+    _run()
+    assert _sink() == [
+        (1, t(10, 0), t(10, 40), 2),
+        (2, t(13, 0), t(13, 30), 1),
+    ]
+
+    # batch 3: far-future sentinel flushes everything else; the full
+    # sink now equals the BATCH session_window over all accepted rows
+    # (every row ever pushed except the dropped late one) minus the
+    # still-open sentinel session
+    _push([(3, t(23, 0))], "b3")
+    _run()
+    accepted = spark.createDataFrame(
+        [(1, t(10, 0)), (1, t(10, 10)), (2, t(13, 0)), (2, t(16, 0))], schema
+    )
+    batch = sorted(
+        (r["user_id"], r["start"], r["end"], r["n"])
+        for r in accepted.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("start"),
+            F.col("sw.end").alias("end"),
+            "n",
+        )
+        .collect()
+    )
+    assert _sink() == batch

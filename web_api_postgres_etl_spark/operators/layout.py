@@ -149,6 +149,90 @@ def cluster_by_zorder(
     return out if keep_key else out.drop("z_key")
 
 
+def zone_map(
+    spark: SparkSession,
+    path: str,
+    cols: Sequence[str],
+) -> DataFrame:
+    """Per-file zone map — (file, n_rows, <c>_min, <c>_max, <c>_nulls
+    for every requested column) — built with ONE distributed scan
+    grouped on ``input_file_name()``. This is the data-skipping index
+    Delta/Iceberg keep in their transaction log, materialized
+    explicitly for a plain parquet directory: persist it next to the
+    table and planners can select files without touching data.
+
+    Scale shape: the scan reads only ``cols`` (column pruning reaches
+    the parquet reader); the shuffle carries one row per FILE, so the
+    zone map for a 100 TB / 100k-file table is ~100k tiny rows —
+    metadata, not data. Rebuild cost is one column-pruned pass;
+    incremental maintenance is appending rows for new files only
+    (filter the listing against the existing map).
+
+    Min/max over an all-NULL file are NULL — ``prune_files`` treats
+    those as unmatchable for range predicates (SQL comparison
+    semantics), which is exactly what parquet row-group stats do."""
+    df = spark.read.parquet(path)
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.min(qcol(c)).alias(f"{c}_min"),
+            F.max(qcol(c)).alias(f"{c}_max"),
+            F.sum(qcol(c).isNull().cast("long")).alias(f"{c}_nulls"),
+        ]
+    return df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+
+
+def prune_files(
+    zmap: DataFrame,
+    ranges: dict[str, tuple],
+) -> list[str]:
+    """Files whose [min, max] envelope can intersect EVERY predicate
+    in ``ranges`` (col → (lo, hi), either bound None for open). A file
+    is pruned when ``c_max < lo`` or ``c_min > hi`` — or when its
+    min/max are NULL (all-NULL file: no row can satisfy a range).
+
+    The collect ships file NAMES for the surviving subset — bounded
+    by file count (metadata), never by data; the classic manifest-
+    pruning step every table format runs on the driver."""
+    cond = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        cmin, cmax = F.col(f"{c}_min"), F.col(f"{c}_max")
+        keep = cmin.isNotNull()
+        if lo is not None:
+            keep = keep & (cmax >= F.lit(lo))
+        if hi is not None:
+            keep = keep & (cmin <= F.lit(hi))
+        cond = cond & keep
+    return [r["file"] for r in zmap.filter(cond).select("file").collect()]
+
+
+def read_pruned(
+    spark: SparkSession,
+    path: str,
+    zmap: DataFrame,
+    ranges: dict[str, tuple],
+) -> DataFrame:
+    """Scan only the files ``prune_files`` keeps, then re-apply the
+    predicate exactly (zone maps are a may-intersect filter, not a
+    proof) — rows come back identical to the full scan, the I/O
+    doesn't. On a z-ordered table (``cluster_by_zorder``) a box
+    predicate on any clustered column keeps a small fraction of
+    files; on a linearly-sorted table only the sort column prunes.
+
+    Empty survivor list still returns the full schema (zero-row scan
+    of the directory) so downstream plans resolve."""
+    files = prune_files(zmap, ranges)
+    residual = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        if lo is not None:
+            residual = residual & (qcol(c) >= F.lit(lo))
+        if hi is not None:
+            residual = residual & (qcol(c) <= F.lit(hi))
+    if not files:
+        return spark.read.parquet(path).filter(F.lit(False))
+    return spark.read.parquet(*files).filter(residual)
+
+
 def compact_small_files(
     spark: SparkSession,
     path: str,

@@ -59,3 +59,55 @@ def windowed_counts_run(
         .start()
     )
     q.awaitTermination()
+
+
+def session_counts_run(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    schema,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> None:
+    """Streaming sessionization: ``F.session_window`` (dynamic-gap
+    merging windows) per key under a watermark, APPEND mode — the
+    streaming face of the batch session aggregation the contract pins
+    (``agg_session_window``). A session row is emitted exactly once,
+    when the watermark passes its end (last event + gap); in-flight
+    sessions MERGE as new events extend them, so state per key is one
+    open session, not an event buffer.
+
+    At 100 TB this is user-journey rollup over an event firehose:
+    state is bounded by open sessions x keys, eviction is
+    watermark-driven, and the shuffle is the normal hash partition on
+    the session key. Same Trigger.AvailableNow contract as
+    ``windowed_counts_run`` — call once per ingest cycle; the
+    watermark and open-session state persist in the checkpoint."""
+    agg = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .withWatermark(time_col, watermark)
+        .groupBy(
+            F.col(key_col),
+            F.session_window(F.col(time_col), gap).alias("sw"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
