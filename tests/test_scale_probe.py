@@ -27,6 +27,9 @@ OPS = {
     # round 6 second wave: the bigram LM (pair-explode + joins) and
     # the LSH-banded semantic decontamination
     "bigram_perplexity", "decontaminate_semantic",
+    # round 6 third wave: winnowing fingerprints (let-bound HOF gram
+    # pass + fingerprint-banded pair join)
+    "winnow_dup_pairs",
 }
 
 

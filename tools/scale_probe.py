@@ -192,6 +192,22 @@ def probe(spark, n: int, ops_filter: set[str] | None = None) -> dict:
         ).count()
         ops["decontaminate_semantic"] = (time.time() - t0, kept)
 
+    if want("winnow_dup_pairs"):
+        reset_cache()
+        from web_api_postgres_etl_spark.operators.winnow import (
+            winnow_dup_pairs,
+        )
+
+        # per-doc cost is O(chars x window) HOF work; the pair join is
+        # fingerprint-banded. The df guard caps vocabulary-driven hot
+        # keys (synthetic 500-word vocab repeats 8-char grams heavily)
+        t0 = time.time()
+        wpairs = winnow_dup_pairs(
+            docs, "doc_id", "text", k=8, window=4, min_shared=2,
+            max_fingerprint_df=32,
+        ).count()
+        ops["winnow_dup_pairs"] = (time.time() - t0, wpairs)
+
     if want("prepare_training_data"):
         reset_cache()
         from web_api_postgres_etl_spark.plans.curation import (
