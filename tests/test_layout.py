@@ -221,3 +221,33 @@ def test_prune_files_null_and_empty_semantics(spark, tmp_path):
     # no file overlaps [50, 60] -> empty result, schema intact
     out = read_pruned(spark, path, zm, {"v": (50, 60)})
     assert out.columns == ["id", "v", "p"] and out.count() == 0
+
+
+def test_read_pruned_hive_partitioned_and_open_ranges(spark, tmp_path):
+    """Review regressions: pruned reads of hive-partitioned tables
+    must keep the partition column (basePath), and a fully-open range
+    must not prune all-NULL files out of the result."""
+    from web_api_postgres_etl_spark.operators.layout import (
+        prune_files,
+        read_pruned,
+        zone_map,
+    )
+
+    path = str(tmp_path / "hive")
+    df = spark.range(20).select(
+        F.col("id"),
+        F.when(F.col("id") < 10, F.col("id")).alias("v"),
+        (F.col("id") % 2).cast("int").alias("p"),
+    )
+    df.write.partitionBy("p").parquet(path)
+    zm = zone_map(spark, path, ["id", "p"])
+    out = read_pruned(spark, path, zm, {"p": (0, 0)})
+    assert "p" in out.columns
+    assert out.count() == 10 and out.filter("p <> 0").count() == 0
+
+    # fully-open range == full scan, INCLUDING rows from all-NULL files
+    flat = str(tmp_path / "flat")
+    df.repartitionByRange(2, (F.col("id") < 10).cast("int")).write.parquet(flat)
+    zm2 = zone_map(spark, flat, ["v"])
+    assert len(prune_files(zm2, {"v": (None, None)})) == 2
+    assert read_pruned(spark, flat, zm2, {"v": (None, None)}).count() == 20

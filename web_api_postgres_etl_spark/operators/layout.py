@@ -196,6 +196,10 @@ def prune_files(
     pruning step every table format runs on the driver."""
     cond = F.lit(True)
     for c, (lo, hi) in ranges.items():
+        if lo is None and hi is None:
+            # fully open range constrains nothing — and must NOT prune
+            # all-NULL files (read_pruned's residual keeps their rows)
+            continue
         cmin, cmax = F.col(f"{c}_min"), F.col(f"{c}_max")
         keep = cmin.isNotNull()
         if lo is not None:
@@ -230,7 +234,10 @@ def read_pruned(
             residual = residual & (qcol(c) <= F.lit(hi))
     if not files:
         return spark.read.parquet(path).filter(F.lit(False))
-    return spark.read.parquet(*files).filter(residual)
+    # basePath keeps hive-partition directory columns resolvable when
+    # the survivors are leaf files under partition=value/ dirs —
+    # without it the partition columns vanish from the schema
+    return spark.read.option("basePath", path).parquet(*files).filter(residual)
 
 
 def compact_small_files(

@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _band_self_join, ensure_parallelism
+from .dedup import ensure_parallelism
 from .project import qcol
 
 # MOSS-style normalization: case-fold then keep only [a-z0-9], so
@@ -233,23 +233,20 @@ def winnow_candidates(
     window: int = 4,
     max_fingerprint_df: int | None = None,
     strip_pattern: str = DEFAULT_STRIP_PATTERN,
+    cache_fingerprints: bool = True,
+    pins: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Distinct (id_a, id_b) pairs sharing >= 1 fingerprint — the
-    candidate face matching the other LSH generators' contract
-    (``_band_self_join``), for feeding ``jaccard_on_pairs`` or an
-    exact-overlap verifier."""
-    fps = winnow_fingerprint_table(
-        df, id_col, text_col, k, window, strip_pattern
-    )
-    if max_fingerprint_df is not None:
-        keep = (
-            fps.groupBy("fp")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") <= max_fingerprint_df)
-            .select("fp")
-        )
-        fps = fps.join(keep, "fp", "left_semi")
-    banded = fps.select(
-        qcol(id_col).alias("__id"), F.col("fp").cast("string").alias("__band")
-    )
-    return _band_self_join(banded)
+    candidate face matching the other LSH generators' contract, for
+    feeding ``jaccard_on_pairs`` or an exact-overlap verifier.
+    Delegates to ``winnow_dup_pairs`` (min_shared=1), inheriting its
+    fingerprint persist — the self-join would otherwise recompute the
+    dominant gram/winnow pass once per branch."""
+    return winnow_dup_pairs(
+        df, id_col, text_col, k, window,
+        min_shared=1,
+        max_fingerprint_df=max_fingerprint_df,
+        strip_pattern=strip_pattern,
+        cache_fingerprints=cache_fingerprints,
+        pins=pins,
+    ).select("id_a", "id_b")
