@@ -251,3 +251,31 @@ def test_read_pruned_hive_partitioned_and_open_ranges(spark, tmp_path):
     zm2 = zone_map(spark, flat, ["v"])
     assert len(prune_files(zm2, {"v": (None, None)})) == 2
     assert read_pruned(spark, flat, zm2, {"v": (None, None)}).count() == 20
+
+
+def test_zone_map_update_scans_only_new_files(spark, tmp_path):
+    from web_api_postgres_etl_spark.operators.layout import (
+        read_pruned,
+        zone_map,
+        zone_map_update,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(100).select(F.col("id").alias("v")).coalesce(1).write.parquet(path)
+    zm0 = zone_map(spark, path, ["v"])
+    assert zm0.count() == 1
+    # no new files -> identical frame back
+    assert zone_map_update(spark, path, zm0, ["v"]).count() == 1
+    # append a new file, update incrementally, and the map must match
+    # a from-scratch rebuild exactly
+    spark.range(100, 200).select(F.col("id").alias("v")).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    upd = zone_map_update(spark, path, zm0, ["v"])
+    key = lambda df: sorted(
+        (os.path.basename(r["file"]), r["n_rows"], r["v_min"], r["v_max"])
+        for r in df.collect()
+    )
+    assert key(upd) == key(zone_map(spark, path, ["v"]))
+    # and pruned reads through the updated map stay exact
+    assert read_pruned(spark, path, upd, {"v": (150, 199)}).count() == 50

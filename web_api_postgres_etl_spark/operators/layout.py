@@ -172,6 +172,10 @@ def zone_map(
     those as unmatchable for range predicates (SQL comparison
     semantics), which is exactly what parquet row-group stats do."""
     df = spark.read.parquet(path)
+    return df.groupBy(F.input_file_name().alias("file")).agg(*_zone_aggs(cols))
+
+
+def _zone_aggs(cols: Sequence[str]) -> list[Column]:
     aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         aggs += [
@@ -179,7 +183,39 @@ def zone_map(
             F.max(qcol(c)).alias(f"{c}_max"),
             F.sum(qcol(c).isNull().cast("long")).alias(f"{c}_nulls"),
         ]
-    return df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+    return aggs
+
+
+def zone_map_update(
+    spark: SparkSession,
+    path: str,
+    existing: DataFrame,
+    cols: Sequence[str],
+) -> DataFrame:
+    """Incrementally maintain a zone map: scan ONLY files not yet in
+    ``existing`` (match on the file name) and union their stats in —
+    the append-mostly maintenance path, so a streaming ingest's new
+    files cost one small scan instead of a full-table rebuild.
+
+    File identity is the name, not the full URI (comparing
+    ``file:///`` vs ``hdfs://`` prefixes across environments is how
+    manifests go stale); rewritten-in-place files (same name, new
+    content) violate parquet immutability and don't occur under
+    Spark's writers. Listing is driver-side filesystem metadata —
+    the same seam ``compact_small_files`` uses."""
+    known = {
+        os.path.basename(r["file"]) for r in existing.select("file").collect()
+    }
+    new_files = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")) and f not in known:
+                new_files.append(os.path.join(root, f))
+    if not new_files:
+        return existing
+    df = spark.read.option("basePath", path).parquet(*new_files)
+    fresh = df.groupBy(F.input_file_name().alias("file")).agg(*_zone_aggs(cols))
+    return existing.unionByName(fresh)
 
 
 def prune_files(
