@@ -650,3 +650,66 @@ def test_funnel_matches_python_model(spark, events, steps):
         u: (m - 1, t) for u, (m, t) in model.items() if m > 0
     }
     assert got_users == want_users
+
+
+# --- winnowing fingerprints vs a direct Python model ------------------
+
+def _winnow_model(text: str, k: int = 8, w: int = 4) -> set[int]:
+    """Literal transcription of Schleimer et al.: normalized char
+    k-grams, first-13-hex md5 hashes, window-of-w minima."""
+    import hashlib
+    import re
+
+    s = re.sub(r"[^a-z0-9]", "", text.lower())
+    if len(s) < k:
+        return set()
+    hs = [
+        int(hashlib.md5(s[i : i + k].encode()).hexdigest()[:13], 16)
+        for i in range(len(s) - k + 1)
+    ]
+    if len(hs) < w:
+        return {min(hs)}
+    return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+
+_TXT = st.text(
+    alphabet="abcXYZ 019.,-!", min_size=0, max_size=64
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_TXT, min_size=1, max_size=10))
+def test_winnow_matches_python_model(spark, texts):
+    from pyspark.sql import functions as F
+
+    from web_api_postgres_etl_spark.operators.winnow import (
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: set(r["fps"])
+        for r in df.select(
+            "doc_id", winnow_fingerprints("text").alias("fps")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _winnow_model(t), (i, t)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.text(alphabet="abc012", min_size=11, max_size=40),  # >= k+w-1 chars
+    st.text(alphabet="xyz789", max_size=30),
+    st.text(alphabet="xyz789", max_size=30),
+    st.text(alphabet="mnp345", max_size=30),
+    st.text(alphabet="mnp345", max_size=30),
+)
+def test_winnow_locality_guarantee_random(shared, a1, a2, b1, b2):
+    """The winnowing theorem: two documents sharing a substring of
+    normalized length >= k + w - 1 share >= 1 fingerprint — for ANY
+    surrounding context."""
+    d1, d2 = f"{a1}{shared}{a2}", f"{b1}{shared}{b2}"
+    assert _winnow_model(d1) & _winnow_model(d2)
