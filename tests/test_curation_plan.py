@@ -361,3 +361,37 @@ def test_ppl_gate_from_prebuilt_model_table(spark):
     b = {r["doc_id"] for r in
          prepare_training_data(docs, bench, config=cfg_table).collect()}
     assert a == b and a
+
+
+def test_winnow_pairs_stage(spark):
+    """Two long documents sharing a verbatim passage but dissimilar
+    overall (2-gram Jaccard far below threshold) survive as separate
+    docs by default; with the winnow stage on they cluster and only
+    the min id survives."""
+    shared = (
+        "every engine in this fleet was assembled from the same casting "
+        "and the same bolts torqued in the same order by the same crew "
+        "on the same line under the same roof season after season"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " while the first chronicle wanders through "
+                "orchards and markets and the slow bargaining of farmers "
+                "over crates of apples and pears beneath a pale morning sun "
+                "that never seemed to hurry anyone along the dusty road"),
+            (2, shared + " but the second chronicle follows rivers and "
+                "bridges and the patient work of masons setting stone after "
+                "stone into arches that would outlast every name carved on "
+                "them while barges drifted quietly underneath the spans"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(BENCH_TEXT,)], "text string")
+    base = prepare_training_data(docs, bench, config=CFG)
+    assert {r["doc_id"] for r in base.collect()} == {1, 2}
+    from dataclasses import replace
+
+    winnowed = prepare_training_data(
+        docs, bench, config=replace(CFG, winnow_min_shared=3)
+    )
+    assert {r["doc_id"] for r in winnowed.collect()} == {1}

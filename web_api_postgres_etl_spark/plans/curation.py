@@ -9,7 +9,7 @@ run uses them:
     → [repetition gates] → PII scrub → [LM perplexity gate]
     → [classifier quality gate] → benchmark decontamination
     → [exact-substring cut] → exact dedup → near-dup cluster dedup
-    → leakage-safe split → chunk → pack per shard
+    [∪ winnowing pairs] → leakage-safe split → chunk → pack per shard
 
 (bracketed stages are config-gated and default OFF — the driver
 oracle `training_data_e2e` pins the unbracketed spine bit-for-bit)
@@ -67,6 +67,13 @@ class CurationConfig:
     num_hashes: int = 8
     bands: int = 4
     jaccard_threshold: float = 0.5
+    winnow_min_shared: int | None = None  # None = winnow stage off;
+    #   set → union winnowing fingerprint pairs (contiguous-overlap
+    #   twins Jaccard dilutes on long documents) into the near-dup
+    #   clustering, so they dedup and split-travel together too
+    winnow_k: int = 8                   # char-gram width
+    winnow_window: int = 4              # winnowing window
+    winnow_max_fp_df: int | None = None  # boilerplate hot-key guard
     split_weights: dict = field(
         default_factory=lambda: {"train": 0.9, "val": 0.1}
     )
@@ -329,6 +336,25 @@ def prepare_training_data(
         bands=cfg.bands, threshold=cfg.jaccard_threshold,
         pins=pins,
     ).select("id_a", "id_b")
+
+    # 4b. optional winnowing pairs (contiguous-overlap twins — shared
+    # passages in otherwise-different documents — that set-Jaccard
+    # scores below threshold): unioned into the SAME pairs frame, so
+    # clustering, survivor choice, and the leakage-safe split key all
+    # see them. Reads the checkpointed `exact` staging layer, so no
+    # upstream re-execution; both generators emit id_a < id_b, and
+    # distinct() collapses twins found by both.
+    if cfg.winnow_min_shared is not None:
+        from ..operators.winnow import winnow_dup_pairs
+
+        wpairs = winnow_dup_pairs(
+            exact, id_col, text_col,
+            k=cfg.winnow_k, window=cfg.winnow_window,
+            min_shared=cfg.winnow_min_shared,
+            max_fingerprint_df=cfg.winnow_max_fp_df,
+            pins=pins,
+        ).select("id_a", "id_b")
+        pairs = pairs.unionByName(wpairs).distinct()
     pairs = _pin(pairs)
     clusters = _pin(dedup_clusters(exact, pairs, id_col, pins=pins))
     survivors = exact.join(
