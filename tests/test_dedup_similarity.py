@@ -677,3 +677,99 @@ def test_semantic_decontamination_same_id_names_and_null_lead_row(spark):
     assert decontaminate_semantic(
         empty, bench, "doc_id", "doc_id", threshold=0.5
     ).count() == 0
+
+
+# --- containment (one-sided overlap) verification ---------------------
+
+def test_containment_catches_subset_duplication(spark):
+    from web_api_postgres_etl_spark.operators.dedup import (
+        containment_on_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    article = (
+        "the council voted to widen the harbor road after years of delay "
+        "and the mayor praised the decision as overdue progress for the "
+        "whole district while residents asked about the funding plan"
+    )
+    comments = (
+        " first comment totally agree with this decision "
+        " second comment the funding question deserves a real answer "
+        " third comment road works again every single summer honestly "
+        " fourth comment will the bus line be rerouted during the works"
+    )
+    docs = spark.createDataFrame(
+        [(1, article), (2, article + comments), (3, "unrelated text here")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    # symmetric Jaccard dilutes the embedded article below 0.5...
+    jac = ngram_jaccard_pairs(docs, "doc_id", "text", 2, threshold=0.5)
+    assert jac.filter("id_a = 1 AND id_b = 2").count() == 0
+    # ...containment scores it 1.0 and names the contained doc
+    out = containment_on_pairs(
+        docs, pairs, "doc_id", "text", 2, threshold=0.8, cache_pairs=False
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"], r["containment"], r["contained_id"]) == (
+        1, 2, 1.0, 1,
+    )
+
+
+def test_containment_matches_duckdb_mirror(spark, oracle):
+    """Verify math mirrored term-for-term over the SAME candidate set
+    (pair generation parity is the minhash contract's job)."""
+    import pandas as pd
+
+    from tests.conftest import SF_ORACLE
+    from web_api_postgres_etl_spark.operators.dedup import (
+        containment_on_pairs,
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    pairs = minhash_lsh_candidates(
+        docs, "doc_id", "text", shingle_n=2, num_hashes=8, bands=4
+    ).persist()
+    got = sorted(
+        (r["id_a"], r["id_b"], round(r["containment"], 9), r["contained_id"])
+        for r in containment_on_pairs(
+            docs, pairs, "doc_id", "text", 2, threshold=0.8, cache_pairs=False
+        ).collect()
+    )
+    oracle.register(
+        "cont_pairs", pd.DataFrame(pairs.collect(), columns=["id_a", "id_b"])
+    )
+    pairs.unpersist()
+    tok = (
+        "list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace("
+        "lower(text),'[^a-z0-9\\s]',' ','g'),'\\s+',' ','g')),' '), x -> x <> '')"
+    )
+    sh2 = (
+        "list_transform(generate_series(1, greatest(len(toks)-1, 0)), "
+        "i -> array_to_string(toks[i:i+1],' '))"
+    )
+    want = sorted(
+        map(
+            tuple,
+            oracle.sql(f"""
+WITH t AS (SELECT doc_id, {tok} AS toks FROM documents),
+s AS (SELECT doc_id, list_distinct({sh2}) AS sh FROM t
+      WHERE len({sh2}) > 0)
+SELECT p.id_a, p.id_b,
+       round(len(list_intersect(a.sh, b.sh))
+             / CAST(least(len(a.sh), len(b.sh)) AS DOUBLE), 9) AS containment,
+       CASE WHEN len(a.sh) < len(b.sh) THEN p.id_a ELSE p.id_b END
+         AS contained_id
+FROM cont_pairs p
+JOIN s a ON p.id_a = a.doc_id
+JOIN s b ON p.id_b = b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))
+      / CAST(least(len(a.sh), len(b.sh)) AS DOUBLE) >= 0.8
+""").fetchall(),
+        )
+    )
+    assert got == want and len(got) > 10

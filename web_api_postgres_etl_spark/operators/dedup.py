@@ -466,6 +466,61 @@ def jaccard_on_pairs(
     return _jaccard_on_shingled(sh, pairs, threshold)
 
 
+def containment_on_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 2,
+    threshold: float = 0.8,
+    cache_pairs: bool = True,
+) -> DataFrame:
+    """One-sided overlap on candidate pairs: ``|A∩B| / min(|A|,|B|)``
+    — the Broder CONTAINMENT measure. Symmetric Jaccard dilutes when
+    sizes differ (an article fully embedded in article+comments scores
+    ``|A|/|B|`` ≈ small), so containment is the verifier for
+    subset-style duplication; winnowing candidates pair such docs
+    (contiguous shared passages survive size asymmetry) where MinHash
+    sketches under-sample the smaller side.
+
+    Output (id_a, id_b, containment, contained_id) with containment >=
+    ``threshold``; ``contained_id`` is the smaller set's id — the
+    document a subset-dedup policy would drop (size ties resolve to
+    id_b, matching the min-id-survives convention elsewhere). Same
+    candidate-bounded shape and ``cache_pairs`` contract as
+    ``jaccard_on_pairs``; the ratio is one exact int/int double
+    division, reproducible in any engine.
+    """
+    if cache_pairs:
+        pairs = pairs.persist()
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("__id"))
+        .union(pairs.select(F.col("id_b").alias("__id")))
+        .distinct()
+    )
+    sh = (
+        _shingled(df, id_col, text_col, shingle_n, drop_empty=True)
+        .select("__id", F.array_distinct("__sh").alias("__sh"))
+        .join(cand_ids, "__id", "left_semi")
+    )
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    na, nb = F.size("__sha"), F.size("__shb")
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            (inter / F.least(na, nb)).alias("containment"),
+            F.when(na < nb, F.col("id_a")).otherwise(F.col("id_b")).alias(
+                "contained_id"
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def near_dup_pairs(
     df: DataFrame,
     id_col: str,
