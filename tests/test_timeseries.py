@@ -134,3 +134,134 @@ FROM l WHERE t - p >= CAST(86400 AS BIGINT) * 1000000
         )
     )
     assert got == want and len(got) > 10
+
+
+# --- sessionize + retention cohorts (operators/aggregates.py) ---------
+
+def test_sessionize_ground_truth(spark):
+    from web_api_postgres_etl_spark.operators.aggregates import sessionize
+
+    df = spark.createDataFrame(
+        [
+            (1, T(0)), (1, T(10)), (1, T(40, 1)),   # 30m1s gap -> new session
+            (1, T(40, 1)),                           # duplicate ts, same session
+            (2, T(5)),
+        ],
+        "u long, ts timestamp",
+    )
+    rows = sessionize(df, "u", "ts", gap_seconds=1800).collect()
+    got = sorted((r["u"], r["ts"], r["session_idx"], r["session_start"]) for r in rows)
+    assert got == [
+        (1, T(0), 0, T(0)),
+        (1, T(10), 0, T(0)),
+        (1, T(40, 1), 1, T(40, 1)),
+        (1, T(40, 1), 1, T(40, 1)),
+        (2, T(5), 0, T(5)),
+    ]
+
+
+def test_sessionize_matches_duckdb_and_session_window(spark, oracle):
+    from tests.conftest import SF_ORACLE
+    from web_api_postgres_etl_spark.operators.aggregates import sessionize
+
+    events = spark.read.parquet(f"{SF_ORACLE}/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    sess = sessionize(events, "user_id", "ts", gap_seconds=1800)
+    got = sorted(
+        (r["user_id"], int(r["ts"].timestamp() * 1e6), r["session_idx"])
+        for r in sess.collect()
+    )
+    want = sorted(
+        map(
+            tuple,
+            oracle.sql("""
+WITH o AS (SELECT user_id, epoch_us(ts) AS t,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS p
+           FROM events),
+b AS (SELECT user_id, t,
+        CASE WHEN p IS NOT NULL AND t - p >= CAST(1800 AS BIGINT)*1000000
+             THEN 1 ELSE 0 END AS brk FROM o)
+SELECT user_id, t,
+       CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS INT) AS session_idx
+FROM b
+""").fetchall(),
+        )
+    )
+    assert got == want
+    # cross-check: per-user session count equals F.session_window's
+    n_sessions = sess.select("user_id", "session_idx").distinct().count()
+    n_sw = (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+        .count()
+    )
+    assert n_sessions == n_sw
+
+
+def test_retention_cohorts_ground_truth_and_mirror(spark, oracle):
+    from tests.conftest import SF_ORACLE
+    from web_api_postgres_etl_spark.operators.aggregates import (
+        retention_cohorts,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1)),    # Mon, cohort 2024-01-01
+            (1, dt.datetime(2024, 1, 10)),   # next week -> idx 1
+            (2, dt.datetime(2024, 1, 3)),    # same cohort week
+            (2, dt.datetime(2024, 1, 21)),   # Sunday of week idx 2
+            (3, dt.datetime(2024, 1, 9)),    # cohort 2024-01-08
+        ],
+        "u long, ts timestamp",
+    )
+    got = sorted(
+        (str(r["cohort"]), r["period_idx"], r["n_users"])
+        for r in retention_cohorts(df, "u", "ts", "week").collect()
+    )
+    assert got == [
+        ("2024-01-01", 0, 2),
+        ("2024-01-01", 1, 1),
+        ("2024-01-01", 2, 1),
+        ("2024-01-08", 0, 1),
+    ]
+
+    events = spark.read.parquet(f"{SF_ORACLE}/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    got_w = sorted(
+        (str(r["cohort"]), r["period_idx"], r["n_users"])
+        for r in retention_cohorts(events, "user_id", "ts", "week").collect()
+    )
+    want_w = sorted(
+        (str(c), i, n)
+        for c, i, n in oracle.sql("""
+WITH a AS (SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS p FROM events),
+f AS (SELECT user_id, min(p) AS cohort FROM a GROUP BY user_id)
+SELECT cohort, CAST((a.p - f.cohort) / 7 AS INT) AS period_idx,
+       count(DISTINCT a.user_id) AS n_users
+FROM a JOIN f USING (user_id) GROUP BY 1, 2
+""").fetchall()
+    )
+    assert got_w == want_w and len(got_w) > 3
+    # month face: calendar-month arithmetic
+    got_m = sorted(
+        (str(r["cohort"]), r["period_idx"], r["n_users"])
+        for r in retention_cohorts(events, "user_id", "ts", "month").collect()
+    )
+    want_m = sorted(
+        (str(c), i, n)
+        for c, i, n in oracle.sql("""
+WITH a AS (SELECT DISTINCT user_id,
+             CAST(date_trunc('month', ts) AS DATE) AS p FROM events),
+f AS (SELECT user_id, min(p) AS cohort FROM a GROUP BY user_id)
+SELECT cohort,
+       (year(a.p)*12 + month(a.p)) - (year(f.cohort)*12 + month(f.cohort))
+         AS period_idx,
+       count(DISTINCT a.user_id) AS n_users
+FROM a JOIN f USING (user_id) GROUP BY 1, 2
+""").fetchall()
+    )
+    assert got_m == want_m

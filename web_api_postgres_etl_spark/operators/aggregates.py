@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable, Mapping
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .project import qcol
@@ -234,4 +234,89 @@ def funnel_users(
         F.col("__b.__idx").alias("max_step_idx"),
         F.element_at(steps_arr, F.col("__b.__idx") + 1).alias("max_step"),
         F.col("__b.__ft").alias("completed_at"),
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Label every event with its session: gaps-and-islands per user —
+    a new session starts where the gap from the previous event is >=
+    ``gap_seconds`` (half-open, matching ``F.session_window``'s
+    last-event + gap end). Appends (session_idx, session_start):
+    0-based per-user session ordinal and the session's first event
+    time — the event-level face of the session aggregation the
+    contract pins (``agg_session_window`` rolls sessions up;
+    journey analyses need the events still attached).
+
+    Scale shape: two stacked windows over ONE (user, ts) sort — the
+    break flag from lag, the running sum for the ordinal, the
+    session-start max — a single shuffle on the user key, no join
+    back (the windows ride the same partitioning). Integer-microsecond
+    gap math, so any engine reproduces the labels exactly."""
+    if gap_seconds < 1:
+        raise ValueError(f"gap_seconds must be >= 1, got {gap_seconds}")
+    user, ts = qcol(user_col), qcol(ts_col)
+    w = Window.partitionBy(user).orderBy(F.unix_micros(ts))
+    brk = (
+        F.unix_micros(ts) - F.lag(F.unix_micros(ts)).over(w)
+        >= gap_seconds * 1_000_000
+    ).cast("int")
+    out = df.withColumn("__brk", F.coalesce(brk, F.lit(0)))
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = out.withColumn(
+        "session_idx", F.sum("__brk").over(wrun).cast("int")
+    ).drop("__brk")
+    wsess = Window.partitionBy(user, "session_idx")
+    return out.withColumn("session_start", F.min(ts).over(wsess))
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by their first-active
+    period, counted in every subsequent period they returned.
+    Returns (cohort, period_idx, n_users): ``cohort`` is the
+    first-activity period start (date), ``period_idx`` the whole
+    periods since it (0 = the cohort period itself; every cohort has
+    a period 0 row), ``n_users`` distinct returning users.
+
+    ``period``: 'day' | 'week' | 'month'. Weeks truncate to Monday
+    (date_trunc), months to the 1st; period_idx for months counts
+    CALENDAR months between the truncated dates — exactly
+    reproducible in SQL (months_between on truncated firsts), with no
+    ragged 30-day arithmetic.
+
+    Scale shape: one min-aggregate per user (first activity), one
+    join back (AQE broadcasts the user→cohort map when small; at
+    firehose scale it shuffles (user, date) pairs only), and one
+    distinct-count aggregate per (cohort, period) — no windows over
+    the event stream."""
+    if period not in ("day", "week", "month"):
+        raise ValueError(f"period must be day|week|month, got {period!r}")
+    user, ts = qcol(user_col), qcol(ts_col)
+    pstart = F.date_trunc(period, ts).cast("date")
+    acts = df.select(user.alias("__u"), pstart.alias("__p")).distinct()
+    first = acts.groupBy("__u").agg(F.min("__p").alias("__cohort"))
+    joined = acts.join(first, "__u")
+    if period == "day":
+        idx = F.datediff(F.col("__p"), F.col("__cohort"))
+    elif period == "week":
+        idx = (F.datediff(F.col("__p"), F.col("__cohort")) / 7).cast("int")
+    else:
+        idx = F.months_between(F.col("__p"), F.col("__cohort")).cast("int")
+    return (
+        joined.select(
+            F.col("__cohort").alias("cohort"),
+            idx.cast("int").alias("period_idx"),
+            F.col("__u"),
+        )
+        .groupBy("cohort", "period_idx")
+        .agg(F.count_distinct("__u").alias("n_users"))
     )
