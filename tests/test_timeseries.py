@@ -265,3 +265,57 @@ FROM a JOIN f USING (user_id) GROUP BY 1, 2
 """).fetchall()
     )
     assert got_m == want_m
+
+
+def test_resample_null_observation_resets_fill(spark):
+    """Review regression: a NULL-valued observation is an observation
+    — it must reset the fill to NULL, not let stale values leak."""
+    df = spark.createDataFrame(
+        [(1, T(0), 5.0, 1), (1, T(2), None, 2), (1, T(4), 7.0, 3)],
+        "k long, ts timestamp, v double, seq long",
+    )
+    pins = []
+    out = {
+        r["grid_ts"]: r["v"]
+        for r in resample_ffill(
+            df, "k", "ts", "v", 60, tiebreaker="seq", pins=pins
+        ).collect()
+    }
+    assert out[T(0)] == 5.0 and out[T(1)] == 5.0
+    assert out[T(2)] is None and out[T(3)] is None   # reset, not stale
+    assert out[T(4)] == 7.0
+    from web_api_postgres_etl_spark.plans.curation import release_pins
+
+    assert pins
+    release_pins(pins)
+
+
+def test_sessionize_drops_null_timestamps(spark):
+    from web_api_postgres_etl_spark.operators.aggregates import sessionize
+
+    df = spark.createDataFrame(
+        [(1, T(0)), (1, None), (1, T(5))], "u long, ts timestamp"
+    )
+    rows = sessionize(df, "u", "ts", 1800).collect()
+    assert len(rows) == 2 and all(r["ts"] is not None for r in rows)
+
+
+def test_zone_map_update_raises_on_unlistable_path(spark, tmp_path):
+    import pytest
+
+    from web_api_postgres_etl_spark.operators.layout import (
+        zone_map,
+        zone_map_update,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(10).select(F.col("id").alias("v")).coalesce(1).write.parquet(path)
+    zm = zone_map(spark, path, ["v"])
+    # pointing the update at a listing that yields nothing (wrong /
+    # remote / moved path) must fail loudly, never return a stale map
+    import os as _os
+
+    empty = str(tmp_path / "elsewhere")
+    _os.makedirs(empty)
+    with pytest.raises(ValueError, match="no data files"):
+        zone_map_update(spark, empty, zm, ["v"])

@@ -250,7 +250,8 @@ def sessionize(
     0-based per-user session ordinal and the session's first event
     time — the event-level face of the session aggregation the
     contract pins (``agg_session_window`` rolls sessions up;
-    journey analyses need the events still attached).
+    journey analyses need the events still attached). NULL-timestamp
+    rows are dropped — they cannot be ordered into any session.
 
     Scale shape: two stacked windows over ONE (user, ts) sort — the
     break flag from lag, the running sum for the ordinal, the
@@ -260,6 +261,9 @@ def sessionize(
     if gap_seconds < 1:
         raise ValueError(f"gap_seconds must be >= 1, got {gap_seconds}")
     user, ts = qcol(user_col), qcol(ts_col)
+    # a NULL timestamp cannot be sessionized — it would sort first and
+    # silently fold into session 0 (sibling ops filter the same way)
+    df = df.filter(ts.isNotNull())
     w = Window.partitionBy(user).orderBy(F.unix_micros(ts))
     brk = (
         F.unix_micros(ts) - F.lag(F.unix_micros(ts)).over(w)
@@ -279,6 +283,8 @@ def retention_cohorts(
     user_col: str,
     ts_col: str,
     period: str = "week",
+    cache_activity: bool = True,
+    pins: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Cohort retention triangle: users grouped by their first-active
     period, counted in every subsequent period they returned.
@@ -297,12 +303,22 @@ def retention_cohorts(
     join back (AQE broadcasts the user→cohort map when small; at
     firehose scale it shuffles (user, date) pairs only), and one
     distinct-count aggregate per (cohort, period) — no windows over
-    the event stream."""
+    the event stream. ``cache_activity`` persists the (user, period)
+    distinct frame, which feeds both the first-activity aggregate and
+    the join-back — without it the event-stream scan + distinct runs
+    once per branch (the repo's measured recompute trap); ``pins``
+    is the usual release contract."""
     if period not in ("day", "week", "month"):
         raise ValueError(f"period must be day|week|month, got {period!r}")
     user, ts = qcol(user_col), qcol(ts_col)
     pstart = F.date_trunc(period, ts).cast("date")
-    acts = df.select(user.alias("__u"), pstart.alias("__p")).distinct()
+    acts = df.filter(ts.isNotNull()).select(
+        user.alias("__u"), pstart.alias("__p")
+    ).distinct()
+    if cache_activity:
+        acts = acts.persist()
+        if pins is not None:
+            pins.append(acts)
     first = acts.groupBy("__u").agg(F.min("__p").alias("__cohort"))
     joined = acts.join(first, "__u")
     if period == "day":

@@ -408,15 +408,41 @@ def ngram_jaccard_pairs(
     )
 
 
+def _candidate_shingles(
+    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str,
+    shingle_n: int,
+) -> DataFrame:
+    """(__id, __sh) distinct-shingle sets, semi-joined down to the
+    documents appearing in ``pairs`` — the shared candidate-bounding
+    head of every pairwise verifier (one corpus scan, then work is
+    linear in candidate count)."""
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("__id"))
+        .union(pairs.select(F.col("id_b").alias("__id")))
+        .distinct()
+    )
+    return (
+        _shingled(df, id_col, text_col, shingle_n, drop_empty=True)
+        .select("__id", F.array_distinct("__sh").alias("__sh"))
+        .join(cand_ids, "__id", "left_semi")
+    )
+
+
+def _paired_shingles(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """``pairs`` with both sides' shingle sets attached (__sha, __shb)
+    — the shared two-sided join of the pairwise verifiers."""
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
+    return pairs.join(a, "id_a").join(b, "id_b")
+
+
 def _jaccard_on_shingled(
     sh: DataFrame, pairs: DataFrame, threshold: float
 ) -> DataFrame:
     """Exact Jaccard over candidate ``pairs`` given a (__id, __sh)
     distinct-shingle-set frame — the shared verification tail of
     ``jaccard_on_pairs`` and ``near_dup_pairs``."""
-    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
-    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
-    joined = pairs.join(a, "id_a").join(b, "id_b")
+    joined = _paired_shingles(sh, pairs)
     inter = F.size(F.array_intersect("__sha", "__shb"))
     jac = inter / (F.size("__sha") + F.size("__shb") - inter)
     return (
@@ -453,16 +479,7 @@ def jaccard_on_pairs(
     """
     if cache_pairs:
         pairs = pairs.persist()
-    cand_ids = (
-        pairs.select(F.col("id_a").alias("__id"))
-        .union(pairs.select(F.col("id_b").alias("__id")))
-        .distinct()
-    )
-    sh = (
-        _shingled(df, id_col, text_col, shingle_n, drop_empty=True)
-        .select("__id", F.array_distinct("__sh").alias("__sh"))
-        .join(cand_ids, "__id", "left_semi")
-    )
+    sh = _candidate_shingles(df, pairs, id_col, text_col, shingle_n)
     return _jaccard_on_shingled(sh, pairs, threshold)
 
 
@@ -493,19 +510,8 @@ def containment_on_pairs(
     """
     if cache_pairs:
         pairs = pairs.persist()
-    cand_ids = (
-        pairs.select(F.col("id_a").alias("__id"))
-        .union(pairs.select(F.col("id_b").alias("__id")))
-        .distinct()
-    )
-    sh = (
-        _shingled(df, id_col, text_col, shingle_n, drop_empty=True)
-        .select("__id", F.array_distinct("__sh").alias("__sh"))
-        .join(cand_ids, "__id", "left_semi")
-    )
-    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
-    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
-    joined = pairs.join(a, "id_a").join(b, "id_b")
+    sh = _candidate_shingles(df, pairs, id_col, text_col, shingle_n)
+    joined = _paired_shingles(sh, pairs)
     na, nb = F.size("__sha"), F.size("__shb")
     inter = F.size(F.array_intersect("__sha", "__shb"))
     return (

@@ -207,10 +207,23 @@ def zone_map_update(
         os.path.basename(r["file"]) for r in existing.select("file").collect()
     }
     new_files = []
+    seen = 0
     for root, _dirs, files in os.walk(path):
         for f in files:
-            if not f.startswith(("_", ".")) and f not in known:
-                new_files.append(os.path.join(root, f))
+            if not f.startswith(("_", ".")):
+                seen += 1
+                if f not in known:
+                    new_files.append(os.path.join(root, f))
+    if seen == 0 and known:
+        # a local-listing miss (remote URI, moved table) must fail
+        # LOUDLY: silently returning the stale map would make pruned
+        # reads drop every file the map has never heard of
+        raise ValueError(
+            f"listing {path!r} found no data files but the existing "
+            f"zone map has {len(known)} — non-local path or moved "
+            "table? (this maintenance face lists the local "
+            "filesystem, the same seam as compact_small_files)"
+        )
     if not new_files:
         return existing
     df = spark.read.option("basePath", path).parquet(*new_files)

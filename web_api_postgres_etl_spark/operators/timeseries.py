@@ -39,11 +39,24 @@ def resample_ffill(
     value_col: str,
     step_seconds: int,
     tiebreaker: str | None = None,
+    cache_observations: bool = True,
+    pins: list[DataFrame] | None = None,
 ) -> DataFrame:
     """(key, grid_ts, value) — the series resampled to a regular grid
     with forward fill. ``tiebreaker``: column deciding which of
     several same-timestamp observations wins (max wins; default: max
-    of ``value_col`` itself, still deterministic)."""
+    of ``value_col`` itself, still deterministic).
+
+    A NULL-VALUED observation is still an observation: it resets the
+    fill to NULL (the feed explicitly reported no value) rather than
+    letting an older value leak through — matching ASOF-join
+    semantics, where the most recent row wins whatever it carries.
+
+    ``cache_observations`` persists the deduplicated observation
+    frame — it feeds both the grid-bounds aggregate and the fill
+    union, and the repo's measured per-branch recompute would
+    otherwise scan + reduce the source twice. Same ``pins`` release
+    contract as the dedup operators."""
     if step_seconds < 1:
         raise ValueError(f"step_seconds must be >= 1, got {step_seconds}")
     step_us = int(step_seconds) * 1_000_000
@@ -59,6 +72,10 @@ def resample_ffill(
     obs = obs.groupBy("__k", "__t").agg(
         F.max_by("__v", "__tb").alias("__v")
     )
+    if cache_observations:
+        obs = obs.persist()
+        if pins is not None:
+            pins.append(obs)
 
     bounds = obs.groupBy("__k").agg(
         (F.floor(F.min("__t") / step_us) * step_us).alias("__t0"),
@@ -87,8 +104,14 @@ def resample_ffill(
         .orderBy("__t", "__g")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # wrap observation rows in a struct so a NULL-VALUED observation
+    # stays distinguishable from the grid placeholders — last(...,
+    # ignorenulls) skips only the placeholders, never a real NULL
     filled = unioned.withColumn(
-        "__f", F.last("__v", ignorenulls=True).over(w)
+        "__f",
+        F.last(
+            F.when(F.col("__g") == 0, F.struct("__v")), ignorenulls=True
+        ).over(w)["__v"],
     ).filter(F.col("__g") == 1)
     return filled.select(
         F.col("__k").alias(key_col),
