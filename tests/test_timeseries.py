@@ -319,3 +319,55 @@ def test_zone_map_update_raises_on_unlistable_path(spark, tmp_path):
     _os.makedirs(empty)
     with pytest.raises(ValueError, match="no data files"):
         zone_map_update(spark, empty, zm, ["v"])
+
+
+def test_rolling_agg_ground_truth_and_mirror(spark, oracle):
+    from decimal import Decimal
+
+    from tests.conftest import SF_ORACLE
+    from web_api_postgres_etl_spark.operators.timeseries import rolling_agg
+
+    df = spark.createDataFrame(
+        [
+            (1, T(0), 1.0), (1, T(1), 2.0), (1, T(1), 10.0),  # tie
+            (1, T(2), 4.0), (1, T(30), 8.0),
+        ],
+        "k long, ts timestamp, v double",
+    )
+    rows = {
+        (r["k"], r["ts"], r["v"]): (r["roll_n"], float(r["roll_sum"]))
+        for r in rolling_agg(df, "k", "ts", "v", window_seconds=120).collect()
+    }
+    # both tie rows see each other regardless of order
+    assert rows[(1, T(1), 2.0)] == (3, 13.0)
+    assert rows[(1, T(1), 10.0)] == (3, 13.0)
+    assert rows[(1, T(2), 4.0)] == (4, 17.0)
+    assert rows[(1, T(30), 8.0)] == (1, 8.0)   # 10:28 is outside 2 min? no:
+    # T(30) - 120s = 10:28:00; earlier events at 10:00..10:02 excluded
+    got = sorted(
+        (
+            r["user_id"], int(r["ts"].timestamp() * 1e6), r["value"],
+            r["roll_n"], r["roll_sum"], r["roll_min"], r["roll_max"],
+        )
+        for r in rolling_agg(
+            spark.read.parquet(f"{SF_ORACLE}/events.parquet").select(
+                "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+            ),
+            "user_id", "ts", "value", window_seconds=6 * 3600,
+        ).collect()
+    )
+    want = sorted(
+        (u, t, v, n, Decimal(s).quantize(Decimal("1.0000000000")), mn, mx)
+        for u, t, v, n, s, mn, mx in oracle.sql("""
+SELECT user_id, epoch_us(ts) AS t, value,
+       count(value) OVER w AS roll_n,
+       sum(CAST(value AS DECIMAL(38,10))) OVER w AS roll_sum,
+       min(value) OVER w AS roll_min,
+       max(value) OVER w AS roll_max
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN CAST(21600 AS BIGINT)*1000000 PRECEDING
+                   AND CURRENT ROW)
+""").fetchall()
+    )
+    assert got == want and len(got) == 10000

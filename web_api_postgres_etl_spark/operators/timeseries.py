@@ -150,3 +150,44 @@ def detect_gaps(
         F.timestamp_micros(F.col("__t")).alias("gap_end"),
         ((F.col("__t") - F.col("__p")) / 1_000_000.0).alias("gap_seconds"),
     )
+
+
+def rolling_agg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Trailing time-RANGE rolling aggregates per key: for every
+    observation, the count / DECIMAL sum / min / max of all values in
+    ``[t - window_seconds, t]`` (inclusive both ends — every engine's
+    RANGE ... PRECEDING AND CURRENT ROW). Appends (roll_n, roll_sum,
+    roll_min, roll_max); divide sum/n downstream for a moving average.
+
+    A RANGE frame (not ROWS): irregular series get true time windows,
+    and equal-timestamp peers are always in each other's frame, so
+    the result is insensitive to tie order. The sum runs over
+    DECIMAL(38,10) — exact, order-independent, reproducible in any
+    engine (the repo-wide money routing rule); a double sum would
+    drift across engines on tie reordering. One (key, ts) sort, no
+    join, no grid."""
+    if window_seconds < 1:
+        raise ValueError(f"window_seconds must be >= 1, got {window_seconds}")
+    key, ts, val = qcol(key_col), qcol(ts_col), qcol(value_col)
+    out = df.filter(F.unix_micros(ts).isNotNull()).withColumn(
+        "__t", F.unix_micros(ts)
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__t")
+        .rangeBetween(-int(window_seconds) * 1_000_000, 0)
+    )
+    dec = val.cast("decimal(38,10)")
+    return (
+        out.withColumn("roll_n", F.count(val).over(w))
+        .withColumn("roll_sum", F.sum(dec).over(w))
+        .withColumn("roll_min", F.min(val).over(w))
+        .withColumn("roll_max", F.max(val).over(w))
+        .drop("__t")
+    )
