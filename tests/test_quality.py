@@ -114,3 +114,12 @@ UNION ALL SELECT 'impossible', n, f4, f4 = 0 FROM a
     # sanity: the impossible rule fails on EVERY row
     imp = next(r for r in got if r[0] == "impossible")
     assert imp[2] == imp[1] and not imp[3]
+
+
+def test_expect_rule_names_with_quotes(spark):
+    """Rule names are data, not SQL: quotes must survive verbatim."""
+    name = "o'brien's \\ rule"
+    rows = expect(_df(spark), {name: "id > 0"}).collect()
+    assert rows[0]["rule"] == name and rows[0]["pass"]
+    with pytest.raises(ValueError, match="control chars"):
+        expect(_df(spark), {"bad\nname": "id > 0"})

@@ -46,11 +46,18 @@ def expect(
             F.sum((~F.coalesce(c, F.lit(False))).cast("long")).alias(f"__f{i}")
         )
     wide = df.agg(*aggs)
+    def _q(s: str) -> str:
+        # rule names land inside SQL string literals — escape quotes
+        # and reject control chars so a name can never break the expr
+        if any(ord(ch) < 32 for ch in s):
+            raise ValueError(f"rule name contains control chars: {s!r}")
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
     stack = F.expr(
         "stack({n}, {args}) AS (rule, n_failed)".format(
             n=len(names),
             args=", ".join(
-                f"'{name}', __f{i}" for i, name in enumerate(names)
+                f"'{_q(name)}', __f{i}" for i, name in enumerate(names)
             ),
         )
     )
