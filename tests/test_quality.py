@@ -116,10 +116,22 @@ UNION ALL SELECT 'impossible', n, f4, f4 = 0 FROM a
     assert imp[2] == imp[1] and not imp[3]
 
 
-def test_expect_rule_names_with_quotes(spark):
-    """Rule names are data, not SQL: quotes must survive verbatim."""
-    name = "o'brien's \\ rule"
-    rows = expect(_df(spark), {name: "id > 0"}).collect()
-    assert rows[0]["rule"] == name and rows[0]["pass"]
-    with pytest.raises(ValueError, match="control chars"):
-        expect(_df(spark), {"bad\nname": "id > 0"})
+def test_expect_rule_names_are_data(spark):
+    """Rule names are data, not SQL: any characters survive verbatim
+    (the unpivot carries them as literals, no string splicing)."""
+    for name in ("o'brien's \\ rule", "multi\nline", "tab\tname"):
+        rows = expect(_df(spark), {name: "id > 0"}).collect()
+        assert rows[0]["rule"] == name and rows[0]["pass"]
+
+
+def test_expect_or_raise_rejects_empty_load(spark):
+    empty = _df(spark).filter("id < 0")
+    with pytest.raises(ValueError, match="0 rows"):
+        expect_or_raise(empty, _rules())
+    assert expect_or_raise(empty, _rules(), require_rows=False).count() == 0
+
+
+def test_quarantine_rejects_reasons_col_collision(spark):
+    df = _df(spark).withColumn("failed_rules", F.lit("x"))
+    with pytest.raises(ValueError, match="failed_rules"):
+        quarantine(df, _rules())

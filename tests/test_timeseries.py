@@ -371,3 +371,21 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 """).fetchall()
     )
     assert got == want and len(got) == 10000
+
+
+def test_rolling_agg_total_and_collision_guard(spark):
+    import pytest
+
+    from web_api_postgres_etl_spark.operators.timeseries import rolling_agg
+
+    df = spark.createDataFrame(
+        [(1, T(0), 5.0), (1, None, 9.0)], "k long, ts timestamp, v double"
+    )
+    rows = {r["v"]: (r["roll_n"], r["roll_sum"]) for r in rolling_agg(
+        df, "k", "ts", "v", 60
+    ).collect()}
+    assert len(rows) == 2                      # NULL-ts row preserved
+    assert rows[9.0] == (None, None)           # ...with NULL aggregates
+    assert rows[5.0][0] == 1
+    with pytest.raises(ValueError, match="collide"):
+        rolling_agg(df.withColumn("roll_n", F.lit(1)), "k", "ts", "v", 60)

@@ -33,7 +33,9 @@ def expect(
     NULL. ``pass`` is n_failed == 0.
 
     Report shape is deterministic: rules appear in mapping order via
-    an explicit unpivot (stack), not k separate jobs.
+    an explicit unpivot, not k separate jobs. An EMPTY input passes
+    every rule vacuously (n_rows shows 0) — gate zero-row loads with
+    ``expect_or_raise``'s ``require_rows``.
     """
     if not rules:
         raise ValueError("rules must be non-empty")
@@ -46,22 +48,21 @@ def expect(
             F.sum((~F.coalesce(c, F.lit(False))).cast("long")).alias(f"__f{i}")
         )
     wide = df.agg(*aggs)
-    def _q(s: str) -> str:
-        # rule names land inside SQL string literals — escape quotes
-        # and reject control chars so a name can never break the expr
-        if any(ord(ch) < 32 for ch in s):
-            raise ValueError(f"rule name contains control chars: {s!r}")
-        return s.replace("\\", "\\\\").replace("'", "\\'")
-
-    stack = F.expr(
-        "stack({n}, {args}) AS (rule, n_failed)".format(
-            n=len(names),
-            args=", ".join(
-                f"'{_q(name)}', __f{i}" for i, name in enumerate(names)
-            ),
+    # unpivot via inline(array(struct(...))): rule names travel as
+    # literal DATA (F.lit), never spliced into a SQL string — no
+    # escaping surface, any character works
+    rows = F.inline(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("rule"),
+                    F.col(f"__f{i}").alias("n_failed"),
+                )
+                for i, name in enumerate(names)
+            ]
         )
     )
-    return wide.select(F.col("__n").alias("__n"), stack).select(
+    return wide.select(F.col("__n").alias("__n"), rows).select(
         "rule",
         F.col("__n").alias("n_rows"),
         F.coalesce(F.col("n_failed"), F.lit(0)).alias("n_failed"),
@@ -72,12 +73,24 @@ def expect(
 def expect_or_raise(
     df: DataFrame,
     rules: Mapping[str, Column | str],
+    require_rows: bool = True,
 ) -> DataFrame:
     """Gate form: return ``df`` untouched when every rule passes, else
     raise ``ValueError`` naming each failing rule and its count — the
     load-abort pattern (check the staging layer BEFORE the swap to
-    production, same place the pipeline's compaction swap sits)."""
+    production, same place the pipeline's compaction swap sits).
+
+    ``require_rows`` (default True) also rejects an EMPTY frame: a
+    zero-row load vacuously passes every row-level rule, and blessing
+    it would let a silently-failed extraction promote an empty table
+    over production. Pass False only when empty is a legal state."""
     report = expect(df, rules).collect()
+    if require_rows and report and report[0]["n_rows"] == 0:
+        raise ValueError(
+            "expectations failed — input has 0 rows (every row rule "
+            "passes vacuously; pass require_rows=False if an empty "
+            "load is expected)"
+        )
     failed = [(r["rule"], r["n_failed"]) for r in report if not r["pass"]]
     if failed:
         detail = ", ".join(f"{name}: {n} rows" for name, n in failed)
@@ -98,6 +111,11 @@ def quarantine(
     subplan reuse across actions), or persist upstream for one."""
     if not rules:
         raise ValueError("rules must be non-empty")
+    if reasons_col in df.columns:
+        raise ValueError(
+            f"input already has a {reasons_col!r} column — pass a "
+            "different reasons_col (quarantine would silently destroy it)"
+        )
     flags = [
         F.when(
             ~F.coalesce(

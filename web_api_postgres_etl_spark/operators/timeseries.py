@@ -171,23 +171,40 @@ def rolling_agg(
     DECIMAL(38,10) — exact, order-independent, reproducible in any
     engine (the repo-wide money routing rule); a double sum would
     drift across engines on tie reordering. One (key, ts) sort, no
-    join, no grid."""
+    join, no grid.
+
+    Enrichment is TOTAL: NULL-timestamp rows pass through with NULL
+    aggregates (they belong to no time window) instead of silently
+    vanishing; they cost one extra filtered branch of the source."""
     if window_seconds < 1:
         raise ValueError(f"window_seconds must be >= 1, got {window_seconds}")
+    out_cols = ("roll_n", "roll_sum", "roll_min", "roll_max")
+    clash = (set(out_cols) | {"__roll_t"}) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with rolling_agg's "
+            "output/internal columns — rename them first"
+        )
     key, ts, val = qcol(key_col), qcol(ts_col), qcol(value_col)
-    out = df.filter(F.unix_micros(ts).isNotNull()).withColumn(
-        "__t", F.unix_micros(ts)
-    )
+    with_t = df.withColumn("__roll_t", F.unix_micros(ts))
     w = (
         Window.partitionBy(key)
-        .orderBy("__t")
+        .orderBy("__roll_t")
         .rangeBetween(-int(window_seconds) * 1_000_000, 0)
     )
     dec = val.cast("decimal(38,10)")
-    return (
-        out.withColumn("roll_n", F.count(val).over(w))
+    windowed = (
+        with_t.filter(F.col("__roll_t").isNotNull())
+        .withColumn("roll_n", F.count(val).over(w))
         .withColumn("roll_sum", F.sum(dec).over(w))
         .withColumn("roll_min", F.min(val).over(w))
         .withColumn("roll_max", F.max(val).over(w))
-        .drop("__t")
     )
+    untimed = (
+        with_t.filter(F.col("__roll_t").isNull())
+        .withColumn("roll_n", F.lit(None).cast("long"))
+        .withColumn("roll_sum", F.lit(None).cast("decimal(38,10)"))
+        .withColumn("roll_min", F.lit(None).cast(with_t.schema[value_col].dataType))
+        .withColumn("roll_max", F.lit(None).cast(with_t.schema[value_col].dataType))
+    )
+    return windowed.unionByName(untimed).drop("__roll_t")
