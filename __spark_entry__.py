@@ -53,6 +53,7 @@ from web_api_postgres_etl_spark.operators.filters import (
     in_range,
     newer_than,
 )
+from web_api_postgres_etl_spark.operators.history import scd2_history
 from web_api_postgres_etl_spark.operators.joins import star_join
 from web_api_postgres_etl_spark.operators.multimodal import (
     extract_image_features,
@@ -1246,6 +1247,41 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        COUNT(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY 1
+"""
+
+
+def q_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD Type 2 dimension build (operators/history.py): the events
+    change log per user collapses consecutive identical states and
+    emits validity intervals — the keep-every-version complement of
+    the reference's last-wins compaction (mabna_tables_update.py:68-98).
+    Interval bounds ship as epoch-micros BIGINTs (engine-exact)."""
+    events = _t(spark, sf, "events")
+    hist = scd2_history(events, ["user_id"], "ts", ["event_type"])
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "is_current",
+    )
+
+
+SQL_SCD2 = """
+WITH ordered AS (
+  SELECT user_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev,
+         lag(1) OVER (PARTITION BY user_id ORDER BY ts) AS has_prev
+  FROM events
+), changes AS (
+  SELECT user_id, ts, event_type FROM ordered
+  WHERE has_prev IS NULL OR event_type IS DISTINCT FROM prev
+)
+SELECT user_id, event_type,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS valid_to_us,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+FROM changes
 """
 
 
@@ -3073,7 +3109,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_window_analytics": q_w1_window_analytics,
         "agg_rollup": q_agg_rollup,
         "agg_pivot": q_agg_pivot,
-        "agg_time_window": q_agg_time_window,
+        # SCD2 history (r6: swapped in for agg_time_window, whose
+        # tumbling-window shape stays driver-visible inside
+        # t5_watermark_late_drop; retired parity in
+        # tests/test_oracle_parity.py::test_retired_contract_entries)
+        "scd2_history": q_scd2_history,
         "agg_session_window": q_agg_session_window,
         # dedup / similarity
         "dedup_exact": q_dedup_exact,
@@ -3160,7 +3200,7 @@ def oracle_sql() -> dict[str, str]:
         "w1_window_analytics": SQL_W1,
         "agg_rollup": SQL_ROLLUP,
         "agg_pivot": SQL_PIVOT,
-        "agg_time_window": SQL_TIME_WINDOW,
+        "scd2_history": SQL_SCD2,
         "agg_session_window": SQL_SESSION_WINDOW,
         "dedup_exact": SQL_DEDUP_EXACT,
         "url_curation": SQL_URL_CURATION,

@@ -91,6 +91,10 @@ RETIRED = [
     # (multimodal keeps two driver rows — stats + features; the
     # sequence+explode fan-out shape also rides s8_dim_date)
     ("multimodal_frame_sample", "SQL_FRAME_SAMPLE"),
+    # r6 fourth wave: tumbling-window agg → scd2_history (the same
+    # F.window shape stays driver-visible in t5_watermark_late_drop's
+    # streaming windowed aggregate)
+    ("agg_time_window", "SQL_TIME_WINDOW"),
 ]
 
 
