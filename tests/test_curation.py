@@ -4,6 +4,7 @@ DuckDB oracle parity on the testdata documents table."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from web_api_postgres_etl_spark.functions.text import gopher_flags
@@ -540,3 +541,99 @@ def test_c4_clean_lines_oracle_parity(spark, oracle):
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     emptied = docs.select(c4_clean_lines("text").alias("t"))
     assert emptied.filter(F.col("t") != "").count() == 0
+
+
+# ------------------------------------------ persisted minhash index
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_index_roundtrip_matches_in_memory(spark, tmp_path):
+    from web_api_postgres_etl_spark.operators.dedup import (
+        dedup_batch_against_index,
+        read_minhash_index,
+        write_minhash_index,
+    )
+
+    corpus = _docs(
+        spark,
+        [
+            (100, "the quick brown fox jumps over the lazy dog every day"),
+            (101, "spark engines read parquet files with columnar batches"),
+        ],
+    )
+    path = str(tmp_path / "mh_index")
+    write_minhash_index(corpus, path, "doc_id", "text", shingle_n=2, num_hashes=8)
+
+    sigs, meta = read_minhash_index(spark, path)
+    assert meta == {"id_col": "doc_id", "shingle_n": 2, "num_hashes": 8}
+    # persisted signatures == freshly computed ones (deterministic family)
+    fresh = minhash_table(corpus, "doc_id", "text", shingle_n=2, num_hashes=8)
+    assert sorted(map(tuple, sigs.collect())) == sorted(map(tuple, fresh.collect()))
+
+    new = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog every day"),
+            (2, "an entirely novel document mentioning neither foxes nor "
+                "parquet in any recognizable overlapping phrasing"),
+        ],
+    )
+    kept = dedup_batch_against_index(new, path, "text", bands=4, threshold=0.9)
+    assert [r["doc_id"] for r in kept.collect()] == [2]
+
+
+def test_minhash_index_ingest_loop(spark, tmp_path):
+    """Two-batch ingest: survivors of batch 1 are appended, so batch 2's
+    duplicate OF A BATCH-1 DOC is dropped even though the original
+    corpus never contained it."""
+    from web_api_postgres_etl_spark.operators.dedup import (
+        dedup_batch_against_index,
+        minhash_index_append,
+        write_minhash_index,
+    )
+
+    corpus = _docs(
+        spark, [(100, "seed document with some stable wording about engines")]
+    )
+    path = str(tmp_path / "mh_index")
+    write_minhash_index(corpus, path, "doc_id", "text", shingle_n=2, num_hashes=8)
+
+    batch1 = _docs(
+        spark,
+        [(1, "a fresh batch-one page describing winnowing and shingles")],
+    )
+    kept1 = dedup_batch_against_index(batch1, path, "text", threshold=0.9)
+    assert kept1.count() == 1
+    minhash_index_append(kept1, path, "text")
+
+    batch2 = _docs(
+        spark,
+        [
+            (2, "a fresh batch-one page describing winnowing and shingles"),
+            (3, "completely unrelated prose concerning citrus cultivation"),
+        ],
+    )
+    kept2 = dedup_batch_against_index(batch2, path, "text", threshold=0.9)
+    assert [r["doc_id"] for r in kept2.collect()] == [3]
+
+
+def test_minhash_index_key_and_meta_validation(spark, tmp_path):
+    from web_api_postgres_etl_spark.operators.dedup import (
+        dedup_batch_against_index,
+        read_minhash_index,
+        write_minhash_index,
+    )
+
+    corpus = _docs(spark, [(1, "alpha beta gamma delta")])
+    path = str(tmp_path / "mh_index")
+    write_minhash_index(corpus, path, "doc_id", "text")
+    bad = spark.createDataFrame([(1, "x")], "other_id long, text string")
+    with pytest.raises(ValueError, match="keys on 'doc_id'"):
+        dedup_batch_against_index(bad, path, "text")
+    # a second meta row (corrupted sidecar) must fail loudly
+    spark.createDataFrame(
+        [("doc_id", 9, 9)], "id_col string, shingle_n int, num_hashes int"
+    ).write.mode("append").parquet(path + "_meta")
+    with pytest.raises(ValueError, match="exactly 1 _meta row"):
+        read_minhash_index(spark, path)

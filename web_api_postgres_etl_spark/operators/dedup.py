@@ -1218,6 +1218,98 @@ def dedup_against_corpus(
     return new_df.join(dup_ids, on=id_col, how="left_anti")
 
 
+# ------------------------------------------- persisted minhash index
+def write_minhash_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+) -> None:
+    """Materialize the corpus's minhash signature table as the
+    persisted dedup index — the build-once half of the incremental
+    ingest story (``dedup_against_corpus`` is the score half). The
+    index stores (id, k×8B signature mins) per document, NEVER text:
+    at 100 TB of corpus, the index is ~10⁻⁴ of it and is the ONLY
+    state kept between ingest batches.
+
+    The signature family (shingle_n, num_hashes) is written to a
+    one-row ``_meta`` sidecar; readers take the family FROM the
+    sidecar, so a batch can never be signed with a mismatched family
+    silently (the failure mode of ad-hoc signature tables). The md5
+    seed family is deterministic, so signatures written today match
+    signatures computed against the index years later.
+    """
+    sigs = minhash_table(corpus, id_col, text_col, shingle_n, num_hashes)
+    sigs.write.mode("overwrite").parquet(path)
+    corpus.sparkSession.createDataFrame(
+        [(id_col, int(shingle_n), int(num_hashes))],
+        "id_col string, shingle_n int, num_hashes int",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "_meta")
+
+
+def read_minhash_index(spark, path: str) -> tuple[DataFrame, dict]:
+    """(signature table, family metadata) for a persisted index.
+    Raises loudly on a missing/ambiguous sidecar rather than guessing
+    the family from column names."""
+    meta_rows = spark.read.parquet(path + "_meta").collect()
+    if len(meta_rows) != 1:
+        raise ValueError(
+            f"minhash index at {path}: expected exactly 1 _meta row, "
+            f"found {len(meta_rows)}"
+        )
+    meta = meta_rows[0].asDict()
+    return spark.read.parquet(path), meta
+
+
+def minhash_index_append(
+    new_df: DataFrame, path: str, text_col: str
+) -> None:
+    """Sign ``new_df`` with the index's OWN family (read from the
+    sidecar — callers cannot desynchronize it) and append the
+    signatures. The ingest loop is
+    ``survivors = dedup_batch_against_index(batch); index_append(survivors)``
+    — each batch shuffles only its own (id, digest) rows; the existing
+    index is never rewritten (plain parquet append)."""
+    _, meta = read_minhash_index(new_df.sparkSession, path)
+    sigs = minhash_table(
+        new_df, meta["id_col"], text_col, meta["shingle_n"], meta["num_hashes"]
+    )
+    sigs.write.mode("append").parquet(path)
+
+
+def dedup_batch_against_index(
+    new_df: DataFrame,
+    path: str,
+    text_col: str,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Drop new-batch documents that near-duplicate the persisted
+    corpus index (``write_minhash_index``): reads the family from the
+    sidecar and delegates to ``dedup_against_corpus``. Returns
+    surviving new-batch rows, schema unchanged. The id column name is
+    the index's own (recorded at build time) and must exist on
+    ``new_df``."""
+    sigs, meta = read_minhash_index(new_df.sparkSession, path)
+    if meta["id_col"] not in new_df.columns:
+        raise ValueError(
+            f"minhash index at {path} keys on {meta['id_col']!r}, "
+            f"absent from the batch columns {new_df.columns}"
+        )
+    return dedup_against_corpus(
+        new_df,
+        sigs,
+        id_col=meta["id_col"],
+        text_col=text_col,
+        shingle_n=meta["shingle_n"],
+        num_hashes=meta["num_hashes"],
+        bands=bands,
+        threshold=threshold,
+    )
+
+
 def contaminated_flag(
     text_col, bench_digests: Sequence[str], ngram_n: int = 13
 ):
