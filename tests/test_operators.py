@@ -331,3 +331,57 @@ def test_funnel_users_drilldown(spark):
     }
     for i in range(len(steps)):
         assert counts[i] == sum(1 for v in users.values() if v[0] >= i)
+
+
+# ------------------------------------------------------- skew profile
+def test_key_skew_profile_ground_truth(spark):
+    import pytest
+    from web_api_postgres_etl_spark.operators.aggregates import key_skew_profile
+
+    rows = (
+        [("hot",)] * 6 + [("warm",)] * 3 + [("a",)] + [("b",)] + [(None,)]
+    )
+    df = spark.createDataFrame(rows, "k string")
+    prof = key_skew_profile(df, ["k"], top_k=3).collect()
+    # 5 distinct keys (NULL is a group), 12 rows total
+    assert [(r.k, r.n_rows) for r in prof] == [("hot", 6), ("warm", 3), (None, 1)]
+    hot = prof[0]
+    assert hot.share == 6 / 12
+    assert hot.cum_share == 6 / 12
+    assert hot.over_mean == 6 * 5 / 12
+    assert prof[1].cum_share == 9 / 12
+    # NULL sorts before other count-1 keys (nulls-first tiebreak)
+    assert prof[2].k is None and prof[2].cum_share == 10 / 12
+    with pytest.raises(ValueError, match="at least one key"):
+        key_skew_profile(df, [])
+    with pytest.raises(ValueError, match="collide"):
+        key_skew_profile(df.withColumnRenamed("k", "n_rows"), ["n_rows"])
+
+
+SQL_SKEW_EVENTS = """
+WITH counts AS (SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1),
+tot AS (SELECT sum(n_rows) AS t, count(*) AS nk FROM counts),
+top AS (SELECT * FROM counts ORDER BY n_rows DESC, user_id ASC LIMIT 20)
+SELECT user_id, n_rows,
+       n_rows / t AS share,
+       sum(n_rows) OVER (ORDER BY n_rows DESC, user_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t
+         AS cum_share,
+       n_rows * nk / t AS over_mean
+FROM top, tot
+"""
+
+
+def test_key_skew_profile_oracle_parity(spark, oracle):
+    from web_api_postgres_etl_spark.operators.aggregates import key_skew_profile
+
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    prof = key_skew_profile(events, ["user_id"], top_k=20)
+    s_rows = [
+        (r.user_id, r.n_rows, r.share, r.cum_share, r.over_mean)
+        for r in prof.collect()
+    ]
+    d_rows = [tuple(r) for r in oracle.execute(SQL_SKEW_EVENTS).fetchall()]
+    # deterministic order AND bit-exact ratios (integer cumsum, one division)
+    assert s_rows == d_rows
+    assert len(s_rows) == 20

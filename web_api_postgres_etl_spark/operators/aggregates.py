@@ -336,3 +336,68 @@ def retention_cohorts(
         .groupBy("cohort", "period_idx")
         .agg(F.count_distinct("__u").alias("n_users"))
     )
+
+
+# ------------------------------------------------------- skew profile
+def key_skew_profile(
+    df: DataFrame, keys: list[str], top_k: int = 20
+) -> DataFrame:
+    """Top-``top_k`` heaviest join/aggregation keys with their load
+    share — the diagnostic that decides WHETHER a join needs salting
+    (``joins.salted_join``) or AQE skew splitting before anyone pays
+    for either. One row per heavy key:
+
+    - ``n_rows``: rows carrying the key (= the size of the shuffle
+      partition bucket a plain hash join would build for it);
+    - ``share``: fraction of the table (exact: two bigints divided);
+    - ``cum_share``: running share of the heaviest keys so far —
+      cumulative on the INTEGER counts then divided, never a float
+      fold, so the value is bit-stable across engines;
+    - ``over_mean``: n_rows / (total/n_distinct_keys) — how many
+      "fair" buckets this key occupies; a key at 50× mean is 50 tasks'
+      work serialized into one unless salted.
+
+    Scale shape: one map-side-combining groupBy on the keys, then a
+    take-ordered top-k and a tree-reduced 1-row total broadcast back
+    over the k survivors; the cumulative window orders ≤ top_k rows
+    (bounded by construction, not by data). The grouped subframe is
+    referenced twice (top-k + total) and recomputes — two LINEAR
+    passes; a diagnostic run pays that rather than pinning a
+    distinct-key-cardinality frame in memory.
+
+    Ordering ties break on the key values, so the returned top-k set
+    is deterministic (and engine-reproducible) even when counts tie at
+    the boundary.
+    """
+    if not keys:
+        raise ValueError("key_skew_profile: at least one key column required")
+    reserved = {"n_rows", "share", "cum_share", "over_mean"}
+    clash = reserved & {k.split(".")[-1] for k in keys}
+    if clash:
+        raise ValueError(
+            f"key_skew_profile: key columns collide with output {sorted(clash)}"
+        )
+    key_out = [k.split(".")[-1] for k in keys]
+    counts = df.groupBy(
+        *[qcol(k).alias(o) for k, o in zip(keys, key_out)]
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    order = [F.col("n_rows").desc()] + [F.col(o).asc_nulls_first() for o in key_out]
+    top = counts.orderBy(*order).limit(top_k)
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"),
+        F.count(F.lit(1)).alias("__n_keys"),
+    )
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.join(F.broadcast(totals))
+        .withColumn("__cum_n", F.sum("n_rows").over(w))
+        .select(
+            *key_out,
+            "n_rows",
+            (F.col("n_rows") / F.col("__total")).alias("share"),
+            (F.col("__cum_n") / F.col("__total")).alias("cum_share"),
+            (
+                F.col("n_rows") * F.col("__n_keys") / F.col("__total")
+            ).alias("over_mean"),
+        )
+    )
