@@ -451,3 +451,77 @@ def test_lm_model_table_param_validation(spark):
         unigram_perplexity(docs, model_df=docs, model_counts=tbl)
     with pytest.raises(ValueError, match="pair"):
         bigram_perplexity(docs, model_counts=tbl)
+
+
+# ------------------------------------------------------- collocations
+def test_collocations_ground_truth(spark):
+    from web_api_postgres_etl_spark.operators.retrieval import collocations
+
+    # "new york" ×3 is a collocation; "the cat"/"the dog" dilute "the";
+    # doc boundaries must NOT create cross-doc bigrams
+    docs = spark.createDataFrame(
+        [
+            (1, "new york is big and new york is loud"),
+            (2, "the cat saw the dog in new york"),
+            (3, "york new"),  # reversed order is a DIFFERENT bigram
+        ],
+        "doc_id long, text string",
+    )
+    got = collocations(docs, "text", min_count=2, top_k=5).collect()
+    ny = [r for r in got if (r.w1, r.w2) == ("new", "york")]
+    assert len(ny) == 1 and ny[0].n_pair == 3
+    # counts: 'new' appears 4x (3 in "new york" + 1 in "york new"),
+    # 'york' 4x; T1 = 9 + 8 + 2 = 19 unigrams, T2 = 8 + 7 + 1 = 16
+    assert (ny[0].n_w1, ny[0].n_w2) == (4, 4)
+    assert ny[0].lift == (3 / 16) / ((4 / 19) * (4 / 19))
+    # reversed pair occurs once only -> filtered by min_count=2
+    assert not [r for r in got if (r.w1, r.w2) == ("york", "new")]
+    # lift ordering is descending
+    lifts = [r.lift for r in got]
+    assert lifts == sorted(lifts, reverse=True)
+
+
+SQL_COLLOC = """
+WITH t AS (
+  SELECT list_filter(regexp_split_to_array(trim(regexp_replace(
+    regexp_replace(lower(text),'[^a-z0-9\\s]',' ','g'),'\\s+',' ','g')),
+    ' '), x -> x <> '') AS toks
+  FROM documents),
+totals AS (
+  SELECT CAST(sum(len(toks)) AS DOUBLE) AS t1,
+         CAST(sum(greatest(len(toks) - 1, 0)) AS DOUBLE) AS t2
+  FROM t),
+uni AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+big AS (
+  SELECT toks[i] AS w1, toks[i+1] AS w2, count(*) AS n_pair
+  FROM t, unnest(range(1, greatest(len(toks), 1))) AS r(i)
+  GROUP BY 1, 2
+  HAVING count(*) >= {mc})
+SELECT w1, w2, n_pair, u1.c AS n_w1, u2.c AS n_w2,
+       (n_pair / t2) / ((u1.c / t1) * (u2.c / t1)) AS lift
+FROM big
+JOIN uni u1 ON u1.w = w1
+JOIN uni u2 ON u2.w = w2
+CROSS JOIN totals
+ORDER BY lift DESC, w1, w2
+LIMIT {k}
+"""
+
+
+def test_collocations_oracle_parity(spark, oracle):
+    from web_api_postgres_etl_spark.operators.retrieval import collocations
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    got = [
+        (r.w1, r.w2, r.n_pair, r.n_w1, r.n_w2, r.lift)
+        for r in collocations(docs, "text", min_count=5, top_k=50).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in oracle.execute(SQL_COLLOC.format(mc=5, k=50)).fetchall()
+    ]
+    # exact: counts, bit-identical lift (pinned IEEE op order), AND order
+    assert got == want
+    assert len(got) == 50

@@ -502,3 +502,65 @@ def bigram_perplexity(
         F.round("__ce", 6).alias("cross_entropy"),
         F.round(F.exp("__ce"), 4).alias("ppl"),
     )
+
+
+# ------------------------------------------------------- collocations
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Top-``top_k`` adjacent-word collocations by PMI lift — phrase
+    mining over a corpus (the "new_york / machine_learning" detector
+    that feeds phrase-aware tokenization).
+
+    For each bigram (a, b): ``lift = P(ab) / (P(a)·P(b))`` with
+    ``P(ab) = c_ab/T2`` over bigram occurrences and ``P(w) = c_w/T1``
+    over unigram occurrences. PMI = ln(lift); ln is monotone, so
+    ranking by lift IS the PMI ranking — the log is left to the caller
+    because libm ``ln`` is not bit-identical across engines, while
+    lift (IEEE divisions/multiplications of exact integer counts, in
+    the pinned order below) is. ``min_count`` suppresses the classic
+    PMI hapax pathology (rare pairs trivially maxing the score).
+
+    Scale shape: one corpus scan for unigram counts, one for bigram
+    counts (each: explode → map-side-combining groupBy on the term —
+    count tables shuffle, text never does), and one scan computing
+    BOTH totals as a tree-reduced 1-row frame (T1 = Σ len(tokens),
+    T2 = Σ max(len−1, 0) — derived, not a recount, so no subplan is
+    referenced twice). The two unigram joins shuffle (term, count)
+    pairs only. Output order (lift desc, w1, w2) is total, so top-k is
+    deterministic and engine-reproducible.
+    """
+    text = qcol(text_col)
+    toks_len = df.select(F.size(normalized_tokens(text)).alias("__l"))
+    totals = toks_len.agg(
+        F.sum("__l").cast("double").alias("__t1"),
+        F.sum(F.greatest(F.col("__l") - 1, F.lit(0))).cast("double").alias("__t2"),
+    )
+    uni = (
+        df.select(F.explode(normalized_tokens(text)).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    big = (
+        _bigram_pairs(df, text)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    joined = (
+        big.join(uni.select(F.col("__w").alias("w1"), F.col("__c").alias("n_w1")), "w1")
+        .join(uni.select(F.col("__w").alias("w2"), F.col("__c").alias("n_w2")), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    # pinned evaluation order — the oracle mirrors this parenthesization
+    lift = (F.col("n_pair") / F.col("__t2")) / (
+        (F.col("n_w1") / F.col("__t1")) * (F.col("n_w2") / F.col("__t1"))
+    )
+    return (
+        joined.select("w1", "w2", "n_pair", "n_w1", "n_w2", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(top_k)
+    )
