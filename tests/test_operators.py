@@ -385,3 +385,129 @@ def test_key_skew_profile_oracle_parity(spark, oracle):
     # deterministic order AND bit-exact ratios (integer cumsum, one division)
     assert s_rows == d_rows
     assert len(s_rows) == 20
+
+
+# ----------------------------------------- incremental aggregation
+def test_incremental_agg_equals_full_recompute(spark):
+    """State(batch1) ⊕ State(batch2) finalized == one-shot aggregate
+    over the union — on integer-valued doubles the sums are exact, so
+    the equality is bit-for-bit, not approximate."""
+    from web_api_postgres_etl_spark.operators.aggregates import (
+        finalize_agg,
+        incremental_agg_state,
+        merge_agg_state,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    spec = dict(
+        keys=["l_returnflag", "l_linestatus"],
+        sum_cols=["l_quantity"],
+        min_cols=["l_extendedprice"],
+        max_cols=["l_extendedprice"],
+    )
+    b1 = li.filter(F.col("l_orderkey") % 2 == 0)
+    b2 = li.filter(F.col("l_orderkey") % 2 == 1)
+    merged = merge_agg_state(
+        incremental_agg_state(b1, **spec), incremental_agg_state(b2, **spec),
+        keys=spec["keys"],
+    )
+    got = finalize_agg(merged, avg_of=["l_quantity"])
+    want = finalize_agg(
+        incremental_agg_state(li, **spec), avg_of=["l_quantity"]
+    )
+    canon = lambda df: sorted(map(tuple, df.select(sorted(df.columns)).collect()))
+    assert canon(got) == canon(want)
+    # merge is commutative
+    flipped = merge_agg_state(
+        incremental_agg_state(b2, **spec), incremental_agg_state(b1, **spec),
+        keys=spec["keys"],
+    )
+    assert canon(finalize_agg(flipped, avg_of=["l_quantity"])) == canon(want)
+
+
+def test_incremental_agg_null_semantics(spark):
+    from web_api_postgres_etl_spark.operators.aggregates import (
+        finalize_agg,
+        incremental_agg_state,
+        merge_agg_state,
+    )
+    import pytest
+
+    df1 = spark.createDataFrame(
+        [("a", None), ("a", 4.0), ("b", None)], "k string, v double"
+    )
+    df2 = spark.createDataFrame([("a", 2.0), ("b", None)], "k string, v double")
+    s = merge_agg_state(
+        incremental_agg_state(df1, ["k"], sum_cols=["v"]),
+        incremental_agg_state(df2, ["k"], sum_cols=["v"]),
+        ["k"],
+    )
+    rows = {r.k: r for r in finalize_agg(s, avg_of=["v"]).collect()}
+    # a: 3 rows, 2 non-null -> avg 3.0; b: all-null -> avg NULL not 0/0
+    assert (rows["a"].n_rows, rows["a"].cnt_v, rows["a"].avg_v) == (3, 2, 3.0)
+    assert (rows["b"].n_rows, rows["b"].cnt_v, rows["b"].avg_v) == (2, 0, None)
+    # schema mismatch fails loudly
+    other = incremental_agg_state(df1, ["k"], sum_cols=["v"], min_cols=["v"])
+    with pytest.raises(ValueError, match="schemas differ"):
+        merge_agg_state(s, other, ["k"])
+
+
+# ------------------------------------------------- event transitions
+def test_event_transitions_ground_truth(spark):
+    import datetime as dt
+    from web_api_postgres_etl_spark.operators.aggregates import event_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # u1: a -> b -> a ; u2: a -> b ; u3: single event (no pairs)
+        (1, t0, "a"), (1, t0 + dt.timedelta(minutes=1), "b"),
+        (1, t0 + dt.timedelta(minutes=2), "a"),
+        (2, t0, "a"), (2, t0 + dt.timedelta(minutes=1), "b"),
+        (3, t0, "z"),
+        # u4: NULL event is a real state
+        (4, t0, None), (4, t0 + dt.timedelta(minutes=1), "a"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        (r.from_event, r.to_event): (r.n_transitions, r.p)
+        for r in event_transitions(df).collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 1.0),
+        ("b", "a"): (1, 1.0),
+        (None, "a"): (1, 1.0),
+    }
+
+
+SQL_TRANSITIONS = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS from_event,
+         lag(1) OVER (PARTITION BY user_id ORDER BY ts) AS has_prev,
+         event_type AS to_event
+  FROM events
+), counted AS (
+  SELECT from_event, to_event, count(*) AS n_transitions
+  FROM pairs WHERE has_prev IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_event, to_event, n_transitions,
+       n_transitions / sum(n_transitions) OVER (PARTITION BY from_event) AS p
+FROM counted
+"""
+
+
+def test_event_transitions_oracle_parity(spark, oracle):
+    from web_api_postgres_etl_spark.operators.aggregates import event_transitions
+
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    got = sorted(
+        (r.from_event, r.to_event, r.n_transitions, r.p)
+        for r in event_transitions(events).collect()
+    )
+    want = sorted(tuple(r) for r in oracle.execute(SQL_TRANSITIONS).fetchall())
+    assert got == want
+    # probabilities per from-state sum to 1 exactly-ish (sanity)
+    import collections
+    by_from = collections.defaultdict(float)
+    for f, t, n, p in got:
+        by_from[f] += p
+    assert all(abs(v - 1.0) < 1e-9 for v in by_from.values())

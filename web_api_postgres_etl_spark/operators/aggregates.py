@@ -401,3 +401,158 @@ def key_skew_profile(
             ).alias("over_mean"),
         )
     )
+
+
+# ------------------------------------------- incremental aggregation
+def incremental_agg_state(
+    df: DataFrame,
+    keys: list[str],
+    sum_cols: list[str] | None = None,
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
+) -> DataFrame:
+    """Partial-aggregate STATE table for incremental maintenance: per
+    key, ``n_rows`` plus ``sum_<c>``/``cnt_<c>`` for each sum column
+    (cnt counts non-NULLs, so finalized averages stay
+    NULL-semantics-correct) and ``min_<c>``/``max_<c>``.
+
+    The incremental-warehouse primitive the reference's 15-minute loop
+    implies but recomputes (mabna_tables_update.py re-derives from the
+    full table): maintain aggregates by folding each delta batch's
+    state into the stored state — history is NEVER rescanned. All
+    maintained aggregates are algebraic (sum/count/min/max merge by
+    sum/sum/min/max), which is exactly why they can merge; median &
+    friends are not and belong to ``corpus_stats``'s sketches.
+
+    Scale shape: one map-side-combining groupBy per batch; the merge
+    (``merge_agg_state``) shuffles two STATE tables keyed on ``keys``
+    — store the state bucketed on them and it co-locates shuffle-free.
+    min/max assume append-only feeds (a retraction cannot shrink a
+    max); last-wins upsert feeds should compact first
+    (``dedup_last_wins``) and rebuild affected keys instead.
+    """
+    sum_cols = list(sum_cols or [])
+    min_cols = list(min_cols or [])
+    max_cols = list(max_cols or [])
+    if not keys:
+        raise ValueError("incremental_agg_state: at least one key required")
+    key_out = [k.split(".")[-1] for k in keys]
+    state_names = (
+        ["n_rows"]
+        + [f"{p}_{c}" for c in sum_cols for p in ("sum", "cnt")]
+        + [f"min_{c}" for c in min_cols]
+        + [f"max_{c}" for c in max_cols]
+    )
+    if len(set(state_names)) != len(state_names):
+        raise ValueError(f"incremental_agg_state: duplicate state columns in {state_names}")
+    clash = set(state_names) & set(key_out)
+    if clash:
+        raise ValueError(f"incremental_agg_state: keys collide with state columns {sorted(clash)}")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in sum_cols:
+        aggs.append(F.sum(qcol(c)).alias(f"sum_{c}"))
+        aggs.append(F.count(qcol(c)).alias(f"cnt_{c}"))
+    aggs += [F.min(qcol(c)).alias(f"min_{c}") for c in min_cols]
+    aggs += [F.max(qcol(c)).alias(f"max_{c}") for c in max_cols]
+    return df.groupBy(
+        *[qcol(k).alias(o) for k, o in zip(keys, key_out)]
+    ).agg(*aggs)
+
+
+def merge_agg_state(
+    stored: DataFrame, delta: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Fold a delta batch's state into the stored state (schemas must
+    match — both sides come from ``incremental_agg_state`` with the
+    same spec; a mismatch raises). Counts/sums add, mins/maxes fold;
+    keys new in the delta appear, untouched keys pass through the
+    groupBy unchanged. Associative + commutative, so batches can merge
+    in any order or in a tree."""
+    key_out = [k.split(".")[-1] for k in keys]
+    if sorted(stored.columns) != sorted(delta.columns):
+        raise ValueError(
+            f"merge_agg_state: state schemas differ: {sorted(stored.columns)} "
+            f"vs {sorted(delta.columns)}"
+        )
+    aggs = []
+    for c in stored.columns:
+        if c in key_out:
+            continue
+        if c == "n_rows" or c.startswith(("sum_", "cnt_")):
+            aggs.append(F.sum(c).alias(c))
+        elif c.startswith("min_"):
+            aggs.append(F.min(c).alias(c))
+        elif c.startswith("max_"):
+            aggs.append(F.max(c).alias(c))
+        else:
+            raise ValueError(f"merge_agg_state: unrecognized state column {c!r}")
+    return stored.unionByName(delta).groupBy(*key_out).agg(*aggs)
+
+
+def finalize_agg(state: DataFrame, avg_of: list[str] | None = None) -> DataFrame:
+    """Add ``avg_<c> = sum_<c> / cnt_<c>`` (NULL when no non-NULL rows
+    were ever seen — true SQL AVG semantics) for each requested sum
+    column. The state stays mergeable; finalization is a projection."""
+    out = state
+    for c in avg_of or []:
+        if f"sum_{c}" not in state.columns or f"cnt_{c}" not in state.columns:
+            raise ValueError(f"finalize_agg: state lacks sum_{c}/cnt_{c}")
+        out = out.withColumn(
+            f"avg_{c}",
+            F.col(f"sum_{c}") / F.nullif(F.col(f"cnt_{c}"), F.lit(0)),
+        )
+    return out
+
+
+# ------------------------------------------------- event transitions
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+) -> DataFrame:
+    """First-order transition matrix over per-user event streams:
+    (from_event, to_event, n_transitions, p) where ``p`` is the
+    row-conditional probability P(to | from) — the Markov-chain view
+    of user behavior that complements ``funnel`` (a funnel asks "did
+    this path happen"; transitions ask "which paths happen at all").
+
+    Scale shape: one (user, ts, event) shuffle for the per-user lag
+    window — the same partitioning ``sessionize`` uses; the pair
+    count is a map-side-combining groupBy on (from, to), and the
+    conditional total rides a window over the DISTINCT pair table
+    (event-vocabulary², bounded by data SEMANTICS, not data size).
+    ``p`` is one division of two exact counts — engine-reproducible.
+    NULL events are real states (a NULL→x transition counts); rows
+    with NULL ts raise (ordering would be undefined), matching
+    ``scd2_history``.
+    """
+    w = Window.partitionBy("__u").orderBy(F.col("__ts").asc())
+    ts_checked = F.when(
+        qcol(ts_col).isNull(),
+        F.raise_error(
+            F.lit(f"event_transitions: NULL {ts_col} cannot be ordered")
+        ).cast("timestamp"),
+    ).otherwise(qcol(ts_col))
+    pairs = (
+        df.select(
+            qcol(user_col).alias("__u"),
+            ts_checked.alias("__ts"),
+            qcol(event_col).alias("to_event"),
+        )
+        .withColumn("from_event", F.lag("to_event").over(w))
+        .withColumn("__has_prev", F.lag(F.lit(1)).over(w))
+        .filter(F.col("__has_prev").isNotNull())
+    )
+    counts = pairs.groupBy("from_event", "to_event").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    w_from = Window.partitionBy("from_event")
+    return counts.select(
+        "from_event",
+        "to_event",
+        "n_transitions",
+        (
+            F.col("n_transitions") / F.sum("n_transitions").over(w_from)
+        ).alias("p"),
+    )
