@@ -637,3 +637,46 @@ def test_minhash_index_key_and_meta_validation(spark, tmp_path):
     ).write.mode("append").parquet(path + "_meta")
     with pytest.raises(ValueError, match="exactly 1 _meta row"):
         read_minhash_index(spark, path)
+
+
+def test_minhash_index_within_batch_dedup(spark, tmp_path):
+    """Review regression: two near-dups arriving in ONE batch must not
+    both enter the index — the min-id one survives; and append with a
+    mis-keyed frame fails loudly."""
+    from web_api_postgres_etl_spark.operators.dedup import (
+        dedup_batch_against_index,
+        dedup_within_batch,
+        minhash_index_append,
+        write_minhash_index,
+    )
+
+    corpus = _docs(spark, [(100, "seed corpus page about engines only")])
+    path = str(tmp_path / "mh_index")
+    write_minhash_index(corpus, path, "doc_id", "text", shingle_n=2, num_hashes=8)
+
+    dup_text = "identical page text repeated across the very same batch"
+    batch = _docs(
+        spark,
+        [
+            (5, dup_text),
+            (9, dup_text),
+            (7, "a genuinely different page concerning orchard irrigation"),
+        ],
+    )
+    kept = dedup_batch_against_index(batch, path, "text", threshold=0.9)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [5, 7]
+    # opting out restores the index-only comparison
+    kept_raw = dedup_batch_against_index(
+        batch, path, "text", threshold=0.9, dedup_within=False
+    )
+    assert kept_raw.count() == 3
+
+    # standalone face keeps the least id of a duplicate chain
+    solo = dedup_within_batch(
+        batch, "doc_id", "text", shingle_n=2, num_hashes=8, threshold=0.9
+    )
+    assert sorted(r["doc_id"] for r in solo.collect()) == [5, 7]
+
+    bad = spark.createDataFrame([(1, "x")], "other_id long, text string")
+    with pytest.raises(ValueError, match="keys on 'doc_id'"):
+        minhash_index_append(bad, path, "text")

@@ -81,15 +81,20 @@ def test_validation(spark):
 
 
 def test_seq_tiebreak(spark):
+    """Same-instant observations: the seq-last state holds; the earlier
+    one is a zero-width interval and is dropped (a history never
+    contains two rows with the same (key, valid_from))."""
     rows = [
         ("A", _ts("2024-01-01T00:00:00"), 2, "late"),
         ("A", _ts("2024-01-01T00:00:00"), 1, "early"),
+        ("A", _ts("2024-01-02T00:00:00"), 3, "next"),
     ]
     df = spark.createDataFrame(rows, "k string, ts timestamp, seq int, attr string")
     hist = scd2_history(df, ["k"], "ts", ["attr"], seq_col="seq").collect()
-    assert [(r.attr, r.is_current) for r in sorted(hist, key=lambda r: r.is_current)] == [
-        ("early", False),
-        ("late", True),
+    got = sorted((r.attr, r.valid_from.isoformat(), r.is_current) for r in hist)
+    assert got == [
+        ("late", "2024-01-01T00:00:00", False),
+        ("next", "2024-01-02T00:00:00", True),
     ]
 
 
@@ -226,3 +231,49 @@ def test_merge_untouched_keys_pass_through(spark):
     }
     a_current = merged.filter((F.col("k") == "A") & F.col("is_current")).collect()
     assert [(r.attr,) for r in a_current] == [("x2",)]
+
+
+def test_merge_with_seq_col(spark):
+    """Regression: merge with a seq_col on the changes batch (the batch
+    column is projected AFTER __src is computed from it)."""
+    base = scd2_history(
+        _log(spark, [("A", _ts("2024-01-01T00:00:00"), "x")]), ["k"], "ts", ["attr"]
+    )
+    changes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-02T00:00:00"), 1, "mid"),
+            ("A", _ts("2024-01-02T00:00:00"), 2, "winner"),
+        ],
+        "k string, ts timestamp, seq int, attr string",
+    )
+    merged = scd2_merge(base, changes, ["k"], "ts", ["attr"], seq_col="seq")
+    got = sorted((r.attr, r.is_current) for r in merged.collect())
+    assert got == [("winner", True), ("x", False)]
+
+
+def test_merge_preserves_seq_built_history(spark):
+    """Regression (review finding): a history built WITH seq ties must
+    replay losslessly — no version vanishes, no superseded state is
+    resurrected, because zero-width rows never enter the history."""
+    log = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01T00:00:00"), 1, "early"),
+            ("A", _ts("2024-01-01T00:00:00"), 2, "late"),
+            ("A", _ts("2024-01-05T00:00:00"), 3, "v2"),
+        ],
+        "k string, ts timestamp, seq int, attr string",
+    )
+    base = scd2_history(log, ["k"], "ts", ["attr"], seq_col="seq")
+    # unrelated later change for the same key forces a replay
+    merged = scd2_merge(
+        base, _log(spark, [("A", _ts("2024-01-07T00:00:00"), "v3")]), ["k"], "ts", ["attr"]
+    )
+    got = sorted(
+        (r.attr, r.valid_from.isoformat(), r.valid_to and r.valid_to.isoformat())
+        for r in merged.collect()
+    )
+    assert got == [
+        ("late", "2024-01-01T00:00:00", "2024-01-05T00:00:00"),
+        ("v2", "2024-01-05T00:00:00", "2024-01-07T00:00:00"),
+        ("v3", "2024-01-07T00:00:00", None),
+    ]

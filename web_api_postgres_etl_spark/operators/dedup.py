@@ -1263,6 +1263,14 @@ def read_minhash_index(spark, path: str) -> tuple[DataFrame, dict]:
     return spark.read.parquet(path), meta
 
 
+def _check_index_id(meta: dict, batch: DataFrame, path: str) -> None:
+    if meta["id_col"] not in batch.columns:
+        raise ValueError(
+            f"minhash index at {path} keys on {meta['id_col']!r}, "
+            f"absent from the batch columns {batch.columns}"
+        )
+
+
 def minhash_index_append(
     new_df: DataFrame, path: str, text_col: str
 ) -> None:
@@ -1273,10 +1281,64 @@ def minhash_index_append(
     — each batch shuffles only its own (id, digest) rows; the existing
     index is never rewritten (plain parquet append)."""
     _, meta = read_minhash_index(new_df.sparkSession, path)
+    _check_index_id(meta, new_df, path)
     sigs = minhash_table(
         new_df, meta["id_col"], text_col, meta["shingle_n"], meta["num_hashes"]
     )
     sigs.write.mode("append").parquet(path)
+
+
+def dedup_within_batch(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Estimate-based self-dedup: drop every document whose minhash
+    Jaccard estimate against a LOWER-id document reaches ``threshold``
+    (the min-id doc of each duplicate pair survives — deterministic,
+    and transitively the least id of a duplicate chain always
+    remains). Same estimator and banding as ``dedup_against_corpus``,
+    so an ingest batch gets ONE consistent near-dup rule whether the
+    duplicate is already in the corpus or arrived in the same batch.
+
+    Scale shape: banded equi-self-join on (band_key, id) — linear
+    shuffle; the signature table is persisted because the self-join
+    reads it once per side (the repo's measured subplan-reuse trap).
+    For exact-verify semantics use ``near_dup_pairs`` + a cluster
+    pass instead; this is the estimate face.
+    """
+    sigs = minhash_table(df, id_col, text_col, shingle_n, num_hashes).persist()
+    sig_cols = [f"mh_{i}" for i in range(num_hashes)]
+
+    def _banded(side: str) -> DataFrame:
+        return sigs.filter(F.col("mh_0").isNotNull()).select(
+            qcol(id_col).alias(f"__{side}_id"),
+            *[F.col(c).alias(f"__{side}_{c}") for c in sig_cols],
+            F.explode(minhash_band_keys(num_hashes, bands)).alias("__band"),
+        )
+
+    matches = F.expr(
+        "("
+        + " + ".join(
+            f"CASE WHEN __h_mh_{i} = __l_mh_{i} THEN 1 ELSE 0 END"
+            for i in range(num_hashes)
+        )
+        + f") / CAST({num_hashes} AS DOUBLE)"
+    )
+    dup_ids = (
+        _banded("h")
+        .join(_banded("l"), "__band")
+        .filter(F.col("__h_id") > F.col("__l_id"))
+        .select(F.col("__h_id"), matches.alias("__est"))
+        .filter(F.col("__est") >= threshold)
+        .select(F.col("__h_id").alias(id_col))
+        .distinct()
+    )
+    return df.join(dup_ids, on=id_col, how="left_anti")
 
 
 def dedup_batch_against_index(
@@ -1285,20 +1347,21 @@ def dedup_batch_against_index(
     text_col: str,
     bands: int = 4,
     threshold: float = 0.5,
+    dedup_within: bool = True,
 ) -> DataFrame:
     """Drop new-batch documents that near-duplicate the persisted
     corpus index (``write_minhash_index``): reads the family from the
-    sidecar and delegates to ``dedup_against_corpus``. Returns
-    surviving new-batch rows, schema unchanged. The id column name is
-    the index's own (recorded at build time) and must exist on
+    sidecar and delegates to ``dedup_against_corpus``; then (by
+    default) self-dedups the survivors with the SAME estimator
+    (``dedup_within_batch``) — without this, two near-duplicates
+    arriving in one batch would both survive and both enter the index
+    permanently via ``minhash_index_append``. Returns surviving
+    new-batch rows, schema unchanged. The id column name is the
+    index's own (recorded at build time) and must exist on
     ``new_df``."""
     sigs, meta = read_minhash_index(new_df.sparkSession, path)
-    if meta["id_col"] not in new_df.columns:
-        raise ValueError(
-            f"minhash index at {path} keys on {meta['id_col']!r}, "
-            f"absent from the batch columns {new_df.columns}"
-        )
-    return dedup_against_corpus(
+    _check_index_id(meta, new_df, path)
+    kept = dedup_against_corpus(
         new_df,
         sigs,
         id_col=meta["id_col"],
@@ -1308,6 +1371,17 @@ def dedup_batch_against_index(
         bands=bands,
         threshold=threshold,
     )
+    if dedup_within:
+        kept = dedup_within_batch(
+            kept,
+            id_col=meta["id_col"],
+            text_col=text_col,
+            shingle_n=meta["shingle_n"],
+            num_hashes=meta["num_hashes"],
+            bands=bands,
+            threshold=threshold,
+        )
+    return kept
 
 
 def contaminated_flag(

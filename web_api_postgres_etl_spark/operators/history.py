@@ -90,8 +90,11 @@ def scd2_history(
     ``keys + attr_cols + (valid_from, valid_to, is_current)``; see the
     module docstring for interval semantics. ``seq_col`` breaks ties
     between same-``ts`` observations of one key (e.g. a CDC sequence
-    number); without it, same-ts duplicates have no defined order and
-    the caller should de-duplicate first (``dedup_last_wins``).
+    number): the seq-last state is the one that holds from that
+    instant, and earlier same-instant states are dropped (zero-width
+    intervals — they never held). Without ``seq_col``, same-ts
+    duplicates have no defined order and the caller should
+    de-duplicate first (``dedup_last_wins``).
     """
     _validate(keys, attr_cols)
     key_out = [k.split(".")[-1] for k in keys]
@@ -118,12 +121,21 @@ def scd2_history(
     # interval pass: same partitioning AND sort as the collapse window
     # (the filter preserves both), so no second exchange is planned
     valid_to = F.lead("__ts").over(w)
-    return collapsed.select(
+    out = collapsed.select(
         *key_out,
         *attr_cols,
         F.col("__ts").alias("valid_from"),
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
+    )
+    # zero-width intervals (a same-ts successor exists — possible only
+    # under seq_col ties) never held at any instant: drop them, so a
+    # stored history has at most ONE row per (key, valid_from) and
+    # scd2_merge's replay stays deterministic. The chain stays
+    # contiguous (the predecessor's valid_to and the successor's
+    # valid_from are the same instant).
+    return out.filter(
+        F.col("valid_to").isNull() | (F.col("valid_to") != F.col("valid_from"))
     )
 
 
@@ -198,18 +210,21 @@ def scd2_merge(
             *attr_cols,
         )
     )
+    # within-batch order folds into __src so one tiebreaker column
+    # serves both "change beats stored state" (stored rows carry 0)
+    # and the CDC sequence; computed BEFORE the projection narrows the
+    # batch columns, since seq_col need not be an attribute
+    src = (
+        F.lit(1)
+        if seq_col is None
+        else F.lit(1) + F.coalesce(qcol(seq_col).cast("long"), F.lit(0))
+    )
     incoming = changes.select(
         *[qcol(k).alias(o) for k, o in zip(keys, key_out)],
         _checked_ts(ts_col).alias("__ts"),
-        F.lit(1).alias("__src"),
+        src.alias("__src"),
         *[qcol(a).alias(a) for a in attr_cols],
     )
-    if seq_col is not None:
-        # within-batch order folds into __src so one tiebreaker column
-        # serves both "change beats stored state" and CDC sequence
-        incoming = incoming.withColumn(
-            "__src", F.lit(1) + F.coalesce(qcol(seq_col).cast("long"), F.lit(0))
-        )
     # only one state can hold at a given instant: collapse same-(key, ts)
     # rows to the winning observation BEFORE the rebuild (otherwise the
     # superseded state would survive as a degenerate zero-width interval)
