@@ -30,6 +30,9 @@ OPS = {
     # round 6 third wave: winnowing fingerprints (let-bound HOF gram
     # pass + fingerprint-banded pair join)
     "winnow_dup_pairs",
+    # round 6 fourth wave: PMI collocations (double corpus explode +
+    # two vocabulary joins) and the SCD2 two-window build
+    "collocations", "scd2_history",
 }
 
 

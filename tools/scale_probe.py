@@ -237,6 +237,29 @@ def probe(spark, n: int, ops_filter: set[str] | None = None) -> dict:
         # exists to measure
         release_pins(pins)
 
+    if want("collocations"):
+        reset_cache()
+        from web_api_postgres_etl_spark.operators.retrieval import collocations
+
+        t0 = time.time()
+        nc = collocations(docs, "text", min_count=5, top_k=100).count()
+        ops["collocations"] = (time.time() - t0, nc)
+
+    if want("scd2_history"):
+        reset_cache()
+        from web_api_postgres_etl_spark.operators.history import scd2_history
+
+        # synthetic change log: ~20 observations per key, attrs cycling
+        # through 5 states so the collapse keeps a realistic fraction
+        log = docs.select(
+            (F.col("doc_id") % F.lit(max(n // 20, 1))).alias("k"),
+            F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("ts"),
+            (F.col("doc_id") * 7 % 5).cast("string").alias("state"),
+        )
+        t0 = time.time()
+        nh = scd2_history(log, ["k"], "ts", ["state"]).count()
+        ops["scd2_history"] = (time.time() - t0, nh)
+
     docs.unpersist()
     vecs.unpersist()
     return ops
