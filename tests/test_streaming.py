@@ -435,3 +435,86 @@ def test_streaming_sessionization_converges_to_batch(spark, tmp_path):
         .collect()
     )
     assert _sink() == batch
+
+
+# -------------------------------------- incremental agg maintenance
+def test_agg_maintain_two_batches_and_compaction(spark, tmp_path):
+    """Two drained batches → read face equals a one-shot aggregate over
+    all input; compaction folds the store and stays layerable."""
+    from web_api_postgres_etl_spark.operators.aggregates import (
+        finalize_agg,
+        incremental_agg_state,
+    )
+    from web_api_postgres_etl_spark.streaming.agg_stream import (
+        agg_maintain_run,
+        compact_agg_state,
+        read_agg_state,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k string, v double"
+    b1 = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", None)], schema
+    )
+    b2 = spark.createDataFrame([("a", 4.0), ("c", 8.0)], schema)
+    spec = dict(keys=["k"], sum_cols=["v"], min_cols=["v"], max_cols=["v"])
+
+    b1.write.mode("append").parquet(src)
+    agg_maintain_run(spark, src, state, ckpt, schema, **spec)
+    b2.write.mode("append").parquet(src)
+    agg_maintain_run(spark, src, state, ckpt, schema, **spec)
+
+    got = read_agg_state(spark, state, ["k"], avg_of=["v"])
+    want = finalize_agg(
+        incremental_agg_state(b1.unionByName(b2), **spec), avg_of=["v"]
+    )
+    canon = lambda df: sorted(
+        (tuple(r) for r in df.select(sorted(df.columns)).collect()), key=repr
+    )
+    assert canon(got) == canon(want)
+    rows = {r.k: r for r in got.collect()}
+    assert (rows["a"].n_rows, rows["a"].sum_v, rows["a"].avg_v) == (3, 7.0, 7.0 / 3)
+    assert rows["b"].avg_v is None
+
+    # compaction: separate dir, same view, and further batches layer on
+    compacted = str(tmp_path / "compacted")
+    n = compact_agg_state(spark, state, compacted, ["k"])
+    assert n == 3
+    assert canon(read_agg_state(spark, compacted, ["k"], avg_of=["v"])) == canon(want)
+
+    src2 = str(tmp_path / "src2")
+    ckpt2 = str(tmp_path / "ckpt2")
+    spark.createDataFrame([("a", 10.0)], schema).write.mode("append").parquet(src2)
+    agg_maintain_run(spark, src2, compacted, ckpt2, schema, **spec)
+    rows = {r.k: r for r in read_agg_state(spark, compacted, ["k"], avg_of=["v"]).collect()}
+    assert (rows["a"].n_rows, rows["a"].sum_v) == (4, 17.0)
+
+
+def test_agg_maintain_retry_is_idempotent(spark, tmp_path):
+    """Replaying a committed batch (deleted commit marker) must not
+    double-count — the batch's partition is overwritten, not appended."""
+    import os
+
+    from web_api_postgres_etl_spark.streaming.agg_stream import (
+        agg_maintain_run,
+        read_agg_state,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k string, v double"
+    spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], schema
+    ).write.mode("append").parquet(src)
+    spec = dict(keys=["k"], sum_cols=["v"])
+    agg_maintain_run(spark, src, state, ckpt, schema, **spec)
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    agg_maintain_run(spark, src, state, ckpt, schema, **spec)
+    rows = read_agg_state(spark, state, ["k"]).collect()
+    assert [(r.k, r.n_rows, r.sum_v) for r in rows] == [("a", 2, 3.0)]

@@ -459,23 +459,15 @@ def incremental_agg_state(
     ).agg(*aggs)
 
 
-def merge_agg_state(
-    stored: DataFrame, delta: DataFrame, keys: list[str]
-) -> DataFrame:
-    """Fold a delta batch's state into the stored state (schemas must
-    match — both sides come from ``incremental_agg_state`` with the
-    same spec; a mismatch raises). Counts/sums add, mins/maxes fold;
-    keys new in the delta appear, untouched keys pass through the
-    groupBy unchanged. Associative + commutative, so batches can merge
-    in any order or in a tree."""
+def merge_agg_states(states: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge-on-read face: fold a frame holding MANY partial states
+    (any number of batches' ``incremental_agg_state`` rows unioned or
+    read from a partitioned store) into one state row per key. Counts/
+    sums add, mins/maxes fold — all algebraic, so the groupBy's
+    map-side combine IS the merge and the fold order never matters."""
     key_out = [k.split(".")[-1] for k in keys]
-    if sorted(stored.columns) != sorted(delta.columns):
-        raise ValueError(
-            f"merge_agg_state: state schemas differ: {sorted(stored.columns)} "
-            f"vs {sorted(delta.columns)}"
-        )
     aggs = []
-    for c in stored.columns:
+    for c in states.columns:
         if c in key_out:
             continue
         if c == "n_rows" or c.startswith(("sum_", "cnt_")):
@@ -485,8 +477,24 @@ def merge_agg_state(
         elif c.startswith("max_"):
             aggs.append(F.max(c).alias(c))
         else:
-            raise ValueError(f"merge_agg_state: unrecognized state column {c!r}")
-    return stored.unionByName(delta).groupBy(*key_out).agg(*aggs)
+            raise ValueError(f"merge_agg_states: unrecognized state column {c!r}")
+    return states.groupBy(*key_out).agg(*aggs)
+
+
+def merge_agg_state(
+    stored: DataFrame, delta: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Fold a delta batch's state into the stored state (schemas must
+    match — both sides come from ``incremental_agg_state`` with the
+    same spec; a mismatch raises). Keys new in the delta appear,
+    untouched keys pass through the groupBy unchanged. Associative +
+    commutative, so batches can merge in any order or in a tree."""
+    if sorted(stored.columns) != sorted(delta.columns):
+        raise ValueError(
+            f"merge_agg_state: state schemas differ: {sorted(stored.columns)} "
+            f"vs {sorted(delta.columns)}"
+        )
+    return merge_agg_states(stored.unionByName(delta), keys)
 
 
 def finalize_agg(state: DataFrame, avg_of: list[str] | None = None) -> DataFrame:
