@@ -277,3 +277,35 @@ def test_merge_preserves_seq_built_history(spark):
         ("v2", "2024-01-05T00:00:00", "2024-01-07T00:00:00"),
         ("v3", "2024-01-07T00:00:00", None),
     ]
+
+
+def test_maintain_history_bootstrap_and_fold(spark, tmp_path):
+    """Persisted-artifact face: absent path bootstraps; the second
+    batch folds via the tmp-write + rename swap and the result equals a
+    one-shot build over all observations."""
+    from web_api_postgres_etl_spark.operators.history import maintain_history
+
+    path = str(tmp_path / "dim_history")
+    all_rows = [
+        ("A", _ts("2024-01-01T00:00:00"), "x"),
+        ("A", _ts("2024-01-03T00:00:00"), "y"),
+        ("B", _ts("2024-01-02T00:00:00"), "b"),
+        ("A", _ts("2024-01-05T00:00:00"), "y"),  # no-op re-emit collapses
+        ("C", _ts("2024-01-04T00:00:00"), "c"),
+    ]
+    n1 = maintain_history(
+        spark, _log(spark, all_rows[:3]), path, ["k"], "ts", ["attr"]
+    )
+    assert n1 == 3
+    n2 = maintain_history(
+        spark, _log(spark, all_rows[3:]), path, ["k"], "ts", ["attr"]
+    )
+    assert n2 == 4  # A keeps x,y (re-emit collapsed); B; C
+    got = sorted(map(tuple, spark.read.parquet(path).collect()))
+    want = sorted(
+        map(tuple, scd2_history(_log(spark, all_rows), ["k"], "ts", ["attr"]).collect())
+    )
+    assert got == want
+    # no .tmp/.old residue from the swap
+    import os
+    assert not os.path.exists(path + ".tmp") and not os.path.exists(path + ".old")

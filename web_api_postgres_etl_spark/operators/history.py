@@ -239,3 +239,58 @@ def scd2_merge(
         log, keys=key_out, ts_col="__ts", attr_cols=list(attr_cols)
     )
     return untouched.select(rebuilt.columns).unionByName(rebuilt)
+
+
+def maintain_history(
+    spark,
+    changes: DataFrame,
+    history_path: str,
+    keys: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+    seq_col: str | None = None,
+) -> int:
+    """Maintained-artifact face of SCD2: fold a change batch into the
+    parquet history at ``history_path`` (bootstrap: an absent path
+    builds the initial history from the batch alone). Returns the row
+    count of the updated history.
+
+    Write discipline mirrors the pipeline compactor
+    (plans/pipeline.py::compact): the merge reads the table it will
+    replace, so the result is materialized (cache + count), written to
+    ``path.tmp``, and swapped in with two instant renames
+    (sources/writers.py::swap_compacted) — never an in-place overwrite
+    of a frame's own source. At 100 TB keep the history partitioned or
+    bucketed on the keys; ``scd2_merge`` rewrites only the keys the
+    batch touches, and untouched keys stream through the anti-join
+    side unchanged.
+    """
+    from pyspark.errors import AnalysisException
+
+    from ..sources.writers import swap_compacted, write_overwrite
+
+    try:
+        existing = spark.read.parquet(history_path)
+        bootstrap = False
+    except AnalysisException as exc:
+        msg = str(exc)
+        if not (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+            or "Unable to infer schema" in msg
+        ):
+            raise
+        bootstrap = True
+    if bootstrap:
+        hist = scd2_history(changes, keys, ts_col, attr_cols, seq_col=seq_col)
+        write_overwrite(hist, history_path)
+        return spark.read.parquet(history_path).count()
+    merged = scd2_merge(
+        existing, changes, keys, ts_col, attr_cols, seq_col=seq_col
+    ).cache()
+    n = merged.count()  # materialize BEFORE touching the source dir
+    write_overwrite(merged, history_path + ".tmp")
+    merged.unpersist()
+    swap_compacted(history_path)
+    return n
