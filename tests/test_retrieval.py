@@ -525,3 +525,86 @@ def test_collocations_oracle_parity(spark, oracle):
     # exact: counts, bit-identical lift (pinned IEEE op order), AND order
     assert got == want
     assert len(got) == 50
+
+
+# ---------------------------------------------- sparse cosine pairs
+def test_tfidf_cosine_identical_docs_score_one(spark):
+    from web_api_postgres_etl_spark.operators.retrieval import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "totally unrelated words here"),
+            (4, "alpha beta something else"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in tfidf_cosine_pairs(
+            docs, "doc_id", "text", min_df=1, threshold=0.0
+        ).collect()
+    }
+    # DECIMAL-exact dot == norm product for identical docs: exactly 1.0
+    assert got[(1, 2)] == 1.0
+    # doc 3 shares no term with anyone -> absent from every pair
+    assert not any(3 in p for p in got)
+    # overlap pairs exist and score strictly between 0 and 1
+    assert 0.0 < got[(1, 4)] < 1.0 and got[(1, 4)] == got[(2, 4)]
+
+
+SQL_TFIDF_COSINE = """
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(
+    regexp_replace(lower(text),'[^a-z0-9\\s]',' ','g'),'\\s+',' ','g')),
+    ' '), x -> x <> '') AS toks
+  FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfs AS (
+  SELECT term, count(*) AS df FROM tc GROUP BY 1
+  HAVING count(*) >= {mindf} AND count(*) <= {maxdf}),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t),
+w AS (
+  SELECT doc_id, tc.term,
+         CAST(round(tf * (ln((1 + n) / (1 + df)) + 1), 6)
+              AS DECIMAL(18,6)) AS w
+  FROM tc JOIN dfs USING (term) CROSS JOIN nd),
+norms AS (
+  SELECT doc_id, sum(CAST(w * w AS DECIMAL(38,12))) AS n2
+  FROM w GROUP BY 1),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         sum(CAST(a.w * b.w AS DECIMAL(38,12))) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(dot AS DOUBLE) /
+         (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = id_a
+JOIN norms nb ON nb.doc_id = id_b
+WHERE CAST(dot AS DOUBLE) /
+      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= {th}
+"""
+
+
+def test_tfidf_cosine_oracle_parity(spark, oracle):
+    from web_api_postgres_etl_spark.operators.retrieval import tfidf_cosine_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    got = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in tfidf_cosine_pairs(
+            docs, "doc_id", "text", min_df=2, max_df=50, threshold=0.3
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in oracle.execute(
+            SQL_TFIDF_COSINE.format(mindf=2, maxdf=50, th=0.3)
+        ).fetchall()
+    )
+    assert len(got) > 0
+    assert got == want  # bit-exact: DECIMAL sums + pinned float ops

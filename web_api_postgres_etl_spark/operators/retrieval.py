@@ -564,3 +564,83 @@ def collocations(
         .orderBy(F.col("lift").desc(), "w1", "w2")
         .limit(top_k)
     )
+
+
+# ---------------------------------------------- sparse cosine pairs
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 2,
+    max_df: int | None = None,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """EXACT sparse cosine similarity pairs over tf-idf vectors —
+    the deterministic complement to the banded estimators
+    (minhash/simhash/RHP estimate or bucket; this computes the real
+    inner product, via the inverted index instead of a cross join):
+    (id_a, id_b, cosine) for every pair sharing ≥1 surviving term with
+    cosine ≥ ``threshold``.
+
+    The scale lever is ``max_df``: a term occurring in d documents
+    contributes d² join rows, so ubiquitous terms (stopwords,
+    boilerplate) make the index join quadratic — cap document
+    frequency exactly like winnowing caps fingerprint df. Cosine is
+    then measured in the df-pruned term space ([min_df, max_df]),
+    norms included — a property of the measure, stated not hidden.
+    (Bayardo et al.'s all-pairs prefix filter is the further
+    refinement; the df cap is the 80% that keeps the join linear.)
+
+    Engine-exact by construction: tf-idf weights arrive rounded to 6
+    decimals (``tfidf_table``), are quantized to DECIMAL(18,6), and
+    every sum (dot products, squared norms) runs in DECIMAL(38,12) —
+    exact regardless of fold order, the ``rolling_agg`` discipline.
+    The only float steps are one pinned-order double expression
+    ``dot / (sqrt(na) * sqrt(nb))`` — CAST, sqrt, multiply, divide are
+    all IEEE exact-rounded, so results are bit-identical across
+    engines. Identical documents score exactly 1.0.
+
+    The weight table is persisted (it feeds the self-join's two sides
+    plus the norms — three consumers; the repo's measured
+    subplan-reuse trap).
+    """
+    t = tfidf_table(df, id_col, text_col, min_df=min_df)
+    if max_df is not None:
+        t = t.filter(F.col("df") <= max_df)
+    w = t.select(
+        qcol(id_col).alias("__id"),
+        F.col("term"),
+        F.col("tfidf").cast("decimal(18,6)").alias("__w"),
+    ).persist()
+    norms = w.groupBy("__id").agg(
+        F.sum((F.col("__w") * F.col("__w")).cast("decimal(38,12)")).alias("__n2")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .groupBy(F.col("a.__id").alias("__ida"), F.col("b.__id").alias("__idb"))
+        .agg(
+            F.sum(
+                (F.col("a.__w") * F.col("b.__w")).cast("decimal(38,12)")
+            ).alias("__dot")
+        )
+    )
+    na = norms.select(F.col("__id").alias("__ida"), F.col("__n2").alias("__na"))
+    nb = norms.select(F.col("__id").alias("__idb"), F.col("__n2").alias("__nb"))
+    cosine = F.col("__dot").cast("double") / (
+        F.sqrt(F.col("__na").cast("double")) * F.sqrt(F.col("__nb").cast("double"))
+    )
+    return (
+        dots.join(na, "__ida")
+        .join(nb, "__idb")
+        .select(
+            F.col("__ida").alias("id_a"),
+            F.col("__idb").alias("id_b"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
