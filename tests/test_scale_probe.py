@@ -31,8 +31,9 @@ OPS = {
     # pass + fingerprint-banded pair join)
     "winnow_dup_pairs",
     # round 6 fourth wave: PMI collocations (double corpus explode +
-    # two vocabulary joins) and the SCD2 two-window build
-    "collocations", "scd2_history",
+    # two vocabulary joins), the SCD2 two-window build, and the
+    # df-capped sparse-cosine index join
+    "collocations", "scd2_history", "tfidf_cosine_pairs",
 }
 
 

@@ -245,6 +245,45 @@ def probe(spark, n: int, ops_filter: set[str] | None = None) -> dict:
         nc = collocations(docs, "text", min_count=5, top_k=100).count()
         ops["collocations"] = (time.time() - t0, nc)
 
+    if want("tfidf_cosine_pairs"):
+        reset_cache()
+        from web_api_postgres_etl_spark.operators.retrieval import (
+            tfidf_cosine_pairs,
+        )
+
+        # dedicated corpus: the shared 500-word vocabulary would give
+        # every term df ≈ 0.45n — all capped away, measuring nothing.
+        # Here the vocabulary SCALES with n (long-tail df ≈ 20, the
+        # shape the inverted-index join sees in production) and 5% of
+        # docs are exact duplicates, so real pairs survive.
+        base = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(19)),
+                    lambda j: F.concat(
+                        F.lit("t"),
+                        F.pmod(
+                            F.col("id") * (j * 37 + 11) + j, F.lit(n)
+                        ).cast("string"),
+                    ),
+                ),
+            ).alias("text"),
+        )
+        cdocs = base.unionByName(
+            base.filter(F.col("doc_id") % 20 == 0).select(
+                (F.col("doc_id") + n).alias("doc_id"), "text"
+            )
+        ).persist()
+        cdocs.count()
+        t0 = time.time()
+        np_ = tfidf_cosine_pairs(
+            cdocs, "doc_id", "text", min_df=2, max_df=64, threshold=0.5
+        ).count()
+        ops["tfidf_cosine_pairs"] = (time.time() - t0, np_)
+        cdocs.unpersist()
+
     if want("scd2_history"):
         reset_cache()
         from web_api_postgres_etl_spark.operators.history import scd2_history
