@@ -309,3 +309,28 @@ def test_maintain_history_bootstrap_and_fold(spark, tmp_path):
     # no .tmp/.old residue from the swap
     import os
     assert not os.path.exists(path + ".tmp") and not os.path.exists(path + ".old")
+
+
+def test_maintain_history_recovers_crashed_swap(spark, tmp_path):
+    """Review regression: a crash in swap_compacted's rename window
+    leaves the live history in .old and the path missing — the next
+    fold must RECOVER it, not misread the gap as a bootstrap and
+    rebuild from the new batch alone."""
+    import shutil
+
+    from web_api_postgres_etl_spark.operators.history import maintain_history
+
+    path = str(tmp_path / "dim_history")
+    maintain_history(
+        spark, _log(spark, [("A", _ts("2024-01-01T00:00:00"), "x")]),
+        path, ["k"], "ts", ["attr"],
+    )
+    # simulate the crash window: live dir moved to .old, path gone
+    shutil.move(path, path + ".old")
+    n = maintain_history(
+        spark, _log(spark, [("B", _ts("2024-01-02T00:00:00"), "b")]),
+        path, ["k"], "ts", ["attr"],
+    )
+    assert n == 2  # A's history survived the crashed swap
+    got = sorted((r.k, r.attr) for r in spark.read.parquet(path).collect())
+    assert got == [("A", "x"), ("B", "b")]

@@ -540,10 +540,11 @@ def test_tfidf_cosine_identical_docs_score_one(spark):
         ],
         "doc_id long, text string",
     )
+    pins: list = []
     got = {
         (r.id_a, r.id_b): r.cosine
         for r in tfidf_cosine_pairs(
-            docs, "doc_id", "text", min_df=1, threshold=0.0
+            docs, "doc_id", "text", min_df=1, threshold=0.0, pins=pins
         ).collect()
     }
     # DECIMAL-exact dot == norm product for identical docs: exactly 1.0
@@ -552,6 +553,38 @@ def test_tfidf_cosine_identical_docs_score_one(spark):
     assert not any(3 in p for p in got)
     # overlap pairs exist and score strictly between 0 and 1
     assert 0.0 < got[(1, 4)] < 1.0 and got[(1, 4)] == got[(2, 4)]
+    # the internal weight pin is exposed for release (pins contract)
+    assert len(pins) == 1
+    for p in pins:
+        p.unpersist()
+
+
+def test_tfidf_cosine_threshold_one_extracts_exact_dups(spark):
+    """Review regression: threshold=1.0 must keep identical vectors.
+    The float path alone would lose them whenever fl(sqrt(x)·sqrt(x))
+    != x — here many large random-ish docs make norm round-trips
+    overwhelmingly unlikely, so this passes ONLY via the DECIMAL
+    Cauchy–Schwarz equality case."""
+    import hashlib
+
+    from web_api_postgres_etl_spark.operators.retrieval import tfidf_cosine_pairs
+
+    def words(seed, k=40):
+        return " ".join(
+            "w" + hashlib.md5(f"{seed}:{j}".encode()).hexdigest()[:4]
+            for j in range(k)
+        )
+
+    rows = [(i, words(i)) for i in range(30)]
+    rows += [(100 + i, words(i)) for i in range(30)]  # exact twin of each
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in tfidf_cosine_pairs(
+            docs, "doc_id", "text", min_df=1, threshold=1.0
+        ).collect()
+    )
+    assert got == [(i, 100 + i) for i in range(30)]
 
 
 SQL_TFIDF_COSINE = """
@@ -578,15 +611,17 @@ dots AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          sum(CAST(a.w * b.w AS DECIMAL(38,12))) AS dot
   FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
-  GROUP BY 1, 2)
-SELECT id_a, id_b,
-       CAST(dot AS DOUBLE) /
-         (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
-FROM dots
-JOIN norms na ON na.doc_id = id_a
-JOIN norms nb ON nb.doc_id = id_b
-WHERE CAST(dot AS DOUBLE) /
-      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= {th}
+  GROUP BY 1, 2),
+scored AS (
+  SELECT id_a, id_b,
+         CASE WHEN dot = na.n2 AND na.n2 = nb.n2 THEN 1.0
+              ELSE CAST(dot AS DOUBLE) /
+                (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+         END AS cosine
+  FROM dots
+  JOIN norms na ON na.doc_id = id_a
+  JOIN norms nb ON nb.doc_id = id_b)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {th}
 """
 
 

@@ -518,3 +518,46 @@ def test_agg_maintain_retry_is_idempotent(spark, tmp_path):
     agg_maintain_run(spark, src, state, ckpt, schema, **spec)
     rows = read_agg_state(spark, state, ["k"]).collect()
     assert [(r.k, r.n_rows, r.sum_v) for r in rows] == [("a", 2, 3.0)]
+
+
+def test_agg_maintain_rejects_spec_change(spark, tmp_path):
+    """Review regression: partitions written under a different spec
+    would silently mis-merge on read (parquet infers one footer's
+    schema; missing sums surface as skipped NULLs) — the spec sidecar
+    must refuse the second writer loudly."""
+    import pytest
+
+    from web_api_postgres_etl_spark.streaming.agg_stream import (
+        agg_maintain_run,
+        compact_agg_state,
+        read_agg_state,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    schema = "k string, v double, u double"
+    spark.createDataFrame([("a", 1.0, 2.0)], schema).write.mode("append").parquet(src)
+    agg_maintain_run(
+        spark, src, state, str(tmp_path / "ck1"), schema, keys=["k"], sum_cols=["v"]
+    )
+    spark.createDataFrame([("b", 1.0, 2.0)], schema).write.mode("append").parquet(src)
+    with pytest.raises(ValueError, match="mismatched spec"):
+        agg_maintain_run(
+            spark, src, state, str(tmp_path / "ck2"), schema,
+            keys=["k"], sum_cols=["v", "u"],
+        )
+    # compaction carries the sidecar, so layering on the compacted
+    # store still validates against the ORIGINAL spec
+    compacted = str(tmp_path / "compacted")
+    compact_agg_state(spark, state, compacted, ["k"])
+    with pytest.raises(ValueError, match="mismatched spec"):
+        agg_maintain_run(
+            spark, src, compacted, str(tmp_path / "ck3"), schema,
+            keys=["k"], sum_cols=["v", "u"],
+        )
+    agg_maintain_run(
+        spark, src, compacted, str(tmp_path / "ck4"), schema,
+        keys=["k"], sum_cols=["v"],
+    )
+    rows = {r.k: r.sum_v for r in read_agg_state(spark, compacted, ["k"]).collect()}
+    assert rows == {"a": 2.0, "b": 1.0}

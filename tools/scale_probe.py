@@ -289,11 +289,15 @@ def probe(spark, n: int, ops_filter: set[str] | None = None) -> dict:
         from web_api_postgres_etl_spark.operators.history import scd2_history
 
         # synthetic change log: ~20 observations per key, attrs cycling
-        # through 5 states so the collapse keeps a realistic fraction
+        # through 5 states ALONG each key's chain (observation ordinal =
+        # doc_id div stride — a doc_id-based expression would be
+        # constant within a key whenever stride % 5 == 0, degenerating
+        # to total collapse and single-row interval windows)
+        stride = max(n // 20, 1)
         log = docs.select(
-            (F.col("doc_id") % F.lit(max(n // 20, 1))).alias("k"),
+            (F.col("doc_id") % F.lit(stride)).alias("k"),
             F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("ts"),
-            (F.col("doc_id") * 7 % 5).cast("string").alias("state"),
+            F.expr(f"CAST((doc_id div {stride}) * 3 % 5 AS STRING)").alias("state"),
         )
         t0 = time.time()
         nh = scd2_history(log, ["k"], "ts", ["state"]).count()

@@ -30,8 +30,6 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
-_FORMS = ("NFC", "NFD", "NFKC", "NFKD")
-
 
 def _series_map(s: pd.Series, fn) -> pd.Series:
     # None-preserving map; pandas' map already skips NaN/None under

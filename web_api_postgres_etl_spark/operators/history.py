@@ -267,8 +267,13 @@ def maintain_history(
     """
     from pyspark.errors import AnalysisException
 
-    from ..sources.writers import swap_compacted, write_overwrite
+    from ..sources.writers import recover_swap, swap_compacted, write_overwrite
 
+    # repair a crashed prior swap FIRST: in its crash window the live
+    # history sits in .old and the path is gone — reading before
+    # recovery would misread that state as the bootstrap case and
+    # rebuild from the new batch alone, silently dropping all history
+    recover_swap(history_path)
     try:
         existing = spark.read.parquet(history_path)
         bootstrap = False

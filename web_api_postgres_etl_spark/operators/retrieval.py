@@ -574,6 +574,7 @@ def tfidf_cosine_pairs(
     min_df: int = 2,
     max_df: int | None = None,
     threshold: float = 0.3,
+    pins: list | None = None,
 ) -> DataFrame:
     """EXACT sparse cosine similarity pairs over tf-idf vectors —
     the deterministic complement to the banded estimators
@@ -598,11 +599,18 @@ def tfidf_cosine_pairs(
     The only float steps are one pinned-order double expression
     ``dot / (sqrt(na) * sqrt(nb))`` — CAST, sqrt, multiply, divide are
     all IEEE exact-rounded, so results are bit-identical across
-    engines. Identical documents score exactly 1.0.
+    engines. Identical documents score EXACTLY 1.0 — not via the float
+    path (``fl(sqrt(x)·sqrt(x)) ≠ x`` for ~half of doubles), but by the
+    DECIMAL-exact Cauchy–Schwarz equality case: ``dot == na == nb``
+    holds iff the weight vectors are identical, and that comparison is
+    decided in DECIMAL before any float enters — so ``threshold=1.0``
+    reliably extracts exact-duplicate vectors.
 
-    The weight table is persisted (it feeds the self-join's two sides
-    plus the norms — three consumers; the repo's measured
-    subplan-reuse trap).
+    The weight table is persisted — it feeds the self-join's two sides
+    plus the norms (three consumers; the repo's measured subplan-reuse
+    trap). Append it to ``pins`` to release the cache in long-lived
+    sessions (the repo-wide pins/release contract); without ``pins``
+    the pin lives until the session ends.
     """
     t = tfidf_table(df, id_col, text_col, min_df=min_df)
     if max_df is not None:
@@ -612,6 +620,8 @@ def tfidf_cosine_pairs(
         F.col("term"),
         F.col("tfidf").cast("decimal(18,6)").alias("__w"),
     ).persist()
+    if pins is not None:
+        pins.append(w)
     norms = w.groupBy("__id").agg(
         F.sum((F.col("__w") * F.col("__w")).cast("decimal(38,12)")).alias("__n2")
     )
@@ -631,8 +641,18 @@ def tfidf_cosine_pairs(
     )
     na = norms.select(F.col("__id").alias("__ida"), F.col("__n2").alias("__na"))
     nb = norms.select(F.col("__id").alias("__idb"), F.col("__n2").alias("__nb"))
-    cosine = F.col("__dot").cast("double") / (
-        F.sqrt(F.col("__na").cast("double")) * F.sqrt(F.col("__nb").cast("double"))
+    # Cauchy–Schwarz equality decided in DECIMAL (exact): identical
+    # weight vectors — and ONLY those — have dot == na == nb, and the
+    # float path would round exactly-1 away about half the time
+    cosine = F.when(
+        (F.col("__dot") == F.col("__na")) & (F.col("__na") == F.col("__nb")),
+        F.lit(1.0),
+    ).otherwise(
+        F.col("__dot").cast("double")
+        / (
+            F.sqrt(F.col("__na").cast("double"))
+            * F.sqrt(F.col("__nb").cast("double"))
+        )
     )
     return (
         dots.join(na, "__ida")

@@ -48,6 +48,55 @@ from ..operators.aggregates import (
 _PART_COL = "agg_batch_id"
 
 
+def _spec_row(keys, sum_cols, min_cols, max_cols) -> tuple:
+    return (
+        ",".join(k.split(".")[-1] for k in keys),
+        ",".join(sum_cols or []),
+        ",".join(min_cols or []),
+        ",".join(max_cols or []),
+    )
+
+
+def _check_or_write_spec(spark: SparkSession, state_dir: str, row: tuple) -> None:
+    """The store's family sidecar (same design as the minhash index):
+    partitions written under DIFFERENT specs would silently mis-merge
+    on read (parquet schema inference picks one arbitrary footer;
+    missing state columns surface as skipped NULLs — undercounting,
+    not an error), so the FIRST writer records the spec and every
+    later writer must match it exactly."""
+    from pyspark.errors import AnalysisException
+
+    schema = "keys string, sum_cols string, min_cols string, max_cols string"
+    meta_path = state_dir + "_meta"
+    try:
+        rows = spark.read.parquet(meta_path).collect()
+    except AnalysisException as exc:
+        msg = str(exc)
+        if not (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+            or "Unable to infer schema" in msg
+        ):
+            raise
+        spark.createDataFrame([row], schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(meta_path)
+        return
+    if len(rows) != 1:
+        raise ValueError(
+            f"agg state at {state_dir}: expected exactly 1 _meta row, "
+            f"found {len(rows)}"
+        )
+    stored = tuple(rows[0])
+    if stored != row:
+        raise ValueError(
+            f"agg state at {state_dir} was built with spec {stored}; "
+            f"refusing to write partitions with mismatched spec {row} "
+            "(they would silently mis-merge on read)"
+        )
+
+
 def agg_maintain_run(
     spark: SparkSession,
     source_dir: str,
@@ -72,6 +121,10 @@ def agg_maintain_run(
     if _PART_COL in {k.split(".")[-1] for k in keys}:
         raise ValueError(f"agg_maintain_run: {_PART_COL!r} is reserved")
     ckpt_tag = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+    _check_or_write_spec(
+        spark, state_dir,
+        _spec_row(keys, sum_cols, min_cols, max_cols),
+    )
 
     def _process(batch_df, batch_id: int) -> None:
         state = incremental_agg_state(
@@ -137,4 +190,13 @@ def compact_agg_state(
         .partitionBy(_PART_COL)
         .parquet(compacted_dir)
     )
+    # carry the spec sidecar: maintainers layering on the compacted
+    # store must validate against the ORIGINAL spec, not re-bootstrap
+    from pyspark.errors import AnalysisException
+
+    try:
+        meta = spark.read.parquet(state_dir + "_meta")
+        meta.coalesce(1).write.mode("overwrite").parquet(compacted_dir + "_meta")
+    except AnalysisException:
+        pass  # pre-sidecar store: the next maintainer bootstraps one
     return spark.read.parquet(compacted_dir).count()
