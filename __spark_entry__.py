@@ -844,6 +844,47 @@ WHERE round({_cos_sql("a.embedding", "b2.embedding")}, 6) >= 0.4
 """
 
 
+def q_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """PMI collocations over documents (operators/retrieval.py):
+    top-50 adjacent-word bigrams by PMI lift with a min-count-5 hapax
+    guard. The lift ratio is exact integer counts through pinned-order
+    IEEE divisions (ln is monotone, so this IS the PMI ranking without
+    cross-engine libm drift)."""
+    docs = _t(spark, sf, "documents")
+    from web_api_postgres_etl_spark.operators.retrieval import collocations
+
+    return collocations(docs, "text", min_count=5, top_k=50)
+
+
+SQL_COLLOCATIONS = """
+WITH t AS (
+  SELECT list_filter(regexp_split_to_array(trim(regexp_replace(
+    regexp_replace(lower(text),'[^a-z0-9\\s]',' ','g'),'\\s+',' ','g')),
+    ' '), x -> x <> '') AS toks
+  FROM documents),
+totals AS (
+  SELECT CAST(sum(len(toks)) AS DOUBLE) AS t1,
+         CAST(sum(greatest(len(toks) - 1, 0)) AS DOUBLE) AS t2
+  FROM t),
+uni AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+big AS (
+  SELECT toks[i] AS w1, toks[i+1] AS w2, count(*) AS n_pair
+  FROM t, unnest(range(1, greatest(len(toks), 1))) AS r(i)
+  GROUP BY 1, 2
+  HAVING count(*) >= 5)
+SELECT w1, w2, n_pair, u1.c AS n_w1, u2.c AS n_w2,
+       (n_pair / t2) / ((u1.c / t1) * (u2.c / t1)) AS lift
+FROM big
+JOIN uni u1 ON u1.w = w1
+JOIN uni u2 ON u2.w = w2
+CROSS JOIN totals
+ORDER BY lift DESC, w1, w2
+LIMIT 50
+"""
+
+
 def q_multimodal_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal plumbing, metadata-only profile: documents cast to the
     binary media contract (content=utf8 bytes, mime from source) and
@@ -3151,7 +3192,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows — stats + features)
         "winnow_dup_pairs": q_winnow_dup_pairs,
         # multimodal
-        "multimodal_stats": q_multimodal_stats,
+        # PMI collocations (r6: swapped in for multimodal_stats, whose
+        # mapInPandas path stays driver-visible via multimodal_features;
+        # retired parity in tests/test_oracle_parity.py)
+        "collocations": q_collocations,
         "multimodal_features": q_multimodal_features,
         # sources / sinks / streaming
         "s1_rest_source": q_s1_rest_source,
@@ -3224,7 +3268,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_ppl_gate": SQL_BIGRAM_PPL_GATE,
         "lsh_cosine_pairs": SQL_LSH_COSINE_PAIRS,
         "winnow_dup_pairs": SQL_WINNOW,
-        "multimodal_stats": SQL_MULTIMODAL_STATS,
+        "collocations": SQL_COLLOCATIONS,
         "multimodal_features": SQL_MM_FEATURES,
         "s1_rest_source": SQL_REST,
         "s3_flatten_struct": SQL_FLATTEN,

@@ -95,6 +95,10 @@ RETIRED = [
     # F.window shape stays driver-visible in t5_watermark_late_drop's
     # streaming windowed aggregate)
     ("agg_time_window", "SQL_TIME_WINDOW"),
+    # r6 fourth wave: metadata-only media profile → collocations (the
+    # Arrow mapInPandas path stays driver-visible via
+    # multimodal_features; the groupBy-over-meta shape is generic)
+    ("multimodal_stats", "SQL_MULTIMODAL_STATS"),
 ]
 
 
