@@ -713,3 +713,58 @@ def test_winnow_locality_guarantee_random(shared, a1, a2, b1, b2):
     surrounding context."""
     d1, d2 = f"{a1}{shared}{a2}", f"{b1}{shared}{b2}"
     assert _winnow_model(d1) & _winnow_model(d2)
+
+
+def _model_scd2(rows):
+    """Literal SCD2 model: per key, sort by ts, collapse consecutive
+    identical states (None-safe), emit half-open intervals."""
+    out = []
+    bykey: dict = {}
+    for k, ts, attr in rows:
+        bykey.setdefault(k, []).append((ts, attr))
+    for k, obs in bykey.items():
+        obs.sort(key=lambda o: o[0])
+        versions = []
+        prev = object()  # sentinel != anything incl. None
+        for ts, attr in obs:
+            if attr != prev or (attr is None) != (prev is None):
+                versions.append((ts, attr))
+            prev = attr
+        for i, (ts, attr) in enumerate(versions):
+            nxt = versions[i + 1][0] if i + 1 < len(versions) else None
+            out.append((k, attr, ts, nxt, nxt is None))
+    return sorted(out, key=repr)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # key
+            st.integers(min_value=0, max_value=40),   # distinct ts ordinal
+            st.sampled_from(["x", "y", "z", None]),   # state (None is real)
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda r: (r[0], r[1]),  # (key, ts) unique: no seq ties
+    )
+)
+def test_scd2_history_matches_model(spark, rows):
+    """scd2_history == the literal per-key collapse/interval model for
+    arbitrary (key, ts, state) logs, NULL states included."""
+    import datetime as dt
+
+    from web_api_postgres_etl_spark.operators.history import scd2_history
+
+    t0 = dt.datetime(2024, 1, 1)
+    recs = [(k, t0 + dt.timedelta(hours=t), a) for k, t, a in rows]
+    df = spark.createDataFrame(recs, "k long, ts timestamp, attr string")
+    got = sorted(
+        (
+            (r.k, r.attr, r.valid_from, r.valid_to, r.is_current)
+            for r in scd2_history(df, ["k"], "ts", ["attr"]).collect()
+        ),
+        key=repr,
+    )
+    want = _model_scd2(recs)
+    assert got == want

@@ -561,3 +561,57 @@ def test_agg_maintain_rejects_spec_change(spark, tmp_path):
     )
     rows = {r.k: r.sum_v for r in read_agg_state(spark, compacted, ["k"]).collect()}
     assert rows == {"a": 2.0, "b": 1.0}
+
+
+# ------------------------------------------- SCD2 history maintenance
+def test_history_maintain_stream_and_replay(spark, tmp_path):
+    """Two drained change batches == one-shot build; replaying a
+    committed batch is a no-op fold (merge semantics, not partition
+    layout, give the idempotency here)."""
+    import datetime as dt
+    import os
+
+    from web_api_postgres_etl_spark.operators.history import scd2_history
+    from web_api_postgres_etl_spark.streaming.history_stream import (
+        history_maintain_run,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    src = str(tmp_path / "src")
+    hist = str(tmp_path / "hist")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k string, ts timestamp, attr string"
+    b1 = [("A", t0, "x"), ("B", t0, "b")]
+    b2 = [
+        ("A", t0 + dt.timedelta(days=1), "y"),
+        ("B", t0 + dt.timedelta(days=1), "b"),  # no-op re-emit
+    ]
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(src)
+    history_maintain_run(
+        spark, src, hist, ckpt, schema, ["k"], "ts", ["attr"]
+    )
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    history_maintain_run(
+        spark, src, hist, ckpt, schema, ["k"], "ts", ["attr"]
+    )
+    want = sorted(
+        map(
+            tuple,
+            scd2_history(
+                spark.createDataFrame(b1 + b2, schema), ["k"], "ts", ["attr"]
+            ).collect(),
+        )
+    )
+    got = sorted(map(tuple, spark.read.parquet(hist).collect()))
+    assert got == want and len(got) == 3  # A: x,y; B: b (re-emit folded)
+
+    # replay the last committed batch: fixed point, same history
+    last = max(int(f) for f in os.listdir(os.path.join(ckpt, "commits")) if f.isdigit())
+    os.remove(os.path.join(ckpt, "commits", str(last)))
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    history_maintain_run(
+        spark, src, hist, ckpt, schema, ["k"], "ts", ["attr"]
+    )
+    assert sorted(map(tuple, spark.read.parquet(hist).collect())) == want
