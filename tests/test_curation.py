@@ -680,3 +680,36 @@ def test_minhash_index_within_batch_dedup(spark, tmp_path):
     bad = spark.createDataFrame([(1, "x")], "other_id long, text string")
     with pytest.raises(ValueError, match="keys on 'doc_id'"):
         minhash_index_append(bad, path, "text")
+
+
+def test_compression_ratio_signal(spark):
+    """Ratio == python zlib exactly; repetitive text scores far higher
+    than prose; NULL-total; empty text gives ratio < 1, not a crash."""
+    import zlib
+
+    from web_api_postgres_etl_spark.functions.text import compression_ratio
+
+    prose = (
+        "the committee reviewed seventeen distinct proposals before "
+        "narrowing its focus to two finalists whose budgets differed "
+        "substantially in scope and ambition"
+    )
+    spammy = "buy now " * 40
+    rows = [(1, prose), (2, spammy), (3, None), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.ratio
+        for r in df.select(
+            "doc_id", compression_ratio("text").alias("ratio")
+        ).collect()
+    }
+
+    def model(x):
+        raw = x.encode()
+        return len(raw) / len(zlib.compress(raw, 6))
+
+    assert got[1] == model(prose)
+    assert got[2] == model(spammy)
+    assert got[3] is None
+    assert got[4] < 1.0
+    assert got[2] > 2 * got[1]  # the signal separates spam from prose

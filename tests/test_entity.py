@@ -92,3 +92,67 @@ def test_fuzzy_join_null_keys_never_match(spark):
     df = spark.createDataFrame([(1, None), (2, "ab")], "id long, name string")
     out = fuzzy_join(df, df, "id", "id", "name", "name", 1).collect()
     assert {(r["id_l"], r["id_r"]) for r in out} == {(2, 2)}
+
+
+# ------------------------------------------------- entity resolution
+def test_resolve_entities_planted_chain(spark):
+    """Chained typos group transitively; isolated values stay
+    singleton-canonical; entity_id is the min member id."""
+    from web_api_postgres_etl_spark.operators.entity import resolve_entities
+
+    df = spark.createDataFrame(
+        [
+            (1, "kathy"),
+            (2, "cathy"),   # 1 sub from kathy
+            (3, "cath"),    # 1 del from cathy (2 edits from kathy: chains)
+            (4, "zebra"),   # isolated
+            (5, "kathy"),   # exact duplicate of 1
+        ],
+        "cust_id long, name string",
+    )
+    out = {r.cust_id: (r.entity_id, r.is_canonical)
+           for r in resolve_entities(df, "cust_id", "name").collect()}
+    assert out == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        4: (4, True), 5: (1, False),
+    }
+
+
+def test_resolve_entities_matches_union_find_on_customers(spark):
+    """Cluster labels == python union-find over the (separately
+    completeness-proven) pair set, on the real customer names."""
+    from web_api_postgres_etl_spark.operators.entity import (
+        fuzzy_dup_pairs,
+        resolve_entities,
+    )
+
+    cust = (
+        spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+        .select("c_custkey", "c_name")
+        .filter(F.col("c_custkey") <= 400)
+    )
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in fuzzy_dup_pairs(cust, "c_custkey", "c_name").collect()
+    ]
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    ids = [r.c_custkey for r in cust.collect()]
+    want = {i: find(i) for i in ids}
+    got = {
+        r.c_custkey: r.entity_id
+        for r in resolve_entities(cust, "c_custkey", "c_name").collect()
+    }
+    assert got == want
+    assert len(pairs) > 0  # the customer names really do contain near-dups

@@ -7,7 +7,11 @@ tokenization, quality scoring, language ID, fingerprinting.
 
 All are native Column expressions (codegen'd, no UDFs); every
 normalization step is chosen to be reproducible in ANSI SQL so the
-DuckDB oracle can verify results bit-for-bit.
+DuckDB oracle can verify results bit-for-bit. Sole exception:
+``compression_ratio`` at the bottom of this module — zlib has no JVM
+expression, so it is an Arrow-batched pandas UDF (same carve-out as
+``functions/unicode.py``) and is verified against Python's zlib
+directly instead of DuckDB.
 """
 
 from __future__ import annotations
@@ -378,3 +382,41 @@ def c4_page_flags(
     return _c4_flags_from_clean(
         text_col, c4_clean_lines(text_col, min_words=min_words), min_lines
     )
+
+
+# ---------------------------------------------------- zlib signal
+def compression_ratio(text_col: Column | str, level: int = 6) -> Column:
+    """uncompressed_bytes / zlib_bytes (DOUBLE; NULL for NULL text) —
+    the Gopher/FineWeb repetitiveness signal the expression-side
+    proxies approximate: boilerplate and template spam compress far
+    better than prose (ratio ≳ 4–5 is a strong drop signal; English
+    prose sits near 2–3). Complements ``repetition_signals``'s n-gram
+    fractions, which see only word-level repeats — zlib also catches
+    character-level and long-range structure.
+
+    This is the module's one non-expression function: zlib has no JVM
+    expression, so it runs as an Arrow-batched pandas UDF (never
+    row-at-a-time). zlib output length for a fixed level is
+    deterministic for a given zlib build — fine for gating, but do NOT
+    use the ratio as a dedup KEY across heterogeneous clusters; gate
+    thresholds tolerate the ±few-bytes variance between zlib versions,
+    digests do not. Empty text compresses to a header, giving ratios
+    < 1 — gate on high ratios only.
+    """
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    def _ratio(s):
+        def fn(x):
+            raw = x.encode("utf-8")
+            return len(raw) / len(zlib.compress(raw, level))
+
+        return s.map(fn, na_action="ignore")
+
+    # real class annotations (not this module's PEP-563 strings), so
+    # pandas_udf can infer the scalar eval type with pandas imported
+    # locally
+    _ratio.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_ratio, DoubleType())(_c(text_col))

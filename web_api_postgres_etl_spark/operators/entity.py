@@ -153,3 +153,48 @@ def fuzzy_dup_pairs(
         )
         .distinct()
     )
+
+
+def resolve_entities(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 1,
+    max_len: int = 64,
+    pins: list | None = None,
+) -> DataFrame:
+    """Entity resolution end-to-end: fuzzy-duplicate pairs →
+    connected components → one CANONICAL id per entity cluster.
+    Returns the input rows plus ``entity_id`` (the minimum member id —
+    deterministic) and ``is_canonical`` (TRUE on the representative
+    row), so callers can either collapse to representatives
+    (``filter(is_canonical)``) or keep a full alias→canonical mapping
+    (the "customer X and customer X' are the same party" table this
+    module exists for).
+
+    Edit distance is not transitive, so clusters CHAIN by design:
+    "kathy"~"cathy"~"cath" groups all three even though the ends are 2
+    apart — the standard transitive-closure semantics of pair-based
+    resolution (same convention as ``graph.dedup_clusters``). Pairs
+    come from the lossless deletion-neighborhood join (no missed
+    matches ≤ max_distance); components run pointer-doubling
+    (O(log n) rounds) via ``connected_components_fast``.
+    """
+    from .graph import connected_components_fast
+
+    pairs = fuzzy_dup_pairs(df, id_col, text_col, max_distance, max_len)
+    comp = connected_components_fast(
+        df.select(qcol(id_col).alias("id")),
+        pairs,
+        pins=pins,
+    )
+    labeled = df.join(
+        comp.select(
+            F.col("id").alias(id_col), F.col("component").alias("entity_id")
+        ),
+        on=id_col,
+        how="inner",
+    )
+    return labeled.withColumn(
+        "is_canonical", qcol(id_col) == F.col("entity_id")
+    )
