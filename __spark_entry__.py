@@ -38,7 +38,10 @@ from web_api_postgres_etl_spark.functions.text import (
     stopword_ratio,
     token_count,
 )
-from web_api_postgres_etl_spark.operators.aggregates import max_watermark
+from web_api_postgres_etl_spark.operators.aggregates import (
+    event_transitions,
+    max_watermark,
+)
 from web_api_postgres_etl_spark.operators.dedup import (
     decontaminate,
     dedup_exact,
@@ -2532,6 +2535,30 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 3
 """
 
 
+def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order event transition matrix (operators/aggregates.py):
+    per-user lag pairs → (from, to, n, P(to|from)); the probability is
+    one division of two exact counts, engine-reproducible."""
+    events = _t(spark, sf, "events")
+    return event_transitions(events)
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS from_event,
+         lag(1) OVER (PARTITION BY user_id ORDER BY ts) AS has_prev,
+         event_type AS to_event
+  FROM events
+), counted AS (
+  SELECT from_event, to_event, count(*) AS n_transitions
+  FROM pairs WHERE has_prev IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_event, to_event, n_transitions,
+       n_transitions / sum(n_transitions) OVER (PARTITION BY from_event) AS p
+FROM counted
+"""
+
+
 def q_rhp_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k (scale path of ann_cosine_topk):
     only corpus vectors sharing ≥1 of 4 sign-bit bands with the query
@@ -3170,7 +3197,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index_probe": q_ivf_index_probe,
         "lsh_nn_join": q_lsh_nn_join,
         "simhash_near_dups": q_simhash_near_dups,
-        "rhp_lsh_topk": q_rhp_lsh_topk,
+        # event transition matrix (r6: swapped in for rhp_lsh_topk —
+        # the RHP banding stays driver-visible via lsh_cosine_pairs /
+        # lsh_nn_join and the cosine math via ann_cosine_topk; retired
+        # parity in tests/test_oracle_parity.py)
+        "event_transitions": q_event_transitions,
         # joins
         "interval_join": q_interval_join,
         "j2_two_way_join": q_j2_two_way_join,
@@ -3257,7 +3288,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_index_probe": SQL_IVF_TOPK,
         "lsh_nn_join": SQL_LSH_NN_JOIN,
         "simhash_near_dups": SQL_SIMHASH,
-        "rhp_lsh_topk": SQL_RHP_TOPK,
+        "event_transitions": SQL_EVENT_TRANSITIONS,
         "interval_join": SQL_INTERVAL,
         "j2_two_way_join": SQL_J2,
         "j5_salted_join": SQL_J5,

@@ -99,6 +99,10 @@ RETIRED = [
     # Arrow mapInPandas path stays driver-visible via
     # multimodal_features; the groupBy-over-meta shape is generic)
     ("multimodal_stats", "SQL_MULTIMODAL_STATS"),
+    # r6 fourth wave: RHP top-k → event_transitions (RHP banding stays
+    # driver-visible via lsh_cosine_pairs / lsh_nn_join, the cosine
+    # fold via ann_cosine_topk)
+    ("rhp_lsh_topk", "SQL_RHP_TOPK"),
 ]
 
 
