@@ -410,6 +410,7 @@ def incremental_agg_state(
     sum_cols: list[str] | None = None,
     min_cols: list[str] | None = None,
     max_cols: list[str] | None = None,
+    distinct_cols: list[str] | None = None,
 ) -> DataFrame:
     """Partial-aggregate STATE table for incremental maintenance: per
     key, ``n_rows`` plus ``sum_<c>``/``cnt_<c>`` for each sum column
@@ -421,8 +422,18 @@ def incremental_agg_state(
     full table): maintain aggregates by folding each delta batch's
     state into the stored state — history is NEVER rescanned. All
     maintained aggregates are algebraic (sum/count/min/max merge by
-    sum/sum/min/max), which is exactly why they can merge; median &
-    friends are not and belong to ``corpus_stats``'s sketches.
+    sum/sum/min/max), which is exactly why they can merge. DISTINCT is
+    the classic non-algebraic aggregate — two batches' distinct counts
+    don't add — so ``distinct_cols`` maintains it as a MERGEABLE
+    Apache DataSketches HLL sketch per key (``hll_<c>``, a binary
+    column; Spark 4's native hll_sketch_agg): sketch union is a
+    register-wise max — commutative, associative, and deterministic
+    (re-merging in any order yields the same registers). Merged
+    estimates can differ slightly from a one-shot sketch's — the
+    single-stream sketch carries DataSketches' HIP estimator, which a
+    union legitimately discards — but both stay inside the sketch's
+    error bound (~1.6% rsd at the default lgConfigK=12). Median & friends stay in ``corpus_stats``'s one-pass
+    profile.
 
     Scale shape: one map-side-combining groupBy per batch; the merge
     (``merge_agg_state``) shuffles two STATE tables keyed on ``keys``
@@ -434,6 +445,7 @@ def incremental_agg_state(
     sum_cols = list(sum_cols or [])
     min_cols = list(min_cols or [])
     max_cols = list(max_cols or [])
+    distinct_cols = list(distinct_cols or [])
     if not keys:
         raise ValueError("incremental_agg_state: at least one key required")
     key_out = [k.split(".")[-1] for k in keys]
@@ -442,6 +454,7 @@ def incremental_agg_state(
         + [f"{p}_{c}" for c in sum_cols for p in ("sum", "cnt")]
         + [f"min_{c}" for c in min_cols]
         + [f"max_{c}" for c in max_cols]
+        + [f"hll_{c}" for c in distinct_cols]
     )
     if len(set(state_names)) != len(state_names):
         raise ValueError(f"incremental_agg_state: duplicate state columns in {state_names}")
@@ -454,6 +467,7 @@ def incremental_agg_state(
         aggs.append(F.count(qcol(c)).alias(f"cnt_{c}"))
     aggs += [F.min(qcol(c)).alias(f"min_{c}") for c in min_cols]
     aggs += [F.max(qcol(c)).alias(f"max_{c}") for c in max_cols]
+    aggs += [F.hll_sketch_agg(qcol(c)).alias(f"hll_{c}") for c in distinct_cols]
     return df.groupBy(
         *[qcol(k).alias(o) for k, o in zip(keys, key_out)]
     ).agg(*aggs)
@@ -476,6 +490,8 @@ def merge_agg_states(states: DataFrame, keys: list[str]) -> DataFrame:
             aggs.append(F.min(c).alias(c))
         elif c.startswith("max_"):
             aggs.append(F.max(c).alias(c))
+        elif c.startswith("hll_"):
+            aggs.append(F.hll_union_agg(c).alias(c))
         else:
             raise ValueError(f"merge_agg_states: unrecognized state column {c!r}")
     return states.groupBy(*key_out).agg(*aggs)
@@ -497,10 +513,16 @@ def merge_agg_state(
     return merge_agg_states(stored.unionByName(delta), keys)
 
 
-def finalize_agg(state: DataFrame, avg_of: list[str] | None = None) -> DataFrame:
+def finalize_agg(
+    state: DataFrame,
+    avg_of: list[str] | None = None,
+    distinct_of: list[str] | None = None,
+) -> DataFrame:
     """Add ``avg_<c> = sum_<c> / cnt_<c>`` (NULL when no non-NULL rows
-    were ever seen — true SQL AVG semantics) for each requested sum
-    column. The state stays mergeable; finalization is a projection."""
+    were ever seen — true SQL AVG semantics) and/or
+    ``n_distinct_<c>`` (the HLL estimate, BIGINT — deterministic for a
+    given sketch) for each requested column. The state stays mergeable; finalization
+    is a projection."""
     out = state
     for c in avg_of or []:
         if f"sum_{c}" not in state.columns or f"cnt_{c}" not in state.columns:
@@ -508,6 +530,12 @@ def finalize_agg(state: DataFrame, avg_of: list[str] | None = None) -> DataFrame
         out = out.withColumn(
             f"avg_{c}",
             F.col(f"sum_{c}") / F.nullif(F.col(f"cnt_{c}"), F.lit(0)),
+        )
+    for c in distinct_of or []:
+        if f"hll_{c}" not in state.columns:
+            raise ValueError(f"finalize_agg: state lacks hll_{c}")
+        out = out.withColumn(
+            f"n_distinct_{c}", F.hll_sketch_estimate(F.col(f"hll_{c}"))
         )
     return out
 

@@ -48,12 +48,13 @@ from ..operators.aggregates import (
 _PART_COL = "agg_batch_id"
 
 
-def _spec_row(keys, sum_cols, min_cols, max_cols) -> tuple:
+def _spec_row(keys, sum_cols, min_cols, max_cols, distinct_cols) -> tuple:
     return (
         ",".join(k.split(".")[-1] for k in keys),
         ",".join(sum_cols or []),
         ",".join(min_cols or []),
         ",".join(max_cols or []),
+        ",".join(distinct_cols or []),
     )
 
 
@@ -66,7 +67,10 @@ def _check_or_write_spec(spark: SparkSession, state_dir: str, row: tuple) -> Non
     later writer must match it exactly."""
     from pyspark.errors import AnalysisException
 
-    schema = "keys string, sum_cols string, min_cols string, max_cols string"
+    schema = (
+        "keys string, sum_cols string, min_cols string, max_cols string, "
+        "distinct_cols string"
+    )
     meta_path = state_dir + "_meta"
     try:
         rows = spark.read.parquet(meta_path).collect()
@@ -107,6 +111,7 @@ def agg_maintain_run(
     sum_cols: list[str] | None = None,
     min_cols: list[str] | None = None,
     max_cols: list[str] | None = None,
+    distinct_cols: list[str] | None = None,
 ) -> None:
     """Drain the file stream at ``source_dir`` (AvailableNow trigger),
     writing each micro-batch's partial aggregate state to its own
@@ -123,13 +128,13 @@ def agg_maintain_run(
     ckpt_tag = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
     _check_or_write_spec(
         spark, state_dir,
-        _spec_row(keys, sum_cols, min_cols, max_cols),
+        _spec_row(keys, sum_cols, min_cols, max_cols, distinct_cols),
     )
 
     def _process(batch_df, batch_id: int) -> None:
         state = incremental_agg_state(
             batch_df, keys, sum_cols=sum_cols, min_cols=min_cols,
-            max_cols=max_cols,
+            max_cols=max_cols, distinct_cols=distinct_cols,
         )
         (
             state.withColumn(_PART_COL, F.lit(f"{ckpt_tag}-{int(batch_id)}"))
@@ -155,6 +160,7 @@ def read_agg_state(
     state_dir: str,
     keys: list[str],
     avg_of: list[str] | None = None,
+    distinct_of: list[str] | None = None,
 ) -> DataFrame:
     """Current aggregate view over the partial-state store: one keyed
     groupBy folds all batch partitions (algebraic merge — order-free),
@@ -163,7 +169,9 @@ def read_agg_state(
     schema-inference error — there IS no state to read, and guessing
     an empty frame's schema would silently hide a mis-pointed path."""
     states = spark.read.parquet(state_dir).drop(_PART_COL)
-    return finalize_agg(merge_agg_states(states, keys), avg_of=avg_of)
+    return finalize_agg(
+        merge_agg_states(states, keys), avg_of=avg_of, distinct_of=distinct_of
+    )
 
 
 def compact_agg_state(
