@@ -279,3 +279,65 @@ def test_zone_map_update_scans_only_new_files(spark, tmp_path):
     assert key(upd) == key(zone_map(spark, path, ["v"]))
     # and pruned reads through the updated map stay exact
     assert read_pruned(spark, path, upd, {"v": (150, 199)}).count() == 50
+
+
+# ------------------------------------------------------ surgical delete
+def test_purge_rows_touches_only_affected_files(spark, tmp_path):
+    """Target ids vanish; files without matches keep their exact bytes;
+    the returned file lists keep a zone map maintainable; re-purging is
+    a no-op."""
+    import os
+
+    from web_api_postgres_etl_spark.operators.layout import purge_rows
+
+    path = str(tmp_path / "tbl")
+    # 4 files, ids range-partitioned so ids 0-249 land in one file
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("v")
+    )
+    df.repartitionByRange(4, "doc_id").write.parquet(path)
+    before = {
+        f: os.path.getmtime(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+    ids = spark.createDataFrame([(3,), (7,), (240,)], "doc_id long")
+    stats = purge_rows(spark, path, ids, "doc_id")
+    assert stats["rows_purged"] == 3
+    # range partitioning put all three ids in ONE file
+    assert stats["files_rewritten"] == 1
+    left = spark.read.parquet(path)
+    assert left.count() == 997
+    assert left.join(ids, "doc_id", "left_semi").count() == 0
+    # untouched files: same names, same mtimes (never rewritten)
+    after = {
+        f: os.path.getmtime(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+    untouched = set(before) - {os.path.basename(p) for p in stats["removed_files"]}
+    assert untouched <= set(after)
+    for f in untouched:
+        assert after[f] == before[f]
+    # the added files exist; removed ones don't
+    assert all(os.path.exists(p) for p in stats["added_files"])
+    assert not any(os.path.exists(p) for p in stats["removed_files"])
+    # idempotent: nothing left to purge
+    again = purge_rows(spark, path, ids, "doc_id")
+    assert again["rows_purged"] == 0 and again["files_rewritten"] == 0
+
+
+def test_purge_rows_validates_column_and_purges_all_files(spark, tmp_path):
+    import pytest
+
+    from web_api_postgres_etl_spark.operators.layout import purge_rows
+
+    path = str(tmp_path / "tbl2")
+    spark.range(100).select(F.col("id").alias("doc_id")).coalesce(2).write.parquet(path)
+    with pytest.raises(ValueError, match="not in table columns"):
+        purge_rows(spark, path, spark.range(1), "id")
+    # id in every file -> every file rewritten, table still consistent
+    ids = spark.range(100).select(F.col("id").alias("doc_id")).filter("doc_id % 2 = 0")
+    stats = purge_rows(spark, path, ids, "doc_id")
+    assert stats["rows_purged"] == 50
+    assert spark.read.parquet(path).count() == 50

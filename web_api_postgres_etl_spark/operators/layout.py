@@ -332,3 +332,93 @@ def compact_small_files(
             1 for f in files if not f.startswith(("_", "."))
         )
     return written
+
+
+# ------------------------------------------------------ surgical delete
+def purge_rows(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    id_col: str,
+) -> dict:
+    """Surgical delete — the right-to-be-forgotten / takedown op:
+    remove every row whose ``id_col`` appears in ``ids`` by rewriting
+    ONLY the parquet files that contain at least one matching row;
+    untouched files are never read twice, never rewritten, and keep
+    their bytes (and any zone-map entries) intact. This is the DELETE
+    half of the plain-parquet table story this module builds (zone
+    maps = stats, ``compact_small_files`` = OPTIMIZE).
+
+    Returns ``{"rows_purged", "files_rewritten", "removed_files",
+    "added_files"}`` — the two file lists are exactly what a zone map
+    needs to stay in sync: drop the removed entries, ``zone_map`` the
+    added files (``zone_map_update`` alone would only ADD, leaving
+    dead entries that make ``prune_files`` return nonexistent paths).
+
+    Scale shape: one column-pruned scan finds affected files (a
+    semi-join shuffling (file, id) pairs, collected as file NAMES —
+    bounded by file count); only those files are re-read and
+    anti-joined. Cost scales with data TOUCHED, not table size —
+    the property that makes deletes tractable at 100 TB.
+
+    Crash contract (plain parquet has no manifest commit — the seam a
+    table format would fill): new files move in BEFORE old files are
+    deleted, so a crash in between leaves DUPLICATED survivor rows,
+    never lost rows; the duplicates are exactly what the engine's
+    last-wins / exact-dedup compaction removes. Re-running the purge
+    after a crash still removes the target ids.
+    """
+    import os
+    import shutil
+    from urllib.parse import unquote, urlparse
+
+    def _local(uri: str) -> str:
+        p = urlparse(uri)
+        return unquote(p.path) if p.scheme in ("file", "") else uri
+
+    full = spark.read.parquet(path)
+    if id_col not in full.columns:
+        raise ValueError(f"purge_rows: {id_col!r} not in table columns {full.columns}")
+    ids_only = ids.select(qcol(id_col).alias(id_col)).distinct()
+    affected = [
+        r["file"]
+        for r in full.select(
+            F.input_file_name().alias("file"), qcol(id_col).alias(id_col)
+        )
+        .join(ids_only, id_col, "left_semi")
+        .select("file")
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return {
+            "rows_purged": 0,
+            "files_rewritten": 0,
+            "removed_files": [],
+            "added_files": [],
+        }
+    sub = spark.read.option("basePath", path).parquet(*affected)
+    n_before = sub.count()
+    kept = sub.join(ids_only, id_col, "left_anti")
+    tmp = path.rstrip("/") + ".purge_tmp"
+    kept.write.mode("overwrite").parquet(tmp)
+    n_after = spark.read.parquet(tmp).count() if os.listdir(_local(tmp)) else 0
+
+    # move new part files in FIRST (duplicate-on-crash, never lose);
+    # Spark part names embed a job UUID, so collisions cannot occur
+    added = []
+    for name in os.listdir(_local(tmp)):
+        if not name.endswith(".parquet"):
+            continue
+        dst = os.path.join(_local(path), name)
+        shutil.move(os.path.join(_local(tmp), name), dst)
+        added.append(dst)
+    for uri in affected:
+        os.remove(_local(uri))
+    shutil.rmtree(_local(tmp), ignore_errors=True)
+    return {
+        "rows_purged": n_before - n_after,
+        "files_rewritten": len(affected),
+        "removed_files": [_local(u) for u in affected],
+        "added_files": added,
+    }
