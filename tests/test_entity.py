@@ -156,3 +156,15 @@ def test_resolve_entities_matches_union_find_on_customers(spark):
     }
     assert got == want
     assert len(pairs) > 0  # the customer names really do contain near-dups
+
+
+def test_resolve_entities_null_id_raises(spark):
+    import pytest
+
+    from web_api_postgres_etl_spark.operators.entity import resolve_entities
+
+    df = spark.createDataFrame(
+        [(1, "kathy"), (None, "cathy")], "cust_id long, name string"
+    )
+    with pytest.raises(Exception, match="NULL cust_id"):
+        resolve_entities(df, "cust_id", "name").collect()

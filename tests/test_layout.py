@@ -315,13 +315,18 @@ def test_purge_rows_touches_only_affected_files(spark, tmp_path):
         for f in os.listdir(path)
         if f.endswith(".parquet")
     }
-    untouched = set(before) - {os.path.basename(p) for p in stats["removed_files"]}
+    untouched = set(before) - {p.rsplit("/", 1)[-1] for p in stats["removed_files"]}
     assert untouched <= set(after)
     for f in untouched:
         assert after[f] == before[f]
-    # the added files exist; removed ones don't
-    assert all(os.path.exists(p) for p in stats["added_files"])
-    assert not any(os.path.exists(p) for p in stats["removed_files"])
+    # the lists are file:// URIs matching zone_map's input_file_name
+    # identity; the added files exist, removed ones don't
+    from urllib.parse import unquote, urlparse
+
+    local = lambda u: unquote(urlparse(u).path)
+    assert all(u.startswith("file:") for u in stats["added_files"] + stats["removed_files"])
+    assert all(os.path.exists(local(u)) for u in stats["added_files"])
+    assert not any(os.path.exists(local(u)) for u in stats["removed_files"])
     # idempotent: nothing left to purge
     again = purge_rows(spark, path, ids, "doc_id")
     assert again["rows_purged"] == 0 and again["files_rewritten"] == 0
@@ -341,3 +346,45 @@ def test_purge_rows_validates_column_and_purges_all_files(spark, tmp_path):
     stats = purge_rows(spark, path, ids, "doc_id")
     assert stats["rows_purged"] == 50
     assert spark.read.parquet(path).count() == 50
+
+
+def test_purge_rows_hive_partitioned(spark, tmp_path):
+    """Review regression: on a hive-partitioned table the rewritten
+    rows must land back inside their own part=value/ directories —
+    a root-level leaf file silently corrupts every later read."""
+    from web_api_postgres_etl_spark.operators.layout import purge_rows
+
+    path = str(tmp_path / "ptbl")
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 4).alias("part")
+    )
+    df.write.partitionBy("part").parquet(path)
+    ids = spark.createDataFrame([(8,), (9,)], "doc_id long")  # parts 0 and 1
+    stats = purge_rows(spark, path, ids, "doc_id")
+    assert stats["rows_purged"] == 2 and stats["files_rewritten"] == 2
+    back = spark.read.parquet(path)
+    assert back.count() == 98
+    assert back.join(ids, "doc_id", "left_semi").count() == 0
+    # partition column still a directory column with full value set
+    assert sorted(r.part for r in back.select("part").distinct().collect()) == [0, 1, 2, 3]
+    # per-partition counts are exact (no rows leaked across partitions)
+    counts = {r.part: r.n for r in back.groupBy("part").agg(F.count("*").alias("n")).collect()}
+    assert counts == {0: 24, 1: 24, 2: 25, 3: 25}
+    # zone-map recipe works directly on the returned URIs
+    from web_api_postgres_etl_spark.operators.layout import zone_map
+
+    zm = zone_map(spark, path, ["doc_id"])
+    kept_zm = zm.filter(~F.col("file").isin(stats["removed_files"]))
+    assert kept_zm.count() == zm.count()  # removed files no longer listed
+
+
+def test_purge_rows_null_id_raises(spark, tmp_path):
+    import pytest
+
+    from web_api_postgres_etl_spark.operators.layout import purge_rows
+
+    path = str(tmp_path / "ntbl")
+    spark.range(10).select(F.col("id").alias("doc_id")).write.parquet(path)
+    bad = spark.createDataFrame([(None,), (1,)], "doc_id long")
+    with pytest.raises(Exception, match="NULL id"):
+        purge_rows(spark, path, bad, "doc_id")

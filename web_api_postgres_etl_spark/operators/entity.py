@@ -179,12 +179,25 @@ def resolve_entities(
     come from the lossless deletion-neighborhood join (no missed
     matches ≤ max_distance); components run pointer-doubling
     (O(log n) rounds) via ``connected_components_fast``.
+
+    A NULL id cannot join back to its component label (NULL never
+    equals NULL), so NULL ids raise loudly instead of silently
+    vanishing from the output. The component pass localCheckpoints its
+    label frame; pass ``pins=[]`` and release after materializing
+    (``caching.release_frame``) in long-lived sessions — the
+    repo-wide pins contract.
     """
     from .graph import connected_components_fast
 
+    checked = F.when(
+        qcol(id_col).isNull(),
+        F.raise_error(
+            F.lit(f"resolve_entities: NULL {id_col} cannot be resolved")
+        ),
+    ).otherwise(qcol(id_col))
     pairs = fuzzy_dup_pairs(df, id_col, text_col, max_distance, max_len)
     comp = connected_components_fast(
-        df.select(qcol(id_col).alias("id")),
+        df.select(checked.alias("id")),
         pairs,
         pins=pins,
     )

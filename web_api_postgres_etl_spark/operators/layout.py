@@ -345,20 +345,27 @@ def purge_rows(
     remove every row whose ``id_col`` appears in ``ids`` by rewriting
     ONLY the parquet files that contain at least one matching row;
     untouched files are never read twice, never rewritten, and keep
-    their bytes (and any zone-map entries) intact. This is the DELETE
-    half of the plain-parquet table story this module builds (zone
-    maps = stats, ``compact_small_files`` = OPTIMIZE).
+    their bytes (and any zone-map entries) intact. Hive-partitioned
+    layouts are handled: rewritten rows land back inside their own
+    ``col=value/`` directories. This is the DELETE half of the
+    plain-parquet table story this module builds (zone maps = stats,
+    ``compact_small_files`` = OPTIMIZE).
 
     Returns ``{"rows_purged", "files_rewritten", "removed_files",
-    "added_files"}`` — the two file lists are exactly what a zone map
-    needs to stay in sync: drop the removed entries, ``zone_map`` the
-    added files (``zone_map_update`` alone would only ADD, leaving
-    dead entries that make ``prune_files`` return nonexistent paths).
+    "added_files"}``. The file lists are ``file://`` URIs in exactly
+    the identity ``zone_map``'s ``file`` column uses
+    (``input_file_name()``), so zone-map maintenance is a direct
+    filter + re-scan: drop rows whose file is in ``removed_files``,
+    union ``zone_map`` over the ``added_files`` read with
+    ``basePath=path`` (``zone_map_update`` alone would only ADD,
+    leaving dead entries that make ``prune_files`` return nonexistent
+    paths).
 
-    Scale shape: one column-pruned scan finds affected files (a
-    semi-join shuffling (file, id) pairs, collected as file NAMES —
-    bounded by file count); only those files are re-read and
-    anti-joined. Cost scales with data TOUCHED, not table size —
+    Scale shape: ONE column-pruned scan finds affected files and the
+    purged-row count together (a semi-join shuffling (file, id) pairs,
+    aggregated to per-file match counts — collected rows bounded by
+    file count); only the affected files are then re-read once for the
+    anti-join rewrite. Cost scales with data TOUCHED, not table size —
     the property that makes deletes tractable at 100 TB.
 
     Crash contract (plain parquet has no manifest commit — the seam a
@@ -370,26 +377,33 @@ def purge_rows(
     """
     import os
     import shutil
+    from pathlib import Path
     from urllib.parse import unquote, urlparse
 
     def _local(uri: str) -> str:
-        p = urlparse(uri)
-        return unquote(p.path) if p.scheme in ("file", "") else uri
+        parsed = urlparse(uri)
+        return unquote(parsed.path) if parsed.scheme in ("file", "") else uri
+
+    base_local = _local(path)
 
     full = spark.read.parquet(path)
     if id_col not in full.columns:
         raise ValueError(f"purge_rows: {id_col!r} not in table columns {full.columns}")
-    ids_only = ids.select(qcol(id_col).alias(id_col)).distinct()
-    affected = [
-        r["file"]
-        for r in full.select(
-            F.input_file_name().alias("file"), qcol(id_col).alias(id_col)
-        )
+    checked_id = F.when(
+        qcol(id_col).isNull(),
+        F.raise_error(F.lit("purge_rows: NULL id in ids frame")),
+    ).otherwise(qcol(id_col))
+    ids_only = ids.select(checked_id.alias(id_col)).distinct()
+    # one pass: affected files AND the purged-row count together
+    per_file = (
+        full.select(F.input_file_name().alias("file"), qcol(id_col).alias(id_col))
         .join(ids_only, id_col, "left_semi")
-        .select("file")
-        .distinct()
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n"))
         .collect()
-    ]
+    )
+    affected = [r["file"] for r in per_file]
+    rows_purged = sum(r["n"] for r in per_file)
     if not affected:
         return {
             "rows_purged": 0,
@@ -397,28 +411,43 @@ def purge_rows(
             "removed_files": [],
             "added_files": [],
         }
+    # hive partition columns, in directory order, from an affected
+    # file's path relative to the table root (all files of one table
+    # share the layout — Spark enforces it at write time)
+    rel_dirs = os.path.relpath(_local(affected[0]), base_local).split(os.sep)[:-1]
+    pcols = [seg.split("=", 1)[0] for seg in rel_dirs if "=" in seg]
+
     sub = spark.read.option("basePath", path).parquet(*affected)
-    n_before = sub.count()
     kept = sub.join(ids_only, id_col, "left_anti")
     tmp = path.rstrip("/") + ".purge_tmp"
-    kept.write.mode("overwrite").parquet(tmp)
-    n_after = spark.read.parquet(tmp).count() if os.listdir(_local(tmp)) else 0
+    writer = kept.write.mode("overwrite")
+    if pcols:
+        # rewrite partition-aware, so moved files land back inside
+        # their own col=value/ directories instead of the table root
+        # (root-level leaf files silently corrupt partitioned reads)
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(tmp)
 
     # move new part files in FIRST (duplicate-on-crash, never lose);
     # Spark part names embed a job UUID, so collisions cannot occur
     added = []
-    for name in os.listdir(_local(tmp)):
-        if not name.endswith(".parquet"):
-            continue
-        dst = os.path.join(_local(path), name)
-        shutil.move(os.path.join(_local(tmp), name), dst)
-        added.append(dst)
+    tmp_local = _local(tmp)
+    for dirpath, _dirnames, filenames in os.walk(tmp_local):
+        for name in filenames:
+            if not name.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(dirpath, tmp_local)
+            dst_dir = base_local if rel == "." else os.path.join(base_local, rel)
+            os.makedirs(dst_dir, exist_ok=True)
+            dst = os.path.join(dst_dir, name)
+            shutil.move(os.path.join(dirpath, name), dst)
+            added.append(Path(dst).as_uri())
     for uri in affected:
         os.remove(_local(uri))
-    shutil.rmtree(_local(tmp), ignore_errors=True)
+    shutil.rmtree(tmp_local, ignore_errors=True)
     return {
-        "rows_purged": n_before - n_after,
+        "rows_purged": rows_purged,
         "files_rewritten": len(affected),
-        "removed_files": [_local(u) for u in affected],
+        "removed_files": list(affected),
         "added_files": added,
     }

@@ -93,6 +93,11 @@ def _check_or_write_spec(spark: SparkSession, state_dir: str, row: tuple) -> Non
             f"found {len(rows)}"
         )
     stored = tuple(rows[0])
+    # sidecars written before a spec field existed are padded with the
+    # field's empty default — widening the schema must never brick an
+    # existing store whose effective spec is unchanged
+    if len(stored) < len(row):
+        stored = stored + ("",) * (len(row) - len(stored))
     if stored != row:
         raise ValueError(
             f"agg state at {state_dir} was built with spec {stored}; "
