@@ -768,3 +768,59 @@ def test_scd2_history_matches_model(spark, rows):
     )
     want = _model_scd2(recs)
     assert got == want
+
+
+def _model_agg(rows):
+    """Literal model of the incremental-agg family over (k, v) rows."""
+    out: dict = {}
+    for k, v in rows:
+        st = out.setdefault(k, {"n_rows": 0, "sum_v": None, "cnt_v": 0,
+                                "min_v": None, "max_v": None})
+        st["n_rows"] += 1
+        if v is not None:
+            st["cnt_v"] += 1
+            st["sum_v"] = v if st["sum_v"] is None else st["sum_v"] + v
+            st["min_v"] = v if st["min_v"] is None else min(st["min_v"], v)
+            st["max_v"] = v if st["max_v"] is None else max(st["max_v"], v)
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=5),  # split point driver
+)
+def test_incremental_agg_matches_model_any_split(spark, rows, nsplit):
+    """state(batch_1) ⊕ … ⊕ state(batch_n) == the literal model for ANY
+    batching of the rows (associativity over random splits; integer
+    values so sums are exact)."""
+    from web_api_postgres_etl_spark.operators.aggregates import (
+        incremental_agg_state,
+        merge_agg_state,
+    )
+
+    recs = [(k, float(v) if v is not None else None) for k, v in rows]
+    batches = [recs[i::nsplit] for i in range(nsplit)]
+    spec = dict(keys=["k"], sum_cols=["v"], min_cols=["v"], max_cols=["v"])
+    state = None
+    for b in batches:
+        if not b:
+            continue
+        df = spark.createDataFrame(b, "k long, v double")
+        s = incremental_agg_state(df, **spec)
+        state = s if state is None else merge_agg_state(state, s, ["k"])
+    got = {
+        r.k: {
+            "n_rows": r.n_rows, "sum_v": r.sum_v, "cnt_v": r.cnt_v,
+            "min_v": r.min_v, "max_v": r.max_v,
+        }
+        for r in state.collect()
+    }
+    assert got == _model_agg(recs)
