@@ -218,3 +218,34 @@ def test_corpus_readers_review_hardening(spark, tmp_path):
         read_csv_corpus(spark, str(c), all_str)
     g2, b2 = read_csv_corpus(spark, str(c), all_str, header=False)
     assert g2.count() + b2.count() == 4   # header included, nothing lost
+
+
+def test_write_format_lever_roundtrips(spark, tmp_path):
+    """S4/S5 sinks accept built-in formats: ORC roundtrips exactly
+    (columnar, pushdown-capable); CSV/JSON are export feeds; unknown
+    formats fail loudly."""
+    import pytest
+
+    from web_api_postgres_etl_spark.sources.writers import (
+        read_table,
+        write_append,
+        write_overwrite,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.0)], "id long, s string, v double"
+    )
+    canon = lambda d: sorted(map(tuple, d.collect()))
+    orc = str(tmp_path / "t_orc")
+    write_overwrite(df, orc, fmt="orc")
+    write_append(df.filter("id = 1"), orc, fmt="orc")
+    back = read_table(spark, orc, fmt="orc")
+    assert canon(back) == sorted(canon(df) + [(1, "a", 1.5)])
+
+    csvp = str(tmp_path / "t_csv")
+    write_overwrite(df, csvp, fmt="csv")
+    got = read_table(spark, csvp, fmt="csv")
+    assert canon(got) == canon(df)  # header + inferSchema restore types
+
+    with pytest.raises(ValueError, match="unsupported format"):
+        write_overwrite(df, str(tmp_path / "x"), fmt="avro")

@@ -23,31 +23,54 @@ def table_path(warehouse: str, layer: str, name: str) -> str:
     return f"{warehouse}/{layer}_{name}"
 
 
+_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def _writer(df: DataFrame, mode: str, partition_by, fmt: str):
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
+    w = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        w = w.option("header", "true")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    return w
+
+
 def write_overwrite(
-    df: DataFrame, path: str, partition_by: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    fmt: str = "parquet",
 ) -> None:
     """Full-refresh sink (S4). ``partition_by`` is the 100 TB lever: prd
     tables partition by Jalali month (j_date prefix) so compaction and
-    BI range scans touch only the partitions they need."""
-    w = df.write.mode("overwrite")
-    if partition_by:
-        w = w.partitionBy(*partition_by)
-    w.parquet(path)
+    BI range scans touch only the partitions they need. ``fmt`` picks
+    the built-in file format (parquet default; orc for ORC-standard
+    warehouses, json/csv for export feeds — columnar formats keep
+    predicate pushdown + column pruning, the text formats do not and
+    are export-only by design)."""
+    _writer(df, "overwrite", partition_by, fmt).save(path)
 
 
 def write_append(
-    df: DataFrame, path: str, partition_by: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    fmt: str = "parquet",
 ) -> None:
     """Incremental append sink (S5) — delta rows only; the last-wins
     compactor (operators.dedup.dedup_last_wins) repairs duplicates."""
-    w = df.write.mode("append")
-    if partition_by:
-        w = w.partitionBy(*partition_by)
-    w.parquet(path)
+    _writer(df, "append", partition_by, fmt).save(path)
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def read_table(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
+    r = spark.read.format(fmt)
+    if fmt == "csv":
+        r = r.option("header", "true").option("inferSchema", "true")
+    return r.load(path)
 
 
 def recover_swap(path: str) -> None:
