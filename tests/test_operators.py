@@ -564,3 +564,42 @@ def test_incremental_agg_distinct_sketches(spark):
     for k in exact:
         assert abs(got[k] - exact[k]) / exact[k] < 0.03, (k, got[k], exact[k])
         assert abs(oneshot_est[k] - exact[k]) / exact[k] < 0.03
+
+
+def test_exact_percentiles_oracle_parity(spark, oracle):
+    """PERCENTILE_CONT linear interpolation matches DuckDB's
+    quantile_cont bit-for-bit on the same doubles (sort + one
+    interpolation — no fold-order ambiguity); NULL groups total."""
+    from web_api_postgres_etl_spark.operators.aggregates import exact_percentiles
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    got = {
+        r.l_returnflag: (r.p_0_5, r.p_0_9, r.p_0_99)
+        for r in exact_percentiles(
+            li, "l_extendedprice", [0.5, 0.9, 0.99], by=["l_returnflag"]
+        ).collect()
+    }
+    want = {
+        row[0]: (row[1], row[2], row[3])
+        for row in oracle.execute(
+            """
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.5),
+                   quantile_cont(l_extendedprice, 0.9),
+                   quantile_cont(l_extendedprice, 0.99)
+            FROM lineitem GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+    import pytest
+
+    with pytest.raises(ValueError, match="within"):
+        exact_percentiles(li, "l_extendedprice", [1.5])
+    # all-NULL group -> NULL percentile, group still present
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", None)], "k string, v double"
+    )
+    rows = {r.k: r.p_0_5 for r in exact_percentiles(df, "v", [0.5], by=["k"]).collect()}
+    assert rows == {"a": 2.0, "b": None}

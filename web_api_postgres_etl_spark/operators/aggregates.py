@@ -592,3 +592,35 @@ def event_transitions(
             F.col("n_transitions") / F.sum("n_transitions").over(w_from)
         ).alias("p"),
     )
+
+
+# ---------------------------------------------------- exact quantiles
+def exact_percentiles(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+    by: list[str] | None = None,
+) -> DataFrame:
+    """EXACT percentiles (linear interpolation, SQL PERCENTILE_CONT
+    semantics) of ``value_col`` per group — the full-shuffle complement
+    to ``corpus_stats``'s mergeable quantile sketches. Use this for
+    final reports over aggregated/bounded frames; use the sketches for
+    corpus-scale profiles (exact percentiles sort every group's values
+    — there is no algebraic shortcut, which is WHY the sketch form
+    exists). Output: group keys + ``p_<prob>`` columns (dots → ``_``).
+
+    NULLs are excluded per SQL semantics; an all-NULL group yields
+    NULL percentiles.
+    """
+    if not probs or not all(0.0 <= p <= 1.0 for p in probs):
+        raise ValueError(f"probs must be within [0, 1], got {probs}")
+    keys = [qcol(k).alias(k.split(".")[-1]) for k in (by or [])]
+    aggs = [
+        F.percentile(qcol(value_col), F.lit(float(p))).alias(
+            "p_" + str(p).replace(".", "_")
+        )
+        for p in probs
+    ]
+    if by:
+        return df.groupBy(*keys).agg(*aggs)
+    return df.agg(*aggs)
