@@ -603,3 +603,85 @@ def test_exact_percentiles_oracle_parity(spark, oracle):
     )
     rows = {r.k: r.p_0_5 for r in exact_percentiles(df, "v", [0.5], by=["k"]).collect()}
     assert rows == {"a": 2.0, "b": None}
+
+
+def test_funnel_conversion_window(spark, oracle):
+    """within_seconds: later stages count only inside the horizon of
+    the user's FIRST step-0 event (planted semantics + DuckDB mirror
+    on events with a 2-hour window)."""
+    import datetime as dt
+
+    from web_api_postgres_etl_spark.operators.aggregates import (
+        funnel,
+        funnel_users,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = lambda k: t0 + dt.timedelta(minutes=k)
+    rows = [
+        # u1 converts inside the 60-min window
+        (1, m(0), "view"), (1, m(10), "click"),
+        # u2's click lands after the window -> stuck at view
+        (2, m(0), "view"), (2, m(90), "click"),
+        # u3: earliest view anchors; the click is within 60min of the
+        # SECOND view but not the first -> not re-anchored, stuck
+        (3, m(0), "view"), (3, m(100), "view"), (3, m(120), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r.step: r.n_users
+        for r in funnel(
+            df, "user_id", "ts", "event_type", ["view", "click"],
+            within_seconds=3600,
+        ).collect()
+    }
+    assert got == {"view": 3, "click": 1}
+    deep = {
+        r.user_id: r.max_step
+        for r in funnel_users(
+            df, "user_id", "ts", "event_type", ["view", "click"],
+            within_seconds=3600,
+        ).collect()
+    }
+    assert deep == {1: "click", 2: "view", 3: "view"}
+    # no window == original semantics
+    got_open = {
+        r.step: r.n_users
+        for r in funnel(df, "user_id", "ts", "event_type", ["view", "click"]).collect()
+    }
+    assert got_open == {"view": 3, "click": 3}
+
+    # mirror on the real events table, 2h window
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    steps = ["view", "click", "purchase"]
+    gotw = sorted(
+        tuple(r)
+        for r in funnel(
+            events, "user_id", "ts", "event_type", steps, within_seconds=7200
+        ).collect()
+    )
+    want = sorted(
+        tuple(row)
+        for row in oracle.execute(
+            """
+        WITH s0 AS (
+          SELECT user_id AS u, min(ts) AS t FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        s1 AS (
+          SELECT e.user_id AS u, min(e.ts) AS t, min(s0.t) AS a FROM events e
+          JOIN s0 ON e.user_id = s0.u AND e.ts > s0.t
+           AND epoch_us(e.ts) <= epoch_us(s0.t) + CAST(7200 AS BIGINT) * 1000000
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+        s2 AS (
+          SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+          JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+           AND epoch_us(e.ts) <= epoch_us(s1.a) + CAST(7200 AS BIGINT) * 1000000
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        SELECT CAST(0 AS INT) AS step_idx, 'view' AS step,
+               (SELECT count(*) FROM s0) AS n_users
+        UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+        UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+        """
+        ).fetchall()
+    )
+    assert gotw == want

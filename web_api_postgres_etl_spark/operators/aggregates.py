@@ -95,6 +95,7 @@ def funnel(
     steps: Iterable[str],
     cache_stages: bool = True,
     pins: list[DataFrame] | None = None,
+    within_seconds: float | None = None,
 ) -> DataFrame:
     """Ordered funnel analysis (the product-analytics staple Spark has
     no operator for): how many users performed ``steps[0]``, then
@@ -108,6 +109,14 @@ def funnel(
     do NOT advance the funnel (strictly-after, so an atomic batch of
     same-ts events counts as one stage at most; use distinct event
     times upstream if simultaneous steps must chain).
+
+    ``within_seconds`` adds the product-analytics CONVERSION WINDOW:
+    later stages must land within that horizon of the user's FIRST
+    step-0 event (the anchor matching the unwindowed greedy
+    semantics; within the anchored window greedy stays optimal by the
+    same subsequence argument — a deliberately pinned choice, since a
+    user whose earliest anchor expires is NOT re-anchored at a later
+    step-0 occurrence). Timestamp columns only.
 
     Scale shape — pure expressions, no per-event lambda: stage i is
     one filtered map-side-combining aggregate min(ts) per user,
@@ -127,7 +136,8 @@ def funnel(
     """
     steps = list(steps)
     stages = _funnel_stages(
-        df, user_col, ts_col, step_col, steps, cache_stages, pins
+        df, user_col, ts_col, step_col, steps, cache_stages, pins,
+        within_seconds,
     )
     counts = [
         stage.agg(
@@ -151,14 +161,20 @@ def _funnel_stages(
     steps: list,
     cache_stages: bool = True,
     pins: list[DataFrame] | None = None,
+    within_seconds: float | None = None,
 ) -> list[DataFrame]:
-    """Stage frames [(__fu, __ft), ...] — stage i holds each user's
-    earliest qualifying time for steps[0..i] matched in strict order;
-    stage i's users are a subset of stage i-1's by construction. Each
-    frame is read twice downstream, hence the persist."""
+    """Stage frames [(__fu, __ft, __f0), ...] — stage i holds each
+    user's earliest qualifying time for steps[0..i] matched in strict
+    order (``__f0`` = the step-0 anchor, carried so the conversion
+    window needs no extra join); stage i's users are a subset of stage
+    i-1's by construction. Each frame is read twice downstream, hence
+    the persist."""
     if not steps:
         raise ValueError("funnel needs at least one step")
     u, t, s = qcol(user_col), qcol(ts_col), qcol(step_col)
+    horizon_us = (
+        None if within_seconds is None else int(within_seconds * 1_000_000)
+    )
     prev: DataFrame | None = None
     stages = []
     for step in steps:
@@ -169,15 +185,24 @@ def _funnel_stages(
             stage = stage_events.groupBy("__fu").agg(
                 F.min("__ft").alias("__ft")
             )
+            stage = stage.withColumn("__f0", F.col("__ft"))
         else:
-            stage = (
-                stage_events.join(
-                    prev.select("__fu", F.col("__ft").alias("__prev_t")),
-                    "__fu",
+            joined = stage_events.join(
+                prev.select(
+                    "__fu", F.col("__ft").alias("__prev_t"), "__f0"
+                ),
+                "__fu",
+            ).filter(F.col("__ft") > F.col("__prev_t"))
+            if horizon_us is not None:
+                # interval arithmetic, not unix_micros: works for both
+                # TIMESTAMP and TIMESTAMP_NTZ inputs
+                joined = joined.filter(
+                    F.col("__ft")
+                    <= F.col("__f0")
+                    + F.expr(f"INTERVAL {horizon_us} MICROSECOND")
                 )
-                .filter(F.col("__ft") > F.col("__prev_t"))
-                .groupBy("__fu")
-                .agg(F.min("__ft").alias("__ft"))
+            stage = joined.groupBy("__fu").agg(
+                F.min("__ft").alias("__ft"), F.min("__f0").alias("__f0")
             )
         if cache_stages:
             stage = stage.persist()
@@ -196,6 +221,7 @@ def funnel_users(
     steps: Iterable[str],
     cache_stages: bool = True,
     pins: list[DataFrame] | None = None,
+    within_seconds: float | None = None,
 ) -> DataFrame:
     """The drill-down behind :func:`funnel`'s counts: one row per user
     who reached at least the first step — (user, max_step_idx,
@@ -210,7 +236,8 @@ def funnel_users(
     :func:`funnel`."""
     steps = list(steps)
     stages = _funnel_stages(
-        df, user_col, ts_col, step_col, steps, cache_stages, pins
+        df, user_col, ts_col, step_col, steps, cache_stages, pins,
+        within_seconds,
     )
     tagged = [
         stage.select(
