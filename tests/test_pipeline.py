@@ -419,3 +419,58 @@ def test_compact_recovers_from_crashed_swap(spark, tmp_path):
     import os
 
     assert not os.path.exists(path + ".old") and not os.path.exists(path + ".tmp")
+
+
+# ------------------------------------------------------------ CLI face
+def test_cli_create_update_dimdate(spark, fixtures, tmp_path):
+    """python -m web_api_postgres_etl_spark: create (full refresh from a
+    parquet landing zone) → update (watermark delta + compaction) →
+    dimdate — the reference's two runnable scripts plus its calendar
+    artifact, end-to-end."""
+    from web_api_postgres_etl_spark.__main__ import main
+
+    trades, instruments, assets, categories, exchanges = fixtures
+    landing = str(tmp_path / "landing")
+    wh = str(tmp_path / "wh")
+    trades.write.parquet(f"{landing}/trades_share.parquet")
+    instruments.write.parquet(f"{landing}/instruments.parquet")
+    assets.write.parquet(f"{landing}/assets.parquet")
+    categories.write.parquet(f"{landing}/categories.parquet")
+    exchanges.write.parquet(f"{landing}/exchanges.parquet")
+
+    rc = main(
+        ["create", "--warehouse", wh, "--landing", landing,
+         "--range-start", "1400/01/01", "--range-end", "1402/01/01"],
+        spark=spark,
+    )
+    assert rc == 0
+    prd = spark.read.parquet(f"{wh}/prd_trades_share")
+    n_initial = prd.count()
+    assert n_initial > 0
+
+    # update: one new version lands, one old version is re-delivered
+    delta = spark.createDataFrame(
+        [
+            (2, "14010102093000", 11.0, 13.0, 10.0, 12.5, 1.5, 6, 110, 1375.0, "i1", 5),
+        ],
+        TRADES_SCHEMA,
+    )
+    trades.unionByName(delta).write.mode("overwrite").parquet(
+        f"{landing}/trades_share.parquet"
+    )
+    rc = main(
+        ["update", "--warehouse", wh, "--landing", landing,
+         "--range-start", "1400/01/01", "--range-end", "1402/01/01"],
+        spark=spark,
+    )
+    assert rc == 0
+    after = spark.read.parquet(f"{wh}/prd_trades_share")
+    assert after.count() == n_initial  # compaction collapsed the upsert
+    assert after.filter("id = 2").first()["close_price"] == 12.5
+
+    rc = main(
+        ["dimdate", "--warehouse", wh, "--start-jyear", "1400", "--end-jyear", "1401"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert spark.read.parquet(f"{wh}/prd_dim_date").count() == 365 + 365

@@ -1,0 +1,132 @@
+"""Runnable face of the engine — the two entry points a reference user
+invokes today, re-expressed over the medallion pipeline:
+
+    python -m web_api_postgres_etl_spark create  --warehouse WH --landing DIR
+    python -m web_api_postgres_etl_spark update  --warehouse WH --landing DIR
+    python -m web_api_postgres_etl_spark dimdate --warehouse WH
+
+``create`` mirrors ``mabna_tables_create.py`` (full refresh: extract →
+stage → produce, overwrite), ``update`` mirrors
+``mabna_tables_update.py`` (watermark probe → delta extract → append →
+last-wins compaction), ``dimdate`` regenerates the Jalali calendar
+dimension (the reference ships it as a 40k-row xlsx artifact).
+
+``--landing`` points at a directory of raw parquet tables
+(``trades_share.parquet``, ``instruments.parquet``, …) — the landing
+zone a REST collector (sources/rest.py) writes in production. Feeding
+the pipeline from parquet keeps the CLI runnable without network and
+exercises the same watermark pushdown: the ``update`` extractors
+filter ``meta.version > watermark`` directly on the landing scan, so
+Catalyst pushes the predicate into the parquet reader exactly as it
+pushes it into the REST query string in production.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def _landing_tables(landing: str) -> list[str]:
+    names = [
+        os.path.splitext(os.path.basename(p))[0]
+        for p in glob.glob(os.path.join(landing, "*.parquet"))
+    ]
+    if not names:
+        raise SystemExit(f"no *.parquet tables found in landing dir {landing!r}")
+    return sorted(names)
+
+
+_DIMS = ("instruments", "assets", "categories", "exchanges")
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    """CLI entry. ``spark`` injects an existing session (tests); the
+    CLI owns — and stops — the session only when it created it."""
+    ap = argparse.ArgumentParser(prog="web_api_postgres_etl_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for cmd in ("create", "update"):
+        p = sub.add_parser(cmd)
+        p.add_argument("--warehouse", required=True)
+        p.add_argument("--landing", required=True)
+        p.add_argument("--range-start", default="1399/01/01")
+        p.add_argument("--range-end", default=None)
+    pd = sub.add_parser("dimdate")
+    pd.add_argument("--warehouse", required=True)
+    pd.add_argument("--start-jyear", type=int, default=1320)
+    pd.add_argument("--end-jyear", type=int, default=1430)
+    args = ap.parse_args(argv)
+
+    owns_session = spark is None
+    if owns_session:
+        from web_api_postgres_etl_spark.session import get_spark
+
+        spark = get_spark(app_name=f"wapeql-{args.cmd}")
+    try:
+        if args.cmd == "dimdate":
+            from web_api_postgres_etl_spark.sources.dim_date import (
+                generate_dim_date,
+            )
+            from web_api_postgres_etl_spark.sources.writers import (
+                table_path,
+                write_overwrite,
+            )
+
+            df = generate_dim_date(spark, args.start_jyear, args.end_jyear)
+            path = table_path(args.warehouse, "prd", "dim_date")
+            write_overwrite(df, path)
+            print(json.dumps({"table": "prd_dim_date", "rows": df.count(), "path": path}))
+            return 0
+
+        from pyspark.sql import functions as F
+
+        from web_api_postgres_etl_spark.functions.dates import fa_today
+        from web_api_postgres_etl_spark.plans.pipeline import MedallionPipeline
+
+        pipe = MedallionPipeline(
+            spark,
+            args.warehouse,
+            range_start=args.range_start,
+            range_end=args.range_end or fa_today(),
+        )
+        tables = _landing_tables(args.landing)
+        read = lambda name: spark.read.parquet(os.path.join(args.landing, f"{name}.parquet"))
+        if args.cmd == "create":
+            results = pipe.run_full_refresh(
+                {name: (lambda n=name: read(n)) for name in tables}
+            )
+        else:
+            # delta extractors: the watermark predicate rides the scan
+            # (PushedFilters on the landing parquet — same shape the
+            # REST collector pushes into the query string)
+            def _delta(name):
+                def fn(wm):
+                    df = read(name)
+                    if wm is not None:
+                        df = df.filter(F.col("`meta.version`") > F.lit(wm))
+                    return df
+
+                return fn
+
+            dims = {d: read(d) for d in _DIMS if d in tables}
+            facts = [t for t in tables if t not in _DIMS]
+            results = pipe.run_incremental({t: _delta(t) for t in facts}, dims)
+        failed = [r for r in results if r.error]
+        for r in results:
+            print(
+                json.dumps(
+                    {"table": r.table, "rows": r.rows, "attempts": r.attempts,
+                     "error": r.error}
+                )
+            )
+        return 1 if failed else 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
