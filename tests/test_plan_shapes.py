@@ -14,8 +14,10 @@ import __spark_entry__ as em
 
 SF = "/root/testdata/sf0.001"
 
-# exact all-pairs baselines where the nested-loop IS the semantics
-INTENTIONAL_EXACT = {"ann_cosine_pairs"}
+# bounded-by-construction nested loops: collocations crossJoins a
+# BROADCAST 1-ROW totals frame (same shape as tfidf_table's N) — a
+# nested loop over one row is a constant, not a scale hazard
+INTENTIONAL_EXACT = {"collocations"}
 # run-to-produce streaming/pipeline entries — their plan is post-hoc
 SKIP = {
     "pipeline_e2e", "t1_streaming_compact", "t4_stateful_stream",

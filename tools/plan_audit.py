@@ -46,10 +46,11 @@ COUNTERS = [
 ]
 FLAGS = ["CartesianProduct", "BroadcastNestedLoopJoin"]
 
-# documented exact/verification-only baselines: the non-equi or cross
-# join IS their semantics; their scale forms (lsh_cosine_pairs,
-# lsh_nn_join) audit clean
-INTENTIONAL_EXACT = {"ann_cosine_pairs"}
+# bounded-by-construction nested loops: collocations crossJoins a
+# broadcast 1-ROW totals frame (tfidf_table's N pattern) — constant,
+# not a scale hazard; the exact all-pairs baselines that once sat
+# here (ann_cosine_pairs) retired from the contract in r5/r6
+INTENTIONAL_EXACT = {"collocations"}
 
 
 def main(names: list[str]) -> int:
