@@ -685,3 +685,26 @@ def test_funnel_conversion_window(spark, oracle):
         ).fetchall()
     )
     assert gotw == want
+
+
+def test_funnel_and_percentile_validation(spark):
+    """Review regressions: within_seconds<=0 raises (zero window is
+    unsatisfiable with strictly-after, silently yielding 0 conversions);
+    duplicate probs and name-collision probs raise at the API."""
+    import pytest
+
+    from web_api_postgres_etl_spark.operators.aggregates import (
+        exact_percentiles,
+        funnel,
+    )
+
+    df = spark.createDataFrame([(1, None, "a")], "user_id long, ts timestamp, event_type string")
+    with pytest.raises(ValueError, match="must be positive"):
+        funnel(df, "user_id", "ts", "event_type", ["a"], within_seconds=0)
+    vals = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    with pytest.raises(ValueError, match="distinct"):
+        exact_percentiles(vals, "v", [0.5, 0.5])
+    # scientific-notation probs get column-safe names
+    out = exact_percentiles(vals, "v", [1e-05])
+    assert out.columns == ["p_1e_05"]
+    assert out.first()["p_1e_05"] == 1.0

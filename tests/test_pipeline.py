@@ -474,3 +474,37 @@ def test_cli_create_update_dimdate(spark, fixtures, tmp_path):
     )
     assert rc == 0
     assert spark.read.parquet(f"{wh}/prd_dim_date").count() == 365 + 365
+
+
+def test_cli_update_skips_unsupported_tables_loudly(spark, fixtures, tmp_path, capsys):
+    """Review regression: a landing table with no incremental path must
+    be reported as skipped (never silently ignored), and dims include
+    'indexes' so indexvalues updates can resolve their dimension."""
+    import json as _json
+
+    from web_api_postgres_etl_spark.__main__ import _DIMS, main
+
+    assert "indexes" in _DIMS
+    trades, instruments, assets, categories, exchanges = fixtures
+    landing = str(tmp_path / "landing")
+    wh = str(tmp_path / "wh")
+    for name, df in [
+        ("trades_share", trades), ("instruments", instruments),
+        ("assets", assets), ("categories", categories),
+        ("exchanges", exchanges),
+    ]:
+        df.write.parquet(f"{landing}/{name}.parquet")
+    # 'news' has no incremental path in the runner
+    spark.createDataFrame(
+        [(1, "14010101093000", "headline", "body text", 1)],
+        "id long, date_time string, title string, text string, `meta.version` long",
+    ).write.parquet(f"{landing}/news.parquet")
+    args = ["--warehouse", wh, "--landing", landing,
+            "--range-start", "1400/01/01", "--range-end", "1402/01/01"]
+    assert main(["create", *args], spark=spark) == 0
+    capsys.readouterr()
+    assert main(["update", *args], spark=spark) == 0
+    out = [_json.loads(line) for line in capsys.readouterr().out.splitlines() if line.strip()]
+    skipped = [o for o in out if o.get("skipped")]
+    assert [o["table"] for o in skipped] == ["news"]
+    assert any(o.get("table") == "prd_trades_share" and not o.get("error") for o in out)

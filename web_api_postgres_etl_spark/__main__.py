@@ -40,7 +40,10 @@ def _landing_tables(landing: str) -> list[str]:
     return sorted(names)
 
 
-_DIMS = ("instruments", "assets", "categories", "exchanges")
+_DIMS = ("instruments", "assets", "categories", "exchanges", "indexes")
+# tables run_incremental has a delta path for (trades_* and
+# indexvalues); everything else is full-refresh-only in the runner
+_INCREMENTAL_FACTS = ("indexvalues",)
 
 
 def main(argv: list[str] | None = None, spark=None) -> int:
@@ -57,7 +60,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     pd = sub.add_parser("dimdate")
     pd.add_argument("--warehouse", required=True)
     pd.add_argument("--start-jyear", type=int, default=1320)
-    pd.add_argument("--end-jyear", type=int, default=1430)
+    pd.add_argument("--end-jyear", type=int, default=1429)
     args = ap.parse_args(argv)
 
     owns_session = spark is None
@@ -112,7 +115,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 return fn
 
             dims = {d: read(d) for d in _DIMS if d in tables}
-            facts = [t for t in tables if t not in _DIMS]
+            facts = [
+                t for t in tables
+                if t not in _DIMS
+                and (t.startswith("trades_") or t in _INCREMENTAL_FACTS)
+            ]
+            # say so LOUDLY when a landing table has no delta path —
+            # silently exiting 0 while a table goes stale is the
+            # worst cron failure mode
+            for t in sorted(set(tables) - set(facts) - set(dims)):
+                print(json.dumps({
+                    "table": t,
+                    "skipped": "no incremental path; refresh via `create`",
+                }))
             results = pipe.run_incremental({t: _delta(t) for t in facts}, dims)
         failed = [r for r in results if r.error]
         for r in results:

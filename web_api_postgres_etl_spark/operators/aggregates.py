@@ -9,6 +9,7 @@ even at 100 TB (scan of min/max metadata, not data).
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterable, Mapping
 
 from pyspark.sql import DataFrame, Window
@@ -135,6 +136,11 @@ def funnel(
     after materializing, as everywhere else.
     """
     steps = list(steps)
+    if within_seconds is not None and within_seconds <= 0:
+        raise ValueError(
+            f"within_seconds must be positive (got {within_seconds}); "
+            "pass None for no conversion window"
+        )
     stages = _funnel_stages(
         df, user_col, ts_col, step_col, steps, cache_stages, pins,
         within_seconds,
@@ -235,6 +241,11 @@ def funnel_users(
     more (user, idx, ts) shuffle. ``cache_stages``/``pins`` as on
     :func:`funnel`."""
     steps = list(steps)
+    if within_seconds is not None and within_seconds <= 0:
+        raise ValueError(
+            f"within_seconds must be positive (got {within_seconds}); "
+            "pass None for no conversion window"
+        )
     stages = _funnel_stages(
         df, user_col, ts_col, step_col, steps, cache_stages, pins,
         within_seconds,
@@ -641,12 +652,20 @@ def exact_percentiles(
     """
     if not probs or not all(0.0 <= p <= 1.0 for p in probs):
         raise ValueError(f"probs must be within [0, 1], got {probs}")
+    if len(set(float(p) for p in probs)) != len(probs):
+        raise ValueError(f"probs must be distinct, got {probs}")
+
+    def _name(p: float) -> str:
+        # column-safe: '.'/'-'/'+' (decimals, 1e-05 notation) -> '_'
+        return "p_" + re.sub(r"[.+-]", "_", str(float(p)))
+
+    names = [_name(p) for p in probs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"probs {probs} collide after name sanitization")
     keys = [qcol(k).alias(k.split(".")[-1]) for k in (by or [])]
     aggs = [
-        F.percentile(qcol(value_col), F.lit(float(p))).alias(
-            "p_" + str(p).replace(".", "_")
-        )
-        for p in probs
+        F.percentile(qcol(value_col), F.lit(float(p))).alias(n)
+        for p, n in zip(probs, names)
     ]
     if by:
         return df.groupBy(*keys).agg(*aggs)
