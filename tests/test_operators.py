@@ -708,3 +708,44 @@ def test_funnel_and_percentile_validation(spark):
     out = exact_percentiles(vals, "v", [1e-05])
     assert out.columns == ["p_1e_05"]
     assert out.first()["p_1e_05"] == 1.0
+
+
+SQL_TOPK_GROUP = """
+WITH ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY l_returnflag
+    ORDER BY l_extendedprice DESC NULLS LAST, l_orderkey ASC, l_linenumber ASC
+  ) AS rank
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def test_topk_per_group_oracle_parity(spark, oracle):
+    import pytest
+
+    from web_api_postgres_etl_spark.operators.aggregates import topk_per_group
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    got = sorted(
+        (r.l_orderkey, r.l_linenumber, r.l_returnflag, r.l_extendedprice, r.rank)
+        for r in topk_per_group(
+            li, ["l_returnflag"], "l_extendedprice", 5,
+            tiebreakers=["l_orderkey", "l_linenumber"],
+        ).select(
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice", "rank"
+        ).collect()
+    )
+    want = sorted(tuple(r) for r in oracle.execute(SQL_TOPK_GROUP).fetchall())
+    assert got == want and len(got) == 15  # 3 flags x 5
+
+    with pytest.raises(ValueError, match="k must be"):
+        topk_per_group(li, ["l_returnflag"], "l_extendedprice", 0)
+    # NULL order values never make the top
+    df = spark.createDataFrame(
+        [("g", None), ("g", 1.0), ("g", 2.0)], "k string, v double"
+    )
+    top = topk_per_group(df, ["k"], "v", 2, tiebreakers=["v"]).collect()
+    assert sorted((r.v, r.rank) for r in top) == [(1.0, 2), (2.0, 1)]

@@ -670,3 +670,45 @@ def exact_percentiles(
     if by:
         return df.groupBy(*keys).agg(*aggs)
     return df.agg(*aggs)
+
+
+# ------------------------------------------------------ grouped top-k
+def topk_per_group(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
+    """Top-``k`` rows per group by ``order_col`` — the grouped
+    counterpart of the global TakeOrderedAndProject (`q3_topk_join_agg`
+    uses the global form). Emits the input schema plus ``rank``
+    (1-based ROW_NUMBER, so exactly k rows per group survive even
+    through ties).
+
+    Tie semantics pinned: ordering is (order_col, *tiebreakers) — pass
+    tiebreakers covering a unique key to make the survivor SET
+    deterministic and engine-reproducible; without them Spark keeps an
+    arbitrary row among order-ties (same caveat the reference's
+    keep='last' dedup had, and the same fix — `dedup_last_wins`
+    pins the id tiebreak for exactly this reason). NULL order values
+    sort LAST (they are never "top").
+
+    Scale shape: one shuffle on the keys; the per-group sort never
+    materializes more than a partition's rows, and the rank filter
+    applies before any downstream join sees the frame.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if "rank" in df.columns:
+        raise ValueError("topk_per_group: input already has a 'rank' column")
+    oc = qcol(order_col)
+    order = [oc.desc_nulls_last() if descending else oc.asc_nulls_last()]
+    for t in tiebreakers or []:
+        order.append(qcol(t).asc())
+    w = Window.partitionBy(*[qcol(x) for x in keys]).orderBy(*order)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
