@@ -494,11 +494,10 @@ def test_cli_update_skips_unsupported_tables_loudly(spark, fixtures, tmp_path, c
         ("exchanges", exchanges),
     ]:
         df.write.parquet(f"{landing}/{name}.parquet")
-    # 'news' has no incremental path in the runner
+    # a table the runner has no path for at all
     spark.createDataFrame(
-        [(1, "14010101093000", "headline", "body text", 1)],
-        "id long, date_time string, title string, text string, `meta.version` long",
-    ).write.parquet(f"{landing}/news.parquet")
+        [(1, 1)], "id long, `meta.version` long"
+    ).write.parquet(f"{landing}/mystery_feed.parquet")
     args = ["--warehouse", wh, "--landing", landing,
             "--range-start", "1400/01/01", "--range-end", "1402/01/01"]
     assert main(["create", *args], spark=spark) == 0
@@ -506,5 +505,52 @@ def test_cli_update_skips_unsupported_tables_loudly(spark, fixtures, tmp_path, c
     assert main(["update", *args], spark=spark) == 0
     out = [_json.loads(line) for line in capsys.readouterr().out.splitlines() if line.strip()]
     skipped = [o for o in out if o.get("skipped")]
-    assert [o["table"] for o in skipped] == ["news"]
+    assert [o["table"] for o in skipped] == ["mystery_feed"]
     assert any(o.get("table") == "prd_trades_share" and not o.get("error") for o in out)
+
+
+def test_news_full_and_incremental(spark, tmp_path):
+    """The reference's news lifecycle (create_prd_news + update append
+    and (j_date, title) last-wins dedup — mabna_tables_create.py:259,
+    mabna_tables_update.py:290-330): full refresh publishes prd_news;
+    the incremental run appends the delta and compaction keeps the
+    newest version per (j_date, title)."""
+    NEWS_SCHEMA = (
+        "id long, date_time string, title string, text string, `meta.version` long"
+    )
+    wh = str(tmp_path / "wh")
+    initial = spark.createDataFrame(
+        [
+            (1, "14010101093000", "Budget passes", "v1 body", 1),
+            (2, "14010102093000", "Markets open", "body", 2),
+        ],
+        NEWS_SCHEMA,
+    )
+    pipe = MedallionPipeline(spark, wh, range_start="1400/01/01", range_end="1402/01/01")
+    pipe.run_full_refresh({"news": lambda: initial})
+    prd = table_path(wh, "prd", "news")
+    assert spark.read.parquet(prd).count() == 2
+    assert any(r.table == "prd_news" and not r.error for r in pipe.results)
+
+    # delta: re-issue of article 1 (same j_date+title, newer version)
+    # plus one new article
+    delta = spark.createDataFrame(
+        [
+            (3, "14010101110000", "Budget passes", "v2 body", 3),
+            (4, "14010103093000", "Rates decision", "body", 4),
+        ],
+        NEWS_SCHEMA,
+    )
+    pipe.run_incremental(
+        {"news": lambda wm: delta.filter(F.col("`meta.version`") > F.lit(wm or 0))},
+        dims={},
+    )
+    rows = {(r.j_date, r.title): r for r in spark.read.parquet(prd).collect()}
+    assert len(rows) == 3  # upsert collapsed, new article landed
+    assert rows[("1401/01/01", "Budget passes")].text == "v2 body"
+    # watermark actually filtered: nothing re-appends on a no-op rerun
+    pipe.run_incremental(
+        {"news": lambda wm: delta.filter(F.col("`meta.version`") > F.lit(wm or 0))},
+        dims={},
+    )
+    assert spark.read.parquet(prd).count() == 3

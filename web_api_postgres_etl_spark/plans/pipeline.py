@@ -287,6 +287,19 @@ class MedallionPipeline:
             write_overwrite(
                 self.stage_news(frames["news"]), table_path(self.warehouse, "stg", "news")
             )
+            # prd news is the staged frame published as-is (the
+            # reference's create_prd_news is a straight SELECT from
+            # staging — mabna_tables_create.py:259-271), partitioned by
+            # Jalali month so the incremental compactor can repair
+            # per touched month
+            write_overwrite(
+                with_jalali_month(
+                    self.spark.read.parquet(table_path(self.warehouse, "stg", "news"))
+                ),
+                table_path(self.warehouse, "prd", "news"),
+                partition_by=["j_month"],
+            )
+            self._ok("prd_news", None)
         if "indexvalues" in frames:
             write_overwrite(
                 self.stage_indexvalues(frames["indexvalues"]),
@@ -373,6 +386,8 @@ class MedallionPipeline:
         }
         if "indexvalues" in extractors:
             prd_paths["indexvalues"] = table_path(self.warehouse, "prd", "indexvalues")
+        if "news" in extractors:
+            prd_paths["news"] = table_path(self.warehouse, "prd", "news")
         watermarks = wm_mgr.probe(prd_paths)
 
         for t in INSTRUMENT_TYPES:
@@ -444,6 +459,33 @@ class MedallionPipeline:
                 self._ok("prd_indexvalues", None, attempts)
             else:
                 self._err("prd_indexvalues", err, attempts)
+        if "news" in extractors:
+            # mabna_tables_update.py:290-330: delta by meta.version →
+            # append → drop_duplicates (j_date, title) keep last; here
+            # the dedup is the window compactor scoped to touched months
+            def _run_news():
+                wm = watermarks.get("news")
+                delta = extractors["news"](wm)
+                stg = self.stage_news(delta)
+                path = prd_paths["news"]
+                prd = with_jalali_month(stg).persist()
+                try:
+                    touched = [
+                        r[0] for r in prd.select("j_month").distinct().collect()
+                    ]
+                    write_append(prd, path, partition_by=["j_month"])
+                finally:
+                    prd.unpersist()
+                self.compact_partitioned(
+                    path, keys=["j_date", "title"],
+                    partition_col="j_month", touched=touched,
+                )
+
+            attempts, _, err = self._attempt(_run_news)
+            if err is None:
+                self._ok("prd_news", None, attempts)
+            else:
+                self._err("prd_news", err, attempts)
         return self.results
 
     def compact(self, path: str, keys: list[str]) -> None:
