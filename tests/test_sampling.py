@@ -500,3 +500,45 @@ def test_shard_manifest_digest_injective_on_separator_values(spark):
     assert digest([(0, "x\x1fy", "z")]) != digest([(0, "x", "y\x1fz")])
     assert digest([(0, None, "z")]) != digest([(0, "%N", "z")])
     assert digest([(0, "25%", "z")]) != digest([(0, "25%25", "z")])
+
+
+# --------------------------------------------------- exact-n sampling
+def test_sample_exact_oracle_and_determinism(spark, oracle):
+    import pytest
+
+    from web_api_postgres_etl_spark.operators.sampling import sample_exact
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    got = sorted(
+        r.doc_id for r in sample_exact(docs, 37, "doc_id").select("doc_id").collect()
+    )
+    want = sorted(
+        r[0]
+        for r in oracle.execute(
+            """
+            SELECT doc_id FROM documents
+            ORDER BY md5(concat_ws('#', 'sample', CAST(doc_id AS VARCHAR))),
+                     doc_id
+            LIMIT 37
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) == 37
+    # same call → same rows; different salt → (almost surely) different
+    again = sorted(
+        r.doc_id for r in sample_exact(docs, 37, "doc_id").select("doc_id").collect()
+    )
+    assert again == got
+    other = sorted(
+        r.doc_id
+        for r in sample_exact(docs, 37, "doc_id", salt="v2").select("doc_id").collect()
+    )
+    assert other != got
+
+    # grouped: exactly n per group, short groups kept whole
+    per = sample_exact(docs, 5, "doc_id", by="lang")
+    counts = {r.lang: r.n for r in per.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    full = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert all(n == min(5, full[g]) for g, n in counts.items())
+    with pytest.raises(ValueError, match="n must be"):
+        sample_exact(docs, 0, "doc_id")

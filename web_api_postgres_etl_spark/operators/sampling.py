@@ -584,3 +584,53 @@ def shard_manifest(
             F.format_string("%015x", (F.col("__lo") % two60).cast("long")),
         ),
     ).drop("__hi", "__lo")
+
+
+# --------------------------------------------------- exact-n sampling
+def sample_exact(
+    df: DataFrame,
+    n: int,
+    id_col: str,
+    salt: str = "sample",
+    by: str | None = None,
+) -> DataFrame:
+    """Deterministic EXACT-size uniform sample: the ``n`` rows whose
+    ``md5(salt # id)`` draws are smallest — globally, or per ``by``
+    group (n from EACH group; short groups keep all their rows). The
+    eval-subset carve: probabilistic filters (`deterministic_split`)
+    give binomial-sized output, while benchmarks need exactly n; and
+    md5 ordering keeps the engine-wide no-RNG-state rule — the same
+    rows are chosen on any cluster, any partitioning, any day, and a
+    changed ``salt`` is a fresh draw.
+
+    Scale shape: global form is one TakeOrderedAndProject (per-
+    partition heap of n, no full sort materialized); grouped form
+    rides ``topk_per_group``'s single keyed shuffle. The id is the
+    tiebreaker, so duplicate ids cannot make the survivor set
+    partition-dependent.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from .aggregates import topk_per_group
+
+    draw = F.md5(
+        F.concat_ws("#", F.lit(salt), qcol(id_col).cast("string"))
+    )
+    if by is None:
+        return (
+            df.withColumn("__draw", draw)
+            .orderBy(F.col("__draw").asc(), qcol(id_col).asc())
+            .limit(n)
+            .drop("__draw")
+        )
+    return (
+        topk_per_group(
+            df.withColumn("__draw", draw),
+            [by],
+            "__draw",
+            n,
+            descending=False,
+            tiebreakers=[id_col],
+        )
+        .drop("__draw", "rank")
+    )
