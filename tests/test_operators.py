@@ -749,3 +749,33 @@ def test_topk_per_group_oracle_parity(spark, oracle):
     )
     top = topk_per_group(df, ["k"], "v", 2, tiebreakers=["v"]).collect()
     assert sorted((r.v, r.rank) for r in top) == [(1.0, 2), (2.0, 1)]
+
+
+def test_topk_per_group_null_exclusion_and_guards(spark):
+    """Review regression: NULL order values are EXCLUDED (a group of
+    only-NULLs emits nothing; short groups don't backfill with NULLs),
+    and empty keys raise instead of single-partitioning the table."""
+    import pytest
+
+    from web_api_postgres_etl_spark.operators.aggregates import topk_per_group
+
+    df = spark.createDataFrame(
+        [("g", None), ("h", None), ("h", 1.0)], "k string, v double"
+    )
+    got = [(r.k, r.v, r.rank) for r in topk_per_group(df, ["k"], "v", 2).collect()]
+    assert got == [("h", 1.0, 1)]
+    with pytest.raises(ValueError, match="group keys"):
+        topk_per_group(df, [], "v", 1)
+
+
+def test_sample_exact_tolerates_rank_column(spark):
+    """Review regression: grouped sampling uses an internal __rank, so
+    frames already carrying a 'rank' column pass through."""
+    from web_api_postgres_etl_spark.operators.sampling import sample_exact
+
+    df = spark.createDataFrame(
+        [(1, "a", 9), (2, "a", 8), (3, "b", 7)], "doc_id long, lang string, rank long"
+    )
+    out = sample_exact(df, 1, "doc_id", by="lang")
+    assert out.count() == 2  # one per group, rank column intact
+    assert "rank" in out.columns

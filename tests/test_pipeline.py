@@ -548,9 +548,21 @@ def test_news_full_and_incremental(spark, tmp_path):
     rows = {(r.j_date, r.title): r for r in spark.read.parquet(prd).collect()}
     assert len(rows) == 3  # upsert collapsed, new article landed
     assert rows[("1401/01/01", "Budget passes")].text == "v2 body"
-    # watermark actually filtered: nothing re-appends on a no-op rerun
-    pipe.run_incremental(
-        {"news": lambda wm: delta.filter(F.col("`meta.version`") > F.lit(wm or 0))},
-        dims={},
-    )
+    # the watermark PROBE is really wired for news: the rerun's
+    # extractor must receive the post-delta max version (compaction
+    # would mask a broken probe if we only asserted the row count)
+    seen_wm: list = []
+
+    def probe_extract(wm):
+        seen_wm.append(wm)
+        return delta.filter(F.col("`meta.version`") > F.lit(wm or 0))
+
+    pipe.run_incremental({"news": probe_extract}, dims={})
+    assert seen_wm == [4]
     assert spark.read.parquet(prd).count() == 3
+    # the runner's DEFENSIVE filter holds even when the extractor
+    # ignores its watermark: nothing new lands
+    pipe.run_incremental({"news": lambda wm: delta}, dims={})
+    final = spark.read.parquet(prd)
+    assert final.count() == 3
+    assert {r.text for r in final.collect()} == {"v2 body", "body"}

@@ -41,8 +41,8 @@ def _landing_tables(landing: str) -> list[str]:
 
 
 _DIMS = ("instruments", "assets", "categories", "exchanges", "indexes")
-# tables run_incremental has a delta path for (trades_* and
-# indexvalues); everything else is full-refresh-only in the runner
+# non-trades tables run_incremental has a delta path for; everything
+# else is full-refresh-only in the runner
 _INCREMENTAL_FACTS = ("indexvalues", "news")
 
 

@@ -693,7 +693,9 @@ def topk_per_group(
     arbitrary row among order-ties (same caveat the reference's
     keep='last' dedup had, and the same fix — `dedup_last_wins`
     pins the id tiebreak for exactly this reason). NULL order values
-    sort LAST (they are never "top").
+    are EXCLUDED (filtered before ranking — a NULL can never be "top",
+    and merely sorting it last would still emit it from any group
+    shorter than k).
 
     Scale shape: one shuffle on the keys; the per-group sort never
     materializes more than a partition's rows, and the rank filter
@@ -701,14 +703,22 @@ def topk_per_group(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if not keys:
+        # an empty partitionBy funnels the whole table through ONE
+        # task — for the global case use orderBy().limit() instead
+        raise ValueError(
+            "topk_per_group needs group keys; for a global top-k use "
+            "df.orderBy(...).limit(k) (TakeOrderedAndProject)"
+        )
     if "rank" in df.columns:
         raise ValueError("topk_per_group: input already has a 'rank' column")
     oc = qcol(order_col)
-    order = [oc.desc_nulls_last() if descending else oc.asc_nulls_last()]
+    order = [oc.desc() if descending else oc.asc()]
     for t in tiebreakers or []:
         order.append(qcol(t).asc())
     w = Window.partitionBy(*[qcol(x) for x in keys]).orderBy(*order)
     return (
-        df.withColumn("rank", F.row_number().over(w))
+        df.filter(oc.isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

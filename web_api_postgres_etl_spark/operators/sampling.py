@@ -604,15 +604,18 @@ def sample_exact(
     changed ``salt`` is a fresh draw.
 
     Scale shape: global form is one TakeOrderedAndProject (per-
-    partition heap of n, no full sort materialized); grouped form
-    rides ``topk_per_group``'s single keyed shuffle. The id is the
-    tiebreaker, so duplicate ids cannot make the survivor set
-    partition-dependent.
+    partition heap of n, no full sort materialized); grouped form is
+    one keyed-window shuffle (internal ``__rank``, so frames already
+    carrying a ``rank`` column pass through untouched). Determinism
+    requires ``id_col`` unique — the engine-wide id assumption (same
+    caveat as ``dedup_last_wins`` ties): rows SHARING an id share
+    both draw and tiebreak, and a cut between them would be
+    partition-order-dependent. ``quota_by_group`` is the sibling
+    per-group cap keyed to its own fixed salt; this is the
+    salt-parameterized exact-n face.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    from .aggregates import topk_per_group
-
     draw = F.md5(
         F.concat_ws("#", F.lit(salt), qcol(id_col).cast("string"))
     )
@@ -623,14 +626,12 @@ def sample_exact(
             .limit(n)
             .drop("__draw")
         )
+    w = Window.partitionBy(qcol(by)).orderBy(
+        F.col("__draw").asc(), qcol(id_col).asc()
+    )
     return (
-        topk_per_group(
-            df.withColumn("__draw", draw),
-            [by],
-            "__draw",
-            n,
-            descending=False,
-            tiebreakers=[id_col],
-        )
-        .drop("__draw", "rank")
+        df.withColumn("__draw", draw)
+        .withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= n)
+        .drop("__draw", "__rank")
     )

@@ -365,6 +365,28 @@ class MedallionPipeline:
                 self._ok("prd_indexvalues", None)
         return self.results
 
+    def _append_and_compact(
+        self, prd: DataFrame, path: str, keys: list[str]
+    ) -> None:
+        """The shared incremental tail: persist the delta (the
+        touched-months collect and the append must see the SAME frame,
+        paying one upstream evaluation — the extract may be remote),
+        append month-partitioned, then compact ONLY touched months.
+        Compaction last: the (keys) last-wins dedup also collapses the
+        double-append a retried attempt leaves behind, so a post-append
+        failure self-heals on retry."""
+        prd = with_jalali_month(prd).persist()
+        try:
+            touched = [
+                r[0] for r in prd.select("j_month").distinct().collect()
+            ]
+            write_append(prd, path, partition_by=["j_month"])
+        finally:
+            prd.unpersist()
+        self.compact_partitioned(
+            path, keys=keys, partition_col="j_month", touched=touched,
+        )
+
     def run_incremental(
         self,
         extractors: Mapping[str, Callable[[int | None], DataFrame]],
@@ -408,24 +430,8 @@ class MedallionPipeline:
                     instrument_type=t,
                     watermark=wm,
                 )
-                path = prd_paths[key]
-                # persist: the touched-months collect and the append
-                # must see the SAME delta (and pay one upstream
-                # evaluation, not two — the extract may be remote)
-                prd = with_jalali_month(prd).persist()
-                try:
-                    touched = [
-                        r[0] for r in prd.select("j_month").distinct().collect()
-                    ]
-                    write_append(prd, path, partition_by=["j_month"])
-                finally:
-                    prd.unpersist()
-                # compaction last: last-wins dedup on (j_date, name) also
-                # collapses the double-append a retried attempt leaves
-                # behind, so a post-append failure self-heals on retry
-                self.compact_partitioned(
-                    path, keys=["j_date", "name"],
-                    partition_col="j_month", touched=touched,
+                self._append_and_compact(
+                    prd, prd_paths[key], keys=["j_date", "name"]
                 )
 
             attempts, _, err = self._attempt(_run_trades)
@@ -440,18 +446,8 @@ class MedallionPipeline:
                 delta = extractors["indexvalues"](wm)
                 stg = self.stage_indexvalues(delta)
                 prd = self.produce_indexvalues(stg, dims["indexes"], watermark=wm)
-                path = prd_paths["indexvalues"]
-                prd = with_jalali_month(prd).persist()
-                try:
-                    touched = [
-                        r[0] for r in prd.select("j_month").distinct().collect()
-                    ]
-                    write_append(prd, path, partition_by=["j_month"])
-                finally:
-                    prd.unpersist()
-                self.compact_partitioned(
-                    path, keys=["j_date", "name"],
-                    partition_col="j_month", touched=touched,
+                self._append_and_compact(
+                    prd, prd_paths["indexvalues"], keys=["j_date", "name"]
                 )
 
             attempts, _, err = self._attempt(_run_idx)
@@ -467,18 +463,13 @@ class MedallionPipeline:
                 wm = watermarks.get("news")
                 delta = extractors["news"](wm)
                 stg = self.stage_news(delta)
-                path = prd_paths["news"]
-                prd = with_jalali_month(stg).persist()
-                try:
-                    touched = [
-                        r[0] for r in prd.select("j_month").distinct().collect()
-                    ]
-                    write_append(prd, path, partition_by=["j_month"])
-                finally:
-                    prd.unpersist()
-                self.compact_partitioned(
-                    path, keys=["j_date", "title"],
-                    partition_col="j_month", touched=touched,
+                # defensive watermark filter, like trades/indexvalues'
+                # produce_*: an extractor that ignores its wm argument
+                # must not re-append the whole corpus every tick
+                if wm is not None:
+                    stg = newer_than(stg, "meta.version", wm)
+                self._append_and_compact(
+                    stg, prd_paths["news"], keys=["j_date", "title"]
                 )
 
             attempts, _, err = self._attempt(_run_news)
