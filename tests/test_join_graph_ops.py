@@ -329,3 +329,63 @@ def test_asof_join_tolerance_bounds_staleness(spark):
         direction="forward", tolerance=8,
     )
     assert [(r["tag"]) for r in fwd.collect()] == ["recent"]  # 57 <= 50+8
+
+
+# ------------------------------------------------- join cardinality
+def test_join_cardinality_profile_exact(spark, oracle):
+    """est_join_rows equals the REAL inner-join row count on orders ×
+    lineitem (the canonical 1:N), and the hot-key list matches a
+    DuckDB mirror bit-for-bit."""
+    from web_api_postgres_etl_spark.operators.joins import (
+        join_cardinality_profile,
+    )
+
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    summary, hot = join_cardinality_profile(
+        orders.withColumnRenamed("o_orderkey", "k"),
+        li.withColumnRenamed("l_orderkey", "k"),
+        ["k"],
+        top_k=5,
+    )
+    s = summary.first()
+    true_join = orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "inner"
+    ).count()
+    assert s.est_join_rows == true_join
+    assert s.rows_left == orders.count() and s.rows_right == li.count()
+    assert s.keys_matched <= min(s.keys_left, s.keys_right)
+    got_hot = [(r.k, r.join_rows, r.n_left, r.n_right) for r in hot.collect()]
+    want_hot = [
+        tuple(r)
+        for r in oracle.execute(
+            """
+            WITH lc AS (SELECT o_orderkey AS k, count(*) AS nl FROM orders GROUP BY 1),
+                 rc AS (SELECT l_orderkey AS k, count(*) AS nr FROM lineitem GROUP BY 1)
+            SELECT lc.k, nl * nr AS join_rows, nl, nr
+            FROM lc JOIN rc USING (k)
+            ORDER BY join_rows DESC, k ASC LIMIT 5
+            """
+        ).fetchall()
+    ]
+    assert got_hot == want_hot
+
+
+def test_join_cardinality_profile_null_and_disjoint(spark):
+    """NULL keys count as unmatched on their side; disjoint keys give
+    est 0; a many-to-many explodes visibly."""
+    import pytest
+
+    from web_api_postgres_etl_spark.operators.joins import (
+        join_cardinality_profile,
+    )
+
+    l = spark.createDataFrame([(1,), (1,), (None,)], "k long")
+    r = spark.createDataFrame([(1,), (1,), (1,), (2,)], "k long")
+    s = join_cardinality_profile(l, r, ["k"])[0].first()
+    assert (s.rows_left, s.rows_right) == (3, 4)
+    assert (s.keys_left, s.keys_right, s.keys_matched) == (2, 2, 1)
+    assert s.est_join_rows == 2 * 3  # the m:n fan-out, visible upfront
+    assert (s.rows_left_matched, s.rows_right_matched) == (2, 3)
+    with pytest.raises(ValueError, match="needs join keys"):
+        join_cardinality_profile(l, r, [])

@@ -564,3 +564,74 @@ def interval_join(
         & (qcol(time_col) <= qcol(end_col))
     )
     return joined.drop("__b")
+
+
+# ------------------------------------------------- join cardinality
+def join_cardinality_profile(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    top_k: int = 10,
+) -> tuple[DataFrame, DataFrame]:
+    """Pre-join explosion detector: BEFORE paying for a join, compute
+    exactly how many rows an inner equi-join on ``keys`` would emit
+    and which keys drive the cost. Returns (summary, hot_keys):
+
+    - summary (one row): per-side row/key counts, keys on both/one
+      side, matched row counts, and ``est_join_rows`` = Σ n_left·n_right
+      over matched keys — EXACT for the inner join, and the number
+      that exposes an accidental many-to-many (est_join_rows ≫
+      max(rows) means the key is not what the author thinks it is);
+    - hot_keys (≤ top_k rows): the keys with the largest n_left·n_right
+      products — the rows to inspect (or salt, `salted_join`) first.
+
+    Scale shape: one map-side-combining groupBy per side (count tables
+    only — never the payloads), one full-outer equi-join of those
+    count tables, tree-reduced totals; the hot-key list is a
+    TakeOrderedAndProject over products of counts. Cost is two scans +
+    a key-cardinality shuffle — orders of magnitude below the join it
+    vets. NULL keys are reported in the unmatched counts (SQL equality
+    never matches NULL), not silently dropped.
+    """
+    if not keys:
+        raise ValueError("join_cardinality_profile needs join keys")
+    key_out = [k.split(".")[-1] for k in keys]
+
+    def _counts(df: DataFrame, side: str) -> DataFrame:
+        return df.groupBy(
+            *[qcol(k).alias(o) for k, o in zip(keys, key_out)]
+        ).agg(F.count(F.lit(1)).alias(f"__n_{side}"))
+
+    lc, rc = _counts(left, "l"), _counts(right, "r")
+    both = lc.join(rc, on=key_out, how="full_outer")
+    # NULL keys never equi-join; full_outer key-equality also keeps
+    # them unmatched per side, which is exactly the semantics we report
+    nl, nr = F.col("__n_l"), F.col("__n_r")
+    has_null_key = None
+    for c in key_out:
+        cond = F.col(c).isNull()
+        has_null_key = cond if has_null_key is None else (has_null_key | cond)
+    really_matched = nl.isNotNull() & nr.isNotNull() & ~has_null_key
+    summary = both.agg(
+        F.sum(F.coalesce(nl, F.lit(0))).alias("rows_left"),
+        F.sum(F.coalesce(nr, F.lit(0))).alias("rows_right"),
+        F.count(F.when(nl.isNotNull(), 1)).alias("keys_left"),
+        F.count(F.when(nr.isNotNull(), 1)).alias("keys_right"),
+        F.count(F.when(really_matched, 1)).alias("keys_matched"),
+        F.sum(F.when(really_matched, nl).otherwise(F.lit(0))).alias(
+            "rows_left_matched"
+        ),
+        F.sum(F.when(really_matched, nr).otherwise(F.lit(0))).alias(
+            "rows_right_matched"
+        ),
+        F.sum(F.when(really_matched, nl * nr).otherwise(F.lit(0))).alias(
+            "est_join_rows"
+        ),
+    )
+    hot = (
+        both.filter(really_matched)
+        .select(*key_out, (nl * nr).alias("join_rows"), nl.alias("n_left"), nr.alias("n_right"))
+        .orderBy(F.col("join_rows").desc(), *[F.col(c).asc() for c in key_out])
+        .limit(top_k)
+    )
+    return summary, hot
