@@ -566,3 +566,25 @@ def test_news_full_and_incremental(spark, tmp_path):
     final = spark.read.parquet(prd)
     assert final.count() == 3
     assert {r.text for r in final.collect()} == {"v2 body", "body"}
+
+
+def test_cli_profile(spark, tmp_path, capsys):
+    """The profile subcommand prints skew rows for one table and the
+    join price + hot keys for two."""
+    import json as _json
+
+    from web_api_postgres_etl_spark.__main__ import main
+
+    t1 = str(tmp_path / "t1.parquet")
+    t2 = str(tmp_path / "t2.parquet")
+    spark.createDataFrame([("a",)] * 6 + [("b",)] * 2, "k string").write.parquet(t1)
+    spark.createDataFrame([("a",)] * 3 + [("c",)], "k string").write.parquet(t2)
+
+    assert main(["profile", "--table", t1, "--keys", "k"], spark=spark) == 0
+    rows = [_json.loads(x) for x in capsys.readouterr().out.splitlines() if x.strip()]
+    assert rows[0]["k"] == "a" and rows[0]["n_rows"] == 6
+
+    assert main(["profile", "--table", t1, "--keys", "k", "--join", t2], spark=spark) == 0
+    out = [_json.loads(x) for x in capsys.readouterr().out.splitlines() if x.strip()]
+    assert out[0]["est_join_rows"] == 18  # 6x3 on 'a'
+    assert out[1] == {"k": "a", "join_rows": 18, "n_left": 6, "n_right": 3}

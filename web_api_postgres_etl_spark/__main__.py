@@ -61,6 +61,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     pd.add_argument("--warehouse", required=True)
     pd.add_argument("--start-jyear", type=int, default=1320)
     pd.add_argument("--end-jyear", type=int, default=1429)
+    pp = sub.add_parser("profile")
+    pp.add_argument("--table", required=True, help="parquet path")
+    pp.add_argument("--keys", required=True, help="comma-separated key columns")
+    pp.add_argument("--join", default=None, help="second parquet path: price the equi-join")
+    pp.add_argument("--top-k", type=int, default=10)
     args = ap.parse_args(argv)
 
     owns_session = spark is None
@@ -69,6 +74,31 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
         spark = get_spark(app_name=f"wapeql-{args.cmd}")
     try:
+        if args.cmd == "profile":
+            # pre-flight diagnostics without writing code: key skew of
+            # one table, or the exact price of an equi-join of two
+            keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+            left = spark.read.parquet(args.table)
+            if args.join is None:
+                from web_api_postgres_etl_spark.operators.aggregates import (
+                    key_skew_profile,
+                )
+
+                for r in key_skew_profile(left, keys, top_k=args.top_k).collect():
+                    print(json.dumps(r.asDict()))
+            else:
+                from web_api_postgres_etl_spark.operators.joins import (
+                    join_cardinality_profile,
+                )
+
+                summary, hot = join_cardinality_profile(
+                    left, spark.read.parquet(args.join), keys, top_k=args.top_k
+                )
+                print(json.dumps(summary.first().asDict()))
+                for r in hot.collect():
+                    print(json.dumps(r.asDict()))
+            return 0
+
         if args.cmd == "dimdate":
             from web_api_postgres_etl_spark.sources.dim_date import (
                 generate_dim_date,
