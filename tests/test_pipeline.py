@@ -588,3 +588,41 @@ def test_cli_profile(spark, tmp_path, capsys):
     out = [_json.loads(x) for x in capsys.readouterr().out.splitlines() if x.strip()]
     assert out[0]["est_join_rows"] == 18  # 6x3 on 'a'
     assert out[1] == {"k": "a", "join_rows": 18, "n_left": 6, "n_right": 3}
+
+
+def test_cli_compact(spark, tmp_path, capsys):
+    """The compact subcommand collapses duplicate versions — whole
+    table and partition-scoped forms."""
+    import json as _json
+
+    from web_api_postgres_etl_spark.__main__ import main
+
+    schema = "id long, j_month string, name string, `meta.version` long, v double"
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [
+            (1, "140101", "a", 1, 1.0),
+            (2, "140101", "a", 2, 2.0),  # newer version of the same key
+            (3, "140102", "b", 3, 3.0),
+        ],
+        schema,
+    ).write.partitionBy("j_month").parquet(path)
+    rc = main(
+        ["compact", "--table", path, "--keys", "name",
+         "--partition-col", "j_month", "--touched", "140101"],
+        spark=spark,
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (out["rows_before"], out["rows_after"], out["collapsed"]) == (3, 2, 1)
+    rows = {r.name: r["meta.version"] for r in spark.read.parquet(path).collect()}
+    assert rows == {"a": 2, "b": 3}
+
+    # whole-table form (rename swap)
+    flat = str(tmp_path / "flat")
+    spark.createDataFrame(
+        [(1, "x", 1, 1.0), (2, "x", 5, 9.0)],
+        "id long, name string, `meta.version` long, v double",
+    ).write.parquet(flat)
+    assert main(["compact", "--table", flat, "--keys", "name"], spark=spark) == 0
+    assert [r["meta.version"] for r in spark.read.parquet(flat).collect()] == [5]

@@ -61,6 +61,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     pd.add_argument("--warehouse", required=True)
     pd.add_argument("--start-jyear", type=int, default=1320)
     pd.add_argument("--end-jyear", type=int, default=1429)
+    pc = sub.add_parser("compact")
+    pc.add_argument("--table", required=True, help="parquet path")
+    pc.add_argument("--keys", required=True, help="comma-separated natural key")
+    pc.add_argument("--partition-col", default=None,
+                    help="partition column: compact only --touched partitions")
+    pc.add_argument("--touched", default=None,
+                    help="comma-separated partition values (default: all)")
     pp = sub.add_parser("profile")
     pp.add_argument("--table", required=True, help="parquet path")
     pp.add_argument("--keys", required=True, help="comma-separated key columns")
@@ -74,6 +81,35 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
         spark = get_spark(app_name=f"wapeql-{args.cmd}")
     try:
+        if args.cmd == "compact":
+            # manual T3 repair: last-wins dedup, whole-table (rename
+            # swap) or scoped to touched partitions (dynamic overwrite)
+            from web_api_postgres_etl_spark.plans.pipeline import (
+                MedallionPipeline,
+            )
+
+            keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+            pipe = MedallionPipeline(spark, warehouse="")
+            before = spark.read.parquet(args.table).count()
+            if args.partition_col:
+                touched = (
+                    [v.strip() for v in args.touched.split(",")]
+                    if args.touched
+                    else None
+                )
+                pipe.compact_partitioned(
+                    args.table, keys=keys,
+                    partition_col=args.partition_col, touched=touched,
+                )
+            else:
+                pipe.compact(args.table, keys=keys)
+            after = spark.read.parquet(args.table).count()
+            print(json.dumps({
+                "table": args.table, "rows_before": before,
+                "rows_after": after, "collapsed": before - after,
+            }))
+            return 0
+
         if args.cmd == "profile":
             # pre-flight diagnostics without writing code: key skew of
             # one table, or the exact price of an equi-join of two
