@@ -586,8 +586,9 @@ def test_cli_profile(spark, tmp_path, capsys):
 
     assert main(["profile", "--table", t1, "--keys", "k", "--join", t2], spark=spark) == 0
     out = [_json.loads(x) for x in capsys.readouterr().out.splitlines() if x.strip()]
-    assert out[0]["est_join_rows"] == 18  # 6x3 on 'a'
-    assert out[1] == {"k": "a", "join_rows": 18, "n_left": 6, "n_right": 3}
+    # decimal counters serialize via str (json has no Decimal)
+    assert int(out[0]["est_join_rows"]) == 18  # 6x3 on 'a'
+    assert (out[1]["k"], int(out[1]["join_rows"]), out[1]["n_left"], out[1]["n_right"]) == ("a", 18, 6, 3)
 
 
 def test_cli_compact(spark, tmp_path, capsys):
@@ -624,5 +625,38 @@ def test_cli_compact(spark, tmp_path, capsys):
         [(1, "x", 1, 1.0), (2, "x", 5, 9.0)],
         "id long, name string, `meta.version` long, v double",
     ).write.parquet(flat)
+    assert main(["compact", "--table", flat, "--keys", "name"], spark=spark) == 0
+    assert [r["meta.version"] for r in spark.read.parquet(flat).collect()] == [5]
+
+
+def test_cli_compact_guards(spark, tmp_path):
+    """Review regressions: empty --keys refuses (would collapse the
+    table to one row); --touched without --partition-col refuses;
+    a partitioned table without --partition-col refuses (flattening);
+    a crashed swap is healed before the pre-count."""
+    import shutil
+
+    import pytest
+
+    from web_api_postgres_etl_spark.__main__ import main
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "140101", "a", 1, 1.0), (2, "140101", "a", 2, 2.0)],
+        "id long, j_month string, name string, `meta.version` long, v double",
+    ).write.partitionBy("j_month").parquet(path)
+    with pytest.raises(SystemExit, match="at least one column"):
+        main(["compact", "--table", path, "--keys", " , "], spark=spark)
+    with pytest.raises(SystemExit, match="requires --partition-col"):
+        main(["compact", "--table", path, "--keys", "name", "--touched", "140101"], spark=spark)
+    with pytest.raises(SystemExit, match="hive-partitioned"):
+        main(["compact", "--table", path, "--keys", "name"], spark=spark)
+    # crashed swap: live data in .old, path missing — compact heals it
+    flat = str(tmp_path / "flat")
+    spark.createDataFrame(
+        [(1, "x", 1, 1.0), (2, "x", 5, 9.0)],
+        "id long, name string, `meta.version` long, v double",
+    ).write.parquet(flat)
+    shutil.move(flat, flat + ".old")
     assert main(["compact", "--table", flat, "--keys", "name"], spark=spark) == 0
     assert [r["meta.version"] for r in spark.read.parquet(flat).collect()] == [5]

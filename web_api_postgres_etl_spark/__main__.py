@@ -87,8 +87,22 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             from web_api_postgres_etl_spark.plans.pipeline import (
                 MedallionPipeline,
             )
+            from web_api_postgres_etl_spark.sources.writers import recover_swap
 
             keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+            if not keys:
+                # an empty key list would dedup the WHOLE TABLE to one
+                # row and swap it in — refuse, never guess
+                raise SystemExit("compact: --keys must name at least one column")
+            if args.touched and not args.partition_col:
+                raise SystemExit(
+                    "compact: --touched requires --partition-col (without it "
+                    "the whole table would be rewritten, ignoring --touched)"
+                )
+            # heal a crashed prior swap BEFORE any read: in the crash
+            # window the table path is missing and the live data sits
+            # in .old — this command exists to repair exactly that
+            recover_swap(args.table)
             pipe = MedallionPipeline(spark, warehouse="")
             before = spark.read.parquet(args.table).count()
             if args.partition_col:
@@ -102,6 +116,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     partition_col=args.partition_col, touched=touched,
                 )
             else:
+                part_dirs = glob.glob(os.path.join(args.table, "*=*"))
+                if part_dirs:
+                    raise SystemExit(
+                        "compact: table is hive-partitioned "
+                        f"({os.path.basename(part_dirs[0])} …); pass "
+                        "--partition-col or the rewrite would flatten the "
+                        "partition layout"
+                    )
                 pipe.compact(args.table, keys=keys)
             after = spark.read.parquet(args.table).count()
             print(json.dumps({
@@ -121,18 +143,22 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 )
 
                 for r in key_skew_profile(left, keys, top_k=args.top_k).collect():
-                    print(json.dumps(r.asDict()))
+                    print(json.dumps(r.asDict(), default=str))
             else:
                 from web_api_postgres_etl_spark.operators.joins import (
                     join_cardinality_profile,
                 )
 
+                pins: list = []
                 summary, hot = join_cardinality_profile(
-                    left, spark.read.parquet(args.join), keys, top_k=args.top_k
+                    left, spark.read.parquet(args.join), keys,
+                    top_k=args.top_k, pins=pins,
                 )
-                print(json.dumps(summary.first().asDict()))
+                print(json.dumps(summary.first().asDict(), default=str))
                 for r in hot.collect():
-                    print(json.dumps(r.asDict()))
+                    print(json.dumps(r.asDict(), default=str))
+                for frame in pins:
+                    frame.unpersist()
             return 0
 
         if args.cmd == "dimdate":

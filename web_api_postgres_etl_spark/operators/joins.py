@@ -572,6 +572,7 @@ def join_cardinality_profile(
     right: DataFrame,
     keys: list[str],
     top_k: int = 10,
+    pins: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Pre-join explosion detector: BEFORE paying for a join, compute
     exactly how many rows an inner equi-join on ``keys`` would emit
@@ -590,12 +591,26 @@ def join_cardinality_profile(
     count tables, tree-reduced totals; the hot-key list is a
     TakeOrderedAndProject over products of counts. Cost is two scans +
     a key-cardinality shuffle — orders of magnitude below the join it
-    vets. NULL keys are reported in the unmatched counts (SQL equality
-    never matches NULL), not silently dropped.
+    vets; the joined count table is persisted because BOTH returned
+    frames read it (append it to ``pins`` to release, the repo-wide
+    contract — without the persist, collecting summary then hot would
+    rebuild it and double the scans). Products and sums run in
+    DECIMAL(38,0): a profile that overflows LongType exactly on the
+    extreme explosions it exists to catch would report garbage
+    (non-ANSI Spark wraps silently). NULL keys are reported in the
+    unmatched counts (SQL equality never matches NULL), not silently
+    dropped.
     """
     if not keys:
         raise ValueError("join_cardinality_profile needs join keys")
     key_out = [k.split(".")[-1] for k in keys]
+    reserved = {"join_rows", "n_left", "n_right", "__n_l", "__n_r"}
+    clash = reserved & set(key_out)
+    if clash:
+        raise ValueError(
+            f"join_cardinality_profile: key columns collide with output "
+            f"columns {sorted(clash)}"
+        )
 
     def _counts(df: DataFrame, side: str) -> DataFrame:
         return df.groupBy(
@@ -603,10 +618,13 @@ def join_cardinality_profile(
         ).agg(F.count(F.lit(1)).alias(f"__n_{side}"))
 
     lc, rc = _counts(left, "l"), _counts(right, "r")
-    both = lc.join(rc, on=key_out, how="full_outer")
+    both = lc.join(rc, on=key_out, how="full_outer").persist()
+    if pins is not None:
+        pins.append(both)
     # NULL keys never equi-join; full_outer key-equality also keeps
     # them unmatched per side, which is exactly the semantics we report
     nl, nr = F.col("__n_l"), F.col("__n_r")
+    dl, dr = nl.cast("decimal(38,0)"), nr.cast("decimal(38,0)")
     has_null_key = None
     for c in key_out:
         cond = F.col(c).isNull()
@@ -624,13 +642,13 @@ def join_cardinality_profile(
         F.sum(F.when(really_matched, nr).otherwise(F.lit(0))).alias(
             "rows_right_matched"
         ),
-        F.sum(F.when(really_matched, nl * nr).otherwise(F.lit(0))).alias(
-            "est_join_rows"
-        ),
+        F.sum(
+            F.when(really_matched, dl * dr).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("est_join_rows"),
     )
     hot = (
         both.filter(really_matched)
-        .select(*key_out, (nl * nr).alias("join_rows"), nl.alias("n_left"), nr.alias("n_right"))
+        .select(*key_out, (dl * dr).alias("join_rows"), nl.alias("n_left"), nr.alias("n_right"))
         .orderBy(F.col("join_rows").desc(), *[F.col(c).asc() for c in key_out])
         .limit(top_k)
     )
