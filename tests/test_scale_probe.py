@@ -31,9 +31,10 @@ OPS = {
     # pass + fingerprint-banded pair join)
     "winnow_dup_pairs",
     # round 6 fourth wave: PMI collocations (double corpus explode +
-    # two vocabulary joins), the SCD2 two-window build, and the
-    # df-capped sparse-cosine index join
+    # two vocabulary joins), the SCD2 two-window build, the df-capped
+    # sparse-cosine index join, and the pre-join cardinality profile
     "collocations", "scd2_history", "tfidf_cosine_pairs",
+    "join_cardinality_profile",
 }
 
 

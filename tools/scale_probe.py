@@ -284,6 +284,23 @@ def probe(spark, n: int, ops_filter: set[str] | None = None) -> dict:
         ops["tfidf_cosine_pairs"] = (time.time() - t0, np_)
         cdocs.unpersist()
 
+    if want("join_cardinality_profile"):
+        reset_cache()
+        from web_api_postgres_etl_spark.operators.joins import (
+            join_cardinality_profile,
+        )
+
+        l = docs.select((F.col("doc_id") % F.lit(max(n // 10, 1))).alias("k"))
+        r = docs.select((F.col("doc_id") % F.lit(max(n // 5, 1))).alias("k"))
+        t0 = time.time()
+        pins: list = []
+        summary, hot = join_cardinality_profile(l, r, ["k"], pins=pins)
+        est = summary.first()["est_join_rows"]
+        nh = hot.count()
+        for fr in pins:
+            fr.unpersist()
+        ops["join_cardinality_profile"] = (time.time() - t0, int(est) + nh)
+
     if want("scd2_history"):
         reset_cache()
         from web_api_postgres_etl_spark.operators.history import scd2_history
