@@ -681,6 +681,19 @@ def test_minhash_index_within_batch_dedup(spark, tmp_path):
     with pytest.raises(ValueError, match="keys on 'doc_id'"):
         minhash_index_append(bad, path, "text")
 
+    # advice regression: the within-batch signature persist must be
+    # releasable by long-lived ingest loops via the pins contract
+    from web_api_postgres_etl_spark.plans.curation import release_pins
+
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    pins: list = []
+    dedup_batch_against_index(
+        batch, path, "text", threshold=0.9, pins=pins
+    ).collect()
+    assert pins  # the persisted sigs frame was handed back
+    release_pins(pins)
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= before
+
 
 def test_compression_ratio_signal(spark):
     """Ratio == python zlib exactly; repetitive text scores far higher

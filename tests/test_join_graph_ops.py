@@ -389,3 +389,19 @@ def test_join_cardinality_profile_null_and_disjoint(spark):
     assert (s.rows_left_matched, s.rows_right_matched) == (2, 3)
     with pytest.raises(ValueError, match="needs join keys"):
         join_cardinality_profile(l, r, [])
+
+
+def test_join_cardinality_profile_empty_inputs(spark):
+    """Advice regression: SUM over zero rows is NULL — an empty profile
+    must report zeros (callers do int(est)), never None."""
+    from web_api_postgres_etl_spark.operators.joins import (
+        join_cardinality_profile,
+    )
+
+    empty = spark.createDataFrame([], "k long")
+    s, hot = join_cardinality_profile(empty, empty, ["k"])
+    row = s.first()
+    assert (row.rows_left, row.rows_right) == (0, 0)
+    assert (row.rows_left_matched, row.rows_right_matched) == (0, 0)
+    assert int(row.est_join_rows) == 0
+    assert hot.count() == 0

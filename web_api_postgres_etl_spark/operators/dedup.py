@@ -1296,6 +1296,7 @@ def dedup_within_batch(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    pins: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Estimate-based self-dedup: drop every document whose minhash
     Jaccard estimate against a LOWER-id document reaches ``threshold``
@@ -1309,9 +1310,14 @@ def dedup_within_batch(
     shuffle; the signature table is persisted because the self-join
     reads it once per side (the repo's measured subplan-reuse trap).
     For exact-verify semantics use ``near_dup_pairs`` + a cluster
-    pass instead; this is the estimate face.
+    pass instead; this is the estimate face. The persisted signature
+    frame is appended to ``pins`` (the repo-wide release contract) —
+    the ingest loop calls this once per batch for the session
+    lifetime, so without the hook every batch would leak a pinned RDD.
     """
     sigs = minhash_table(df, id_col, text_col, shingle_n, num_hashes).persist()
+    if pins is not None:
+        pins.append(sigs)
     sig_cols = [f"mh_{i}" for i in range(num_hashes)]
 
     def _banded(side: str) -> DataFrame:
@@ -1348,6 +1354,7 @@ def dedup_batch_against_index(
     bands: int = 4,
     threshold: float = 0.5,
     dedup_within: bool = True,
+    pins: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Drop new-batch documents that near-duplicate the persisted
     corpus index (``write_minhash_index``): reads the family from the
@@ -1380,6 +1387,7 @@ def dedup_batch_against_index(
             num_hashes=meta["num_hashes"],
             bands=bands,
             threshold=threshold,
+            pins=pins,
         )
     return kept
 

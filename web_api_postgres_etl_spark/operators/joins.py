@@ -630,20 +630,28 @@ def join_cardinality_profile(
         cond = F.col(c).isNull()
         has_null_key = cond if has_null_key is None else (has_null_key | cond)
     really_matched = nl.isNotNull() & nr.isNotNull() & ~has_null_key
+    # outer coalesce: SUM over ZERO rows is NULL (both inputs empty), and
+    # callers do int(est) — an empty profile must report zeros, not None
+    zero = F.lit(0)
     summary = both.agg(
-        F.sum(F.coalesce(nl, F.lit(0))).alias("rows_left"),
-        F.sum(F.coalesce(nr, F.lit(0))).alias("rows_right"),
+        F.coalesce(F.sum(F.coalesce(nl, zero)), zero).alias("rows_left"),
+        F.coalesce(F.sum(F.coalesce(nr, zero)), zero).alias("rows_right"),
         F.count(F.when(nl.isNotNull(), 1)).alias("keys_left"),
         F.count(F.when(nr.isNotNull(), 1)).alias("keys_right"),
         F.count(F.when(really_matched, 1)).alias("keys_matched"),
-        F.sum(F.when(really_matched, nl).otherwise(F.lit(0))).alias(
-            "rows_left_matched"
-        ),
-        F.sum(F.when(really_matched, nr).otherwise(F.lit(0))).alias(
-            "rows_right_matched"
-        ),
-        F.sum(
-            F.when(really_matched, dl * dr).otherwise(F.lit(0).cast("decimal(38,0)"))
+        F.coalesce(
+            F.sum(F.when(really_matched, nl).otherwise(zero)), zero
+        ).alias("rows_left_matched"),
+        F.coalesce(
+            F.sum(F.when(really_matched, nr).otherwise(zero)), zero
+        ).alias("rows_right_matched"),
+        F.coalesce(
+            F.sum(
+                F.when(really_matched, dl * dr).otherwise(
+                    zero.cast("decimal(38,0)")
+                )
+            ),
+            zero.cast("decimal(38,0)"),
         ).alias("est_join_rows"),
     )
     hot = (
