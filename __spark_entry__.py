@@ -3117,33 +3117,99 @@ SELECT op, lang, doc_id, copy_idx FROM ups
 """
 
 
+# Pinned quality-model artifact: logistic regression trained ONCE on
+# the planted separable labeling of sf0.01 documents (docs containing
+# the token 'vector' = reference-quality class; HashingTF 2^15 buckets,
+# regParam 1e-4) and exported with
+# operators.classifier.export_token_weights over the full training
+# vocabulary (31 tokens) — weight(token) = coefficients[murmur3 bucket],
+# quantized DECIMAL(18,9). Scoring from this table is EXACTLY the
+# hashed model for the corpus vocabulary (collisions reproduced by
+# construction), and all margin arithmetic is decimal-exact in any
+# engine. Training itself stays pytest-pinned (tests/test_classifier.py
+# — L-BFGS is not relational algebra); this is the train-once /
+# score-everywhere seam made driver-checkable. The margin-0 gate
+# reproduces the min_prob=0.5 hashed gate exactly (382 docs at sf0.01;
+# nearest margins to the gate are -4.31 and +4.74 — a chasm, and
+# decimal arithmetic makes the comparison bit-exact anyway).
+PINNED_QUALITY_INTERCEPT = "-5.925601694"
+PINNED_QUALITY_WEIGHTS = [
+    ("a", "0.043680492"), ("agg", "0.077417781"), ("batch", "0.049229893"),
+    ("big", "0.058274103"), ("column", "0.011038604"),
+    ("customer", "-0.040415187"), ("data", "0.039277974"),
+    ("dup", "-0.004136901"), ("fast", "-0.023534028"),
+    ("filter", "-0.001496634"), ("group", "0.016358659"),
+    ("hash", "0.125067591"), ("join", "0.065627893"),
+    ("key", "-0.047906566"), ("line", "-0.040212682"),
+    ("merge", "-0.047134458"), ("order", "0.127914988"),
+    ("part", "-0.082166409"), ("query", "-0.040494408"),
+    ("row", "0.023652144"), ("scan", "0.009044040"),
+    ("slow", "0.123459055"), ("small", "-0.003616618"),
+    ("sort", "-0.017802054"), ("spark", "0.083119172"),
+    ("stream", "-0.012575140"), ("table", "0.055698570"),
+    ("the", "-0.040304389"), ("value", "-0.067207223"),
+    ("vector", "10.687554618"), ("window", "-0.004046591"),
+]
+
+
 def q_classifier_quality(spark: SparkSession, sf: str) -> DataFrame:
     """Model-based quality gate (operators.classifier — the
-    DCLM/FineWeb-Edu fastText-style move): train logistic regression
-    on hashed bag-of-words features over a planted separable labeling
-    (documents whose text contains the token 'vector' are the
-    reference-quality class), then classifier_gate the full corpus at
-    min_prob=0.5. No SQL oracle — L-BFGS is iterative floating-point
-    optimization, not relational algebra (same verdict as k-means;
-    the driver's rows-only check applies, and planted-ground-truth
-    recovery is pinned in tests/test_classifier.py). The gate itself
-    is robust: at sf0.01 the score distribution is bimodal (max
-    negative-class score 0.013, min positive-class 0.991), so the
-    kept-set cardinality cannot wiggle with float reduction order."""
+    DCLM/FineWeb-Edu fastText-style move), scored from the PINNED
+    exported artifact above: tokenize → broadcast-join the (token,
+    weight) table → decimal margin = intercept + Σ weights → keep
+    margin >= 0 (⟺ P(quality) >= 0.5, sigmoid is monotone). One
+    broadcast join + one map-side-combining groupBy — no training in
+    the hot path, the 100 TB scoring shape. Output is ids + integer
+    audit columns only (never floats)."""
+    import decimal
+
     from web_api_postgres_etl_spark.operators.classifier import (
-        classifier_gate,
-        train_quality_classifier,
+        classifier_gate_from_table,
     )
 
     docs = _t(spark, sf, "documents")
-    marker = F.array_contains(F.split(F.col("text"), " "), "vector")
-    model = train_quality_classifier(
-        docs.filter(marker), docs.filter(~marker),
-        text_col="text", num_features=1 << 15,
+    weights = spark.createDataFrame(
+        [(t, decimal.Decimal(w)) for t, w in PINNED_QUALITY_WEIGHTS],
+        "token string, weight decimal(18,9)",
     )
-    return classifier_gate(
-        docs, "doc_id", "text", model, min_prob=0.5
-    ).select("doc_id", "lang", "source")
+    return classifier_gate_from_table(
+        docs, "doc_id", "text", weights,
+        decimal.Decimal(PINNED_QUALITY_INTERCEPT),
+        min_margin=0, keep_cols=("lang", "source"),
+    )
+
+
+def _sql_classifier_quality() -> str:
+    """Mirror built from the SAME pinned literals (single source of
+    truth — no transcription drift): decimal weights, decimal sums,
+    margin >= 0. Tokenizer mirror identical to the ppl-gate oracles."""
+    values = ",\n    ".join(
+        f"('{t}', CAST('{w}' AS DECIMAL(18,9)))"
+        for t, w in PINNED_QUALITY_WEIGHTS
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, source, list_filter(regexp_split_to_array(trim(
+    regexp_replace(regexp_replace(lower(text),
+      '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '),
+    x -> x <> '') AS toks
+  FROM documents),
+occ AS (
+  SELECT doc_id, lang, source,
+         unnest(CASE WHEN toks IS NULL OR len(toks) = 0
+                THEN [CAST(NULL AS VARCHAR)] ELSE toks END) AS token
+  FROM t),
+w(token, weight) AS (VALUES
+    {values}),
+m AS (
+  SELECT occ.doc_id, occ.lang, occ.source,
+         CAST('{PINNED_QUALITY_INTERCEPT}' AS DECIMAL(18,9))
+           + coalesce(sum(w.weight), CAST(0 AS DECIMAL(18,9))) AS margin,
+         CAST(count(w.weight) AS BIGINT) AS n_scored_tokens
+  FROM occ LEFT JOIN w ON occ.token = w.token
+  GROUP BY occ.doc_id, occ.lang, occ.source)
+SELECT doc_id, lang, source, n_scored_tokens FROM m WHERE margin >= 0
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -3247,14 +3313,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p6_watermark_delta": q_p6_watermark_delta,
         "f3_struct_array": q_f3_struct_array,
         "set_ops": q_set_ops,
-        # rows-only tail (position 50): L-BFGS training has no SQL
-        # oracle (classifier.py module docstring) — the driver records
-        # its weaker rows-check; planted-ground-truth recovery and
-        # determinism are pinned in tests/test_classifier.py. j34's
-        # semi/anti-join parity retired to tests/test_oracle_parity.py
-        # (the same join shapes stay driver-visible inside the
-        # decontamination stages of curation_pipeline and
-        # training_data_e2e).
+        # r7: classifier_quality now scores from the PINNED exported
+        # artifact (decimal margins — exact SQL oracle); L-BFGS
+        # training itself stays pytest-pinned (tests/test_classifier.py
+        # — iterative optimization is not relational algebra, but the
+        # scoring/gating half of the operator is). j34's semi/anti-join
+        # parity retired to tests/test_oracle_parity.py (the same join
+        # shapes stay driver-visible inside the decontamination stages
+        # of curation_pipeline and training_data_e2e).
         "classifier_quality": q_classifier_quality,
     }
 
@@ -3311,4 +3377,5 @@ def oracle_sql() -> dict[str, str]:
         "p6_watermark_delta": SQL_P6,
         "f3_struct_array": SQL_F3_STRUCT,
         "set_ops": SQL_SET_OPS,
+        "classifier_quality": _sql_classifier_quality(),
     }

@@ -153,6 +153,114 @@ def test_gate_rejects_reserved_column_collisions(spark):
         classifier_gate(df, "doc_id", "text", model)
 
 
+def test_export_token_weights_scores_match_hashed_model(spark):
+    """The exported (token, weight) table reproduces model.transform
+    EXACTLY for in-vocabulary documents (collisions included, weights
+    quantized to 9 dp): sigmoid(decimal margin) == quality_prob within
+    quantization, and the margin-0 gate equals the min_prob=0.5 gate."""
+    import math
+
+    from web_api_postgres_etl_spark.functions.text import normalized_tokens
+    from web_api_postgres_etl_spark.operators.classifier import (
+        classifier_gate_from_table,
+        export_token_weights,
+        score_from_token_weights,
+    )
+
+    model = _model(spark)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(GOOD + SPAM)],
+        "doc_id long, text string",
+    )
+    vocab = docs.select(F.explode(normalized_tokens("text")).alias("token"))
+    weights, icpt = export_token_weights(model, vocab, "token")
+    margins = {
+        r["doc_id"]: float(r["margin"])
+        for r in score_from_token_weights(
+            docs, "doc_id", "text", weights, icpt
+        ).collect()
+    }
+    probs = {
+        r["doc_id"]: r["quality_prob"]
+        for r in score_documents(docs, "doc_id", "text", model).collect()
+    }
+    for d, m in margins.items():
+        # weights are 9-dp-quantized and probs 6-dp-rounded: agree to 1e-5
+        assert 1 / (1 + math.exp(-m)) == pytest.approx(probs[d], abs=1e-5)
+    kept_hash = sorted(
+        r["doc_id"]
+        for r in classifier_gate(docs, "doc_id", "text", model).collect()
+    )
+    kept_tab = sorted(
+        r["doc_id"]
+        for r in classifier_gate_from_table(
+            docs, "doc_id", "text", weights, icpt
+        ).collect()
+    )
+    assert kept_hash == kept_tab == list(range(len(GOOD)))
+
+
+def test_score_from_token_weights_total_and_guarded(spark):
+    """Tokenless/NULL docs keep their row at margin == intercept with
+    n_scored_tokens 0; reserved-column collisions fail loudly."""
+    from web_api_postgres_etl_spark.functions.text import normalized_tokens
+    from web_api_postgres_etl_spark.operators.classifier import (
+        export_token_weights,
+        score_from_token_weights,
+    )
+
+    model = _model(spark)
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, GOOD[0])], "doc_id long, text string"
+    )
+    vocab = docs.select(F.explode(normalized_tokens("text")).alias("token"))
+    weights, icpt = export_token_weights(model, vocab, "token")
+    rows = {
+        r["doc_id"]: (r["margin"], r["n_scored_tokens"])
+        for r in score_from_token_weights(
+            docs, "doc_id", "text", weights, icpt
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[1] == (icpt, 0) and rows[2] == (icpt, 0)
+    assert rows[3][1] > 0
+
+    bad = spark.createDataFrame([(1, "x", 2)], "doc_id long, text string, margin int")
+    with pytest.raises(ValueError, match="collide"):
+        score_from_token_weights(bad, "doc_id", "text", weights, icpt)
+
+
+def test_pinned_contract_artifact_matches_a_fresh_fit(spark):
+    """The literals pinned in __spark_entry__.py reproduce a fresh
+    train+export at sf0.01 (same planted labeling, same family) — the
+    artifact can always be regenerated, never goes stale silently."""
+    import importlib
+
+    from web_api_postgres_etl_spark.functions.text import normalized_tokens
+    from web_api_postgres_etl_spark.operators.classifier import (
+        export_token_weights,
+    )
+
+    em = importlib.import_module("__spark_entry__")
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    marker = F.array_contains(F.split(F.col("text"), " "), "vector")
+    model = train_quality_classifier(
+        docs.filter(marker), docs.filter(~marker),
+        text_col="text", num_features=1 << 15,
+    )
+    vocab = docs.select(F.explode(normalized_tokens("text")).alias("token"))
+    weights, icpt = export_token_weights(model, vocab, "token")
+    got = {r["token"]: float(r["weight"]) for r in weights.collect()}
+    want = {t: float(w) for t, w in em.PINNED_QUALITY_WEIGHTS}
+    assert set(got) == set(want)
+    for t in want:
+        # L-BFGS is deterministic from zero init; allow last-ulp wiggle
+        assert got[t] == pytest.approx(want[t], abs=1e-6), t
+    assert float(icpt) == pytest.approx(
+        float(em.PINNED_QUALITY_INTERCEPT), abs=1e-6
+    )
+
+
 def test_model_save_load_roundtrip(spark, tmp_path):
     """Saved and reloaded models score identically (the train-once /
     score-everywhere seam): same numFeatures, same 6-decimal probs."""

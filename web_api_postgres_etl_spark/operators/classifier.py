@@ -182,6 +182,132 @@ def classifier_gate(
     ).select(*cols)
 
 
+def export_token_weights(model, vocab_df: DataFrame, token_col: str = "token"):
+    """Export the fitted model as a relational (token, weight) table —
+    the fastText-style "dump the model" seam that makes *scoring* pure
+    relational algebra: ``weight(token) = coefficients[murmur3(token)
+    mod num_features]``, so hash collisions are reproduced by
+    construction and token-keyed scoring is EXACTLY the hashed model
+    for any document whose tokens fall inside ``vocab_df``
+    (out-of-vocabulary tokens score 0 instead of their bucket's
+    coefficient — the one documented difference, irrelevant when the
+    vocabulary is the full training vocabulary).
+
+    Weights are quantized to DECIMAL(18,9) so downstream sums are
+    exact integer arithmetic in ANY engine (float reduction order can
+    never move a document across a gate). Returns
+    ``(weights_df, intercept)`` where intercept is a
+    :class:`decimal.Decimal` at the same scale.
+
+    Scale shape: the vocabulary collect is bounded by construction —
+    it is the LABELED TRAINING vocabulary (thousands of terms), never
+    the corpus's; the same boundedness argument as training itself.
+    The index lookups run driver-side against the model's own
+    coefficient vector (already driver-resident after the fit)."""
+    import decimal
+
+    from pyspark.ml.feature import HashingTF
+
+    q = decimal.Decimal("0.000000001")
+    tf = HashingTF(
+        inputCol="__x", outputCol="__y", numFeatures=model.numFeatures
+    )
+    coefs = model.coefficients
+    toks = [
+        r[0]
+        for r in vocab_df.select(qcol(token_col)).distinct().collect()
+        if r[0] is not None
+    ]
+    rows = [
+        (t, decimal.Decimal(repr(float(coefs[tf.indexOf(t)]))).quantize(q))
+        for t in sorted(toks)
+    ]
+    spark = vocab_df.sparkSession
+    weights = spark.createDataFrame(
+        rows, "token string, weight decimal(18,9)"
+    )
+    intercept = decimal.Decimal(repr(float(model.intercept))).quantize(q)
+    return weights, intercept
+
+
+def score_from_token_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    intercept,
+    keep_cols: tuple[str, ...] = (),
+    margin_col: str = "margin",
+) -> DataFrame:
+    """Score documents from an exported (token, weight) table —
+    ``margin = intercept + Σ_occurrences weight(token)`` (the linear
+    model's log-odds; ``sigmoid`` is monotone, so gating on
+    ``margin >= logit(p)`` is gating on ``P(quality) >= p``).
+
+    All arithmetic is DECIMAL: integer occurrence counts × scale-9
+    weights sum EXACTLY, in any engine, in any reduction order — this
+    is the oracle-checkable face of the classifier (training is not
+    relational algebra; scoring from the exported artifact is).
+
+    Totality: tokenless and NULL documents keep their row and score
+    ``intercept`` (explode_outer + left join + coalesce — never an
+    inner join that silently drops them).
+
+    Scale shape: one broadcast join (the weight table is
+    training-vocabulary-bounded) + one map-side-combining groupBy on
+    the document id; the corpus is never collected or self-joined."""
+    import decimal
+
+    reserved = {"__tok", "__w", margin_col}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with scoring "
+            f"columns — rename them before scoring"
+        )
+    icpt = F.lit(decimal.Decimal(intercept)).cast("decimal(18,9)")
+    toks = df.select(
+        qcol(id_col).alias(id_col),
+        *[qcol(c).alias(c) for c in keep_cols],
+        F.explode_outer(normalized_tokens(text_col)).alias("__tok"),
+    )
+    w = weights.select(
+        F.col("token").alias("__tok"),
+        F.col("weight").cast("decimal(18,9)").alias("__w"),
+    )
+    joined = toks.join(F.broadcast(w), on="__tok", how="left")
+    zero = F.lit(0).cast("decimal(18,9)")
+    return joined.groupBy(id_col, *keep_cols).agg(
+        (icpt + F.coalesce(F.sum("__w"), zero)).alias(margin_col),
+        F.count("__w").alias("n_scored_tokens"),
+    )
+
+
+def classifier_gate_from_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    intercept,
+    min_margin=0,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Gate on the exported-artifact score: keep documents whose
+    decimal margin reaches ``min_margin`` (0 ⟺ P(quality) ≥ 0.5).
+    Returns (id, *keep_cols, n_scored_tokens) — ids plus integer
+    audit columns only, never floats (the survivor SET is the
+    contract; see :func:`score_from_token_weights` for margins)."""
+    import decimal
+
+    scored = score_from_token_weights(
+        df, id_col, text_col, weights, intercept, keep_cols=keep_cols
+    )
+    gate = F.lit(decimal.Decimal(min_margin)).cast("decimal(18,9)")
+    return scored.filter(F.col("margin") >= gate).select(
+        id_col, *keep_cols, "n_scored_tokens"
+    )
+
+
 def save_quality_model(model, path: str) -> None:
     """Persist the fitted model with pyspark.ml's native writer — the
     train-once / score-everywhere seam: training runs wherever the
