@@ -2543,6 +2543,109 @@ def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
     return event_transitions(events)
 
 
+def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel (operators/aggregates.py:funnel/funnel_users —
+    the product-analytics staple Spark lacks), three facets unioned:
+    'open' = unwindowed stage counts over view→click→signup→purchase,
+    'win48h' = the same funnel with a 48-hour conversion window
+    anchored at each user's FIRST view, 'depth48h' = the windowed
+    drill-down histogram (users by deepest stage reached — exactly
+    the pairwise differences of the win48h counts, so the two operator
+    faces cross-check each other inside one contract row). Every
+    stage is a filtered min-aggregate equi-joined to the previous
+    stage: shuffles carry (user, ts) pairs only, never events."""
+    from web_api_postgres_etl_spark.operators.aggregates import (
+        funnel,
+        funnel_users,
+    )
+
+    events = _t(spark, sf, "events")
+    steps = ["view", "click", "signup", "purchase"]
+    open_counts = funnel(
+        events, "user_id", "ts", "event_type", steps
+    ).select(F.lit("open").alias("facet"), "step_idx", "step", "n_users")
+    win_counts = funnel(
+        events, "user_id", "ts", "event_type", steps,
+        within_seconds=48 * 3600,
+    ).select(F.lit("win48h").alias("facet"), "step_idx", "step", "n_users")
+    depth = (
+        funnel_users(
+            events, "user_id", "ts", "event_type", steps,
+            within_seconds=48 * 3600,
+        )
+        .groupBy("max_step_idx", "max_step")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.lit("depth48h").alias("facet"),
+            F.col("max_step_idx").alias("step_idx"),
+            F.col("max_step").alias("step"),
+            "n_users",
+        )
+    )
+    return open_counts.unionByName(win_counts).unionByName(depth)
+
+
+# Mirror: the open chain is the greedy earliest-match recurrence; the
+# windowed chain additionally carries each user's step-0 anchor and
+# bounds every later stage by anchor + 48h; the depth histogram is the
+# consecutive difference of the windowed counts (dropping empty bins,
+# as a groupBy emits no row for an empty group).
+SQL_FUNNEL = """
+WITH s0 AS (
+  SELECT user_id AS u, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+s1 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+  JOIN s0 ON e.user_id = s0.u AND e.ts > s0.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id),
+s2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+  JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+  WHERE e.event_type = 'signup' GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+  JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+w0 AS (
+  SELECT user_id AS u, min(ts) AS t, min(ts) AS a FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+w1 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t, min(w0.a) AS a FROM events e
+  JOIN w0 ON e.user_id = w0.u AND e.ts > w0.t
+   AND epoch_us(e.ts) <= epoch_us(w0.a) + CAST(172800 AS BIGINT) * 1000000
+  WHERE e.event_type = 'click' GROUP BY e.user_id),
+w2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t, min(w1.a) AS a FROM events e
+  JOIN w1 ON e.user_id = w1.u AND e.ts > w1.t
+   AND epoch_us(e.ts) <= epoch_us(w1.a) + CAST(172800 AS BIGINT) * 1000000
+  WHERE e.event_type = 'signup' GROUP BY e.user_id),
+w3 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+  JOIN w2 ON e.user_id = w2.u AND e.ts > w2.t
+   AND epoch_us(e.ts) <= epoch_us(w2.a) + CAST(172800 AS BIGINT) * 1000000
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+wc AS (
+  SELECT 0 AS i, (SELECT count(*) FROM w0) AS n
+  UNION ALL SELECT 1, (SELECT count(*) FROM w1)
+  UNION ALL SELECT 2, (SELECT count(*) FROM w2)
+  UNION ALL SELECT 3, (SELECT count(*) FROM w3)),
+steps(i, s) AS (VALUES (0, 'view'), (1, 'click'), (2, 'signup'),
+                       (3, 'purchase')),
+depth AS (
+  SELECT wc.i, wc.n - coalesce(nxt.n, 0) AS n
+  FROM wc LEFT JOIN wc nxt ON nxt.i = wc.i + 1)
+SELECT 'open' AS facet, CAST(0 AS INT) AS step_idx, 'view' AS step,
+       (SELECT count(*) FROM s0) AS n_users
+UNION ALL SELECT 'open', 1, 'click', (SELECT count(*) FROM s1)
+UNION ALL SELECT 'open', 2, 'signup', (SELECT count(*) FROM s2)
+UNION ALL SELECT 'open', 3, 'purchase', (SELECT count(*) FROM s3)
+UNION ALL SELECT 'win48h', CAST(i AS INT), s, n
+  FROM wc JOIN steps USING (i)
+UNION ALL SELECT 'depth48h', CAST(i AS INT), s, n
+  FROM depth JOIN steps USING (i) WHERE n > 0
+"""
+
+
 SQL_EVENT_TRANSITIONS = """
 WITH pairs AS (
   SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS from_event,
@@ -2556,6 +2659,77 @@ WITH pairs AS (
 SELECT from_event, to_event, n_transitions,
        n_transitions / sum(n_transitions) OVER (PARTITION BY from_event) AS p
 FROM counted
+"""
+
+
+def q_resample_rolling(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series grid + forward-fill + trailing time-window rollups
+    (operators/timeseries.py — the reference's daily price series,
+    mabna_tables_create.py:197-207, materialized onto a regular
+    cadence): events.value per user resampled to a 12-hour grid
+    (exact-timestamp duplicates pre-reduced by max_by(value,
+    event_id)), forward-filled, then a 48-hour trailing RANGE window
+    adds count / exact DECIMAL(38,10) sum / min / max per grid point.
+    All grid arithmetic is integer microseconds and the sum is
+    decimal — bit-reproducible in any engine; the decimal is cast to
+    double only at the output boundary (both engines convert the SAME
+    exact decimal, so the doubles are identical). One bounds
+    aggregate + one union + two per-key windows — no range-join
+    fan-out, no grid-point × observation explosion."""
+    from web_api_postgres_etl_spark.operators.timeseries import (
+        resample_ffill,
+        rolling_agg,
+    )
+
+    # unix_micros rejects TIMESTAMP_NTZ (what Spark 4.1 reads parquet
+    # TIMESTAMP(NANOS) as); under the UTC session the NTZ→LTZ cast
+    # preserves wall time — same pattern as t5_watermark_late_drop
+    events = _t(spark, sf, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "value", "event_id",
+    )
+    res = resample_ffill(
+        events, "user_id", "ts", "value",
+        step_seconds=12 * 3600, tiebreaker="event_id",
+    )
+    rolled = rolling_agg(
+        res, "user_id", "grid_ts", "value", window_seconds=48 * 3600
+    )
+    return rolled.select(
+        "user_id",
+        F.unix_micros("grid_ts").alias("grid_us"),
+        "value",
+        "roll_n",
+        F.col("roll_sum").cast("double").alias("roll_sum"),
+        "roll_min",
+        "roll_max",
+    )
+
+
+SQL_RESAMPLE_ROLLING = """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS t, max_by(value, event_id) AS v
+  FROM events GROUP BY user_id, epoch_us(ts)),
+b AS (
+  SELECT user_id,
+         CAST(floor(min(t) / 43200000000) * 43200000000 AS BIGINT) AS t0,
+         CAST(floor(max(t) / 43200000000) * 43200000000 AS BIGINT) AS t1
+  FROM o GROUP BY user_id),
+g AS (
+  SELECT user_id, unnest(generate_series(t0, t1, 43200000000)) AS t
+  FROM b),
+r AS (
+  SELECT g.user_id, g.t, o.v
+  FROM g ASOF LEFT JOIN o ON g.user_id = o.user_id AND o.t <= g.t)
+SELECT user_id, t AS grid_us, v AS value,
+       count(v) OVER w AS roll_n,
+       CAST(sum(CAST(v AS DECIMAL(38,10))) OVER w AS DOUBLE) AS roll_sum,
+       min(v) OVER w AS roll_min,
+       max(v) OVER w AS roll_max
+FROM r
+WINDOW w AS (PARTITION BY user_id ORDER BY t
+             RANGE BETWEEN CAST(172800 AS BIGINT) * 1000000 PRECEDING
+                   AND CURRENT ROW)
 """
 
 
@@ -3260,7 +3434,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_recipe_mix": q_data_recipe_mix,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "ivf_index_probe": q_ivf_index_probe,
+        # r7: ivf_index_probe swapped out for funnel — its oracle was a
+        # LITERAL duplicate of ann_ivf_topk's (zero marginal oracle
+        # information); the probe ≡ in-memory-IVF equality stays pinned
+        # in tests/test_oracle_parity.py::test_retired_contract_entries
+        # and the partition-pruned read in tests/test_dedup_similarity.
+        "funnel": q_funnel,
         "lsh_nn_join": q_lsh_nn_join,
         "simhash_near_dups": q_simhash_near_dups,
         # event transition matrix (r6: swapped in for rhp_lsh_topk —
@@ -3270,7 +3449,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         # joins
         "interval_join": q_interval_join,
-        "j2_two_way_join": q_j2_two_way_join,
+        # r7: j2_two_way_join swapped out for resample_rolling — the
+        # 2-way equi-join is a strict sub-plan of flagship_star_join
+        # (still green); retired parity in tests/test_oracle_parity.py.
+        "resample_rolling": q_resample_rolling,
         "j5_salted_join": q_j5_salted_join,
         "j6_asof_join": q_j6_asof_join,
         "j7_asof_keyless": q_j7_asof_keyless,
@@ -3350,13 +3532,12 @@ def oracle_sql() -> dict[str, str]:
         "data_recipe_mix": SQL_DATA_RECIPE_MIX,
         "ann_cosine_topk": SQL_ANN_TOPK,
         "ann_ivf_topk": SQL_IVF_TOPK,
-        # probe of the persisted index must equal the in-memory IVF top-k
-        "ivf_index_probe": SQL_IVF_TOPK,
+        "funnel": SQL_FUNNEL,
         "lsh_nn_join": SQL_LSH_NN_JOIN,
         "simhash_near_dups": SQL_SIMHASH,
         "event_transitions": SQL_EVENT_TRANSITIONS,
         "interval_join": SQL_INTERVAL,
-        "j2_two_way_join": SQL_J2,
+        "resample_rolling": SQL_RESAMPLE_ROLLING,
         "j5_salted_join": SQL_J5,
         "j6_asof_join": SQL_J6,
         "j7_asof_keyless": SQL_J7_KEYLESS,

@@ -103,6 +103,13 @@ RETIRED = [
     # driver-visible via lsh_cosine_pairs / lsh_nn_join, the cosine
     # fold via ann_cosine_topk)
     ("rhp_lsh_topk", "SQL_RHP_TOPK"),
+    # r7: persisted-IVF probe → funnel (its oracle was a literal
+    # duplicate of ann_ivf_topk's, which stays driver-visible; the
+    # probe ≡ in-memory equality is exactly this retired row)
+    ("ivf_index_probe", "SQL_IVF_TOPK"),
+    # r7: 2-way equi-join → resample_rolling (a strict sub-plan of the
+    # still-green flagship_star_join)
+    ("j2_two_way_join", "SQL_J2"),
 ]
 
 

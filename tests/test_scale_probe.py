@@ -35,6 +35,10 @@ OPS = {
     # sparse-cosine index join, and the pre-join cardinality profile
     "collocations", "scd2_history", "tfidf_cosine_pairs",
     "join_cardinality_profile",
+    # round 7: the deletion-neighborhood fuzzy family (O(len^k)
+    # per-row fan-out worth an empirical exponent) and the k-stage
+    # funnel (chained stage joins)
+    "fuzzy_dup_pairs", "resolve_entities", "funnel",
 }
 
 

@@ -320,6 +320,79 @@ def probe(spark, n: int, ops_filter: set[str] | None = None) -> dict:
         nh = scd2_history(log, ["k"], "ts", ["state"]).count()
         ops["scd2_history"] = (time.time() - t0, nh)
 
+    if want("fuzzy_dup_pairs") or want("resolve_entities"):
+        reset_cache()
+        from web_api_postgres_etl_spark.operators.entity import (
+            fuzzy_dup_pairs,
+            resolve_entities,
+        )
+
+        # short name strings (the operator guards length — the
+        # deletion neighborhood is O(len^k)); every 10th row is the
+        # previous row's name with its first char replaced, a planted
+        # distance-1 duplicate at a constant rate
+        names = docs.select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 10 == 0) & (F.col("doc_id") > 0),
+                F.concat(
+                    F.lit("z"),
+                    F.substring(F.md5((F.col("doc_id") - 1).cast("string")), 2, 7),
+                ),
+            )
+            .otherwise(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8))
+            .alias("name"),
+        ).persist()
+        names.count()
+        if want("fuzzy_dup_pairs"):
+            t0 = time.time()
+            np_ = fuzzy_dup_pairs(
+                names, "doc_id", "name", max_distance=1
+            ).count()
+            ops["fuzzy_dup_pairs"] = (time.time() - t0, np_)
+        if want("resolve_entities"):
+            reset_cache()
+            names.persist().count()
+            t0 = time.time()
+            pins: list = []
+            nres = resolve_entities(
+                names, "doc_id", "name", max_distance=1, pins=pins
+            ).filter(F.col("is_canonical")).count()
+            from web_api_postgres_etl_spark.caching import release_frame
+
+            for fr in pins:
+                release_frame(fr)
+            ops["resolve_entities"] = (time.time() - t0, nres)
+        names.unpersist()
+
+    if want("funnel"):
+        reset_cache()
+        from web_api_postgres_etl_spark.operators.aggregates import funnel
+
+        # ~20 events per user; the step at each event is a seeded
+        # pseudo-random pick so stage survival decays realistically
+        n_users = max(n // 20, 1)
+        events = docs.select(
+            (F.col("doc_id") % F.lit(n_users)).alias("user_id"),
+            F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("ts"),
+            F.element_at(
+                F.array(*[F.lit(s) for s in ("e0", "e1", "e2", "e3", "noise")]),
+                # murmur3 pick — a modular-arithmetic pick degenerates
+                # to one constant step per user (period divides n_users)
+                (F.pmod(F.hash(F.col("doc_id")), F.lit(5)) + 1).cast("int"),
+            ).alias("step"),
+        )
+        t0 = time.time()
+        pins = []
+        rows = funnel(
+            events, "user_id", "ts", "step", ["e0", "e1", "e2", "e3"],
+            pins=pins,
+        ).collect()
+        total = sum(r["n_users"] for r in rows)
+        for fr in pins:
+            fr.unpersist()
+        ops["funnel"] = (time.time() - t0, total)
+
     docs.unpersist()
     vecs.unpersist()
     return ops
