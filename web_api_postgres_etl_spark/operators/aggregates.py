@@ -425,7 +425,19 @@ def key_skew_profile(
         F.sum("n_rows").alias("__total"),
         F.count(F.lit(1)).alias("__n_keys"),
     )
-    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    # bounded by construction: runs over the ≤ top_k profiler rows
+    # only. partitionBy a constant-valued but UNFOLDABLE expression:
+    # a bare F.lit(0) is constant-folded out of the spec and an
+    # integral n_rows*0 simplifies too (count is non-nullable), but
+    # DOUBLE x*0.0 can never be folded (NaN/Inf would poison it) and a
+    # finite count always yields 0.0 — same single partition as a bare
+    # orderBy, without the per-run "WindowExec: No Partition Defined"
+    # log spam
+    w = (
+        Window.partitionBy(F.col("n_rows") * F.lit(0.0))
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     return (
         top.join(F.broadcast(totals))
         .withColumn("__cum_n", F.sum("n_rows").over(w))

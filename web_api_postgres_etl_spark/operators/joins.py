@@ -172,9 +172,18 @@ def _asof_keyless_discrete(
     rday = rf.groupBy(F.to_date(qcol(rt)).alias("__asof_d0")).agg(
         F.max(rstruct).alias("__r")
     )
-    # single-partition window: the build side is small BY CONTRACT (a
-    # per-period summary), and this runs over its DISTINCT days only
-    w = Window.orderBy("__asof_d0")
+    # single-partition window over the build side's DISTINCT days only
+    # — small BY CONTRACT (a per-period summary) and hard-bounded by
+    # discrete_max_days (default 100k ≈ 274 years of daily rows, a
+    # few-MB broadcast at most). partitionBy a constant-valued but
+    # UNFOLDABLE expression (x*0; a bare F.lit(0) is constant-folded
+    # out of the partition spec): same single partition, without
+    # spamming "WindowExec: No Partition Defined" into the executor
+    # logs per run — at 100 TB ops read those logs. d0 is never NULL
+    # here (NULL right times are filtered before the day groupBy).
+    w = Window.partitionBy(
+        F.unix_date(F.col("__asof_d0")) * 0
+    ).orderBy("__asof_d0")
     rexp = rday.withColumn(
         "__asof_until",
         F.coalesce(F.date_sub(F.lead("__asof_d0").over(w), 1), F.col("__asof_d0")),
@@ -201,7 +210,7 @@ def asof_join_keyless(
     left_time: str,
     right_time: str,
     num_buckets: int = 32,
-    discrete_max_days: int = 1_000_000,
+    discrete_max_days: int = 100_000,
 ) -> DataFrame:
     """Keyless AS-OF join (pure time ordering, no equi key): each left
     row matched to the single latest right row with
