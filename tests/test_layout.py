@@ -388,3 +388,149 @@ def test_purge_rows_null_id_raises(spark, tmp_path):
     bad = spark.createDataFrame([(None,), (1,)], "doc_id long")
     with pytest.raises(Exception, match="NULL id"):
         purge_rows(spark, path, bad, "doc_id")
+
+
+# --------------------------------------------- zone-map maintenance
+def test_zone_map_sidecar_roundtrip_and_refresh(spark, tmp_path):
+    """Sidecar write/read roundtrip; refresh drops dead entries and
+    scans only new files; the sidecar never pollutes table reads."""
+    from web_api_postgres_etl_spark.operators.layout import (
+        read_pruned,
+        read_zone_map,
+        write_zone_map,
+        zone_map,
+        zone_map_cols,
+        zone_map_refresh,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(100).select(F.col("id").alias("v")).coalesce(2).write.parquet(path)
+    write_zone_map(zone_map(spark, path, ["v"]), path)
+    assert zone_map_cols(read_zone_map(spark, path)) == ["v"]
+    # the sidecar is a sibling: the table read sees only table rows
+    assert spark.read.parquet(path).count() == 100
+
+    # simulate an out-of-band rewrite: append a file AND delete one
+    spark.range(100, 200).select(F.col("id").alias("v")).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    victim = sorted(glob.glob(os.path.join(path, "part-*")))[0]
+    os.remove(victim)
+    pins: list = []
+    zm = zone_map_refresh(spark, path, pins=pins)
+    key = lambda df: sorted(
+        (os.path.basename(r["file"]), r["n_rows"], r["v_min"], r["v_max"])
+        for r in df.collect()
+    )
+    assert key(zm) == key(zone_map(spark, path, ["v"]))  # == full rebuild
+    # and the persisted sidecar took the refresh
+    assert key(read_zone_map(spark, path)) == key(zm)
+    got = read_pruned(spark, path, zm, {"v": (150, 199)}).count()
+    assert got == spark.read.parquet(path).filter("v >= 150").count()
+    from web_api_postgres_etl_spark.caching import release_frame
+
+    for fr in pins:
+        release_frame(fr)
+
+    # first-build validation: cols required when no sidecar exists
+    bare = str(tmp_path / "bare")
+    spark.range(5).write.parquet(bare)
+    with pytest.raises(ValueError, match="no sidecar"):
+        zone_map_refresh(spark, bare)
+
+
+def test_pipeline_compact_keeps_zone_map_fresh(spark, tmp_path):
+    """VERDICT r6 #7: compact -> sidecar auto-refresh -> read_pruned
+    stays exact, for both the whole-table swap and the
+    partition-scoped compactor; purge_rows + refresh also stays
+    exact."""
+    from web_api_postgres_etl_spark.operators.layout import (
+        prune_files,
+        purge_rows,
+        read_pruned,
+        read_zone_map,
+        zone_map,
+        zone_map_refresh,
+        write_zone_map,
+    )
+    from web_api_postgres_etl_spark.plans.pipeline import MedallionPipeline
+
+    pipe = MedallionPipeline(spark, warehouse=str(tmp_path))
+
+    # -- whole-table compact (rename swap destroys a CHILD sidecar;
+    #    the sibling survives and is auto-refreshed)
+    path = str(tmp_path / "flat")
+    rows = spark.range(200).selectExpr(
+        "id", "id % 50 AS k", "id AS `meta.version`", "id % 97 AS v"
+    )
+    rows.coalesce(4).write.parquet(path)
+    write_zone_map(zone_map(spark, path, ["v"]), path)
+    # duplicate every key with a higher version, then compact
+    spark.range(200, 250).selectExpr(
+        "id", "id % 50 AS k", "id AS `meta.version`", "id % 97 AS v"
+    ).write.mode("append").parquet(path)
+    pipe.compact(path, keys=["k"])
+    zm = read_zone_map(spark, path)
+    live = {os.path.basename(p) for p in glob.glob(os.path.join(path, "part-*"))}
+    mapped = {os.path.basename(r["file"]) for r in zm.select("file").collect()}
+    assert mapped == live  # no dead entries, no unmapped files
+    got = sorted(
+        r["id"] for r in read_pruned(spark, path, zm, {"v": (0, 40)}).collect()
+    )
+    want = sorted(
+        r["id"] for r in spark.read.parquet(path).filter("v BETWEEN 0 AND 40").collect()
+    )
+    assert got == want and got
+
+    # -- partition-scoped compact
+    ppath = str(tmp_path / "parted")
+    spark.range(200).selectExpr(
+        "id", "id % 50 AS k", "id AS `meta.version`", "id % 97 AS v",
+        "CAST(id % 4 AS STRING) AS m"
+    ).write.partitionBy("m").parquet(ppath)
+    write_zone_map(zone_map(spark, ppath, ["v"]), ppath)
+    spark.range(200, 240).selectExpr(
+        "id", "id % 50 AS k", "id AS `meta.version`", "id % 97 AS v",
+        "CAST(0 AS STRING) AS m"
+    ).write.mode("append").partitionBy("m").parquet(ppath)
+    pipe.compact_partitioned(ppath, keys=["k"], partition_col="m", touched=["0"])
+    zm2 = read_zone_map(spark, ppath)
+    live2 = {
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(ppath, "m=*", "part-*"))
+    }
+    mapped2 = {os.path.basename(r["file"]) for r in zm2.select("file").collect()}
+    assert mapped2 == live2
+    # every mapped file exists -> pruned scans can't hit missing paths
+    for f in prune_files(zm2, {"v": (10, 20)}):
+        assert os.path.exists(f.replace("file://", "").replace("file:", ""))
+    got2 = read_pruned(spark, ppath, zm2, {"v": (10, 20)}).count()
+    assert got2 == spark.read.parquet(ppath).filter("v BETWEEN 10 AND 20").count()
+
+    # -- purge + refresh
+    ids = spark.createDataFrame([(3,), (7,)], "id long")
+    purge_rows(spark, ppath, ids, "id")
+    zm3 = zone_map_refresh(spark, ppath)
+    got3 = read_pruned(spark, ppath, zm3, {"v": (0, 96)}).count()
+    assert got3 == spark.read.parquet(ppath).count()
+
+
+def test_cli_zonemap_subcommand(spark, tmp_path, capsys):
+    import json
+
+    from web_api_postgres_etl_spark.__main__ import main
+    from web_api_postgres_etl_spark.operators.layout import read_zone_map
+
+    path = str(tmp_path / "t")
+    spark.range(100).selectExpr("id AS v").coalesce(2).write.parquet(path)
+    assert main(["zonemap", "--table", path, "--cols", "v"], spark=spark) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["files_indexed"] == 2
+    # refresh without --cols: reads the column list from the sidecar
+    spark.range(100, 150).selectExpr("id AS v").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    assert main(["zonemap", "--table", path], spark=spark) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["files_indexed"] == 3
+    assert read_zone_map(spark, path).count() == 3

@@ -68,6 +68,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     help="partition column: compact only --touched partitions")
     pc.add_argument("--touched", default=None,
                     help="comma-separated partition values (default: all)")
+    pz = sub.add_parser("zonemap")
+    pz.add_argument("--table", required=True, help="parquet path")
+    pz.add_argument("--cols", default=None,
+                    help="comma-separated columns to index (required on "
+                         "first build; later refreshes read them from the "
+                         "sidecar itself)")
     pp = sub.add_parser("profile")
     pp.add_argument("--table", required=True, help="parquet path")
     pp.add_argument("--keys", required=True, help="comma-separated key columns")
@@ -129,6 +135,33 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             print(json.dumps({
                 "table": args.table, "rows_before": before,
                 "rows_after": after, "collapsed": before - after,
+            }))
+            return 0
+
+        if args.cmd == "zonemap":
+            # build or refresh the table's data-skipping sidecar; the
+            # pipeline compactors keep it fresh automatically once it
+            # exists, so this is the one-time opt-in (plus a manual
+            # repair face after out-of-band rewrites)
+            from web_api_postgres_etl_spark.caching import release_frame
+            from web_api_postgres_etl_spark.operators.layout import (
+                zone_map_path,
+                zone_map_refresh,
+            )
+
+            cols = (
+                [c.strip() for c in args.cols.split(",") if c.strip()]
+                if args.cols
+                else None
+            )
+            pins: list = []
+            zmap = zone_map_refresh(spark, args.table, cols=cols, pins=pins)
+            n_files = zmap.count()
+            for fr in pins:
+                release_frame(fr)
+            print(json.dumps({
+                "table": args.table, "sidecar": zone_map_path(args.table),
+                "files_indexed": n_files,
             }))
             return 0
 

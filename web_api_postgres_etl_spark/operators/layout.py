@@ -186,6 +186,31 @@ def _zone_aggs(cols: Sequence[str]) -> list[Column]:
     return aggs
 
 
+def _rel_id(uri_or_path: str, base_local: str) -> str:
+    """File identity for zone-map maintenance: the path RELATIVE to
+    the table root. Not the basename — one partitioned write job gives
+    files in different ``col=val/`` dirs the SAME basename (same task
+    number + job uuid), so basenames collide across partitions. Not
+    the full URI either — ``file:///`` vs ``hdfs://`` prefixes across
+    environments is how manifests go stale."""
+    p = uri_or_path
+    if "://" in p or p.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        parsed = urlparse(p)
+        p = unquote(parsed.path) if parsed.scheme in ("file", "") else parsed.path
+    return os.path.relpath(p, base_local)
+
+
+def _local_base(path: str) -> str:
+    if "://" in path or path.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        parsed = urlparse(path)
+        return unquote(parsed.path) if parsed.scheme in ("file", "") else parsed.path
+    return path
+
+
 def zone_map_update(
     spark: SparkSession,
     path: str,
@@ -193,27 +218,28 @@ def zone_map_update(
     cols: Sequence[str],
 ) -> DataFrame:
     """Incrementally maintain a zone map: scan ONLY files not yet in
-    ``existing`` (match on the file name) and union their stats in —
-    the append-mostly maintenance path, so a streaming ingest's new
-    files cost one small scan instead of a full-table rebuild.
-
-    File identity is the name, not the full URI (comparing
-    ``file:///`` vs ``hdfs://`` prefixes across environments is how
-    manifests go stale); rewritten-in-place files (same name, new
-    content) violate parquet immutability and don't occur under
-    Spark's writers. Listing is driver-side filesystem metadata —
-    the same seam ``compact_small_files`` uses."""
+    ``existing`` (matched on the table-relative path — see
+    :func:`_rel_id`) and union their stats in — the append-mostly
+    maintenance path, so a streaming ingest's new files cost one small
+    scan instead of a full-table rebuild. Rewritten-in-place files
+    (same name, new content) violate parquet immutability and don't
+    occur under Spark's writers. Listing is driver-side filesystem
+    metadata — the same seam ``compact_small_files`` uses."""
+    base = _local_base(path)
     known = {
-        os.path.basename(r["file"]) for r in existing.select("file").collect()
+        _rel_id(r["file"], base) for r in existing.select("file").collect()
     }
     new_files = []
     seen = 0
-    for root, _dirs, files in os.walk(path):
+    for root, dirs, files in os.walk(base):
+        # prune hidden dirs: never treat a _sidecar/.staging file as data
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for f in files:
             if not f.startswith(("_", ".")):
                 seen += 1
-                if f not in known:
-                    new_files.append(os.path.join(root, f))
+                full = os.path.join(root, f)
+                if _rel_id(full, base) not in known:
+                    new_files.append(full)
     if seen == 0 and known:
         # a local-listing miss (remote URI, moved table) must fail
         # LOUDLY: silently returning the stale map would make pruned
@@ -229,6 +255,122 @@ def zone_map_update(
     df = spark.read.option("basePath", path).parquet(*new_files)
     fresh = df.groupBy(F.input_file_name().alias("file")).agg(*_zone_aggs(cols))
     return existing.unionByName(fresh)
+
+
+def zone_map_path(path: str) -> str:
+    """Sidecar location for a table's persisted zone map: a SIBLING
+    directory (``<table>._zone_map``), not a child — compaction swaps
+    the whole table directory through ``.tmp``/``.old`` renames
+    (writers.swap_compacted), which would silently destroy a child
+    sidecar; a sibling survives every table rewrite, and the
+    underscore keeps it visibly metadata."""
+    return path.rstrip("/") + "._zone_map"
+
+
+def write_zone_map(zmap: DataFrame, path: str) -> None:
+    """Persist a zone map as the table's sidecar (overwrite — the map
+    is derived state, rebuildable from one column-pruned scan)."""
+    zmap.write.mode("overwrite").parquet(zone_map_path(path))
+
+
+def read_zone_map(spark: SparkSession, path: str) -> DataFrame:
+    """Load the sidecar written by :func:`write_zone_map`."""
+    return spark.read.parquet(zone_map_path(path))
+
+
+def has_zone_map(path: str) -> bool:
+    return os.path.isdir(zone_map_path(path))
+
+
+def zone_map_cols(zmap: DataFrame) -> list[str]:
+    """The indexed columns, recovered from the map's own schema (every
+    indexed column contributes ``<c>_min``/``<c>_max``/``<c>_nulls``)
+    — so maintenance never needs the column list as a side channel."""
+    return [c[: -len("_min")] for c in zmap.columns if c.endswith("_min")]
+
+
+def zone_map_refresh(
+    spark: SparkSession,
+    path: str,
+    cols: Sequence[str] | None = None,
+    existing: DataFrame | None = None,
+    pins: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Reconcile the persisted zone map with the table's CURRENT file
+    set and write the sidecar back: entries whose file no longer
+    exists are dropped (compaction/purge removed it — a stale entry
+    would make ``prune_files`` return nonexistent paths), files not
+    yet mapped are scanned (one column-pruned pass over ONLY those
+    files). This is the maintenance call after any rewrite —
+    ``compact``/``compact_partitioned``/``purge_rows`` — and is what
+    the pipeline runner invokes automatically when a sidecar exists.
+
+    ``cols`` defaults to the columns recorded in the existing map
+    (:func:`zone_map_cols`); with no sidecar yet, ``cols`` is required
+    and the map is built from scratch. Returns the refreshed map —
+    localCheckpointed, so long-lived callers pass ``pins=[]`` and
+    release via ``caching.release_frame`` after they are done with the
+    returned frame (Dataset.unpersist alone does not free a
+    localCheckpoint — the repo-wide pins contract).
+
+    Scale shape: listing is filesystem metadata, the diff is
+    driver-side over file NAMES (bounded by file count), and only new
+    files are read. The refreshed frame is localCheckpointed before
+    the sidecar overwrite — the plan would otherwise lazily read the
+    very files it is replacing."""
+    if existing is None and has_zone_map(path):
+        existing = read_zone_map(spark, path)
+    if existing is None:
+        if cols is None:
+            raise ValueError(
+                f"zone_map_refresh: no sidecar at {zone_map_path(path)!r} "
+                "and no cols given — pass cols to build the first map"
+            )
+        fresh = zone_map(spark, path, cols).localCheckpoint(eager=True)
+        if pins is not None:
+            pins.append(fresh)
+        write_zone_map(fresh, path)
+        return fresh
+    if cols is None:
+        cols = zone_map_cols(existing)
+    base = _local_base(path)
+    # identity = table-relative path (basenames COLLIDE across
+    # partition dirs of one write job — see _rel_id); the map's own
+    # URIs key the removal filter so it matches exactly what
+    # input_file_name recorded
+    known: dict[str, str] = {}
+    for r in existing.select("file").collect():
+        known[_rel_id(r["file"], base)] = r["file"]
+    current: dict[str, str] = {}
+    for root, dirs, files in os.walk(base):
+        # prune hidden dirs: never treat a _sidecar/.staging file as data
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if not f.startswith(("_", ".")):
+                full = os.path.join(root, f)
+                current[_rel_id(full, base)] = full
+    if not current and known:
+        raise ValueError(
+            f"listing {path!r} found no data files but the existing "
+            f"zone map has {len(known)} — non-local path or moved "
+            "table? (this maintenance face lists the local filesystem)"
+        )
+    removed_uris = [known[rel] for rel in set(known) - set(current)]
+    new_files = [p for rel, p in current.items() if rel not in known]
+    refreshed = existing
+    if removed_uris:
+        refreshed = refreshed.filter(~F.col("file").isin(removed_uris))
+    if new_files:
+        df = spark.read.option("basePath", path).parquet(*new_files)
+        fresh = df.groupBy(F.input_file_name().alias("file")).agg(
+            *_zone_aggs(cols)
+        )
+        refreshed = refreshed.unionByName(fresh)
+    refreshed = refreshed.localCheckpoint(eager=True)
+    if pins is not None:
+        pins.append(refreshed)
+    write_zone_map(refreshed, path)
+    return refreshed
 
 
 def prune_files(

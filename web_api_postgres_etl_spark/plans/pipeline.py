@@ -497,6 +497,7 @@ class MedallionPipeline:
         # DataFrame session-wide), then swap (see writers.swap_compacted)
         compacted.unpersist()
         swap_compacted(path)
+        self._maybe_refresh_zone_map(path)
 
     def compact_partitioned(
         self,
@@ -550,6 +551,26 @@ class MedallionPipeline:
                 shutil.rmtree(dst)
             shutil.move(pdir, dst)
         shutil.rmtree(tmp)
+        self._maybe_refresh_zone_map(path)
+
+    def _maybe_refresh_zone_map(self, path: str) -> None:
+        """Keep a persisted zone-map sidecar consistent with the table
+        it indexes: every compaction rewrites files, and a stale map
+        would make pruned reads open nonexistent paths (or miss new
+        ones). No sidecar → no cost; with one, the refresh drops
+        dead entries and scans ONLY files the rewrite added — the
+        indexed columns come from the map's own schema. The refreshed
+        frame is released immediately (the sidecar write already
+        materialized it)."""
+        from ..caching import release_frame
+        from ..operators.layout import has_zone_map, zone_map_refresh
+
+        if not has_zone_map(path):
+            return
+        pins: list = []
+        zone_map_refresh(self.spark, path, pins=pins)
+        for fr in pins:
+            release_frame(fr)
 
     def _ok(self, table: str, rows: int | None, attempts: int = 1) -> None:
         self.results.append(RunResult(table, rows, attempts=attempts))
