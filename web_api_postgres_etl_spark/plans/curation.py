@@ -53,6 +53,8 @@ class CurationConfig:
     max_top_ngram_frac: float | None = None   # Gopher repetition gates
     max_dup_ngram_frac: float | None = None   # (None = stage skipped)
     repetition_ngram: int = 2
+    gopher_repetition: bool = False     # full 13-rule char-fraction set
+    repetition_thresholds: dict | None = None  # per-rule overrides
     max_ppl: float | None = None        # LM-filter gate (None = skipped)
     ppl_reference: object | None = None  # reference-corpus DataFrame
     ppl_model_counts: object | None = None  # prebuilt (term,count) table
@@ -240,6 +242,17 @@ def prepare_training_data(
                 )
             )
         gated = gated.drop("top_ngram_frac", "dup_ngram_frac")
+
+    # 1b'. optional FULL Gopher repetition gate (all 13 char-fraction
+    # rules of Rae et al. table A1 — line/paragraph dup fractions ride
+    # the scan, the n-gram fractions shuffle (id, gram) counts); the
+    # single-n occurrence-fraction stage above stays as the cheap form
+    if cfg.gopher_repetition:
+        from ..operators.repetition import gopher_repetition_gate
+
+        gated = gopher_repetition_gate(
+            gated, id_col, text_col, thresholds=cfg.repetition_thresholds
+        )
 
     # 1c. optional LM-filter gate (CCNet shape): per-doc unigram
     # perplexity against the reference corpus (or self-scored when no
