@@ -1,0 +1,137 @@
+"""PageRank (operators/graph.py): the pinned integer arithmetic is
+reproduced EXACTLY by a literal Python model, ranks are
+partitioning-invariant (the whole point of integer mass units),
+planted structure is recovered, and the edge-universe semantics hold."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_api_postgres_etl_spark.operators.graph import pagerank
+
+M = 10**12
+
+
+def _model(node_ids, edge_list, damping_pm=850, iterations=10):
+    """Literal Python twin of the pinned arithmetic."""
+    n = len(node_ids)
+    outdeg: dict = {}
+    for s, _ in edge_list:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {v: M // n for v in node_ids}
+    teleport = ((1000 - damping_pm) * M) // (1000 * n)
+    for _ in range(iterations):
+        dangling = sum(r[v] for v in node_ids if v not in outdeg)
+        share = {v: r[v] // outdeg[v] for v in node_ids if v in outdeg}
+        inflow = {v: 0 for v in node_ids}
+        for s, d in edge_list:
+            if s in share and d in inflow:
+                inflow[d] += share[s]
+        r = {
+            v: teleport
+            + (damping_pm * (inflow[v] + dangling // n)) // 1000
+            for v in node_ids
+        }
+    return r
+
+
+GRAPH = [
+    (0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (4, 2), (5, 2),
+    (2, 6), (6, 0), (7, 8),  # 9 is dangling, 8 is dangling
+]
+NODES = list(range(10))
+
+
+def _frames(spark):
+    nodes = spark.createDataFrame([(v,) for v in NODES], "id long")
+    edges = spark.createDataFrame(GRAPH, "src long, dst long")
+    return nodes, edges
+
+
+def test_matches_python_model_exactly(spark):
+    nodes, edges = _frames(spark)
+    got = {
+        r["id"]: r["rank_units"]
+        for r in pagerank(nodes, edges, iterations=10).collect()
+    }
+    want = _model(NODES, GRAPH, 850, 10)
+    assert got == want
+    # node 2 is the planted hub (5 in-links): top rank
+    assert max(got, key=got.get) == 2
+    # convenience double is the single exact division
+    rows = {r["id"]: r["rank"] for r in pagerank(nodes, edges).collect()}
+    assert rows[2] == pytest.approx(got[2] / M, rel=0, abs=0)
+
+
+def test_partitioning_invariance(spark):
+    """Identical rank_units under different shuffle partitionings —
+    the property float PageRank cannot give."""
+    nodes, edges = _frames(spark)
+    a = {
+        r["id"]: r["rank_units"]
+        for r in pagerank(
+            nodes.repartition(7), edges.repartition(3), iterations=8
+        ).collect()
+    }
+    b = {
+        r["id"]: r["rank_units"]
+        for r in pagerank(
+            nodes.coalesce(1), edges.repartition(11), iterations=8
+        ).collect()
+    }
+    assert a == b
+
+
+def test_mass_conservation_and_dangling(spark):
+    nodes, edges = _frames(spark)
+    got = {
+        r["id"]: r["rank_units"]
+        for r in pagerank(nodes, edges, iterations=5).collect()
+    }
+    total = sum(got.values())
+    # floor divisions leak strictly sub-unit mass per node/edge/round:
+    # bounded well under (N + E + 2) * iterations units
+    assert M >= total > M - (len(NODES) + len(GRAPH) + 2) * 5 * 2
+    # a dangling-only graph is pure teleport + redistributed dangling
+    iso_nodes = spark.createDataFrame([(1,), (2,)], "id long")
+    no_edges = spark.createDataFrame([], "src long, dst long")
+    iso = {
+        r["id"]: r["rank_units"]
+        for r in pagerank(iso_nodes, no_edges, iterations=3).collect()
+    }
+    assert iso[1] == iso[2]  # symmetry
+
+
+def test_universe_semantics_and_guards(spark):
+    nodes = spark.createDataFrame([(1,), (2,)], "id long")
+    # edges referencing unknown nodes: src 99 contributes nothing,
+    # dst 99 receives nothing (and adds no row)
+    edges = spark.createDataFrame(
+        [(1, 2), (99, 1), (2, 99)], "src long, dst long"
+    )
+    got = {r["id"]: r["rank_units"] for r in pagerank(nodes, edges).collect()}
+    assert set(got) == {1, 2}
+    want = _model([1, 2], [(1, 2), (99, 1), (2, 99)])
+    # the model drops unknown endpoints the same way (guards in loop)
+    assert got == {k: v for k, v in want.items() if k in (1, 2)}
+
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(nodes, edges, damping=1.5)
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(nodes, edges, iterations=0)
+    empty = spark.createDataFrame([], "id long")
+    with pytest.raises(ValueError, match="empty node table"):
+        pagerank(empty, edges)
+
+
+def test_pins_contract(spark):
+    from web_api_postgres_etl_spark.plans.curation import release_pins
+
+    nodes, edges = _frames(spark)
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    pins: list = []
+    pagerank(nodes, edges, iterations=3, pins=pins).collect()
+    assert pins
+    release_pins(pins)
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= before

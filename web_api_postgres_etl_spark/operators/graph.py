@@ -219,3 +219,116 @@ def dedup_clusters(
         F.col("component").alias("cluster"),
         (F.col("id") == F.col("component")).alias("is_canonical"),
     )
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_id: str = "id",
+    edge_src: str = "src",
+    edge_dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 10,
+    pins: list[DataFrame] | None = None,
+) -> DataFrame:
+    """(id, rank_units, rank) — PageRank by power iteration with a
+    FIXED iteration count and pinned, engine-exact INTEGER arithmetic.
+
+    Floating-point PageRank is reduction-order-dependent (the inflow
+    sum), so two engines — or two partitionings of one engine — drift
+    in the last ulps and can even swap near-tied ranks. Here every
+    rank is an integer number of mass units (total mass = 10^12), and
+    every step is integer multiply / floor-divide / sum:
+
+        share(u)   = rank(u) div outdeg(u)
+        inflow(v)  = Σ_{u→v} share(u)
+        dangling   = Σ_{outdeg(u)=0} rank(u)
+        rank'(v)   = ((1000-d)·M) div (1000·N)
+                   + (d · (inflow(v) + dangling div N)) div 1000
+
+    with M = 10^12 and d = round(damping·1000) (per-mille damping —
+    0.85 is exactly 850/1000). Floor divisions leak sub-unit mass
+    (total rank sums to slightly under M, bounded by N + #edges units
+    per iteration ≈ 10^-6 of the mass at a million nodes) — the
+    deliberate price for bit-reproducibility on any engine and any
+    partitioning; ``rank`` = rank_units / 10^12 is the convenience
+    double (one exact division).
+
+    Semantics pinned: directed edges; parallel edges count multiply
+    (dedupe upstream if unwanted); self-loops are ordinary edges;
+    contributions to a ``dst`` absent from ``nodes`` are DROPPED and
+    edges whose ``src`` is absent contribute nothing (the node table
+    is the universe); node ids must be unique.
+
+    Scale shape: per iteration ONE equi-join of edges onto (id, rank)
+    pairs + one map-side-combining sum on dst + one 1-row dangling
+    aggregate — shuffles carry (id, long) pairs only. The rank frame
+    is localCheckpointed each round with the superseded round released
+    (at most two pinned, the repo's iterative-loop contract); the edge
+    list is persisted once (probed every round).
+    """
+    M = 10**12
+    d_pm = int(round(damping * 1000))
+    if not 0 <= d_pm <= 1000:
+        raise ValueError(f"damping must be in [0, 1], got {damping}")
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        raise ValueError("pagerank: empty node table")
+
+    e = edges.select(
+        qcol(edge_src).alias("src"), qcol(edge_dst).alias("dst")
+    ).persist()
+    outdeg = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("__deg")
+    )
+    ids = nodes.select(qcol(node_id).alias("id"))
+    base_nodes = ids.join(outdeg, on="id", how="left").persist()
+
+    teleport = ((1000 - d_pm) * M) // (1000 * n_nodes)
+    ranks = base_nodes.select(
+        "id", "__deg", F.lit(M // n_nodes).cast("long").alias("__r")
+    ).localCheckpoint(eager=True)
+    prev = ranks
+    for _ in range(iterations):
+        dangling = (
+            ranks.filter(F.col("__deg").isNull())
+            .agg(F.coalesce(F.sum("__r"), F.lit(0)).alias("s"))
+            .first()["s"]
+        )
+        shares = ranks.filter(F.col("__deg").isNotNull()).select(
+            F.col("id").alias("src"),
+            F.expr("__r div __deg").alias("__share"),
+        )
+        inflow = (
+            e.join(shares, on="src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("__share").alias("__in"))
+        )
+        ranks = (
+            base_nodes.join(inflow, on="id", how="left")
+            .select(
+                "id",
+                "__deg",
+                (
+                    F.lit(int(teleport))
+                    + F.expr(
+                        f"({d_pm} * (coalesce(__in, 0) "
+                        f"+ {int(dangling) // n_nodes})) div 1000"
+                    )
+                ).cast("long").alias("__r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        release_frame(prev)
+        prev = ranks
+    e.unpersist()
+    base_nodes.unpersist()
+    if pins is not None:
+        pins.append(ranks)
+    return ranks.select(
+        F.col("id").alias(node_id),
+        F.col("__r").alias("rank_units"),
+        (F.col("__r") / F.lit(float(M))).alias("rank"),
+    )
