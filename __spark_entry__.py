@@ -2372,8 +2372,10 @@ def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     a verified operator in one lazy plan (filters fuse into the scan;
     dedup windows shuffle 16-byte digests, never text). The seven-rule
     Gopher quality struct (functions/text.py:gopher_flags) rides along
-    as ``n_gopher_rules`` so every rule expression is oracle-checked
-    without perturbing the keep decision."""
+    as ``n_gopher_rules``, and the 13-rule repetition-filter verdict
+    (operators/repetition.py, r7) as ``n_repetition_rules`` — every
+    rule expression oracle-checked without perturbing the keep
+    decision."""
     docs = _t(spark, sf, "documents")
     bench = docs.filter(F.col("doc_id") % 10 == 0).select("text")
     train = docs.filter(F.col("doc_id") % 10 != 0)
@@ -2400,13 +2402,106 @@ def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     for r in GOPHER_RULES:
         term = F.col(f"__gf.{r}").cast("int")
         n_rules = term if n_rules is None else (n_rules + term)
+    from web_api_postgres_etl_spark.operators.repetition import (
+        GOPHER_REPETITION_THRESHOLDS,
+        gopher_repetition_flags,
+    )
+
+    rep_flags = gopher_repetition_flags(docs, "doc_id", "text")
+    n_rep = None
+    for k in GOPHER_REPETITION_THRESHOLDS:
+        term = F.col(f"{k}_ok").cast("int")
+        n_rep = term if n_rep is None else (n_rep + term)
+    rep = rep_flags.select("doc_id", n_rep.alias("n_repetition_rules"))
     return final.select(
         "doc_id",
         "lang",
         F.col("quality"),
         F.length("text").alias("n_chars_kept"),
         n_rules.alias("n_gopher_rules"),
+    ).join(rep, on="doc_id", how="inner")
+
+
+def _sql_repetition_cte() -> str:
+    """CTE block computing ``n_repetition_rules`` (how many of the 13
+    Gopher repetition rules pass — operators/repetition.py) per
+    document, generated from the operator's own thresholds dict so the
+    mirror can never drift from the contract. Mirrors the pinned
+    arithmetic term for term: fractions are single divisions of exact
+    integer masses; NULL fractions pass vacuously."""
+    from web_api_postgres_etl_spark.operators.repetition import (
+        GOPHER_REPETITION_THRESHOLDS as TH,
     )
+
+    units = (
+        "list_filter(list_transform(regexp_split_to_array(text, '{sep}'),"
+        " u -> trim(u)), u -> u <> '')"
+    )
+    top_cols = ", ".join(
+        f"max(CASE WHEN n = {n} THEN top_mass END) AS top_{n}"
+        for n in (2, 3, 4)
+    )
+    dup_cols = ", ".join(
+        f"max(CASE WHEN n = {n} THEN dup_mass END) AS dup_{n}"
+        for n in range(5, 11)
+    )
+    frac = {
+        **{f"top_{n}gram_char_frac": f"top_{n} / wc" for n in (2, 3, 4)},
+        **{f"dup_{n}gram_char_frac": f"dup_{n} / wc" for n in range(5, 11)},
+        "dup_line_frac": "dup_line_frac",
+        "dup_line_char_frac": "dup_line_char_frac",
+        "dup_para_frac": "dup_para_frac",
+        "dup_para_char_frac": "dup_para_char_frac",
+    }
+    n_rules = "\n    + ".join(
+        f"CAST(coalesce({frac[k]} <= {v}, true) AS INT)"
+        for k, v in TH.items()
+    )
+    lines_expr = units.format(sep="\\\\n")
+    paras_expr = units.format(sep="\\\\n{2,}")
+    tok_expr = TOK.format(col="text")
+    return f"""
+rep_t AS (
+  SELECT doc_id, {tok_expr} AS toks,
+         {lines_expr} AS lines,
+         {paras_expr} AS paras
+  FROM documents),
+rep_g AS (
+  SELECT doc_id, n,
+         array_to_string(toks[i : i + n - 1], ' ') AS gram,
+         (SELECT coalesce(sum(length(w)), 0)
+          FROM unnest(toks[i : i + n - 1]) AS tw(w)) AS gchars
+  FROM rep_t, unnest([2,3,4,5,6,7,8,9,10]) AS ns(n),
+       unnest(generate_series(1, greatest(len(toks) - n + 1, 0))) AS u(i)
+  WHERE len(toks) >= n),
+rep_gc AS (
+  SELECT doc_id, n, gram, gchars, count(*) AS cnt
+  FROM rep_g GROUP BY ALL),
+rep_pdn AS (
+  SELECT doc_id, n, max(cnt * gchars) AS top_mass,
+         sum(CASE WHEN cnt >= 2 THEN cnt * gchars ELSE 0 END) AS dup_mass
+  FROM rep_gc GROUP BY doc_id, n),
+rep_wide AS (SELECT doc_id, {top_cols}, {dup_cols} FROM rep_pdn GROUP BY doc_id),
+rep_base AS (
+  SELECT doc_id,
+    (len(lines) - len(list_distinct(lines)))
+      / CAST(nullif(len(lines), 0) AS DOUBLE) AS dup_line_frac,
+    ((SELECT coalesce(sum(length(u)), 0) FROM unnest(lines) AS l(u))
+     - (SELECT coalesce(sum(length(u)), 0) FROM unnest(list_distinct(lines)) AS d(u)))
+      / CAST(nullif((SELECT coalesce(sum(length(u)), 0) FROM unnest(lines) AS l2(u)), 0) AS DOUBLE)
+      AS dup_line_char_frac,
+    (len(paras) - len(list_distinct(paras)))
+      / CAST(nullif(len(paras), 0) AS DOUBLE) AS dup_para_frac,
+    ((SELECT coalesce(sum(length(u)), 0) FROM unnest(paras) AS p(u))
+     - (SELECT coalesce(sum(length(u)), 0) FROM unnest(list_distinct(paras)) AS q2(u)))
+      / CAST(nullif((SELECT coalesce(sum(length(u)), 0) FROM unnest(paras) AS p2(u)), 0) AS DOUBLE)
+      AS dup_para_char_frac,
+    CAST(nullif((SELECT coalesce(sum(length(w)), 0) FROM unnest(toks) AS t2(w)), 0) AS DOUBLE) AS wc
+  FROM rep_t),
+rep AS (
+  SELECT rep_base.doc_id,
+    {n_rules} AS n_repetition_rules
+  FROM rep_base LEFT JOIN rep_wide ON rep_base.doc_id = rep_wide.doc_id)"""
 
 
 SQL_CURATION = f"""
@@ -2457,7 +2552,7 @@ gr AS (
     + CAST(coalesce(ell < 0.3, true) AS INT)
     + CAST(coalesce(alpha >= 0.8, false) AS INT)
     + CAST(coalesce(req >= 2, false) AS INT) AS n_gopher_rules
-  FROM gm),
+  FROM gm),{_sql_repetition_cte()},
 s AS (
   SELECT doc_id, text, lang,
     CAST(nullif(len(toks), 0) AS DOUBLE) AS n,
@@ -2488,8 +2583,9 @@ kept AS (SELECT * FROM q WHERE quality >= 0.4 AND lang_pred = 'en'),
 exact AS (
   SELECT * FROM kept
   QUALIFY row_number() OVER (PARTITION BY __md5 ORDER BY doc_id) = 1)
-SELECT doc_id, lang, quality, length(text) AS n_chars_kept, gr.n_gopher_rules
-FROM exact JOIN gr USING (doc_id)
+SELECT doc_id, lang, quality, length(text) AS n_chars_kept,
+       gr.n_gopher_rules, rep.n_repetition_rules
+FROM exact JOIN gr USING (doc_id) JOIN rep USING (doc_id)
 QUALIFY row_number() OVER (PARTITION BY __fp ORDER BY doc_id) = 1
 """
 
