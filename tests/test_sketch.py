@@ -1,0 +1,117 @@
+"""Count-min sketch (operators/sketch.py): exact mergeability, the
+one-sided estimate guarantee, a bit-exact DuckDB mirror of the cell
+table, and heavy-hitter no-false-negatives."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from web_api_postgres_etl_spark.operators.sketch import (
+    cms_build,
+    cms_estimate,
+    cms_heavy_hitters,
+    cms_merge,
+)
+
+
+def _cells(df):
+    return sorted((r["row"], r["bucket"], r["cnt"]) for r in df.collect())
+
+
+def test_merge_equals_one_shot(spark):
+    """sketch(b1 ∪ b2) ≡ sketch(b1) ⊕ sketch(b2), bit-for-bit — the
+    incremental-maintenance property."""
+    full = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    b1 = full.filter(F.col("doc_id") % 2 == 0)
+    b2 = full.filter(F.col("doc_id") % 2 == 1)
+    one = cms_build(full, "lang", depth=3, width=64)
+    merged = cms_merge(
+        cms_build(b1, "lang", depth=3, width=64),
+        cms_build(b2, "lang", depth=3, width=64),
+    )
+    assert _cells(one) == _cells(merged)
+    with pytest.raises(ValueError, match="at least one"):
+        cms_merge()
+
+
+def test_estimate_upper_bound_and_exactness(spark):
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    true = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    sk = cms_build(docs, "lang", depth=4, width=1024)
+    vals = docs.select("lang").distinct()
+    est = {
+        r["value"]: r["est"]
+        for r in cms_estimate(sk, vals, "lang", depth=4, width=1024).collect()
+    }
+    assert set(est) == set(true)
+    for k in true:
+        assert est[k] >= true[k]  # one-sided guarantee
+    # a handful of values in a wide sketch: no collisions -> exact
+    assert est == true
+    # unseen value estimates 0 (or a collision's count; wide -> 0 here)
+    ghost = spark.createDataFrame([("klingon",)], "lang string")
+    g = cms_estimate(sk, ghost, "lang", depth=4, width=1024).first()
+    assert g["est"] == 0
+
+
+def test_cells_match_duckdb_mirror(spark, oracle):
+    got = _cells(cms_build(
+        spark.read.parquet(f"{SF_ORACLE}/documents.parquet"),
+        "lang", depth=3, width=64,
+    ))
+    want = sorted(
+        tuple(r)
+        for r in oracle.execute("""
+            WITH ev AS (
+              SELECT CAST(lang AS VARCHAR) AS v FROM documents
+              WHERE lang IS NOT NULL),
+            cells AS (
+              SELECT j.j AS row,
+                     CAST(CAST(('0x' || substr(md5('cms' || j.j || '|' || v), 1, 13))
+                          AS BIGINT) % 64 AS INT) AS bucket
+              FROM ev, (SELECT unnest([0, 1, 2]) AS j) j)
+            SELECT row, bucket, count(*) AS cnt
+            FROM cells GROUP BY row, bucket
+        """).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_heavy_hitters_no_false_negatives(spark):
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    true = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    floor = sorted(true.values())[len(true) // 2]  # median count
+    heavy_true = {k for k, n in true.items() if n >= floor}
+    # narrow sketch FORCES collisions: survivors must still cover
+    # every truly-heavy value (one-sided estimates never understate)
+    got = {
+        r["value"]
+        for r in cms_heavy_hitters(
+            docs, "source", docs.select("source").distinct(),
+            min_count=floor, depth=2, width=8,
+        ).collect()
+    }
+    assert heavy_true <= got
+
+
+def test_parameter_guards(spark):
+    df = spark.createDataFrame([("x",)], "v string")
+    with pytest.raises(ValueError, match="depth"):
+        cms_build(df, "v", depth=0)
+    with pytest.raises(ValueError, match="width"):
+        cms_build(df, "v", width=1)
+    # NULLs are not events
+    withnull = spark.createDataFrame([("x",), (None,)], "v string")
+    total = (
+        cms_build(withnull, "v", depth=1, width=8)
+        .agg(F.sum("cnt")).first()[0]
+    )
+    assert total == 1

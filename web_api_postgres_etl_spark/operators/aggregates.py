@@ -734,3 +734,116 @@ def topk_per_group(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ------------------------------------------------------- histograms
+def histogram_equi_width(
+    df: DataFrame,
+    value_col: str,
+    bins: int,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """(bin, bin_lo, bin_hi, n) — equi-WIDTH histogram of
+    ``value_col``: ``bins`` equal intervals over [lo, hi] (defaulting
+    to the column's min/max via one aggregate), values exactly at
+    ``hi`` counted in the last bin, values outside a caller-given
+    range clamped into the edge bins (a histogram reports shape, it
+    must not silently drop mass). Empty bins are EMITTED with n = 0 —
+    a histogram with holes reads as data where it is absence of data.
+    NULLs are excluded per SQL COUNT semantics.
+
+    Bin assignment is ``floor((v - lo) * bins / span)`` evaluated in
+    exactly that order — IEEE-deterministic, so any engine reproduces
+    every count. Scale shape: one optional min/max aggregate + one
+    map-side-combining groupBy on the bin index (≤ ``bins`` rows out);
+    the bin grid is a driver-side sequence of ``bins`` rows joined
+    back — metadata, not data."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    v = qcol(value_col).cast("double")
+    spark = df.sparkSession
+    if lo is None or hi is None:
+        b = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).first()
+        lo = float(b["lo"]) if lo is None else float(lo)
+        hi = float(b["hi"]) if hi is None else float(hi)
+    lo, hi = float(lo), float(hi)
+    if not lo <= hi:
+        raise ValueError(f"need lo <= hi, got [{lo}, {hi}]")
+    span = hi - lo
+    if span == 0.0:
+        # degenerate range: every in-range value lands in bin 0
+        idx = F.lit(0)
+    else:
+        raw = F.floor((v - F.lit(lo)) * F.lit(float(bins)) / F.lit(span))
+        idx = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("int")
+    counts = (
+        df.filter(v.isNotNull())
+        .groupBy(idx.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = spark.range(bins).select(
+        F.col("id").cast("int").alias("bin"),
+        (F.lit(lo) + F.col("id") * F.lit(span) / F.lit(float(bins))).alias("bin_lo"),
+        (F.lit(lo) + (F.col("id") + 1) * F.lit(span) / F.lit(float(bins))).alias("bin_hi"),
+    )
+    return grid.join(counts, on="bin", how="left").select(
+        "bin", "bin_lo", "bin_hi", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+
+
+def histogram_equi_depth(
+    df: DataFrame,
+    value_col: str,
+    bins: int,
+) -> DataFrame:
+    """(bin, bin_lo, bin_hi, n) — equi-DEPTH histogram: bin boundaries
+    are the exact ``i/bins`` percentiles (PERCENTILE_CONT
+    interpolation, cross-engine bit-exact), so bins hold ~equal row
+    counts on continuous data; heavy ties make counts uneven by
+    necessity (a tie cannot straddle a boundary — rows go to the
+    FIRST bin whose upper boundary is >= the value, upper-inclusive).
+
+    Two passes, no global sort: one percentile aggregate (the
+    boundaries — ``bins - 1`` values of driver-side metadata) + one
+    map-side-combining groupBy on the bin index computed against the
+    broadcast boundary literals."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    v = qcol(value_col).cast("double")
+    probs = [i / bins for i in range(1, bins)]
+    agg = [F.min(v).alias("__lo"), F.max(v).alias("__hi")] + [
+        F.percentile(v, F.lit(p)).alias(f"__q{i}")
+        for i, p in enumerate(probs)
+    ]
+    row = df.agg(*agg).first()
+    if row["__lo"] is None:
+        # no non-NULL values: bins exist, all empty and unbounded
+        spark = df.sparkSession
+        return spark.range(bins).select(
+            F.col("id").cast("int").alias("bin"),
+            F.lit(None).cast("double").alias("bin_lo"),
+            F.lit(None).cast("double").alias("bin_hi"),
+            F.lit(0).cast("long").alias("n"),
+        )
+    qs = [float(row[f"__q{i}"]) for i in range(len(probs))]
+    edges = [float(row["__lo"])] + qs + [float(row["__hi"])]
+    # bin = number of strict upper boundaries the value exceeds
+    idx = None
+    for q in qs:
+        term = (v > F.lit(q)).cast("int")
+        idx = term if idx is None else (idx + term)
+    idx = (idx if idx is not None else F.lit(0)).cast("int")
+    counts = (
+        df.filter(v.isNotNull())
+        .groupBy(idx.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark = df.sparkSession
+    grid = spark.createDataFrame(
+        [(i, edges[i], edges[i + 1]) for i in range(bins)],
+        "bin int, bin_lo double, bin_hi double",
+    )
+    return grid.join(counts, on="bin", how="left").select(
+        "bin", "bin_lo", "bin_hi", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
