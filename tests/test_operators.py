@@ -779,3 +779,83 @@ def test_sample_exact_tolerates_rank_column(spark):
     out = sample_exact(df, 1, "doc_id", by="lang")
     assert out.count() == 2  # one per group, rank column intact
     assert "rank" in out.columns
+
+
+# -------------------------------------------------------- top paths
+def test_top_paths_planted_and_mirror(spark, oracle):
+    """Planted journeys recover; truncation and ties are pinned; the
+    full computation matches a DuckDB mirror on the events table."""
+    import datetime as dt
+
+    from web_api_postgres_etl_spark.operators.aggregates import top_paths
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda k: t0 + dt.timedelta(seconds=k)
+    rows = [
+        # u1: two sessions (gap 100s > 60s): [a,b] then [a,b]
+        (1, s(0), "a"), (1, s(10), "b"),
+        (1, s(200), "a"), (1, s(210), "b"),
+        # u2: one session [a,b]
+        (2, s(0), "a"), (2, s(5), "b"),
+        # u3: equal-ts batch -> step-value tiebreak pins [x, y]
+        (3, s(0), "y"), (3, s(0), "x"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, e string")
+    got = [
+        (tuple(r["path"]), r["n_sessions"])
+        for r in top_paths(df, "user_id", "ts", "e", gap_seconds=60, k=5).collect()
+    ]
+    assert got == [(("a", "b"), 3), (("x", "y"), 1)]
+
+    # truncation folds long sessions and reports the untruncated length
+    longrows = [(9, s(i), "z") for i in range(5)]
+    df2 = spark.createDataFrame(longrows, "user_id long, ts timestamp, e string")
+    r = top_paths(df2, "user_id", "ts", "e", gap_seconds=60, max_steps=3).first()
+    assert tuple(r["path"]) == ("z", "z", "z") and r["max_session_events"] == 5
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="k must"):
+        top_paths(df, "user_id", "ts", "e", 60, k=0)
+    with _pt.raises(ValueError, match="max_steps"):
+        top_paths(df, "user_id", "ts", "e", 60, max_steps=0)
+
+    # events-table mirror: 30-minute sessions, first 5 steps, top 10
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    got2 = [
+        (tuple(r["path"]), r["n_sessions"], r["max_session_events"])
+        for r in top_paths(
+            events, "user_id", "ts", "event_type",
+            gap_seconds=1800, k=10, max_steps=5,
+        ).collect()
+    ]
+    want = [
+        (tuple(p), n, m)
+        for p, n, m in oracle.execute("""
+            WITH ev AS (
+              SELECT user_id, epoch_us(ts) AS t, event_type,
+                     lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY epoch_us(ts)) AS p
+              FROM events WHERE ts IS NOT NULL),
+            lab AS (
+              SELECT user_id, t, event_type,
+                CAST(sum(CASE WHEN t - p >= 1800000000
+                         THEN 1 ELSE 0 END) OVER
+                  (PARTITION BY user_id ORDER BY t
+                   ROWS UNBOUNDED PRECEDING) AS INT) AS s
+              FROM ev),
+            per AS (
+              SELECT user_id, s,
+                     list_transform(
+                       list_sort(list(ROW(t, event_type))),
+                       x -> x[2])[1:5] AS path,
+                     count(*) AS len
+              FROM lab GROUP BY user_id, s)
+            SELECT path, count(*) AS n_sessions,
+                   max(len) AS max_session_events
+            FROM per GROUP BY path
+            ORDER BY n_sessions DESC, path ASC LIMIT 10
+        """).fetchall()
+    ]
+    assert got2 == want and len(got2) == 10

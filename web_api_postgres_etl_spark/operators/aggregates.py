@@ -847,3 +847,67 @@ def histogram_equi_depth(
     return grid.join(counts, on="bin", how="left").select(
         "bin", "bin_lo", "bin_hi", F.coalesce(F.col("n"), F.lit(0)).alias("n")
     )
+
+
+# ------------------------------------------------------ path analysis
+def top_paths(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    step_col: str,
+    gap_seconds: int,
+    k: int = 20,
+    max_steps: int = 10,
+) -> DataFrame:
+    """(path, n_sessions) — the ``k`` most common ordered event-type
+    sequences across sessions: the "what do users actually do" journey
+    report that complements :func:`funnel` (funnel checks ONE
+    hypothesized order; this surfaces the orders that exist).
+
+    Semantics pinned: sessions come from :func:`sessionize`
+    (``gap_seconds`` inactivity split, NULL timestamps dropped);
+    within a session events order by (time, step value) — the step
+    tiebreak makes equal-timestamp batches deterministic in any
+    engine; ``path`` is the FIRST ``max_steps`` steps as an array
+    (longer sessions truncate — ``max_session_events`` carries the
+    longest untruncated length per path so truncation is visible, and
+    sessions differing only beyond the horizon fold together BY
+    DESIGN). Ties in the top-k resolve by path value ascending.
+
+    Scale shape: one (user, ts) shuffle for the session labels, one
+    groupBy (user, session) whose per-group state is capped by
+    ``max_steps`` after the sort (the collect_list is session-bounded
+    — inactivity-gapped sessions are short by construction; cap
+    ``max_steps``, not the corpus), one map-side-combining path count,
+    and a TakeOrderedAndProject for the top k. Event payloads never
+    travel — only (user, ts, step)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_steps < 1:
+        raise ValueError(f"max_steps must be >= 1, got {max_steps}")
+    labeled = sessionize(df, user_col, ts_col, gap_seconds).select(
+        qcol(user_col).alias("__u"),
+        F.col("session_idx").alias("__s"),
+        F.unix_micros(qcol(ts_col)).alias("__t"),
+        qcol(step_col).cast("string").alias("__e"),
+    )
+    per_session = labeled.groupBy("__u", "__s").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("__t"), F.col("__e")))
+        ).alias("__evs")
+    )
+    paths = per_session.select(
+        F.transform(
+            F.slice(F.col("__evs"), 1, max_steps), lambda s: s["__e"]
+        ).alias("path"),
+        F.size("__evs").alias("__len"),
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("__len").alias("max_session_events"),
+        )
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(k)
+    )
