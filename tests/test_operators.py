@@ -859,3 +859,64 @@ def test_top_paths_planted_and_mirror(spark, oracle):
         """).fetchall()
     ]
     assert got2 == want and len(got2) == 10
+
+
+# ------------------------------------------------------ MAD outliers
+def test_mad_outliers_planted_and_mirror(spark, oracle):
+    from web_api_postgres_etl_spark.operators.aggregates import mad_outliers
+
+    rows = (
+        [(1, float(i)) for i in range(1, 12)]     # k=1: 1..11, tight
+        + [(1, 1000.0)]                           # planted spike
+        + [(2, 5.0)] * 6                          # k=2: degenerate (MAD 0)
+        + [(2, None)]                             # NULL rides along
+    )
+    df = spark.createDataFrame(rows, "k long, v double")
+    out = mad_outliers(df, "v", by=["k"]).collect()
+    assert len(out) == len(rows)                  # labeling is TOTAL
+    spikes = [r for r in out if r["is_outlier"]]
+    assert [(r["k"], r["v"]) for r in spikes] == [(1, 1000.0)]
+    by_kv = {(r["k"], r["v"]): r for r in out}
+    assert by_kv[(2, 5.0)]["robust_z"] is None    # MAD 0 -> NULL z
+    assert by_kv[(2, None)]["is_outlier"] is False
+
+    # mirror on events.value per user: identical z to DuckDB (exact
+    # medians, one fixed-order float expression)
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    got = sorted(
+        (r["event_id"], repr(r["robust_z"]), r["is_outlier"])
+        for r in mad_outliers(events, "value", by=["user_id"]).collect()
+    )
+    want = sorted(
+        (e, repr(z), o)
+        for e, z, o in oracle.execute("""
+            WITH med AS (
+              SELECT user_id,
+                     quantile_cont(CAST(value AS DOUBLE), 0.5) AS m
+              FROM events GROUP BY user_id),
+            dev AS (
+              SELECT e.event_id, e.user_id,
+                     CAST(e.value AS DOUBLE) AS v, med.m
+              FROM events e LEFT JOIN med USING (user_id)),
+            mad AS (
+              SELECT user_id, quantile_cont(abs(v - m), 0.5) AS d
+              FROM dev GROUP BY user_id)
+            SELECT dev.event_id,
+                   CASE WHEN mad.d > 0
+                        THEN 0.6745 * (dev.v - dev.m) / mad.d END AS z,
+                   coalesce(abs(CASE WHEN mad.d > 0
+                        THEN 0.6745 * (dev.v - dev.m) / mad.d END) > 3.5,
+                        false) AS o
+            FROM dev LEFT JOIN mad USING (user_id)
+        """).fetchall()
+    )
+    assert got == want and len(got) == 10000
+
+    import pytest as _pt
+    bad = spark.createDataFrame([(1, 0.5)], "k long, robust_z double")
+    with _pt.raises(ValueError, match="collide"):
+        mad_outliers(bad, "k")
+    with _pt.raises(ValueError, match="group columns"):
+        mad_outliers(df, "v", by=["nope"])

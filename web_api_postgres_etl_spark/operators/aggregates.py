@@ -911,3 +911,74 @@ def top_paths(
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(k)
     )
+
+
+# -------------------------------------------------- outlier detection
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust outlier labeling — appends ``robust_z`` (the
+    Iglewicz-Hoaglin modified z-score, 0.6745·(v − median)/MAD, where
+    MAD = median(|v − median|)) and ``is_outlier`` (|robust_z| >
+    ``threshold``; 3.5 is the standard cut). Median/MAD, not
+    mean/stddev: one pathological feed value moves a mean-based
+    z-score's own baseline, so the outlier hides its own detection —
+    the exact failure a data-quality gate exists to catch.
+
+    Pinned semantics: medians are exact PERCENTILE_CONT (cross-engine
+    bit-equal); a degenerate group (MAD = 0 — over half the values
+    identical) yields NULL ``robust_z`` and ``is_outlier`` = false
+    (no spread to measure against — gate such groups on distinctness,
+    not deviation); NULL values keep their row with NULL z (labeling
+    is TOTAL, never a silent row drop).
+
+    Scale shape: two exact-percentile aggregates per group (median,
+    then MAD over the deviations) + two broadcast-friendly join-backs
+    on the group keys — no window over the data, no global sort. At
+    corpus scale swap the medians for ``percentile_approx`` upstream;
+    this is the exact form for bounded/aggregated frames (same split
+    as ``exact_percentiles`` vs ``corpus_stats``)."""
+    out_cols = {"robust_z", "is_outlier"}
+    internal = {"__med", "__mad", "__absdev"}
+    clash = (out_cols | internal) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"mad_outliers: input columns {sorted(clash)} collide with "
+            "output/internal columns — rename them first"
+        )
+    keys = list(by or [])
+    missing = [k for k in keys if k not in df.columns]
+    if missing:
+        raise ValueError(
+            f"mad_outliers: group columns {missing} not in {df.columns} "
+            "(plain top-level column names only)"
+        )
+    v = qcol(value_col).cast("double")
+
+    def _agg(frame: DataFrame, col, name: str) -> DataFrame:
+        if keys:
+            return frame.groupBy(*keys).agg(
+                F.percentile(col, F.lit(0.5)).alias(name)
+            )
+        return frame.agg(F.percentile(col, F.lit(0.5)).alias(name))
+
+    def _join(frame: DataFrame, agg: DataFrame) -> DataFrame:
+        if keys:
+            return frame.join(F.broadcast(agg), on=keys, how="left")
+        return frame.join(F.broadcast(agg))
+
+    med = _agg(df, v, "__med")
+    absdev = _join(df, med).withColumn("__absdev", F.abs(v - F.col("__med")))
+    mad = _agg(absdev, F.col("__absdev"), "__mad")
+    with_mad = _join(absdev, mad)
+    z = F.when(
+        F.col("__mad") > 0,
+        F.lit(0.6745) * (v - F.col("__med")) / F.col("__mad"),
+    )
+    return with_mad.withColumn("robust_z", z).withColumn(
+        "is_outlier",
+        F.coalesce(F.abs(F.col("robust_z")) > F.lit(float(threshold)), F.lit(False)),
+    ).drop("__med", "__mad", "__absdev")
