@@ -2407,7 +2407,14 @@ def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         gopher_repetition_flags,
     )
 
-    rep_flags = gopher_repetition_flags(docs, "doc_id", "text")
+    # restrict the 9-way n-gram explode (the stage's heavy half) to the
+    # train split — a scan-pushdown filter, NOT a semi-join on the
+    # survivor set (that would duplicate the whole curation subtree as
+    # a build side; Catalyst does no cross-branch reuse). Per-doc
+    # values are unchanged, so the mirror applies the same WHERE.
+    rep_flags = gopher_repetition_flags(
+        docs.filter(F.col("doc_id") % 10 != 0), "doc_id", "text"
+    )
     n_rep = None
     for k in GOPHER_REPETITION_THRESHOLDS:
         term = F.col(f"{k}_ok").cast("int")
@@ -2422,7 +2429,7 @@ def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     ).join(rep, on="doc_id", how="inner")
 
 
-def _sql_repetition_cte() -> str:
+def _sql_repetition_cte(where: str = "") -> str:
     """CTE block computing ``n_repetition_rules`` (how many of the 13
     Gopher repetition rules pass — operators/repetition.py) per
     document, generated from the operator's own thresholds dict so the
@@ -2457,15 +2464,18 @@ def _sql_repetition_cte() -> str:
         f"CAST(coalesce({frac[k]} <= {v}, true) AS INT)"
         for k, v in TH.items()
     )
-    lines_expr = units.format(sep="\\\\n")
-    paras_expr = units.format(sep="\\\\n{2,}")
+    # single-escape: the SQL text must carry '\n' (backslash + n) for
+    # the DuckDB REGEX engine to see a newline — '\\n' in the SQL text
+    # matches a literal backslash and the line/para rules go dead
+    lines_expr = units.format(sep="\\n")
+    paras_expr = units.format(sep="\\n{2,}")
     tok_expr = TOK.format(col="text")
     return f"""
 rep_t AS (
   SELECT doc_id, {tok_expr} AS toks,
          {lines_expr} AS lines,
          {paras_expr} AS paras
-  FROM documents),
+  FROM documents {where}),
 rep_g AS (
   SELECT doc_id, n,
          array_to_string(toks[i : i + n - 1], ' ') AS gram,
@@ -2552,7 +2562,7 @@ gr AS (
     + CAST(coalesce(ell < 0.3, true) AS INT)
     + CAST(coalesce(alpha >= 0.8, false) AS INT)
     + CAST(coalesce(req >= 2, false) AS INT) AS n_gopher_rules
-  FROM gm),{_sql_repetition_cte()},
+  FROM gm),{_sql_repetition_cte(where="WHERE doc_id % 10 <> 0")},
 s AS (
   SELECT doc_id, text, lang,
     CAST(nullif(len(toks), 0) AS DOUBLE) AS n,
@@ -2657,17 +2667,24 @@ def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
 
     events = _t(spark, sf, "events")
     steps = ["view", "click", "signup", "purchase"]
+    # cache_stages=False: a contract entry must return a LAZY plan and
+    # leak nothing — the operator's stage persists have no release
+    # path once the entry returns, and the external driver invokes
+    # this repeatedly in one session (getPersistentRDDs would grow by
+    # 12 per run). The price is per-branch stage recompute — trivial
+    # over the sf-scale events scan; long-lived production callers use
+    # pins=[] + release instead.
     open_counts = funnel(
-        events, "user_id", "ts", "event_type", steps
+        events, "user_id", "ts", "event_type", steps, cache_stages=False
     ).select(F.lit("open").alias("facet"), "step_idx", "step", "n_users")
     win_counts = funnel(
         events, "user_id", "ts", "event_type", steps,
-        within_seconds=48 * 3600,
+        within_seconds=48 * 3600, cache_stages=False,
     ).select(F.lit("win48h").alias("facet"), "step_idx", "step", "n_users")
     depth = (
         funnel_users(
             events, "user_id", "ts", "event_type", steps,
-            within_seconds=48 * 3600,
+            within_seconds=48 * 3600, cache_stages=False,
         )
         .groupBy("max_step_idx", "max_step")
         .agg(F.count(F.lit(1)).alias("n_users"))
@@ -2784,9 +2801,14 @@ def q_resample_rolling(spark: SparkSession, sf: str) -> DataFrame:
         "user_id", F.col("ts").cast("timestamp").alias("ts"),
         "value", "event_id",
     )
+    # cache_observations=False: same leak-freedom rule as q_funnel —
+    # the entry returns a lazy plan, so the operator's internal
+    # persist could never be released; the observation dedup is
+    # recomputed once more (bounds + fill union), trivial at sf scale
     res = resample_ffill(
         events, "user_id", "ts", "value",
         step_seconds=12 * 3600, tiebreaker="event_id",
+        cache_observations=False,
     )
     rolled = rolling_agg(
         res, "user_id", "grid_ts", "value", window_seconds=48 * 3600

@@ -525,12 +525,12 @@ def test_cli_zonemap_subcommand(spark, tmp_path, capsys):
     spark.range(100).selectExpr("id AS v").coalesce(2).write.parquet(path)
     assert main(["zonemap", "--table", path, "--cols", "v"], spark=spark) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert out["files_indexed"] == 2
+    assert out["files_in_map"] == 2
     # refresh without --cols: reads the column list from the sidecar
     spark.range(100, 150).selectExpr("id AS v").coalesce(1).write.mode(
         "append"
     ).parquet(path)
     assert main(["zonemap", "--table", path], spark=spark) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert out["files_indexed"] == 3
+    assert out["files_in_map"] == 3
     assert read_zone_map(spark, path).count() == 3

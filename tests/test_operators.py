@@ -870,12 +870,17 @@ def test_mad_outliers_planted_and_mirror(spark, oracle):
         + [(1, 1000.0)]                           # planted spike
         + [(2, 5.0)] * 6                          # k=2: degenerate (MAD 0)
         + [(2, None)]                             # NULL rides along
+        + [(None, float(i)) for i in range(1, 12)]  # NULL group key
+        + [(None, -900.0)]                        # spike in NULL group
     )
     df = spark.createDataFrame(rows, "k long, v double")
     out = mad_outliers(df, "v", by=["k"]).collect()
     assert len(out) == len(rows)                  # labeling is TOTAL
     spikes = [r for r in out if r["is_outlier"]]
-    assert [(r["k"], r["v"]) for r in spikes] == [(1, 1000.0)]
+    # the NULL group is a group like any other: its spike is labeled
+    assert sorted(
+        ((r["k"], r["v"]) for r in spikes), key=repr
+    ) == [(1, 1000.0), (None, -900.0)]
     by_kv = {(r["k"], r["v"]): r for r in out}
     assert by_kv[(2, 5.0)]["robust_z"] is None    # MAD 0 -> NULL z
     assert by_kv[(2, None)]["is_outlier"] is False

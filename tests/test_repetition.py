@@ -157,8 +157,10 @@ pdn AS (
         [f"top_{n} / wc AS top_{n}gram_char_frac" for n in (2, 3, 4)]
         + [f"dup_{n} / wc AS dup_{n}gram_char_frac" for n in range(5, 11)]
     )
-    lines_expr = units("\\\\n")
-    paras_expr = units("\\\\n{2,}")
+    # single-escape: SQL text '\n' = regex newline; '\\n' would match
+    # a literal backslash and silently kill the line/para rules
+    lines_expr = units("\\n")
+    paras_expr = units("\\n{2,}")
     sql = f"""
 WITH t AS (
   SELECT doc_id, {tok} AS toks,
@@ -199,6 +201,49 @@ FROM base LEFT JOIN wide ON base.doc_id = wide.doc_id
     mismatch = [k for k in got if got[k] != want[k]]
     assert not mismatch, (mismatch[:3], got[mismatch[0]] if mismatch else None,
                           want[mismatch[0]] if mismatch else None)
+
+
+def test_contract_cte_handles_multiline_docs(spark, tmp_path):
+    """Review regression: the sf corpora contain no newlines, so the
+    contract mirror's line/paragraph rules could go dead (a
+    double-escaped '\\\\n' matches a literal backslash) without any
+    parity test noticing. Pin the generated CTE against the operator
+    on PLANTED multi-line documents."""
+    import duckdb
+
+    import __spark_entry__ as em
+
+    rows = [
+        (1, "dup\ndup\none\nfour"),
+        (2, "para one\n\npara one"),
+        (3, "spam line\nspam line\nspam line\nspam line"),
+        (4, "all different\nlines here\nno repeats at all"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pq = str(tmp_path / "docs.parquet")
+    df.coalesce(1).write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{pq}/*.parquet'")
+    want = dict(con.execute(
+        "WITH " + em._sql_repetition_cte().strip().lstrip(",")
+        + " SELECT doc_id, n_repetition_rules FROM rep"
+    ).fetchall())
+    flags = gopher_repetition_flags(df, "doc_id", "text")
+    n = None
+    for k in GOPHER_REPETITION_THRESHOLDS:
+        t = F.col(f"{k}_ok").cast("int")
+        n = t if n is None else (n + t)
+    got = {
+        r["doc_id"]: r["n"]
+        for r in flags.select("doc_id", n.alias("n")).collect()
+    }
+    assert got == want
+    # the line/para rules actually FIRE on the planted dups (dup_line
+    # 3/4 > 0.30 and dup_para 1/2 > 0.30): mirrors with dead rules
+    # would report all-13 passes here
+    assert want[3] < 13 and want[2] < 13
+    con.close()
 
 
 def test_curation_stage_composes(spark):

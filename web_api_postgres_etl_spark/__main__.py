@@ -156,12 +156,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             )
             pins: list = []
             zmap = zone_map_refresh(spark, args.table, cols=cols, pins=pins)
+            # files_in_map = the map's TOTAL row count, not work done
+            # by this run (a no-op refresh re-indexes nothing)
             n_files = zmap.count()
             for fr in pins:
                 release_frame(fr)
             print(json.dumps({
                 "table": args.table, "sidecar": zone_map_path(args.table),
-                "files_indexed": n_files,
+                "files_in_map": n_files,
             }))
             return 0
 

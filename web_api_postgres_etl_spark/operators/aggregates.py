@@ -765,6 +765,16 @@ def histogram_equi_width(
     spark = df.sparkSession
     if lo is None or hi is None:
         b = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).first()
+        if b["lo"] is None and (lo is None or hi is None):
+            # no non-NULL values to derive a range from: bins exist,
+            # all empty and unbounded — same totality contract as
+            # histogram_equi_depth
+            return spark.range(bins).select(
+                F.col("id").cast("int").alias("bin"),
+                F.lit(None).cast("double").alias("bin_lo"),
+                F.lit(None).cast("double").alias("bin_hi"),
+                F.lit(0).cast("long").alias("n"),
+            )
         lo = float(b["lo"]) if lo is None else float(lo)
         hi = float(b["hi"]) if hi is None else float(hi)
     lo, hi = float(lo), float(hi)
@@ -933,7 +943,9 @@ def mad_outliers(
     identical) yields NULL ``robust_z`` and ``is_outlier`` = false
     (no spread to measure against — gate such groups on distinctness,
     not deviation); NULL values keep their row with NULL z (labeling
-    is TOTAL, never a silent row drop).
+    is TOTAL, never a silent row drop); NULL GROUP KEYS form a group
+    like any other — the join-back is null-safe, so their outliers are
+    labeled too.
 
     Scale shape: two exact-percentile aggregates per group (median,
     then MAD over the deviations) + two broadcast-friendly join-backs
@@ -942,7 +954,9 @@ def mad_outliers(
     this is the exact form for bounded/aggregated frames (same split
     as ``exact_percentiles`` vs ``corpus_stats``)."""
     out_cols = {"robust_z", "is_outlier"}
-    internal = {"__med", "__mad", "__absdev"}
+    internal = {"__med", "__mad", "__absdev"} | {
+        f"__g_{k}" for k in (by or [])
+    }
     clash = (out_cols | internal) & set(df.columns)
     if clash:
         raise ValueError(
@@ -966,8 +980,21 @@ def mad_outliers(
         return frame.agg(F.percentile(col, F.lit(0.5)).alias(name))
 
     def _join(frame: DataFrame, agg: DataFrame) -> DataFrame:
+        # NULL-SAFE key equality: a NULL group is a group like any
+        # other (groupBy aggregates it), and a plain equi-join would
+        # silently leave its rows unlabeled (NULL never equals NULL)
         if keys:
-            return frame.join(F.broadcast(agg), on=keys, how="left")
+            agg2 = agg.select(
+                *[F.col(k).alias(f"__g_{k}") for k in keys],
+                *[c for c in agg.columns if c not in keys],
+            )
+            cond = None
+            for k in keys:
+                c = frame[k].eqNullSafe(agg2[f"__g_{k}"])
+                cond = c if cond is None else (cond & c)
+            return frame.join(F.broadcast(agg2), cond, "left").drop(
+                *[f"__g_{k}" for k in keys]
+            )
         return frame.join(F.broadcast(agg))
 
     med = _agg(df, v, "__med")
