@@ -807,6 +807,34 @@ WHERE round({_cos_sql("a.embedding", "b.embedding")}, 6) >= 0.4
 """
 
 
+def q_fuzzy_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy edit-distance dedup pairs (operators/entity.py, r7 swap-in
+    for lsh_cosine_pairs — the RHP cosine banding stays driver-visible
+    via lsh_nn_join): every customer-name pair within 1 edit, from
+    SymSpell deletion-neighborhood candidates (lossless for lev ≤ k —
+    the completeness claim the oracle's ALL-PAIRS levenshtein checks
+    head-on) + candidates-only exact verify. The shuffle carries
+    (digest, id) pairs, never a cross product; the oracle pays the
+    quadratic form the operator exists to avoid."""
+    from web_api_postgres_etl_spark.operators.entity import fuzzy_dup_pairs
+
+    cust = _t(spark, sf, "customer")
+    pairs = fuzzy_dup_pairs(cust, "c_custkey", "c_name", max_distance=1)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("distance").cast("long").alias("distance"),
+    )
+
+
+SQL_FUZZY_DUP_PAIRS = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS distance
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
 def q_lsh_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """LSH-bucketed cosine near-dup pairs (operators.similarity.
     lsh_cosine_pairs — the 100 TB form of the exact all-pairs scan):
@@ -3582,7 +3610,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and whose scale path, lsh_nn_join, stays driver-visible;
         # retired parity in tests/test_oracle_parity.py)
         "bigram_ppl_gate": q_bigram_ppl_gate,
-        "lsh_cosine_pairs": q_lsh_cosine_pairs,
+        # r7: lsh_cosine_pairs swapped out for fuzzy_dup_pairs — the
+        # RHP sign-bit banding stays driver-visible via lsh_nn_join and
+        # the cosine fold via ann_cosine_topk; retired parity in
+        # tests/test_oracle_parity.py
+        "fuzzy_dup_pairs": q_fuzzy_dup_pairs,
         # winnowing fingerprint dup pairs (slot swapped from
         # multimodal_frame_sample, whose full parity stays pinned in
         # tests/test_oracle_parity.py; multimodal keeps two driver
@@ -3662,7 +3694,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": SQL_TEXT_STATS,
         "bm25_topk": SQL_BM25,
         "bigram_ppl_gate": SQL_BIGRAM_PPL_GATE,
-        "lsh_cosine_pairs": SQL_LSH_COSINE_PAIRS,
+        "fuzzy_dup_pairs": SQL_FUZZY_DUP_PAIRS,
         "winnow_dup_pairs": SQL_WINNOW,
         "collocations": SQL_COLLOCATIONS,
         "multimodal_features": SQL_MM_FEATURES,

@@ -110,6 +110,10 @@ RETIRED = [
     # r7: 2-way equi-join → resample_rolling (a strict sub-plan of the
     # still-green flagship_star_join)
     ("j2_two_way_join", "SQL_J2"),
+    # r7: RHP cosine banding → fuzzy_dup_pairs (the sign-bit banding
+    # stays driver-visible via lsh_nn_join, the cosine fold via
+    # ann_cosine_topk; this pins the axis-signature pair set)
+    ("lsh_cosine_pairs", "SQL_LSH_COSINE_PAIRS"),
 ]
 
 
