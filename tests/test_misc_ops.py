@@ -1,0 +1,150 @@
+"""Round-7 utility operators: k-fold assignment (md5 arithmetic,
+DuckDB-mirrored), n-gram novelty scoring (ground truth + reference
+semantics), and event debouncing (burst-chaining semantics)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from web_api_postgres_etl_spark.operators.aggregates import debounce_events
+from web_api_postgres_etl_spark.operators.dedup import novelty_score
+from web_api_postgres_etl_spark.operators.sampling import assign_folds
+
+
+# ------------------------------------------------------ assign_folds
+def test_assign_folds_mirror_and_properties(spark, oracle):
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    got = {
+        r["doc_id"]: r["fold"]
+        for r in assign_folds(docs, "doc_id", k=5).collect()
+    }
+    want = dict(oracle.execute("""
+        SELECT doc_id,
+               CAST(CAST(('0x' || substr(md5('fold' || '#' ||
+                    CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) % 5 AS INT)
+        FROM documents
+    """).fetchall())
+    assert got == want
+    # ~balanced, all folds occupied, stable under re-run/repartition
+    sizes = [list(got.values()).count(i) for i in range(5)]
+    assert min(sizes) > 0 and max(sizes) - min(sizes) < 0.3 * 500
+    again = {
+        r["doc_id"]: r["fold"]
+        for r in assign_folds(docs.repartition(13), "doc_id", k=5).collect()
+    }
+    assert again == got
+    with pytest.raises(ValueError, match="k must"):
+        assign_folds(docs, "doc_id", k=1)
+    with pytest.raises(ValueError, match="already exists"):
+        assign_folds(assign_folds(docs, "doc_id"), "doc_id")
+
+
+# ----------------------------------------------------- novelty_score
+def test_novelty_score_ground_truth_and_totality(spark):
+    ref = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], "text string"
+    )
+    rows = [
+        (1, "the quick brown fox jumps"),       # fully covered (n=3)
+        (2, "a completely different sentence entirely here"),
+        (3, "the quick brown fox said something new"),  # mixed
+        (4, "too short"),                        # < n words
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+        for r in novelty_score(df, ref, "doc_id", "text", ngram_n=3).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}           # labeling is total
+    assert out[1] == (3, 0, 0.0)                 # verbatim sub-span
+    assert out[2][0] == out[2][1] and out[2][2] == 1.0
+    assert 0.0 < out[3][2] < 1.0                 # recombination detected
+    assert out[4] == (0, 0, None)                # nothing measurable
+    assert out[5] == (0, 0, None)
+
+    # distinct-gram semantics: repeating a covered phrase adds nothing
+    rep = spark.createDataFrame(
+        [(9, "the quick brown the quick brown the quick brown")],
+        "doc_id long, text string",
+    )
+    r = novelty_score(rep, ref, "doc_id", "text", ngram_n=3).first()
+    # grams: {the quick brown, quick brown the, brown the quick} — only
+    # the first occurs in the reference
+    assert r["n_grams"] == 3 and r["n_novel"] == 2
+
+
+def test_novelty_score_on_documents(spark):
+    """Self-reference gives novelty 0 everywhere; a disjoint reference
+    gives novelty 1 for every measurable doc."""
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").limit(60)
+    self_scored = novelty_score(docs, docs, "doc_id", "text", ngram_n=5)
+    vals = [r["novelty"] for r in self_scored.collect() if r["novelty"] is not None]
+    assert vals and all(v == 0.0 for v in vals)
+    alien = spark.createDataFrame(
+        [("zz yy xx ww vv uu tt ss rr qq",)], "text string"
+    )
+    alien_scored = novelty_score(docs, alien, "doc_id", "text", ngram_n=5)
+    vals2 = [r["novelty"] for r in alien_scored.collect() if r["novelty"] is not None]
+    assert vals2 and all(v == 1.0 for v in vals2)
+
+
+# --------------------------------------------------- debounce_events
+def test_debounce_burst_chaining_and_mirror(spark, oracle):
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda k: t0 + dt.timedelta(seconds=k)
+    rows = [
+        # u1: burst 0,5,9 chains past the 6s window -> ONE survivor;
+        # then 30 starts a new burst
+        (1, s(0), 100), (1, s(5), 101), (1, s(9), 102), (1, s(30), 103),
+        # u2: isolated events keep both
+        (2, s(0), 200), (2, s(20), 201),
+        # u3: equal-ts tie -> tiebreaker asc picks the lower id
+        (3, s(0), 301), (3, s(0), 300),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    kept = sorted(
+        r["event_id"]
+        for r in debounce_events(
+            df, "user_id", "ts", quiet_seconds=6, tiebreaker="event_id"
+        ).collect()
+    )
+    assert kept == [100, 103, 200, 201, 300]
+    assert debounce_events(df, "user_id", "ts", 6).columns == df.columns
+    with pytest.raises(ValueError, match="quiet_seconds"):
+        debounce_events(df, "user_id", "ts", 0)
+
+    # events-table mirror: survivors == first event of each 120s burst
+    events = spark.read.parquet(f"{SF_ORACLE}/events.parquet").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    got = sorted(
+        r["event_id"]
+        for r in debounce_events(
+            events, "user_id", "ts", quiet_seconds=120, tiebreaker="event_id"
+        ).collect()
+    )
+    want = sorted(
+        row[0]
+        for row in oracle.execute("""
+            WITH ev AS (
+              SELECT event_id, user_id, epoch_us(ts) AS t,
+                     lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS p
+              FROM events WHERE ts IS NOT NULL),
+            lab AS (
+              SELECT event_id, user_id, t,
+                CAST(sum(CASE WHEN t - p >= 120000000 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY t, event_id
+                           ROWS UNBOUNDED PRECEDING) AS INT) AS s
+              FROM ev)
+            SELECT event_id FROM lab
+            QUALIFY row_number() OVER
+              (PARTITION BY user_id, s ORDER BY t, event_id) = 1
+        """).fetchall()
+    )
+    assert got == want and 0 < len(got) < 10000

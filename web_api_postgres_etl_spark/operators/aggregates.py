@@ -1009,3 +1009,44 @@ def mad_outliers(
         "is_outlier",
         F.coalesce(F.abs(F.col("robust_z")) > F.lit(float(threshold)), F.lit(False)),
     ).drop("__med", "__mad", "__absdev")
+
+
+# ---------------------------------------------------------- debounce
+def debounce_events(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    quiet_seconds: int,
+    tiebreaker: str | None = None,
+) -> DataFrame:
+    """Keep the FIRST event of every burst: an event survives unless it
+    follows another event of the same key within ``quiet_seconds`` —
+    the duplicate-click / sensor-chatter / retry-storm cleaner.
+
+    Semantics pinned (the burst-chaining variant): bursts are
+    :func:`sessionize` sessions with ``gap_seconds = quiet_seconds``,
+    so a chain of events each within the window of its PREDECESSOR
+    collapses to one survivor even when the chain outlasts the window
+    ("drop while still bouncing" — debounce, not throttle/rate-limit,
+    which would re-emit every window). Equal-timestamp events order by
+    ``tiebreaker`` ascending (default: a NULL-safe pass on the event's
+    own row — give a unique tiebreaker for engine-independent picks);
+    NULL timestamps drop (sessionize's contract — they cannot be
+    ordered into any burst).
+
+    Scale shape: exactly sessionize's one (key, ts) shuffle plus a
+    row_number over the same partitioning — no join, schema preserved.
+    """
+    if quiet_seconds < 1:
+        raise ValueError(f"quiet_seconds must be >= 1, got {quiet_seconds}")
+    cols = df.columns
+    labeled = sessionize(df, key_col, ts_col, quiet_seconds)
+    order = [F.unix_micros(qcol(ts_col)).asc()]
+    if tiebreaker is not None:
+        order.append(qcol(tiebreaker).asc())
+    w = Window.partitionBy(qcol(key_col), F.col("session_idx")).orderBy(*order)
+    return (
+        labeled.withColumn("__dbr", F.row_number().over(w))
+        .filter(F.col("__dbr") == 1)
+        .select(*cols)
+    )

@@ -1462,3 +1462,79 @@ def corpus_diff(
         .otherwise("changed")
     )
     return j.select(F.col("__id").alias(id_col), status.alias("status"))
+
+
+def novelty_score(
+    df: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str,
+    ref_text_col: str | None = None,
+    ngram_n: int = 8,
+    broadcast_reference: bool = True,
+) -> DataFrame:
+    """(id, n_grams, n_novel, novelty) — per document, the fraction of
+    its DISTINCT word n-grams that do not occur anywhere in the
+    reference corpus. The continuous complement of ``decontaminate``'s
+    binary verdict: novelty ≈ 0 flags near-verbatim recombinations of
+    reference material the exact and MinHash dedups both miss (no
+    single source document is similar enough), novelty ≈ 1 is genuinely
+    new text — the "how much of this batch is actually new data"
+    acquisition signal.
+
+    Semantics pinned: DISTINCT grams per document (a repeated phrase
+    inside one doc counts once — this scores coverage, not frequency);
+    documents shorter than ``ngram_n`` words get NULL novelty with
+    n_grams = 0 (nothing measurable — gate on length elsewhere), and
+    the output keeps one row per input DOCUMENT ID present in the
+    gram table.
+
+    Scale shape: same digest machinery as decontamination — the
+    reference reduces to a distinct 16-byte digest set (broadcast by
+    default; set ``broadcast_reference=False`` when the reference is
+    corpus-sized and let AQE shuffle both digest tables); the corpus
+    side shuffles (id, digest) pairs once for the distinct and once
+    for the count — never text.
+    """
+    grams = (
+        _shingled(df, id_col, text_col, ngram_n, drop_empty=False)
+        .select("__id", F.explode_outer("__sh").alias("__g"))
+        .select("__id", F.md5("__g").alias("__d"))
+        .distinct()
+    )
+    ref = (
+        _shingled(
+            reference.select(
+                F.lit(0).alias("__rid"),
+                qcol(ref_text_col or text_col).alias("__rt"),
+            ),
+            "__rid",
+            "__rt",
+            ngram_n,
+            drop_empty=True,
+        )
+        .select(F.explode("__sh").alias("__g"))
+        .select(F.md5("__g").alias("__rd"))
+        .distinct()
+    )
+    if broadcast_reference:
+        ref = F.broadcast(ref)
+    hit = grams.join(ref, grams["__d"] == ref["__rd"], "left").select(
+        "__id", "__d", F.col("__rd").isNotNull().alias("__seen")
+    )
+    # explode_outer left gram-less docs with one NULL-digest row:
+    # count(__d real) gives 0 grams for them, keeping the row
+    agg = hit.groupBy("__id").agg(
+        F.count(F.when(F.col("__d").isNotNull(), 1)).alias("n_grams"),
+        F.count(
+            F.when(F.col("__d").isNotNull() & ~F.col("__seen"), 1)
+        ).alias("n_novel"),
+    )
+    return agg.select(
+        F.col("__id").alias(id_col),
+        "n_grams",
+        "n_novel",
+        (
+            F.col("n_novel") / F.nullif(F.col("n_grams"), F.lit(0))
+        ).alias("novelty"),
+    )

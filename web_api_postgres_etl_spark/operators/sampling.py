@@ -635,3 +635,31 @@ def sample_exact(
         .filter(F.col("__rank") <= n)
         .drop("__draw", "__rank")
     )
+
+
+def assign_folds(
+    df: DataFrame,
+    id_col: str,
+    k: int = 5,
+    salt: str = "fold",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """K-fold cross-validation assignment: ``fold`` = md5(salt # id)
+    mod k — the evaluation-tooling sibling of ``deterministic_split``,
+    with the same guarantees (stable across reruns and partitionings,
+    a row never changes fold when the corpus grows, any engine
+    reproduces it). Folds are ~equal-sized by hash uniformity, not
+    exactly equal (use ``sample_exact_n`` when an exact count
+    matters). Train/test for fold i = (fold != i, fold == i).
+
+    One narrow projection — no shuffle, no RNG state."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if fold_col in df.columns:
+        raise ValueError(
+            f"assign_folds: column {fold_col!r} already exists — "
+            "rename it or pass fold_col"
+        )
+    return df.withColumn(
+        fold_col, (_md5_key(id_col, salt, 13) % k).cast("int")
+    )
