@@ -115,3 +115,48 @@ def test_parameter_guards(spark):
         .agg(F.sum("cnt")).first()[0]
     )
     assert total == 1
+
+
+def test_streaming_cms_maintenance(spark, tmp_path):
+    """Two-batch ingest: merged store ≡ one-shot sketch of all input
+    bit-for-bit; replay (fresh checkpoint read of the same files) is
+    idempotent per checkpoint; a mismatched family refuses to write."""
+    from web_api_postgres_etl_spark.streaming.sketch_stream import (
+        cms_maintain_run,
+        read_cms_family,
+        read_cms_state,
+    )
+
+    full = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    root = str(tmp_path)
+    src, state, ckpt = f"{root}/src", f"{root}/state", f"{root}/ckpt"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        full.filter(F.col("doc_id") % 2 == 0).write.parquet(src)
+        cms_maintain_run(
+            spark, src, state, ckpt, full.schema, "lang", depth=3, width=64
+        )
+        full.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+        cms_maintain_run(
+            spark, src, state, ckpt, full.schema, "lang", depth=3, width=64
+        )
+        merged = read_cms_state(spark, state)
+        one_shot = cms_build(full, "lang", depth=3, width=64)
+        assert _cells(merged) == _cells(one_shot)
+        assert read_cms_family(spark, state) == ("lang", 3, 64)
+        # draining again with nothing new leaves the store unchanged
+        cms_maintain_run(
+            spark, src, state, ckpt, full.schema, "lang", depth=3, width=64
+        )
+        assert _cells(read_cms_state(spark, state)) == _cells(one_shot)
+        # family mismatch refuses loudly
+        with pytest.raises(ValueError, match="family"):
+            cms_maintain_run(
+                spark, src, state, f"{root}/ckpt2", full.schema,
+                "lang", depth=4, width=64,
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -1,0 +1,126 @@
+"""Streaming count-min sketch maintenance: keep a bounded-size value
+frequency summary continuously up to date over a file stream without
+ever rescanning history — the sketch sibling of ``agg_stream``'s
+partial-state store, and the shape that answers "what are the hot
+URLs / user agents / n-grams right now" over an open-ended domain no
+per-key state table could hold.
+
+Same layering as ``agg_maintain_run``: each micro-batch reduces to its
+own ≤ depth × width cell partition (checkpoint-scoped tag, dynamic
+partition overwrite — a replayed batch REPLACES its own partition, so
+at-least-once delivery can never double-count); the read face merges
+all partitions cell-wise (``cms_merge`` is exact integer addition, so
+merge order never matters and the merged store ≡ the one-shot sketch
+of all input, bit-for-bit). A family sidecar records (col, depth,
+width) — cells are POSITIONAL, so partitions written under a
+different family would silently alias wrong buckets on read; the
+first writer pins the family and every later writer must match.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sketch import cms_build, cms_merge
+
+_PART_COL = "cms_batch_id"
+
+
+def _check_or_write_family(
+    spark: SparkSession, state_dir: str, col: str, depth: int, width: int
+) -> None:
+    from pyspark.errors import AnalysisException
+
+    schema = "col string, depth int, width int"
+    row = (col, int(depth), int(width))
+    meta_path = state_dir + "_meta"
+    try:
+        rows = spark.read.parquet(meta_path).collect()
+    except AnalysisException as exc:
+        msg = str(exc)
+        if not (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+            or "Unable to infer schema" in msg
+        ):
+            raise
+        spark.createDataFrame([row], schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(meta_path)
+        return
+    if len(rows) != 1:
+        raise ValueError(
+            f"cms state at {state_dir}: expected exactly 1 _meta row, "
+            f"found {len(rows)}"
+        )
+    stored = (rows[0]["col"], rows[0]["depth"], rows[0]["width"])
+    if stored != row:
+        raise ValueError(
+            f"cms state at {state_dir} was built with family {stored}; "
+            f"refusing to write cells of family {row} — the cells are "
+            "positional and would silently alias wrong buckets on read"
+        )
+
+
+def cms_maintain_run(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> None:
+    """Drain the file stream at ``source_dir`` (AvailableNow), writing
+    each micro-batch's sketch cells to its own partition of
+    ``state_dir``. Safe to call repeatedly; a replayed batch
+    overwrites its own partition (idempotent). The partition tag is
+    checkpoint-scoped, so a checkpoint RESET duplicates contributions
+    visibly (a compaction's job to fold) rather than overwriting old
+    partitions."""
+    ckpt_tag = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+    _check_or_write_family(spark, state_dir, col, depth, width)
+
+    def _process(batch_df, batch_id: int) -> None:
+        cells = cms_build(batch_df, col, depth=depth, width=width)
+        (
+            cells.withColumn(_PART_COL, F.lit(f"{ckpt_tag}-{int(batch_id)}"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(_PART_COL)
+            .parquet(state_dir)
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_cms_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Current merged sketch over the partial store — exact cell-wise
+    sums, ≡ the one-shot sketch of everything ingested. Use with
+    ``cms_estimate``/``cms_heavy_hitters`` (pass the family's depth
+    and width — read them from :func:`read_cms_family`)."""
+    return cms_merge(spark.read.parquet(state_dir).drop(_PART_COL))
+
+
+def read_cms_family(spark: SparkSession, state_dir: str) -> tuple:
+    """(col, depth, width) recorded by the first writer."""
+    rows = spark.read.parquet(state_dir + "_meta").collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"cms state at {state_dir}: expected exactly 1 _meta row, "
+            f"found {len(rows)}"
+        )
+    return (rows[0]["col"], rows[0]["depth"], rows[0]["width"])
