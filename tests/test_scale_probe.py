@@ -36,9 +36,11 @@ OPS = {
     "collocations", "scd2_history", "tfidf_cosine_pairs",
     "join_cardinality_profile",
     # round 7: the deletion-neighborhood fuzzy family (O(len^k)
-    # per-row fan-out worth an empirical exponent) and the k-stage
-    # funnel (chained stage joins)
+    # per-row fan-out worth an empirical exponent), the k-stage
+    # funnel (chained stage joins), the 9-way n-gram repetition
+    # explode, and the per-session path collect
     "fuzzy_dup_pairs", "resolve_entities", "funnel",
+    "gopher_repetition", "top_paths",
 }
 
 

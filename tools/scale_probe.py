@@ -365,6 +365,38 @@ def probe(spark, n: int, ops_filter: set[str] | None = None) -> dict:
             ops["resolve_entities"] = (time.time() - t0, nres)
         names.unpersist()
 
+    if want("gopher_repetition"):
+        reset_cache()
+        from web_api_postgres_etl_spark.operators.repetition import (
+            gopher_repetition,
+        )
+
+        t0 = time.time()
+        nrows = gopher_repetition(docs, "doc_id", "text").count()
+        ops["gopher_repetition"] = (time.time() - t0, nrows)
+
+    if want("top_paths"):
+        reset_cache()
+        from web_api_postgres_etl_spark.operators.aggregates import top_paths
+
+        n_users = max(n // 20, 1)
+        events = docs.select(
+            (F.col("doc_id") % F.lit(n_users)).alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(1704067200) + F.col("doc_id") * 7
+            ).alias("ts"),
+            F.element_at(
+                F.array(*[F.lit(s) for s in ("a", "b", "c", "d", "e")]),
+                (F.pmod(F.hash(F.col("doc_id")), F.lit(5)) + 1).cast("int"),
+            ).alias("step"),
+        )
+        t0 = time.time()
+        rows = top_paths(
+            events, "user_id", "ts", "step", gap_seconds=3600,
+            k=20, max_steps=6,
+        ).collect()
+        ops["top_paths"] = (time.time() - t0, sum(r["n_sessions"] for r in rows))
+
     if want("funnel"):
         reset_cache()
         from web_api_postgres_etl_spark.operators.aggregates import funnel
