@@ -81,7 +81,12 @@ def test_novelty_score_ground_truth_and_totality(spark):
 def test_novelty_score_on_documents(spark):
     """Self-reference gives novelty 0 everywhere; a disjoint reference
     gives novelty 1 for every measurable doc."""
-    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").limit(60)
+    # deterministic filter, not limit(): novelty_score evaluates this
+    # frame on BOTH plan branches (grams + reference) with no subplan
+    # reuse, and an unordered limit could pick different rows per branch
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").filter(
+        "doc_id < 60"
+    )
     self_scored = novelty_score(docs, docs, "doc_id", "text", ngram_n=5)
     vals = [r["novelty"] for r in self_scored.collect() if r["novelty"] is not None]
     assert vals and all(v == 0.0 for v in vals)
@@ -117,6 +122,13 @@ def test_debounce_burst_chaining_and_mirror(spark, oracle):
     assert debounce_events(df, "user_id", "ts", 6).columns == df.columns
     with pytest.raises(ValueError, match="quiet_seconds"):
         debounce_events(df, "user_id", "ts", 0)
+    # review regression: pre-existing session columns must raise, not
+    # be silently clobbered by the internal sessionize
+    from web_api_postgres_etl_spark.operators.aggregates import sessionize
+
+    labeled = sessionize(df, "user_id", "ts", 1800)
+    with pytest.raises(ValueError, match="collide"):
+        debounce_events(labeled, "user_id", "ts", 6)
 
     # events-table mirror: survivors == first event of each 120s burst
     events = spark.read.parquet(f"{SF_ORACLE}/events.parquet").select(

@@ -100,8 +100,8 @@ RETIRED = [
     # multimodal_features; the groupBy-over-meta shape is generic)
     ("multimodal_stats", "SQL_MULTIMODAL_STATS"),
     # r6 fourth wave: RHP top-k → event_transitions (RHP banding stays
-    # driver-visible via lsh_cosine_pairs / lsh_nn_join, the cosine
-    # fold via ann_cosine_topk)
+    # driver-visible via lsh_nn_join — and since r7 lsh_cosine_pairs
+    # is itself retired below — the cosine fold via ann_cosine_topk)
     ("rhp_lsh_topk", "SQL_RHP_TOPK"),
     # r7: persisted-IVF probe → funnel (its oracle was a literal
     # duplicate of ann_ivf_topk's, which stays driver-visible; the

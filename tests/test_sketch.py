@@ -160,3 +160,49 @@ def test_streaming_cms_maintenance(spark, tmp_path):
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_streaming_cms_empty_and_guard_semantics(spark, tmp_path):
+    """Review regressions: an initialized store with no cells reads as
+    the empty sketch; a mis-pointed path raises; cells without a
+    sidecar refuse a new family; equivalent checkpoint spellings share
+    one partition tag (no double-count)."""
+    from web_api_postgres_etl_spark.streaming.sketch_stream import (
+        cms_maintain_run,
+        read_cms_state,
+    )
+
+    root = str(tmp_path)
+    src, state, ckpt = f"{root}/src", f"{root}/state", f"{root}/ckpt"
+    schema = "doc_id long, lang string"
+    empty = spark.createDataFrame([], schema)
+    empty.write.parquet(src)  # only _SUCCESS: zero-row batch
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        cms_maintain_run(spark, src, state, ckpt, empty.schema, "lang",
+                         depth=2, width=16)
+        out = read_cms_state(spark, state)
+        assert out.count() == 0 and out.columns == ["row", "bucket", "cnt"]
+        # mis-pointed path (no sidecar, no cells) still raises
+        with pytest.raises(Exception):
+            read_cms_state(spark, f"{root}/nowhere")
+        # trailing-slash spelling = same checkpoint tag: re-drain with
+        # the alternate spelling adds nothing
+        spark.createDataFrame([(1, "en")], schema).write.mode(
+            "append"
+        ).parquet(src)
+        cms_maintain_run(spark, src, state, ckpt + "/", empty.schema,
+                         "lang", depth=2, width=16)
+        total = read_cms_state(spark, state).agg(F.sum("cnt")).first()[0]
+        assert total == 2  # one event x depth 2, counted once
+
+        # cells present but sidecar lost: refuse to adopt a new family
+        import shutil
+
+        shutil.rmtree(state + "_meta")
+        with pytest.raises(ValueError, match="refusing to adopt"):
+            cms_maintain_run(spark, src, state, f"{root}/ckpt2",
+                             empty.schema, "lang", depth=5, width=32)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -379,11 +379,22 @@ def probe(spark, n: int, ops_filter: set[str] | None = None) -> dict:
         reset_cache()
         from web_api_postgres_etl_spark.operators.aggregates import top_paths
 
+        # spacing must be INDEPENDENT of n or the workload shape
+        # degenerates as sizes grow (review catch: ts = doc_id*7 made
+        # every session a singleton above ~10k rows). Event ordinal
+        # k = doc_id div n_users: bursts of 5 events 600s apart,
+        # bursts 7600s apart -> 4 sessions of 5 events per user at
+        # EVERY size; the constant per-user offset shifts timelines
+        # without changing gaps.
         n_users = max(n // 20, 1)
+        k = F.expr(f"doc_id div {n_users}")
         events = docs.select(
             (F.col("doc_id") % F.lit(n_users)).alias("user_id"),
             F.timestamp_seconds(
-                F.lit(1704067200) + F.col("doc_id") * 7
+                F.lit(1704067200)
+                + F.expr(f"(doc_id div {n_users}) div 5") * 10000
+                + F.pmod(k, F.lit(5)) * 600
+                + F.col("doc_id") % F.lit(n_users)
             ).alias("ts"),
             F.element_at(
                 F.array(*[F.lit(s) for s in ("a", "b", "c", "d", "e")]),

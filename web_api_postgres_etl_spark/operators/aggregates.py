@@ -1039,6 +1039,14 @@ def debounce_events(
     """
     if quiet_seconds < 1:
         raise ValueError(f"quiet_seconds must be >= 1, got {quiet_seconds}")
+    clash = {"session_idx", "session_start", "__dbr"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"debounce_events: input columns {sorted(clash)} collide with "
+            "internal sessionize/rank columns — rename them first (the "
+            "output would otherwise silently carry the debounce-internal "
+            "values instead of yours)"
+        )
     cols = df.columns
     labeled = sessionize(df, key_col, ts_col, quiet_seconds)
     order = [F.unix_micros(qcol(ts_col)).asc()]

@@ -649,8 +649,8 @@ def assign_folds(
     with the same guarantees (stable across reruns and partitionings,
     a row never changes fold when the corpus grows, any engine
     reproduces it). Folds are ~equal-sized by hash uniformity, not
-    exactly equal (use ``sample_exact_n`` when an exact count
-    matters). Train/test for fold i = (fold != i, fold == i).
+    exactly equal (use ``sample_exact`` when an exact count matters).
+    Train/test for fold i = (fold != i, fold == i).
 
     One narrow projection — no shuffle, no RNG state."""
     if k < 2:

@@ -29,6 +29,19 @@ from ..operators.sketch import cms_build, cms_merge
 _PART_COL = "cms_batch_id"
 
 
+def _state_has_cells(state_dir: str) -> bool:
+    import os
+
+    if not os.path.isdir(state_dir):
+        return False
+    for root, dirs, files in os.walk(state_dir):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if not f.startswith(("_", ".")):
+                return True
+    return False
+
+
 def _check_or_write_family(
     spark: SparkSession, state_dir: str, col: str, depth: int, width: int
 ) -> None:
@@ -48,6 +61,17 @@ def _check_or_write_family(
             or "Unable to infer schema" in msg
         ):
             raise
+        # a missing/unreadable sidecar over EXISTING cell partitions
+        # must not be silently re-pinned to whatever family the next
+        # writer brings — that is exactly the positional-aliasing
+        # corruption the sidecar refuses; repair the meta by hand
+        if _state_has_cells(state_dir):
+            raise ValueError(
+                f"cms state at {state_dir} has cell partitions but no "
+                "readable family sidecar — refusing to adopt a family "
+                "over existing cells (rewrite the _meta sidecar with "
+                "the family the cells were built with)"
+            ) from exc
         spark.createDataFrame([row], schema).coalesce(1).write.mode(
             "overwrite"
         ).parquet(meta_path)
@@ -83,7 +107,12 @@ def cms_maintain_run(
     checkpoint-scoped, so a checkpoint RESET duplicates contributions
     visibly (a compaction's job to fold) rather than overwriting old
     partitions."""
-    ckpt_tag = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+    # normalize before hashing: '/tmp/ckpt' and '/tmp/ckpt/' are the
+    # same checkpoint — hashing raw spellings would give a replayed
+    # batch a DIFFERENT partition tag and double-count it on read
+    ckpt_tag = hashlib.md5(
+        checkpoint_dir.rstrip("/").encode()
+    ).hexdigest()[:8]
     _check_or_write_family(spark, state_dir, col, depth, width)
 
     def _process(batch_df, batch_id: int) -> None:
@@ -111,8 +140,29 @@ def read_cms_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """Current merged sketch over the partial store — exact cell-wise
     sums, ≡ the one-shot sketch of everything ingested. Use with
     ``cms_estimate``/``cms_heavy_hitters`` (pass the family's depth
-    and width — read them from :func:`read_cms_family`)."""
-    return cms_merge(spark.read.parquet(state_dir).drop(_PART_COL))
+    and width — read them from :func:`read_cms_family`).
+
+    A store whose sidecar exists but which has received no cells yet
+    (empty source, or every batch all-NULL) is VALID and reads as the
+    empty sketch; a path with neither sidecar nor cells raises (a
+    mis-pointed path must not masquerade as an empty store)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        cells = spark.read.parquet(state_dir)
+    except AnalysisException as exc:
+        msg = str(exc)
+        if not (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+            or "Unable to infer schema" in msg
+        ):
+            raise
+        # legitimate-but-empty only if the family sidecar vouches
+        read_cms_family(spark, state_dir)  # raises on a mis-pointed path
+        return spark.createDataFrame([], "row int, bucket int, cnt long")
+    return cms_merge(cells.drop(_PART_COL))
 
 
 def read_cms_family(spark: SparkSession, state_dir: str) -> tuple:
