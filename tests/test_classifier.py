@@ -293,3 +293,77 @@ def test_model_save_load_roundtrip(spark, tmp_path):
     b = {r["id"]: r["quality_prob"]
          for r in score_documents(docs, "id", "text", loaded).collect()}
     assert a == b
+
+
+def test_binary_metrics_ground_truth_and_mirror(spark, oracle):
+    """Hand-computable confusion cells, NULL exclusion, degenerate
+    denominators, and a DuckDB mirror over a synthetic scored frame."""
+    from web_api_postgres_etl_spark.operators.classifier import binary_metrics
+
+    rows = [
+        (1, 0.9), (1, 0.6), (1, 0.2),        # positives
+        (0, 0.8), (0, 0.4), (0, 0.1),        # negatives
+        (None, 0.5), (1, None),              # unjudgeable
+    ]
+    df = spark.createDataFrame(rows, "label int, score double")
+    out = {r["threshold"]: r for r in binary_metrics(
+        df, "label", "score", thresholds=[0.5, 0.95]
+    ).collect()}
+    m = out[0.5]
+    assert (m["tp"], m["fp"], m["tn"], m["fn"]) == (2, 1, 2, 1)
+    assert m["precision"] == pytest.approx(2 / 3)
+    assert m["recall"] == pytest.approx(2 / 3)
+    assert m["n_skipped"] == 2
+    hi = out[0.95]
+    assert (hi["tp"], hi["fp"]) == (0, 0)
+    assert hi["precision"] is None           # no predicted positives
+    assert hi["recall"] == 0.0
+
+    with pytest.raises(ValueError, match="at least one"):
+        binary_metrics(df, "label", "score", thresholds=[])
+    with pytest.raises(ValueError, match="distinct"):
+        binary_metrics(df, "label", "score", thresholds=[0.5, 0.5])
+
+    # mirror on a deterministic scored frame over documents: label =
+    # contains 'vector', score = pinned-artifact margin sigmoidless
+    # proxy (n_scored_tokens is irrelevant — use doc_id arithmetic)
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    scored = docs.select(
+        F.array_contains(F.split(F.col("text"), " "), "vector")
+        .cast("int").alias("label"),
+        ((F.col("doc_id") % 100) / 100.0).alias("score"),
+    )
+    got = sorted(
+        tuple(repr(v) for v in r)
+        for r in binary_metrics(scored, "label", "score",
+                                thresholds=[0.25, 0.75]).collect()
+    )
+    want = sorted(
+        tuple(repr(v) for v in row)
+        for row in oracle.execute("""
+            WITH s AS (
+              SELECT CAST(list_contains(string_split(text, ' '), 'vector')
+                     AS INT) AS y,
+                     (doc_id % 100) / 100.0 AS sc
+              FROM documents),
+            t(threshold) AS (VALUES (0.25), (0.75)),
+            c AS (
+              SELECT threshold,
+                sum(CASE WHEN y = 1 AND sc >= threshold THEN 1 ELSE 0 END) AS tp,
+                sum(CASE WHEN y = 0 AND sc >= threshold THEN 1 ELSE 0 END) AS fp,
+                sum(CASE WHEN y = 0 AND sc < threshold THEN 1 ELSE 0 END) AS tn,
+                sum(CASE WHEN y = 1 AND sc < threshold THEN 1 ELSE 0 END) AS fn
+              FROM s, t GROUP BY threshold)
+            SELECT CAST(threshold AS DOUBLE) AS threshold, tp, fp, tn, fn,
+                   tp / CAST(nullif(tp + fp, 0) AS DOUBLE) AS precision,
+                   tp / CAST(nullif(tp + fn, 0) AS DOUBLE) AS recall,
+                   2 * (tp / CAST(nullif(tp + fp, 0) AS DOUBLE))
+                     * (tp / CAST(nullif(tp + fn, 0) AS DOUBLE))
+                     / nullif(tp / CAST(nullif(tp + fp, 0) AS DOUBLE)
+                            + tp / CAST(nullif(tp + fn, 0) AS DOUBLE), 0.0) AS f1,
+                   (tp + tn) / CAST(nullif(tp + fp + tn + fn, 0) AS DOUBLE) AS accuracy,
+                   CAST(0 AS BIGINT) AS n_skipped
+            FROM c ORDER BY threshold
+        """).fetchall()
+    )
+    assert got == want

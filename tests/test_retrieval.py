@@ -643,3 +643,71 @@ def test_tfidf_cosine_oracle_parity(spark, oracle):
     )
     assert len(got) > 0
     assert got == want  # bit-exact: DECIMAL sums + pinned float ops
+
+
+def test_keywords_per_doc_ground_truth_and_mirror(spark, oracle):
+    """Planted topical docs surface their topic terms (the shared
+    stopword is max_df-pruned); full DuckDB mirror on documents."""
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        keywords_per_doc,
+    )
+
+    rows = [
+        (1, "the solar panel array powers the solar farm"),
+        (2, "the castle keep guards the castle gate"),
+        (3, "the quarterly ledger reconciles the ledger entries"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top1 = {
+        r["doc_id"]: r["term"]
+        for r in keywords_per_doc(df, "doc_id", "text", k=1).collect()
+    }
+    # 'the' appears in 3/3 docs > max_df_frac=0.5 -> pruned; the
+    # repeated topical term wins per doc
+    assert top1 == {1: "solar", 2: "castle", 3: "ledger"}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="k must"):
+        keywords_per_doc(df, "doc_id", "text", k=0)
+    with _pt.raises(ValueError, match="max_df_frac"):
+        keywords_per_doc(df, "doc_id", "text", max_df_frac=0.0)
+
+    from tests.conftest import SF_ORACLE
+
+    TOKS = (
+        "list_filter(regexp_split_to_array(trim(regexp_replace("
+        "regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), "
+        "'\\s+', ' ', 'g')), ' '), x -> x <> '')"
+    )
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    got = sorted(
+        (r["doc_id"], r["rank"], r["term"], r["tf"], r["df"], repr(r["tfidf"]))
+        for r in keywords_per_doc(
+            docs, "doc_id", "text", k=3, min_df=2, max_df_frac=0.9
+        ).collect()
+    )
+    want = sorted(
+        (d, rk, t, tf, dfreq, repr(w))
+        for d, rk, t, tf, dfreq, w in oracle.execute(f"""
+            WITH t AS (
+              SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+            tc AS (SELECT doc_id, term, count(*) AS tf
+                   FROM t GROUP BY doc_id, term),
+            dfs AS (SELECT term, count(*) AS df FROM tc GROUP BY term
+                    HAVING count(*) >= 2),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            w AS (
+              SELECT tc.doc_id, tc.term, tc.tf, dfs.df,
+                     round(tc.tf * (ln((1 + n.n) / (1 + dfs.df)) + 1), 6)
+                       AS tfidf
+              FROM tc JOIN dfs USING (term) CROSS JOIN n
+              WHERE dfs.df <= n.n * 0.9)
+            SELECT doc_id,
+                   CAST(row_number() OVER
+                     (PARTITION BY doc_id
+                      ORDER BY tfidf DESC, term ASC) AS INT) AS rank,
+                   term, tf, df, tfidf
+            FROM w
+            QUALIFY rank <= 3
+        """).fetchall()
+    )
+    assert got == want and len(got) == 1500  # 3 per doc, 500 docs

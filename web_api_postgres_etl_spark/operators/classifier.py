@@ -27,6 +27,8 @@ spam, determinism under a fixed seed).
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -325,3 +327,70 @@ def load_quality_model(path: str):
     from pyspark.ml.classification import LogisticRegressionModel
 
     return LogisticRegressionModel.load(path)
+
+
+def binary_metrics(
+    scored: DataFrame,
+    label_col: str,
+    score_col: str,
+    thresholds: Sequence[float] = (0.1, 0.3, 0.5, 0.7, 0.9),
+) -> DataFrame:
+    """(threshold, tp, fp, tn, fn, precision, recall, f1, accuracy) —
+    the quality-classifier evaluation report, one row per threshold,
+    computed in ONE map-side-combining aggregate pass (never k scans:
+    each row contributes a (≥ t?) flag per threshold, summed — counts
+    are exact integers, the ratios single divisions of them, so any
+    engine reproduces every cell).
+
+    Semantics pinned: predict positive when ``score >= threshold``
+    (the same boundary ``classifier_gate`` uses); labels are 0/1
+    (anything nonzero counts as positive); rows with a NULL label or
+    NULL score are EXCLUDED and reported once in ``n_skipped`` on
+    every row (they can't be judged — silently counting them as
+    negatives would inflate precision). Degenerate denominators
+    (no predicted positives / no actual positives) yield NULL
+    precision/recall rather than a fake 0 or 1.
+
+    Scale: one pass over the scored frame; the result is
+    len(thresholds) rows of driver-sized metadata.
+    """
+    if not thresholds:
+        raise ValueError("binary_metrics needs at least one threshold")
+    ts = [float(t) for t in thresholds]
+    if len(set(ts)) != len(ts):
+        raise ValueError(f"thresholds must be distinct, got {thresholds}")
+    y = (qcol(label_col).cast("double") != 0.0).cast("int")
+    s = qcol(score_col).cast("double")
+    ok = qcol(label_col).isNotNull() & s.isNotNull()
+    aggs = [
+        F.sum(F.when(~ok, 1).otherwise(0)).alias("n_skipped"),
+    ]
+    for i, t in enumerate(ts):
+        pred = (s >= F.lit(t)).cast("int")
+        aggs += [
+            F.sum(F.when(ok & (y == 1) & (pred == 1), 1).otherwise(0)).alias(f"tp_{i}"),
+            F.sum(F.when(ok & (y == 0) & (pred == 1), 1).otherwise(0)).alias(f"fp_{i}"),
+            F.sum(F.when(ok & (y == 0) & (pred == 0), 1).otherwise(0)).alias(f"tn_{i}"),
+            F.sum(F.when(ok & (y == 1) & (pred == 0), 1).otherwise(0)).alias(f"fn_{i}"),
+        ]
+    row = scored.agg(*aggs)
+    spark = scored.sparkSession
+    grid = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ts)], "i int, threshold double"
+    )
+    wide = grid.join(F.broadcast(row))
+    tp, fp, tn, fn = (
+        F.element_at(F.array(*[F.col(f"{c}_{i}") for i in range(len(ts))]), F.col("i") + 1)
+        for c in ("tp", "fp", "tn", "fn")
+    )
+    prec = tp / F.nullif(tp + fp, F.lit(0))
+    rec = tp / F.nullif(tp + fn, F.lit(0))
+    f1 = 2 * prec * rec / F.nullif(prec + rec, F.lit(0.0))
+    acc = (tp + tn) / F.nullif(tp + fp + tn + fn, F.lit(0))
+    return wide.select(
+        "threshold",
+        tp.alias("tp"), fp.alias("fp"), tn.alias("tn"), fn.alias("fn"),
+        prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
+        acc.alias("accuracy"),
+        F.col("n_skipped"),
+    ).orderBy("threshold")

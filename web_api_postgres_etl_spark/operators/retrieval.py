@@ -664,3 +664,47 @@ def tfidf_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def keywords_per_doc(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_df: int = 1,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """(id, term, tf, df, tfidf, rank) — each document's top-``k``
+    TF-IDF terms: the "what is this document about" labels a corpus
+    browser / topic sampler / dedup-audit UI wants, straight off the
+    same index build ``tfidf_table`` materializes.
+
+    ``max_df_frac`` drops terms appearing in more than that fraction
+    of documents BEFORE ranking (stopword-like terms carry high tf and
+    would otherwise crowd out the informative ones even after idf —
+    the standard sklearn max_df move). Ties in tfidf break by term
+    ascending, so the top-k set is engine-deterministic.
+
+    Scale shape: tfidf_table's one explode + (term, count) join, then
+    one ROW_NUMBER window per document — the window partitions on the
+    id, so no global sort; output is ≤ k rows per document."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0.0 < max_df_frac <= 1.0:
+        raise ValueError(f"max_df_frac must be in (0, 1], got {max_df_frac}")
+    from pyspark.sql import Window
+
+    weights = tfidf_table(df, id_col, text_col, min_df=min_df)
+    n_docs = df.agg(F.count("*").cast("double").alias("__n"))
+    out_id = id_col.split(".")[-1]
+    pruned = weights.crossJoin(F.broadcast(n_docs)).filter(
+        F.col("df") <= F.col("__n") * F.lit(float(max_df_frac))
+    )
+    w = Window.partitionBy(out_id).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("__n")
+    )
