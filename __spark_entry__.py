@@ -2092,7 +2092,9 @@ def q_t1_streaming_compact(spark: SparkSession, sf: str) -> DataFrame:
     Trigger.AvailableNow → foreachBatch append + last-wins compaction
     (streaming.incremental). The final sink state must equal the O2
     window over all input — proving the stream converges to batch
-    recomputation (oracle-checked, not rows-only)."""
+    recomputation (oracle-checked, not rows-only). Since r7 the
+    read-back runs through the zone-map manifest path (operators/
+    layout.py), so the data-skipping plumbing is driver-checked too."""
     import shutil
     import tempfile
 
@@ -2131,7 +2133,20 @@ def q_t1_streaming_compact(spark: SparkSession, sf: str) -> DataFrame:
             schema=feed.schema,
         )
         q.awaitTermination()
-        out = spark.read.parquet(sink)
+        # r7: the read-back goes THROUGH the zone-map machinery —
+        # build the per-file min/max index over the compacted sink and
+        # read via the pruned-manifest path (open range: every file
+        # survives the envelope test, incl. all-NULL files, so the row
+        # set is provably identical to the plain read and the oracle
+        # is unchanged — what gets driver-checked is that the manifest
+        # listing, file-URI read and basePath plumbing lose nothing)
+        from web_api_postgres_etl_spark.operators.layout import (
+            read_pruned,
+            zone_map,
+        )
+
+        zmap = zone_map(spark, sink, ["value"])
+        out = read_pruned(spark, sink, zmap, {"value": (None, None)})
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     finally:
