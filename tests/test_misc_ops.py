@@ -160,3 +160,76 @@ def test_debounce_burst_chaining_and_mirror(spark, oracle):
         """).fetchall()
     )
     assert got == want and 0 < len(got) < 10000
+
+
+# -------------------------------------------------------- bucketize
+def test_bucketize_labels_match_equi_depth_bins(spark):
+    from web_api_postgres_etl_spark.operators.aggregates import (
+        bucketize,
+        histogram_equi_depth,
+    )
+
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    labeled = bucketize(orders, "o_totalprice", 4)
+    counts = {
+        r["bucket"]: r["n"]
+        for r in labeled.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    hist = {
+        r["bin"]: r["n"]
+        for r in histogram_equi_depth(orders, "o_totalprice", 4).collect()
+    }
+    assert counts == hist  # the labels land exactly in the histogram bins
+    # totality + guards
+    nulls = spark.createDataFrame([(None,), (1.0,)], "v double")
+    rows = {r["v"]: r["b"] for r in bucketize(nulls, "v", 2, "b").collect()}
+    assert rows[None] is None and rows[1.0] is not None
+    assert bucketize(nulls, "v", 1, "b").filter("v IS NOT NULL").first()["b"] == 0
+    with pytest.raises(ValueError, match="bins"):
+        bucketize(nulls, "v", 0)
+    with pytest.raises(ValueError, match="already exists"):
+        bucketize(nulls.withColumnRenamed("v", "bucket"), "bucket", 2)
+
+
+# ------------------------------------------------- stratified_sample
+def test_stratified_sample_mirror_and_semantics(spark, oracle):
+    from web_api_postgres_etl_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    fr = {"en": 0.5, "fr": 1.0, "de": 0.0}
+    got = sorted(
+        r["doc_id"]
+        for r in stratified_sample(docs, "lang", "doc_id", fr,
+                                   default_fraction=0.25).collect()
+    )
+    want = sorted(
+        row[0]
+        for row in oracle.execute("""
+            SELECT doc_id FROM documents
+            WHERE CAST(('0x' || substr(md5('strata' || '#' ||
+                    CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                  / 4503599627370496.0
+                < CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 1.0
+                            WHEN 'de' THEN 0.0 ELSE 0.25 END
+        """).fetchall()
+    )
+    assert got == want
+    kept = spark.createDataFrame([(i,) for i in got], "doc_id long")
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in docs.join(kept, "doc_id", "left_semi")
+        .groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang["fr"] == totals["fr"]       # fraction 1.0 keeps all
+    assert "de" not in by_lang                 # fraction 0.0 drops all
+    assert 0 < by_lang["en"] < totals["en"]
+    with pytest.raises(ValueError, match="fraction for group"):
+        stratified_sample(docs, "lang", "doc_id", {"en": 1.5})
+    with pytest.raises(ValueError, match="default_fraction"):
+        stratified_sample(docs, "lang", "doc_id", {}, default_fraction=-1)

@@ -1058,3 +1058,44 @@ def debounce_events(
         .filter(F.col("__dbr") == 1)
         .select(*cols)
     )
+
+
+def bucketize(
+    df: DataFrame,
+    value_col: str,
+    bins: int,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Append each row's equi-DEPTH bucket index (0-based) — the
+    quantile feature-binning transform: boundaries are the exact
+    ``i/bins`` percentiles (one aggregate, broadcast literals — same
+    two-pass shape as :func:`histogram_equi_depth`, whose bins these
+    labels land in: upper-inclusive, ties go to the first qualifying
+    bucket). NULL values get NULL buckets (labeling is total)."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if bucket_col in df.columns:
+        raise ValueError(
+            f"bucketize: column {bucket_col!r} already exists — rename it"
+        )
+    v = qcol(value_col).cast("double")
+    probs = [i / bins for i in range(1, bins)]
+    if probs:
+        row = df.agg(*[
+            F.percentile(v, F.lit(p)).alias(f"__q{i}")
+            for i, p in enumerate(probs)
+        ]).first()
+        qs = [row[f"__q{i}"] for i in range(len(probs))]
+    else:
+        qs = []
+    if qs and qs[0] is None:
+        # no non-NULL values: every bucket is NULL
+        return df.withColumn(bucket_col, F.lit(None).cast("int"))
+    idx = None
+    for q in qs:
+        term = (v > F.lit(float(q))).cast("int")
+        idx = term if idx is None else (idx + term)
+    idx = idx if idx is not None else F.lit(0)
+    return df.withColumn(
+        bucket_col, F.when(v.isNotNull(), idx).cast("int")
+    )

@@ -21,7 +21,7 @@ Design rules shared by every operator here:
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -663,3 +663,36 @@ def assign_folds(
     return df.withColumn(
         fold_col, (_md5_key(id_col, salt, 13) % k).cast("int")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 1.0,
+    salt: str = "strata",
+) -> DataFrame:
+    """Per-group deterministic Bernoulli sampling: keep a row iff its
+    md5 draw on (salt, id) falls under its group's fraction — the
+    explicit-fraction sibling of ``temperature_sample`` (which COMPUTES
+    the fractions from group counts). Groups absent from ``fractions``
+    keep ``default_fraction`` of their rows; a NULL group uses the
+    default too (rows are never silently dropped by key shape).
+    Same guarantees as every md5 draw here: rerun/partitioning-stable,
+    exact-engine-reproducible, and a row's fate never changes as the
+    corpus grows. Requires unique ids (duplicate ids share one draw)."""
+    for g, f in fractions.items():
+        if not 0.0 <= float(f) <= 1.0:
+            raise ValueError(f"fraction for group {g!r} must be in [0, 1], got {f}")
+    if not 0.0 <= float(default_fraction) <= 1.0:
+        raise ValueError(
+            f"default_fraction must be in [0, 1], got {default_fraction}"
+        )
+    u = hash_unit(id_col, salt)
+    frac = F.lit(float(default_fraction))
+    for g, f in sorted(fractions.items()):
+        frac = F.when(
+            qcol(group_col) == F.lit(g), F.lit(float(f))
+        ).otherwise(frac)
+    return df.filter(u < frac)
