@@ -2827,9 +2827,9 @@ def q_resample_rolling(spark: SparkSession, sf: str) -> DataFrame:
     event_id)), forward-filled, then a 48-hour trailing RANGE window
     adds count / exact DECIMAL(38,10) sum / min / max per grid point.
     All grid arithmetic is integer microseconds and the sum is
-    decimal — bit-reproducible in any engine; the decimal is cast to
-    double only at the output boundary (both engines convert the SAME
-    exact decimal, so the doubles are identical). One bounds
+    decimal — bit-reproducible in any engine; the sum ships as its
+    exact scale-10 integer image (decimal→double casts differ between
+    engines in the last ulp). One bounds
     aggregate + one union + two per-key windows — no range-join
     fan-out, no grid-point × observation explosion."""
     from web_api_postgres_etl_spark.operators.timeseries import (
@@ -2856,12 +2856,17 @@ def q_resample_rolling(spark: SparkSession, sf: str) -> DataFrame:
     rolled = rolling_agg(
         res, "user_id", "grid_ts", "value", window_seconds=48 * 3600
     )
+    # roll_sum ships as its EXACT scale-10 integer image (a
+    # decimal→double CAST is not engine-reproducible: DuckDB divides
+    # in floating point, Spark rounds the BigDecimal correctly — the
+    # two differ in the last ulp on some sums)
     return rolled.select(
         "user_id",
         F.unix_micros("grid_ts").alias("grid_us"),
         "value",
         "roll_n",
-        F.col("roll_sum").cast("double").alias("roll_sum"),
+        (F.col("roll_sum") * F.lit(10_000_000_000))
+        .cast("long").alias("roll_sum_e10"),
         "roll_min",
         "roll_max",
     )
@@ -2884,7 +2889,8 @@ r AS (
   FROM g ASOF LEFT JOIN o ON g.user_id = o.user_id AND o.t <= g.t)
 SELECT user_id, t AS grid_us, v AS value,
        count(v) OVER w AS roll_n,
-       CAST(sum(CAST(v AS DECIMAL(38,10))) OVER w AS DOUBLE) AS roll_sum,
+       CAST(sum(CAST(v AS DECIMAL(38,10))) OVER w
+            * 10000000000 AS BIGINT) AS roll_sum_e10,
        min(v) OVER w AS roll_min,
        max(v) OVER w AS roll_max
 FROM r

@@ -233,3 +233,61 @@ def test_stratified_sample_mirror_and_semantics(spark, oracle):
         stratified_sample(docs, "lang", "doc_id", {"en": 1.5})
     with pytest.raises(ValueError, match="default_fraction"):
         stratified_sample(docs, "lang", "doc_id", {}, default_fraction=-1)
+
+
+# -------------------------------------------------- grouping sets
+def test_grouping_sets_matches_duckdb(spark, oracle):
+    from web_api_postgres_etl_spark.operators.aggregates import (
+        grouping_sets_agg,
+    )
+
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    rows = grouping_sets_agg(
+        orders,
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,10)"))
+            .alias("total"),
+        ],
+    ).collect()
+    from decimal import Decimal
+
+    q2 = Decimal("0.01")
+    got = sorted(
+        (
+            (r["o_orderstatus"], r["o_orderpriority"], r["n"],
+             str(Decimal(r["total"]).quantize(q2)), r["grouping_id"])
+            for r in rows
+        ),
+        key=repr,
+    )
+    fetched = oracle.execute("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               sum(CAST(o_totalprice AS DECIMAL(38,10))) AS total,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT)
+                 AS grouping_id
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+    """).fetchall()
+    # exact DECIMALs on both sides (a decimal->double CAST is NOT
+    # engine-reproducible at scale 10: DuckDB divides in floating
+    # point, Spark rounds the BigDecimal correctly)
+    want = sorted(
+        ((s, p, n, str(Decimal(t).quantize(q2)), g)
+         for s, p, n, t, g in fetched),
+        key=repr,
+    )
+    assert got == want and len(got) > 10
+    # the grand-total row is identifiable by its grouping_id, never by
+    # NULL-key guessing
+    grand = [g for *_, g in got if g == 3]
+    assert len(grand) == 1
+
+    with pytest.raises(ValueError, match="at least one set"):
+        grouping_sets_agg(orders, [], [F.count(F.lit(1)).alias("n")])
+    with pytest.raises(ValueError, match="not in"):
+        grouping_sets_agg(orders, [["nope"]], [F.count(F.lit(1)).alias("n")])
+    with pytest.raises(ValueError, match="at least one aggregate"):
+        grouping_sets_agg(orders, [["o_orderstatus"]], [])

@@ -1099,3 +1099,43 @@ def bucketize(
     return df.withColumn(
         bucket_col, F.when(v.isNotNull(), idx).cast("int")
     )
+
+
+# ---------------------------------------------------- grouping sets
+def grouping_sets_agg(
+    df: DataFrame,
+    sets: Sequence[Sequence[str]],
+    aggs: Sequence,
+) -> DataFrame:
+    """Explicit GROUPING SETS aggregation — the OLAP face between one
+    flat groupBy and a full cube: compute ``aggs`` once per requested
+    key combination in ONE pass (Spark expands the sets with a single
+    Expand node — never one scan per set). ``grouping_id`` is always
+    appended: a NULL in a key column is ambiguous between "this set
+    aggregates that key away" and "the data's key IS NULL" — the id's
+    bit per key (1 = aggregated away, in groupBy-column order) is the
+    only faithful disambiguation, and omitting it is the classic
+    rollup-reading bug. Columns not in a given set come back NULL for
+    that set's rows (standard SQL semantics).
+
+    ``sets``: sequences of key-column names (the empty set = grand
+    total); ``aggs``: aggregate Columns (alias them). The union of all
+    set columns forms the output key columns."""
+    sets = [list(s) for s in sets]
+    if not sets:
+        raise ValueError("grouping_sets_agg needs at least one set")
+    all_keys: list[str] = []
+    for s in sets:
+        for k in s:
+            if k not in all_keys:
+                all_keys.append(k)
+    missing = [k for k in all_keys if k not in df.columns]
+    if missing:
+        raise ValueError(
+            f"grouping_sets_agg: key columns {missing} not in {df.columns}"
+        )
+    if not aggs:
+        raise ValueError("grouping_sets_agg needs at least one aggregate")
+    return df.groupingSets(sets, *all_keys).agg(
+        *aggs, F.grouping_id().alias("grouping_id")
+    )
