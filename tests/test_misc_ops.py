@@ -291,3 +291,53 @@ def test_grouping_sets_matches_duckdb(spark, oracle):
         grouping_sets_agg(orders, [["nope"]], [F.count(F.lit(1)).alias("n")])
     with pytest.raises(ValueError, match="at least one aggregate"):
         grouping_sets_agg(orders, [["o_orderstatus"]], [])
+
+
+def test_review_regressions_round7_tail(spark):
+    """Ninth-review fixes: dotted id columns in keywords/grouping sets,
+    the NULL stratum in stratified_sample, empty-frame binary_metrics."""
+    from web_api_postgres_etl_spark.operators.aggregates import (
+        grouping_sets_agg,
+    )
+    from web_api_postgres_etl_spark.operators.classifier import binary_metrics
+    from web_api_postgres_etl_spark.operators.retrieval import keywords_per_doc
+    from web_api_postgres_etl_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    dotted = spark.createDataFrame(
+        [(1, "solar solar farm"), (2, "castle castle keep")],
+        "`meta.version` long, text string",
+    )
+    kw = {
+        r["meta.version"]: r["term"]
+        for r in keywords_per_doc(dotted, "meta.version", "text", k=1,
+                                  max_df_frac=1.0).collect()
+    }
+    assert kw == {1: "solar", 2: "castle"}
+
+    gdf = spark.createDataFrame(
+        [(1, "a", 2), (2, "b", 3)], "`meta.version` long, k string, v int"
+    )
+    gs = grouping_sets_agg(
+        gdf, [["meta.version"], []], [F.sum("v").alias("s")]
+    ).collect()
+    got_gs = sorted(
+        ((r["meta.version"], r["s"], r["grouping_id"]) for r in gs), key=repr
+    )
+    assert got_gs == sorted([(1, 2, 0), (2, 3, 0), (None, 5, 1)], key=repr)
+
+    # the NULL stratum is addressable with a None key
+    sdf = spark.createDataFrame(
+        [(i, None if i < 5 else "en") for i in range(10)],
+        "doc_id long, lang string",
+    )
+    kept = stratified_sample(sdf, "lang", "doc_id", {None: 0.0},
+                             default_fraction=1.0)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [5, 6, 7, 8, 9]
+
+    # empty scored frame: exact-zero counts, never NULL
+    empty = spark.createDataFrame([], "label int, score double")
+    row = binary_metrics(empty, "label", "score", [0.5]).first()
+    assert (row["tp"], row["fp"], row["tn"], row["fn"], row["n_skipped"]) \
+        == (0, 0, 0, 0, 0)

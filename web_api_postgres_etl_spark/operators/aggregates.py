@@ -10,7 +10,7 @@ even at 100 TB (scan of min/max metadata, not data).
 from __future__ import annotations
 
 import re
-from collections.abc import Iterable, Mapping
+from collections.abc import Iterable, Mapping, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -821,13 +821,8 @@ def histogram_equi_depth(
     if bins < 1:
         raise ValueError(f"bins must be >= 1, got {bins}")
     v = qcol(value_col).cast("double")
-    probs = [i / bins for i in range(1, bins)]
-    agg = [F.min(v).alias("__lo"), F.max(v).alias("__hi")] + [
-        F.percentile(v, F.lit(p)).alias(f"__q{i}")
-        for i, p in enumerate(probs)
-    ]
-    row = df.agg(*agg).first()
-    if row["__lo"] is None:
+    edges, idx = _equi_depth_edges_and_index(df, v, bins)
+    if edges is None:
         # no non-NULL values: bins exist, all empty and unbounded
         spark = df.sparkSession
         return spark.range(bins).select(
@@ -836,14 +831,6 @@ def histogram_equi_depth(
             F.lit(None).cast("double").alias("bin_hi"),
             F.lit(0).cast("long").alias("n"),
         )
-    qs = [float(row[f"__q{i}"]) for i in range(len(probs))]
-    edges = [float(row["__lo"])] + qs + [float(row["__hi"])]
-    # bin = number of strict upper boundaries the value exceeds
-    idx = None
-    for q in qs:
-        term = (v > F.lit(q)).cast("int")
-        idx = term if idx is None else (idx + term)
-    idx = (idx if idx is not None else F.lit(0)).cast("int")
     counts = (
         df.filter(v.isNotNull())
         .groupBy(idx.alias("bin"))
@@ -857,6 +844,31 @@ def histogram_equi_depth(
     return grid.join(counts, on="bin", how="left").select(
         "bin", "bin_lo", "bin_hi", F.coalesce(F.col("n"), F.lit(0)).alias("n")
     )
+
+
+def _equi_depth_edges_and_index(df: DataFrame, v, bins: int):
+    """The ONE definition of equi-depth boundaries and bin assignment,
+    shared by :func:`histogram_equi_depth` and :func:`bucketize` so the
+    "labels land exactly in the histogram's bins" invariant holds by
+    construction: boundaries are the exact ``i/bins`` percentiles, the
+    bin index counts STRICT upper boundaries exceeded (upper-inclusive
+    bins). Returns ``(edges, idx)`` — ``(None, None)`` when the column
+    has no non-NULL values."""
+    probs = [i / bins for i in range(1, bins)]
+    agg = [F.min(v).alias("__lo"), F.max(v).alias("__hi")] + [
+        F.percentile(v, F.lit(p)).alias(f"__q{i}")
+        for i, p in enumerate(probs)
+    ]
+    row = df.agg(*agg).first()
+    if row["__lo"] is None:
+        return None, None
+    qs = [float(row[f"__q{i}"]) for i in range(len(probs))]
+    edges = [float(row["__lo"])] + qs + [float(row["__hi"])]
+    idx = None
+    for q in qs:
+        term = (v > F.lit(q)).cast("int")
+        idx = term if idx is None else (idx + term)
+    return edges, (idx if idx is not None else F.lit(0)).cast("int")
 
 
 # ------------------------------------------------------ path analysis
@@ -1079,23 +1091,12 @@ def bucketize(
             f"bucketize: column {bucket_col!r} already exists — rename it"
         )
     v = qcol(value_col).cast("double")
-    probs = [i / bins for i in range(1, bins)]
-    if probs:
-        row = df.agg(*[
-            F.percentile(v, F.lit(p)).alias(f"__q{i}")
-            for i, p in enumerate(probs)
-        ]).first()
-        qs = [row[f"__q{i}"] for i in range(len(probs))]
-    else:
-        qs = []
-    if qs and qs[0] is None:
+    # shared with histogram_equi_depth so the "labels land exactly in
+    # the histogram's bins" invariant holds by construction
+    edges, idx = _equi_depth_edges_and_index(df, v, bins)
+    if edges is None:
         # no non-NULL values: every bucket is NULL
         return df.withColumn(bucket_col, F.lit(None).cast("int"))
-    idx = None
-    for q in qs:
-        term = (v > F.lit(float(q))).cast("int")
-        idx = term if idx is None else (idx + term)
-    idx = idx if idx is not None else F.lit(0)
     return df.withColumn(
         bucket_col, F.when(v.isNotNull(), idx).cast("int")
     )
@@ -1136,6 +1137,13 @@ def grouping_sets_agg(
         )
     if not aggs:
         raise ValueError("grouping_sets_agg needs at least one aggregate")
-    return df.groupingSets(sets, *all_keys).agg(
-        *aggs, F.grouping_id().alias("grouping_id")
-    )
+    # qcol everywhere: a bare string key with a dot would be parsed as
+    # struct-field access even though the validation above confirmed a
+    # flat dotted column exists (the repo's first-class dotted case).
+    # The set entries and the grouping columns must be the SAME
+    # expression shape — an alias on one side makes Spark treat them
+    # as distinct grouping columns and scrambles grouping_id.
+    return df.groupingSets(
+        [[qcol(k) for k in s] for s in sets],
+        *[qcol(k) for k in all_keys],
+    ).agg(*aggs, F.grouping_id().alias("grouping_id"))

@@ -362,16 +362,21 @@ def binary_metrics(
     y = (qcol(label_col).cast("double") != 0.0).cast("int")
     s = qcol(score_col).cast("double")
     ok = qcol(label_col).isNotNull() & s.isNotNull()
+    # coalesce: SUM over an EMPTY frame is NULL — the counts contract
+    # is exact integers, so an empty scored frame must report zeros
+    def _n(c):
+        return F.coalesce(F.sum(c), F.lit(0))
+
     aggs = [
-        F.sum(F.when(~ok, 1).otherwise(0)).alias("n_skipped"),
+        _n(F.when(~ok, 1).otherwise(0)).alias("n_skipped"),
     ]
     for i, t in enumerate(ts):
         pred = (s >= F.lit(t)).cast("int")
         aggs += [
-            F.sum(F.when(ok & (y == 1) & (pred == 1), 1).otherwise(0)).alias(f"tp_{i}"),
-            F.sum(F.when(ok & (y == 0) & (pred == 1), 1).otherwise(0)).alias(f"fp_{i}"),
-            F.sum(F.when(ok & (y == 0) & (pred == 0), 1).otherwise(0)).alias(f"tn_{i}"),
-            F.sum(F.when(ok & (y == 1) & (pred == 0), 1).otherwise(0)).alias(f"fn_{i}"),
+            _n(F.when(ok & (y == 1) & (pred == 1), 1).otherwise(0)).alias(f"tp_{i}"),
+            _n(F.when(ok & (y == 0) & (pred == 1), 1).otherwise(0)).alias(f"fp_{i}"),
+            _n(F.when(ok & (y == 0) & (pred == 0), 1).otherwise(0)).alias(f"tn_{i}"),
+            _n(F.when(ok & (y == 1) & (pred == 0), 1).otherwise(0)).alias(f"fn_{i}"),
         ]
     row = scored.agg(*aggs)
     spark = scored.sparkSession

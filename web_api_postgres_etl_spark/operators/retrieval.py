@@ -295,6 +295,7 @@ def tfidf_table(
     id_col: str,
     text_col: str,
     min_df: int = 1,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """(id, term, tf, df, tfidf) — the materialized index-build half of
     the retrieval story (``bm25_topk`` is the query-time half): every
@@ -306,7 +307,10 @@ def tfidf_table(
     counts and the document frequencies (same (id, term) frame, two
     map-side-combining aggregates); the df table joins back by term —
     a shuffle of (term, count) pairs, never text. ``min_df`` prunes
-    hapax noise before the join. N is one scalar aggregate.
+    hapax noise before the join; ``max_df_frac`` (sklearn's max_df)
+    drops stopword-like terms appearing in more than that fraction of
+    documents, reusing the SAME broadcast N — no extra corpus pass.
+    N is one scalar aggregate.
 
     Persist/write the result once per corpus snapshot; query-time
     scoring then never touches raw text.
@@ -324,7 +328,16 @@ def tfidf_table(
     idf = F.log(
         (F.lit(1.0) + F.col("__n")) / (F.lit(1.0) + F.col("df"))
     ) + F.lit(1.0)
-    return tc.join(dfs, "term").crossJoin(F.broadcast(n_docs)).select(
+    joined = tc.join(dfs, "term").crossJoin(F.broadcast(n_docs))
+    if max_df_frac is not None:
+        if not 0.0 < max_df_frac <= 1.0:
+            raise ValueError(
+                f"max_df_frac must be in (0, 1], got {max_df_frac}"
+            )
+        joined = joined.filter(
+            F.col("df") <= F.col("__n") * F.lit(float(max_df_frac))
+        )
+    return joined.select(
         qcol(id_col),
         "term",
         "tf",
@@ -694,17 +707,16 @@ def keywords_per_doc(
         raise ValueError(f"max_df_frac must be in (0, 1], got {max_df_frac}")
     from pyspark.sql import Window
 
-    weights = tfidf_table(df, id_col, text_col, min_df=min_df)
-    n_docs = df.agg(F.count("*").cast("double").alias("__n"))
-    out_id = id_col.split(".")[-1]
-    pruned = weights.crossJoin(F.broadcast(n_docs)).filter(
-        F.col("df") <= F.col("__n") * F.lit(float(max_df_frac))
+    # max_df pruning happens INSIDE tfidf_table, reusing its broadcast
+    # N — a second corpus count aggregate here would double the scans
+    weights = tfidf_table(
+        df, id_col, text_col, min_df=min_df, max_df_frac=max_df_frac
     )
-    w = Window.partitionBy(out_id).orderBy(
+    # qcol, not a name split: tfidf_table keeps the full (possibly
+    # dotted) id column name
+    w = Window.partitionBy(qcol(id_col)).orderBy(
         F.col("tfidf").desc(), F.col("term").asc()
     )
-    return (
-        pruned.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .drop("__n")
+    return weights.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )

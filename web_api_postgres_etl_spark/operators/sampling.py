@@ -677,8 +677,10 @@ def stratified_sample(
     md5 draw on (salt, id) falls under its group's fraction — the
     explicit-fraction sibling of ``temperature_sample`` (which COMPUTES
     the fractions from group counts). Groups absent from ``fractions``
-    keep ``default_fraction`` of their rows; a NULL group uses the
-    default too (rows are never silently dropped by key shape).
+    keep ``default_fraction`` of their rows; the NULL stratum is
+    addressable with a ``None`` key (an equality test would never
+    match it — the NULL-safe branch below does), and absent that it
+    uses the default (rows are never silently dropped by key shape).
     Same guarantees as every md5 draw here: rerun/partitioning-stable,
     exact-engine-reproducible, and a row's fate never changes as the
     corpus grows. Requires unique ids (duplicate ids share one draw)."""
@@ -691,8 +693,11 @@ def stratified_sample(
         )
     u = hash_unit(id_col, salt)
     frac = F.lit(float(default_fraction))
-    for g, f in sorted(fractions.items()):
-        frac = F.when(
-            qcol(group_col) == F.lit(g), F.lit(float(f))
-        ).otherwise(frac)
+    for g, f in sorted(fractions.items(), key=repr):
+        cond = (
+            qcol(group_col).isNull()
+            if g is None
+            else qcol(group_col) == F.lit(g)
+        )
+        frac = F.when(cond, F.lit(float(f))).otherwise(frac)
     return df.filter(u < frac)
