@@ -726,3 +726,58 @@ def test_compression_ratio_signal(spark):
     assert got[3] is None
     assert got[4] < 1.0
     assert got[2] > 2 * got[1]  # the signal separates spam from prose
+
+
+def test_expect_schema_full_diff(spark):
+    from web_api_postgres_etl_spark.operators.quality import expect_schema
+
+    df = spark.createDataFrame([(1, "x", 0.5)], "id long, name string, v double")
+    expect_schema(df, "id long, name string, v double")   # order-insensitive
+    expect_schema(df, "v double, id long, name string")
+    expect_schema(df, "id long, name string", allow_extra=True)
+    with pytest.raises(ValueError) as e:
+        expect_schema(df, "id long, name string, v string, missing int")
+    msg = str(e.value)
+    # ALL drifts reported at once
+    assert "type drift on 'v'" in msg
+    assert "missing column 'missing'" in msg
+    with pytest.raises(ValueError, match="unexpected column 'v'"):
+        expect_schema(df, "id long, name string")
+
+
+def test_population_stability_detects_drift(spark):
+    import math
+
+    from web_api_postgres_etl_spark.operators.quality import (
+        population_stability,
+    )
+
+    ref = spark.range(10000).selectExpr("CAST(id % 1000 AS DOUBLE) AS v")
+    same = spark.range(5000).selectExpr("CAST(id % 1000 AS DOUBLE) AS v")
+    psi_same, per = population_stability(ref, same, "v", bins=10)
+    assert psi_same < 0.01                       # identical distribution
+    assert per.count() == 10
+    fr = per.agg(F.sum("frac_ref")).first()[0]
+    assert fr == pytest.approx(1.0, abs=1e-6)
+
+    shifted = spark.range(5000).selectExpr("CAST(900 + id % 100 AS DOUBLE) AS v")
+    psi_shift, per2 = population_stability(ref, shifted, "v", bins=10)
+    assert psi_shift > 0.25                      # all mass in the top bin
+    # python-model parity of the fold (deterministic driver-side sum)
+    rows = per2.collect()
+    assert psi_shift == pytest.approx(
+        sum(r["psi_term"] for r in rows), abs=1e-12
+    )
+    # out-of-range current values land in edge bins, never vanish
+    outside = spark.createDataFrame([(-5.0,), (2000.0,)], "v double")
+    _, per3 = population_stability(ref, outside, "v", bins=4)
+    cur = {r["bin"]: r["n_cur"] for r in per3.collect()}
+    assert cur[0] == 1 and cur[3] == 1
+
+    with pytest.raises(ValueError, match="bins"):
+        population_stability(ref, same, "v", bins=1)
+    nulls = spark.createDataFrame([(None,)], "v double")
+    with pytest.raises(ValueError, match="reference has no"):
+        population_stability(nulls, same, "v")
+    with pytest.raises(ValueError, match="current batch has no"):
+        population_stability(ref, nulls, "v")

@@ -132,3 +132,122 @@ def quarantine(
     clean = tagged.filter(F.size(reasons_col) == 0).drop(reasons_col)
     bad = tagged.filter(F.size(reasons_col) > 0)
     return clean, bad
+
+
+def expect_schema(df: DataFrame, expected, allow_extra: bool = False) -> None:
+    """Raise with a FULL diff when ``df``'s schema deviates from
+    ``expected`` (a StructType or a DDL string): missing columns,
+    unexpected columns (unless ``allow_extra``), and per-column type
+    mismatches are all reported AT ONCE — a loader that fails one
+    column at a time takes k deploys to discover k drifts. Nullability
+    is deliberately ignored (parquet round-trips and unions flip it
+    freely; type drift is the contract). Column order is ignored too —
+    select-reordering is not drift. Metadata-only: no job runs."""
+    from pyspark.sql.types import StructType
+
+    if isinstance(expected, str):
+        expected = StructType.fromDDL(expected)
+    want = {f.name: f.dataType for f in expected.fields}
+    have = {f.name: f.dataType for f in df.schema.fields}
+    problems = []
+    for name, t in want.items():
+        if name not in have:
+            problems.append(f"missing column {name!r} ({t.simpleString()})")
+        elif have[name] != t:
+            problems.append(
+                f"type drift on {name!r}: expected {t.simpleString()}, "
+                f"got {have[name].simpleString()}"
+            )
+    if not allow_extra:
+        for name in have:
+            if name not in want:
+                problems.append(
+                    f"unexpected column {name!r} ({have[name].simpleString()})"
+                )
+    if problems:
+        raise ValueError(
+            "expect_schema: schema drift detected:\n  - "
+            + "\n  - ".join(problems)
+        )
+
+
+def population_stability(
+    reference: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    epsilon: float = 1e-6,
+) -> tuple[float, DataFrame]:
+    """Population Stability Index between a reference batch and the
+    current batch of ``value_col`` — the standard drift gate (rule of
+    thumb: < 0.1 stable, 0.1-0.25 shifting, > 0.25 drifted). Bins are
+    the REFERENCE's equi-depth quantile buckets (plus open-ended edge
+    bins), so the reference distribution is ~uniform by construction
+    and drift shows as current-batch mass piling into few bins.
+
+    Returns ``(psi, per_bin)`` where ``per_bin`` carries each bin's
+    reference/current fractions and PSI term for the audit trail.
+    NULL values are excluded on both sides (count them with
+    ``expect``; a fraction-of-NULLs drift is a different rule).
+    ``epsilon`` floors empty fractions — PSI's ln explodes on zeros.
+
+    Scale shape: one percentile aggregate on the reference (boundary
+    literals), one map-side-combining bin count per side, and the PSI
+    fold runs driver-side over ≤ ``bins`` rows — deterministic
+    regardless of partitioning (never a float sum over data)."""
+    from .aggregates import _equi_depth_edges_and_index
+    from .project import qcol
+
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    v_ref = qcol(value_col).cast("double")
+    edges, idx_ref = _equi_depth_edges_and_index(reference, v_ref, bins)
+    if edges is None:
+        raise ValueError(
+            "population_stability: reference has no non-NULL values — "
+            "there is no distribution to compare against"
+        )
+
+    def _counts(frame: DataFrame) -> dict[int, int]:
+        v = qcol(value_col).cast("double")
+        # same strict-boundary assignment as the reference's buckets;
+        # out-of-range current values land in the edge bins naturally
+        # (count of boundaries exceeded is 0 below, bins-1 above)
+        idx = None
+        for q in edges[1:-1]:
+            term = (v > F.lit(float(q))).cast("int")
+            idx = term if idx is None else (idx + term)
+        idx = (idx if idx is not None else F.lit(0)).cast("int")
+        rows = (
+            frame.filter(v.isNotNull())
+            .groupBy(idx.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        return {r["bin"]: r["n"] for r in rows}
+
+    import math
+
+    rc = _counts(reference)
+    cc = _counts(current)
+    n_ref = sum(rc.values())
+    n_cur = sum(cc.values())
+    if n_cur == 0:
+        raise ValueError(
+            "population_stability: current batch has no non-NULL values"
+        )
+    spark = reference.sparkSession
+    per_rows = []
+    psi = 0.0
+    for b in range(bins):
+        p = max(rc.get(b, 0) / n_ref, epsilon)
+        q = max(cc.get(b, 0) / n_cur, epsilon)
+        term = (p - q) * math.log(p / q)
+        psi += term
+        per_rows.append((b, rc.get(b, 0), cc.get(b, 0), p, q, term))
+    per_bin = spark.createDataFrame(
+        per_rows,
+        "bin int, n_ref long, n_cur long, frac_ref double, "
+        "frac_cur double, psi_term double",
+    )
+    return psi, per_bin
