@@ -711,3 +711,60 @@ def test_keywords_per_doc_ground_truth_and_mirror(spark, oracle):
         """).fetchall()
     )
     assert got == want and len(got) == 1500  # 3 per doc, 500 docs
+
+
+def test_frequent_itemsets_ground_truth(spark):
+    """Hand-countable planted baskets: supports are exact transaction
+    counts, rules carry the right confidence/lift, duplicates and
+    NULLs inside a transaction are cleaned rather than crashing."""
+    from pyspark.sql import functions as F
+
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        frequent_itemsets,
+    )
+
+    baskets = [
+        (["bread", "milk"],),
+        (["bread", "milk", "eggs"],),
+        (["bread", "bread", "milk", None],),   # dup + NULL cleaned
+        (["eggs"],),
+        ([],),
+        (None,),
+    ]
+    df = spark.createDataFrame(baskets, "items array<string>")
+    itemsets, rules = frequent_itemsets(df, "items", min_support=0.5,
+                                        min_confidence=0.6)
+    freq = {tuple(sorted(r["items"])): r["freq"] for r in itemsets.collect()}
+    # 6 transactions; support 0.5 -> count >= 3
+    assert freq == {("bread",): 3, ("milk",): 3, ("bread", "milk"): 3}
+    got_rules = {
+        (tuple(r["antecedent"]), tuple(r["consequent"])):
+            (r["confidence"], r["lift"])
+        for r in rules.collect()
+    }
+    # bread -> milk with confidence 3/3 and lift (3/3)/(3/6) = 2
+    assert got_rules[(("bread",), ("milk",))] == (1.0, 2.0)
+    assert got_rules[(("milk",), ("bread",))] == (1.0, 2.0)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="min_support"):
+        frequent_itemsets(df, "items", min_support=0.0)
+    with _pt.raises(ValueError, match="min_confidence"):
+        frequent_itemsets(df, "items", min_confidence=1.5)
+
+    # events-table face: per-user distinct event types as transactions;
+    # itemset counts must equal direct SQL set-containment counts
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    tx = events.groupBy("user_id").agg(
+        F.collect_set("event_type").alias("types")
+    )
+    isets, _ = frequent_itemsets(tx, "types", min_support=0.8)
+    n_users = tx.count()
+    for r in isets.collect():
+        want = tx.filter(
+            F.forall(
+                F.array(*[F.lit(i) for i in r["items"]]),
+                lambda i: F.array_contains(F.col("types"), i),
+            )
+        ).count()
+        assert r["freq"] == want and r["freq"] >= 0.8 * n_users

@@ -720,3 +720,54 @@ def keywords_per_doc(
     return weights.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def frequent_itemsets(
+    df: DataFrame,
+    items_col: str,
+    min_support: float = 0.01,
+    min_confidence: float = 0.5,
+):
+    """Distributed frequent-itemset + association-rule mining over an
+    array column (pyspark.ml FP-Growth — the parallel PFP split: one
+    pass for item frequencies, group-dependent transaction projections,
+    local FP-trees per group; no candidate-generation explosion like
+    Apriori). Returns ``(itemsets, rules)``:
+
+    - itemsets: (items array, freq) — exact transaction counts for
+      every itemset with support ≥ ``min_support``;
+    - rules: (antecedent, consequent, confidence, lift, support).
+
+    Pinned semantics callers must know: FP-Growth treats each
+    transaction as a SET — duplicate entries in one array raise in the
+    JVM, so the items are de-duplicated and NULLs dropped here first
+    (a transaction "contains x twice" is not expressible in support
+    counting). Empty/NULL transactions still count toward the support
+    denominator (they are transactions that bought nothing).
+
+    Scale shape: support counting is map-side-combining; the projected
+    databases shuffle (group, transaction-suffix) pairs bounded by the
+    frequent-item count, not the raw item vocabulary."""
+    if not 0.0 < min_support <= 1.0:
+        raise ValueError(f"min_support must be in (0, 1], got {min_support}")
+    if not 0.0 < min_confidence <= 1.0:
+        raise ValueError(
+            f"min_confidence must be in (0, 1], got {min_confidence}"
+        )
+    from pyspark.ml.fpm import FPGrowth
+
+    items = qcol(items_col) if isinstance(items_col, str) else items_col
+    prepped = df.select(
+        F.array_distinct(
+            F.filter(
+                F.coalesce(items, F.array().cast("array<string>")),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("__items")
+    )
+    model = FPGrowth(
+        itemsCol="__items",
+        minSupport=float(min_support),
+        minConfidence=float(min_confidence),
+    ).fit(prepped)
+    return model.freqItemsets, model.associationRules
