@@ -781,3 +781,45 @@ def test_population_stability_detects_drift(spark):
         population_stability(nulls, same, "v")
     with pytest.raises(ValueError, match="current batch has no"):
         population_stability(ref, nulls, "v")
+
+
+def test_expect_schema_review_regressions(spark):
+    """Tenth-review: nested nullability ignored, duplicate names
+    reported, case-insensitive folding per session default."""
+    from web_api_postgres_etl_spark.operators.quality import expect_schema
+
+    # containsNull=false array vs DDL's containsNull=true: NOT drift
+    arr = spark.range(1).select(F.array(F.lit("a")).alias("tags"))
+    expect_schema(arr, "tags array<string>")
+    # duplicate (ambiguous) columns are themselves drift
+    a = spark.createDataFrame([(1, 2)], "id long, v long")
+    b = spark.createDataFrame([(1, 3)], "id long, w long")
+    j = a.join(b, a["id"] == b["id"]).select(a["*"], b["*"])
+    with pytest.raises(ValueError, match="duplicate column name 'id'"):
+        expect_schema(j, "id long, v long, id long, w long", allow_extra=True)
+    # case-insensitive name folding (the session default)
+    up = spark.createDataFrame([(1,)], "ID long")
+    expect_schema(up, "id long")
+
+
+def test_population_stability_epsilon_guard_and_int_items(spark):
+    from web_api_postgres_etl_spark.operators.quality import (
+        population_stability,
+    )
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        frequent_itemsets,
+    )
+
+    ref = spark.range(100).selectExpr("CAST(id AS DOUBLE) AS v")
+    with pytest.raises(ValueError, match="epsilon"):
+        population_stability(ref, ref, "v", epsilon=0.0)
+
+    # non-string transactions keep their element type (NULL fallback
+    # typed from the column, never a hardcoded array<string>)
+    baskets = spark.createDataFrame(
+        [([1, 2],), ([1, 2],), ([2],), (None,)], "items array<int>"
+    )
+    isets, _ = frequent_itemsets(baskets, "items", min_support=0.5)
+    freq = {tuple(sorted(r["items"])): r["freq"] for r in isets.collect()}
+    assert freq == {(1,): 2, (2,): 3, (1, 2): 2}
+    assert isets.schema["items"].dataType.elementType.simpleString() == "int"

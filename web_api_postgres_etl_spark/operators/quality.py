@@ -140,29 +140,55 @@ def expect_schema(df: DataFrame, expected, allow_extra: bool = False) -> None:
     unexpected columns (unless ``allow_extra``), and per-column type
     mismatches are all reported AT ONCE — a loader that fails one
     column at a time takes k deploys to discover k drifts. Nullability
-    is deliberately ignored (parquet round-trips and unions flip it
-    freely; type drift is the contract). Column order is ignored too —
-    select-reordering is not drift. Metadata-only: no job runs."""
+    is deliberately ignored AT EVERY NESTING LEVEL (parquet
+    round-trips, unions, and F.array()/F.split() flip top-level and
+    containsNull/struct-field flags freely; types compare by
+    simpleString, which strips them all). Column order is ignored too
+    — select-reordering is not drift. Names fold per the session's
+    ``spark.sql.caseSensitive`` (default: insensitive, matching how
+    Spark resolves references). DUPLICATE column names in the frame
+    are themselves reported as drift — they pass a naive gate and then
+    kill the first downstream reference with AMBIGUOUS_REFERENCE.
+    Metadata-only: no job runs."""
     from pyspark.sql.types import StructType
 
     if isinstance(expected, str):
         expected = StructType.fromDDL(expected)
-    want = {f.name: f.dataType for f in expected.fields}
-    have = {f.name: f.dataType for f in df.schema.fields}
+    case_sensitive = (
+        str(
+            df.sparkSession.conf.get("spark.sql.caseSensitive", "false")
+        ).lower()
+        == "true"
+    )
+
+    def _fold(name: str) -> str:
+        return name if case_sensitive else name.lower()
+
     problems = []
-    for name, t in want.items():
-        if name not in have:
+    seen: dict[str, int] = {}
+    for f in df.schema.fields:
+        seen[_fold(f.name)] = seen.get(_fold(f.name), 0) + 1
+    for name, cnt in seen.items():
+        if cnt > 1:
+            problems.append(
+                f"duplicate column name {name!r} ({cnt} occurrences — "
+                "ambiguous references downstream)"
+            )
+    want = {_fold(f.name): (f.name, f.dataType) for f in expected.fields}
+    have = {_fold(f.name): (f.name, f.dataType) for f in df.schema.fields}
+    for key, (name, t) in want.items():
+        if key not in have:
             problems.append(f"missing column {name!r} ({t.simpleString()})")
-        elif have[name] != t:
+        elif have[key][1].simpleString() != t.simpleString():
             problems.append(
                 f"type drift on {name!r}: expected {t.simpleString()}, "
-                f"got {have[name].simpleString()}"
+                f"got {have[key][1].simpleString()}"
             )
     if not allow_extra:
-        for name in have:
-            if name not in want:
+        for key, (name, t) in have.items():
+            if key not in want:
                 problems.append(
-                    f"unexpected column {name!r} ({have[name].simpleString()})"
+                    f"unexpected column {name!r} ({t.simpleString()})"
                 )
     if problems:
         raise ValueError(
@@ -200,6 +226,11 @@ def population_stability(
 
     if bins < 2:
         raise ValueError(f"bins must be >= 2, got {bins}")
+    if not epsilon > 0:
+        raise ValueError(
+            f"epsilon must be > 0 (it floors empty-bin fractions for the "
+            f"ln), got {epsilon}"
+        )
     v_ref = qcol(value_col).cast("double")
     edges, idx_ref = _equi_depth_edges_and_index(reference, v_ref, bins)
     if edges is None:
@@ -209,18 +240,14 @@ def population_stability(
         )
 
     def _counts(frame: DataFrame) -> dict[int, int]:
+        # idx_ref is an unbound expression over the value column — the
+        # ONE bin-assignment definition (aggregates helper) applied to
+        # both frames; out-of-range current values land in the edge
+        # bins naturally (0 boundaries exceeded below, bins-1 above)
         v = qcol(value_col).cast("double")
-        # same strict-boundary assignment as the reference's buckets;
-        # out-of-range current values land in the edge bins naturally
-        # (count of boundaries exceeded is 0 below, bins-1 above)
-        idx = None
-        for q in edges[1:-1]:
-            term = (v > F.lit(float(q))).cast("int")
-            idx = term if idx is None else (idx + term)
-        idx = (idx if idx is not None else F.lit(0)).cast("int")
         rows = (
             frame.filter(v.isNotNull())
-            .groupBy(idx.alias("bin"))
+            .groupBy(idx_ref.alias("bin"))
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         )

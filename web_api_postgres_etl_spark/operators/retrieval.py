@@ -757,10 +757,14 @@ def frequent_itemsets(
     from pyspark.ml.fpm import FPGrowth
 
     items = qcol(items_col) if isinstance(items_col, str) else items_col
+    # the NULL-transaction fallback must carry the column's OWN element
+    # type: a hardcoded array<string> fails analysis on struct items
+    # and silently widens int items to long through ANSI coercion
+    item_type = df.select(items.alias("__i")).schema[0].dataType
     prepped = df.select(
         F.array_distinct(
             F.filter(
-                F.coalesce(items, F.array().cast("array<string>")),
+                F.coalesce(items, F.array().cast(item_type)),
                 lambda x: x.isNotNull(),
             )
         ).alias("__items")
