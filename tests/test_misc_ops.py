@@ -341,3 +341,30 @@ def test_review_regressions_round7_tail(spark):
     row = binary_metrics(empty, "label", "score", [0.5]).first()
     assert (row["tp"], row["fp"], row["tn"], row["fn"], row["n_skipped"]) \
         == (0, 0, 0, 0, 0)
+
+
+def test_cli_profile_histogram_and_drift(spark, tmp_path, capsys):
+    import json
+
+    from web_api_postgres_etl_spark.__main__ import main
+
+    path = str(tmp_path / "t")
+    spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) AS v").write.parquet(path)
+    assert main(["profile", "--table", path, "--histogram", "v",
+                 "--bins", "4"], spark=spark) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 4 and sum(l["n"] for l in lines) == 1000
+
+    shifted = str(tmp_path / "s")
+    spark.range(500).selectExpr("CAST(90 + id % 10 AS DOUBLE) AS v").write.parquet(shifted)
+    assert main(["profile", "--table", shifted, "--histogram", "v",
+                 "--drift-vs", path, "--bins", "4"], spark=spark) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    head = json.loads(out[0])
+    assert head["verdict"] == "drifted" and head["psi"] > 0.25
+    assert len(out) == 5  # header + 4 per-bin rows
+
+    # keys still required for the skew/join faces
+    import pytest as _pt
+    with _pt.raises(SystemExit, match="pass --keys"):
+        main(["profile", "--table", path], spark=spark)

@@ -76,9 +76,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                          "sidecar itself)")
     pp = sub.add_parser("profile")
     pp.add_argument("--table", required=True, help="parquet path")
-    pp.add_argument("--keys", required=True, help="comma-separated key columns")
+    pp.add_argument("--keys", default=None, help="comma-separated key columns")
     pp.add_argument("--join", default=None, help="second parquet path: price the equi-join")
     pp.add_argument("--top-k", type=int, default=10)
+    pp.add_argument("--histogram", default=None, metavar="COL",
+                    help="print an equi-width histogram of COL instead")
+    pp.add_argument("--bins", type=int, default=16)
+    pp.add_argument("--drift-vs", default=None, metavar="REF",
+                    help="with --histogram COL: PSI of COL vs the "
+                         "reference table at REF (parquet path)")
     args = ap.parse_args(argv)
 
     owns_session = spark is None
@@ -169,7 +175,42 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
         if args.cmd == "profile":
             # pre-flight diagnostics without writing code: key skew of
-            # one table, or the exact price of an equi-join of two
+            # one table, the exact price of an equi-join of two, a
+            # column histogram, or PSI drift vs a reference snapshot
+            if args.histogram is not None:
+                left = spark.read.parquet(args.table)
+                if args.drift_vs is not None:
+                    from web_api_postgres_etl_spark.operators.quality import (
+                        population_stability,
+                    )
+
+                    ref = spark.read.parquet(args.drift_vs)
+                    psi, per_bin = population_stability(
+                        ref, left, args.histogram, bins=args.bins
+                    )
+                    print(json.dumps({
+                        "psi": psi, "column": args.histogram,
+                        "bins": args.bins,
+                        "verdict": ("stable" if psi < 0.1 else
+                                    "shifting" if psi < 0.25 else "drifted"),
+                    }))
+                    for r in per_bin.collect():
+                        print(json.dumps(r.asDict(), default=str))
+                else:
+                    from web_api_postgres_etl_spark.operators.aggregates import (
+                        histogram_equi_width,
+                    )
+
+                    for r in histogram_equi_width(
+                        left, args.histogram, args.bins
+                    ).collect():
+                        print(json.dumps(r.asDict(), default=str))
+                return 0
+            if not args.keys:
+                raise SystemExit(
+                    "profile: pass --keys (skew/join price) or "
+                    "--histogram COL"
+                )
             keys = [k.strip() for k in args.keys.split(",") if k.strip()]
             left = spark.read.parquet(args.table)
             if args.join is None:
