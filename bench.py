@@ -66,22 +66,24 @@ def main() -> None:
         except Exception:
             pass
 
-    # best-of-3: single-shot timings on a busy box swing ±20% (the host
-    # carries noisy neighbors); the min of three runs is the
-    # steady-state number (results identical per run). Raw per-run
-    # samples are published under "runs" so round-over-round
-    # comparisons can see the variance, not just the min.
-    timings: dict[str, float] = {}
-    runs: dict[str, list[float]] = {}
-    for name in HEADLINE:
-        samples = []
-        for _ in range(3):
+    # N full-suite passes (default 3, env-controlled via
+    # SPARK_GRAFT_BENCH_REPEATS), per-query MIN across passes: the box
+    # swings 9.3-12.2s day-to-day for identical code (noisy shared
+    # host), so a single sample cannot detect a real 15% regression.
+    # Full-suite passes (not back-to-back per-query reruns) keep each
+    # sample representative of a cold-ish cache walk; the min is the
+    # steady-state number (results identical per pass). Raw samples
+    # are published under "runs" so round-over-round comparisons can
+    # see the variance, not just the min.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(repeats):
+        for name in HEADLINE:
             t0 = time.perf_counter()
             df = queries[name](spark, sf_dir)
             df.count()
-            samples.append(round(time.perf_counter() - t0, 3))
-        runs[name] = samples
-        timings[name] = min(samples)
+            runs[name].append(round(time.perf_counter() - t0, 3))
+    timings = {name: min(samples) for name, samples in runs.items()}
 
     total = round(sum(timings.values()), 3)
     print(

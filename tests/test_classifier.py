@@ -229,6 +229,18 @@ def test_score_from_token_weights_total_and_guarded(spark):
     with pytest.raises(ValueError, match="collide"):
         score_from_token_weights(bad, "doc_id", "text", weights, icpt)
 
+    # a flat dotted id column must group correctly, not struct-parse
+    dotted = docs.withColumnRenamed("doc_id", "doc.id").withColumnRenamed(
+        "text", "doc.text"
+    )
+    drows = {
+        r["doc.id"]: (r["margin"], r["n_scored_tokens"])
+        for r in score_from_token_weights(
+            dotted, "doc.id", "doc.text", weights, icpt
+        ).collect()
+    }
+    assert drows == rows
+
 
 def test_pinned_contract_artifact_matches_a_fresh_fit(spark):
     """The literals pinned in __spark_entry__.py reproduce a fresh

@@ -75,6 +75,15 @@ def test_equi_width_edges_and_empty_bins(spark):
         histogram_equi_width(df, "v", 0)
     with pytest.raises(ValueError, match="lo <= hi"):
         histogram_equi_width(df, "v", 2, lo=5.0, hi=1.0)
+    # one caller bound + no non-NULL values: the grid anchors to the
+    # supplied bound (degenerate [b, b]) instead of discarding it
+    empty = spark.createDataFrame([(None,)], "v double")
+    anchored = histogram_equi_width(empty, "v", 2, lo=7.0).collect()
+    assert [(r["bin_lo"], r["bin_hi"], r["n"]) for r in anchored] == [
+        (7.0, 7.0, 0), (7.0, 7.0, 0)
+    ]
+    anchored_hi = histogram_equi_width(empty, "v", 2, hi=3.0).collect()
+    assert all(r["bin_lo"] == 3.0 and r["n"] == 0 for r in anchored_hi)
 
 
 def test_equi_depth_boundaries_and_counts(spark, oracle):

@@ -819,6 +819,21 @@ def test_top_paths_planted_and_mirror(spark, oracle):
     with _pt.raises(ValueError, match="max_steps"):
         top_paths(df, "user_id", "ts", "e", 60, max_steps=0)
 
+    # pathological never-gapping session: one bot user emitting an event
+    # per second for 100k seconds never hits the inactivity gap — the
+    # bounded-state rewrite must still answer (rank-filter BEFORE the
+    # collect_list; the old form built one 100k-struct array in a single
+    # aggregation buffer)
+    burst = spark.range(100_000).select(
+        F.lit(7).alias("user_id"),
+        F.timestamp_seconds(F.lit(1_704_067_200) + F.col("id")).alias("ts"),
+        F.lit("z").alias("e"),
+    )
+    rb = top_paths(burst, "user_id", "ts", "e", gap_seconds=60,
+                   max_steps=5).first()
+    assert tuple(rb["path"]) == ("z",) * 5
+    assert rb["n_sessions"] == 1 and rb["max_session_events"] == 100_000
+
     # events-table mirror: 30-minute sessions, first 5 steps, top 10
     events = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
         "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"

@@ -9,6 +9,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 import __spark_entry__ as em
 
@@ -103,6 +104,30 @@ def test_classifier_scoring_is_shuffle_free(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert "Exchange" not in plan, f"scoring shuffles:\n{plan}"
     assert "CartesianProduct" not in plan
+
+
+def test_top_paths_rank_filter_precedes_collect(spark):
+    """top_paths' 100 TB contract is O(max_steps) aggregation state per
+    session: the row_number() <= max_steps filter must sit UPSTREAM of
+    the collect_list aggregate in the physical plan (plan text prints
+    top-down, so upstream = later in the string), otherwise one
+    pathological never-gapping session rebuilds the unbounded buffer."""
+    from web_api_postgres_etl_spark.operators.aggregates import top_paths
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    df = top_paths(ev, "user_id", "ts", "event_type", gap_seconds=1800,
+                   max_steps=5)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    m = re.search(r"Filter \(?__rn#\d+ <= 5", plan)
+    assert m, f"no rank filter in plan:\n{plan}"
+    i_agg = plan.find("collect_list")
+    assert 0 <= i_agg < m.start(), (
+        f"rank filter not upstream of collect_list:\n{plan}"
+    )
 
 
 def test_upsample_is_narrow_and_mix_is_one_aggregate(spark):

@@ -82,6 +82,33 @@ def test_totality_and_collision_guard(spark):
         gopher_repetition_flags(df, "doc_id", "text", {"nope": 0.1})
 
 
+def test_dotted_column_names_are_first_class(spark):
+    """A flat column literally named 'doc.id' (the repo's first-class
+    dotted case) must flow through repetition/flags/gate without being
+    parsed as struct-field access."""
+    spam = " ".join(["buy cheap pills now"] * 30)
+    prose = (
+        "the committee reviewed seventeen distinct proposals before "
+        "narrowing its focus to two finalists whose budgets differed "
+        "substantially in scope and ambition across regional programs "
+        "researchers later measured thermal conductivity of each alloy "
+        "over a wide temperature range then published every dataset "
+        "students compared primary sources from municipal archives to "
+        "reconstruct the chronology of harbor expansion while engineers "
+        "documented bridge inspection findings and proposed maintenance "
+        "schedules for aging support cables near the river delta"
+    )
+    df = spark.createDataFrame([(1, spam), (2, prose)], ["doc.id", "doc.text"])
+    fr = gopher_repetition(df, "doc.id", "doc.text")
+    assert fr.columns[0] == "doc.id" and fr.count() == 2
+    fl = gopher_repetition_flags(df, "doc.id", "doc.text")
+    keep = {r["doc.id"]: r["keep"] for r in fl.collect()}
+    assert keep[1] is False
+    gated = gopher_repetition_gate(df, "doc.id", "doc.text")
+    assert gated.columns == ["doc.id", "doc.text"]
+    assert [r["doc.id"] for r in gated.collect()] == [2]
+
+
 def test_gate_drops_planted_boilerplate(spark):
     spam = " ".join(["buy cheap pills now"] * 30)          # massive dup grams
     # long enough (50+ words, all bigrams unique) that no single gram

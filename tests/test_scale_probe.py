@@ -51,8 +51,10 @@ def test_heavy_ops_subquadratic(spark):
     # wall-clock exponents flake when ONE measurement lands on a host
     # load spike (shared box; observed in-suite under full-suite
     # contention) — re-measure only the apparent offenders once and
-    # take the better run before judging. A real quadratic regression
-    # (25x vs 5x) survives any single re-measure.
+    # take the retry ONLY if it clears the gate with margin (< 1.4,
+    # tighter than the 1.5 assertion): an op genuinely hovering at the
+    # threshold must not pass on a lucky re-measure, while a real
+    # quadratic regression (25x vs 5x) survives any single re-measure.
     suspects = {
         op for op, pairs in exps.items() if pairs[-1][2] >= 1.5
     }
@@ -60,7 +62,7 @@ def test_heavy_ops_subquadratic(spark):
         retry = {n: probe(spark, n, ops_filter=suspects) for n in SIZES}
         retry_exps = scaling_exponents(retry)
         for op in suspects:
-            if retry_exps[op][-1][2] < exps[op][-1][2]:
+            if retry_exps[op][-1][2] < 1.4:
                 exps[op] = retry_exps[op]
                 for n in SIZES:
                     results[n][op] = retry[n][op]

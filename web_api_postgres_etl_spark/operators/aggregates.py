@@ -765,18 +765,24 @@ def histogram_equi_width(
     spark = df.sparkSession
     if lo is None or hi is None:
         b = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).first()
-        if b["lo"] is None and (lo is None or hi is None):
-            # no non-NULL values to derive a range from: bins exist,
-            # all empty and unbounded — same totality contract as
-            # histogram_equi_depth
-            return spark.range(bins).select(
-                F.col("id").cast("int").alias("bin"),
-                F.lit(None).cast("double").alias("bin_lo"),
-                F.lit(None).cast("double").alias("bin_hi"),
-                F.lit(0).cast("long").alias("n"),
-            )
-        lo = float(b["lo"]) if lo is None else float(lo)
-        hi = float(b["hi"]) if hi is None else float(hi)
+        if b["lo"] is None:
+            if lo is None and hi is None:
+                # no non-NULL values and no caller bounds: bins exist,
+                # all empty and unbounded — same totality contract as
+                # histogram_equi_depth
+                return spark.range(bins).select(
+                    F.col("id").cast("int").alias("bin"),
+                    F.lit(None).cast("double").alias("bin_lo"),
+                    F.lit(None).cast("double").alias("bin_hi"),
+                    F.lit(0).cast("long").alias("n"),
+                )
+            # one caller bound but no data to derive the other: anchor
+            # the (empty) grid to the supplied bound instead of
+            # discarding it — a degenerate [b, b] range, all n = 0
+            lo = hi = float(lo if lo is not None else hi)
+        else:
+            lo = float(b["lo"]) if lo is None else float(lo)
+            hi = float(b["hi"]) if hi is None else float(hi)
     lo, hi = float(lo), float(hi)
     if not lo <= hi:
         raise ValueError(f"need lo <= hi, got [{lo}, {hi}]")
@@ -896,13 +902,16 @@ def top_paths(
     sessions differing only beyond the horizon fold together BY
     DESIGN). Ties in the top-k resolve by path value ascending.
 
-    Scale shape: one (user, ts) shuffle for the session labels, one
-    groupBy (user, session) whose per-group state is capped by
-    ``max_steps`` after the sort (the collect_list is session-bounded
-    — inactivity-gapped sessions are short by construction; cap
-    ``max_steps``, not the corpus), one map-side-combining path count,
-    and a TakeOrderedAndProject for the top k. Event payloads never
-    travel — only (user, ts, step)."""
+    Scale shape: one (user, ts) shuffle for the session labels; the
+    per-session rank and length are window functions over the SAME
+    (user, session) clustering (hash(user) already satisfies it — no
+    second exchange), and rows ranked past ``max_steps`` are FILTERED
+    BEFORE the collect_list, so no aggregation buffer ever holds more
+    than ``max_steps`` structs even for a pathological never-gapping
+    session (a bot emitting an event per second for a month must cost
+    O(max_steps) state, not O(session)); then one map-side-combining
+    path count and a TakeOrderedAndProject for the top k. Event
+    payloads never travel — only (user, ts, step)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if max_steps < 1:
@@ -913,16 +922,29 @@ def top_paths(
         F.unix_micros(qcol(ts_col)).alias("__t"),
         qcol(step_col).cast("string").alias("__e"),
     )
-    per_session = labeled.groupBy("__u", "__s").agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col("__t"), F.col("__e")))
-        ).alias("__evs")
+    wsess = Window.partitionBy("__u", "__s")
+    ranked = labeled.select(
+        "__u",
+        "__s",
+        "__e",
+        F.row_number()
+        .over(wsess.orderBy(F.col("__t"), F.col("__e")))
+        .alias("__rn"),
+        F.count(F.lit(1)).over(wsess).alias("__n"),
+    )
+    per_session = (
+        ranked.filter(F.col("__rn") <= max_steps)
+        .groupBy("__u", "__s")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__rn"), F.col("__e")))
+            ).alias("__evs"),
+            F.max("__n").alias("__len"),
+        )
     )
     paths = per_session.select(
-        F.transform(
-            F.slice(F.col("__evs"), 1, max_steps), lambda s: s["__e"]
-        ).alias("path"),
-        F.size("__evs").alias("__len"),
+        F.transform(F.col("__evs"), lambda s: s["__e"]).alias("path"),
+        F.col("__len"),
     )
     return (
         paths.groupBy("path")

@@ -271,7 +271,7 @@ def score_from_token_weights(
     toks = df.select(
         qcol(id_col).alias(id_col),
         *[qcol(c).alias(c) for c in keep_cols],
-        F.explode_outer(normalized_tokens(text_col)).alias("__tok"),
+        F.explode_outer(normalized_tokens(qcol(text_col))).alias("__tok"),
     )
     w = weights.select(
         F.col("token").alias("__tok"),
@@ -279,7 +279,9 @@ def score_from_token_weights(
     )
     joined = toks.join(F.broadcast(w), on="__tok", how="left")
     zero = F.lit(0).cast("decimal(18,9)")
-    return joined.groupBy(id_col, *keep_cols).agg(
+    # qcol: a dotted id/keep column (aliased to its literal dotted name
+    # above) would be parsed as struct-field access by a bare string here
+    return joined.groupBy(qcol(id_col), *[qcol(c) for c in keep_cols]).agg(
         (icpt + F.coalesce(F.sum("__w"), zero)).alias(margin_col),
         F.count("__w").alias("n_scored_tokens"),
     )

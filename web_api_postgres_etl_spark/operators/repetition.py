@@ -119,8 +119,12 @@ def gopher_repetition(
             "with output/internal columns — rename them first"
         )
     text = qcol(text_col)
+    # internal plain alias: every downstream groupBy/pivot/join refers
+    # to the id by name, and a dotted id_col (first-class elsewhere in
+    # the repo) would parse as struct-field access there — rename once,
+    # restore on the way out
     base = df.select(
-        qcol(id_col).alias(id_col),
+        qcol(id_col).alias("__id"),
         *_dup_fracs(_units(text, r"\n"), "dup_line"),
         *_dup_fracs(_units(text, r"\n{2,}"), "dup_para"),
         normalized_tokens(text).alias("__toks"),
@@ -136,12 +140,12 @@ def gopher_repetition(
     # both sides of the ratio so the fraction is a pure word-mass ratio
     ns = F.array(*[F.lit(n) for n in TOP_NS + DUP_NS])
     grams = (
-        base.select(id_col, "__toks")
+        base.select("__id", "__toks")
         .filter(F.size("__toks") > 0)
-        .select(id_col, "__toks", F.explode(ns).alias("__n"))
+        .select("__id", "__toks", F.explode(ns).alias("__n"))
         .filter(F.size("__toks") >= F.col("__n"))
         .select(
-            id_col,
+            "__id",
             "__n",
             F.explode(
                 F.transform(
@@ -151,7 +155,7 @@ def gopher_repetition(
             ).alias("__gram_arr"),
         )
         .select(
-            id_col,
+            "__id",
             "__n",
             F.concat_ws(" ", "__gram_arr").alias("__gram"),
             F.aggregate(
@@ -161,17 +165,17 @@ def gopher_repetition(
             ).alias("__gchars"),
         )
     )
-    counted = grams.groupBy(id_col, "__n", "__gram", "__gchars").agg(
+    counted = grams.groupBy("__id", "__n", "__gram", "__gchars").agg(
         F.count(F.lit(1)).alias("__cnt")
     )
-    per_doc_n = counted.groupBy(id_col, "__n").agg(
+    per_doc_n = counted.groupBy("__id", "__n").agg(
         F.max(F.col("__cnt") * F.col("__gchars")).alias("__top_mass"),
         F.sum(
             F.when(F.col("__cnt") >= 2, F.col("__cnt") * F.col("__gchars"))
             .otherwise(F.lit(0))
         ).alias("__dup_mass"),
     )
-    wide = per_doc_n.groupBy(id_col).pivot(
+    wide = per_doc_n.groupBy("__id").pivot(
         "__n", list(TOP_NS + DUP_NS)
     ).agg(
         F.first("__top_mass").alias("top"),
@@ -179,7 +183,7 @@ def gopher_repetition(
     )
 
     wc = F.nullif(F.col("__wordchars"), F.lit(0)).cast("double")
-    sel = [F.col(id_col)]
+    sel = [F.col("__id").alias(id_col)]
     for k in ("dup_line_frac", "dup_line_char_frac",
               "dup_para_frac", "dup_para_char_frac"):
         sel.append(F.col(k))
@@ -187,7 +191,7 @@ def gopher_repetition(
         sel.append((F.col(f"{n}_top") / wc).alias(f"top_{n}gram_char_frac"))
     for n in DUP_NS:
         sel.append((F.col(f"{n}_dup") / wc).alias(f"dup_{n}gram_char_frac"))
-    return base.join(wide, on=id_col, how="left").select(*sel)
+    return base.join(wide, on="__id", how="left").select(*sel)
 
 
 def gopher_repetition_flags(
@@ -216,7 +220,7 @@ def gopher_repetition_flags(
         F.coalesce(F.col(k) <= F.lit(v), F.lit(True)).alias(f"{k}_ok")
         for k, v in th.items()
     ]
-    out = fr.select(id_col, *flags)
+    out = fr.select(qcol(id_col).alias(id_col), *flags)
     keep = None
     for k in th:
         c = F.col(f"{k}_ok")
@@ -235,4 +239,7 @@ def gopher_repetition_gate(
     keep = gopher_repetition_flags(df, id_col, text_col, thresholds).filter(
         F.col("keep")
     )
-    return df.join(keep.select(id_col), on=id_col, how="left_semi")
+    kept_ids = keep.select(qcol(id_col).alias("__keep_id"))
+    return df.join(
+        kept_ids, qcol(id_col) == F.col("__keep_id"), "left_semi"
+    )

@@ -123,14 +123,24 @@ def agg_maintain_run(
     partition of ``state_dir``. Safe to call repeatedly — the
     checkpoint resumes where the last drain stopped; a replayed batch
     overwrites its own partition (idempotent). The partition tag is
-    scoped to the checkpoint path, so a checkpoint RESET duplicates
-    input contributions (a later compaction's job to fold) instead of
-    overwriting older partitions — same reasoning as
-    ``corpus_ingest_run``'s key (curation_stream.py).
+    checkpoint-PATH-scoped, so resetting to a NEW checkpoint path
+    duplicates input contributions (a later compaction's job to fold)
+    instead of overwriting older partitions — same reasoning as
+    ``corpus_ingest_run``'s key (curation_stream.py). CAVEAT: deleting
+    and reusing the SAME checkpoint path restarts batch_id at 0 under
+    the same tag — the replayed first batch overwrites {tag}-0 while
+    stale {tag}-1..n partitions remain and the merged state silently
+    over-counts; pair any checkpoint reset with a fresh checkpoint dir
+    (or a wipe of that tag's partitions).
     """
     if _PART_COL in {k.split(".")[-1] for k in keys}:
         raise ValueError(f"agg_maintain_run: {_PART_COL!r} is reserved")
-    ckpt_tag = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+    # normalize before hashing: '/tmp/ckpt' and '/tmp/ckpt/' are the
+    # same checkpoint — hashing raw spellings would give a replayed
+    # batch a DIFFERENT partition tag and double-count it on read
+    ckpt_tag = hashlib.md5(
+        checkpoint_dir.rstrip("/").encode()
+    ).hexdigest()[:8]
     _check_or_write_spec(
         spark, state_dir,
         _spec_row(keys, sum_cols, min_cols, max_cols, distinct_cols),

@@ -138,7 +138,10 @@ def corpus_ingest_run(
     from ..operators.dedup import dedup_against_corpus, minhash_table
 
     sig_cols = [f"mh_{i}" for i in range(num_hashes)]
-    ckpt_tag = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+    # normalized before hashing — '/x' vs '/x/' must map to ONE tag
+    ckpt_tag = hashlib.md5(
+        checkpoint_dir.rstrip("/").encode()
+    ).hexdigest()[:8]
 
     def _write_partition(df, path: str) -> None:
         (

@@ -104,9 +104,14 @@ def cms_maintain_run(
     each micro-batch's sketch cells to its own partition of
     ``state_dir``. Safe to call repeatedly; a replayed batch
     overwrites its own partition (idempotent). The partition tag is
-    checkpoint-scoped, so a checkpoint RESET duplicates contributions
-    visibly (a compaction's job to fold) rather than overwriting old
-    partitions."""
+    checkpoint-PATH-scoped, so resetting to a NEW checkpoint path
+    duplicates contributions visibly (a compaction's job to fold)
+    rather than overwriting old partitions. CAVEAT: deleting and
+    reusing the SAME checkpoint path restarts batch_id at 0 under the
+    same tag — the replayed first batch then overwrites partition
+    {tag}-0 while stale partitions {tag}-1..n remain, and the merged
+    store silently over-counts; a checkpoint reset must come with a
+    fresh checkpoint dir (or a wipe of that tag's partitions)."""
     # normalize before hashing: '/tmp/ckpt' and '/tmp/ckpt/' are the
     # same checkpoint — hashing raw spellings would give a replayed
     # batch a DIFFERENT partition tag and double-count it on read
