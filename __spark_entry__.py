@@ -3554,6 +3554,261 @@ SELECT doc_id, lang, source, n_scored_tokens FROM m WHERE margin >= 0
 
 
 # ---------------------------------------------------------------------------
+# Graph analytics / incremental maintenance / histograms (r8 driver slots)
+# ---------------------------------------------------------------------------
+
+_PR_ITERATIONS = 6
+
+
+def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank over the customer–supplier trade graph (operators/
+    graph.py::pagerank): nodes are customers (id = 2·custkey) and
+    suppliers (id = 2·suppkey + 1), with one edge in EACH direction per
+    lineitem (customer bought from supplier — parallel edges count
+    multiply by pinned semantics); customers with no orders are
+    dangling. The integer mass-unit arithmetic (total mass 10^12,
+    per-mille damping, floor divisions only) was DESIGNED to be
+    bit-identical in any engine and any partitioning — the oracle is
+    the same power iteration unrolled as one CTE chain, and the output
+    ships integer columns only."""
+    from web_api_postgres_etl_spark.operators.graph import pagerank
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("c"),
+        (F.col("l_suppkey") * 2 + 1).alias("s"),
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    nodes = (
+        _t(spark, sf, "customer")
+        .select((F.col("c_custkey") * 2).alias("id"))
+        .unionAll(
+            _t(spark, sf, "supplier").select(
+                (F.col("s_suppkey") * 2 + 1).alias("id")
+            )
+        )
+    )
+    # like q_dedup_clusters: the final localCheckpointed frame IS the
+    # result the driver collects — one small pinned (id, long) frame
+    # per run, released with the session (pins=[] + release is the
+    # long-lived-caller path)
+    return pagerank(nodes, edges, iterations=_PR_ITERATIONS).select(
+        "id", "rank_units"
+    )
+
+
+def _sql_pagerank(iterations: int = _PR_ITERATIONS) -> str:
+    """Unrolled power-iteration mirror of operators/graph.py::pagerank
+    — same integer arithmetic per round: share = r // deg, inflow sums
+    shares over edges (parallel edges multiply), dangling mass = Σ r of
+    zero-outdegree nodes, r' = (150·M)//(1000·N) + (850·(inflow +
+    dangling//N))//1000 with M = 10^12. DuckDB `//` and Spark `div`
+    agree on nonnegative integers."""
+    M = 10**12
+    ctes = [
+        "nodes0 AS (SELECT c_custkey * 2 AS id FROM customer"
+        " UNION ALL SELECT s_suppkey * 2 + 1 AS id FROM supplier)",
+        "pairs AS (SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey)",
+        "edges0 AS (SELECT c AS src, s AS dst FROM pairs"
+        " UNION ALL SELECT s AS src, c AS dst FROM pairs)",
+        "outdeg AS (SELECT src AS id, COUNT(*) AS deg FROM edges0"
+        " GROUP BY src)",
+        "base AS (SELECT n.id AS id, o.deg AS deg FROM nodes0 n"
+        " LEFT JOIN outdeg o ON n.id = o.id)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes0)",
+        f"r0 AS (SELECT b.id, b.deg, {M} // nn.n AS r"
+        " FROM base b CROSS JOIN nn)",
+    ]
+    for k in range(iterations):
+        ctes.append(
+            f"d{k} AS (SELECT COALESCE(SUM(r), 0) AS s FROM r{k}"
+            " WHERE deg IS NULL)"
+        )
+        ctes.append(
+            f"i{k} AS (SELECT e.dst AS id, SUM(r.r // r.deg) AS s"
+            f" FROM edges0 e JOIN r{k} r ON e.src = r.id"
+            " WHERE r.deg IS NOT NULL GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{k + 1} AS (SELECT b.id, b.deg,"
+            f" ((150 * {M}) // (1000 * nn.n))"
+            f" + ((850 * (COALESCE(x.s, 0) + (dd.s // nn.n))) // 1000) AS r"
+            f" FROM base b CROSS JOIN nn CROSS JOIN d{k} dd"
+            f" LEFT JOIN i{k} x ON b.id = x.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT CAST(id AS BIGINT) AS id,"
+        f" CAST(r AS BIGINT) AS rank_units FROM r{iterations}"
+    )
+
+
+def q_incr_agg_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/aggregates.py::
+    incremental_agg_state/merge_agg_state/finalize_agg) — the
+    G2-at-100TB primitive: partial states built over two DISJOINT
+    slices of lineitem (even vs odd orderkeys), merged, finalized —
+    and the oracle is the ONE-SHOT GROUP BY over everything, proving
+    state(b1) ⊕ state(b2) ≡ one-shot at the driver hash layer. Double
+    sums route through DECIMAL(38,10) (exact, order-independent) and
+    ship as round(·,2)::DOUBLE like agg_pricing_summary; the avg
+    finalizes from exact LONG sum/count (both < 2^53, so the double
+    division is correctly rounded identically in both engines)."""
+    from web_api_postgres_etl_spark.operators.aggregates import (
+        finalize_agg,
+        incremental_agg_state,
+        merge_agg_state,
+    )
+
+    dec = "decimal(38,10)"
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_linestatus",
+        "l_linenumber",
+        F.col("l_quantity").cast(dec).alias("qty"),
+        F.col("l_extendedprice").cast(dec).alias("price"),
+    )
+    keys = ["l_returnflag", "l_linestatus"]
+    spec = dict(
+        sum_cols=["qty", "price", "l_linenumber"],
+        min_cols=["price"],
+        max_cols=["price"],
+    )
+    s1 = incremental_agg_state(li.filter(F.col("l_orderkey") % 2 == 0), keys, **spec)
+    s2 = incremental_agg_state(li.filter(F.col("l_orderkey") % 2 == 1), keys, **spec)
+    merged = merge_agg_state(s1, s2, keys)
+    fin = finalize_agg(merged, avg_of=["l_linenumber"])
+    return fin.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n_rows",
+        "cnt_qty",
+        F.round(F.col("sum_qty"), 2).cast("double").alias("sum_qty"),
+        F.round(F.col("sum_price"), 2).cast("double").alias("sum_price"),
+        F.col("sum_l_linenumber").cast("long").alias("sum_linenumber"),
+        F.col("avg_l_linenumber").alias("avg_linenumber"),
+        F.round(F.col("min_price"), 2).cast("double").alias("min_price"),
+        F.round(F.col("max_price"), 2).cast("double").alias("max_price"),
+    )
+
+
+SQL_INCR_AGG_MERGE = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       COUNT(l_quantity) AS cnt_qty,
+       CAST(round(SUM(CAST(l_quantity AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_price,
+       CAST(SUM(l_linenumber) AS BIGINT) AS sum_linenumber,
+       CAST(SUM(l_linenumber) AS DOUBLE) / CAST(COUNT(l_linenumber) AS DOUBLE) AS avg_linenumber,
+       CAST(round(MIN(CAST(l_extendedprice AS DECIMAL(38,10))), 2) AS DOUBLE) AS min_price,
+       CAST(round(MAX(CAST(l_extendedprice AS DECIMAL(38,10))), 2) AS DOUBLE) AS max_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_histogram_bucketize(spark: SparkSession, sf: str) -> DataFrame:
+    """The histogram family in one row set (operators/aggregates.py):
+    'width' = 16-bin equi-width histogram of lineitem.l_extendedprice
+    (floor((v-lo)·bins/span) in pinned order — IEEE-deterministic,
+    empty bins emitted); 'depth' = 8-bin equi-depth histogram of
+    orders.o_totalprice (boundaries are exact PERCENTILE_CONT ≡ DuckDB
+    quantile_cont bit-for-bit, upper-inclusive bins); 'bucket' =
+    per-bucket row counts of bucketize(lineitem.l_quantity, 4) — a
+    heavily-TIED integer column, pinning the ties-go-to-first-
+    qualifying-bucket rule cross-engine."""
+    from web_api_postgres_etl_spark.operators.aggregates import (
+        bucketize,
+        histogram_equi_depth,
+        histogram_equi_width,
+    )
+
+    li = _t(spark, sf, "lineitem")
+    shape = lambda kind, df: df.select(
+        F.lit(kind).alias("kind"),
+        F.col("bin").cast("long").alias("bin"),
+        "bin_lo",
+        "bin_hi",
+        "n",
+    )
+    width = shape("width", histogram_equi_width(li, "l_extendedprice", 16))
+    depth = shape(
+        "depth", histogram_equi_depth(_t(spark, sf, "orders"), "o_totalprice", 8)
+    )
+    bucket = (
+        bucketize(li.select("l_quantity"), "l_quantity", 4)
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("bucket").alias("kind"),
+            F.col("bucket").cast("long").alias("bin"),
+            F.lit(None).cast("double").alias("bin_lo"),
+            F.lit(None).cast("double").alias("bin_hi"),
+            "n",
+        )
+    )
+    return width.unionByName(depth).unionByName(bucket)
+
+
+SQL_HISTOGRAM_BUCKETIZE = """
+WITH wsrc AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+wb AS (SELECT min(v) AS lo, max(v) AS hi FROM wsrc),
+wc AS (
+  SELECT CAST(least(greatest(floor((v - lo) * 16.0 / (hi - lo)), 0), 15)
+         AS BIGINT) AS bin, count(*) AS n
+  FROM wsrc, wb WHERE v IS NOT NULL GROUP BY 1),
+wgrid AS (
+  SELECT CAST(i AS BIGINT) AS bin,
+         lo + i * (hi - lo) / 16.0 AS bin_lo,
+         lo + (i + 1) * (hi - lo) / 16.0 AS bin_hi
+  FROM (SELECT unnest(generate_series(0, 15)) AS i), wb),
+dsrc AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders),
+dq AS (
+  SELECT min(v) AS lo, max(v) AS hi,
+         quantile_cont(v, 0.125) AS q1, quantile_cont(v, 0.25) AS q2,
+         quantile_cont(v, 0.375) AS q3, quantile_cont(v, 0.5) AS q4,
+         quantile_cont(v, 0.625) AS q5, quantile_cont(v, 0.75) AS q6,
+         quantile_cont(v, 0.875) AS q7
+  FROM dsrc),
+dc AS (
+  SELECT CAST((v > q1)::INT + (v > q2)::INT + (v > q3)::INT + (v > q4)::INT
+            + (v > q5)::INT + (v > q6)::INT + (v > q7)::INT AS BIGINT) AS bin,
+         count(*) AS n
+  FROM dsrc, dq WHERE v IS NOT NULL GROUP BY 1),
+dgrid AS (
+  SELECT 0 AS bin, lo AS bin_lo, q1 AS bin_hi FROM dq
+  UNION ALL SELECT 1, q1, q2 FROM dq UNION ALL SELECT 2, q2, q3 FROM dq
+  UNION ALL SELECT 3, q3, q4 FROM dq UNION ALL SELECT 4, q4, q5 FROM dq
+  UNION ALL SELECT 5, q5, q6 FROM dq UNION ALL SELECT 6, q6, q7 FROM dq
+  UNION ALL SELECT 7, q7, hi FROM dq),
+bsrc AS (SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem),
+bq AS (
+  SELECT quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.5) AS q2,
+         quantile_cont(v, 0.75) AS q3
+  FROM bsrc)
+SELECT 'width' AS kind, wgrid.bin, bin_lo, bin_hi,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n
+FROM wgrid LEFT JOIN wc ON wgrid.bin = wc.bin
+UNION ALL
+SELECT 'depth', CAST(dgrid.bin AS BIGINT), bin_lo, bin_hi,
+       CAST(COALESCE(n, 0) AS BIGINT)
+FROM dgrid LEFT JOIN dc ON dgrid.bin = dc.bin
+UNION ALL
+SELECT 'bucket',
+       CAST((v > q1)::INT + (v > q2)::INT + (v > q3)::INT AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(count(*) AS BIGINT)
+FROM bsrc, bq WHERE v IS NOT NULL GROUP BY 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -3599,7 +3854,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # expand-based distinct agg keeps oracle parity in
         # tests/test_oracle_parity.py::test_retired_contract_entries)
         "data_recipe_mix": q_data_recipe_mix,
-        "ann_cosine_topk": q_ann_cosine_topk,
+        # r8: ann_cosine_topk swapped out for incr_agg_merge — the
+        # brute-force cosine fold stays driver-visible inside
+        # ann_ivf_topk / lsh_nn_join / semantic_dup_pairs (same
+        # order-fixed dot-product mirror); retired parity in
+        # tests/test_oracle_parity.py. incr_agg_merge proves
+        # state(b1) ⊕ state(b2) ≡ one-shot GROUP BY at the driver
+        # hash layer — the incremental-maintenance primitive.
+        "incr_agg_merge": q_incr_agg_merge,
         "ann_ivf_topk": q_ann_ivf_topk,
         # r7: ivf_index_probe swapped out for funnel — its oracle was a
         # LITERAL duplicate of ann_ivf_topk's (zero marginal oracle
@@ -3610,8 +3872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_nn_join": q_lsh_nn_join,
         "simhash_near_dups": q_simhash_near_dups,
         # event transition matrix (r6: swapped in for rhp_lsh_topk —
-        # the RHP banding stays driver-visible via lsh_cosine_pairs /
-        # lsh_nn_join and the cosine math via ann_cosine_topk; retired
+        # the RHP banding stays driver-visible via lsh_nn_join and the
+        # cosine math via ann_ivf_topk / semantic_dup_pairs; retired
         # parity in tests/test_oracle_parity.py)
         "event_transitions": q_event_transitions,
         # joins
@@ -3620,21 +3882,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 2-way equi-join is a strict sub-plan of flagship_star_join
         # (still green); retired parity in tests/test_oracle_parity.py.
         "resample_rolling": q_resample_rolling,
-        "j5_salted_join": q_j5_salted_join,
+        # r8: j5_salted_join swapped out for pagerank — the salted
+        # join's oracle IS the plain join (salting is plan-level and
+        # relationally invisible; the equi-join+agg shape stays
+        # driver-visible via flagship_star_join / q3_topk_join_agg);
+        # retired parity in tests/test_oracle_parity.py. pagerank is
+        # the graph family's first driver row: bit-reproducible
+        # integer mass units vs an unrolled CTE power iteration.
+        "pagerank": q_pagerank,
         "j6_asof_join": q_j6_asof_join,
         "j7_asof_keyless": q_j7_asof_keyless,
         # text analysis / retrieval
         "text_stats": q_text_stats,
         "bm25_topk": q_bm25_topk,
         # bigram LM gate (r6: swapped in for ann_nn_join — the brute
-        # cosine NN baseline whose math stays pinned by ann_cosine_topk
-        # and whose scale path, lsh_nn_join, stays driver-visible;
-        # retired parity in tests/test_oracle_parity.py)
+        # cosine NN baseline whose math stays pinned in the retired
+        # ann_cosine_topk parity row and whose scale path, lsh_nn_join,
+        # stays driver-visible; retired parity in test_oracle_parity.py)
         "bigram_ppl_gate": q_bigram_ppl_gate,
         # r7: lsh_cosine_pairs swapped out for fuzzy_dup_pairs — the
         # RHP sign-bit banding stays driver-visible via lsh_nn_join and
-        # the cosine fold via ann_cosine_topk; retired parity in
-        # tests/test_oracle_parity.py
+        # the cosine fold via ann_ivf_topk / semantic_dup_pairs;
+        # retired parity in tests/test_oracle_parity.py
         "fuzzy_dup_pairs": q_fuzzy_dup_pairs,
         # winnowing fingerprint dup pairs (slot swapped from
         # multimodal_frame_sample, whose full parity stays pinned in
@@ -3649,7 +3918,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         # sources / sinks / streaming
         "s1_rest_source": q_s1_rest_source,
-        "s3_flatten_struct": q_s3_flatten_struct,
+        # r8: s3_flatten_struct swapped out for histogram_bucketize —
+        # the recursive dotted-name flatten is the SAME
+        # sources/json_flatten.flatten call exercised (and driver-
+        # checked) inside s1_rest_source; the get_json_object
+        # extraction face stays pinned in tests/test_oracle_parity.py.
+        "histogram_bucketize": q_histogram_bucketize,
         "s8_dim_date": q_s8_dim_date,
         "s7_o1_catalog_topk": q_s7_o1_catalog_topk,
         "t1_streaming_compact": q_t1_streaming_compact,
@@ -3701,7 +3975,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": SQL_LSH_PAIRS,
         "corpus_ingest_replay": SQL_CORPUS_INGEST_REPLAY,
         "data_recipe_mix": SQL_DATA_RECIPE_MIX,
-        "ann_cosine_topk": SQL_ANN_TOPK,
+        "incr_agg_merge": SQL_INCR_AGG_MERGE,
         "ann_ivf_topk": SQL_IVF_TOPK,
         "funnel": SQL_FUNNEL,
         "lsh_nn_join": SQL_LSH_NN_JOIN,
@@ -3709,7 +3983,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": SQL_EVENT_TRANSITIONS,
         "interval_join": SQL_INTERVAL,
         "resample_rolling": SQL_RESAMPLE_ROLLING,
-        "j5_salted_join": SQL_J5,
+        "pagerank": _sql_pagerank(),
         "j6_asof_join": SQL_J6,
         "j7_asof_keyless": SQL_J7_KEYLESS,
         "text_stats": SQL_TEXT_STATS,
@@ -3720,7 +3994,7 @@ def oracle_sql() -> dict[str, str]:
         "collocations": SQL_COLLOCATIONS,
         "multimodal_features": SQL_MM_FEATURES,
         "s1_rest_source": SQL_REST,
-        "s3_flatten_struct": SQL_FLATTEN,
+        "histogram_bucketize": SQL_HISTOGRAM_BUCKETIZE,
         "s8_dim_date": SQL_S8_DIM_DATE,
         "s7_o1_catalog_topk": SQL_S7_O1,
         "t1_streaming_compact": SQL_STREAMING,

@@ -112,8 +112,22 @@ RETIRED = [
     ("j2_two_way_join", "SQL_J2"),
     # r7: RHP cosine banding → fuzzy_dup_pairs (the sign-bit banding
     # stays driver-visible via lsh_nn_join, the cosine fold via
+    # ann_ivf_topk / semantic_dup_pairs since r8 retired
     # ann_cosine_topk; this pins the axis-signature pair set)
     ("lsh_cosine_pairs", "SQL_LSH_COSINE_PAIRS"),
+    # r8: brute-force cosine top-k → incr_agg_merge (the order-fixed
+    # cosine fold stays driver-visible via ann_ivf_topk / lsh_nn_join
+    # / semantic_dup_pairs; this pins the exact brute-force ranking)
+    ("ann_cosine_topk", "SQL_ANN_TOPK"),
+    # r8: salted join → pagerank (the oracle IS the plain join —
+    # salting is relationally invisible; this row pins exactly that
+    # salted ≡ plain invariance, and the equi-join shape stays
+    # driver-visible via flagship_star_join / q3_topk_join_agg)
+    ("j5_salted_join", "SQL_J5"),
+    # r8: recursive dotted-name flatten → histogram_bucketize (the
+    # same sources/json_flatten.flatten call is driver-checked inside
+    # s1_rest_source; this row keeps the get_json_object face)
+    ("s3_flatten_struct", "SQL_FLATTEN"),
 ]
 
 

@@ -41,6 +41,9 @@ OPS = {
     # explode, and the per-session path collect
     "fuzzy_dup_pairs", "resolve_entities", "funnel",
     "gopher_repetition", "top_paths",
+    # round 8: the iterative integer PageRank loop (per-round
+    # localCheckpoint/release — the one place a lineage blow-up hides)
+    "pagerank",
 }
 
 
@@ -76,3 +79,51 @@ def test_heavy_ops_subquadratic(spark):
         # every size, so a zero-row result means the op silently broke
         for n in SIZES:
             assert results[n][op][1] > 0, (op, n, results[n][op])
+
+
+def test_pagerank_per_iteration_cost_is_flat(spark):
+    """The iterative loop's localCheckpoint/release contract, measured:
+    with flat lineage each extra iteration costs the same, so a run of
+    12 iterations must take well under 4x a run of 3 (it would without
+    checkpointing — lineage would DOUBLE the work per extra round and
+    canonicalization would balloon). Ratio bound 4x the ideal permits
+    scheduling noise while failing any geometric growth."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from web_api_postgres_etl_spark.operators.graph import pagerank
+    from web_api_postgres_etl_spark.plans.curation import release_pins
+
+    n = 5_000
+    nodes = spark.range(n).select(F.col("id"))
+    edges = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("src"),
+            F.explode(F.sequence(F.lit(1), F.lit(4))).alias("k"),
+        )
+        .select("src", F.pmod(F.hash("src", "k"), F.lit(n)).alias("dst"))
+    )
+    times = {}
+    for iters in (3, 12):
+        pins: list = []
+        t0 = time.time()
+        pagerank(nodes, edges, iterations=iters, pins=pins).count()
+        times[iters] = time.time() - t0
+        release_pins(pins)
+    # ideal ratio = 4 (12/3 iterations); geometric lineage growth gives
+    # >> 16x. One warm-up-free re-measure on a flake, like the sweep.
+    ratio = times[12] / max(times[3], 1e-9)
+    if ratio >= 8.0:
+        for iters in (3, 12):
+            pins = []
+            t0 = time.time()
+            pagerank(nodes, edges, iterations=iters, pins=pins).count()
+            times[iters] = time.time() - t0
+            release_pins(pins)
+        ratio = times[12] / max(times[3], 1e-9)
+    assert ratio < 8.0, (
+        f"pagerank per-iteration cost grows: 12 iters took {ratio:.1f}x "
+        f"the 3-iter run (flat lineage ~4x): {times}"
+    )

@@ -436,6 +436,41 @@ def probe(spark, n: int, ops_filter: set[str] | None = None) -> dict:
             fr.unpersist()
         ops["funnel"] = (time.time() - t0, total)
 
+    if want("pagerank"):
+        reset_cache()
+        from web_api_postgres_etl_spark.operators.graph import pagerank
+        from web_api_postgres_etl_spark.plans.curation import release_pins
+
+        # scale-free-ish synthetic graph: ~4 out-edges per node, dst
+        # biased toward low ids (hubs), ~3% dangling nodes; the probe
+        # exercises the iterative localCheckpoint/release loop — the
+        # one place a lineage blow-up would make per-iteration cost
+        # GROW with the round number instead of staying flat
+        nodes = spark.range(n).select(F.col("id"))
+        edges = (
+            spark.range(n)
+            .filter(F.pmod(F.hash(F.col("id")), F.lit(33)) != 0)
+            .select(
+                F.col("id").alias("src"),
+                F.explode(F.sequence(F.lit(1), F.lit(4))).alias("k"),
+            )
+            .select(
+                "src",
+                F.pmod(
+                    F.hash(F.col("src"), F.col("k")),
+                    F.greatest(
+                        F.pmod(F.hash(F.col("k"), F.col("src")), F.lit(n)) + 1,
+                        F.lit(1),
+                    ),
+                ).alias("dst"),
+            )
+        )
+        pins: list = []
+        t0 = time.time()
+        total = pagerank(nodes, edges, iterations=6, pins=pins).count()
+        release_pins(pins)
+        ops["pagerank"] = (time.time() - t0, total)
+
     docs.unpersist()
     vecs.unpersist()
     return ops
