@@ -773,3 +773,98 @@ WHERE len(list_intersect(a.sh, b.sh))
         )
     )
     assert got == want and len(got) > 10
+
+
+# --------------------------------------------------- int8 quantization
+def test_quantize_embeddings_semantics_and_totality(spark):
+    from web_api_postgres_etl_spark.operators.similarity import (
+        quantize_embeddings,
+        quantize_vector,
+    )
+
+    rows = [
+        (1, [1.0, -0.5, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),   # no mass -> NULL quantization
+        (3, None),                   # NULL vector -> NULL quantization
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: (r["qvec"], r["qscale"])
+           for r in quantize_embeddings(df).collect()}
+    # amax=1.0: q = floor(v*127 + 0.5) -> [127, -63, 32, 0] (half-UP)
+    assert got[1] == ([127, -63, 32, 0], 1.0 / 127.0)
+    assert got[2] == (None, None) and got[3] == (None, None)
+    # the driver-side quantizer is the same operation sequence
+    assert quantize_vector([1.0, -0.5, 0.25, 0.0]) == (
+        [127, -63, 32, 0], 1.0 / 127.0)
+    assert quantize_vector([0.0]) == (None, None)
+    # range bound holds even at the negative extreme
+    q2, _ = quantize_vector([-3.25, 3.25, 1.625])
+    assert q2 == [-127, 127, 64] and all(-127 <= x <= 127 for x in q2)
+
+    bad = df.withColumnRenamed("vec_id", "qvec")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="already exists"):
+        quantize_embeddings(bad)
+
+    # reconstruction error bound: |q*scale - v| <= scale/2 per element
+    import random
+    rnd = random.Random(7)
+    vec = [rnd.uniform(-2, 2) for _ in range(64)]
+    q, s = quantize_vector(vec)
+    assert all(abs(qi * s - vi) <= s / 2 + 1e-12 for qi, vi in zip(q, vec))
+
+
+def test_quantized_topk_recall_and_duckdb_mirror(spark, oracle):
+    """Top-k under int8 quantization: an exact duplicate of the query
+    ranks first (quantization preserves exact matches), recall vs the
+    float brute force stays high, and qvec/qdot are bit-exact vs a
+    DuckDB mirror of the same pinned floor(x+0.5) quantizer."""
+    from web_api_postgres_etl_spark.operators.similarity import (
+        ann_topk_quantized,
+        cosine_topk,
+        quantize_vector,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qrow = emb.filter(F.col("vec_id") == 7).first()
+    query = [float(x) for x in qrow["embedding"]]
+
+    topq = ann_topk_quantized(emb, query, k=10).collect()
+    assert topq[0]["vec_id"] == 7  # the exact copy wins
+    exact_ids = {r["vec_id"] for r in cosine_topk(emb, query, k=10).collect()}
+    quant_ids = {r["vec_id"] for r in topq}
+    assert len(exact_ids & quant_ids) >= 6  # high but not perfect recall
+
+    # bit-exact qdot mirror (integer inner product of the pinned
+    # quantizer's outputs — engine-independent by construction)
+    qq, _ = quantize_vector(query)
+    qlit = "[" + ", ".join(str(int(x)) for x in qq) + "]"
+    got = sorted((r["vec_id"], r["qdot"]) for r in topq)
+    want = sorted(oracle.execute(f"""
+        WITH p AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        a AS (
+          SELECT vec_id, v,
+                 list_reduce(
+                   list_prepend(0.0, list_transform(v, x -> abs(x))),
+                   (x, y) -> greatest(x, y)) AS amax
+          FROM p),
+        q AS (
+          SELECT vec_id, amax / 127.0 AS qscale,
+                 list_transform(v, x -> CAST(floor(x * 127.0 / amax + 0.5)
+                                              AS BIGINT)) AS qv
+          FROM a WHERE amax > 0),
+        s AS (
+          SELECT vec_id, qscale,
+                 list_sum(list_transform(list_zip(qv, {qlit}),
+                          t -> t[1] * t[2])) AS qdot
+          FROM q)
+        SELECT vec_id, CAST(qdot AS BIGINT) AS qdot
+        FROM s
+        ORDER BY qscale * {repr(quantize_vector(query)[1])} * qdot DESC,
+                 vec_id ASC
+        LIMIT 10
+    """).fetchall())
+    assert got == want

@@ -332,3 +332,100 @@ def pagerank(
         F.col("__r").alias("rank_units"),
         (F.col("__r") / F.lit(float(M))).alias("rank"),
     )
+
+
+def triangle_counts(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_id: str = "id",
+    edge_src: str = "id_a",
+    edge_dst: str = "id_b",
+) -> DataFrame:
+    """(id, n_triangles) — per-node triangle counts over the UNDIRECTED
+    simple graph induced by ``edges`` (direction, duplicates, and
+    self-loops are canonicalized away first; every node in ``nodes``
+    gets a row, 0 for triangle-free — totality like the rest of the
+    graph family). The graph-quality primitive next to
+    :func:`pagerank`: clustering structure separates organic link
+    neighborhoods from spam farms and near-dup cliques.
+
+    Scale shape — the standard degree-ordered orientation (Chiba-
+    Nishizeki / Latapy): each undirected edge is oriented from the
+    endpoint with the SMALLER (degree, id) pair to the larger, so every
+    triangle is enumerated exactly once as a wedge at its lowest-degree
+    vertex and the wedge fan-out per node is bounded by its ORIENTED
+    out-degree ≤ O(√E) — a hub with a million neighbors produces no
+    million² wedge explosion (the reason a naive a<b orientation dies
+    on power-law graphs). Joins shuffle (node, node) id pairs only:
+    one distinct for canonicalization, one degree count, one wedge
+    self-join, one closing-edge semi-check, one explode+count.
+
+    Deterministic integers end-to-end — a DuckDB mirror reproduces
+    every count bit-for-bit."""
+    e = edges.select(
+        qcol(edge_src).alias("__x"), qcol(edge_dst).alias("__y")
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    canon = (
+        e.filter(F.col("__x") != F.col("__y"))
+        .select(
+            F.least("__x", "__y").alias("u"),
+            F.greatest("__x", "__y").alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("u").alias("id"))
+        .unionAll(canon.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+    )
+    # orient by (degree, id): struct comparison is lexicographic in
+    # both Spark and DuckDB, so the orientation — and therefore the
+    # wedge enumeration — is engine-identical
+    du = deg.select(F.col("id").alias("u"), F.col("__deg").alias("__du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("__deg").alias("__dv"))
+    ku = F.struct(F.col("__du"), F.col("u"))
+    kv = F.struct(F.col("__dv"), F.col("v"))
+    oriented = (
+        canon.join(du, on="u")
+        .join(dv, on="v")
+        .select(
+            F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(ku < kv, F.col("__dv")).otherwise(F.col("__du")).alias(
+                "__dt"
+            ),
+        )
+    )
+    w1 = oriented.select(
+        F.col("s"), F.col("t").alias("a"), F.col("__dt").alias("__da")
+    )
+    w2 = oriented.select(
+        F.col("s"), F.col("t").alias("b"), F.col("__dt").alias("__db")
+    )
+    wedges = w1.join(w2, on="s").filter(
+        F.struct(F.col("__da"), F.col("a")) < F.struct(F.col("__db"), F.col("b"))
+    )
+    closing = oriented.select(
+        F.col("s").alias("a"), F.col("t").alias("b")
+    )
+    tris = wedges.join(closing, on=["a", "b"], how="left_semi").select(
+        "s", "a", "b"
+    )
+    per_node = (
+        tris.select(
+            F.explode(F.array(F.col("s"), F.col("a"), F.col("b"))).alias("id")
+        )
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        nodes.select(qcol(node_id).alias("id"))
+        .join(per_node, on="id", how="left")
+        .select(
+            F.col("id").alias(node_id),
+            F.coalesce(F.col("n_triangles"), F.lit(0).cast("long")).alias(
+                "n_triangles"
+            ),
+        )
+    )
