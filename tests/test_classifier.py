@@ -51,8 +51,16 @@ def _model(spark, n_feat=1 << 12):
     return train_quality_classifier(pos, neg, num_features=n_feat)
 
 
-def test_classifier_recovers_planted_labels(spark):
-    model = _model(spark)
+@pytest.fixture(scope="module")
+def model(spark):
+    """The default test model, fitted ONCE per module: the fit is
+    deterministic (test_refit_reproduces_scores pins refit == original
+    bit-for-bit), so sharing it changes no assertion — it only removes
+    eight redundant ~3s LBFGS fits from the suite's wall time."""
+    return _model(spark)
+
+
+def test_classifier_recovers_planted_labels(spark, model):
     held_out = spark.createDataFrame(
         [(i, t) for i, t in enumerate(GOOD[4:] + SPAM[4:])],
         "doc_id long, text string",
@@ -65,8 +73,7 @@ def test_classifier_recovers_planted_labels(spark):
     assert min(scores[0], scores[1]) > max(scores[2], scores[3])
 
 
-def test_classifier_gate_drops_spam(spark):
-    model = _model(spark)
+def test_classifier_gate_drops_spam(spark, model):
     mixed = spark.createDataFrame(
         [(i, t) for i, t in enumerate(GOOD + SPAM)],
         "doc_id long, text string",
@@ -78,8 +85,7 @@ def test_classifier_gate_drops_spam(spark):
     assert kept == list(range(len(GOOD)))  # all good kept, all spam gone
 
 
-def test_scoring_is_total_on_null_and_empty(spark):
-    model = _model(spark)
+def test_scoring_is_total_on_null_and_empty(spark, model):
     df = spark.createDataFrame(
         [(1, None), (2, ""), (3, GOOD[0])], "doc_id long, text string"
     )
@@ -91,8 +97,8 @@ def test_scoring_is_total_on_null_and_empty(spark):
     assert rows[1] is not None
 
 
-def test_refit_reproduces_scores(spark):
-    m1, m2 = _model(spark), _model(spark)
+def test_refit_reproduces_scores(spark, model):
+    m1, m2 = model, _model(spark)
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(GOOD + SPAM)],
         "doc_id long, text string",
@@ -115,7 +121,7 @@ def test_hashed_features_shape_and_validation(spark):
         hashed_token_features(df, "doc_id", "text", num_features=1)
 
 
-def test_gate_on_testdata_is_deterministic(spark):
+def test_gate_on_testdata_is_deterministic(spark, model):
     """On the real documents table: gate twice, identical survivor
     sets, and the gate actually separates (keeps some, drops some) at
     the self-calibrated median threshold."""
@@ -123,7 +129,6 @@ def test_gate_on_testdata_is_deterministic(spark):
         spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
         .select("doc_id", "text")
     )
-    model = _model(spark)
     scores = score_documents(docs, "doc_id", "text", model)
     med = scores.agg(
         F.expr("percentile_approx(quality_prob, 0.5)")
@@ -144,8 +149,7 @@ def test_gate_on_testdata_is_deterministic(spark):
     assert 0 < len(kept1) < docs.count()
 
 
-def test_gate_rejects_reserved_column_collisions(spark):
-    model = _model(spark)
+def test_gate_rejects_reserved_column_collisions(spark, model):
     df = spark.createDataFrame(
         [(1, "some text", 0.5)], "doc_id long, text string, probability double"
     )
@@ -153,7 +157,7 @@ def test_gate_rejects_reserved_column_collisions(spark):
         classifier_gate(df, "doc_id", "text", model)
 
 
-def test_export_token_weights_scores_match_hashed_model(spark):
+def test_export_token_weights_scores_match_hashed_model(spark, model):
     """The exported (token, weight) table reproduces model.transform
     EXACTLY for in-vocabulary documents (collisions included, weights
     quantized to 9 dp): sigmoid(decimal margin) == quality_prob within
@@ -167,7 +171,6 @@ def test_export_token_weights_scores_match_hashed_model(spark):
         score_from_token_weights,
     )
 
-    model = _model(spark)
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(GOOD + SPAM)],
         "doc_id long, text string",
@@ -200,7 +203,7 @@ def test_export_token_weights_scores_match_hashed_model(spark):
     assert kept_hash == kept_tab == list(range(len(GOOD)))
 
 
-def test_score_from_token_weights_total_and_guarded(spark):
+def test_score_from_token_weights_total_and_guarded(spark, model):
     """Tokenless/NULL docs keep their row at margin == intercept with
     n_scored_tokens 0; reserved-column collisions fail loudly."""
     from web_api_postgres_etl_spark.functions.text import normalized_tokens
@@ -209,7 +212,6 @@ def test_score_from_token_weights_total_and_guarded(spark):
         score_from_token_weights,
     )
 
-    model = _model(spark)
     docs = spark.createDataFrame(
         [(1, None), (2, ""), (3, GOOD[0])], "doc_id long, text string"
     )

@@ -81,9 +81,19 @@ def probe(spark, n: int, ops_filter: set[str] | None = None) -> dict:
     """Time each heavy operator at corpus size ``n``; returns
     {op_name: (seconds, result_rows)}. ``ops_filter`` restricts to a
     subset (names must match the keys below, sans parameter suffix)."""
-    docs = synth_docs(spark, n).persist()
-    docs.count()  # materialize generation outside the timings
-    vecs = synth_vecs(spark, n).persist()
+    # land the synthetic inputs as parquet ONCE: reset_cache() re-pins
+    # them before every op, and re-pinning a generation pipeline would
+    # re-run the md5-per-word synthesis (n × 60 hashes) each time — a
+    # parquet scan re-pins in a fraction of that, with identical rows
+    import shutil
+    import tempfile
+
+    gen_root = tempfile.mkdtemp(prefix="scale_probe_")
+    synth_docs(spark, n).write.parquet(f"{gen_root}/docs")
+    synth_vecs(spark, n).write.parquet(f"{gen_root}/vecs")
+    docs = spark.read.parquet(f"{gen_root}/docs").persist()
+    docs.count()
+    vecs = spark.read.parquet(f"{gen_root}/vecs").persist()
     vecs.count()
     ops: dict = {}
 
@@ -473,6 +483,7 @@ def probe(spark, n: int, ops_filter: set[str] | None = None) -> dict:
 
     docs.unpersist()
     vecs.unpersist()
+    shutil.rmtree(gen_root, ignore_errors=True)
     return ops
 
 

@@ -236,6 +236,11 @@ def gopher_repetition_gate(
 ) -> DataFrame:
     """Keep documents passing every repetition rule, schema unchanged.
     One semi-join on the id — the flags subplan never carries text."""
+    if "__keep_id" in df.columns:
+        raise ValueError(
+            "gopher_repetition_gate: input column '__keep_id' collides "
+            "with the gate's internal join column — rename it first"
+        )
     keep = gopher_repetition_flags(df, id_col, text_col, thresholds).filter(
         F.col("keep")
     )

@@ -1153,25 +1153,34 @@ def quantize_embeddings(
     scoring, never crashed on.
 
     Scale shape: a pure narrow map — zero shuffles, zero aggregates;
-    quantization cost is one pass over values already in cache."""
-    for c in (qvec_col, scale_col):
+    quantization cost is one pass over values already in cache. The
+    amax fold is materialized as a staged column BEFORE the transform
+    lambda references it — Catalyst does no common-subexpression
+    elimination inside HOF lambda bodies, so inlining the fold would
+    re-run it per element (O(dim²) per row, the let-binding trap
+    winnow.py documents)."""
+    for c in (qvec_col, scale_col, "__amax"):
         if c in df.columns:
             raise ValueError(
                 f"quantize_embeddings: column {c!r} already exists — "
                 "rename it first"
             )
     v = as_double_array(vec_col)
-    amax = F.aggregate(
-        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    staged = df.withColumn(
+        "__amax",
+        F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))),
     )
+    amax = F.col("__amax")
     ok = amax > F.lit(0.0)
     q = F.transform(
         v,
         lambda x: F.floor(x * F.lit(127.0) / amax + F.lit(0.5)).cast("int"),
     )
-    return df.withColumn(
-        qvec_col, F.when(ok, q)
-    ).withColumn(scale_col, F.when(ok, amax / F.lit(127.0)))
+    return (
+        staged.withColumn(qvec_col, F.when(ok, q))
+        .withColumn(scale_col, F.when(ok, amax / F.lit(127.0)))
+        .drop("__amax")
+    )
 
 
 def quantize_vector(vec: list[float]) -> tuple[list[int] | None, float | None]:
@@ -1217,17 +1226,24 @@ def ann_topk_quantized(
         corpus.select(qcol(id_col).alias(id_col), qcol(vec_col).alias(vec_col)),
         vec_col,
     ).filter(F.col("qvec").isNotNull())
-    qlit = F.array(*[F.lit(int(x)) for x in qq])
-    qdot = F.aggregate(
-        F.zip_with(F.col("qvec"), qlit, lambda a, b: (a * b).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    # the query literal renders as ONE SQL string (the module's
+    # expression-kit rule: per-element F.lit/F.array costs a py4j
+    # round-trip per dim — seconds of driver time at dim 1024+)
+    qlit = "array(" + ", ".join(str(int(x)) for x in qq) + ")"
+    qdot_sql = (
+        f"aggregate(zip_with(qvec, {qlit}, "
+        "(a, b) -> cast(a as bigint) * cast(b as bigint)), "
+        "cast(0 as bigint), (acc, x) -> acc + x)"
     )
-    scored = prepped.select(
-        F.col(id_col),
-        qdot.alias("qdot"),
-        (F.col("qscale") * F.lit(float(qs)) * qdot.cast("double")).alias(
-            "score"
-        ),
+    # qdot staged once, then the score projects from the column — the
+    # fold runs one time per row (HOF aggregates sit outside codegen's
+    # subexpression elimination, so repeating the expression would
+    # genuinely run it twice)
+    scored = prepped.selectExpr(
+        _qident(id_col), f"{qdot_sql} AS qdot", "qscale"
+    ).selectExpr(
+        _qident(id_col),
+        "qdot",
+        f"qscale * {_dlit(float(qs))} * cast(qdot as double) AS score",
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)

@@ -34,7 +34,7 @@ over 15-minute batches, the reference's own loop granularity).
 
 from __future__ import annotations
 
-import hashlib
+from .ckpt import ckpt_tag as _ckpt_tag
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -135,12 +135,9 @@ def agg_maintain_run(
     """
     if _PART_COL in {k.split(".")[-1] for k in keys}:
         raise ValueError(f"agg_maintain_run: {_PART_COL!r} is reserved")
-    # normalize before hashing: '/tmp/ckpt' and '/tmp/ckpt/' are the
-    # same checkpoint — hashing raw spellings would give a replayed
-    # batch a DIFFERENT partition tag and double-count it on read
-    ckpt_tag = hashlib.md5(
-        checkpoint_dir.rstrip("/").encode()
-    ).hexdigest()[:8]
+    # shared normalize-then-hash recipe (see streaming/ckpt.py for the
+    # normalization rationale and the r8 migration note)
+    ckpt_tag = _ckpt_tag(checkpoint_dir)
     _check_or_write_spec(
         spark, state_dir,
         _spec_row(keys, sum_cols, min_cols, max_cols, distinct_cols),

@@ -18,6 +18,8 @@ batch DataFrame.
 
 from __future__ import annotations
 
+from .ckpt import ckpt_tag as _ckpt_tag
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -133,15 +135,12 @@ def corpus_ingest_run(
     directory mixed with ``ingest_batch_id=N/`` dirs fails Spark's
     partition discovery loudly).
     """
-    import hashlib
-
     from ..operators.dedup import dedup_against_corpus, minhash_table
 
     sig_cols = [f"mh_{i}" for i in range(num_hashes)]
-    # normalized before hashing — '/x' vs '/x/' must map to ONE tag
-    ckpt_tag = hashlib.md5(
-        checkpoint_dir.rstrip("/").encode()
-    ).hexdigest()[:8]
+    # shared normalize-then-hash recipe (see streaming/ckpt.py for the
+    # normalization rationale and the r8 migration note)
+    ckpt_tag = _ckpt_tag(checkpoint_dir)
 
     def _write_partition(df, path: str) -> None:
         (

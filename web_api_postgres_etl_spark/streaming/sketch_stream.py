@@ -19,7 +19,7 @@ first writer pins the family and every later writer must match.
 
 from __future__ import annotations
 
-import hashlib
+from .ckpt import ckpt_tag as _ckpt_tag
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -112,12 +112,9 @@ def cms_maintain_run(
     {tag}-0 while stale partitions {tag}-1..n remain, and the merged
     store silently over-counts; a checkpoint reset must come with a
     fresh checkpoint dir (or a wipe of that tag's partitions)."""
-    # normalize before hashing: '/tmp/ckpt' and '/tmp/ckpt/' are the
-    # same checkpoint — hashing raw spellings would give a replayed
-    # batch a DIFFERENT partition tag and double-count it on read
-    ckpt_tag = hashlib.md5(
-        checkpoint_dir.rstrip("/").encode()
-    ).hexdigest()[:8]
+    # shared normalize-then-hash recipe (see streaming/ckpt.py for the
+    # normalization rationale and the r8 migration note)
+    ckpt_tag = _ckpt_tag(checkpoint_dir)
     _check_or_write_family(spark, state_dir, col, depth, width)
 
     def _process(batch_df, batch_id: int) -> None:
