@@ -488,3 +488,139 @@ def test_triangle_counts_matches_duckdb_mirror(spark, oracle):
     """).fetchall())
     assert got == want
     assert sum(n for _, n in got) > 0  # the synthetic graph has triangles
+
+
+# ------------------------------------------------------ bloom gate
+def test_bloom_gate_no_false_negatives_and_guards(spark):
+    from web_api_postgres_etl_spark.operators.joins import (
+        bloom_build,
+        bloom_filter_gate,
+    )
+
+    keys = spark.range(100).select((F.col("id") * 3).alias("k"))
+    bloom = bloom_build(keys, "k", m_bits=1 << 14, k_hashes=5)
+    fact = spark.range(1000).select(F.col("id").alias("k"))
+    kept = {
+        r["k"]
+        for r in bloom_filter_gate(fact, bloom, "k", 1 << 14, 5).collect()
+    }
+    assert {i * 3 for i in range(100)} <= kept  # NEVER a false negative
+    # fpp sanity at this density (5 hashes, 0.6% fill): a handful at most
+    assert len(kept) - 100 < 50
+
+    # NULL keys pass through (a bloom says nothing about NULL)
+    withnull = spark.createDataFrame([(None,), (3,), (4,)], "k long")
+    out = bloom_filter_gate(withnull, bloom, "k", 1 << 14, 5).collect()
+    assert None in {r["k"] for r in out} and 3 in {r["k"] for r in out}
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="multiple of 64"):
+        bloom_build(keys, "k", m_bits=100)
+    with _pt.raises(ValueError, match="k_hashes"):
+        bloom_filter_gate(fact, bloom, "k", 1 << 14, 0)
+    bad = fact.withColumn("bits", F.lit(1))
+    with _pt.raises(ValueError, match="collide"):
+        bloom_filter_gate(bad, bloom, "k", 1 << 14, 5)
+
+
+def test_bloom_bits_and_survivors_match_duckdb_mirror(spark, oracle):
+    """The bit array AND the gated survivor set are engine-reproducible:
+    DuckDB rebuilds the identical bloom from the same md5 arithmetic
+    and selects the identical survivors."""
+    from web_api_postgres_etl_spark.operators.joins import (
+        bloom_build,
+        bloom_filter_gate,
+    )
+
+    M, K = 1 << 12, 4
+    sup = spark.read.parquet("/root/testdata/sf0.01/supplier.parquet")
+    keys = sup.filter(F.col("s_suppkey") <= 50).select(
+        F.col("s_suppkey").alias("k")
+    )
+    bloom = bloom_build(keys, "k", m_bits=M, k_hashes=K)
+    got_bits = list(bloom.first()["bits"])
+
+    def pos(i: int, key: str = "CAST(k AS VARCHAR)") -> str:
+        return (
+            f"(CAST('0x' || substr(md5({key} || ':' || '{i}'), 1, 15) "
+            f"AS BIGINT) % {M})"
+        )
+
+    poss = ", ".join(pos(i) for i in range(K))
+    bits_sql = f"""
+        WITH keys AS (SELECT s_suppkey AS k FROM supplier
+                      WHERE s_suppkey <= 50 AND s_suppkey IS NOT NULL),
+        p AS (SELECT unnest([{poss}]) AS p FROM keys),
+        words AS (SELECT p // 64 AS w,
+                         bit_or(CASE WHEN p % 64 = 63 THEN CAST(-9223372036854775808 AS BIGINT) ELSE CAST(1 AS BIGINT) << CAST(p % 64 AS INT) END) AS b
+                  FROM p GROUP BY 1),
+        grid AS (SELECT unnest(range(0, {M // 64})) AS w)
+        SELECT COALESCE(b, 0) AS b FROM grid LEFT JOIN words USING (w)
+        ORDER BY grid.w
+    """
+    want_bits = [r[0] for r in oracle.execute(bits_sql).fetchall()]
+    assert got_bits == want_bits
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+    got = sorted(
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in bloom_filter_gate(li, bloom, "l_suppkey", M, K).collect()
+    )
+    kpos = ", ".join(pos(i, "CAST(l_suppkey AS VARCHAR)") for i in range(K))
+    want = sorted(oracle.execute(f"""
+        WITH keys AS (SELECT s_suppkey AS k FROM supplier
+                      WHERE s_suppkey <= 50 AND s_suppkey IS NOT NULL),
+        p AS (SELECT unnest([{poss}]) AS p FROM keys),
+        words AS (SELECT p // 64 AS w,
+                         bit_or(CASE WHEN p % 64 = 63 THEN CAST(-9223372036854775808 AS BIGINT) ELSE CAST(1 AS BIGINT) << CAST(p % 64 AS INT) END) AS b
+                  FROM p GROUP BY 1),
+        grid AS (SELECT unnest(range(0, {M // 64})) AS w),
+        bits AS (SELECT list(COALESCE(b, 0) ORDER BY grid.w) AS bl
+                 FROM grid LEFT JOIN words USING (w))
+        SELECT l_orderkey, l_linenumber
+        FROM lineitem, bits
+        WHERE l_suppkey IS NULL OR (
+          {" AND ".join(
+              f"(list_extract(bl, CAST({pos(i, 'CAST(l_suppkey AS VARCHAR)')} // 64 AS INT) + 1) "
+              f"& (CASE WHEN {pos(i, 'CAST(l_suppkey AS VARCHAR)')} % 64 = 63 "
+              f"THEN CAST(-9223372036854775808 AS BIGINT) "
+              f"ELSE CAST(1 AS BIGINT) << CAST({pos(i, 'CAST(l_suppkey AS VARCHAR)')} % 64 AS INT) END)) <> 0"
+              for i in range(K))}
+        )
+    """).fetchall())
+    assert got == want
+    # and the gate keeps every TRUE match (subset relation, exact)
+    true_rows = li.join(
+        keys.withColumnRenamed("k", "l_suppkey"), on="l_suppkey", how="left_semi"
+    ).count()
+    assert true_rows <= len(got)
+
+
+def test_bloom_gate_never_shuffles_the_fact(spark):
+    """The gate's plan over a pre-built bloom is scan → broadcast
+    nested-loop (1 row) → filter: ZERO exchanges — the whole point of
+    a pre-shuffle pruning gate."""
+    import re as _re
+
+    from web_api_postgres_etl_spark.operators.joins import (
+        bloom_build,
+        bloom_filter_gate,
+    )
+
+    keys = spark.range(50).select((F.col("id") * 7).alias("k"))
+    row = bloom_build(keys, "k", m_bits=1 << 12, k_hashes=4).first()
+    bloom = spark.createDataFrame(
+        [(list(row["bits"]), row["m_bits"], row["k_hashes"])],
+        "bits array<long>, m_bits int, k_hashes int",
+    )
+    fact = spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet"
+    ).select("l_orderkey", "l_suppkey")
+    gated = bloom_filter_gate(fact, bloom, "l_suppkey", 1 << 12, 4)
+    gated.collect()
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert not _re.search(r"\bExchange\b", plan), plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1

@@ -670,3 +670,126 @@ def join_cardinality_profile(
         .limit(top_k)
     )
     return summary, hot
+
+
+# ------------------------------------------------------ bloom-filter gate
+def _bloom_pos_sql(key_sql: str, m_bits: int, i: int) -> str:
+    """SQL text for deterministic bit position i of a key: md5(key ':'
+    i) digits → bigint mod m. Pure md5 arithmetic — no RNG state,
+    identical in any engine, any partitioning, any run (the repo's
+    standard recipe). Rendered as SQL text, not Column calls — k
+    probes per row built from Columns would cost a py4j round-trip
+    per node (the similarity-module rule)."""
+    return (
+        f"(cast(conv(substring(md5(concat_ws(':', "
+        f"cast({key_sql} as string), '{i}')), 1, 15), 16, 10) as bigint) "
+        f"% {m_bits})"
+    )
+
+
+def _qident_j(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def bloom_build(
+    keys_df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """ONE-ROW DataFrame ``(bits array<long>, m_bits, k_hashes)`` — a
+    Bloom filter over the distinct non-NULL keys, as plain relational
+    data: bits are packed 64 per long, set via an explode of the k
+    md5-derived positions per key + one bit-OR aggregate per word +
+    one bounded collect into the array (m_bits/64 longs — 16 KiB at
+    m = 2^20, always driver-safe metadata).
+
+    The 100 TB use is the semi-join the engine can't broadcast: when
+    the interesting key SET is too large to ship as a broadcast join
+    but its bloom is small (1.2 GiB of bits covers 1e9 keys at ~1%
+    fpp), ``bloom_filter_gate`` prunes the fact table BEFORE the
+    shuffle join — false positives just ride to the real join (which
+    stays correct); false negatives are impossible, so no row that
+    would have matched is lost.
+
+    Engine-reproducible by construction (md5 arithmetic + integer
+    bit-ops) — a DuckDB oracle rebuilds the identical bit array."""
+    if m_bits < 64 or m_bits % 64 != 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    if k_hashes < 1:
+        raise ValueError(f"k_hashes must be >= 1, got {k_hashes}")
+    n_words = m_bits // 64
+    key_sql = _qident_j(key_col)
+    pos_list = ", ".join(
+        _bloom_pos_sql(key_sql, m_bits, i) for i in range(k_hashes)
+    )
+    words = (
+        keys_df.filter(qcol(key_col).isNotNull())
+        .selectExpr(f"explode(array({pos_list})) AS __pos")
+        .selectExpr(
+            "__pos div 64 AS __word",
+            "shiftleft(1L, cast(__pos % 64 AS int)) AS __bit",
+        )
+        .groupBy("__word")
+        .agg(F.bit_or("__bit").alias("__bits"))
+    )
+    # dense array: absent words are 0 (no key hashed there)
+    spark = keys_df.sparkSession
+    grid = spark.range(n_words).select(F.col("id").alias("__word"))
+    dense = grid.join(words, on="__word", how="left").select(
+        "__word",
+        F.coalesce(F.col("__bits"), F.lit(0).cast("long")).alias("__bits"),
+    )
+    return dense.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__word"), F.col("__bits")))
+        ).alias("__wb")
+    ).select(
+        F.transform(F.col("__wb"), lambda s: s["__bits"]).alias("bits"),
+        F.lit(m_bits).alias("m_bits"),
+        F.lit(k_hashes).alias("k_hashes"),
+    )
+
+
+def bloom_filter_gate(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Keep rows whose key MIGHT be in the bloom (plus all NULL-key
+    rows — a bloom says nothing about NULL, and silently dropping them
+    would turn a pre-filter into a semantics change; the downstream
+    join drops them itself if it wants inner-join semantics). Schema
+    unchanged. Zero false negatives by construction; false positives
+    pass through to whatever exact operation follows.
+
+    Plan shape: the one-row bloom broadcasts via crossJoin (a 1-row
+    nested-loop — the repo's bounded pattern for scalar state), then
+    membership is k array probes + bit tests as pure column
+    expressions: the fact table is never shuffled by this gate."""
+    if m_bits < 64 or m_bits % 64 != 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    if k_hashes < 1:
+        raise ValueError(f"k_hashes must be >= 1, got {k_hashes}")
+    clash = {"bits", "m_bits", "k_hashes"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"bloom_filter_gate: input columns {sorted(clash)} collide "
+            "with the bloom columns — rename them first"
+        )
+    key_sql = _qident_j(key_col)
+    tests = []
+    for i in range(k_hashes):
+        p = _bloom_pos_sql(key_sql, m_bits, i)
+        tests.append(
+            f"(element_at(bits, cast({p} div 64 AS int) + 1) & "
+            f"shiftleft(1L, cast({p} % 64 AS int))) != 0"
+        )
+    keep = f"({key_sql} IS NULL) OR ({' AND '.join(tests)})"
+    return (
+        df.crossJoin(F.broadcast(bloom))
+        .filter(F.expr(keep))
+        .drop("bits", "m_bits", "k_hashes")
+    )
