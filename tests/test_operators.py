@@ -940,3 +940,100 @@ def test_mad_outliers_planted_and_mirror(spark, oracle):
         mad_outliers(bad, "k")
     with _pt.raises(ValueError, match="group columns"):
         mad_outliers(df, "v", by=["nope"])
+
+
+# ------------------------------------------ mergeable quantile state
+def test_quantile_state_merge_is_exact_and_deterministic(spark):
+    """The algebraic property: state(b1) ⊕ state(b2) == state(b1 ∪ b2)
+    BIT-FOR-BIT (bottom-k closure), and the state is invariant to
+    input partitioning — the two guarantees that make it a legitimate
+    member of the incremental-maintenance family."""
+    from web_api_postgres_etl_spark.operators.aggregates import (
+        merge_quantile_states,
+        quantile_sample_state,
+    )
+
+    df = spark.range(5_000).select(
+        F.col("id"),
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    K = 64
+    b1 = df.filter(F.col("id") % 2 == 0)
+    b2 = df.filter(F.col("id") % 2 == 1)
+    s1 = quantile_sample_state(b1, ["g"], "v", "id", k=K)
+    s2 = quantile_sample_state(b2, ["g"], "v", "id", k=K)
+    merged = {
+        r["g"]: (r["n_rows"], [tuple(x) for x in r["qsample"]])
+        for r in merge_quantile_states(s1.unionByName(s2), ["g"], k=K).collect()
+    }
+    oneshot = {
+        r["g"]: (r["n_rows"], [tuple(x) for x in r["qsample"]])
+        for r in quantile_sample_state(df, ["g"], "v", "id", k=K).collect()
+    }
+    assert merged == oneshot
+    # partitioning invariance
+    reparted = {
+        r["g"]: (r["n_rows"], [tuple(x) for x in r["qsample"]])
+        for r in quantile_sample_state(
+            df.repartition(13), ["g"], "v", "id", k=K
+        ).collect()
+    }
+    assert reparted == oneshot
+    for n, sample in oneshot.values():
+        assert len(sample) == K and n > K  # capped, counts exact
+
+
+def test_quantile_state_estimate_accuracy_and_finalize_mirror(spark, oracle):
+    """The finalized quantile lands within the O(1/√k) sampling band of
+    the exact percentile, the global (no-keys) face works, NULLs are
+    excluded, and finalize ≡ DuckDB quantile_cont over the SAME sample
+    — bit-exact (pinned interpolation arithmetic)."""
+    from web_api_postgres_etl_spark.operators.aggregates import (
+        finalize_quantiles,
+        quantile_sample_state,
+    )
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") % 100 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("id").cast("double"))
+        .alias("v"),
+    )
+    st = quantile_sample_state(df, [], "v", "id", k=1024)
+    fin = finalize_quantiles(st, [0.5, 0.9], prefix="q_").first()
+    assert fin["n_rows"] == n - n // 100
+    # uniform 0..n: true p50 ≈ n/2, p90 ≈ 0.9n; 1024-sample rank error
+    # ~3*sqrt(p(1-p)/1024)*n — use a generous 5-sigma band
+    assert abs(fin["q_0"] - n / 2) < 0.08 * n
+    assert abs(fin["q_1"] - 0.9 * n) < 0.08 * n
+
+    # finalize ≡ quantile_cont over the same sampled values
+    vals = sorted(x["__v"] for x in fin["qsample"])
+    lit = "[" + ", ".join(repr(v) for v in vals) + "]"
+    # CAST: DuckDB parses decimal-looking literals as DECIMAL
+    want = oracle.execute(
+        f"SELECT quantile_cont(CAST(x AS DOUBLE), 0.5), "
+        f"quantile_cont(CAST(x AS DOUBLE), 0.9) "
+        f"FROM (SELECT unnest({lit}) AS x)"
+    ).fetchone()
+    assert repr(fin["q_0"]) == repr(want[0])
+    assert repr(fin["q_1"]) == repr(want[1])
+
+    import pytest as _pt
+    from web_api_postgres_etl_spark.operators.aggregates import (
+        merge_quantile_states,
+    )
+    with _pt.raises(ValueError, match="k must"):
+        quantile_sample_state(df, [], "v", "id", k=0)
+    with _pt.raises(ValueError, match="probabilities"):
+        finalize_quantiles(st, [1.5])
+    with _pt.raises(ValueError, match="collide"):
+        quantile_sample_state(
+            df.withColumnRenamed("v", "n_rows"), ["n_rows"], "id", "id"
+        )
+    with _pt.raises(Exception, match="NULL id"):
+        spark.createDataFrame([(None, 1.0)], "id long, v double").transform(
+            lambda d: quantile_sample_state(d, [], "v", "id", k=4)
+        ).collect()
