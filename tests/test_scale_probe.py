@@ -42,8 +42,11 @@ OPS = {
     "fuzzy_dup_pairs", "resolve_entities", "funnel",
     "gopher_repetition", "top_paths",
     # round 8: the iterative integer PageRank loop (per-round
-    # localCheckpoint/release — the one place a lineage blow-up hides)
-    "pagerank",
+    # localCheckpoint/release — the one place a lineage blow-up hides),
+    # the degree-oriented wedge join (hub-biased dst — where a naive
+    # orientation explodes), the salted bottom-k quantile state, and
+    # the bloom build+gate (explode + bit-OR + 1-row broadcast probe)
+    "pagerank", "triangle_counts", "quantile_sample_state", "bloom_gate",
 }
 
 

@@ -481,6 +481,72 @@ def probe(spark, n: int, ops_filter: set[str] | None = None) -> dict:
         release_pins(pins)
         ops["pagerank"] = (time.time() - t0, total)
 
+    if want("triangle_counts"):
+        reset_cache()
+        from web_api_postgres_etl_spark.operators.graph import triangle_counts
+
+        # hub-biased graph (dst skews toward low ids): exactly the
+        # degree distribution where a naive a<b wedge join explodes —
+        # the degree-ordered orientation must keep it subquadratic
+        nodes = spark.range(n).select(F.col("id"))
+        edges = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("id_a"),
+                F.explode(F.sequence(F.lit(1), F.lit(4))).alias("k"),
+            )
+            .select(
+                "id_a",
+                F.pmod(
+                    F.hash("id_a", "k"),
+                    F.greatest(
+                        F.pmod(F.hash("k", "id_a"), F.lit(n)) + 1, F.lit(1)
+                    ),
+                ).alias("id_b"),
+            )
+        )
+        t0 = time.time()
+        tri = triangle_counts(nodes, edges)
+        total = tri.agg(F.sum("n_triangles")).first()[0]
+        ops["triangle_counts"] = (time.time() - t0, int(total or 0))
+
+    if want("quantile_sample_state"):
+        reset_cache()
+        from web_api_postgres_etl_spark.operators.aggregates import (
+            merge_quantile_states,
+            quantile_sample_state,
+        )
+
+        vals = spark.range(n).select(
+            F.col("id"),
+            (F.col("id") % 16).alias("g"),
+            F.pmod(F.hash("id"), F.lit(10_000)).cast("double").alias("v"),
+        )
+        t0 = time.time()
+        s1 = quantile_sample_state(
+            vals.filter(F.col("id") % 2 == 0), ["g"], "v", "id", k=256
+        )
+        s2 = quantile_sample_state(
+            vals.filter(F.col("id") % 2 == 1), ["g"], "v", "id", k=256
+        )
+        merged = merge_quantile_states(s1.unionByName(s2), ["g"], k=256)
+        total = merged.agg(F.sum("n_rows")).first()[0]
+        ops["quantile_sample_state"] = (time.time() - t0, int(total or 0))
+
+    if want("bloom_gate"):
+        reset_cache()
+        from web_api_postgres_etl_spark.operators.joins import (
+            bloom_build,
+            bloom_filter_gate,
+        )
+
+        keys = spark.range(n // 2).select((F.col("id") * 2).alias("k"))
+        fact = spark.range(n).select(F.col("id").alias("k"))
+        t0 = time.time()
+        bloom = bloom_build(keys, "k", m_bits=1 << 18, k_hashes=5)
+        kept = bloom_filter_gate(fact, bloom, "k", 1 << 18, 5).count()
+        ops["bloom_gate"] = (time.time() - t0, kept)
+
     docs.unpersist()
     vecs.unpersist()
     shutil.rmtree(gen_root, ignore_errors=True)
