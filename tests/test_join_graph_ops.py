@@ -521,6 +521,12 @@ def test_bloom_gate_no_false_negatives_and_guards(spark):
     bad = fact.withColumn("bits", F.lit(1))
     with _pt.raises(ValueError, match="collide"):
         bloom_filter_gate(bad, bloom, "k", 1 << 14, 5)
+    # family mismatch must raise, never silently drop true matches:
+    # positions computed mod a different m don't line up with the bits
+    with _pt.raises(Exception, match="mismatched positions"):
+        bloom_filter_gate(fact, bloom, "k", 1 << 20, 5).collect()
+    with _pt.raises(Exception, match="mismatched positions"):
+        bloom_filter_gate(fact, bloom, "k", 1 << 14, 4).collect()
 
 
 def test_bloom_bits_and_survivors_match_duckdb_mirror(spark, oracle):

@@ -95,6 +95,18 @@ def probe(spark, n: int, ops_filter: set[str] | None = None) -> dict:
     docs.count()
     vecs = spark.read.parquet(f"{gen_root}/vecs").persist()
     vecs.count()
+    try:
+        return _probe_ops(spark, n, ops_filter, docs, vecs)
+    finally:
+        # an op raising mid-probe (OOM, Py4J error) must not leak the
+        # temp corpus or the pinned inputs — the sweep and the retry
+        # pass call probe() repeatedly and leaks would accumulate
+        docs.unpersist()
+        vecs.unpersist()
+        shutil.rmtree(gen_root, ignore_errors=True)
+
+
+def _probe_ops(spark, n: int, ops_filter, docs, vecs) -> dict:
     ops: dict = {}
 
     def want(name: str) -> bool:
@@ -547,9 +559,6 @@ def probe(spark, n: int, ops_filter: set[str] | None = None) -> dict:
         kept = bloom_filter_gate(fact, bloom, "k", 1 << 18, 5).count()
         ops["bloom_gate"] = (time.time() - t0, kept)
 
-    docs.unpersist()
-    vecs.unpersist()
-    shutil.rmtree(gen_root, ignore_errors=True)
     return ops
 
 

@@ -1197,8 +1197,11 @@ def quantile_sample_state(
     Determinism contract: priorities are pure md5 arithmetic over
     ``id_col``, so the sample — and therefore every downstream number —
     is identical across engines, partitionings, and reruns. ``id_col``
-    must be unique per row (duplicate ids collapse to one sample slot —
-    same contract as the md5-draw sampling suite). NULL values are
+    must be unique per row: duplicate ids share ONE priority, so their
+    rows sort adjacently and enter (or miss) the sample together —
+    over-weighting that id and biasing every finalized quantile (same
+    unique-id contract as the md5-draw sampling suite, and the same
+    reason: determinism needs the id to identify the row). NULL values are
     excluded (SQL percentile semantics); NULL ids raise rather than
     silently bias the sample.
 
@@ -1221,16 +1224,12 @@ def quantile_sample_state(
             f"quantile_sample_state: key columns {sorted(clash)} collide "
             "with state/internal columns — rename them first"
         )
+    from .sampling import _md5_key
+
     v = qcol(value_col).cast("double")
-    pr = F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", qcol(id_col).cast("string"), F.lit("q"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    # the ONE portable md5 integer key every sampling draw derives from
+    # (sampling._md5_key) — this state IS a deterministic sampling draw
+    pr = _md5_key(id_col, "q", 15)
     key_out = [k_.split(".")[-1] for k_ in keys]
     base = df.select(
         *[qcol(k_).alias(k_.split(".")[-1]) for k_ in keys],
@@ -1308,6 +1307,13 @@ def finalize_quantiles(
     for p in probs:
         if not 0.0 <= p <= 1.0:
             raise ValueError(f"probabilities must be in [0, 1], got {p}")
+    reserved = {"__vals"} | {f"{prefix}{i}" for i in range(len(probs))}
+    clash = reserved & set(state.columns)
+    if clash:
+        raise ValueError(
+            f"finalize_quantiles: state columns {sorted(clash)} collide "
+            "with output/internal columns — rename them first"
+        )
     out = state.withColumn(
         "__vals", F.array_sort(F.transform(F.col(state_col), lambda s: s["__v"]))
     )

@@ -17,7 +17,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .project import qcol
+from .project import qcol, qident as _qident_j
 
 
 def two_way_join(
@@ -687,8 +687,7 @@ def _bloom_pos_sql(key_sql: str, m_bits: int, i: int) -> str:
     )
 
 
-def _qident_j(name: str) -> str:
-    return "`" + name.replace("`", "``") + "`"
+
 
 
 def bloom_build(
@@ -787,7 +786,21 @@ def bloom_filter_gate(
             f"(element_at(bits, cast({p} div 64 AS int) + 1) & "
             f"shiftleft(1L, cast({p} % 64 AS int))) != 0"
         )
-    keep = f"({key_sql} IS NULL) OR ({' AND '.join(tests)})"
+    member = f"({key_sql} IS NULL) OR ({' AND '.join(tests)})"
+    # the bloom row CARRIES its family — a gate called with different
+    # m_bits/k_hashes computes positions that don't line up and would
+    # silently drop TRUE MATCHES (element_at past the array is NULL,
+    # the AND-chain goes NULL, the filter drops the row): validate
+    # lazily against the broadcast row instead of trusting the caller
+    keep = (
+        f"CASE WHEN m_bits <> {m_bits} OR k_hashes <> {k_hashes} THEN "
+        f"CAST(raise_error(concat('bloom_filter_gate: bloom was built "
+        f"with (m_bits=', CAST(m_bits AS STRING), ', k_hashes=', "
+        f"CAST(k_hashes AS STRING), ') but the gate was called with "
+        f"(m_bits={m_bits}, k_hashes={k_hashes}) — mismatched positions "
+        f"would silently drop true matches')) AS BOOLEAN) "
+        f"ELSE ({member}) END"
+    )
     return (
         df.crossJoin(F.broadcast(bloom))
         .filter(F.expr(keep))

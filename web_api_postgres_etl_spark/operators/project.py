@@ -56,3 +56,10 @@ def drop_columns(df: DataFrame, columns: Iterable[str], when: bool = True) -> Da
     if not when:
         return df
     return df.drop(*list(columns))
+
+
+def qident(name: str) -> str:
+    """Backtick-quoted SQL-text identifier (safe for dotted names) —
+    the ONE definition, shared by every SQL-string expression kit
+    (similarity, joins); sibling of :func:`qcol` for the Column API."""
+    return "`" + name.replace("`", "``") + "`"

@@ -70,9 +70,8 @@ def _dlit(x: float) -> str:
     return repr(x) + "D"
 
 
-def _qident(name: str) -> str:
-    """Backtick-quoted SQL identifier (safe for dotted names)."""
-    return "`" + name.replace("`", "``") + "`"
+# _qident: shared definition in project.qident (one escaping rule)
+from .project import qident as _qident  # noqa: E402
 
 
 def _sql_to_double(arr_sql: str) -> str:
