@@ -615,3 +615,65 @@ def test_history_maintain_stream_and_replay(spark, tmp_path):
         spark, src, hist, ckpt, schema, ["k"], "ts", ["attr"]
     )
     assert sorted(map(tuple, spark.read.parquet(hist).collect())) == want
+
+
+def test_quantile_maintain_streamed_equals_batch(spark, tmp_path):
+    """Two drained batches → the streamed store finalizes to EXACTLY
+    the quantiles of a one-shot state over all input (bottom-k closure
+    through the store); replays are idempotent; the family sidecar
+    refuses mismatched writers and feeds the reader its keys/k."""
+    from web_api_postgres_etl_spark.operators.aggregates import (
+        finalize_quantiles,
+        quantile_sample_state,
+    )
+    from web_api_postgres_etl_spark.streaming.quantile_stream import (
+        quantile_maintain_run,
+        read_quantile_state,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, g string, v double"
+    b1 = spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i % 37)) for i in range(400)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i % 53)) for i in range(400, 900)], schema
+    )
+
+    b1.write.mode("append").parquet(src)
+    quantile_maintain_run(spark, src, state, ckpt, schema, ["g"], "v", "id", k=64)
+    b2.write.mode("append").parquet(src)
+    quantile_maintain_run(spark, src, state, ckpt, schema, ["g"], "v", "id", k=64)
+
+    got = {
+        r["g"]: (r["n_rows"], r["q_0"], r["q_1"])
+        for r in read_quantile_state(spark, state, [0.5, 0.9]).collect()
+    }
+    want = {
+        r["g"]: (r["n_rows"], r["q_0"], r["q_1"])
+        for r in finalize_quantiles(
+            quantile_sample_state(
+                b1.unionByName(b2), ["g"], "v", "id", k=64
+            ),
+            [0.5, 0.9],
+        ).collect()
+    }
+    assert got == want and set(got) == {"a", "b"}
+
+    # replay idempotence: re-draining with nothing new changes nothing
+    quantile_maintain_run(spark, src, state, ckpt, schema, ["g"], "v", "id", k=64)
+    again = {
+        r["g"]: (r["n_rows"], r["q_0"], r["q_1"])
+        for r in read_quantile_state(spark, state, [0.5, 0.9]).collect()
+    }
+    assert again == got
+
+    # family sidecar: a writer with a different k must refuse
+    import pytest as _pt
+    with _pt.raises(ValueError, match="mismatched spec"):
+        quantile_maintain_run(
+            spark, src, state, str(tmp_path / "ckpt2"), schema,
+            ["g"], "v", "id", k=128,
+        )
