@@ -824,3 +824,95 @@ def test_incremental_agg_matches_model_any_split(spark, rows, nsplit):
         for r in state.collect()
     }
     assert got == _model_agg(recs)
+
+
+# ---------------------------------------------- round-8 graph/sample ops
+@settings(max_examples=6, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        min_size=0, max_size=40,
+    )
+)
+def test_triangle_counts_matches_bruteforce_model(spark, edges):
+    """Degree-oriented wedge enumeration ≡ the O(n³) literal model on
+    random small multigraphs (duplicates/self-loops/direction noise
+    included by construction of the strategy)."""
+    from itertools import combinations
+
+    from web_api_postgres_etl_spark.operators.graph import triangle_counts
+
+    nodes = list(range(12))
+    adj = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    want = {n: 0 for n in nodes}
+    for a, b, c in combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= adj:
+            want[a] += 1
+            want[b] += 1
+            want[c] += 1
+
+    ndf = spark.createDataFrame([(n,) for n in nodes], "id long")
+    edf = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(None, None)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["n_triangles"]
+        for r in triangle_counts(ndf, edf).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    n=st.integers(1, 60),
+    k=st.integers(1, 8),
+    cut=st.integers(0, 59),
+)
+def test_quantile_state_closure_under_arbitrary_splits(spark, n, k, cut):
+    """bottom_k(A ∪ B) == bottom_k(bottom_k(A) ∪ bottom_k(B)) for ANY
+    split point, any k, any n — the exact-merge guarantee the state
+    advertises, checked beyond the one even/odd split the unit test
+    uses."""
+    from web_api_postgres_etl_spark.operators.aggregates import (
+        merge_quantile_states,
+        quantile_sample_state,
+    )
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(n).select(
+        F.col("id"), (F.pmod(F.hash("id"), F.lit(1000))).cast("double").alias("v")
+    )
+    cut = cut % n
+    a = df.filter(F.col("id") < cut)
+    b = df.filter(F.col("id") >= cut)
+    sa = quantile_sample_state(a, [], "v", "id", k=k)
+    sb = quantile_sample_state(b, [], "v", "id", k=k)
+    merged = merge_quantile_states(sa.unionByName(sb), [], k=k).first()
+    oneshot = quantile_sample_state(df, [], "v", "id", k=k).first()
+    assert merged["n_rows"] == oneshot["n_rows"] == n
+    assert [tuple(x) for x in merged["qsample"]] == [
+        tuple(x) for x in oneshot["qsample"]
+    ]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    keys=st.sets(st.integers(-1000, 1000), min_size=1, max_size=40),
+    probes=st.lists(st.integers(-1000, 1000), min_size=1, max_size=60),
+)
+def test_bloom_gate_property_no_false_negatives(spark, keys, probes):
+    """∀ key sets, ∀ probe sets: every probe that IS a key survives the
+    gate — the one guarantee a bloom must never break."""
+    from web_api_postgres_etl_spark.operators.joins import (
+        bloom_build,
+        bloom_filter_gate,
+    )
+
+    kdf = spark.createDataFrame([(k,) for k in keys], "k long")
+    bloom = bloom_build(kdf, "k", m_bits=256, k_hashes=3)  # tiny, dense
+    fact = spark.createDataFrame([(p,) for p in probes], "k long")
+    kept = {
+        r["k"] for r in bloom_filter_gate(fact, bloom, "k", 256, 3).collect()
+    }
+    assert (set(probes) & keys) <= kept
