@@ -591,6 +591,40 @@ def test_cli_profile(spark, tmp_path, capsys):
     assert (out[1]["k"], int(out[1]["join_rows"]), out[1]["n_left"], out[1]["n_right"]) == ("a", 18, 6, 3)
 
 
+def test_cli_profile_quantiles(spark, tmp_path, capsys):
+    """profile --quantiles prints per-key sampled percentiles (exact
+    here — the table is smaller than the sample cap) and demands the
+    unique-id column."""
+    import json as _json
+
+    import pytest as _pt
+
+    from web_api_postgres_etl_spark.__main__ import main
+
+    t = str(tmp_path / "q.parquet")
+    spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i)) for i in range(100)],
+        "id long, g string, v double",
+    ).write.parquet(t)
+    assert main(
+        ["profile", "--table", t, "--quantiles", "v", "--id-col", "id",
+         "--keys", "g", "--probs", "0.5"],
+        spark=spark,
+    ) == 0
+    rows = {
+        r["g"]: r
+        for r in (
+            _json.loads(x)
+            for x in capsys.readouterr().out.splitlines() if x.strip()
+        )
+    }
+    # 50 even values 0..98: exact PERCENTILE_CONT p50 = 49.0; odds = 50.0
+    assert rows["a"]["n_rows"] == 50 and rows["a"]["p0.5"] == 49.0
+    assert rows["b"]["p0.5"] == 50.0
+    with _pt.raises(SystemExit, match="id-col"):
+        main(["profile", "--table", t, "--quantiles", "v"], spark=spark)
+
+
 def test_cli_compact(spark, tmp_path, capsys):
     """The compact subcommand collapses duplicate versions — whole
     table and partition-scoped forms."""

@@ -85,6 +85,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     pp.add_argument("--drift-vs", default=None, metavar="REF",
                     help="with --histogram COL: PSI of COL vs the "
                          "reference table at REF (parquet path)")
+    pp.add_argument("--quantiles", default=None, metavar="COL",
+                    help="print exact-sample quantiles of COL (per "
+                         "--keys group if given; needs --id-col)")
+    pp.add_argument("--id-col", default=None,
+                    help="unique row id column (the deterministic "
+                         "sample priority for --quantiles)")
+    pp.add_argument("--probs", default="0.5,0.9,0.99",
+                    help="comma-separated probabilities for --quantiles")
     args = ap.parse_args(argv)
 
     owns_session = spark is None
@@ -176,7 +184,37 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         if args.cmd == "profile":
             # pre-flight diagnostics without writing code: key skew of
             # one table, the exact price of an equi-join of two, a
-            # column histogram, or PSI drift vs a reference snapshot
+            # column histogram, PSI drift vs a reference snapshot, or
+            # sampled per-key quantiles
+            if args.quantiles is not None:
+                if not args.id_col:
+                    raise SystemExit(
+                        "profile --quantiles needs --id-col (a unique "
+                        "row id — the deterministic sample priority)"
+                    )
+                from web_api_postgres_etl_spark.operators.aggregates import (
+                    finalize_quantiles,
+                    quantile_sample_state,
+                )
+
+                probs = [float(x) for x in args.probs.split(",") if x]
+                keys = [
+                    k.strip() for k in (args.keys or "").split(",")
+                    if k.strip()
+                ]
+                st = quantile_sample_state(
+                    spark.read.parquet(args.table), keys,
+                    args.quantiles, args.id_col,
+                )
+                out = finalize_quantiles(st, probs).drop("qsample")
+                renames = dict(zip(
+                    [f"q_{i}" for i in range(len(probs))],
+                    [f"p{p}" for p in probs],
+                ))
+                for r in out.collect():
+                    d = {renames.get(k, k): v for k, v in r.asDict().items()}
+                    print(json.dumps(d, default=str))
+                return 0
             if args.histogram is not None:
                 left = spark.read.parquet(args.table)
                 if args.drift_vs is not None:
