@@ -677,3 +677,62 @@ def test_quantile_maintain_streamed_equals_batch(spark, tmp_path):
             spark, src, state, str(tmp_path / "ckpt2"), schema,
             ["g"], "v", "id", k=128,
         )
+
+
+def test_quantile_store_sidecar_lifecycle_guards(spark, tmp_path):
+    """The two store-corruption doors stay shut: a lost sidecar over
+    existing partials refuses adoption (a k-mismatched merge would
+    silently bias every quantile), and a sidecar-only store (all
+    drained batches empty/all-NULL) reads as an actionable error, not
+    a raw engine exception."""
+    import shutil
+
+    import pytest as _pt
+
+    from web_api_postgres_etl_spark.streaming.quantile_stream import (
+        quantile_maintain_run,
+        read_quantile_state,
+    )
+
+    schema = "id long, g string, v double"
+
+    # lost sidecar over existing partials → refuse adoption
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    spark.createDataFrame(
+        [(i, "a", float(i)) for i in range(50)], schema
+    ).write.mode("append").parquet(src)
+    quantile_maintain_run(
+        spark, src, state, str(tmp_path / "c1"), schema, ["g"], "v", "id", k=8
+    )
+    shutil.rmtree(state + "_meta")
+    with _pt.raises(ValueError, match="refusing to adopt"):
+        quantile_maintain_run(
+            spark, src, state, str(tmp_path / "c2"), schema,
+            ["g"], "v", "id", k=16,
+        )
+
+    # invalid k refused BEFORE any sidecar write (a pinned bad spec
+    # would brick the store for every corrected retry)
+    state2 = str(tmp_path / "state2")
+    with _pt.raises(ValueError, match="k must be >= 1"):
+        quantile_maintain_run(
+            spark, src, state2, str(tmp_path / "c3"), schema,
+            ["g"], "v", "id", k=0,
+        )
+    import os
+    assert not os.path.exists(state2 + "_meta")
+
+    # sidecar-only store (all values NULL → zero-row partitions never
+    # land) → actionable error on read
+    src3 = str(tmp_path / "src3")
+    state3 = str(tmp_path / "state3")
+    spark.createDataFrame(
+        [(1, "a", None), (2, "a", None)], schema
+    ).write.mode("append").parquet(src3)
+    quantile_maintain_run(
+        spark, src3, state3, str(tmp_path / "c4"), schema,
+        ["g"], "v", "id", k=8,
+    )
+    with _pt.raises(ValueError, match="no sample partitions yet"):
+        read_quantile_state(spark, state3, [0.5])

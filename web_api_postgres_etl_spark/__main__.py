@@ -86,13 +86,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     help="with --histogram COL: PSI of COL vs the "
                          "reference table at REF (parquet path)")
     pp.add_argument("--quantiles", default=None, metavar="COL",
-                    help="print exact-sample quantiles of COL (per "
-                         "--keys group if given; needs --id-col)")
+                    help="print SAMPLED quantiles of COL (per --keys "
+                         "group if given; needs --id-col). Exact up to "
+                         "--sample-k rows per group, ~O(1/sqrt(k)) rank "
+                         "error beyond")
     pp.add_argument("--id-col", default=None,
                     help="unique row id column (the deterministic "
                          "sample priority for --quantiles)")
     pp.add_argument("--probs", default="0.5,0.9,0.99",
                     help="comma-separated probabilities for --quantiles")
+    pp.add_argument("--sample-k", type=int, default=1024,
+                    help="per-group sample cap for --quantiles (larger "
+                         "= tighter estimates, more memory per group)")
     args = ap.parse_args(argv)
 
     owns_session = spark is None
@@ -197,14 +202,27 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     quantile_sample_state,
                 )
 
-                probs = [float(x) for x in args.probs.split(",") if x]
+                try:
+                    probs = [float(x) for x in args.probs.split(",") if x]
+                except ValueError:
+                    raise SystemExit(
+                        f"profile --probs: not a comma-separated list of "
+                        f"numbers: {args.probs!r}"
+                    )
+                if not probs or not all(0.0 <= q <= 1.0 for q in probs):
+                    raise SystemExit(
+                        f"profile --probs: probabilities must be in "
+                        f"[0, 1], got {args.probs!r}"
+                    )
+                if args.sample_k < 1:
+                    raise SystemExit("profile --sample-k must be >= 1")
                 keys = [
                     k.strip() for k in (args.keys or "").split(",")
                     if k.strip()
                 ]
                 st = quantile_sample_state(
                     spark.read.parquet(args.table), keys,
-                    args.quantiles, args.id_col,
+                    args.quantiles, args.id_col, k=args.sample_k,
                 )
                 out = finalize_quantiles(st, probs).drop("qsample")
                 renames = dict(zip(

@@ -35,6 +35,7 @@ over 15-minute batches, the reference's own loop granularity).
 from __future__ import annotations
 
 from .ckpt import ckpt_tag as _ckpt_tag
+from .ckpt import is_missing_path_error as _is_missing
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -75,13 +76,7 @@ def _check_or_write_spec(spark: SparkSession, state_dir: str, row: tuple) -> Non
     try:
         rows = spark.read.parquet(meta_path).collect()
     except AnalysisException as exc:
-        msg = str(exc)
-        if not (
-            "PATH_NOT_FOUND" in msg
-            or "Path does not exist" in msg
-            or "UNABLE_TO_INFER_SCHEMA" in msg
-            or "Unable to infer schema" in msg
-        ):
+        if not _is_missing(exc):
             raise
         spark.createDataFrame([row], schema).coalesce(1).write.mode(
             "overwrite"

@@ -36,3 +36,39 @@ def ckpt_tag(checkpoint_dir: str) -> str:
     """8-hex-char tag for a checkpoint path; normalized so every
     spelling of one path maps to ONE tag."""
     return hashlib.md5(checkpoint_dir.rstrip("/").encode()).hexdigest()[:8]
+
+
+def is_missing_path_error(exc) -> bool:
+    """True when an AnalysisException means "nothing readable at this
+    path" — the bootstrap face every partial-state store must
+    distinguish from a real failure (permissions, corrupt footers).
+    THE one matcher: Spark 4 spells it PATH_NOT_FOUND /
+    UNABLE_TO_INFER_SCHEMA, older releases spell the message out; a
+    zero-row write leaves only _SUCCESS, which reads as the
+    schema-inference face. Four modules used to carry private copies
+    of this block — exactly the drift that caused round 7's replay
+    double-count (one copy normalized, the others didn't)."""
+    msg = str(exc)
+    return (
+        "PATH_NOT_FOUND" in msg
+        or "Path does not exist" in msg
+        or "UNABLE_TO_INFER_SCHEMA" in msg
+        or "Unable to infer schema" in msg
+    )
+
+
+def state_has_files(state_dir: str) -> bool:
+    """True when a state directory holds any non-hidden data file —
+    the "are there existing partitions a missing sidecar would orphan"
+    probe (a store with data but no readable sidecar must REFUSE to
+    adopt whatever family the next writer brings)."""
+    import os
+
+    if not os.path.isdir(state_dir):
+        return False
+    for root, dirs, files in os.walk(state_dir):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if not f.startswith(("_", ".")):
+                return True
+    return False

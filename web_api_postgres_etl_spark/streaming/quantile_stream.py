@@ -31,6 +31,8 @@ from ..operators.aggregates import (
     quantile_sample_state,
 )
 from .ckpt import ckpt_tag as _ckpt_tag
+from .ckpt import is_missing_path_error as _is_missing
+from .ckpt import state_has_files as _state_has_files
 
 _PART_COL = "qstate_batch_id"
 
@@ -52,14 +54,20 @@ def _check_or_write_spec(spark: SparkSession, state_dir: str, row: tuple) -> Non
     try:
         rows = spark.read.parquet(meta_path).collect()
     except AnalysisException as exc:
-        msg = str(exc)
-        if not (
-            "PATH_NOT_FOUND" in msg
-            or "Path does not exist" in msg
-            or "UNABLE_TO_INFER_SCHEMA" in msg
-            or "Unable to infer schema" in msg
-        ):
+        if not _is_missing(exc):
             raise
+        # a missing/unreadable sidecar over EXISTING sample partitions
+        # must not be re-pinned to whatever spec the next writer brings
+        # — partials built with a different k already discarded rows,
+        # so a k-mismatched merge silently biases every quantile (the
+        # sketch store's refuse-adoption rule, same reasoning)
+        if _state_has_files(state_dir):
+            raise ValueError(
+                f"quantile state at {state_dir} has sample partitions "
+                "but no readable spec sidecar — refusing to adopt a "
+                "spec over existing partials (rewrite the _meta sidecar "
+                "with the spec they were built with)"
+            ) from exc
         spark.createDataFrame([row], schema).coalesce(1).write.mode(
             "overwrite"
         ).parquet(meta_path)
@@ -98,6 +106,11 @@ def quantile_maintain_run(
     the shared contract documented in ``streaming/ckpt.py``."""
     if _PART_COL in {kk.split(".")[-1] for kk in keys}:
         raise ValueError(f"quantile_maintain_run: {_PART_COL!r} is reserved")
+    if k < 1:
+        # validate BEFORE the sidecar write: pinning an invalid spec
+        # would brick the store (every corrected retry then refuses as
+        # a spec mismatch) without a single partition ever landing
+        raise ValueError(f"quantile_maintain_run: k must be >= 1, got {k}")
     tag = _ckpt_tag(checkpoint_dir)
     _check_or_write_spec(
         spark, state_dir, _spec_row(keys, value_col, id_col, k)
@@ -143,7 +156,23 @@ def read_quantile_state(
         )
     keys = [c for c in rows[0]["keys"].split(",") if c]
     k = int(rows[0]["k"])
-    states = spark.read.parquet(state_dir).drop(_PART_COL)
+    from pyspark.errors import AnalysisException
+
+    try:
+        states = spark.read.parquet(state_dir).drop(_PART_COL)
+    except AnalysisException as exc:
+        if not _is_missing(exc):
+            raise
+        # sidecar exists but no sample partition ever landed (every
+        # drained batch was empty/all-NULL — a zero-row dynamic
+        # overwrite touches no partitions): the store is legitimately
+        # empty, but its KEY TYPES are unknowable without data, so an
+        # empty frame cannot be fabricated — raise the actionable form
+        raise ValueError(
+            f"quantile state at {state_dir} has a spec sidecar but no "
+            "sample partitions yet — drain a batch with non-NULL "
+            f"values in {rows[0]['value_col']!r} before reading"
+        ) from exc
     return finalize_quantiles(
         merge_quantile_states(states, keys, k=k), probs, prefix=prefix
     )

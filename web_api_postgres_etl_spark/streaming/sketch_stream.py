@@ -20,6 +20,8 @@ first writer pins the family and every later writer must match.
 from __future__ import annotations
 
 from .ckpt import ckpt_tag as _ckpt_tag
+from .ckpt import is_missing_path_error as _is_missing
+from .ckpt import state_has_files as _state_has_cells
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,19 +29,6 @@ from pyspark.sql import functions as F
 from ..operators.sketch import cms_build, cms_merge
 
 _PART_COL = "cms_batch_id"
-
-
-def _state_has_cells(state_dir: str) -> bool:
-    import os
-
-    if not os.path.isdir(state_dir):
-        return False
-    for root, dirs, files in os.walk(state_dir):
-        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-        for f in files:
-            if not f.startswith(("_", ".")):
-                return True
-    return False
 
 
 def _check_or_write_family(
@@ -53,13 +42,7 @@ def _check_or_write_family(
     try:
         rows = spark.read.parquet(meta_path).collect()
     except AnalysisException as exc:
-        msg = str(exc)
-        if not (
-            "PATH_NOT_FOUND" in msg
-            or "Path does not exist" in msg
-            or "UNABLE_TO_INFER_SCHEMA" in msg
-            or "Unable to infer schema" in msg
-        ):
+        if not _is_missing(exc):
             raise
         # a missing/unreadable sidecar over EXISTING cell partitions
         # must not be silently re-pinned to whatever family the next
@@ -153,13 +136,7 @@ def read_cms_state(spark: SparkSession, state_dir: str) -> DataFrame:
     try:
         cells = spark.read.parquet(state_dir)
     except AnalysisException as exc:
-        msg = str(exc)
-        if not (
-            "PATH_NOT_FOUND" in msg
-            or "Path does not exist" in msg
-            or "UNABLE_TO_INFER_SCHEMA" in msg
-            or "Unable to infer schema" in msg
-        ):
+        if not _is_missing(exc):
             raise
         # legitimate-but-empty only if the family sidecar vouches
         read_cms_family(spark, state_dir)  # raises on a mis-pointed path
