@@ -868,3 +868,79 @@ def test_quantized_topk_recall_and_duckdb_mirror(spark, oracle):
         LIMIT 10
     """).fetchall())
     assert got == want
+
+
+# --------------------------------------- prefix-filtered exact Jaccard
+def test_jaccard_join_prefix_equals_bruteforce(spark):
+    """The completeness guarantee, checked head-on: the prefix-filtered
+    join returns EXACTLY the pair set of the quadratic all-pairs
+    ngram_jaccard_pairs on real documents, at two thresholds (the
+    pruning gets sharper as t rises; the result must not)."""
+    from web_api_postgres_etl_spark.operators.dedup import (
+        jaccard_join_prefix,
+        ngram_jaccard_pairs,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", "text")
+    )
+    for t in (0.3, 0.7):
+        pins: list = []
+        got = sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in jaccard_join_prefix(
+                docs, "doc_id", "text", shingle_n=2, threshold=t, pins=pins
+            ).collect()
+        )
+        want = sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in ngram_jaccard_pairs(
+                docs, "doc_id", "text", shingle_n=2, threshold=t
+            ).collect()
+        )
+        for fr in pins:
+            fr.unpersist()
+        assert got == want
+        assert len(got) > 0  # the corpus HAS near-dups at these t
+
+
+def test_jaccard_join_prefix_planted_and_guards(spark):
+    from web_api_postgres_etl_spark.operators.dedup import jaccard_join_prefix
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),      # 3/7 bigrams shared w/ 1
+        (3, "completely different words here entirely"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_join_prefix(
+            df, "doc_id", "text", shingle_n=1, threshold=0.5,
+            cache_intermediates=False,
+        ).collect()
+    }
+    # unigram sets: {1,2} share 4 of 6 distinct tokens → J = 4/6 ≥ 0.5
+    assert got == {(1, 2)}
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="threshold"):
+        jaccard_join_prefix(df, "doc_id", "text", threshold=0.0)
+    with _pt.raises(ValueError, match="threshold"):
+        jaccard_join_prefix(df, "doc_id", "text", threshold=1.5)
+
+    # identical docs must pair at threshold exactly 1.0 (prefix length
+    # stays >= 1: p = n - ceil(n) + 1 = 1)
+    twins = spark.createDataFrame(
+        [(1, "same exact text body"), (2, "same exact text body")],
+        "doc_id long, text string",
+    )
+    out = jaccard_join_prefix(
+        twins, "doc_id", "text", shingle_n=2, threshold=1.0,
+        cache_intermediates=False,
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in out] == [(1, 2, 1.0)]

@@ -47,6 +47,8 @@ OPS = {
     # orientation explodes), the salted bottom-k quantile state, and
     # the bloom build+gate (explode + bit-OR + 1-row broadcast probe)
     "pagerank", "triangle_counts", "quantile_sample_state", "bloom_gate",
+    # round 8 second wave: the prefix-filtered EXACT Jaccard self-join
+    "jaccard_join_prefix",
 }
 
 

@@ -458,6 +458,24 @@ def _probe_ops(spark, n: int, ops_filter, docs, vecs) -> dict:
             fr.unpersist()
         ops["funnel"] = (time.time() - t0, total)
 
+    if want("jaccard_join_prefix"):
+        reset_cache()
+        from web_api_postgres_etl_spark.operators.dedup import (
+            jaccard_join_prefix,
+        )
+
+        # EXACT set-similarity join: the prefix filter (rarest-token
+        # buckets) must keep the self-join subquadratic where the
+        # all-pairs verifier is O(n^2 / vocab)
+        t0 = time.time()
+        pins: list = []
+        pairs = jaccard_join_prefix(
+            docs, "doc_id", "text", shingle_n=2, threshold=0.6, pins=pins
+        ).count()
+        for fr in pins:
+            fr.unpersist()
+        ops["jaccard_join_prefix"] = (time.time() - t0, pairs)
+
     if want("pagerank"):
         reset_cache()
         from web_api_postgres_etl_spark.operators.graph import pagerank

@@ -1538,3 +1538,100 @@ def novelty_score(
             F.col("n_novel") / F.nullif(F.col("n_grams"), F.lit(0))
         ).alias("novelty"),
     )
+
+
+def jaccard_join_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 2,
+    threshold: float = 0.5,
+    cache_intermediates: bool = True,
+    pins: list[DataFrame] | None = None,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) — EXACT Jaccard pairs ≥ threshold via
+    prefix filtering (Chaudhuri et al. 2006 / PPJoin's base filter):
+    the scale path with a COMPLETENESS GUARANTEE, where the MinHash/
+    SimHash/winnowing family trades recall for speed. Use it when a
+    dedup decision must be provably lossless (legal holds, benchmark
+    decontamination audits) and the threshold is high enough to prune.
+
+    Why it is exact: order every document's distinct shingles by
+    (global document frequency ASC, shingle ASC) — rarest first — and
+    emit only the first ``p = |x| − ceil(t·|x|) + 1`` as that
+    document's PREFIX. If two sets share NO prefix token, their
+    intersection lives entirely in their suffixes of size
+    ``ceil(t·|x|) − 1`` < t·|x|; but J(x,y) ≥ t forces
+    |x∩y| ≥ t·|∪| ≥ t·|x| — contradiction. So every qualifying pair
+    collides on at least one prefix token (the ceil is computed with a
+    1e-9 slack DOWN, so float fuzz can only lengthen prefixes — extra
+    candidates, never a lost pair), a symmetric length filter
+    (t·max(|x|,|y|) ≤ min) prunes the rest, and the survivors get the
+    exact array_intersect verification.
+
+    Scale shape: rare-first ordering is the pruning engine — a
+    stopword shingle never enters a prefix unless the document is
+    almost entirely stopwords, so prefix-token buckets are small BY
+    CONSTRUCTION (no max_df cap needed, unlike the winnowing band
+    join). One document-frequency count, one per-doc sort (bounded by
+    the doc's own shingle set), one equi-self-join on prefix tokens
+    carrying (token, id, size) only, one distinct, then
+    candidates-only verification. Shuffles never carry text bodies.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = _shingled(df, id_col, text_col, shingle_n, drop_empty=True).select(
+        "__id", F.array_distinct("__sh").alias("__sh")
+    )
+    # read four times (frequency count, ordering, both verify sides) —
+    # the near_dup_pairs cache_intermediates/pins convention applies
+    if cache_intermediates:
+        sh = sh.persist()
+        if pins is not None:
+            pins.append(sh)
+    dfreq = (
+        sh.select(F.explode("__sh").alias("__s"))
+        .groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    ordered = (
+        sh.select("__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("__s"))
+        .join(dfreq, on="__s")
+        .groupBy("__id", "__n")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__df"), F.col("__s")))
+            ).alias("__ord")
+        )
+    )
+    # slack DOWN on the ceil: float fuzz may only LENGTHEN the prefix
+    p = (
+        F.col("__n")
+        - F.ceil(F.lit(float(threshold)) * F.col("__n") - F.lit(1e-9))
+        + F.lit(1)
+    ).cast("int")
+    prefixes = ordered.select(
+        "__id",
+        "__n",
+        F.explode(
+            F.transform(F.slice("__ord", F.lit(1), p), lambda s: s["__s"])
+        ).alias("__s"),
+    )
+    a = prefixes.alias("a")
+    b = prefixes.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__s") == F.col("b.__s"))
+            & (F.col("a.__id") < F.col("b.__id"))
+            & (
+                F.least(F.col("a.__n"), F.col("b.__n"))
+                >= F.lit(float(threshold))
+                * F.greatest(F.col("a.__n"), F.col("b.__n"))
+                - F.lit(1e-9)
+            ),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    return _jaccard_on_shingled(sh, cand, threshold)
