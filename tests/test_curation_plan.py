@@ -395,3 +395,43 @@ def test_winnow_pairs_stage(spark):
         docs, bench, config=replace(CFG, winnow_min_shared=3)
     )
     assert {r["doc_id"] for r in winnowed.collect()} == {1}
+
+
+def test_exact_jaccard_stage(spark):
+    """exact_jaccard=True swaps the pair generator for the
+    completeness-guaranteed prefix-filtered join: twins above the
+    threshold collapse exactly as with MinHash (here), the spine is
+    otherwise unchanged, and the default-off flag leaves the contract
+    output untouched."""
+    from dataclasses import replace
+
+    base_body = (
+        "the quick brown fox jumps over the lazy dog near the river "
+        "bank while light settles on the water and the ferry crew "
+        "loads crates of apples onto the deck as gulls circle the "
+        "masts and the harbormaster checks the morning manifest "
+        "against the chalkboard schedule posted beside the office "
+        "door where travelers wait with tickets and worn luggage"
+    )
+    other_body = (
+        "a completely different report about municipal budget "
+        "allocations and the slow grind of committee procedure where "
+        "councilors debated the paving schedule for the northern "
+        "district reviewed three contractor bids compared warranty "
+        "terms line by line and finally adjourned after scheduling a "
+        "site inspection for the second week of the following month"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base_body + " morning"),
+            (2, base_body + " evening"),
+            (3, other_body),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(BENCH_TEXT,)], "text string")
+    out = prepare_training_data(
+        docs, bench, config=replace(CFG, exact_jaccard=True)
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept == {1, 3}  # twins collapsed to min id; distinct doc kept

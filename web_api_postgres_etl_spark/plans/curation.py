@@ -69,6 +69,9 @@ class CurationConfig:
     num_hashes: int = 8
     bands: int = 4
     jaccard_threshold: float = 0.5
+    exact_jaccard: bool = False         # True → prefix-filtered EXACT
+    #   Jaccard pairs (jaccard_join_prefix — completeness-guaranteed;
+    #   audits/legal holds) instead of the MinHash+LSH approximation
     winnow_min_shared: int | None = None  # None = winnow stage off;
     #   set → union winnowing fingerprint pairs (contiguous-overlap
     #   twins Jaccard dilutes on long documents) into the near-dup
@@ -343,12 +346,23 @@ def prepare_training_data(
     # re-run the whole LSH pipeline every propagation round, and a
     # second dedup_clusters inside leakage_safe_split would double it
     # all again (measured 500 s → 42 s at 50k docs for this plan)
-    pairs = near_dup_pairs(
-        exact, id_col, text_col,
-        shingle_n=cfg.shingle_n, num_hashes=cfg.num_hashes,
-        bands=cfg.bands, threshold=cfg.jaccard_threshold,
-        pins=pins,
-    ).select("id_a", "id_b")
+    if cfg.exact_jaccard:
+        # completeness-guaranteed pair generation (prefix filtering):
+        # same threshold semantics, zero missed pairs — the audit mode
+        from ..operators.dedup import jaccard_join_prefix
+
+        pairs = jaccard_join_prefix(
+            exact, id_col, text_col,
+            shingle_n=cfg.shingle_n, threshold=cfg.jaccard_threshold,
+            pins=pins,
+        ).select("id_a", "id_b")
+    else:
+        pairs = near_dup_pairs(
+            exact, id_col, text_col,
+            shingle_n=cfg.shingle_n, num_hashes=cfg.num_hashes,
+            bands=cfg.bands, threshold=cfg.jaccard_threshold,
+            pins=pins,
+        ).select("id_a", "id_b")
 
     # 4b. optional winnowing pairs (contiguous-overlap twins — shared
     # passages in otherwise-different documents — that set-Jaccard
