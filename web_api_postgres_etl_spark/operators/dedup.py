@@ -1580,22 +1580,26 @@ def jaccard_join_prefix(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    # the corpus-sized shingle frame is NEVER persisted (the
+    # near_dup_pairs rule) — it is read twice lazily (frequency count
+    # + ordering) and the verification tail recomputes it
+    # candidates-only via the shared _candidate_shingles semi-join
     sh = _shingled(df, id_col, text_col, shingle_n, drop_empty=True).select(
         "__id", F.array_distinct("__sh").alias("__sh")
     )
-    # read four times (frequency count, ordering, both verify sides) —
-    # the near_dup_pairs cache_intermediates/pins convention applies
-    if cache_intermediates:
-        sh = sh.persist()
-        if pins is not None:
-            pins.append(sh)
+    # explode_outer, NOT explode: plain explode infers size(__sh) > 0
+    # and re-inlines the tokenize chain (the documented quadratic
+    # trap); drop_empty already guarantees non-empty arrays
     dfreq = (
-        sh.select(F.explode("__sh").alias("__s"))
+        sh.select(F.explode_outer("__sh").alias("__s"))
         .groupBy("__s")
         .agg(F.count(F.lit(1)).alias("__df"))
     )
     ordered = (
-        sh.select("__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("__s"))
+        sh.select(
+            "__id", F.size("__sh").alias("__n"),
+            F.explode_outer("__sh").alias("__s"),
+        )
         .join(dfreq, on="__s")
         .groupBy("__id", "__n")
         .agg(
@@ -1617,6 +1621,14 @@ def jaccard_join_prefix(
             F.transform(F.slice("__ord", F.lit(1), p), lambda s: s["__s"])
         ).alias("__s"),
     )
+    # the self-join reads its build subtree PER SIDE (no automatic
+    # subplan reuse) and the build here is the heavy stage (corpus df
+    # count + per-doc sort) — persist the SMALL prefix frame
+    # (~p tokens per doc), the same reason near_dup_pairs pins mh
+    if cache_intermediates:
+        prefixes = prefixes.persist()
+        if pins is not None:
+            pins.append(prefixes)
     a = prefixes.alias("a")
     b = prefixes.alias("b")
     cand = (
@@ -1634,4 +1646,11 @@ def jaccard_join_prefix(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
-    return _jaccard_on_shingled(sh, cand, threshold)
+    if cache_intermediates:
+        # read thrice (candidate-id union + both verify sides' pair
+        # joins route through it) and bounded by the candidate set
+        cand = cand.persist()
+        if pins is not None:
+            pins.append(cand)
+    cand_sh = _candidate_shingles(df, cand, id_col, text_col, shingle_n)
+    return _jaccard_on_shingled(cand_sh, cand, threshold)

@@ -31,6 +31,7 @@ from ..functions.text import gopher_flags, redact_pii
 from ..operators.dedup import (
     dedup_exact_hashed,
     decontaminate,
+    jaccard_join_prefix,
     near_dup_pairs,
 )
 from ..operators.graph import dedup_clusters
@@ -349,8 +350,6 @@ def prepare_training_data(
     if cfg.exact_jaccard:
         # completeness-guaranteed pair generation (prefix filtering):
         # same threshold semantics, zero missed pairs — the audit mode
-        from ..operators.dedup import jaccard_join_prefix
-
         pairs = jaccard_join_prefix(
             exact, id_col, text_col,
             shingle_n=cfg.shingle_n, threshold=cfg.jaccard_threshold,
