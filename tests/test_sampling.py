@@ -542,3 +542,77 @@ def test_sample_exact_oracle_and_determinism(spark, oracle):
     assert all(n == min(5, full[g]) for g, n in counts.items())
     with pytest.raises(ValueError, match="n must be"):
         sample_exact(docs, 0, "doc_id")
+
+
+# ------------------------------------------ weighted sampling (A-ES)
+def test_weighted_sample_matches_python_model_and_is_stable(spark):
+    """The race keys and the selected set equal a literal Python model
+    of the same md5/ln arithmetic (repr-equal doubles), the draw is
+    partitioning-invariant, and weights bias inclusion the way A-ES
+    promises (one heavy row beats 99 light ones in almost every
+    salt)."""
+    import hashlib
+    import math
+
+    from web_api_postgres_etl_spark.operators.sampling import (
+        weighted_sample_exact_n,
+    )
+
+    rows = [(i, 100.0 if i == 7 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, w double")
+
+    def model_key(i: int, w: float, salt: str) -> float:
+        hv = int(hashlib.md5(f"{salt}#{i}".encode()).hexdigest()[:13], 16)
+        u = (hv + 1.0) / float(16**13)
+        return math.log(u) / w
+
+    got = weighted_sample_exact_n(df, 10, "id", "w", salt="s1", key_out="k")
+    got_rows = {r["id"]: r["k"] for r in got.collect()}
+    want = sorted(rows, key=lambda r: -model_key(r[0], r[1], "s1"))[:10]
+    assert set(got_rows) == {i for i, _ in want}
+    for i, w in want:
+        assert repr(got_rows[i]) == repr(model_key(i, w, "s1"))
+
+    # partitioning invariance
+    reparted = {
+        r["id"]
+        for r in weighted_sample_exact_n(
+            df.repartition(13), 10, "id", "w", salt="s1"
+        ).collect()
+    }
+    assert reparted == set(got_rows)
+
+    # the weight actually biases: the w=100 row wins a top-10 slot in
+    # nearly every independent draw (p(miss) ≈ (90/190)^... tiny)
+    hits = sum(
+        7 in {
+            r["id"]
+            for r in weighted_sample_exact_n(
+                df, 10, "id", "w", salt=f"t{s}"
+            ).collect()
+        }
+        for s in range(10)
+    )
+    assert hits >= 9
+
+
+def test_weighted_sample_eligibility_and_guards(spark):
+    from web_api_postgres_etl_spark.operators.sampling import (
+        weighted_sample_exact_n,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, None), (4, 2.0)], "id long, w double"
+    )
+    out = weighted_sample_exact_n(df, 10, "id", "w")
+    assert {r["id"] for r in out.collect()} == {1, 4}  # 0/NULL excluded
+    assert out.columns == ["id", "w"]  # race key dropped by default
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="n must"):
+        weighted_sample_exact_n(df, 0, "id", "w")
+    with _pt.raises(ValueError, match="collide"):
+        weighted_sample_exact_n(df.withColumnRenamed("w", "__wskey"), 1, "id", "__wskey")
+    bad = spark.createDataFrame([(1, -1.0)], "id long, w double")
+    with _pt.raises(Exception, match="negative weight"):
+        weighted_sample_exact_n(bad, 1, "id", "w").collect()

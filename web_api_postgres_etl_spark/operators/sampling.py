@@ -701,3 +701,71 @@ def stratified_sample(
         )
         frac = F.when(cond, F.lit(float(f))).otherwise(frac)
     return df.filter(u < frac)
+
+
+def weighted_sample_exact_n(
+    df: DataFrame,
+    n: int,
+    id_col: str,
+    weight_col: str,
+    salt: str = "",
+    key_out: str | None = None,
+) -> DataFrame:
+    """Exactly ``min(n, eligible rows)`` rows drawn WITHOUT replacement
+    with probability proportional to ``weight_col`` — the A-ES
+    weighted-reservoir construction (Efraimidis & Spirakis 2006) on
+    deterministic draws: each row races with key ``ln(u) / w`` where
+    ``u`` is the md5-uniform draw for (salt, id), and the n LARGEST
+    keys win (for one exponential race, P(i beats j) = w_i/(w_i+w_j),
+    which composes to proportional-to-weight inclusion). This is the
+    per-ROW quality-weighted subsample (DCLM-style "sample by
+    classifier score") that ``temperature_sample`` — a per-GROUP mix —
+    cannot express.
+
+    Determinism contract: the same as every md5 draw in this module —
+    identical output for any partitioning, any engine computing the
+    same arithmetic, any rerun; vary ``salt`` for independent draws.
+    ``id_col`` must be unique per row (duplicate ids share one u and
+    win or lose together — correlated, not resampled). Rows with NULL,
+    zero, or negative weight are EXCLUDED (zero weight means zero
+    inclusion probability; a negative weight is a caller bug and
+    raises rather than silently reordering the race).
+
+    ``key_out`` optionally keeps the race key as a column (audit the
+    draw). Scale shape: one narrow map + ORDER BY LIMIT n — Spark
+    executes it as per-partition top-n + a tiny final merge
+    (TakeOrderedAndProject), never a global sort."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = qcol(weight_col).cast("double")
+    guard = F.when(
+        w < 0,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"weighted_sample_exact_n: negative weight in "
+                    f"{weight_col!r}: "
+                ),
+                w.cast("string"),
+            )
+        ).cast("double"),
+    ).otherwise(w)
+    # u ∈ (0, 1]: the shared md5 draw is [0, 1) — shift by one 16^-13
+    # quantum so ln(u) is always finite (u = 0 would race at -inf and
+    # make that row unselectable, a silent hole in the distribution)
+    u = (
+        _md5_key(id_col, salt, 13).cast("double") + F.lit(1.0)
+    ) / F.lit(float(16**13))
+    key = F.log(u) / guard
+    if "__wskey" in df.columns:
+        raise ValueError(
+            "weighted_sample_exact_n: input column '__wskey' collides "
+            "with the race key — rename it first"
+        )
+    eligible = df.filter(w.isNotNull() & (w != 0)).withColumn(
+        "__wskey", key
+    )
+    out = eligible.orderBy(F.col("__wskey").desc()).limit(n)
+    if key_out is not None:
+        return out.withColumnRenamed("__wskey", key_out)
+    return out.drop("__wskey")
