@@ -869,6 +869,18 @@ def test_quantized_topk_recall_and_duckdb_mirror(spark, oracle):
     """).fetchall())
     assert got == want
 
+    # a corpus vector whose dimension differs from the query's must
+    # fail loudly (zip_with would NULL-pad → NULL score → the row
+    # silently sorts out of the top-k)
+    import pytest as _pt
+    ragged = emb.select("vec_id", "embedding").limit(5).union(
+        spark.createDataFrame(
+            [(99999, [1.0, 2.0])], "vec_id long, embedding array<double>"
+        )
+    )
+    with _pt.raises(Exception, match="!= query dimension"):
+        ann_topk_quantized(ragged, query, k=3).collect()
+
 
 # --------------------------------------- prefix-filtered exact Jaccard
 def test_jaccard_join_prefix_equals_bruteforce(spark):

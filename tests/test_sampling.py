@@ -616,3 +616,15 @@ def test_weighted_sample_eligibility_and_guards(spark):
     bad = spark.createDataFrame([(1, -1.0)], "id long, w double")
     with _pt.raises(Exception, match="negative weight"):
         weighted_sample_exact_n(bad, 1, "id", "w").collect()
+
+    # the top-n sort carries the id as a deterministic tiebreaker:
+    # exact race-key ties (md5-prefix collisions, or equal-weight
+    # duplicate ids) straddling the limit boundary must not make the
+    # selected set partition-order-dependent
+    out2 = weighted_sample_exact_n(df, 2, "id", "w")
+    plan = out2._jdf.queryExecution().executedPlan().toString()
+    take = next(
+        (ln for ln in plan.splitlines() if "TakeOrderedAndProject" in ln),
+        "",
+    )
+    assert "__wskey" in take and "id" in take, take

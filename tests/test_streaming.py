@@ -720,6 +720,14 @@ def test_quantile_store_sidecar_lifecycle_guards(spark, tmp_path):
             spark, src, state2, str(tmp_path / "c3"), schema,
             ["g"], "v", "id", k=0,
         )
+
+    # a comma inside a key name would round-trip through the
+    # comma-joined sidecar into wrong key names and a silent mis-merge
+    with _pt.raises(ValueError, match="contain ','"):
+        quantile_maintain_run(
+            spark, src, state2, str(tmp_path / "c3b"),
+            "id long, `g,h` string, v double", ["g,h"], "v", "id", k=8,
+        )
     import os
     assert not os.path.exists(state2 + "_meta")
 

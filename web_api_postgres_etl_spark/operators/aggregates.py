@@ -1231,7 +1231,12 @@ def quantile_sample_state(
     # (sampling._md5_key) — this state IS a deterministic sampling draw
     pr = _md5_key(id_col, "q", 15)
     key_out = [k_.split(".")[-1] for k_ in keys]
-    base = df.select(
+    # NULL-value rows are excluded BEFORE the raise_error projection so
+    # the NULL-id guard's scope is pinned by construction: a (NULL id,
+    # NULL value) row never raises, a (NULL id, value) row always does.
+    # Filtering after the select would leave that choice to whether
+    # Catalyst pushes the filter below the projection.
+    base = df.filter(v.isNotNull()).select(
         *[qcol(k_).alias(k_.split(".")[-1]) for k_ in keys],
         F.when(
             qcol(id_col).isNull(),
@@ -1241,7 +1246,7 @@ def quantile_sample_state(
             ).cast("long"),
         ).otherwise(pr).alias("__pr"),
         v.alias("__v"),
-    ).filter(F.col("__v").isNotNull())
+    )
     salted = base.withColumn("__salt", (F.col("__pr") % 64).cast("int"))
     w = Window.partitionBy(
         *[F.col(c) for c in key_out], F.col("__salt")

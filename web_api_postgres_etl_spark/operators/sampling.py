@@ -765,7 +765,11 @@ def weighted_sample_exact_n(
     eligible = df.filter(w.isNotNull() & (w != 0)).withColumn(
         "__wskey", key
     )
-    out = eligible.orderBy(F.col("__wskey").desc()).limit(n)
+    # id ascending breaks exact race-key ties (52-bit md5 prefixes CAN
+    # collide at billion-row scale; equal-weight duplicate ids always
+    # do) — without it a tie straddling the limit boundary makes the
+    # selected set partition-order-dependent
+    out = eligible.orderBy(F.col("__wskey").desc(), qcol(id_col)).limit(n)
     if key_out is not None:
         return out.withColumnRenamed("__wskey", key_out)
     return out.drop("__wskey")

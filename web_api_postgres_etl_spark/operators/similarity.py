@@ -1229,10 +1229,17 @@ def ann_topk_quantized(
     # expression-kit rule: per-element F.lit/F.array costs a py4j
     # round-trip per dim — seconds of driver time at dim 1024+)
     qlit = "array(" + ", ".join(str(int(x)) for x in qq) + ")"
+    # dimension guard BEFORE the fold: zip_with pads the shorter side
+    # with NULLs, which would make qdot/score NULL and silently sort
+    # those rows out of the top-k — a mismatched corpus must fail
+    # loudly instead (lazy raise_error, evaluated only on bad rows)
     qdot_sql = (
-        f"aggregate(zip_with(qvec, {qlit}, "
+        f"CASE WHEN size(qvec) <> {len(qq)} THEN cast(raise_error(concat("
+        f"'ann_topk_quantized: corpus embedding dimension ', "
+        f"cast(size(qvec) as string), ' != query dimension {len(qq)}')) "
+        f"as bigint) ELSE aggregate(zip_with(qvec, {qlit}, "
         "(a, b) -> cast(a as bigint) * cast(b as bigint)), "
-        "cast(0 as bigint), (acc, x) -> acc + x)"
+        "cast(0 as bigint), (acc, x) -> acc + x) END"
     )
     # qdot staged once, then the score projects from the column — the
     # fold runs one time per row (HOF aggregates sit outside codegen's

@@ -106,6 +106,15 @@ def quantile_maintain_run(
     the shared contract documented in ``streaming/ckpt.py``."""
     if _PART_COL in {kk.split(".")[-1] for kk in keys}:
         raise ValueError(f"quantile_maintain_run: {_PART_COL!r} is reserved")
+    bad_keys = [kk for kk in keys if "," in kk.split(".")[-1]]
+    if bad_keys:
+        # the sidecar serializes key names comma-joined and the reader
+        # splits on ',' — a comma INSIDE a name would round-trip into
+        # wrong key names and a silent mis-merge
+        raise ValueError(
+            f"quantile_maintain_run: key names {bad_keys} contain ',' — "
+            "the spec sidecar stores keys comma-joined; rename them first"
+        )
     if k < 1:
         # validate BEFORE the sidecar write: pinning an invalid spec
         # would brick the store (every corrected retry then refuses as
