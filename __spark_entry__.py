@@ -1040,7 +1040,11 @@ def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
     """EXCEPT + INTERSECT (distinct) set ops, one tagged result:
     customers ordering in 1996 but not 1997 ('except') and customers
     active in both years ('intersect'). Both branches share the two
-    filtered scans; each set op is a hash-aggregate on the key."""
+    filtered scans; each set op is a hash-aggregate on the key.
+    RETIRED from the driver contract in round 9 (native set ops are
+    thin wrappers over hash aggregates — the weakest slot) in favor of
+    jaccard_prefix_join; parity preserved in
+    tests/test_oracle_parity.py."""
     o = _t(spark, sf, "orders")
     y96 = o.filter(F.year("o_orderdate") == 1996).select(
         F.col("o_custkey").alias("custkey")
@@ -1062,6 +1066,29 @@ UNION ALL
 SELECT custkey, 'intersect' AS op
 FROM (SELECT custkey FROM y96 INTERSECT SELECT custkey FROM y97)
 """
+
+
+def q_jaccard_prefix_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT prefix-filtered Jaccard set-similarity join
+    (operators/dedup.py::jaccard_join_prefix — PPJoin's base filter,
+    Chaudhuri et al. 2006): word-2-gram Jaccard pairs ≥ 0.5 over
+    documents with a COMPLETENESS GUARANTEE — the scale path where the
+    MinHash/SimHash/winnowing family trades recall for speed. The
+    oracle is the quadratic all-pairs Jaccard SQL (the same SQL that
+    backed the retired ngram_jaccard_pairs row): prefix filtering must
+    return EXACTLY the all-pairs answer, and this row checks that
+    head-on at the driver hash layer. cache_intermediates=False keeps
+    the entry leak-free (the r7 contract rule); at corpus scale a
+    long-lived caller passes pins=[] and keeps the prefix frame
+    persisted instead."""
+    from web_api_postgres_etl_spark.operators.dedup import jaccard_join_prefix
+
+    docs = _t(spark, sf, "documents")
+    out = jaccard_join_prefix(
+        docs, "doc_id", "text", shingle_n=2, threshold=0.5,
+        cache_intermediates=False,
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_j34_semi_anti_join(spark: SparkSession, sf: str) -> DataFrame:
@@ -1104,7 +1131,11 @@ def q_j6_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     """AS-OF join (operators.joins.asof_join — composed, since Spark
     lacks it natively): each event matched to the customer's most
     recent order at-or-before the event time (key = user_id↔custkey,
-    ties pinned by orderkey)."""
+    ties pinned by orderkey). RETIRED from the driver contract in
+    round 9 (the as-of family stays driver-visible via the harder
+    keyless form j7_asof_keyless and via resample_rolling's
+    forward-fill) in favor of bloom_join_gate; parity preserved in
+    tests/test_oracle_parity.py."""
     from web_api_postgres_etl_spark.operators.joins import asof_join
 
     events = _t(spark, sf, "events").select(
@@ -1141,6 +1172,86 @@ FROM events e JOIN orders o
 QUALIFY row_number() OVER (
   PARTITION BY event_id
   ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey) = 1
+"""
+
+
+_BLOOM_M, _BLOOM_K = 1 << 12, 4
+
+
+def q_bloom_join_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter pre-join gate (operators/joins.py::bloom_build/
+    bloom_filter_gate) — the semi-join face for key sets too big to
+    broadcast as a hash set but cheap as m/64 longs: build a bloom over
+    a supplier-key subset, gate the lineitem FACT on it without ever
+    shuffling the fact (1-row broadcast crossJoin + k pure-expression
+    md5 bit probes). The oracle rebuilds the IDENTICAL bit array from
+    the same md5 arithmetic and selects survivors by the same k probes
+    — bits and survivor set are engine-exact integers (the 1<<63 word
+    is mirrored via a CASE to Long.MIN_VALUE because DuckDB's shift
+    raises where Spark's wraps). Zero false negatives by construction;
+    the handful of false positives at this fill rate pass through
+    identically in both engines."""
+    from web_api_postgres_etl_spark.operators.joins import (
+        bloom_build,
+        bloom_filter_gate,
+    )
+
+    sup = _t(spark, sf, "supplier")
+    keys = sup.filter(F.col("s_suppkey") <= 50).select(
+        F.col("s_suppkey").alias("k")
+    )
+    bloom = bloom_build(keys, "k", m_bits=_BLOOM_M, k_hashes=_BLOOM_K)
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+    out = bloom_filter_gate(li, bloom, "l_suppkey", _BLOOM_M, _BLOOM_K)
+    return out.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        "l_suppkey",
+    )
+
+
+def _sql_bloom_gate(m_bits: int, k_hashes: int) -> str:
+    """DuckDB mirror of bloom_build + bloom_filter_gate over the same
+    key/fact tables: positions are the first 15 md5 hex chars of
+    'key:i' mod m (exactly operators/joins.py::_bloom_positions), words
+    pack 64 bits per BIGINT via bit_or, and the gate re-probes all k
+    positions against the packed words. DuckDB raises on 1<<63 where
+    Spark shiftleft wraps — bit 63 goes through a CASE to
+    Long.MIN_VALUE."""
+
+    def pos(i: int, key: str) -> str:
+        return (
+            f"(CAST('0x' || substr(md5({key} || ':' || '{i}'), 1, 15) "
+            f"AS BIGINT) % {m_bits})"
+        )
+
+    def bit(p: str) -> str:
+        return (
+            f"(CASE WHEN {p} % 64 = 63 THEN CAST(-9223372036854775808 AS "
+            f"BIGINT) ELSE CAST(1 AS BIGINT) << CAST({p} % 64 AS INT) END)"
+        )
+
+    build_poss = ", ".join(
+        pos(i, "CAST(k AS VARCHAR)") for i in range(k_hashes)
+    )
+    probes = " AND ".join(
+        f"(list_extract(bl, CAST({pos(i, 'CAST(l_suppkey AS VARCHAR)')} // 64 "
+        f"AS INT) + 1) & {bit(pos(i, 'CAST(l_suppkey AS VARCHAR)'))}) <> 0"
+        for i in range(k_hashes)
+    )
+    return f"""
+WITH keys AS (SELECT DISTINCT s_suppkey AS k FROM supplier
+              WHERE s_suppkey <= 50 AND s_suppkey IS NOT NULL),
+p AS (SELECT unnest([{build_poss}]) AS p FROM keys),
+words AS (SELECT p // 64 AS w, bit_or({bit("p")}) AS b FROM p GROUP BY 1),
+grid AS (SELECT unnest(range(0, {m_bits // 64})) AS w),
+bits AS (SELECT list(COALESCE(b, 0) ORDER BY grid.w) AS bl
+         FROM grid LEFT JOIN words USING (w))
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_suppkey
+FROM lineitem, bits
+WHERE l_suppkey IS NULL OR ({probes})
 """
 
 
@@ -1361,7 +1472,12 @@ def q_agg_session_window(spark: SparkSession, sf: str) -> DataFrame:
     """Session-window aggregation (gap 30 min) per user — Spark's
     session_window operator; the oracle rebuilds sessions with
     gaps-and-islands (lag + cumulative break sum). Session end is
-    last-event + gap, half-open."""
+    last-event + gap, half-open. RETIRED from the driver contract in
+    round 9 (the session shape stays driver-visible via funnel /
+    event_transitions and the streaming session face in
+    t4_stateful_stream; batch≡stream convergence is pinned in
+    test_streaming.py) in favor of quantile_state_merge; parity
+    preserved in tests/test_oracle_parity.py."""
     events = _t(spark, sf, "events")
     return (
         events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
@@ -1396,6 +1512,77 @@ SELECT user_id,
        COUNT(*) AS n_events
 FROM g
 GROUP BY user_id, sess
+"""
+
+
+_QSM_K = 64
+
+
+def q_quantile_state_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable quantile state (operators/aggregates.py::
+    quantile_sample_state/merge_quantile_states/finalize_quantiles) —
+    completes the incremental-maintenance family at the driver layer
+    (sum/count/min/max/HLL ride incr_agg_merge; DISTINCT and QUANTILE
+    are the two classically non-mergeable aggregates). States are
+    built over two DISJOINT lineitem slices (even vs odd orderkeys),
+    merged, and finalized to quartiles. The merge is bit-exact
+    relational algebra (bottom-k closure: bottom_k(A∪B) ==
+    bottom_k(bottom_k(A)∪bottom_k(B))), so the oracle needs no state
+    simulation at all — it takes the k smallest (md5-priority, value)
+    rows per key over ALL rows (exactly what the merged state must
+    equal) and finalizes with quantile_cont (repr-identical to the
+    pinned PERCENTILE_CONT interpolation, test-pinned). Row ids are
+    l_orderkey*10+l_linenumber (linenumber ≤ 7 — unique by
+    construction, the md5-priority contract); l_quantity is a whole
+    double ≤ 50, so every kept value and interpolation is
+    engine-exact."""
+    from web_api_postgres_etl_spark.operators.aggregates import (
+        finalize_quantiles,
+        merge_quantile_states,
+        quantile_sample_state,
+    )
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        "l_quantity",
+        "l_orderkey",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+    )
+    s1 = quantile_sample_state(
+        li.filter(F.col("l_orderkey") % 2 == 0),
+        ["l_returnflag"], "l_quantity", "rid", k=_QSM_K,
+    )
+    s2 = quantile_sample_state(
+        li.filter(F.col("l_orderkey") % 2 == 1),
+        ["l_returnflag"], "l_quantity", "rid", k=_QSM_K,
+    )
+    merged = merge_quantile_states(
+        s1.unionByName(s2), ["l_returnflag"], k=_QSM_K
+    )
+    fin = finalize_quantiles(merged, [0.25, 0.5, 0.75])
+    return fin.select("l_returnflag", "n_rows", "q_0", "q_1", "q_2")
+
+
+SQL_QUANTILE_STATE_MERGE = f"""
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS DOUBLE) AS v,
+         CAST('0x' || substr(md5('q#' ||
+              CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 15)
+              AS BIGINT) AS pr
+  FROM lineitem WHERE l_quantity IS NOT NULL),
+ranked AS (
+  SELECT l_returnflag, v,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY pr, v) AS rn
+  FROM base),
+counts AS (SELECT l_returnflag, COUNT(*) AS n_rows FROM base GROUP BY 1),
+kept AS (SELECT l_returnflag, v FROM ranked WHERE rn <= {_QSM_K})
+SELECT c.l_returnflag, c.n_rows,
+       quantile_cont(k.v, 0.25) AS q_0,
+       quantile_cont(k.v, 0.50) AS q_1,
+       quantile_cont(k.v, 0.75) AS q_2
+FROM kept k JOIN counts c USING (l_returnflag)
+GROUP BY c.l_returnflag, c.n_rows
 """
 
 
@@ -1434,7 +1621,12 @@ def q_f3_struct_array(spark: SparkSession, sf: str) -> DataFrame:
     ``categories[0]['id']`` shape, mabna_tables_create.py:113-118):
     per-order line list → first struct's field via element_at+getField
     (functions.arrays.first_element_field). Subsumes the plain-array
-    element form (element_at + size on an array column)."""
+    element form (element_at + size on an array column). RETIRED from
+    the driver contract in round 9 (the §2 F3 behavior stays
+    test-pinned here and in test_operators.py; the collect_list+
+    element_at shape also rides f3-adjacent entries like top_paths'
+    capped collect) in favor of triangle_counts; parity preserved in
+    tests/test_oracle_parity.py."""
     from web_api_postgres_etl_spark.functions.arrays import first_element_field
 
     li = _t(spark, sf, "lineitem")
@@ -1458,6 +1650,74 @@ SELECT l_orderkey,
        COUNT(*) AS n_lines
 FROM lineitem
 GROUP BY l_orderkey
+"""
+
+
+def q_triangle_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.py::triangle_counts —
+    degree-ordered orientation, Chiba–Nishizeki/Latapy) over a dense
+    synthetic graph derived from lineitem (the customer↔supplier
+    pagerank graph is bipartite — triangle-free by construction — so
+    this entry folds part/supplier/order keys into one id space that
+    actually closes triangles). Counts are deterministic integers and
+    the orientation compares (degree, id) structs — lexicographic in
+    both engines — so the oracle replays the IDENTICAL orientation and
+    wedge enumeration in SQL, bit-for-bit. Scale shape: wedge fan-out
+    bounded by oriented out-degree ≤ O(√E); (node, node) shuffles
+    only."""
+    from web_api_postgres_etl_spark.operators.graph import triangle_counts
+
+    li = _t(spark, sf, "lineitem")
+    edges = li.select(
+        (F.col("l_partkey") % 50).alias("id_a"),
+        (F.col("l_suppkey") + 50).alias("id_b"),
+    ).unionAll(
+        li.select(
+            (F.col("l_orderkey") % 80).alias("id_a"),
+            (F.col("l_partkey") % 50).alias("id_b"),
+        )
+    )
+    nodes = (
+        edges.select(F.col("id_a").alias("id"))
+        .unionAll(edges.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    return triangle_counts(nodes, edges)
+
+
+SQL_TRIANGLE_COUNTS = """
+WITH raw AS (
+  SELECT l_partkey % 50 AS a, l_suppkey + 50 AS b FROM lineitem
+  UNION ALL
+  SELECT l_orderkey % 80, l_partkey % 50 FROM lineitem),
+canon AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM raw WHERE a <> b AND a IS NOT NULL AND b IS NOT NULL),
+nodes AS (SELECT DISTINCT x AS id FROM
+          (SELECT a AS x FROM raw UNION ALL SELECT b FROM raw)),
+deg AS (
+  SELECT x AS id, COUNT(*) AS d FROM
+    (SELECT u AS x FROM canon UNION ALL SELECT v FROM canon)
+  GROUP BY 1),
+o AS (
+  SELECT CASE WHEN (du.d, c.u) < (dv.d, c.v) THEN c.u ELSE c.v END AS s,
+         CASE WHEN (du.d, c.u) < (dv.d, c.v) THEN c.v ELSE c.u END AS t,
+         CASE WHEN (du.d, c.u) < (dv.d, c.v) THEN dv.d ELSE du.d END AS dt
+  FROM canon c JOIN deg du ON du.id = c.u JOIN deg dv ON dv.id = c.v),
+wedges AS (
+  SELECT e1.s, e1.t AS a, e2.t AS b
+  FROM o e1 JOIN o e2 ON e1.s = e2.s
+  WHERE (e1.dt, e1.t) < (e2.dt, e2.t)),
+tri AS (
+  SELECT w.s, w.a, w.b FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM o WHERE o.s = w.a AND o.t = w.b)),
+per AS (
+  SELECT x AS id, COUNT(*) AS n FROM
+    (SELECT s AS x FROM tri UNION ALL SELECT a FROM tri
+     UNION ALL SELECT b FROM tri)
+  GROUP BY 1)
+SELECT n.id, CAST(COALESCE(per.n, 0) AS BIGINT) AS n_triangles
+FROM nodes n LEFT JOIN per ON n.id = per.id
 """
 
 
@@ -3852,7 +4112,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t5_watermark_late_drop; retired parity in
         # tests/test_oracle_parity.py::test_retired_contract_entries)
         "scd2_history": q_scd2_history,
-        "agg_session_window": q_agg_session_window,
+        # r9: agg_session_window -> quantile_state_merge (the
+        # mergeable-quantile state completes the incremental
+        # family at the driver layer; session shape stays via
+        # funnel/event_transitions/t4; retired parity in
+        # tests/test_oracle_parity.py)
+        "quantile_state_merge": q_quantile_state_merge,
         # dedup / similarity
         "dedup_exact": q_dedup_exact,
         "url_curation": q_url_curation,
@@ -3898,7 +4163,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the graph family's first driver row: bit-reproducible
         # integer mass units vs an unrolled CTE power iteration.
         "pagerank": q_pagerank,
-        "j6_asof_join": q_j6_asof_join,
+        # r9: j6_asof_join -> bloom_join_gate (as-of stays via
+        # j7_asof_keyless; the bloom bits + survivor set are
+        # engine-exact integers; retired parity kept)
+        "bloom_join_gate": q_bloom_join_gate,
         "j7_asof_keyless": q_j7_asof_keyless,
         # text analysis / retrieval
         "text_stats": q_text_stats,
@@ -3946,8 +4214,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green lsh_cosine_pairs).
         "stg_transform": q_stg_transform,
         "p6_watermark_delta": q_p6_watermark_delta,
-        "f3_struct_array": q_f3_struct_array,
-        "set_ops": q_set_ops,
+        # r9: f3_struct_array -> triangle_counts (first clustering
+        # row of the graph family next to pagerank; F3 parity kept)
+        "triangle_counts": q_triangle_counts,
+        # r9: set_ops -> jaccard_prefix_join (the exact dedup path
+        # earns the row over native set-op wrappers; parity kept)
+        "jaccard_prefix_join": q_jaccard_prefix_join,
         # r7: classifier_quality now scores from the PINNED exported
         # artifact (decimal margins — exact SQL oracle); L-BFGS
         # training itself stays pytest-pinned (tests/test_classifier.py
@@ -3977,7 +4249,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_rollup": SQL_ROLLUP,
         "agg_pivot": SQL_PIVOT,
         "scd2_history": SQL_SCD2,
-        "agg_session_window": SQL_SESSION_WINDOW,
+        "quantile_state_merge": SQL_QUANTILE_STATE_MERGE,
         "dedup_exact": SQL_DEDUP_EXACT,
         "url_curation": SQL_URL_CURATION,
         "minhash_lsh_pairs": SQL_LSH_PAIRS,
@@ -3992,7 +4264,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_join": SQL_INTERVAL,
         "resample_rolling": SQL_RESAMPLE_ROLLING,
         "pagerank": _sql_pagerank(),
-        "j6_asof_join": SQL_J6,
+        "bloom_join_gate": _sql_bloom_gate(_BLOOM_M, _BLOOM_K),
         "j7_asof_keyless": SQL_J7_KEYLESS,
         "text_stats": SQL_TEXT_STATS,
         "bm25_topk": SQL_BM25,
@@ -4009,7 +4281,7 @@ def oracle_sql() -> dict[str, str]:
         "o2_dedup_last_wins": SQL_O2,
         "stg_transform": SQL_STG_TRANSFORM,
         "p6_watermark_delta": SQL_P6,
-        "f3_struct_array": SQL_F3_STRUCT,
-        "set_ops": SQL_SET_OPS,
+        "triangle_counts": SQL_TRIANGLE_COUNTS,
+        "jaccard_prefix_join": SQL_JACCARD,
         "classifier_quality": _sql_classifier_quality(),
     }

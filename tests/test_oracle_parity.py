@@ -128,6 +128,20 @@ RETIRED = [
     # same sources/json_flatten.flatten call is driver-checked inside
     # s1_rest_source; this row keeps the get_json_object face)
     ("s3_flatten_struct", "SQL_FLATTEN"),
+    # r9: native set ops → jaccard_prefix_join (EXCEPT/INTERSECT are
+    # thin wrappers over hash aggregates — this row keeps them pinned)
+    ("set_ops", "SQL_SET_OPS"),
+    # r9: keyed as-of join → bloom_join_gate (the as-of family stays
+    # driver-visible via the harder keyless j7_asof_keyless and
+    # resample_rolling's forward-fill; this row pins the keyed form)
+    ("j6_asof_join", "SQL_J6"),
+    # r9: batch session-window rollup → quantile_state_merge (session
+    # shape stays driver-visible via funnel / event_transitions / the
+    # t4 streaming face; batch≡stream convergence in test_streaming)
+    ("agg_session_window", "SQL_SESSION_WINDOW"),
+    # r9: array-of-structs element extraction → triangle_counts (F3
+    # coverage keeps this row + test_operators' ground truth)
+    ("f3_struct_array", "SQL_F3_STRUCT"),
 ]
 
 

@@ -286,8 +286,8 @@ def sessionize(
     ``gap_seconds`` (half-open, matching ``F.session_window``'s
     last-event + gap end). Appends (session_idx, session_start):
     0-based per-user session ordinal and the session's first event
-    time — the event-level face of the session aggregation the
-    contract pins (``agg_session_window`` rolls sessions up;
+    time — the event-level face of the session aggregation (retired
+    contract row ``agg_session_window`` rolls sessions up;
     journey analyses need the events still attached). NULL-timestamp
     rows are dropped — they cannot be ordered into any session.
 

@@ -74,8 +74,9 @@ def session_counts_run(
 ) -> None:
     """Streaming sessionization: ``F.session_window`` (dynamic-gap
     merging windows) per key under a watermark, APPEND mode — the
-    streaming face of the batch session aggregation the contract pins
-    (``agg_session_window``). A session row is emitted exactly once,
+    streaming face of the batch session aggregation (retired contract
+    row ``agg_session_window``; batch≡stream convergence pinned in
+    tests/test_streaming.py). A session row is emitted exactly once,
     when the watermark passes its end (last event + gap); in-flight
     sessions MERGE as new events extend them, so state per key is one
     open session, not an event buffer.
