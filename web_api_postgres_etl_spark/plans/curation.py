@@ -44,6 +44,10 @@ from ..operators.sampling import (
 
 @dataclass
 class CurationConfig:
+    html_extract: bool = False          # text col holds raw HTML →
+    #   strip containers + boilerplate lines first (functions/html.py)
+    html_boiler_max_words: int = 12     # short-line chrome threshold
+    html_max_link_density_pct: int = 50  # nav-menu link-density cut
     normalize_text: bool = True         # C4-style clean_text first
     c4_line_rules: bool = False         # C4 line/page retention rules
     c4_min_words: int = 5               # words per surviving line
@@ -153,6 +157,24 @@ def prepare_training_data(
                 docs, cfg.url_col, id_col, cfg.domain_quota,
                 domain_col="__curation_domain",
             ).drop("__curation_domain")
+
+    # 0a2. HTML → visible text (when the corpus lands as raw crawl
+    # HTML): container strip + block-boundary lines + boilerplate-line
+    # drop, one narrow expression pass — BEFORE normalization so
+    # clean_text / C4 rules / digests all see extracted prose, never
+    # markup. Default off: the spine corpora are already extracted
+    # text (the stage-default-off contract-protection rule).
+    if cfg.html_extract:
+        from ..functions.html import html_to_text
+
+        docs = docs.withColumn(
+            text_col,
+            html_to_text(
+                text_col,
+                boiler_max_words=cfg.html_boiler_max_words,
+                max_link_density_pct=cfg.html_max_link_density_pct,
+            ),
+        )
 
     # 0b. normalization (control chars, unicode spaces, blank walls) —
     # BEFORE gating so rule counters and dedup digests see clean text
