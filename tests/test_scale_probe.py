@@ -49,6 +49,10 @@ OPS = {
     "pagerank", "triangle_counts", "quantile_sample_state", "bloom_gate",
     # round 8 second wave: the prefix-filtered EXACT Jaccard self-join
     "jaccard_join_prefix",
+    # round 9: the quantized-ANN scan (per-row HOF fold must be linear
+    # in dim, top-k must be TakeOrderedAndProject — no global sort) and
+    # the A-ES weighted draw (one narrow map + per-partition top-n)
+    "ann_topk_quantized", "weighted_sample_exact_n",
 }
 
 

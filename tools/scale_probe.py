@@ -577,6 +577,37 @@ def _probe_ops(spark, n: int, ops_filter, docs, vecs) -> dict:
         kept = bloom_filter_gate(fact, bloom, "k", 1 << 18, 5).count()
         ops["bloom_gate"] = (time.time() - t0, kept)
 
+    if want("ann_topk_quantized"):
+        reset_cache()
+        from web_api_postgres_etl_spark.operators.similarity import (
+            ann_topk_quantized,
+        )
+
+        query = [((i * 37) % 64) / 64.0 - 0.5 for i in range(32)]
+        t0 = time.time()
+        got = ann_topk_quantized(
+            vecs, query, k=10, id_col="vec_id", vec_col="embedding"
+        ).count()
+        # the claim under test: the per-row HOF fold is linear in dim
+        # and the top-k is TakeOrderedAndProject — flat-ish per row,
+        # no global sort, so wall time ~O(n)
+        ops["ann_topk_quantized"] = (time.time() - t0, got)
+
+    if want("weighted_sample_exact_n"):
+        reset_cache()
+        from web_api_postgres_etl_spark.operators.sampling import (
+            weighted_sample_exact_n,
+        )
+
+        weighted = docs.select(
+            "doc_id", (F.length("text") + F.lit(1)).cast("double").alias("w")
+        )
+        t0 = time.time()
+        got = weighted_sample_exact_n(weighted, 100, "doc_id", "w").count()
+        # one narrow map + TakeOrderedAndProject: per-partition top-n
+        # + driver merge of n·partitions rows — no global sort
+        ops["weighted_sample_exact_n"] = (time.time() - t0, got)
+
     return ops
 
 
