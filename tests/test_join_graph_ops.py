@@ -630,3 +630,120 @@ def test_bloom_gate_never_shuffles_the_fact(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert not _re.search(r"\bExchange\b", plan), plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+# ------------------------------------------------------ k-core peeling
+def _py_kcore(node_ids, edge_pairs, k):
+    """Literal peeling model: drop every node under degree k, repeat."""
+    adj: dict = {n: set() for n in node_ids}
+    for a, b in edge_pairs:
+        if a is None or b is None or a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(node_ids)
+    while True:
+        drop = {n for n in alive if len(adj.get(n, set()) & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    return {n: len(adj.get(n, set()) & alive) for n in alive}
+
+
+def test_k_core_planted_and_python_model(spark):
+    """K4 + a pendant chain + an isolate through every canonicalization
+    hazard (duplicates, reversed direction, self-loop), then random
+    multigraphs vs the literal peeling model."""
+    import random
+
+    from web_api_postgres_etl_spark.operators.graph import k_core
+
+    # K4 on 1-4, chain 4-5-6 (pendant), isolate 7
+    raw = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+           (4, 5), (5, 6),
+           (2, 1),          # reversed duplicate
+           (3, 3),          # self-loop
+           (1, 2)]          # duplicate
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    edges = spark.createDataFrame(raw, "id_a long, id_b long")
+
+    got2 = {r["id"]: r["core_degree"]
+            for r in k_core(nodes, edges, 2).collect()}
+    assert got2 == {1: 3, 2: 3, 3: 3, 4: 3}   # chain + isolate peel
+    got3 = {r["id"]: r["core_degree"]
+            for r in k_core(nodes, edges, 3).collect()}
+    assert got3 == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert k_core(nodes, edges, 4).count() == 0
+    got0 = {r["id"]: r["core_degree"]
+            for r in k_core(nodes, edges, 0).collect()}
+    assert got0[7] == 0 and got0[5] == 2 and len(got0) == 7
+
+    # random graphs vs the model (seeded — deterministic suite)
+    rng = random.Random(73)
+    for trial in range(3):
+        n = 40
+        pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(120)]
+        nd = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        ed = spark.createDataFrame(pairs, "id_a long, id_b long")
+        for k in (1, 2, 3):
+            got = {r["id"]: r["core_degree"]
+                   for r in k_core(nd, ed, k).collect()}
+            want = {i: d for i, d in
+                    _py_kcore(range(n), pairs, k).items() if d >= k or k == 0}
+            assert got == want, (trial, k)
+
+
+def test_k_core_guards_and_convergence(spark):
+    import pytest as _pt
+
+    from web_api_postgres_etl_spark.operators.graph import k_core
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long"
+    )
+    with _pt.raises(ValueError, match="k must be"):
+        k_core(nodes, chain, -1)
+    with _pt.raises(ValueError, match="max_iter"):
+        k_core(nodes, chain, 2, max_iter=0)
+    # a 6-chain at k=2 peels two ends per round — needs 3 rounds
+    with _pt.raises(RuntimeError, match="did not converge"):
+        k_core(nodes, chain, 2, max_iter=1)
+    assert k_core(nodes, chain, 2, max_iter=5).count() == 0
+
+
+# ------------------------------------------------- canonical selection
+def test_select_canonical_scores_ties_and_null_fallback(spark):
+    from web_api_postgres_etl_spark.operators.graph import select_canonical
+
+    docs = spark.createDataFrame(
+        [(1, 0.4), (2, 0.9), (3, 0.9), (4, None), (5, None), (6, 0.1)],
+        "doc_id long, score double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    rows = {r["doc_id"]: (r["cluster"], r["is_canonical"])
+            for r in select_canonical(docs, pairs, "doc_id", "score").collect()}
+    # cluster {1,2,3}: 2 and 3 tie at 0.9 → min id 2 wins over 3; 1 loses
+    assert rows[2] == (1, True) and rows[3] == (1, False)
+    assert rows[1] == (1, False)
+    # all-NULL cluster {4,5}: falls back to min id (dedup_clusters rule)
+    assert rows[4] == (4, True) and rows[5] == (4, False)
+    # singleton is its own canonical
+    assert rows[6] == (6, True)
+
+
+def test_k_core_foreign_endpoints_do_not_inflate_degrees(spark):
+    """An edge endpoint absent from the node table must not prop up
+    its neighbor's degree even transiently: nodes {1,2} with edges
+    (1,2) and (1,99) have NO 2-core — node 1's true degree is 1. (The
+    one-round-early convergence hazard this pins: inflated round-0
+    degrees + an unchanged survivor count.)"""
+    from web_api_postgres_etl_spark.operators.graph import k_core
+
+    nodes = spark.createDataFrame([(1,), (2,)], "id long")
+    edges = spark.createDataFrame([(1, 2), (1, 99)], "id_a long, id_b long")
+    assert k_core(nodes, edges, 2).count() == 0
+    got = {r["id"]: r["core_degree"] for r in k_core(nodes, edges, 1).collect()}
+    assert got == {1: 1, 2: 1}  # the foreign edge contributes nothing

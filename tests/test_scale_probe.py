@@ -50,9 +50,11 @@ OPS = {
     # round 8 second wave: the prefix-filtered EXACT Jaccard self-join
     "jaccard_join_prefix",
     # round 9: the quantized-ANN scan (per-row HOF fold must be linear
-    # in dim, top-k must be TakeOrderedAndProject — no global sort) and
-    # the A-ES weighted draw (one narrow map + per-partition top-n)
-    "ann_topk_quantized", "weighted_sample_exact_n",
+    # in dim, top-k must be TakeOrderedAndProject — no global sort),
+    # the A-ES weighted draw (one narrow map + per-partition top-n),
+    # and the k-core peel loop (fixed-round pendant-layer graph, so the
+    # exponent isolates per-round cost from the round count)
+    "ann_topk_quantized", "weighted_sample_exact_n", "k_core",
 }
 
 

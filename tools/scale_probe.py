@@ -577,6 +577,30 @@ def _probe_ops(spark, n: int, ops_filter, docs, vecs) -> dict:
         kept = bloom_filter_gate(fact, bloom, "k", 1 << 18, 5).count()
         ops["bloom_gate"] = (time.time() - t0, kept)
 
+    if want("k_core"):
+        reset_cache()
+        from web_api_postgres_etl_spark.operators.graph import k_core
+
+        # ring (the surviving 2-core, n/2 nodes) + TWO pendant layers
+        # hanging off it — exactly two peel rounds at every n, so the
+        # exponent measures per-round cost, not a data-dependent round
+        # count; core is NEVER empty (a 0-row probe is the documented
+        # degenerate-workload trap)
+        m, q = n // 2, n // 4
+        ring = spark.range(m).select(
+            F.col("id").alias("id_a"), ((F.col("id") + 1) % m).alias("id_b")
+        )
+        pend1 = spark.range(m, m + q).select(
+            F.col("id").alias("id_a"), (F.col("id") - m).alias("id_b")
+        )
+        pend2 = spark.range(m + q, n).select(
+            F.col("id").alias("id_a"), (F.col("id") - q).alias("id_b")
+        )
+        gnodes = spark.range(n).select(F.col("id"))
+        t0 = time.time()
+        core = k_core(gnodes, ring.union(pend1).union(pend2), 2).count()
+        ops["k_core"] = (time.time() - t0, core)
+
     if want("ann_topk_quantized"):
         reset_cache()
         from web_api_postgres_etl_spark.operators.similarity import (

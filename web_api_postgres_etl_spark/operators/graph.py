@@ -429,3 +429,180 @@ def triangle_counts(
             ),
         )
     )
+
+
+def k_core(
+    nodes: DataFrame,
+    edges: DataFrame,
+    k: int,
+    node_id: str = "id",
+    edge_src: str = "id_a",
+    edge_dst: str = "id_b",
+    max_iter: int = 200,
+    pins: list[DataFrame] | None = None,
+) -> DataFrame:
+    """(id, core_degree) — the k-core of the undirected simple graph:
+    the maximal subgraph in which EVERY node has degree ≥ k, with each
+    surviving node's degree inside that subgraph. The classic
+    link-graph quality trim (Seidman 1983; web-spam and crawl-frontier
+    literature prune to a core before ranking): peripheral pages,
+    guestbook chains, and one-shot link spam peel away, the densely
+    interlinked region remains. ``k=0`` returns every node (isolated
+    ones with degree 0). Deterministic — the k-core is a unique
+    subgraph, independent of peel order, partitioning, or engine.
+
+    Algorithm: iterative peeling. Each round drops ALL nodes whose
+    current degree is below k, recomputes degrees over the induced
+    subgraph, and repeats until a fixpoint. Each round is one
+    map-side-combining degree count + two semi-joins shuffling
+    (node, node) pairs only; the survivor table is localCheckpointed
+    per round with the superseded round released (the repo's
+    iterative-loop contract — at most two pinned), and the canonical
+    edge list is persisted once (probed every round). Rounds are
+    data-dependent (a path graph peels two ends per round), bounded by
+    ``max_iter`` with a loud RuntimeError — an unconverged silent
+    return would hand a dedup/ranking pipeline a superset of the core.
+
+    Cites /root/reference scope: the reference has no graph surface;
+    this extends the engine's iterative family (connected_components,
+    pagerank, triangle_counts) for link-graph curation.
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    e = edges.select(
+        qcol(edge_src).alias("__x"), qcol(edge_dst).alias("__y")
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    canon = (
+        e.filter(F.col("__x") != F.col("__y"))
+        .select(
+            F.least("__x", "__y").alias("u"),
+            F.greatest("__x", "__y").alias("v"),
+        )
+        .distinct()
+    )
+    all_nodes = nodes.select(qcol(node_id).alias("id"))
+    # restrict to the node universe BEFORE the loop (``nodes`` is the
+    # universe, the family contract): an edge endpoint absent from
+    # ``nodes`` must not inflate round-0 degrees — the count-based
+    # convergence test assumes degrees are always induced-subgraph
+    # degrees (count unchanged ⇒ no edge died ⇒ fixpoint), and a
+    # foreign edge dying between rounds 0 and 1 would break exactly
+    # that invariant (premature convergence with stale degrees)
+    canon = canon.join(
+        all_nodes.withColumnRenamed("id", "u"), on="u", how="left_semi"
+    ).join(
+        all_nodes.withColumnRenamed("id", "v"), on="v", how="left_semi"
+    )
+    # symmetrized once, persisted once: every round's degree count and
+    # both induced-subgraph semi-joins probe it
+    sym = canon.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
+        canon.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).persist()
+    deg0 = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )
+    # totality at k=0: isolated nodes carry degree 0
+    survivors = (
+        all_nodes.join(deg0, on="id", how="left")
+        .select(
+            "id",
+            F.coalesce(F.col("core_degree"), F.lit(0).cast("long")).alias(
+                "core_degree"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    prev_ckpt = survivors
+    n_prev = survivors.count()
+    converged = False
+    for _ in range(max_iter):
+        keep = survivors.filter(F.col("core_degree") >= k).select("id")
+        alive = (
+            sym.join(keep.withColumnRenamed("id", "src"), on="src", how="left_semi")
+            .join(keep.withColumnRenamed("id", "dst"), on="dst", how="left_semi")
+        )
+        new_survivors = (
+            keep.join(
+                alive.groupBy(F.col("src").alias("id")).agg(
+                    F.count(F.lit(1)).alias("core_degree")
+                ),
+                on="id",
+                how="left",
+            )
+            .select(
+                "id",
+                F.coalesce(
+                    F.col("core_degree"), F.lit(0).cast("long")
+                ).alias("core_degree"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_new = new_survivors.count()
+        release_frame(prev_ckpt)
+        prev_ckpt = new_survivors
+        survivors = new_survivors
+        if n_new == n_prev:
+            converged = True
+            break
+        n_prev = n_new
+    sym.unpersist()
+    if pins is not None:
+        pins.append(prev_ckpt)
+    if not converged:
+        raise RuntimeError(
+            f"k_core did not converge in {max_iter} peeling rounds; "
+            "raise max_iter (long path-like graphs peel slowly)"
+        )
+    # at the fixpoint every survivor already has core_degree >= k
+    # EXCEPT the k=0 isolated-node face (degree 0 is the answer there)
+    return survivors.filter(F.col("core_degree") >= F.lit(int(k)))
+
+
+def select_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    pins: list[DataFrame] | None = None,
+) -> DataFrame:
+    """(id, cluster, is_canonical) — like :func:`dedup_clusters`, but
+    the survivor of each near-dup cluster is the HIGHEST-``score_col``
+    member (ties → smallest id) instead of the smallest id: the
+    RefinedWeb/DCLM practice of keeping the best-quality copy of a
+    duplicated document (longest, highest classifier score, newest)
+    rather than an arbitrary one.
+
+    Cluster labels stay min-reachable-id (deterministic, partition-
+    independent); only the survivor CHOICE consults the score. NULL
+    scores sort below every non-NULL score (a doc with no score never
+    beats a scored one; an all-NULL cluster falls back to min id —
+    exactly ``dedup_clusters``). Scores are compared as given — the
+    usual float caveat applies: equal-to-the-last-ulp scores are a
+    stable tie (broken by id), but scores that differ across reruns
+    (re-trained classifier) move survivors; freeze scores first.
+
+    Scale shape: the components loop (pointer doubling), then ONE
+    window over (cluster) ordered by (score DESC NULLS LAST, id) —
+    shuffles carry (id, cluster, score) triples only."""
+    from pyspark.sql import Window
+
+    # no collision guard needed: both inputs are immediately aliased
+    # into a fixed two-column frame, every other df column is dropped
+    nodes = df.select(qcol(id_col).alias("id"), qcol(score_col).alias("__score"))
+    comp = connected_components_fast(
+        nodes.select("id"), pairs, pins=pins
+    )
+    labeled = comp.join(nodes, on="id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("__score").desc_nulls_last(), F.col("id").asc()
+    )
+    return (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("component").alias("cluster"),
+            (F.col("__rn") == 1).alias("is_canonical"),
+        )
+    )
