@@ -956,3 +956,144 @@ def test_jaccard_join_prefix_planted_and_guards(spark):
         cache_intermediates=False,
     ).collect()
     assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in out] == [(1, 2, 1.0)]
+
+
+# --------------------------------------------- sentence-level dedup
+def test_split_sentences_ground_truth_and_duckdb_mirror(spark, oracle):
+    """Regex-level segmentation: terminal-punct runs close a sentence
+    (trailing quotes/brackets attach), an unterminated tail is its own
+    sentence, whitespace normalizes, and DuckDB (RE2) extracts the
+    IDENTICAL chunks from the same backref-free pattern."""
+    from web_api_postgres_etl_spark.functions.text import (
+        SENTENCE_PAT,
+        sentence_count,
+        split_sentences,
+    )
+
+    rows = [
+        (1, 'First one. Second, with "quote!" Third?? And a tail'),
+        (2, "One line.\nSplit across\nlines. Done!"),
+        (3, ""),
+        (4, None),
+        (5, "No terminal punctuation at all"),
+        (6, "Dr. Smith arrived."),  # the documented abbreviation seam
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: (None if r["s"] is None else list(r["s"]), r["n"])
+        for r in df.select(
+            "id",
+            split_sentences("text").alias("s"),
+            sentence_count("text").alias("n"),
+        ).collect()
+    }
+    assert got[1] == (
+        ["First one.", 'Second, with "quote!"', "Third??", "And a tail"], 4
+    )
+    assert got[2] == (["One line.", "Split across lines.", "Done!"], 3)
+    assert got[3] == ([], 0)
+    assert got[4][0] is None and got[4][1] is None
+    assert got[5] == (["No terminal punctuation at all"], 1)
+    assert got[6] == (["Dr.", "Smith arrived."], 2)  # seam, pinned
+
+    # RE2 mirror: same pattern, same trim/collapse/filter chain
+    oracle.execute("CREATE OR REPLACE TABLE __sents(id BIGINT, text VARCHAR)")
+    oracle.executemany("INSERT INTO __sents VALUES (?, ?)", rows)
+    pat = SENTENCE_PAT.replace("'", "''")
+    want = dict(oracle.execute(f"""
+        SELECT id, list_filter(list_transform(
+                 regexp_extract_all(text, '{pat}'),
+                 x -> trim(regexp_replace(x, '\\s+', ' ', 'g'))),
+               x -> x <> '') FROM __sents
+    """).fetchall())
+    for i, (s, _) in got.items():
+        assert s == want[i], i
+    oracle.execute("DROP TABLE __sents")
+
+
+def test_dedup_corpus_sentences_strips_mid_line_boilerplate(spark):
+    """The case the LINE form cannot catch: boilerplate glued mid-line
+    to real prose. Short repeats survive via the length floor; order
+    is preserved; NULL/empty semantics match the line form."""
+    from web_api_postgres_etl_spark.operators.dedup import (
+        dedup_corpus_sentences,
+    )
+
+    boiler = "Click here to subscribe to our newsletter today."
+    rows = [
+        (1, f"Real prose about harbors. {boiler} More real prose follows."),
+        (2, f"{boiler} A different document entirely."),
+        (3, f"Unrelated text here. {boiler}"),
+        (4, "Yes. Yes. A short interjection repeats legitimately."),
+        (5, "Yes. It repeats here too and must not be stripped."),
+        (6, ""),
+        (7, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in dedup_corpus_sentences(
+            docs, "doc_id", "text", max_docs=2, min_sentence_words=4
+        ).collect()
+    }
+    # boiler appears in 3 docs > max_docs=2 → stripped everywhere
+    assert got[1] == "Real prose about harbors. More real prose follows."
+    assert got[2] == "A different document entirely."
+    assert got[3] == "Unrelated text here."
+    # "Yes." is in 2 docs but under the 4-word floor → kept (both copies)
+    assert got[4].startswith("Yes. Yes.")
+    assert got[5].startswith("Yes.")
+    assert got[6] == "" and got[7] is None
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="max_docs"):
+        dedup_corpus_sentences(docs, "doc_id", "text", max_docs=0)
+    with _pt.raises(ValueError, match="min_sentence_words"):
+        dedup_corpus_sentences(
+            docs, "doc_id", "text", min_sentence_words=-1
+        )
+
+
+def test_dedup_corpus_sentences_matches_duckdb_mirror(spark, oracle):
+    """Full chain on real documents at sf0.01 vs a DuckDB mirror of
+    the same segmentation + digest-count + ban + reassembly."""
+    from web_api_postgres_etl_spark.functions.text import SENTENCE_PAT
+    from web_api_postgres_etl_spark.operators.dedup import (
+        dedup_corpus_sentences,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    got = sorted(
+        (r["doc_id"], r["text"])
+        for r in dedup_corpus_sentences(
+            docs, "doc_id", "text", max_docs=1, min_sentence_words=2
+        ).collect()
+    )
+    pat = SENTENCE_PAT.replace("'", "''")
+    want = sorted(oracle.execute(f"""
+        WITH s AS (
+          SELECT doc_id, list_filter(list_transform(
+                   regexp_extract_all(text, '{pat}'),
+                   x -> trim(regexp_replace(x, '\\s+', ' ', 'g'))),
+                 x -> x <> '') AS sents
+          FROM documents),
+        e AS (
+          SELECT doc_id, u.i AS pos, sents[u.i] AS sent
+          FROM s, unnest(range(1, len(sents) + 1)) AS u(i)),
+        banned AS (
+          SELECT md5(sent) AS k
+          FROM (SELECT DISTINCT doc_id, md5(sent) AS k, sent FROM e
+                WHERE len(string_split_regex(sent, '\\s+')) >= 2)
+          GROUP BY md5(sent) HAVING COUNT(*) > 1),
+        kept AS (
+          SELECT doc_id, pos, sent FROM e
+          WHERE md5(sent) NOT IN (SELECT k FROM banned)),
+        asm AS (
+          SELECT doc_id, string_agg(sent, ' ' ORDER BY pos) AS clean
+          FROM kept GROUP BY doc_id)
+        SELECT d.doc_id,
+               CASE WHEN d.text IS NULL THEN NULL
+                    ELSE COALESCE(a.clean, '') END AS text
+        FROM documents d LEFT JOIN asm a USING (doc_id)
+    """).fetchall())
+    assert got == want

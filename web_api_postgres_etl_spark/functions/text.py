@@ -420,3 +420,37 @@ def compression_ratio(text_col: Column | str, level: int = 6) -> Column:
     # locally
     _ratio.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return F.pandas_udf(_ratio, DoubleType())(_c(text_col))
+
+
+# ------------------------------------------------- sentence segmentation
+# Sentence-ish chunks: a run without terminal punctuation followed by a
+# terminal-punctuation run (plus trailing close-quotes/brackets), OR a
+# final unterminated run. Backref/lookaround-free on purpose — Java
+# regex (Spark) and RE2 (DuckDB) extract the identical chunks, so
+# sentence-level dedup digests are engine-reproducible. Newlines are
+# ordinary whitespace here (segment AFTER any line-level processing).
+SENTENCE_PAT = r"""[^.!?]+[.!?]+["')\]]*|[^.!?]+"""
+
+
+def split_sentences(text_col: Column | str) -> Column:
+    """text → array of trimmed sentences (regex-level segmentation —
+    the C4/CCNet granularity for sentence dedup and decontamination
+    audits, NOT a trained segmenter: abbreviations like 'Dr.' split, a
+    deliberate and documented seam; every consumer here digests or
+    counts sentences, where a consistent rule matters more than
+    linguistic perfection). Empty/whitespace chunks are dropped; NULL
+    in → NULL out; '' → empty array."""
+    c = _c(text_col)
+    return F.filter(
+        F.transform(
+            F.regexp_extract_all(c, F.lit(SENTENCE_PAT), F.lit(0)),
+            lambda s: F.trim(F.regexp_replace(s, r"\s+", " ")),
+        ),
+        lambda s: s != "",
+    )
+
+
+def sentence_count(text_col: Column | str) -> Column:
+    """Number of sentences (0 for '', NULL for NULL) — a quality
+    signal next to token_count."""
+    return F.size(split_sentences(text_col))

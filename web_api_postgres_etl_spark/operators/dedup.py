@@ -1654,3 +1654,95 @@ def jaccard_join_prefix(
             pins.append(cand)
     cand_sh = _candidate_shingles(df, cand, id_col, text_col, shingle_n)
     return _jaccard_on_shingled(cand_sh, cand, threshold)
+
+
+def dedup_corpus_sentences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_docs: int = 1,
+    min_sentence_words: int = 4,
+    broadcast_banned: bool = True,
+) -> DataFrame:
+    """Corpus-level SENTENCE dedup — the finer-grained sibling of
+    :func:`dedup_corpus_lines` (CCNet/RefinedWeb strip repeated
+    sentences, not just repeated lines: boilerplate frequently hides
+    mid-line — "Click here to subscribe." glued to real prose).
+    Removes every sentence (``functions.text.split_sentences``
+    segmentation — regex-level, the documented abbreviation seam) that
+    occurs in MORE than ``max_docs`` distinct documents, preserving
+    sentence order; the cleaned text is the kept sentences rejoined
+    with single spaces (sentence segmentation is lossy about original
+    whitespace BY DESIGN — run line-level passes first if layout
+    matters).
+
+    ``min_sentence_words``: sentences shorter than this never count as
+    boilerplate and are always kept — short interjections ("Yes.",
+    "Thanks.") legitimately repeat across documents and stripping them
+    mutilates dialogue (the CCNet length floor, same reasoning).
+
+    Scale shape: identical to the line form — sentences are counted by
+    md5 digest (16-byte shuffle keys, never bodies), the banned set is
+    only the frequent sentences (tiny by construction; broadcast
+    anti-join, ``broadcast_banned=False`` for pathological corpora),
+    the corpus shuffles exactly once (per-document reassembly). The
+    corpus is read twice (count + probe) — the line form's documented
+    tradeoff, same reasoning."""
+    from ..functions.text import split_sentences
+
+    if max_docs < 1:
+        raise ValueError(f"max_docs must be >= 1, got {max_docs}")
+    if min_sentence_words < 0:
+        raise ValueError(
+            f"min_sentence_words must be >= 0, got {min_sentence_words}"
+        )
+    sents = ensure_parallelism(df).select(
+        qcol(id_col).alias("__id"),
+        F.posexplode_outer(split_sentences(qcol(text_col))).alias(
+            "__pos", "__s"
+        ),
+    ).withColumn("__k", F.md5(F.col("__s")))
+    # the length floor is part of the BAN criterion, not the keep
+    # criterion: short repeats stay, long repeats go
+    long_enough = F.size(F.split(F.col("__s"), r"\s+")) >= min_sentence_words
+    banned = (
+        sents.filter(F.col("__s").isNotNull() & long_enough)
+        .select("__id", "__k")
+        .distinct()
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__docs"))
+        .filter(F.col("__docs") > max_docs)
+        .select("__k")
+    )
+    if broadcast_banned:
+        banned = F.broadcast(banned)
+    kept = sents.filter(F.col("__s").isNotNull()).join(
+        banned, "__k", "left_anti"
+    )
+    assembled = kept.groupBy("__id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__pos").alias("p"), F.col("__s").alias("s")
+                        )
+                    )
+                ),
+                lambda s: s.getField("s"),
+            ),
+        ).alias("__clean")
+    )
+    ids = df.select(
+        qcol(id_col).alias("__id"), qcol(text_col).isNotNull().alias("__had")
+    )
+    return (
+        ids.join(assembled, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.when(
+                F.col("__had"), F.coalesce(F.col("__clean"), F.lit(""))
+            ).alias(text_col),
+        )
+    )
