@@ -368,3 +368,63 @@ def test_cli_profile_histogram_and_drift(spark, tmp_path, capsys):
     import pytest as _pt
     with _pt.raises(SystemExit, match="pass --keys"):
         main(["profile", "--table", path], spark=spark)
+
+
+# ------------------------------------------------------- winsorize
+def test_winsorize_ground_truth_nulls_and_duckdb_mirror(spark, oracle):
+    """Clamping semantics on a planted frame (NULL value stays NULL —
+    least/greatest skip NULLs, so the bare clamp would have turned it
+    into the LOWER bound; all-NULL group untouched; NULL group keys
+    labeled), then a bit-exact grouped + global mirror on lineitem."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from web_api_postgres_etl_spark.operators.aggregates import winsorize
+
+    rows = [
+        ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 100.0),
+        ("a", None),
+        (None, 5.0), (None, 50.0),
+        ("z", None),            # all-NULL group
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        (r["g"], r["v"]): r["v_winsorized"]
+        for r in winsorize(df, "v", 0.25, 0.75, by=["g"]).collect()
+    }
+    # group a: sorted [1,2,3,100]; p25 = 1.75, p75 = 27.25 (PERCENTILE_CONT)
+    assert got[("a", 1.0)] == 1.75
+    assert got[("a", 100.0)] == 27.25
+    assert got[("a", 2.0)] == 2.0
+    assert got[("a", None)] is None            # NULL value stays NULL
+    assert got[("z", None)] is None            # all-NULL group untouched
+    assert got[(None, 5.0)] is not None        # NULL group key labeled
+
+    with _pt.raises(ValueError, match="p_low"):
+        winsorize(df, "v", 0.9, 0.1)
+    with _pt.raises(ValueError, match="collide"):
+        winsorize(df.withColumnRenamed("g", "v_winsorized"), "v")
+    with _pt.raises(ValueError, match="group columns"):
+        winsorize(df, "v", by=["nope"])
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    got_g = sorted(
+        (r["l_orderkey"], r["l_linenumber"], repr(r["p_winsorized"]))
+        for r in winsorize(
+            li, "l_extendedprice", 0.05, 0.95, by=["l_returnflag"],
+            out_col="p_winsorized",
+        ).select("l_orderkey", "l_linenumber", "p_winsorized").collect()
+    )
+    want_g = sorted(
+        (a, b, repr(c))
+        for a, b, c in oracle.execute("""
+        WITH b AS (
+          SELECT l_returnflag AS g,
+                 quantile_cont(l_extendedprice, 0.05) AS lo,
+                 quantile_cont(l_extendedprice, 0.95) AS hi
+          FROM lineitem GROUP BY 1)
+        SELECT l_orderkey, l_linenumber,
+               least(greatest(l_extendedprice, lo), hi)
+        FROM lineitem JOIN b ON l_returnflag IS NOT DISTINCT FROM g
+    """).fetchall())
+    assert got_g == want_g

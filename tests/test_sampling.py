@@ -628,3 +628,69 @@ def test_weighted_sample_eligibility_and_guards(spark):
         "",
     )
     assert "__wskey" in take and "id" in take, take
+
+
+def test_weighted_sample_per_group_matches_python_model(spark):
+    """Per-group A-ES draw vs the literal model: same race key, same
+    top-n-per-group, same id tiebreak; deterministic under
+    repartitioning; guards match the global form."""
+    import hashlib
+    import math
+
+    import pytest as _pt
+
+    from web_api_postgres_etl_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    rows = [
+        (i, ["a", "b", "c"][i % 3], float(1 + (i * 7) % 5)) for i in range(60)
+    ]
+    rows += [(100, "a", None), (101, "b", 0.0)]  # ineligible
+    df = spark.createDataFrame(rows, "id long, g string, w double")
+
+    def model_key(i, salt=""):
+        h = hashlib.md5(f"{salt}#{i}".encode()).hexdigest()
+        u = (int(h[:13], 16) + 1.0) / 16**13
+        return math.log(u)
+
+    want: dict = {}
+    for i, g, w in rows:
+        if not w:
+            continue
+        want.setdefault(g, []).append((model_key(i) / w, -i))
+    expected = {
+        (g, -negid)
+        for g, ks in want.items()
+        for _, negid in sorted(ks, reverse=True)[:5]
+    }
+    got = {
+        (r["g"], r["id"])
+        for r in weighted_sample_per_group(
+            df, 5, ["g"], "id", "w"
+        ).collect()
+    }
+    assert got == expected
+    reparted = {
+        (r["g"], r["id"])
+        for r in weighted_sample_per_group(
+            df.repartition(7), 5, ["g"], "id", "w"
+        ).collect()
+    }
+    assert reparted == expected
+
+    # key_out keeps the race key; schema otherwise unchanged
+    out = weighted_sample_per_group(df, 2, ["g"], "id", "w", key_out="k")
+    assert out.columns == ["id", "g", "w", "k"]
+
+    with _pt.raises(ValueError, match="n must"):
+        weighted_sample_per_group(df, 0, ["g"], "id", "w")
+    with _pt.raises(ValueError, match="non-empty"):
+        weighted_sample_per_group(df, 1, [], "id", "w")
+    with _pt.raises(ValueError, match="collide"):
+        weighted_sample_per_group(
+            df.withColumnRenamed("w", "__wskey"), 1, ["g"], "id", "__wskey"
+        )
+    bad = spark.createDataFrame([(1, "a", -1.0)], "id long, g string, w double")
+    with _pt.raises(Exception, match="negative weight"):
+        weighted_sample_per_group(bad, 1, ["g"], "id", "w").collect()

@@ -1045,6 +1045,85 @@ def mad_outliers(
     ).drop("__med", "__mad", "__absdev")
 
 
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    p_low: float = 0.01,
+    p_high: float = 0.99,
+    by: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Clamp ``value_col`` into its exact [``p_low``, ``p_high``]
+    percentile range (per ``by`` group, or globally) — the standard
+    heavy-tail tamer before averaging/scaling feature columns (a
+    handful of crawler-glitch token counts should not own the mean).
+    Appends ``out_col`` (default ``<value>_winsorized``); the input
+    column is never mutated.
+
+    Pinned semantics: bounds are exact PERCENTILE_CONT (cross-engine
+    bit-equal, same as ``exact_percentiles``); clamping is
+    ``least(greatest(v, lo), hi)`` — one comparison chain, engine-
+    reproducible; NULL values stay NULL (totality); an all-NULL group
+    has NULL bounds and leaves its values untouched (least/greatest
+    skip NULLs in both Spark and DuckDB — vacuous bounds, not a drop);
+    NULL group keys form a group like any other (null-safe join-back,
+    the ``mad_outliers`` rule).
+
+    Scale shape: ONE percentile aggregate per group (both bounds in
+    one pass) + one broadcast-friendly join-back — no window over the
+    data, no global sort. Exact percentiles shuffle the group's values
+    to its aggregate; at corpus scale compute bounds upstream with
+    ``percentile_approx`` or the mergeable quantile state and clamp
+    with literals."""
+    if not 0.0 <= p_low <= p_high <= 1.0:
+        raise ValueError(
+            f"need 0 <= p_low <= p_high <= 1, got ({p_low}, {p_high})"
+        )
+    leaf = value_col.split(".")[-1]
+    out = out_col or f"{leaf}_winsorized"
+    keys = list(by or [])
+    missing = [k for k in keys if k not in df.columns]
+    if missing:
+        raise ValueError(
+            f"winsorize: group columns {missing} not in {df.columns} "
+            "(plain top-level column names only)"
+        )
+    internal = {"__wlo", "__whi"} | {f"__g_{k}" for k in keys}
+    clash = ({out} | internal) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"winsorize: input columns {sorted(clash)} collide with "
+            "output/internal columns — rename them first"
+        )
+    v = qcol(value_col).cast("double")
+    aggs = [
+        F.percentile(v, F.lit(float(p_low))).alias("__wlo"),
+        F.percentile(v, F.lit(float(p_high))).alias("__whi"),
+    ]
+    bounds = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    if keys:
+        b2 = bounds.select(
+            *[F.col(k).alias(f"__g_{k}") for k in keys], "__wlo", "__whi"
+        )
+        cond = None
+        for k in keys:
+            c = df[k].eqNullSafe(b2[f"__g_{k}"])
+            cond = c if cond is None else (cond & c)
+        joined = df.join(F.broadcast(b2), cond, "left").drop(
+            *[f"__g_{k}" for k in keys]
+        )
+    else:
+        joined = df.join(F.broadcast(bounds))
+    # NULL value guarded explicitly: least/greatest SKIP NULLs, so a
+    # bare clamp would turn a NULL value into the LOWER BOUND — the
+    # opposite of totality (this same skip is what makes all-NULL-group
+    # bounds vacuous, which IS wanted)
+    clamp = F.when(
+        v.isNull(), F.lit(None).cast("double")
+    ).otherwise(F.least(F.greatest(v, F.col("__wlo")), F.col("__whi")))
+    return joined.withColumn(out, clamp).drop("__wlo", "__whi")
+
+
 # ---------------------------------------------------------- debounce
 def debounce_events(
     df: DataFrame,

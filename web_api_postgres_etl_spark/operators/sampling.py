@@ -773,3 +773,79 @@ def weighted_sample_exact_n(
     if key_out is not None:
         return out.withColumnRenamed("__wskey", key_out)
     return out.drop("__wskey")
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    n: int,
+    group_cols: list[str],
+    id_col: str,
+    weight_col: str,
+    salt: str = "",
+    key_out: str | None = None,
+) -> DataFrame:
+    """Per-GROUP :func:`weighted_sample_exact_n`: exactly
+    ``min(n, eligible rows)`` rows per group, drawn without replacement
+    proportional to ``weight_col`` — the per-domain / per-language
+    quality-weighted cap (keep the n best-drawn docs per source,
+    DCLM-style) that the global draw cannot express and
+    ``quota_by_group``'s UNWEIGHTED md5 cap does not weight.
+
+    Same A-ES race (``ln(u)/w``), same determinism contract (unique
+    non-NULL ids, md5 draws, salt for independence), same eligibility
+    (NULL/zero weight excluded, negative raises), same tiebreak (id
+    ascending after the race key). NULL group keys form their own
+    group, like every groupBy.
+
+    Scale shape: ONE window — row_number over (group) ordered by
+    (key DESC, id) — so the shuffle is the normal hash partition on
+    the group keys and per-partition state is the running top-n.
+    ``group_cols`` must be non-empty: for a global draw use
+    ``weighted_sample_exact_n``, whose TakeOrderedAndProject plan
+    needs no single-partition window (the documented empty-keys
+    window trap)."""
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if not group_cols:
+        raise ValueError(
+            "group_cols must be non-empty — use weighted_sample_exact_n "
+            "for a global draw (it avoids a single-partition window)"
+        )
+    clash = {"__wskey", "__wsrn"} & {c.split(".")[-1] for c in df.columns}
+    if clash:
+        raise ValueError(
+            f"weighted_sample_per_group: input columns {sorted(clash)} "
+            "collide with the race-key columns — rename them first"
+        )
+    w = qcol(weight_col).cast("double")
+    guard = F.when(
+        w < 0,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"weighted_sample_per_group: negative weight in "
+                    f"{weight_col!r}: "
+                ),
+                w.cast("string"),
+            )
+        ).cast("double"),
+    ).otherwise(w)
+    u = (
+        _md5_key(id_col, salt, 13).cast("double") + F.lit(1.0)
+    ) / F.lit(float(16**13))
+    key = F.log(u) / guard
+    win = Window.partitionBy(*[qcol(g) for g in group_cols]).orderBy(
+        F.col("__wskey").desc(), qcol(id_col)
+    )
+    out = (
+        df.filter(w.isNotNull() & (w != 0))
+        .withColumn("__wskey", key)
+        .withColumn("__wsrn", F.row_number().over(win))
+        .filter(F.col("__wsrn") <= n)
+        .drop("__wsrn")
+    )
+    if key_out is not None:
+        return out.withColumnRenamed("__wskey", key_out)
+    return out.drop("__wskey")
