@@ -93,6 +93,20 @@ def test_html_guards():
         html_to_text("h", boiler_max_words=-1)
 
 
+def test_html_link_density_100_disables_the_rule(spark):
+    """100 means OFF: a fully-linked line (link_words == words) fails
+    any strict-< cut, so no other accepted value can keep link
+    directories — pct=100 must keep them explicitly."""
+    page = ("<p><a href='/a'>alpha beta gamma delta epsilon zeta eta "
+            "theta iota kappa lambda mu nu</a></p>")
+    df = spark.createDataFrame([(page,)], "html string")
+    assert df.select(html_to_text("html")).first()[0] == ""
+    kept = df.select(
+        html_to_text("html", max_link_density_pct=100)
+    ).first()[0]
+    assert kept.startswith("alpha beta")
+
+
 def _mirror_sql(pages_rel: str) -> str:
     """The DuckDB mirror of the exact html_to_text chain — same
     backref-free patterns, same integer link-density arithmetic, same
@@ -128,7 +142,7 @@ def _mirror_sql(pages_rel: str) -> str:
             f"ELSE len(string_split_regex({e}, '\\s+')) END"
         )
 
-    block = _BLOCK_SPLIT.replace("\\", "\\\\") if False else _BLOCK_SPLIT
+    block = _BLOCK_SPLIT
     link = "coalesce(array_to_string(regexp_extract_all(x, '(?is)<a\\b[^>]*>(.*?)</a\\s*>', 1), ' '), '')"
     return f"""
 WITH s AS (SELECT id, {body} AS body FROM {pages_rel}),

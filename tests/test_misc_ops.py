@@ -428,3 +428,24 @@ def test_winsorize_ground_truth_nulls_and_duckdb_mirror(spark, oracle):
         FROM lineitem JOIN b ON l_returnflag IS NOT DISTINCT FROM g
     """).fetchall())
     assert got_g == want_g
+
+    # GLOBAL (by=None) path — the 1-row broadcast cross join — mirrored
+    # too, not just guarded: a regression there must not ship green
+    got_all = sorted(
+        (r["l_orderkey"], r["l_linenumber"], repr(r["p_w"]))
+        for r in winsorize(
+            li, "l_extendedprice", 0.05, 0.95, out_col="p_w"
+        ).select("l_orderkey", "l_linenumber", "p_w").collect()
+    )
+    want_all = sorted(
+        (a, b, repr(c))
+        for a, b, c in oracle.execute("""
+        WITH b AS (
+          SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+                 quantile_cont(l_extendedprice, 0.95) AS hi
+          FROM lineitem)
+        SELECT l_orderkey, l_linenumber,
+               least(greatest(l_extendedprice, lo), hi)
+        FROM lineitem, b
+    """).fetchall())
+    assert got_all == want_all

@@ -155,7 +155,10 @@ def html_to_text(
     - non-empty after tag stripping,
     - anchor-text share below ``max_link_density_pct`` percent
       (integer cross-multiplication, engine-exact: a line where
-      ``100·link_words >= pct·words`` is a nav menu),
+      ``100·link_words >= pct·words`` is a nav menu); ``100`` disables
+      the rule entirely — under a strict ``<`` no accepted value could
+      otherwise keep fully-linked lines (link directories, reference
+      lists),
     - NOT (short — ``<= boiler_max_words`` words — AND matching the
       legal/cookie/share chrome markers of :data:`BOILER_PAT`).
 
@@ -170,13 +173,19 @@ def html_to_text(
         raise ValueError(
             f"boiler_max_words must be >= 0, got {boiler_max_words}"
         )
-    kept = F.filter(
-        html_lines(html_col),
-        lambda s: (s["n_words"] > 0)
-        & (
+    if max_link_density_pct == 100:
+        # rule off: a fully-linked line (link_words == words) fails any
+        # strict-< cut, so 100 must mean "keep everything" explicitly
+        density_ok = lambda s: F.lit(True)  # noqa: E731
+    else:
+        density_ok = lambda s: (  # noqa: E731
             s["n_link_words"] * 100
             < F.lit(int(max_link_density_pct)) * s["n_words"]
         )
+    kept = F.filter(
+        html_lines(html_col),
+        lambda s: (s["n_words"] > 0)
+        & density_ok(s)
         & ~(
             (s["n_words"] <= F.lit(int(boiler_max_words)))
             & s["text"].rlike(BOILER_PAT)

@@ -1696,6 +1696,13 @@ def dedup_corpus_sentences(
         raise ValueError(
             f"min_sentence_words must be >= 0, got {min_sentence_words}"
         )
+    # posexplode_OUTER where the line form uses plain posexplode — a
+    # deliberate divergence, not an oversight: split_sentences is an
+    # expensive HOF chain, and plain explode makes Catalyst infer a
+    # size(...) > 0 filter that RE-INLINES that whole chain (the
+    # documented InferFiltersFromGenerate trap; F.split in the line
+    # form is cheap enough not to care). The NULL rows the outer
+    # variant adds are filtered back out in both consumers below.
     sents = ensure_parallelism(df).select(
         qcol(id_col).alias("__id"),
         F.posexplode_outer(split_sentences(qcol(text_col))).alias(

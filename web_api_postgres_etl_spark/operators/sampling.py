@@ -703,6 +703,33 @@ def stratified_sample(
     return df.filter(u < frac)
 
 
+def _aes_race_key(
+    id_col: str, weight_col: str, salt: str, caller: str
+) -> Column:
+    """The ONE definition of the A-ES race key both weighted draws
+    share (global top-n and per-group): ``ln(u) / w`` with u the md5
+    draw for (salt, id) shifted into (0, 1] — one 16^-13 quantum, so
+    ln(u) is always finite (u = 0 would race at -inf and make that row
+    unselectable, a silent hole in the distribution). Negative weights
+    raise lazily with the caller's name. Splitting this definition
+    across call sites would let the two draws drift apart for the same
+    (id, salt, weight) — determinism-critical arithmetic lives once."""
+    w = qcol(weight_col).cast("double")
+    guard = F.when(
+        w < 0,
+        F.raise_error(
+            F.concat(
+                F.lit(f"{caller}: negative weight in {weight_col!r}: "),
+                w.cast("string"),
+            )
+        ).cast("double"),
+    ).otherwise(w)
+    u = (
+        _md5_key(id_col, salt, 13).cast("double") + F.lit(1.0)
+    ) / F.lit(float(16**13))
+    return F.log(u) / guard
+
+
 def weighted_sample_exact_n(
     df: DataFrame,
     n: int,
@@ -738,25 +765,7 @@ def weighted_sample_exact_n(
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     w = qcol(weight_col).cast("double")
-    guard = F.when(
-        w < 0,
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    f"weighted_sample_exact_n: negative weight in "
-                    f"{weight_col!r}: "
-                ),
-                w.cast("string"),
-            )
-        ).cast("double"),
-    ).otherwise(w)
-    # u ∈ (0, 1]: the shared md5 draw is [0, 1) — shift by one 16^-13
-    # quantum so ln(u) is always finite (u = 0 would race at -inf and
-    # make that row unselectable, a silent hole in the distribution)
-    u = (
-        _md5_key(id_col, salt, 13).cast("double") + F.lit(1.0)
-    ) / F.lit(float(16**13))
-    key = F.log(u) / guard
+    key = _aes_race_key(id_col, weight_col, salt, "weighted_sample_exact_n")
     if "__wskey" in df.columns:
         raise ValueError(
             "weighted_sample_exact_n: input column '__wskey' collides "
@@ -820,22 +829,7 @@ def weighted_sample_per_group(
             "collide with the race-key columns — rename them first"
         )
     w = qcol(weight_col).cast("double")
-    guard = F.when(
-        w < 0,
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    f"weighted_sample_per_group: negative weight in "
-                    f"{weight_col!r}: "
-                ),
-                w.cast("string"),
-            )
-        ).cast("double"),
-    ).otherwise(w)
-    u = (
-        _md5_key(id_col, salt, 13).cast("double") + F.lit(1.0)
-    ) / F.lit(float(16**13))
-    key = F.log(u) / guard
+    key = _aes_race_key(id_col, weight_col, salt, "weighted_sample_per_group")
     win = Window.partitionBy(*[qcol(g) for g in group_cols]).orderBy(
         F.col("__wskey").desc(), qcol(id_col)
     )
