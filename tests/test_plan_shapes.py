@@ -19,7 +19,12 @@ SF = "/root/testdata/sf0.001"
 # joins its plan is ALLOWED (collocations crossJoins a broadcast 1-ROW
 # totals frame, tfidf_table's N pattern — one constant-size loop; a
 # SECOND loop appearing would be a real regression and still fails)
-INTENTIONAL_BOUNDED = {"collocations": 1}
+INTENTIONAL_BOUNDED = {"collocations": 1,
+                       # the bloom gate IS a 1-row broadcast
+                       # crossJoin + k bit probes by design —
+                       # that single loop is the zero-fact-
+                       # shuffle mechanism, not a hazard
+                       "bloom_join_gate": 1}
 # run-to-produce streaming/pipeline entries — their plan is post-hoc
 SKIP = {
     "pipeline_e2e", "t1_streaming_compact", "t4_stateful_stream",

@@ -47,10 +47,11 @@ COUNTERS = [
 FLAGS = ["CartesianProduct", "BroadcastNestedLoopJoin"]
 
 # bounded-by-construction nested loops: collocations crossJoins a
-# broadcast 1-ROW totals frame (tfidf_table's N pattern) — constant,
-# not a scale hazard; the exact all-pairs baselines that once sat
-# here (ann_cosine_pairs) retired from the contract in r5/r6
-INTENTIONAL_EXACT = {"collocations"}
+# broadcast 1-ROW totals frame (tfidf_table's N pattern), and the
+# bloom gate's whole mechanism is ONE 1-row broadcast crossJoin + k
+# bit probes (zero fact shuffle) — constant, not a scale hazard; the
+# exact all-pairs baselines that once sat here retired in r5/r6
+INTENTIONAL_EXACT = {"collocations", "bloom_join_gate"}
 
 
 def main(names: list[str]) -> int:
