@@ -135,3 +135,98 @@ def test_quarantine_rejects_reasons_col_collision(spark):
     df = _df(spark).withColumn("failed_rules", F.lit("x"))
     with pytest.raises(ValueError, match="failed_rules"):
         quarantine(df, _rules())
+
+
+# -------------------------------------------------- column profiler
+def test_profile_columns_one_pass_and_exact_fields(spark, oracle):
+    """Exact fields (n_rows/n_null/null_frac/min/max) vs DuckDB on
+    lineitem; HLL distinct within its rsd of the exact count; complex
+    columns carry NULL min/max; empty frame is total; ONE aggregate
+    (single scan) plan-asserted."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from web_api_postgres_etl_spark.operators.quality import profile_columns
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    prof = profile_columns(
+        li, ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+    )
+    # one scan: exactly one (partial+final) aggregate pair, no joins
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    got = {r["column"]: r for r in prof.collect()}
+
+    for col in got:
+        want = oracle.execute(f"""
+            SELECT COUNT(*),
+                   SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END),
+                   COUNT(DISTINCT {col}),
+                   CAST(MIN({col}) AS VARCHAR), CAST(MAX({col}) AS VARCHAR)
+            FROM lineitem
+        """).fetchone()
+        r = got[col]
+        assert r["n_rows"] == want[0]
+        assert r["n_null"] == (want[1] or 0)
+        assert r["null_frac"] == (want[1] or 0) / want[0]
+        exact = want[2]
+        assert abs(r["approx_distinct"] - exact) <= max(3, 0.2 * exact), col
+        # numeric min/max are NUMERIC ordering (cast after, not before)
+        if col == "l_quantity":
+            assert float(r["min_repr"]) == 1.0
+            assert float(r["max_repr"]) == 50.0
+
+    # complex columns: null/distinct profiled, min/max NULL
+    arr = li.limit(10).select(
+        "l_orderkey", F.array("l_orderkey").alias("keys")
+    )
+    prow = {r["column"]: r for r in profile_columns(arr).collect()}["keys"]
+    assert prow["min_repr"] is None and prow["max_repr"] is None
+    assert prow["approx_distinct"] > 0
+
+    # empty frame: totality
+    empty = {
+        r["column"]: r
+        for r in profile_columns(li.filter(F.lit(False))).collect()
+    }
+    assert empty["l_orderkey"]["n_rows"] == 0
+    assert empty["l_orderkey"]["null_frac"] is None
+
+    with _pt.raises(ValueError, match="not in"):
+        profile_columns(li, ["nope"])
+    with _pt.raises(ValueError, match="no columns"):
+        profile_columns(li, [])
+
+
+def test_cli_profile_columns(spark, tmp_path, capsys):
+    """profile --columns prints the one-pass column profile — all
+    columns bare, a subset when comma-listed."""
+    import json as _json
+
+    from web_api_postgres_etl_spark.__main__ import main
+
+    t = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "y")], "id long, s string"
+    ).write.parquet(t)
+
+    assert main(["profile", "--table", t, "--columns"], spark=spark) == 0
+    rows = {
+        r["column"]: r
+        for r in (
+            _json.loads(x)
+            for x in capsys.readouterr().out.splitlines() if x.strip()
+        )
+    }
+    assert set(rows) == {"id", "s"}
+    assert rows["s"]["n_null"] == 1 and rows["id"]["n_null"] == 0
+    assert rows["id"]["min_repr"] == "1" and rows["id"]["max_repr"] == "3"
+
+    assert main(
+        ["profile", "--table", t, "--columns", "s"], spark=spark
+    ) == 0
+    only = [
+        _json.loads(x)
+        for x in capsys.readouterr().out.splitlines() if x.strip()
+    ]
+    assert [r["column"] for r in only] == ["s"]

@@ -93,6 +93,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     pp.add_argument("--id-col", default=None,
                     help="unique row id column (the deterministic "
                          "sample priority for --quantiles)")
+    pp.add_argument("--columns", default=None, nargs="?", const="",
+                    metavar="COLS",
+                    help="print a one-pass column profile (null rate, "
+                         "approx distinct, min/max) — all columns, or "
+                         "a comma-separated subset")
     pp.add_argument("--probs", default="0.5,0.9,0.99",
                     help="comma-separated probabilities for --quantiles")
     pp.add_argument("--sample-k", type=int, default=1024,
@@ -189,8 +194,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         if args.cmd == "profile":
             # pre-flight diagnostics without writing code: key skew of
             # one table, the exact price of an equi-join of two, a
-            # column histogram, PSI drift vs a reference snapshot, or
-            # sampled per-key quantiles
+            # column histogram, PSI drift vs a reference snapshot,
+            # sampled per-key quantiles, or a one-pass column profile
+            if args.columns is not None:
+                from web_api_postgres_etl_spark.operators.quality import (
+                    profile_columns,
+                )
+
+                cols = [
+                    c.strip() for c in args.columns.split(",") if c.strip()
+                ] or None
+                for r in profile_columns(
+                    spark.read.parquet(args.table), cols
+                ).collect():
+                    print(json.dumps(r.asDict(), default=str))
+                return 0
             if args.quantiles is not None:
                 if not args.id_col:
                     raise SystemExit(

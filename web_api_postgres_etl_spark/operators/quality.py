@@ -278,3 +278,88 @@ def population_stability(
         "frac_cur double, psi_term double",
     )
     return psi, per_bin
+
+
+def profile_columns(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    approx_distinct_rsd: float = 0.05,
+) -> DataFrame:
+    """One-pass column profile — (column, n_rows, n_null, null_frac,
+    approx_distinct, min_repr, max_repr): the first thing to run
+    against an unfamiliar or freshly-landed table (the data-profiling
+    face next to ``expect``'s rule face and ``expect_schema``'s shape
+    face). Defaults to every top-level column; pass ``columns`` to
+    restrict.
+
+    Semantics pinned: ``approx_distinct`` is HLL
+    (``approx_count_distinct``, ``approx_distinct_rsd`` relative error
+    — never claim it exact; the exact form is a groupBy away at full
+    shuffle cost); min/max ship as STRING reprs (``min_repr`` /
+    ``max_repr``) so one report schema serves every column type —
+    ordering happens in the column's OWN type first, then casts, so
+    numeric min/max are numeric, not lexicographic. Complex-typed
+    columns (array/map/struct) profile null/distinct but carry NULL
+    min/max (no total order to report). ``null_frac`` is one division
+    of two exact longs. An empty frame reports n_rows 0, NULL
+    fractions — totality, not an error.
+
+    Scale shape: the whole report is ONE map-side-combining aggregate
+    (k columns add 4k counters/sketches to a single scan — never k
+    scans), unpivoted via the inline(array(struct(...))) pattern with
+    column names as literal DATA; the shuffle carries one partial
+    state row per partition."""
+    cols = list(columns) if columns is not None else list(df.columns)
+    if not cols:
+        raise ValueError("profile_columns: no columns to profile")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"profile_columns: columns {missing} not in {df.columns}"
+        )
+    orderable = {
+        c.name: not c.dataType.typeName() in ("array", "map", "struct")
+        for c in df.schema.fields
+    }
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        qc = F.col(f"`{c}`")
+        aggs.append(F.sum(qc.isNull().cast("long")).alias(f"__null{i}"))
+        aggs.append(
+            F.approx_count_distinct(qc, rsd=approx_distinct_rsd).alias(
+                f"__ad{i}"
+            )
+        )
+        if orderable.get(c, True):
+            aggs.append(F.min(qc).cast("string").alias(f"__min{i}"))
+            aggs.append(F.max(qc).cast("string").alias(f"__max{i}"))
+        else:
+            aggs.append(F.lit(None).cast("string").alias(f"__min{i}"))
+            aggs.append(F.lit(None).cast("string").alias(f"__max{i}"))
+    wide = df.agg(*aggs)
+    rows = F.inline(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(f"__null{i}").alias("n_null"),
+                    F.col(f"__ad{i}").alias("approx_distinct"),
+                    F.col(f"__min{i}").alias("min_repr"),
+                    F.col(f"__max{i}").alias("max_repr"),
+                )
+                for i, c in enumerate(cols)
+            ]
+        )
+    )
+    return wide.select(F.col("__n"), rows).select(
+        "column",
+        F.col("__n").alias("n_rows"),
+        F.coalesce(F.col("n_null"), F.lit(0)).alias("n_null"),
+        (
+            F.coalesce(F.col("n_null"), F.lit(0))
+            / F.nullif(F.col("__n"), F.lit(0))
+        ).alias("null_frac"),
+        "approx_distinct",
+        "min_repr",
+        "max_repr",
+    )
