@@ -534,3 +534,130 @@ def test_cli_zonemap_subcommand(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["files_in_map"] == 3
     assert read_zone_map(spark, path).count() == 3
+
+
+# ---------------------------------------------------------- upsert
+def test_upsert_rows_replaces_inserts_and_touches_only_affected(
+    spark, tmp_path
+):
+    """Same-id rows take the new values, new ids insert, files without
+    a replaced id keep their exact bytes, and the returned lists keep
+    a zone map maintainable."""
+    import os
+
+    from web_api_postgres_etl_spark.operators.layout import upsert_rows
+
+    path = str(tmp_path / "tbl")
+    spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("v")
+    ).repartitionByRange(4, "doc_id").write.parquet(path)
+    before = {
+        f: os.path.getmtime(os.path.join(path, f))
+        for f in os.listdir(path) if f.endswith(".parquet")
+    }
+    updates = spark.createDataFrame(
+        [(3, 100), (240, 200), (5000, 300)], "doc_id long, v long"
+    )
+    stats = upsert_rows(spark, path, updates, "doc_id")
+    assert stats["rows_replaced"] == 2
+    assert stats["rows_inserted"] == 1
+    assert stats["files_rewritten"] == 1  # 3 and 240 share a range file
+
+    now = spark.read.parquet(path)
+    assert now.count() == 1001
+    got = {
+        r["doc_id"]: r["v"]
+        for r in now.filter(F.col("doc_id").isin([3, 240, 5000, 4])).collect()
+    }
+    assert got == {3: 100, 240: 200, 5000: 300, 4: 4 % 7}
+    # no duplicate ids survive
+    assert now.groupBy("doc_id").count().filter("count > 1").count() == 0
+    # untouched files keep their mtimes
+    removed_names = {p.rsplit("/", 1)[-1] for p in stats["removed_files"]}
+    after = {
+        f: os.path.getmtime(os.path.join(path, f))
+        for f in os.listdir(path) if f.endswith(".parquet")
+    }
+    for f in set(before) - removed_names:
+        assert after[f] == before[f]
+    # added/removed lists: added exist, removed don't
+    from urllib.parse import unquote, urlparse
+    for uri in stats["added_files"]:
+        assert os.path.exists(unquote(urlparse(uri).path))
+    for uri in stats["removed_files"]:
+        assert not os.path.exists(unquote(urlparse(uri).path))
+
+
+def test_upsert_rows_hive_partitioned_and_partition_moves(spark, tmp_path):
+    """A replaced row may MOVE partitions (old version purged from its
+    old col=val dir, new version lands in the new one); pure inserts
+    on a partitioned table land partition-aware, never at the root."""
+    import os
+
+    from web_api_postgres_etl_spark.operators.layout import upsert_rows
+
+    path = str(tmp_path / "ptbl")
+    spark.createDataFrame(
+        [(i, "a" if i < 50 else "b", i * 10) for i in range(100)],
+        "doc_id long, part string, v long",
+    ).write.partitionBy("part").parquet(path)
+
+    updates = spark.createDataFrame(
+        [(7, "b", 777), (200, "a", 2000)], "doc_id long, part string, v long"
+    )
+    stats = upsert_rows(spark, path, updates, "doc_id")
+    assert stats["rows_replaced"] == 1 and stats["rows_inserted"] == 1
+    now = spark.read.parquet(path)
+    assert now.count() == 101
+    moved = now.filter(F.col("doc_id") == 7).collect()
+    assert len(moved) == 1 and moved[0]["part"] == "b" and moved[0]["v"] == 777
+    # no leaf parquet at the table root (would corrupt partition reads)
+    assert not any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    )
+
+    # pure insert (no affected files) still discovers the layout
+    ins = spark.createDataFrame(
+        [(300, "c", 3)], "doc_id long, part string, v long"
+    )
+    st2 = upsert_rows(spark, path, ins, "doc_id")
+    assert st2["files_rewritten"] == 0 and st2["rows_inserted"] == 1
+    assert spark.read.parquet(path).filter(
+        F.col("part") == "c"
+    ).count() == 1
+
+
+def test_upsert_rows_guards(spark, tmp_path):
+    import pytest as _pt
+
+    from web_api_postgres_etl_spark.operators.layout import upsert_rows
+
+    path = str(tmp_path / "g")
+    spark.range(10).select(
+        F.col("id").alias("doc_id"), F.col("id").alias("v")
+    ).write.parquet(path)
+
+    with _pt.raises(ValueError, match="not in table columns"):
+        upsert_rows(
+            spark, path,
+            spark.createDataFrame([(1, 1)], "doc_id long, v long"), "nope",
+        )
+    with _pt.raises(ValueError, match="columns must equal"):
+        upsert_rows(
+            spark, path,
+            spark.createDataFrame([(1,)], "doc_id long"), "doc_id",
+        )
+    with _pt.raises(ValueError, match="duplicate id"):
+        upsert_rows(
+            spark, path,
+            spark.createDataFrame(
+                [(1, 1), (1, 2)], "doc_id long, v long"
+            ),
+            "doc_id",
+        )
+    with _pt.raises(Exception, match="NULL id"):
+        upsert_rows(
+            spark, path,
+            spark.createDataFrame([(None, 1)], "doc_id long, v long"),
+            "doc_id",
+        )

@@ -593,3 +593,152 @@ def purge_rows(
         "removed_files": list(affected),
         "added_files": added,
     }
+
+
+def upsert_rows(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    id_col: str,
+) -> dict:
+    """Surgical keyed upsert — the UPDATE/INSERT half of the
+    plain-parquet table story next to :func:`purge_rows` (DELETE),
+    ``compact_small_files`` (OPTIMIZE) and the zone maps (stats):
+    rows in ``updates`` REPLACE same-id rows in the table; new ids
+    INSERT. Only the parquet files that contain a replaced id are
+    rewritten — untouched files keep their bytes and zone-map entries,
+    so cost scales with data TOUCHED, not table size.
+
+    ``updates`` must carry exactly the table's columns (any order) and
+    UNIQUE non-NULL ids — duplicate ids in one batch are ambiguous
+    (which copy wins?) and raise; pre-fold them with last-wins
+    compaction if the batch is itself a change log.
+
+    Returns ``{"rows_replaced", "rows_inserted", "files_rewritten",
+    "removed_files", "added_files"}`` — file lists in the zone-map
+    identity (``file://`` URIs), ``added_files`` covering BOTH the
+    appended update files and the rewrite outputs, so zone-map
+    maintenance is the same filter + re-scan as after a purge.
+
+    Crash contract (the purge_rows ordering, extended): update files
+    move in FIRST, old affected files are rewritten-then-removed LAST
+    — any crash leaves DUPLICATED ids (old + new version visible),
+    never lost rows. Repair is the engine's last-wins compaction keyed
+    on ``id_col`` (o2 semantics) or simply re-running the upsert after
+    deduplicating its input; nothing needs a manifest (the documented
+    seam a table format would fill).
+
+    Scale shape: one column-pruned semi-join scan finds affected files
+    and the replaced-row count (shuffles (file, id) pairs; collected
+    rows bounded by file count); the update batch is written once; the
+    affected files are re-read once for the anti-join rewrite."""
+    import os
+    import shutil
+    from pathlib import Path
+    from urllib.parse import unquote, urlparse
+
+    def _local(uri: str) -> str:
+        parsed = urlparse(uri)
+        return unquote(parsed.path) if parsed.scheme in ("file", "") else uri
+
+    base_local = _local(path)
+    full = spark.read.parquet(path)
+    if id_col not in full.columns:
+        raise ValueError(
+            f"upsert_rows: {id_col!r} not in table columns {full.columns}"
+        )
+    if set(updates.columns) != set(full.columns):
+        raise ValueError(
+            "upsert_rows: updates columns must equal table columns — "
+            f"table {sorted(full.columns)} vs updates "
+            f"{sorted(updates.columns)} (a schema change is a rewrite, "
+            "not an upsert)"
+        )
+    checked_id = F.when(
+        qcol(id_col).isNull(),
+        F.raise_error(F.lit("upsert_rows: NULL id in updates")),
+    ).otherwise(qcol(id_col))
+    updates = updates.select(
+        *[checked_id.alias(id_col) if c == id_col else F.col(f"`{c}`")
+          for c in full.columns]
+    )
+    dup = (
+        updates.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"upsert_rows: duplicate id {dup[0][id_col]!r} in updates — "
+            "one batch must carry one row per id (fold with last-wins "
+            "compaction first)"
+        )
+    ids_only = updates.select(id_col)
+
+    # 1. affected pre-existing files + replaced-row count, one pass
+    per_file = (
+        full.select(F.input_file_name().alias("file"), qcol(id_col).alias(id_col))
+        .join(ids_only, id_col, "left_semi")
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    affected = [r["file"] for r in per_file]
+    rows_replaced = sum(r["n"] for r in per_file)
+    n_updates = updates.count()
+
+    rel_dirs = (
+        os.path.relpath(_local(affected[0]), base_local).split(os.sep)[:-1]
+        if affected else []
+    )
+    pcols = [seg.split("=", 1)[0] for seg in rel_dirs if "=" in seg]
+    if not affected:
+        # partition layout still matters for pure inserts — discover it
+        # from ANY existing leaf file (all files share the layout)
+        for dirpath, _dn, filenames in os.walk(base_local):
+            leaf = next((f for f in filenames if f.endswith(".parquet")), None)
+            if leaf:
+                rel = os.path.relpath(dirpath, base_local)
+                segs = [] if rel == "." else rel.split(os.sep)
+                pcols = [s.split("=", 1)[0] for s in segs if "=" in s]
+                break
+
+    def _stage_and_move(frame: DataFrame, tmp: str) -> list[str]:
+        writer = frame.write.mode("overwrite")
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(tmp)
+        moved = []
+        tmp_local = _local(tmp)
+        for dirpath, _dn, filenames in os.walk(tmp_local):
+            for name in filenames:
+                if not name.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(dirpath, tmp_local)
+                dst_dir = (
+                    base_local if rel == "."
+                    else os.path.join(base_local, rel)
+                )
+                os.makedirs(dst_dir, exist_ok=True)
+                dst = os.path.join(dst_dir, name)
+                shutil.move(os.path.join(dirpath, name), dst)
+                moved.append(Path(dst).as_uri())
+        shutil.rmtree(tmp_local, ignore_errors=True)
+        return moved
+
+    # 2. new versions move in FIRST (duplicate-on-crash, never lose)
+    added = _stage_and_move(updates, path.rstrip("/") + ".upsert_new_tmp")
+
+    # 3. rewrite affected files without the replaced ids, then drop them
+    if affected:
+        sub = spark.read.option("basePath", path).parquet(*affected)
+        kept = sub.join(ids_only, id_col, "left_anti")
+        added += _stage_and_move(kept, path.rstrip("/") + ".upsert_old_tmp")
+        for uri in affected:
+            os.remove(_local(uri))
+    return {
+        "rows_replaced": rows_replaced,
+        "rows_inserted": n_updates - rows_replaced,
+        "files_rewritten": len(affected),
+        "removed_files": list(affected),
+        "added_files": added,
+    }
