@@ -435,3 +435,90 @@ def test_exact_jaccard_stage(spark):
     )
     kept = {r["doc_id"] for r in out.collect()}
     assert kept == {1, 3}  # twins collapsed to min id; distinct doc kept
+
+
+def test_sentence_dedup_stage(spark):
+    """sentence_dedup_max_docs strips a boilerplate sentence glued
+    mid-line across docs before gating; off by default."""
+    from dataclasses import replace
+
+    boiler = ("Click here to subscribe to our newsletter and never miss "
+              "a single update from our editorial desk again.")
+    d1 = (BASE + ". " + boiler + " More original prose follows here.")
+    d2 = ("a wholly different account of harbor towns and the trade "
+          "which moved with the tide while every merchant kept a ledger "
+          "of salt and grain. " + boiler)
+    d3 = ("the third document speaks of mountain paths and the slow "
+          "seasons of orchards where patient keepers pruned each row. "
+          + boiler)
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(BENCH_TEXT,)], "text string")
+    cfg = replace(
+        CFG, sentence_dedup_max_docs=2, min_gopher_rules=0, chunk_words=64,
+    )
+    out = prepare_training_data(docs, bench, config=cfg).collect()
+    assert {r["doc_id"] for r in out} == {1, 2, 3}
+    joined = " ".join(r["chunk_text"] for r in out)
+    assert "subscribe" not in joined  # in 3 docs > max_docs=2 → stripped
+    assert "orchards" in joined
+
+    # default off: the boilerplate survives
+    out_off = prepare_training_data(
+        docs, bench, config=replace(CFG, min_gopher_rules=0, chunk_words=64)
+    ).collect()
+    assert "subscribe" in " ".join(r["chunk_text"] for r in out_off)
+
+
+def test_survivor_score_stage(spark):
+    """survivor_score_col keeps the best-scored member of each near-dup
+    cluster instead of the min id; split keying is unchanged (cluster
+    labels stay min-reachable-id)."""
+    from dataclasses import replace
+
+    docs = spark.createDataFrame(
+        [
+            (1, BASE + " first variant with extra tail words", 0.2),
+            (2, BASE + " first variant with extra tail words", 0.9),
+            (6, "a wholly different account of harbor towns and that trade "
+                "which moved with the tide while every merchant kept a "
+                "ledger of salt and grain and the ships would have to wait "
+                "for wind so the harbormaster read the sky and the crews "
+                "mended nets with patient hands beneath the tall white "
+                "light of the morning and the gulls carried on", 0.5),
+        ],
+        "doc_id long, text string, score double",
+    )
+    bench = spark.createDataFrame([(BENCH_TEXT,)], "text string")
+    cfg = replace(
+        CFG, survivor_score_col="score", min_gopher_rules=0, chunk_words=64,
+    )
+    out = prepare_training_data(docs, bench, config=cfg).collect()
+    kept = {r["doc_id"] for r in out}
+    assert 6 in kept
+    # docs 1 and 2 are EXACT duplicates — exact dedup keeps min id 1
+    # BEFORE clustering, so the score stage is about NEAR dups: rerun
+    # with a near-dup pair instead
+    docs2 = spark.createDataFrame(
+        [
+            (1, BASE + " first variant with extra tail words", 0.2),
+            (2, BASE + " first variant with extra tail phrase", 0.9),
+            (6, "a wholly different account of harbor towns and that trade "
+                "which moved with the tide while every merchant kept a "
+                "ledger of salt and grain and the ships would have to wait "
+                "for wind so the harbormaster read the sky and the crews "
+                "mended nets with patient hands beneath the tall white "
+                "light of the morning and the gulls carried on", 0.5),
+        ],
+        "doc_id long, text string, score double",
+    )
+    out2 = prepare_training_data(docs2, bench, config=cfg).collect()
+    kept2 = {r["doc_id"] for r in out2}
+    assert kept2 == {2, 6}  # score 0.9 beats min id 1
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="survivor_score_col"):
+        prepare_training_data(
+            docs2.drop("score"), bench, config=cfg
+        )

@@ -4,8 +4,8 @@ sharded, leakage-safe training examples — every stage a verified
 operator from this package, composed in the order a production corpus
 run uses them:
 
-    [URL dedup → domain caps] → clean_text → [C4 line/page rules]
-    → gopher gate
+    [URL dedup → domain caps] → [HTML extract] → clean_text
+    → [C4 line/page rules] → [sentence dedup] → gopher gate
     → [repetition gates] → PII scrub → [LM perplexity gate]
     → [classifier quality gate] → benchmark decontamination
     → [exact-substring cut] → exact dedup → near-dup cluster dedup
@@ -50,6 +50,11 @@ class CurationConfig:
     html_max_link_density_pct: int = 50  # nav-menu link-density cut
     normalize_text: bool = True         # C4-style clean_text first
     c4_line_rules: bool = False         # C4 line/page retention rules
+    sentence_dedup_max_docs: int | None = None  # None = stage off;
+    #   set → strip sentences occurring in more than this many
+    #   docs (catches boilerplate glued MID-LINE to prose that
+    #   the line rules cannot see)
+    sentence_min_words: int = 4         # shorter repeats always kept
     c4_min_words: int = 5               # words per surviving line
     c4_min_lines: int = 3               # surviving lines per kept page
     url_col: str | None = None          # set → C4-style URL dedup first
@@ -74,6 +79,9 @@ class CurationConfig:
     num_hashes: int = 8
     bands: int = 4
     jaccard_threshold: float = 0.5
+    survivor_score_col: str | None = None  # None = min-id survivor;
+    #   set → each near-dup cluster keeps its HIGHEST-scoring member
+    #   (RefinedWeb/DCLM practice; ties → min id, NULL scores lose)
     exact_jaccard: bool = False         # True → prefix-filtered EXACT
     #   Jaccard pairs (jaccard_join_prefix — completeness-guaranteed;
     #   audits/legal holds) instead of the MinHash+LSH approximation
@@ -123,8 +131,9 @@ def prepare_training_data(
     end to end — reruns produce identical assignments (md5 draws,
     min-id survivors, pinned pack order).
 
-    Near-dup handling keeps each cluster's min-id document and keys
-    the split on cluster representatives, so a dropped twin can never
+    Near-dup handling keeps each cluster's min-id document (or its
+    best-``survivor_score_col`` member when configured) and keys the
+    split on cluster representatives, so a dropped twin can never
     reappear and a kept twin can never straddle the split boundary.
 
     Session hygiene: the plan pins 3-5 staging frames (the multi-
@@ -222,6 +231,20 @@ def prepare_training_data(
             )
             .withColumn(text_col, F.col("__c4_clean"))
             .drop("__c4", "__c4_clean")
+        )
+
+    # 0d. optional corpus-level SENTENCE dedup (CCNet/RefinedWeb-style:
+    # boilerplate glued mid-line to prose — the granularity the C4 line
+    # rules cannot see). Before gating, so rule counters and dedup
+    # digests see the stripped text; the word-count floor keeps short
+    # legitimate repeats. Default off (spine-protection rule).
+    if cfg.sentence_dedup_max_docs is not None:
+        from ..operators.dedup import dedup_corpus_sentences
+
+        docs = dedup_corpus_sentences(
+            docs, id_col, text_col,
+            max_docs=cfg.sentence_dedup_max_docs,
+            min_sentence_words=cfg.sentence_min_words,
         )
 
     # 1. rule gate + scrub (one scan, pure expressions). The gate is
@@ -404,7 +427,23 @@ def prepare_training_data(
         ).select("id_a", "id_b")
         pairs = pairs.unionByName(wpairs).distinct()
     pairs = _pin(pairs)
-    clusters = _pin(dedup_clusters(exact, pairs, id_col, pins=pins))
+    if cfg.survivor_score_col is not None:
+        # quality-aware survivor: each cluster keeps its best-scored
+        # member instead of the arbitrary min id. Cluster LABELS stay
+        # min-reachable-id either way, so the leakage-safe split key
+        # below is identical — only WHICH twin survives changes.
+        if cfg.survivor_score_col not in exact.columns:
+            raise ValueError(
+                f"survivor_score_col {cfg.survivor_score_col!r} not in "
+                f"document columns {exact.columns}"
+            )
+        from ..operators.graph import select_canonical
+
+        clusters = _pin(select_canonical(
+            exact, pairs, id_col, cfg.survivor_score_col, pins=pins,
+        ))
+    else:
+        clusters = _pin(dedup_clusters(exact, pairs, id_col, pins=pins))
     survivors = exact.join(
         clusters.filter(F.col("is_canonical")).select(F.col(id_col)),
         on=id_col, how="left_semi",
