@@ -1097,3 +1097,70 @@ def test_dedup_corpus_sentences_matches_duckdb_mirror(spark, oracle):
         FROM documents d LEFT JOIN asm a USING (doc_id)
     """).fetchall())
     assert got == want
+
+
+# ---------------------------------------------------- embedding pooling
+def test_mean_embedding_exact_and_guards(spark, oracle):
+    """Chunk→doc pooling: element-wise means are DECIMAL-exact
+    (order/partitioning-independent), NULL vectors excluded, ragged
+    dims raise, and the DuckDB mirror reproduces every double."""
+    import pytest as _pt
+
+    from web_api_postgres_etl_spark.operators.similarity import (
+        mean_embedding,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    grouped = emb.select((F.col("vec_id") % 7).alias("g"), "embedding")
+    got = {
+        r["g"]: (list(r["mean_embedding"]), r["n_vecs"])
+        for r in mean_embedding(grouped, ["g"]).collect()
+    }
+    reparted = {
+        r["g"]: (list(r["mean_embedding"]), r["n_vecs"])
+        for r in mean_embedding(grouped.repartition(13), ["g"]).collect()
+    }
+    assert got == reparted  # decimal sums: partitioning-invariant
+    want = {
+        g: (list(v), n)
+        for g, v, n in oracle.execute("""
+        WITH e AS (
+          SELECT vec_id % 7 AS g, u.i AS dim,
+                 embedding[u.i] AS val, len(embedding) AS nd
+          FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+        m AS (
+          SELECT g, dim,
+                 CAST(SUM(CAST(val AS DECIMAL(38,12))) / COUNT(*) AS DOUBLE)
+                   AS mean, COUNT(*) AS n
+          FROM e GROUP BY 1, 2)
+        SELECT g, list(mean ORDER BY dim) AS v, MAX(n) AS n
+        FROM m GROUP BY g
+    """).fetchall()
+    }
+    assert set(got) == set(want)
+    for g in got:
+        assert got[g][1] == want[g][1]
+        # engines round decimal DIVISION at different intermediate
+        # scales (the documented decimal→double seam) — banded, while
+        # within-Spark determinism is exact (the repartition pin above)
+        for a, b in zip(got[g][0], want[g][0]):
+            assert abs(a - b) < 1e-8, (g, a, b)
+
+    # NULL vectors excluded; all-NULL group disappears
+    withnull = spark.createDataFrame(
+        [("a", [1.0, 3.0]), ("a", None), ("a", [3.0, 5.0]), ("z", None)],
+        "g string, embedding array<double>",
+    )
+    rows = {r["g"]: r for r in mean_embedding(withnull, ["g"]).collect()}
+    assert list(rows["a"]["mean_embedding"]) == [2.0, 4.0]
+    assert rows["a"]["n_vecs"] == 2
+    assert "z" not in rows
+
+    # ragged dims raise; empty group_cols raises
+    ragged = spark.createDataFrame(
+        [("a", [1.0]), ("a", [1.0, 2.0])], "g string, embedding array<double>"
+    )
+    with _pt.raises(Exception, match="ragged vector dimensions"):
+        mean_embedding(ragged, ["g"]).collect()
+    with _pt.raises(ValueError, match="non-empty"):
+        mean_embedding(ragged, [])

@@ -1253,3 +1253,96 @@ def ann_topk_quantized(
         f"qscale * {_dlit(float(qs))} * cast(qdot as double) AS score",
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def mean_embedding(
+    df: DataFrame,
+    group_cols: list[str],
+    vec_col: str = "embedding",
+    out_col: str = "mean_embedding",
+) -> DataFrame:
+    """Element-wise MEAN of the vectors in each group — the standard
+    chunk→document pooling (embed chunks, average into one document
+    vector) and class-centroid builder. One row per group:
+    ``(*group_cols, <out_col>, n_vecs)``.
+
+    Pinned semantics: sums route through DECIMAL(38,12) so the fold is
+    order-independent — float sums differ by partitioning, and a doc
+    vector that changes when the cluster re-partitions poisons every
+    downstream dedup/ANN result. The final mean is one decimal
+    division + double cast: EXACTLY reproducible within Spark (any
+    partitioning, any rerun), but engines round decimal division at
+    different intermediate scales, so a cross-engine mirror agrees to
+    ~1e-8 absolute, not bit-for-bit (the documented decimal→double
+    seam; tests pin exact values on literal frames and band the
+    DuckDB mirror). NULL vectors are
+    excluded (``n_vecs`` counts the vectors actually pooled; an
+    all-NULL group disappears — no vector to report). RAGGED
+    dimensions inside one group raise (an element-wise mean across
+    mismatched dims is meaningless and zip-style padding would
+    silently truncate).
+
+    Scale shape: one (group, dim) explode + map-side-combining
+    aggregate + one collect_list bounded by the dimension — shuffles
+    carry (group, dim, value) triples; no vector is ever broadcast or
+    collected."""
+    if not group_cols:
+        raise ValueError(
+            "group_cols must be non-empty — a global mean is "
+            "mean_embedding over a constant group"
+        )
+    clash = {"__dim", "__val", "__ndim", out_col, "n_vecs"} & set(df.columns)
+    if clash - {out_col, "n_vecs"} or out_col in df.columns or "n_vecs" in df.columns:
+        raise ValueError(
+            f"mean_embedding: input columns {sorted(clash)} collide with "
+            "output/internal columns — rename them first"
+        )
+    keys = [qcol(g).alias(g.split(".")[-1]) for g in group_cols]
+    key_names = [g.split(".")[-1] for g in group_cols]
+    vecs = df.filter(qcol(vec_col).isNotNull()).select(
+        *keys, qcol(vec_col).alias("__vec")
+    )
+    # ragged-dimension guard rides the same scan (lazy raise_error):
+    # every group must agree on size(vec)
+    sizes = vecs.groupBy(*key_names).agg(
+        F.count_distinct(F.size("__vec")).alias("__ndim")
+    )
+    checked = vecs.join(
+        sizes.select(
+            *[F.col(k).alias(f"__g_{k}") for k in key_names], "__ndim"
+        ),
+        on=[
+            vecs[k].eqNullSafe(F.col(f"__g_{k}")) for k in key_names
+        ],
+        how="inner",
+    ).select(
+        *key_names,
+        F.when(
+            F.col("__ndim") > 1,
+            F.raise_error(
+                F.lit(
+                    "mean_embedding: ragged vector dimensions within one "
+                    "group — element-wise mean is undefined"
+                )
+            ).cast("array<double>"),
+        ).otherwise(F.col("__vec")).alias("__vec"),
+    )
+    exploded = checked.select(
+        *key_names, F.posexplode("__vec").alias("__dim", "__val")
+    )
+    per_dim = exploded.groupBy(*key_names, "__dim").agg(
+        (
+            F.sum(F.col("__val").cast("decimal(38,12)"))
+            / F.count(F.lit(1))
+        ).cast("double").alias("__mean"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return per_dim.groupBy(*key_names).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__dim"), F.col("__mean")))
+            ),
+            lambda s: s["__mean"],
+        ).alias(out_col),
+        F.max("__n").alias("n_vecs"),
+    )
