@@ -768,3 +768,68 @@ def test_frequent_itemsets_ground_truth(spark):
             )
         ).count()
         assert r["freq"] == want and r["freq"] >= 0.8 * n_users
+
+
+# ------------------------------------------------- vocabulary overlap
+def test_vocabulary_overlap_exact_and_duckdb_mirror(spark, oracle):
+    """Planted ground truth (hand-counted types/occurrences, OOV rate),
+    totality on empty corpora, and a bit-exact mirror on documents
+    split by language."""
+    from pyspark.sql import functions as F
+
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        vocabulary_overlap,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the mat")], "id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(1, "the cat ran far"), (2, None)], "id long, text string"
+    )
+    r = vocabulary_overlap(a, b).first()
+    # vocab a = {the, cat, sat, mat}; b = {the, cat, ran, far}; shared 2
+    assert (r["n_vocab_a"], r["n_vocab_b"], r["n_shared"]) == (4, 4, 2)
+    assert r["vocab_jaccard"] == 2 / 6
+    # b occurrences: the cat ran far = 4; OOV types {ran, far} → 2/4
+    assert (r["n_tokens_b"], r["oov_rate_b"]) == (4, 0.5)
+
+    empty = spark.createDataFrame([], "id long, text string")
+    r0 = vocabulary_overlap(a, empty).first()
+    assert (r0["n_vocab_b"], r0["n_tokens_b"]) == (0, 0)
+    assert r0["oov_rate_b"] is None
+    assert vocabulary_overlap(empty, empty).first()["vocab_jaccard"] is None
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    got = vocabulary_overlap(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+    ).first()
+    want = oracle.execute("""
+        WITH tok AS (
+          SELECT lang = 'en' AS is_a,
+                 unnest(list_filter(string_split_regex(trim(
+                   regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '),
+                   x -> x <> '')) AS tok
+          FROM documents),
+        va AS (SELECT tok, COUNT(*) AS occ FROM tok WHERE is_a GROUP BY 1),
+        vb AS (SELECT tok, COUNT(*) AS occ FROM tok WHERE NOT is_a GROUP BY 1),
+        j AS (SELECT va.tok AS ta, vb.tok AS tb, va.occ AS oa, vb.occ AS ob
+              FROM va FULL OUTER JOIN vb ON va.tok = vb.tok)
+        SELECT SUM(CASE WHEN ta IS NOT NULL THEN 1 ELSE 0 END) AS n_vocab_a,
+               SUM(CASE WHEN tb IS NOT NULL THEN 1 ELSE 0 END) AS n_vocab_b,
+               SUM(CASE WHEN ta IS NOT NULL AND tb IS NOT NULL THEN 1
+                   ELSE 0 END) AS n_shared,
+               COALESCE(SUM(ob), 0) AS n_tokens_b,
+               COALESCE(SUM(CASE WHEN ta IS NULL THEN ob END), 0) AS oov
+        FROM j
+    """).fetchone()
+    assert got["n_vocab_a"] == want[0]
+    assert got["n_vocab_b"] == want[1]
+    assert got["n_shared"] == want[2]
+    assert got["n_tokens_b"] == want[3]
+    assert repr(got["oov_rate_b"]) == repr(want[4] / want[3])
+    assert repr(got["vocab_jaccard"]) == repr(
+        want[2] / (want[0] + want[1] - want[2])
+    )

@@ -775,3 +775,74 @@ def frequent_itemsets(
         minConfidence=float(min_confidence),
     ).fit(prepped)
     return model.freqItemsets, model.associationRules
+
+
+def vocabulary_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col_a: str = "text",
+    text_col_b: str = "text",
+) -> DataFrame:
+    """ONE row of corpus-vocabulary comparison — the data-recipe
+    diagnostic before mixing or swapping sources: ``n_vocab_a``,
+    ``n_vocab_b``, ``n_shared`` (distinct normalized tokens), their
+    ``vocab_jaccard``, plus ``n_tokens_b`` and ``oov_rate_b`` (the
+    fraction of corpus B's token OCCURRENCES whose type never appears
+    in A — the practical "how much of B would a model/tokenizer built
+    on A have never seen"; types weigh rare words equally, occurrences
+    weigh what the model actually reads).
+
+    Exact integers throughout (tokenization =
+    ``functions.text.normalized_tokens``, the engine-wide rule);
+    ``oov_rate_b``/``vocab_jaccard`` are one division of exact longs
+    each. Empty/NULL-text corpora yield 0 vocab and NULL rates — a
+    report, never a crash.
+
+    Scale shape: each corpus reduces to (token, n_occurrences) via one
+    explode + map-side-combining count (shuffle keys are tokens, never
+    documents), then ONE full-outer equi-join on token + a single
+    aggregate to the 1-row report. Nothing is broadcast or collected;
+    vocabulary skew (stopwords) is irrelevant because the join is on
+    the DISTINCT vocab, one row per token per side."""
+    from ..functions.text import normalized_tokens
+
+    def _vocab(df: DataFrame, col: str) -> DataFrame:
+        return (
+            df.select(
+                F.explode_outer(normalized_tokens(col)).alias("__tok")
+            )
+            .filter(F.col("__tok").isNotNull())
+            .groupBy("__tok")
+            .agg(F.count(F.lit(1)).alias("__occ"))
+        )
+
+    va = _vocab(df_a, text_col_a).select(
+        F.col("__tok"), F.col("__occ").alias("__occ_a")
+    )
+    vb = _vocab(df_b, text_col_b).select(
+        F.col("__tok"), F.col("__occ").alias("__occ_b")
+    )
+    joined = va.join(vb, on="__tok", how="full_outer")
+    n_a = F.sum(F.col("__occ_a").isNotNull().cast("long"))
+    n_b = F.sum(F.col("__occ_b").isNotNull().cast("long"))
+    n_shared = F.sum(
+        (F.col("__occ_a").isNotNull() & F.col("__occ_b").isNotNull())
+        .cast("long")
+    )
+    toks_b = F.coalesce(F.sum("__occ_b"), F.lit(0).cast("long"))
+    oov_b = F.coalesce(
+        F.sum(
+            F.when(F.col("__occ_a").isNull(), F.col("__occ_b"))
+        ),
+        F.lit(0).cast("long"),
+    )
+    return joined.agg(
+        n_a.alias("n_vocab_a"),
+        n_b.alias("n_vocab_b"),
+        n_shared.alias("n_shared"),
+        (
+            n_shared / F.nullif(n_a + n_b - n_shared, F.lit(0))
+        ).alias("vocab_jaccard"),
+        toks_b.alias("n_tokens_b"),
+        (oov_b / F.nullif(toks_b, F.lit(0))).alias("oov_rate_b"),
+    )
