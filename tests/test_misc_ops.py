@@ -449,3 +449,62 @@ def test_winsorize_ground_truth_nulls_and_duckdb_mirror(spark, oracle):
         FROM lineitem, b
     """).fetchall())
     assert got_all == want_all
+
+
+# --------------------------------------------------- percentile rank
+def test_percentile_rank_cume_dist_and_duckdb_mirror(spark, oracle):
+    """Ranks equal CUME_DIST semantics (ties share, NULL value → NULL
+    rank, NULL group keys labeled), grouped + global forms both
+    mirrored bit-exact on lineitem; the plan windows over DISTINCT
+    values, never rows."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from web_api_postgres_etl_spark.operators.aggregates import (
+        percentile_rank,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 5.0), ("a", None),
+         (None, 3.0), (None, 4.0)],
+        "g string, v double",
+    )
+    got = {
+        (r["g"], r["v"]): r["v_pct_rank"]
+        for r in percentile_rank(df, "v", by=["g"]).collect()
+    }
+    assert got[("a", 1.0)] == 0.25
+    assert got[("a", 2.0)] == 0.75      # ties share the upper rank
+    assert got[("a", 5.0)] == 1.0
+    assert got[("a", None)] is None     # NULL value → NULL rank
+    assert got[(None, 3.0)] == 0.5      # NULL group labeled
+
+    with _pt.raises(ValueError, match="collide"):
+        percentile_rank(df.withColumnRenamed("g", "v_pct_rank"), "v")
+    with _pt.raises(ValueError, match="group columns"):
+        percentile_rank(df, "v", by=["nope"])
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    for by, part in [(["l_returnflag"], "PARTITION BY l_returnflag"),
+                     (None, "")]:
+        out = percentile_rank(li, "l_extendedprice", by=by, out_col="pr")
+        got_li = sorted(
+            (r["l_orderkey"], r["l_linenumber"], repr(r["pr"]))
+            for r in out.select(
+                "l_orderkey", "l_linenumber", "pr"
+            ).collect()
+        )
+        want_li = sorted(
+            (a, b, repr(c))
+            for a, b, c in oracle.execute(f"""
+            SELECT l_orderkey, l_linenumber,
+                   cume_dist() OVER ({part} ORDER BY l_extendedprice)
+            FROM lineitem
+        """).fetchall())
+        assert got_li == want_li, by
+
+    # plan shape: the window input is the distinct-value count table
+    plan = percentile_rank(
+        li, "l_extendedprice", by=["l_returnflag"]
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" in plan and "Aggregate" in plan

@@ -1124,6 +1124,99 @@ def winsorize(
     return joined.withColumn(out, clamp).drop("__wlo", "__whi")
 
 
+def percentile_rank(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Append each row's percentile rank (CUME_DIST: fraction of the
+    group's non-NULL values ≤ this value — ties share one rank) — the
+    score normalizer for mixing heterogeneous quality signals (a 0.7
+    from one classifier and a 0.7 from another are not comparable;
+    their percentile ranks are). NULL values get NULL rank (labeling
+    is total, never a row drop); the rank is one division of exact
+    longs, engine-reproducible.
+
+    Scale shape — the window runs over DISTINCT VALUES, not rows: one
+    groupBy counts rows per (group, value), a running sum over that
+    count table computes cume_dist, and a null-safe join-back labels
+    the rows. Per-partition window state is bounded by the group's
+    VALUE CARDINALITY (a billion rows of 1k distinct scores = 1k
+    window rows); the global (``by=None``) case runs the value window
+    single-partition, which is exactly as bounded. A row-level
+    cume_dist window would instead sort every row of a group in one
+    partition — the trap this shape exists to avoid."""
+    leaf = value_col.split(".")[-1]
+    out = out_col or f"{leaf}_pct_rank"
+    keys = list(by or [])
+    missing = [k for k in keys if k not in df.columns]
+    if missing:
+        raise ValueError(
+            f"percentile_rank: group columns {missing} not in "
+            f"{df.columns} (plain top-level column names only)"
+        )
+    internal = {"__prv", "__prn", "__prc", "__prtot"} | {
+        f"__g_{k}" for k in keys
+    }
+    clash = ({out} | internal) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"percentile_rank: input columns {sorted(clash)} collide "
+            "with output/internal columns — rename them first"
+        )
+    v = qcol(value_col)
+    counts = (
+        df.filter(v.isNotNull())
+        .groupBy(*keys, v.alias("__prv"))
+        .agg(F.count(F.lit(1)).alias("__prn"))
+    )
+    if keys:
+        part = [F.col(k) for k in keys]
+    else:
+        # bounded single-partition window over DISTINCT values only —
+        # the constant must not constant-fold out of the window spec
+        # (integral x*0 simplifies; DOUBLE x*0.0 cannot: NaN/Inf)
+        part = [F.col("__prn").cast("double") * F.lit(0.0)]
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.col("__prv").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(*part)
+    ranked = counts.withColumn(
+        "__prc", F.sum("__prn").over(w)
+    ).withColumn("__prtot", F.sum("__prn").over(wtot)).select(
+        *keys,
+        "__prv",
+        (F.col("__prc") / F.col("__prtot")).alias(out),
+    )
+    if keys:
+        r2 = ranked.select(
+            *[F.col(k).alias(f"__g_{k}") for k in keys], "__prv", out
+        )
+        cond = None
+        for k in keys:
+            c = df[k].eqNullSafe(r2[f"__g_{k}"])
+            cond = c if cond is None else (cond & c)
+        cond = cond & v.eqNullSafe(r2["__prv"])
+        joined = df.join(r2, cond, "left").drop(
+            *[f"__g_{k}" for k in keys], "__prv"
+        )
+    else:
+        joined = df.join(
+            ranked.withColumnRenamed("__prv", "__prv"),
+            v.eqNullSafe(F.col("__prv")),
+            "left",
+        ).drop("__prv")
+    # NULL values carry NULL rank (eqNullSafe would otherwise match
+    # the NULL bucket if one existed; it never does — filtered above —
+    # but the explicit guard pins totality rather than implying it)
+    return joined.withColumn(
+        out, F.when(v.isNull(), F.lit(None).cast("double")).otherwise(F.col(out))
+    )
+
+
 # ---------------------------------------------------------- debounce
 def debounce_events(
     df: DataFrame,
