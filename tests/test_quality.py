@@ -230,3 +230,71 @@ def test_cli_profile_columns(spark, tmp_path, capsys):
         for x in capsys.readouterr().out.splitlines() if x.strip()
     ]
     assert [r["column"] for r in only] == ["s"]
+
+
+# ------------------------------------------------------- table diff
+def test_table_diff_multiset_semantics_and_duckdb_mirror(spark, oracle):
+    """Multiplicities drive the diff (an extra copy of an equal row IS
+    a difference); NULLs compare equal; equal frames diff to empty;
+    mirror on a perturbed lineitem slice is bit-exact."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from web_api_postgres_etl_spark.operators.quality import table_diff
+
+    a = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, None), (3, "z")], "id long, s string"
+    )
+    b = spark.createDataFrame(
+        [("x", 1), (None, 2), ("w", 3)], "s string, id long"
+    )  # column ORDER differs from a — names decide
+    got = {
+        (r["id"], r["s"]): (r["n_a"], r["n_b"])
+        for r in table_diff(a, b).collect()
+    }
+    assert got == {
+        (1, "x"): (2, 1),     # multiplicity mismatch
+        (3, "z"): (1, 0),
+        (3, "w"): (0, 1),
+    }  # (2, NULL) matched null-safely → absent
+    assert table_diff(a, a).count() == 0
+
+    with _pt.raises(ValueError, match="must match"):
+        table_diff(a, b.withColumnRenamed("s", "t"))
+    with _pt.raises(ValueError, match="collide"):
+        table_diff(
+            a.withColumnRenamed("s", "n_a"), b.withColumnRenamed("s", "n_a")
+        )
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+    perturbed = li.withColumn(
+        "l_returnflag",
+        F.when(F.col("l_orderkey") % 997 == 0, F.lit("X")).otherwise(
+            F.col("l_returnflag")
+        ),
+    )
+    got_li = sorted(
+        tuple(r) for r in table_diff(li, perturbed).collect()
+    )
+    want_li = sorted(oracle.execute("""
+        WITH a AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+                          COUNT(*) AS n_a
+                   FROM lineitem GROUP BY 1, 2, 3),
+        b AS (SELECT l_orderkey, l_linenumber,
+                     CASE WHEN l_orderkey % 997 = 0 THEN 'X'
+                          ELSE l_returnflag END AS l_returnflag,
+                     COUNT(*) AS n_b
+              FROM lineitem GROUP BY 1, 2, 3)
+        SELECT COALESCE(a.l_orderkey, b.l_orderkey),
+               COALESCE(a.l_linenumber, b.l_linenumber),
+               COALESCE(a.l_returnflag, b.l_returnflag),
+               COALESCE(n_a, 0), COALESCE(n_b, 0)
+        FROM a FULL OUTER JOIN b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_linenumber = b.l_linenumber
+         AND a.l_returnflag IS NOT DISTINCT FROM b.l_returnflag
+        WHERE COALESCE(n_a, 0) <> COALESCE(n_b, 0)
+    """).fetchall())
+    assert got_li == want_li and len(got_li) > 0

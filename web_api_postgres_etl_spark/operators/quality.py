@@ -363,3 +363,70 @@ def profile_columns(
         "min_repr",
         "max_repr",
     )
+
+
+def table_diff(
+    df_a: DataFrame,
+    df_b: DataFrame,
+) -> DataFrame:
+    """MULTISET difference of two same-schema frames — the
+    reconciliation primitive (validate a migration, an engine swap, a
+    rewritten pipeline): one row per DISTINCT row value whose
+    multiplicity differs between the sides, as all the original
+    columns plus ``n_a``/``n_b`` (0 when absent). Empty result ⇔ the
+    frames are equal as multisets. Column ORDER may differ between
+    inputs; names must match (``expect_schema`` is the stricter shape
+    gate — this op reconciles VALUES).
+
+    Pinned semantics: rows compare null-safely (NULL == NULL — a
+    groupBy key, like every aggregate); counts are exact longs.
+    Floating-point columns compare by exact bits, which is the honest
+    default for "are these the same table" — round or quantize
+    upstream when last-ulp drift is expected (the engine's own
+    decimal-division seam applies to its own outputs too).
+
+    Scale shape: each side reduces to (row-values, count) via one
+    map-side-combining groupBy over ALL columns, then ONE null-safe
+    full-outer equi-join on those values — shuffles carry each
+    distinct row once per side, and a mostly-equal comparison's join
+    output is tiny. No collect, no broadcast of either table."""
+    if set(df_a.columns) != set(df_b.columns):
+        raise ValueError(
+            "table_diff: column names must match — "
+            f"A has {sorted(df_a.columns)}, B has {sorted(df_b.columns)} "
+            "(run expect_schema for a full drift report)"
+        )
+    if len(set(df_a.columns)) != len(df_a.columns):
+        raise ValueError(
+            "table_diff: duplicate column names cannot be reconciled — "
+            f"{df_a.columns}"
+        )
+    cols = list(df_a.columns)
+    clash = {"n_a", "n_b"} & set(cols)
+    if clash:
+        raise ValueError(
+            f"table_diff: input columns {sorted(clash)} collide with "
+            "the output count columns — rename them first"
+        )
+    ca = df_a.groupBy(*[F.col(f"`{c}`") for c in cols]).agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    cb = df_b.groupBy(*[F.col(f"`{c}`") for c in cols]).agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    cb2 = cb.select(
+        *[F.col(f"`{c}`").alias(f"__b_{c}") for c in cols], "n_b"
+    )
+    cond = None
+    for c in cols:
+        eq = ca[c].eqNullSafe(cb2[f"__b_{c}"])
+        cond = eq if cond is None else (cond & eq)
+    return (
+        ca.join(cb2, cond, "full_outer")
+        .select(
+            *[F.coalesce(ca[c], cb2[f"__b_{c}"]).alias(c) for c in cols],
+            F.coalesce(F.col("n_a"), F.lit(0).cast("long")).alias("n_a"),
+            F.coalesce(F.col("n_b"), F.lit(0).cast("long")).alias("n_b"),
+        )
+        .filter(F.col("n_a") != F.col("n_b"))
+    )
