@@ -522,3 +522,35 @@ def test_survivor_score_stage(spark):
         prepare_training_data(
             docs2.drop("score"), bench, config=cfg
         )
+
+
+def test_sentence_dedup_composes_with_survivor_score(spark):
+    """The two stages together (the config interaction that once
+    dropped metadata columns): sentence dedup must preserve the score
+    column for the survivor stage, and both effects must land."""
+    from dataclasses import replace
+
+    boiler = ("Click here to subscribe to our newsletter and never miss "
+              "a single update from our editorial desk again.")
+    docs = spark.createDataFrame(
+        [
+            (1, BASE + " first variant with extra tail words. " + boiler,
+             0.2),
+            (2, BASE + " first variant with extra tail phrase. " + boiler,
+             0.9),
+            (6, "a wholly different account of harbor towns and that "
+                "trade which moved with the tide while every merchant "
+                "kept a ledger of salt and grain beneath morning light. "
+                + boiler, 0.5),
+        ],
+        "doc_id long, text string, score double",
+    )
+    bench = spark.createDataFrame([(BENCH_TEXT,)], "text string")
+    cfg = replace(
+        CFG, sentence_dedup_max_docs=2, survivor_score_col="score",
+        min_gopher_rules=0, chunk_words=64,
+    )
+    out = prepare_training_data(docs, bench, config=cfg).collect()
+    kept = {r["doc_id"] for r in out}
+    assert kept == {2, 6}  # near-dup cluster {1,2}: score 0.9 wins
+    assert "subscribe" not in " ".join(r["chunk_text"] for r in out)

@@ -231,6 +231,15 @@ def test_cli_profile_columns(spark, tmp_path, capsys):
     ]
     assert [r["column"] for r in only] == ["s"]
 
+    # combining --columns with another mode is rejected, not silently
+    # reduced to the column profile
+    import pytest as _pt
+    with _pt.raises(SystemExit, match="cannot combine"):
+        main(
+            ["profile", "--table", t, "--columns", "--histogram", "id"],
+            spark=spark,
+        )
+
 
 # ------------------------------------------------------- table diff
 def test_table_diff_multiset_semantics_and_duckdb_mirror(spark, oracle):
@@ -261,6 +270,9 @@ def test_table_diff_multiset_semantics_and_duckdb_mirror(spark, oracle):
 
     with _pt.raises(ValueError, match="must match"):
         table_diff(a, b.withColumnRenamed("s", "t"))
+    # type drift must RAISE, not silently coerce-and-match-empty
+    with _pt.raises(ValueError, match="column types differ"):
+        table_diff(a, b.withColumn("id", F.col("id").cast("string")))
     with _pt.raises(ValueError, match="collide"):
         table_diff(
             a.withColumnRenamed("s", "n_a"), b.withColumnRenamed("s", "n_a")

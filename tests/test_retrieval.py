@@ -798,7 +798,11 @@ def test_vocabulary_overlap_exact_and_duckdb_mirror(spark, oracle):
     r0 = vocabulary_overlap(a, empty).first()
     assert (r0["n_vocab_b"], r0["n_tokens_b"]) == (0, 0)
     assert r0["oov_rate_b"] is None
-    assert vocabulary_overlap(empty, empty).first()["vocab_jaccard"] is None
+    r00 = vocabulary_overlap(empty, empty).first()
+    # both-empty: ZERO counts (not NULL — the zero-row-join sum trap),
+    # NULL rates
+    assert (r00["n_vocab_a"], r00["n_vocab_b"], r00["n_shared"]) == (0, 0, 0)
+    assert r00["vocab_jaccard"] is None and r00["oov_rate_b"] is None
 
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     got = vocabulary_overlap(

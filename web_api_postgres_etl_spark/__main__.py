@@ -197,6 +197,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             # column histogram, PSI drift vs a reference snapshot,
             # sampled per-key quantiles, or a one-pass column profile
             if args.columns is not None:
+                if (args.quantiles or args.histogram or args.join
+                        or args.keys or args.drift_vs):
+                    raise SystemExit(
+                        "profile: --columns cannot combine with other "
+                        "profile modes — run them as separate invocations"
+                    )
                 from web_api_postgres_etl_spark.operators.quality import (
                     profile_columns,
                 )

@@ -1205,9 +1205,7 @@ def percentile_rank(
         )
     else:
         joined = df.join(
-            ranked.withColumnRenamed("__prv", "__prv"),
-            v.eqNullSafe(F.col("__prv")),
-            "left",
+            ranked, v.eqNullSafe(F.col("__prv")), "left"
         ).drop("__prv")
     # NULL values carry NULL rank (eqNullSafe would otherwise match
     # the NULL bucket if one existed; it never does — filtered above —

@@ -257,6 +257,49 @@ def zone_map_update(
     return existing.unionByName(fresh)
 
 
+def _file_local(uri: str) -> str:
+    """file:// URI (or bare path) → local filesystem path — the ONE
+    definition the rewrite ops (purge/upsert) share; zone-map
+    identities stay URIs, only filesystem operations unwrap them."""
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(uri)
+    return unquote(parsed.path) if parsed.scheme in ("file", "") else uri
+
+
+def _move_parquet_in(frame, tmp: str, base_local: str, pcols: list) -> list:
+    """Write ``frame`` to ``tmp`` (partition-aware when ``pcols``) and
+    move every part file into the table — the duplicate-on-crash
+    never-lose ordering step both purge_rows and upsert_rows build on
+    (new files land BEFORE any old file is removed; Spark part names
+    embed a job UUID so collisions cannot occur). Returns the moved
+    files as file:// URIs (the zone-map identity)."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    writer = frame.write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(tmp)
+    moved = []
+    tmp_local = _file_local(tmp)
+    for dirpath, _dirnames, filenames in os.walk(tmp_local):
+        for name in filenames:
+            if not name.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(dirpath, tmp_local)
+            dst_dir = (
+                base_local if rel == "." else os.path.join(base_local, rel)
+            )
+            os.makedirs(dst_dir, exist_ok=True)
+            dst = os.path.join(dst_dir, name)
+            shutil.move(os.path.join(dirpath, name), dst)
+            moved.append(Path(dst).as_uri())
+    shutil.rmtree(tmp_local, ignore_errors=True)
+    return moved
+
+
 def zone_map_path(path: str) -> str:
     """Sidecar location for a table's persisted zone map: a SIBLING
     directory (``<table>._zone_map``), not a child — compaction swaps
@@ -518,15 +561,8 @@ def purge_rows(
     after a crash still removes the target ids.
     """
     import os
-    import shutil
-    from pathlib import Path
-    from urllib.parse import unquote, urlparse
 
-    def _local(uri: str) -> str:
-        parsed = urlparse(uri)
-        return unquote(parsed.path) if parsed.scheme in ("file", "") else uri
-
-    base_local = _local(path)
+    base_local = _file_local(path)
 
     full = spark.read.parquet(path)
     if id_col not in full.columns:
@@ -556,37 +592,21 @@ def purge_rows(
     # hive partition columns, in directory order, from an affected
     # file's path relative to the table root (all files of one table
     # share the layout — Spark enforces it at write time)
-    rel_dirs = os.path.relpath(_local(affected[0]), base_local).split(os.sep)[:-1]
+    rel_dirs = os.path.relpath(
+        _file_local(affected[0]), base_local
+    ).split(os.sep)[:-1]
+    # partition-aware rewrite: moved files must land back inside their
+    # own col=value/ directories (root-level leaf files silently
+    # corrupt partitioned reads)
     pcols = [seg.split("=", 1)[0] for seg in rel_dirs if "=" in seg]
 
     sub = spark.read.option("basePath", path).parquet(*affected)
     kept = sub.join(ids_only, id_col, "left_anti")
-    tmp = path.rstrip("/") + ".purge_tmp"
-    writer = kept.write.mode("overwrite")
-    if pcols:
-        # rewrite partition-aware, so moved files land back inside
-        # their own col=value/ directories instead of the table root
-        # (root-level leaf files silently corrupt partitioned reads)
-        writer = writer.partitionBy(*pcols)
-    writer.parquet(tmp)
-
-    # move new part files in FIRST (duplicate-on-crash, never lose);
-    # Spark part names embed a job UUID, so collisions cannot occur
-    added = []
-    tmp_local = _local(tmp)
-    for dirpath, _dirnames, filenames in os.walk(tmp_local):
-        for name in filenames:
-            if not name.endswith(".parquet"):
-                continue
-            rel = os.path.relpath(dirpath, tmp_local)
-            dst_dir = base_local if rel == "." else os.path.join(base_local, rel)
-            os.makedirs(dst_dir, exist_ok=True)
-            dst = os.path.join(dst_dir, name)
-            shutil.move(os.path.join(dirpath, name), dst)
-            added.append(Path(dst).as_uri())
+    added = _move_parquet_in(
+        kept, path.rstrip("/") + ".purge_tmp", base_local, pcols
+    )
     for uri in affected:
-        os.remove(_local(uri))
-    shutil.rmtree(tmp_local, ignore_errors=True)
+        os.remove(_file_local(uri))
     return {
         "rows_purged": rows_purged,
         "files_rewritten": len(affected),
@@ -633,15 +653,8 @@ def upsert_rows(
     rows bounded by file count); the update batch is written once; the
     affected files are re-read once for the anti-join rewrite."""
     import os
-    import shutil
-    from pathlib import Path
-    from urllib.parse import unquote, urlparse
 
-    def _local(uri: str) -> str:
-        parsed = urlparse(uri)
-        return unquote(parsed.path) if parsed.scheme in ("file", "") else uri
-
-    base_local = _local(path)
+    base_local = _file_local(path)
     full = spark.read.parquet(path)
     if id_col not in full.columns:
         raise ValueError(
@@ -653,6 +666,18 @@ def upsert_rows(
             f"table {sorted(full.columns)} vs updates "
             f"{sorted(updates.columns)} (a schema change is a rewrite, "
             "not an upsert)"
+        )
+    # TYPES too, not just names: a type-drifted batch would land
+    # parquet files with a different physical type, and the next read
+    # of the mixed table fails AFTER the old well-typed versions are
+    # gone — exactly the corruption an upsert must refuse up front
+    t_types, u_types = dict(full.dtypes), dict(updates.dtypes)
+    drift = {c: (t_types[c], u_types[c]) for c in t_types
+             if t_types[c] != u_types[c]}
+    if drift:
+        raise ValueError(
+            f"upsert_rows: updates column types differ from the table's "
+            f"— {drift} (cast the batch to the table schema first)"
         )
     checked_id = F.when(
         qcol(id_col).isNull(),
@@ -674,20 +699,27 @@ def upsert_rows(
         )
     ids_only = updates.select(id_col)
 
-    # 1. affected pre-existing files + replaced-row count, one pass
-    per_file = (
+    # 1. affected pre-existing files + replaced-row count + matched
+    # DISTINCT ids, one pass over one pinned semi-join (the distinct-id
+    # count keeps rows_inserted correct even when a crashed prior run
+    # left duplicated physical rows for one id — the repair rerun the
+    # crash contract advertises)
+    matched = (
         full.select(F.input_file_name().alias("file"), qcol(id_col).alias(id_col))
         .join(ids_only, id_col, "left_semi")
-        .groupBy("file")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        .persist()
     )
+    per_file = (
+        matched.groupBy("file").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    n_matched_ids = matched.select(id_col).distinct().count()
+    matched.unpersist()
     affected = [r["file"] for r in per_file]
     rows_replaced = sum(r["n"] for r in per_file)
     n_updates = updates.count()
 
     rel_dirs = (
-        os.path.relpath(_local(affected[0]), base_local).split(os.sep)[:-1]
+        os.path.relpath(_file_local(affected[0]), base_local).split(os.sep)[:-1]
         if affected else []
     )
     pcols = [seg.split("=", 1)[0] for seg in rel_dirs if "=" in seg]
@@ -702,42 +734,23 @@ def upsert_rows(
                 pcols = [s.split("=", 1)[0] for s in segs if "=" in s]
                 break
 
-    def _stage_and_move(frame: DataFrame, tmp: str) -> list[str]:
-        writer = frame.write.mode("overwrite")
-        if pcols:
-            writer = writer.partitionBy(*pcols)
-        writer.parquet(tmp)
-        moved = []
-        tmp_local = _local(tmp)
-        for dirpath, _dn, filenames in os.walk(tmp_local):
-            for name in filenames:
-                if not name.endswith(".parquet"):
-                    continue
-                rel = os.path.relpath(dirpath, tmp_local)
-                dst_dir = (
-                    base_local if rel == "."
-                    else os.path.join(base_local, rel)
-                )
-                os.makedirs(dst_dir, exist_ok=True)
-                dst = os.path.join(dst_dir, name)
-                shutil.move(os.path.join(dirpath, name), dst)
-                moved.append(Path(dst).as_uri())
-        shutil.rmtree(tmp_local, ignore_errors=True)
-        return moved
-
     # 2. new versions move in FIRST (duplicate-on-crash, never lose)
-    added = _stage_and_move(updates, path.rstrip("/") + ".upsert_new_tmp")
+    added = _move_parquet_in(
+        updates, path.rstrip("/") + ".upsert_new_tmp", base_local, pcols
+    )
 
     # 3. rewrite affected files without the replaced ids, then drop them
     if affected:
         sub = spark.read.option("basePath", path).parquet(*affected)
         kept = sub.join(ids_only, id_col, "left_anti")
-        added += _stage_and_move(kept, path.rstrip("/") + ".upsert_old_tmp")
+        added += _move_parquet_in(
+            kept, path.rstrip("/") + ".upsert_old_tmp", base_local, pcols
+        )
         for uri in affected:
-            os.remove(_local(uri))
+            os.remove(_file_local(uri))
     return {
         "rows_replaced": rows_replaced,
-        "rows_inserted": n_updates - rows_replaced,
+        "rows_inserted": n_updates - n_matched_ids,
         "files_rewritten": len(affected),
         "removed_files": list(affected),
         "added_files": added,

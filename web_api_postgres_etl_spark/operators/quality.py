@@ -396,10 +396,21 @@ def table_diff(
             f"A has {sorted(df_a.columns)}, B has {sorted(df_b.columns)} "
             "(run expect_schema for a full drift report)"
         )
-    if len(set(df_a.columns)) != len(df_a.columns):
+    for side, frame in (("A", df_a), ("B", df_b)):
+        if len(set(frame.columns)) != len(frame.columns):
+            raise ValueError(
+                f"table_diff: duplicate column names in {side} cannot "
+                f"be reconciled — {frame.columns}"
+            )
+    # TYPES must match too: Spark would insert implicit casts into the
+    # null-safe join (1 == '01'), returning an EMPTY diff for exactly
+    # the type drift a reconciliation primitive exists to catch
+    ta, tb = dict(df_a.dtypes), dict(df_b.dtypes)
+    drift = {c: (ta[c], tb[c]) for c in ta if ta[c] != tb[c]}
+    if drift:
         raise ValueError(
-            "table_diff: duplicate column names cannot be reconciled — "
-            f"{df_a.columns}"
+            f"table_diff: column types differ — {drift} (cast one side "
+            "first; implicit-coercion equality would mask the drift)"
         )
     cols = list(df_a.columns)
     clash = {"n_a", "n_b"} & set(cols)

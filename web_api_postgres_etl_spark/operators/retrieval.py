@@ -823,11 +823,20 @@ def vocabulary_overlap(
         F.col("__tok"), F.col("__occ").alias("__occ_b")
     )
     joined = va.join(vb, on="__tok", how="full_outer")
-    n_a = F.sum(F.col("__occ_a").isNotNull().cast("long"))
-    n_b = F.sum(F.col("__occ_b").isNotNull().cast("long"))
-    n_shared = F.sum(
-        (F.col("__occ_a").isNotNull() & F.col("__occ_b").isNotNull())
-        .cast("long")
+    # coalesce EVERY count: a both-empty comparison has a zero-row
+    # join, where bare sums are NULL — the report promises 0 vocab
+    n_a = F.coalesce(
+        F.sum(F.col("__occ_a").isNotNull().cast("long")), F.lit(0)
+    )
+    n_b = F.coalesce(
+        F.sum(F.col("__occ_b").isNotNull().cast("long")), F.lit(0)
+    )
+    n_shared = F.coalesce(
+        F.sum(
+            (F.col("__occ_a").isNotNull() & F.col("__occ_b").isNotNull())
+            .cast("long")
+        ),
+        F.lit(0),
     )
     toks_b = F.coalesce(F.sum("__occ_b"), F.lit(0).cast("long"))
     oov_b = F.coalesce(

@@ -1291,10 +1291,14 @@ def mean_embedding(
             "group_cols must be non-empty — a global mean is "
             "mean_embedding over a constant group"
         )
-    clash = {"__dim", "__val", "__ndim", out_col, "n_vecs"} & set(df.columns)
-    if clash - {out_col, "n_vecs"} or out_col in df.columns or "n_vecs" in df.columns:
+    key_leaves = {g.split(".")[-1] for g in group_cols}
+    clash = (
+        {"__vec", "__dim", "__val", "__ndim", out_col, "n_vecs"}
+        | {f"__g_{k}" for k in key_leaves}
+    ) & (set(df.columns) | key_leaves)
+    if clash:
         raise ValueError(
-            f"mean_embedding: input columns {sorted(clash)} collide with "
+            f"mean_embedding: columns {sorted(clash)} collide with "
             "output/internal columns — rename them first"
         )
     keys = [qcol(g).alias(g.split(".")[-1]) for g in group_cols]

@@ -5,8 +5,8 @@ operator from this package, composed in the order a production corpus
 run uses them:
 
     [URL dedup → domain caps] → [HTML extract] → clean_text
-    → [C4 line/page rules] → [sentence dedup] → gopher gate
-    → [repetition gates] → PII scrub → [LM perplexity gate]
+    → [C4 line/page rules] → gopher gate → PII scrub
+    → [repetition gates] → [sentence dedup] → [LM perplexity gate]
     → [classifier quality gate] → benchmark decontamination
     → [exact-substring cut] → exact dedup → near-dup cluster dedup
     [∪ winnowing pairs] → leakage-safe split → chunk → pack per shard
@@ -233,20 +233,6 @@ def prepare_training_data(
             .drop("__c4", "__c4_clean")
         )
 
-    # 0d. optional corpus-level SENTENCE dedup (CCNet/RefinedWeb-style:
-    # boilerplate glued mid-line to prose — the granularity the C4 line
-    # rules cannot see). Before gating, so rule counters and dedup
-    # digests see the stripped text; the word-count floor keeps short
-    # legitimate repeats. Default off (spine-protection rule).
-    if cfg.sentence_dedup_max_docs is not None:
-        from ..operators.dedup import dedup_corpus_sentences
-
-        docs = dedup_corpus_sentences(
-            docs, id_col, text_col,
-            max_docs=cfg.sentence_dedup_max_docs,
-            min_sentence_words=cfg.sentence_min_words,
-        )
-
     # 1. rule gate + scrub (one scan, pure expressions). The gate is
     # "≥ min_gopher_rules of 7 pass" — 7 is the paper's strict AND;
     # corpora without natural English prose need a looser bar
@@ -302,6 +288,29 @@ def prepare_training_data(
         gated = gopher_repetition_gate(
             gated, id_col, text_col, thresholds=cfg.repetition_thresholds
         )
+
+    # 1b''. optional corpus-level SENTENCE dedup (CCNet/RefinedWeb-
+    # style: boilerplate glued mid-line to prose — the granularity the
+    # C4 line rules cannot see). Placed AFTER the Gopher/repetition
+    # gates on purpose: sentence reassembly joins with single spaces
+    # (split_sentences treats newlines as ordinary whitespace), which
+    # would corrupt the LINE-based rules (bullet/ellipsis fractions,
+    # dup line/paragraph fractions) if it ran before them; downstream
+    # digest stages are line-agnostic. Join-back preserves every other
+    # column (score/metadata must survive to the survivor stage). The
+    # word-count floor keeps short legitimate repeats. Default off.
+    if cfg.sentence_dedup_max_docs is not None:
+        from ..operators.dedup import dedup_corpus_sentences
+
+        # PERSIST: gated is read twice (the dedup's count+probe passes
+        # read the text side; the join-back reads the full frame)
+        gated = _pin(gated)
+        sdedup = dedup_corpus_sentences(
+            gated, id_col, text_col,
+            max_docs=cfg.sentence_dedup_max_docs,
+            min_sentence_words=cfg.sentence_min_words,
+        ).select(id_col, text_col)
+        gated = gated.drop(text_col).join(sdedup, on=id_col, how="inner")
 
     # 1c. optional LM-filter gate (CCNet shape): per-doc unigram
     # perplexity against the reference corpus (or self-scored when no
