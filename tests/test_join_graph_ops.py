@@ -680,12 +680,15 @@ def test_k_core_planted_and_python_model(spark):
 
     # random graphs vs the model (seeded — deterministic suite)
     rng = random.Random(73)
-    for trial in range(3):
+    # two trials x two k values: each cell is a full iterative run (a
+    # multi-job loop), and four cells already cover the peel/converge/
+    # empty-core behaviors the planted graph above doesn't
+    for trial in range(2):
         n = 40
         pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(120)]
         nd = spark.createDataFrame([(i,) for i in range(n)], "id long")
         ed = spark.createDataFrame(pairs, "id_a long, id_b long")
-        for k in (1, 2, 3):
+        for k in (1, 3):
             got = {r["id"]: r["core_degree"]
                    for r in k_core(nd, ed, k).collect()}
             want = {i: d for i, d in
