@@ -744,3 +744,73 @@ def test_quantile_store_sidecar_lifecycle_guards(spark, tmp_path):
     )
     with _pt.raises(ValueError, match="no sample partitions yet"):
         read_quantile_state(spark, state3, [0.5])
+
+
+# ----------------------------------------------- CDC table maintenance
+def test_table_maintain_streamed_equals_batch_and_replays_safely(
+    spark, tmp_path
+):
+    """The CDC-apply face: the maintained table equals the batch
+    last-wins state of the whole change log; a replayed batch is a
+    fixed point; a checkpoint reset (re-draining history) cannot
+    regress rows even though earlier changes re-apply; within-batch
+    duplicate versions of one id fold before the upsert."""
+    from web_api_postgres_etl_spark.streaming.table_stream import (
+        apply_changes,
+        table_maintain_run,
+    )
+
+    schema = "id long, v string, seq long"
+    src = str(tmp_path / "changes")
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: bootstrap (incl. a within-batch duplicate of id 1)
+    spark.createDataFrame(
+        [(1, "a0", 1), (1, "a1", 2), (2, "b0", 1), (3, "c0", 1)], schema
+    ).write.mode("append").parquet(src)
+    table_maintain_run(spark, src, table, ckpt, schema, "id", "seq")
+    got = {r["id"]: (r["v"], r["seq"])
+           for r in spark.read.parquet(table).collect()}
+    assert got == {1: ("a1", 2), 2: ("b0", 1), 3: ("c0", 1)}
+
+    # batch 2: update 2, insert 4
+    spark.createDataFrame(
+        [(2, "b1", 5), (4, "d0", 1)], schema
+    ).write.mode("append").parquet(src)
+    table_maintain_run(spark, src, table, ckpt, schema, "id", "seq")
+    got2 = {r["id"]: (r["v"], r["seq"])
+            for r in spark.read.parquet(table).collect()}
+    assert got2 == {
+        1: ("a1", 2), 2: ("b1", 5), 3: ("c0", 1), 4: ("d0", 1)
+    }
+    # no duplicate ids ever
+    assert spark.read.parquet(table).groupBy("id").count().filter(
+        "count > 1"
+    ).count() == 0
+
+    # re-run with the SAME checkpoint: nothing pending → no change
+    table_maintain_run(spark, src, table, ckpt, schema, "id", "seq")
+    assert {r["id"]: (r["v"], r["seq"])
+            for r in spark.read.parquet(table).collect()} == got2
+
+    # checkpoint reset: history re-drains; the conditional apply must
+    # not regress id 2 back to b0 even when its older change re-applies
+    table_maintain_run(
+        spark, src, table, str(tmp_path / "ckpt2"), schema, "id", "seq"
+    )
+    assert {r["id"]: (r["v"], r["seq"])
+            for r in spark.read.parquet(table).collect()} == got2
+
+    # direct apply_changes: an out-of-order OLD change is dropped
+    stale = spark.createDataFrame([(2, "b_old", 3)], schema)
+    stats = apply_changes(spark, table, stale, "id", "seq")
+    assert stats["rows_replaced"] == 0 and stats["rows_inserted"] == 0
+    assert {r["id"]: (r["v"], r["seq"])
+            for r in spark.read.parquet(table).collect()} == got2
+    # equal-seq rewrite is a value-level no-op but DOES apply
+    same = spark.createDataFrame([(2, "b1", 5)], schema)
+    stats2 = apply_changes(spark, table, same, "id", "seq")
+    assert stats2["rows_replaced"] >= 1
+    assert {r["id"]: (r["v"], r["seq"])
+            for r in spark.read.parquet(table).collect()} == got2
