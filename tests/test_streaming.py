@@ -814,3 +814,38 @@ def test_table_maintain_streamed_equals_batch_and_replays_safely(
     assert stats2["rows_replaced"] >= 1
     assert {r["id"]: (r["v"], r["seq"])
             for r in spark.read.parquet(table).collect()} == got2
+
+
+def test_apply_changes_guards_and_tie_determinism(spark, tmp_path):
+    """NULL ids raise on the bootstrap path too (arrival order must
+    not decide enforcement); equal-seq duplicates of one id fold to
+    the max-digest row deterministically under any partitioning."""
+    import hashlib
+
+    import pytest as _pt
+
+    from web_api_postgres_etl_spark.streaming.table_stream import (
+        apply_changes,
+    )
+
+    schema = "id long, v string, seq long"
+    table = str(tmp_path / "t")
+    bad = spark.createDataFrame([(None, "x", 1)], schema)
+    with _pt.raises(Exception, match="NULL id"):
+        apply_changes(spark, table, bad, "id", "seq")
+
+    # equal-seq tie: survivor = max whole-row digest (the operator's
+    # exact encoding: \x01-joined, NULL -> \x00), not physical order
+    rows = [(1, "x", 5), (1, "y", 5)]
+
+    def digest(r):
+        parts = [str(r[0]), r[1], str(r[2])]
+        return hashlib.md5("\x01".join(parts).encode()).hexdigest()
+
+    want_v = max(rows, key=digest)[1]
+    for nparts in (1, 7):
+        t2 = str(tmp_path / f"t{nparts}")
+        df = spark.createDataFrame(rows, schema).repartition(nparts)
+        apply_changes(spark, t2, df, "id", "seq")
+        got = spark.read.parquet(t2).collect()
+        assert len(got) == 1 and got[0]["v"] == want_v, nparts

@@ -14,9 +14,10 @@ How this differs from the engine's other two maintenance shapes:
 
 Each micro-batch is first folded LAST-WINS per id inside the batch
 (a CDC feed can carry several versions of one row; ``upsert_rows``
-rightly refuses ambiguous duplicate ids), ordered by ``seq_col``
-(tie → the id itself, the engine's pinned-tie discipline), then
-applied.
+rightly refuses ambiguous duplicate ids), ordered by ``seq_col`` with
+ties broken by a whole-row digest (the partition key itself would be
+a no-op tiebreak, leaving equal-seq duplicates to physical order),
+then applied.
 
 Idempotency: the apply is CONDITIONAL on ``seq_col`` — a change older
 than the stored row's seq is dropped, never applied — so the table's
@@ -42,7 +43,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import dedup_last_wins
-from ..operators.layout import upsert_rows
+from ..operators.layout import _file_local, upsert_rows
+
+
+def n_changes_stat(folded: DataFrame) -> int:
+    """POST-FOLD row count for the stats dict (one distinct id per
+    row) — the pre-fold count would cost a dedicated extra job per
+    micro-batch just to fill a field the streaming caller discards."""
+    return folded.count()
 
 
 def apply_changes(
@@ -53,64 +61,118 @@ def apply_changes(
     seq_col: str,
 ) -> dict:
     """One batch of CDC rows → the table: fold last-wins per id (by
-    ``seq_col`` DESC, tie → id — a batch may carry several versions of
-    one row; ``seq_col`` is a real table column and survives), gate on
-    the stored per-id seq, then surgical-upsert. Returns
-    ``upsert_rows``'s stats dict, plus ``n_change_rows`` (pre-fold).
-    Bootstraps the table when ``table_path`` does not exist yet (the
-    first batch IS the table)."""
+    ``seq_col`` DESC, tie → whole-row digest — a batch may carry
+    several versions of one row; ``seq_col`` is a real table column
+    and survives), gate on the stored per-id seq, then
+    surgical-upsert. Returns ``upsert_rows``'s stats dict plus
+    ``n_change_rows`` (POST-fold — one row per id) and
+    ``bootstrapped``. Bootstraps the table when ``table_path`` holds
+    no parquet files yet (the first batch IS the table)."""
     import os
-    from urllib.parse import unquote, urlparse
 
-    n_changes = changes.count()
-    folded = dedup_last_wins(
-        changes, [id_col], version_col=seq_col, tiebreaker=id_col
+    from ..operators.layout import _move_parquet_in
+
+    # NULL ids raise on BOTH paths (upsert_rows re-checks its own path
+    # harmlessly): a NULL id enshrined by the bootstrap could never be
+    # matched by the conditional join again — permanent junk enforced
+    # inconsistently by arrival order
+    checked_id = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(F.lit("apply_changes: NULL id in change batch")),
+    ).otherwise(F.col(id_col))
+    changes = changes.withColumn(id_col, checked_id)
+    # within-batch fold ties on a digest of the WHOLE row, not the
+    # partition key (which is constant inside its own partition — a
+    # no-op tiebreak would leave equal-seq duplicates to physical
+    # order, and an UNPERSISTED nondeterministic fold could even hand
+    # upsert_rows a different row per action)
+    tb = "__cdc_tb"
+    if tb in changes.columns:
+        raise ValueError(
+            f"apply_changes: input column {tb!r} collides with the "
+            "fold's internal tiebreaker — rename it first"
+        )
+    # NULLs encode explicitly: concat_ws SKIPS them, so ('a', NULL)
+    # and (NULL, 'a') would otherwise share a digest and re-tie
+    row_digest = F.md5(F.concat_ws(
+        "\u0001",
+        *[
+            F.coalesce(F.col(f"`{c}`").cast("string"), F.lit("\u0000"))
+            for c in changes.columns
+        ],
+    ))
+    folded = (
+        dedup_last_wins(
+            changes.withColumn(tb, row_digest),
+            [id_col], version_col=seq_col, tiebreaker=tb,
+        )
+        .drop(tb)
     )
-    parsed = urlparse(table_path)
-    local = (
-        unquote(parsed.path) if parsed.scheme in ("file", "") else table_path
-    )
-    if not os.path.exists(local):
-        folded.write.parquet(table_path)
+    local = _file_local(table_path)
+    has_files = any(
+        name.endswith(".parquet")
+        for _dir, _dn, files in os.walk(local)
+        for name in files
+    ) if os.path.isdir(local) else False
+    if not has_files:
+        # bootstrap — via tmp + move-in, so a crash mid-write cannot
+        # leave a readable-looking directory with no parquet files
+        # that wedges every replay at the conditional path
+        os.makedirs(local, exist_ok=True)
+        added = _move_parquet_in(
+            folded, table_path.rstrip("/") + ".bootstrap_tmp", local, []
+        )
         return {
             "rows_replaced": 0,
-            "rows_inserted": folded.count(),
+            "rows_inserted": spark.read.parquet(table_path).count(),
             "files_rewritten": 0,
             "removed_files": [],
-            "added_files": [],
-            "n_change_rows": n_changes,
+            "added_files": added,
+            "n_change_rows": n_changes_stat(folded),
             "bootstrapped": True,
         }
-    # CONDITIONAL apply — the CDC rule that makes the end state a pure
-    # function of the change log's per-id maxima: a change older than
-    # the stored row is dropped, never applied. Without this, batches
-    # re-drained in a different order after a checkpoint reset could
-    # REGRESS a row to an older version and leave it there. One extra
-    # column-pruned (id, seq) scan of the table; ties apply (an
-    # equal-seq rewrite is a value-level no-op).
-    # per-id MAX of the stored seq (one groupBy): a crashed prior
-    # upsert can leave an id physically duplicated — a plain (id, seq)
-    # projection would then fan the join out and hand upsert_rows
-    # duplicate update ids
-    stored = (
-        spark.read.parquet(table_path)
-        .groupBy(F.col(id_col).alias("__cdc_id"))
-        .agg(F.max(F.col(seq_col)).alias("__cdc_seq"))
-    )
-    folded = (
-        folded.join(
-            stored, folded[id_col] == stored["__cdc_id"], "left"
+    # persist: upsert_rows evaluates its updates frame across ~5
+    # separate actions (dup-check, matched scan, count, two writes) —
+    # without the pin the window fold + stored-seq join recompute each
+    # time (the documented per-branch recompute trap)
+    folded = folded.persist()
+    try:
+        n_batch = folded.count()
+        # CONDITIONAL apply — the CDC rule that makes the end state a
+        # pure function of the change log's per-id maxima: a change
+        # older than the stored row is dropped, never applied (else
+        # a checkpoint reset re-draining history in a different order
+        # could REGRESS a row). The stored-seq probe is semi-joined to
+        # the batch's ids FIRST so its shuffle is bounded by data
+        # TOUCHED, not table size; per-id MAX because a crashed prior
+        # upsert can leave an id physically duplicated. Ties apply
+        # (an equal-seq rewrite is a value-level no-op).
+        stored = (
+            spark.read.parquet(table_path)
+            .join(folded.select(id_col), on=id_col, how="left_semi")
+            .groupBy(F.col(id_col).alias("__cdc_id"))
+            .agg(F.max(F.col(seq_col)).alias("__cdc_seq"))
         )
-        .filter(
-            F.col("__cdc_seq").isNull()
-            | (F.col(seq_col) >= F.col("__cdc_seq"))
+        gated = (
+            folded.join(
+                stored, folded[id_col] == stored["__cdc_id"], "left"
+            )
+            .filter(
+                F.col("__cdc_seq").isNull()
+                | (F.col(seq_col) >= F.col("__cdc_seq"))
+            )
+            .drop("__cdc_id", "__cdc_seq")
+            .persist()
         )
-        .drop("__cdc_id", "__cdc_seq")
-    )
-    stats = upsert_rows(spark, table_path, folded, id_col)
-    stats["n_change_rows"] = n_changes
-    stats["bootstrapped"] = False
-    return stats
+        try:
+            stats = upsert_rows(spark, table_path, gated, id_col)
+        finally:
+            gated.unpersist()
+        stats["n_change_rows"] = n_batch
+        stats["bootstrapped"] = False
+        return stats
+    finally:
+        folded.unpersist()
 
 
 def table_maintain_run(
