@@ -1164,3 +1164,21 @@ def test_mean_embedding_exact_and_guards(spark, oracle):
         mean_embedding(ragged, ["g"]).collect()
     with _pt.raises(ValueError, match="non-empty"):
         mean_embedding(ragged, [])
+
+    # a NULL ELEMENT inside a vector raises (the sum would skip it
+    # while the divisor counted the row — silently deflated mean)
+    nullelem = spark.createDataFrame(
+        [("a", [1.0, None]), ("a", [3.0, 5.0])],
+        "g string, embedding array<double>",
+    )
+    with _pt.raises(Exception, match="NULL element inside a vector"):
+        mean_embedding(nullelem, ["g"]).collect()
+
+    # all-empty-array group disappears like the all-NULL group (and
+    # empty + non-empty in one group is caught by the ragged guard)
+    empties = spark.createDataFrame(
+        [("e", []), ("e", []), ("b", [2.0])],
+        "g string, embedding array<double>",
+    )
+    rows2 = {r["g"]: r for r in mean_embedding(empties, ["g"]).collect()}
+    assert "e" not in rows2 and list(rows2["b"]["mean_embedding"]) == [2.0]

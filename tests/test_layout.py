@@ -661,3 +661,38 @@ def test_upsert_rows_guards(spark, tmp_path):
             spark.createDataFrame([(None, 1)], "doc_id long, v long"),
             "doc_id",
         )
+
+    # an EMPTY batch is a true no-op: zero stats, and no empty junk
+    # part file lands in the table (the CDC all-stale replay case)
+    import os
+
+    files_before = sorted(
+        f for _d, _dn, fs in os.walk(path) for f in fs
+        if f.endswith(".parquet")
+    )
+    stats = upsert_rows(
+        spark, path,
+        spark.createDataFrame([], "doc_id long, v long"), "doc_id",
+    )
+    assert stats == {
+        "rows_replaced": 0,
+        "rows_inserted": 0,
+        "files_rewritten": 0,
+        "removed_files": [],
+        "added_files": [],
+    }
+    files_after = sorted(
+        f for _d, _dn, fs in os.walk(path) for f in fs
+        if f.endswith(".parquet")
+    )
+    assert files_before == files_after
+
+    # remote-URI scope guard: purge/upsert move part files with
+    # os/shutil — a non-local scheme must raise, not silently strand
+    # rows in the .tmp dir
+    with _pt.raises(ValueError, match="local-filesystem scoped"):
+        upsert_rows(
+            spark, "hdfs://nn/tbl",
+            spark.createDataFrame([(1, 1)], "doc_id long, v long"),
+            "doc_id",
+        )

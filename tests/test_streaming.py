@@ -835,17 +835,68 @@ def test_apply_changes_guards_and_tie_determinism(spark, tmp_path):
         apply_changes(spark, table, bad, "id", "seq")
 
     # equal-seq tie: survivor = max whole-row digest (the operator's
-    # exact encoding: \x01-joined, NULL -> \x00), not physical order
+    # exact encoding: SORTED column names (id, seq, v), \x01-joined,
+    # NULL -> \x00), not physical order
     rows = [(1, "x", 5), (1, "y", 5)]
 
     def digest(r):
-        parts = [str(r[0]), r[1], str(r[2])]
+        parts = [str(r[0]), str(r[2]), r[1]]  # sorted cols: id, seq, v
         return hashlib.md5("\x01".join(parts).encode()).hexdigest()
 
     want_v = max(rows, key=digest)[1]
+    lose_v = min(rows, key=digest)[1]
+    assert want_v != lose_v
     for nparts in (1, 7):
         t2 = str(tmp_path / f"t{nparts}")
         df = spark.createDataFrame(rows, schema).repartition(nparts)
         apply_changes(spark, t2, df, "id", "seq")
         got = spark.read.parquet(t2).collect()
         assert len(got) == 1 and got[0]["v"] == want_v, nparts
+
+    # CROSS-BATCH tie: the same two equal-(id, seq) rows split across
+    # two applies must land on the SAME winner in EITHER arrival order
+    # (the digest participates at apply time, recomputed from the
+    # stored row — not just inside the within-batch fold)
+    by_v = {r[1]: r for r in rows}
+    for order in (("x", "y"), ("y", "x")):
+        t3 = str(tmp_path / f"t_split_{order[0]}{order[1]}")
+        for v in order:
+            apply_changes(
+                spark, t3,
+                spark.createDataFrame([by_v[v]], schema), "id", "seq",
+            )
+        got = spark.read.parquet(t3).collect()
+        assert len(got) == 1 and got[0]["v"] == want_v, order
+
+    # an all-stale batch (every row gated out) is a true no-op: no
+    # empty junk part file lands in the table (the upsert early-return)
+    t4 = str(tmp_path / "t_stale")
+    apply_changes(
+        spark, t4,
+        spark.createDataFrame([(1, "new", 9)], schema), "id", "seq",
+    )
+    import os
+
+    files_before = sorted(
+        f for _d, _dn, fs in os.walk(t4) for f in fs
+        if f.endswith(".parquet")
+    )
+    stats = apply_changes(
+        spark, t4,
+        spark.createDataFrame([(1, "old", 1)], schema), "id", "seq",
+    )
+    assert stats["added_files"] == [] and stats["rows_inserted"] == 0
+    files_after = sorted(
+        f for _d, _dn, fs in os.walk(t4) for f in fs
+        if f.endswith(".parquet")
+    )
+    assert files_before == files_after
+
+    # remote-URI scope guard: the rewrite ops are local-filesystem
+    # scoped — a non-file scheme must raise loudly, not silently move
+    # zero files (stranding rows in the .tmp dir)
+    with _pt.raises(ValueError, match="local-filesystem scoped"):
+        apply_changes(
+            spark, "s3a://bucket/tbl",
+            spark.createDataFrame([(1, "a", 1)], schema), "id", "seq",
+        )

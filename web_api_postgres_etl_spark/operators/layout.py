@@ -259,12 +259,27 @@ def zone_map_update(
 
 def _file_local(uri: str) -> str:
     """file:// URI (or bare path) → local filesystem path — the ONE
-    definition the rewrite ops (purge/upsert) share; zone-map
-    identities stay URIs, only filesystem operations unwrap them."""
+    definition the rewrite ops (purge/upsert/CDC apply) share;
+    zone-map identities stay URIs, only filesystem operations unwrap
+    them. Non-local schemes RAISE: the rewrite ops move part files
+    with os/shutil, and an s3a://-style path passed through unchanged
+    would make os.walk yield nothing — pure-insert upserts would then
+    report success while the rows stay stranded in the .tmp dir
+    (silent data non-landing). These ops are local-filesystem scoped
+    by design; a distributed deployment fronts them with a table
+    format's commit protocol instead."""
     from urllib.parse import unquote, urlparse
 
     parsed = urlparse(uri)
-    return unquote(parsed.path) if parsed.scheme in ("file", "") else uri
+    if parsed.scheme not in ("file", ""):
+        raise ValueError(
+            f"layout rewrite ops are local-filesystem scoped: got "
+            f"{uri!r} (scheme {parsed.scheme!r}) — purge/upsert/"
+            "apply_changes move part files with os/shutil and cannot "
+            "operate on remote URIs; use a table format (Delta/"
+            "Iceberg) for remote surgical rewrites"
+        )
+    return unquote(parsed.path) if parsed.scheme == "file" else uri
 
 
 def _move_parquet_in(frame, tmp: str, base_local: str, pcols: list) -> list:
@@ -698,6 +713,19 @@ def upsert_rows(
             "compaction first)"
         )
     ids_only = updates.select(id_col)
+    n_updates = updates.count()
+    if n_updates == 0:
+        # an empty batch (common in CDC replays where the seq gate
+        # drops every row) must be a true no-op: without this,
+        # _move_parquet_in would land an EMPTY part file in the table
+        # every batch, accumulating junk files until compaction
+        return {
+            "rows_replaced": 0,
+            "rows_inserted": 0,
+            "files_rewritten": 0,
+            "removed_files": [],
+            "added_files": [],
+        }
 
     # 1. affected pre-existing files + replaced-row count + matched
     # DISTINCT ids, one pass over one pinned semi-join (the distinct-id
@@ -716,7 +744,6 @@ def upsert_rows(
     matched.unpersist()
     affected = [r["file"] for r in per_file]
     rows_replaced = sum(r["n"] for r in per_file)
-    n_updates = updates.count()
 
     rel_dirs = (
         os.path.relpath(_file_local(affected[0]), base_local).split(os.sep)[:-1]

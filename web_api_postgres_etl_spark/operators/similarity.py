@@ -1277,7 +1277,12 @@ def mean_embedding(
     seam; tests pin exact values on literal frames and band the
     DuckDB mirror). NULL vectors are
     excluded (``n_vecs`` counts the vectors actually pooled; an
-    all-NULL group disappears — no vector to report). RAGGED
+    all-NULL group disappears — no vector to report). EMPTY vectors
+    behave the same way: ``[]`` explodes to zero rows, so a group of
+    only empty arrays also disappears (and a group MIXING empty with
+    non-empty trips the ragged guard — size 0 vs size d). A NULL
+    element INSIDE a vector raises (the sum would skip it while the
+    divisor counted the row — a silently deflated mean). RAGGED
     dimensions inside one group raise (an element-wise mean across
     mismatched dims is meaningless and zip-style padding would
     silently truncate).
@@ -1327,6 +1332,18 @@ def mean_embedding(
                 F.lit(
                     "mean_embedding: ragged vector dimensions within one "
                     "group — element-wise mean is undefined"
+                )
+            ).cast("array<double>"),
+        ).when(
+            # a NULL element would SILENTLY deflate that dimension's
+            # mean: F.sum skips the NULL but the per-dim divisor counts
+            # the row — raise instead (fill or drop the vector first)
+            F.exists("__vec", lambda x: x.isNull()),
+            F.raise_error(
+                F.lit(
+                    "mean_embedding: NULL element inside a vector — "
+                    "the mean of that dimension would silently exclude "
+                    "it; fill or drop the vector first"
                 )
             ).cast("array<double>"),
         ).otherwise(F.col("__vec")).alias("__vec"),

@@ -19,17 +19,23 @@ ties broken by a whole-row digest (the partition key itself would be
 a no-op tiebreak, leaving equal-seq duplicates to physical order),
 then applied.
 
-Idempotency: the apply is CONDITIONAL on ``seq_col`` — a change older
-than the stored row's seq is dropped, never applied — so the table's
-end state is a pure function of the change log's per-id maxima:
-replaying a batch is a value-level fixed point, and even a checkpoint
-reset that re-drains history in a DIFFERENT batch order cannot regress
-a row (at-least-once foreachBatch needs no partition bookkeeping here,
-unlike ``agg_stream`` — sums are not idempotent; merges are). The one
-seam it inherits: ``upsert_rows``'s duplicate-on-crash window,
-repaired by the next successful run of the same batch (the stored-seq
-probe takes the per-id MAX, so the duplicate never corrupts the apply
-decision).
+Idempotency: the apply is CONDITIONAL on the (``seq_col``, row-digest)
+pair — a change ordered below the stored row's pair is dropped, never
+applied — so the table's end state is a pure function of the change
+log's per-id ``(seq, digest)`` maxima: replaying a batch is a
+value-level fixed point, and even a checkpoint reset that re-drains
+history in a DIFFERENT batch order cannot regress a row
+(at-least-once foreachBatch needs no partition bookkeeping here,
+unlike ``agg_stream`` — sums are not idempotent; merges are). The
+digest participates at APPLY time, not just inside the batch fold,
+precisely so that two DISTINCT rows carrying an equal ``(id, seq)``
+resolve identically whether they arrive in one batch or split across
+two — the digest is recomputed from the stored row's own columns (a
+canonical sorted-column recipe), so nothing extra is persisted. The
+one seam it inherits: ``upsert_rows``'s duplicate-on-crash window,
+repaired by the next successful run of the same batch (the stored
+probe takes the per-id MAX pair, so the duplicate never corrupts the
+apply decision).
 
 DELETE semantics are deliberately out of scope (a CDC delete is a
 tombstone row; route ids with a deleted flag to
@@ -42,8 +48,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import release_frame
 from ..operators.dedup import dedup_last_wins
 from ..operators.layout import _file_local, upsert_rows
+
+
+def _row_digest(cols: list[str]):
+    """Canonical whole-row digest: md5 over the SORTED column names —
+    sorted so the batch side and the stored-table side (whose physical
+    column orders legitimately differ) compute the identical digest
+    for identical row content. NULLs encode explicitly: concat_ws
+    SKIPS them, so ('a', NULL) and (NULL, 'a') would otherwise share
+    a digest and re-tie."""
+    return F.md5(F.concat_ws(
+        "\u0001",
+        *[
+            F.coalesce(F.col(f"`{c}`").cast("string"), F.lit("\u0000"))
+            for c in sorted(cols)
+        ],
+    ))
 
 
 def n_changes_stat(folded: DataFrame) -> int:
@@ -63,8 +86,8 @@ def apply_changes(
     """One batch of CDC rows → the table: fold last-wins per id (by
     ``seq_col`` DESC, tie → whole-row digest — a batch may carry
     several versions of one row; ``seq_col`` is a real table column
-    and survives), gate on the stored per-id seq, then
-    surgical-upsert. Returns ``upsert_rows``'s stats dict plus
+    and survives), gate on the stored per-id (seq, digest) maximum,
+    then surgical-upsert. Returns ``upsert_rows``'s stats dict plus
     ``n_change_rows`` (POST-fold — one row per id) and
     ``bootstrapped``. Bootstraps the table when ``table_path`` holds
     no parquet files yet (the first batch IS the table)."""
@@ -92,21 +115,14 @@ def apply_changes(
             f"apply_changes: input column {tb!r} collides with the "
             "fold's internal tiebreaker — rename it first"
         )
-    # NULLs encode explicitly: concat_ws SKIPS them, so ('a', NULL)
-    # and (NULL, 'a') would otherwise share a digest and re-tie
-    row_digest = F.md5(F.concat_ws(
-        "\u0001",
-        *[
-            F.coalesce(F.col(f"`{c}`").cast("string"), F.lit("\u0000"))
-            for c in changes.columns
-        ],
-    ))
-    folded = (
-        dedup_last_wins(
-            changes.withColumn(tb, row_digest),
-            [id_col], version_col=seq_col, tiebreaker=tb,
-        )
-        .drop(tb)
+    # the canonical sorted-column recipe (see _row_digest) — the SAME
+    # expression is recomputed over the stored table's columns at gate
+    # time, which is what makes equal-(id, seq) DISTINCT rows resolve
+    # identically whether they arrive in one batch or split across two
+    digest_cols = list(changes.columns)
+    folded = dedup_last_wins(
+        changes.withColumn(tb, _row_digest(digest_cols)),
+        [id_col], version_col=seq_col, tiebreaker=tb,
     )
     local = _file_local(table_path)
     has_files = any(
@@ -120,7 +136,8 @@ def apply_changes(
         # that wedges every replay at the conditional path
         os.makedirs(local, exist_ok=True)
         added = _move_parquet_in(
-            folded, table_path.rstrip("/") + ".bootstrap_tmp", local, []
+            folded.drop(tb), table_path.rstrip("/") + ".bootstrap_tmp",
+            local, [],
         )
         return {
             "rows_replaced": 0,
@@ -128,7 +145,7 @@ def apply_changes(
             "files_rewritten": 0,
             "removed_files": [],
             "added_files": added,
-            "n_change_rows": n_changes_stat(folded),
+            "n_change_rows": n_changes_stat(folded.drop(tb)),
             "bootstrapped": True,
         }
     # persist: upsert_rows evaluates its updates frame across ~5
@@ -139,35 +156,51 @@ def apply_changes(
     try:
         n_batch = folded.count()
         # CONDITIONAL apply — the CDC rule that makes the end state a
-        # pure function of the change log's per-id maxima: a change
-        # older than the stored row is dropped, never applied (else
-        # a checkpoint reset re-draining history in a different order
-        # could REGRESS a row). The stored-seq probe is semi-joined to
-        # the batch's ids FIRST so its shuffle is bounded by data
-        # TOUCHED, not table size; per-id MAX because a crashed prior
-        # upsert can leave an id physically duplicated. Ties apply
-        # (an equal-seq rewrite is a value-level no-op).
+        # pure function of the change log's per-id (seq, digest)
+        # maxima: a change ordered below the stored row's pair is
+        # dropped, never applied (else a checkpoint reset re-draining
+        # history in a different order could REGRESS a row). The
+        # stored probe is semi-joined to the batch's ids FIRST so its
+        # shuffle is bounded by data TOUCHED, not table size; per-id
+        # MAX because a crashed prior upsert can leave an id
+        # physically duplicated. The digest rides the probe so an
+        # equal-seq DISTINCT row resolves identically across any
+        # batching (module docstring); exact ties (same seq AND same
+        # digest = same content) apply — a value-level no-op rewrite.
         stored = (
             spark.read.parquet(table_path)
             .join(folded.select(id_col), on=id_col, how="left_semi")
             .groupBy(F.col(id_col).alias("__cdc_id"))
-            .agg(F.max(F.col(seq_col)).alias("__cdc_seq"))
+            .agg(F.max(F.struct(
+                F.col(seq_col).alias("s"),
+                _row_digest(digest_cols).alias("d"),
+            )).alias("__cdc_sd"))
         )
+        # localCheckpoint, NOT persist: gated's lineage reads the very
+        # parquet files upsert_rows is about to remove — a recomputed
+        # partition (executor loss, cache eviction) would re-read the
+        # table mid-mutation and gate against post-apply state or die
+        # on FileNotFound; severing the lineage makes the handoff safe
         gated = (
             folded.join(
                 stored, folded[id_col] == stored["__cdc_id"], "left"
             )
             .filter(
-                F.col("__cdc_seq").isNull()
-                | (F.col(seq_col) >= F.col("__cdc_seq"))
+                F.col("__cdc_sd").isNull()
+                | (
+                    F.struct(
+                        F.col(seq_col).alias("s"), F.col(tb).alias("d")
+                    )
+                    >= F.col("__cdc_sd")
+                )
             )
-            .drop("__cdc_id", "__cdc_seq")
-            .persist()
+            .drop("__cdc_id", "__cdc_sd", tb)
+            .localCheckpoint(eager=True)
         )
         try:
             stats = upsert_rows(spark, table_path, gated, id_col)
         finally:
-            gated.unpersist()
+            release_frame(gated)
         stats["n_change_rows"] = n_batch
         stats["bootstrapped"] = False
         return stats
@@ -191,7 +224,7 @@ def table_maintain_run(
     consumed. Replayed batches are value-level fixed points (see the
     module docstring), so a checkpoint reset re-applies history
     harmlessly — the END STATE is a pure function of the change log's
-    per-id maxima."""
+    per-id (seq, digest) maxima."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         apply_changes(spark, table_path, batch_df, id_col, seq_col)
