@@ -2422,6 +2422,111 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_cdc_table_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC table maintenance (streaming/table_stream.py:apply_changes —
+    the streaming face of operators/layout.py:upsert_rows): a 4-batch
+    synthetic change log derived from orders is applied as surgical
+    keyed upserts — bootstrap, two update/insert waves, then an
+    OUT-OF-ORDER REPLAY of wave 2 (exactly what a checkpoint reset
+    re-draining history does). The conditional (seq, digest) gate must
+    drop every stale change, so the maintained table's end state is the
+    last-wins fold of the WHOLE log — the oracle is one window over the
+    unioned change log, no state simulation needed. (id, seq) pairs are
+    unique by construction, so the digest tiebreak never decides a row
+    here (that path is pinned in tests/test_streaming.py). Only the
+    parquet files containing a replaced id are rewritten — cost scales
+    with data TOUCHED, not table size (the 100 TB CDC property);
+    rewrites are exercised for real against a temp table dir, then the
+    final state is returned as a local frame so the dir can be
+    removed."""
+    import shutil
+    import tempfile
+
+    from web_api_postgres_etl_spark.streaming.table_stream import (
+        apply_changes,
+    )
+
+    orders = _t(spark, sf, "orders")
+    root = tempfile.mkdtemp(prefix="wapeql_cdc_")
+    table = f"{root}/tbl"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        base = orders.select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_custkey").alias("cust"),
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.col("o_orderstatus").alias("status"),
+            F.lit(1).cast("long").alias("seq"),
+        )
+        # wave 2: updates for every 7th id + inserts above the id range
+        b2 = base.filter(F.col("id") % 7 == 0).select(
+            "id",
+            "cust",
+            (F.col("price") * 2).alias("price"),
+            F.lit("U").alias("status"),
+            F.lit(2).cast("long").alias("seq"),
+        ).unionByName(
+            base.filter(F.col("id") % 5 == 0).select(
+                (F.col("id") + F.lit(1_000_000_000)).alias("id"),
+                "cust",
+                "price",
+                F.lit("N").alias("status"),
+                F.lit(1).cast("long").alias("seq"),
+            )
+        )
+        # wave 3: a second update generation for every 21st id
+        b3 = base.filter(F.col("id") % 21 == 0).select(
+            "id",
+            "cust",
+            (F.col("price") * 3).alias("price"),
+            F.lit("V").alias("status"),
+            F.lit(3).cast("long").alias("seq"),
+        )
+        apply_changes(spark, table, base, "id", "seq")  # bootstrap
+        apply_changes(spark, table, b2, "id", "seq")
+        apply_changes(spark, table, b3, "id", "seq")
+        # replay wave 2 AFTER wave 3: its seq-2 rows are now stale for
+        # every %21 id — the gate must not regress them to 'U'
+        apply_changes(spark, table, b2, "id", "seq")
+        out = spark.read.parquet(table).select(
+            "id", "cust", "price", "status", "seq"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# The oracle needs NO batch/state simulation: the CDC apply rule makes
+# the table a pure function of the change log's per-id maxima — one
+# last-wins window over the UNIONED log (the same shape the retired O2
+# row pinned, now composed through the surgical-upsert machinery).
+SQL_CDC_APPLY = """
+WITH log AS (
+  SELECT o_orderkey AS id, o_custkey AS cust,
+         CAST(o_totalprice AS DOUBLE) AS price,
+         o_orderstatus AS status, CAST(1 AS BIGINT) AS seq
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) * 2,
+         'U', CAST(2 AS BIGINT)
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_custkey,
+         CAST(o_totalprice AS DOUBLE), 'N', CAST(1 AS BIGINT)
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) * 3,
+         'V', CAST(3 AS BIGINT)
+  FROM orders WHERE o_orderkey % 21 = 0
+)
+SELECT id, cust, price, status, seq FROM log
+QUALIFY row_number() OVER (PARTITION BY id ORDER BY seq DESC) = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # S8 dim_date and the end-to-end medallion pipeline — the reference's core
 # behaviors, each verified against a full SQL oracle.
@@ -3292,6 +3397,83 @@ GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20
 """
 
 
+def q_tfidf_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT sparse tf-idf cosine pairs over the documents corpus
+    (operators/retrieval.py:tfidf_cosine_pairs): inverted-index
+    self-join — pairs share >=1 surviving term, never a cross product;
+    max_df=50 caps the d²-per-term fan-out (the scale lever). All
+    sums (dot products, squared norms) run in DECIMAL(38,12), so the
+    contract ships the engine-exact FACTS behind the score as scaled
+    integers (dot_e12/na_e12/nb_e12 — the r7 decimal rule: a
+    decimal→double CAST differs between engines in the last ulp, a
+    decimal-derived BIGINT never does). The float cosine itself stays
+    engine-internal: at these settings every surviving pair is an
+    exact-duplicate document (cosine 1.0 via the DECIMAL
+    Cauchy–Schwarz equality case), and the 0.3 threshold sits in a
+    maximally wide gap — no candidate pair scores below it — so the
+    row SET cannot flip on a float ulp. cache_weights=False keeps the
+    entry lazy + leak-free (the contract pins/release discipline)."""
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = _t(spark, sf, "documents")
+    out = tfidf_cosine_pairs(
+        docs, "doc_id", "text", min_df=2, max_df=50, threshold=0.3,
+        cache_weights=False, return_decimals=True,
+    )
+    sc = F.lit(1_000_000_000_000)
+    return out.select(
+        "id_a",
+        "id_b",
+        (F.col("dot") * sc).cast("long").alias("dot_e12"),
+        (F.col("norm_a") * sc).cast("long").alias("na_e12"),
+        (F.col("norm_b") * sc).cast("long").alias("nb_e12"),
+    )
+
+
+# Same tokenizer/idf/rounding/DECIMAL routing as the engine; scaled-int
+# outputs (the r7 rule — never cast DECIMAL to DOUBLE across the oracle
+# boundary; BIGINT survives both engines bit-exactly).
+SQL_TFIDF_PAIRS = f"""
+WITH t AS (
+  SELECT doc_id, {TOK.format(col="text")} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfs AS (
+  SELECT term, count(*) AS df FROM tc GROUP BY 1
+  HAVING count(*) >= 2 AND count(*) <= 50),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t),
+w AS (
+  SELECT doc_id, tc.term,
+         CAST(round(tf * (ln((1 + n) / (1 + df)) + 1), 6)
+              AS DECIMAL(18,6)) AS w
+  FROM tc JOIN dfs USING (term) CROSS JOIN nd),
+norms AS (
+  SELECT doc_id, sum(CAST(w * w AS DECIMAL(38,12))) AS n2
+  FROM w GROUP BY 1),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         sum(CAST(a.w * b.w AS DECIMAL(38,12))) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+scored AS (
+  SELECT id_a, id_b, dot, na.n2 AS na, nb.n2 AS nb,
+         CASE WHEN dot = na.n2 AND na.n2 = nb.n2 THEN 1.0
+              ELSE CAST(dot AS DOUBLE) /
+            (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+         END AS cosine
+  FROM dots
+  JOIN norms na ON na.doc_id = id_a
+  JOIN norms nb ON nb.doc_id = id_b)
+SELECT id_a, id_b,
+       CAST(dot * 1000000000000 AS BIGINT) AS dot_e12,
+       CAST(na * 1000000000000 AS BIGINT) AS na_e12,
+       CAST(nb * 1000000000000 AS BIGINT) AS nb_e12
+FROM scored WHERE cosine >= 0.3
+"""
+
+
 def q_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-interval range join (operators/joins.py:interval_join):
     events within ±30 min of every 50th event's timestamp. A naive
@@ -4102,7 +4284,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dup_pairs": q_semantic_dup_pairs,
         "pipeline_e2e": q_pipeline_e2e,
         # aggregation / window / OLAP
-        "agg_pricing_summary": q_agg_pricing_summary,
+        # r10: agg_pricing_summary -> tfidf_cosine_pairs (the
+        # DECIMAL-routed groupBy shape stays driver-visible via
+        # agg_rollup / incr_agg_merge, and q_agg_pricing_summary
+        # stays in the frozen bench HEADLINE; retired parity in
+        # tests/test_oracle_parity.py). tfidf_cosine_pairs is the
+        # exact sparse-cosine complement to the banded estimators —
+        # inverted-index self-join, scaled-int DECIMAL facts.
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "q3_topk_join_agg": q_q3_topk_join_agg,
         "w1_window_analytics": q_w1_window_analytics,
         "agg_rollup": q_agg_rollup,
@@ -4203,7 +4392,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s8_dim_date": q_s8_dim_date,
         "s7_o1_catalog_topk": q_s7_o1_catalog_topk,
         "t1_streaming_compact": q_t1_streaming_compact,
-        "o2_dedup_last_wins": q_o2_dedup_last_wins,
+        # r10: o2_dedup_last_wins -> cdc_table_apply (the last-wins
+        # window stays driver-visible inside t1_streaming_compact's
+        # compact_batch and this entry's own within-batch fold;
+        # retired parity in tests/test_oracle_parity.py). The CDC row
+        # hashes a maintained table after a multi-batch replayed
+        # change log — the surgical-upsert + conditional-gate family.
+        "cdc_table_apply": q_cdc_table_apply,
         # projection / filter / function primitives.
         # p123_project and a1_max_watermark were swapped out of the
         # 50-entry driver window in round 5 (P1-P3 stay oracle-covered
@@ -4243,7 +4438,7 @@ def oracle_sql() -> dict[str, str]:
         "t5_watermark_late_drop": SQL_T5_WATERMARK,
         "semantic_dup_pairs": SQL_SEMANTIC_PAIRS,
         "pipeline_e2e": SQL_PIPELINE_E2E,
-        "agg_pricing_summary": SQL_AGG,
+        "tfidf_cosine_pairs": SQL_TFIDF_PAIRS,
         "q3_topk_join_agg": SQL_Q3,
         "w1_window_analytics": SQL_W1,
         "agg_rollup": SQL_ROLLUP,
@@ -4278,7 +4473,7 @@ def oracle_sql() -> dict[str, str]:
         "s8_dim_date": SQL_S8_DIM_DATE,
         "s7_o1_catalog_topk": SQL_S7_O1,
         "t1_streaming_compact": SQL_STREAMING,
-        "o2_dedup_last_wins": SQL_O2,
+        "cdc_table_apply": SQL_CDC_APPLY,
         "stg_transform": SQL_STG_TRANSFORM,
         "p6_watermark_delta": SQL_P6,
         "triangle_counts": SQL_TRIANGLE_COUNTS,

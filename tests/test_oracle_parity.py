@@ -142,6 +142,16 @@ RETIRED = [
     # r9: array-of-structs element extraction → triangle_counts (F3
     # coverage keeps this row + test_operators' ground truth)
     ("f3_struct_array", "SQL_F3_STRUCT"),
+    # r10: O2 last-wins window → cdc_table_apply (the same window
+    # stays driver-visible inside t1_streaming_compact's compact_batch
+    # and the CDC entry's own within-batch fold; this row keeps the
+    # direct events-table face)
+    ("o2_dedup_last_wins", "SQL_O2"),
+    # r10: TPC-H Q1 global agg → tfidf_cosine_pairs (the
+    # DECIMAL-routed groupBy-agg shape stays driver-visible via
+    # agg_rollup / incr_agg_merge; q_agg_pricing_summary also stays in
+    # the frozen bench HEADLINE)
+    ("agg_pricing_summary", "SQL_AGG"),
 ]
 
 

@@ -24,11 +24,19 @@ INTENTIONAL_BOUNDED = {"collocations": 1,
                        # crossJoin + k bit probes by design —
                        # that single loop is the zero-fact-
                        # shuffle mechanism, not a hazard
-                       "bloom_join_gate": 1}
+                       "bloom_join_gate": 1,
+                       # tfidf_table's 1-row corpus-N crossJoin
+                       # appears once per weight-table consumer
+                       # (norms + the self-join's two sides = 3)
+                       # because the contract entry runs
+                       # cache_weights=False to stay leak-free;
+                       # each loop broadcasts ONE row. A 4th
+                       # would be a real regression.
+                       "tfidf_cosine_pairs": 3}
 # run-to-produce streaming/pipeline entries — their plan is post-hoc
 SKIP = {
     "pipeline_e2e", "t1_streaming_compact", "t4_stateful_stream",
-    "t5_watermark_late_drop", "curation_pipeline",
+    "t5_watermark_late_drop", "curation_pipeline", "cdc_table_apply",
 }
 
 

@@ -33,7 +33,7 @@ SF = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.01")
 # their returned frame is still fine, just slower
 EXPENSIVE = {
     "pipeline_e2e", "t1_streaming_compact", "t4_stateful_stream",
-    "t5_watermark_late_drop", "curation_pipeline",
+    "t5_watermark_late_drop", "curation_pipeline", "cdc_table_apply",
 }
 
 COUNTERS = [
@@ -51,7 +51,12 @@ FLAGS = ["CartesianProduct", "BroadcastNestedLoopJoin"]
 # bloom gate's whole mechanism is ONE 1-row broadcast crossJoin + k
 # bit probes (zero fact shuffle) — constant, not a scale hazard; the
 # exact all-pairs baselines that once sat here retired in r5/r6
-INTENTIONAL_EXACT = {"collocations", "bloom_join_gate"}
+INTENTIONAL_EXACT = {"collocations", "bloom_join_gate",
+                     # 1-row corpus-N crossJoin × 3 consumers of the
+                     # uncached weight table (cache_weights=False in
+                     # the contract entry; count-pinned at 3 in
+                     # tests/test_plan_shapes.py)
+                     "tfidf_cosine_pairs"}
 
 
 def main(names: list[str]) -> int:

@@ -588,6 +588,8 @@ def tfidf_cosine_pairs(
     max_df: int | None = None,
     threshold: float = 0.3,
     pins: list | None = None,
+    cache_weights: bool = True,
+    return_decimals: bool = False,
 ) -> DataFrame:
     """EXACT sparse cosine similarity pairs over tf-idf vectors —
     the deterministic complement to the banded estimators
@@ -623,7 +625,17 @@ def tfidf_cosine_pairs(
     plus the norms (three consumers; the repo's measured subplan-reuse
     trap). Append it to ``pins`` to release the cache in long-lived
     sessions (the repo-wide pins/release contract); without ``pins``
-    the pin lives until the session ends.
+    the pin lives until the session ends. ``cache_weights=False``
+    skips the pin entirely — a LAZY, leak-free plan at per-branch
+    recompute cost (the contract-entry discipline: an external driver
+    re-invoking the query must not grow getPersistentRDDs).
+
+    ``return_decimals=True`` appends the exact DECIMAL(38,12)
+    internals — ``dot``, ``norm_a``, ``norm_b`` — to the output: the
+    engine-exact facts behind the score, shippable across engines as
+    scaled integers where the float ``cosine`` itself must not cross
+    an oracle boundary (decimal→double casts differ in the last ulp
+    between engines; sums/scaled ints never do).
     """
     t = tfidf_table(df, id_col, text_col, min_df=min_df)
     if max_df is not None:
@@ -632,9 +644,11 @@ def tfidf_cosine_pairs(
         qcol(id_col).alias("__id"),
         F.col("term"),
         F.col("tfidf").cast("decimal(18,6)").alias("__w"),
-    ).persist()
-    if pins is not None:
-        pins.append(w)
+    )
+    if cache_weights:
+        w = w.persist()
+        if pins is not None:
+            pins.append(w)
     norms = w.groupBy("__id").agg(
         F.sum((F.col("__w") * F.col("__w")).cast("decimal(38,12)")).alias("__n2")
     )
@@ -667,6 +681,15 @@ def tfidf_cosine_pairs(
             * F.sqrt(F.col("__nb").cast("double"))
         )
     )
+    extras = (
+        [
+            F.col("__dot").alias("dot"),
+            F.col("__na").alias("norm_a"),
+            F.col("__nb").alias("norm_b"),
+        ]
+        if return_decimals
+        else []
+    )
     return (
         dots.join(na, "__ida")
         .join(nb, "__idb")
@@ -674,6 +697,7 @@ def tfidf_cosine_pairs(
             F.col("__ida").alias("id_a"),
             F.col("__idb").alias("id_b"),
             cosine.alias("cosine"),
+            *extras,
         )
         .filter(F.col("cosine") >= threshold)
     )
