@@ -2771,6 +2771,82 @@ GOPHER_RULES = [
 ]
 
 
+# Synthetic page wrapper for the html_extract ride-along: exercises a
+# stripped container (style), an HTML comment, a link-dense nav line
+# (dropped by integer link-density), a kept heading line, two short
+# chrome lines (dropped by BOILER_PAT), a kept closing line with an
+# entity to decode — every rule class of functions/html.py fires.
+_HTML_WRAP_PRE = (
+    '<html><head><title>Doc</title><style>ignore this rule</style>'
+    '</head><body><nav><a href="/">Home</a> <a href="/x">Next</a>'
+    '</nav><h1>Heading words here</h1><p>'
+)
+_HTML_WRAP_POST = (
+    '</p><ul><li>subscribe to newsletter</li><li>privacy policy</li>'
+    '</ul><div>closing remarks &amp; details stay in the page body'
+    '</div><!-- hidden comment --></body></html>'
+)
+
+
+def _sql_html_text_md5(col: str) -> str:
+    """DuckDB expression: md5 of the html_to_text extraction of the
+    wrapped ``col`` — generated from functions/html.py's OWN pattern
+    constants (containers, block split, entities, boilerplate markers)
+    so the mirror can never drift from the operator. Same shape as the
+    pinned tests/test_html.py mirror; defaults boiler_max_words=12,
+    max_link_density_pct=50."""
+    from web_api_postgres_etl_spark.functions.html import (
+        BOILER_PAT,
+        _BLOCK_SPLIT,
+        _CONTAINERS,
+        _ENTITIES,
+    )
+
+    pre = _HTML_WRAP_PRE.replace("'", "''")
+    post = _HTML_WRAP_POST.replace("'", "''")
+    body = f"concat('{pre}', {col}, '{post}')"
+    for tag in _CONTAINERS:
+        body = (
+            f"regexp_replace({body}, "
+            f"'(?is)<{tag}\\b[^>]*>.*?</{tag}\\s*>', ' ', 'g')"
+        )
+    body = f"regexp_replace({body}, '(?s)<!--.*?-->', ' ', 'g')"
+
+    def decode(e: str) -> str:
+        for ent, ch in _ENTITIES:
+            e = f"replace({e}, '{ent}', '{ch.replace(chr(39), chr(39) * 2)}')"
+        return e
+
+    def norm(e: str) -> str:
+        return f"trim(regexp_replace({e}, '\\s+', ' ', 'g'))"
+
+    def striptags(e: str) -> str:
+        return f"regexp_replace({e}, '<[^>]*>', ' ', 'g')"
+
+    def nwords(e: str) -> str:
+        return (
+            f"CASE WHEN {e} = '' THEN 0 "
+            f"ELSE len(string_split_regex({e}, '\\s+')) END"
+        )
+
+    link = (
+        "coalesce(array_to_string(regexp_extract_all(x, "
+        "'(?is)<a\\b[^>]*>(.*?)</a\\s*>', 1), ' '), '')"
+    )
+    return (
+        "md5(array_to_string(list_transform(list_filter("
+        "list_transform(list_transform("
+        f"string_split_regex({body}, '{_BLOCK_SPLIT}'), "
+        f"x -> struct_pack(t := {norm(decode(striptags('x')))}, "
+        f"lt := {norm(decode(striptags(link)))})), "
+        f"q -> struct_pack(t := q.t, nw := {nwords('q.t')}, "
+        f"nl := {nwords('q.lt')})), "
+        "q -> q.nw > 0 AND q.nl * 100 < 50 * q.nw "
+        f"AND NOT (q.nw <= 12 AND regexp_matches(q.t, '{BOILER_PAT}'))), "
+        "q -> q.t), chr(10)))"
+    )
+
+
 def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """The end-to-end training-data curation shape: benchmark
     DECONTAMINATION (drop training docs sharing any word 4-gram with
@@ -2828,12 +2904,26 @@ def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         term = F.col(f"{k}_ok").cast("int")
         n_rep = term if n_rep is None else (n_rep + term)
     rep = rep_flags.select("doc_id", n_rep.alias("n_repetition_rules"))
+    # r10 ride-along: the full HTML→text strip chain (functions/html.py
+    # — container strip, block-line split, entity decode, link-density
+    # + chrome boilerplate drops) driver-hash-checked WITHOUT
+    # perturbing the keep set: each surviving doc's text is wrapped in
+    # a synthetic page exercising every rule class, extracted, and
+    # shipped as an md5 (both engines hash identical strings — the
+    # chain is backref/lookaround-free by design, mirrored in the
+    # oracle from html.py's own pattern constants).
+    from web_api_postgres_etl_spark.functions.html import html_to_text
+
+    wrapped = F.concat(
+        F.lit(_HTML_WRAP_PRE), F.col("text"), F.lit(_HTML_WRAP_POST)
+    )
     return final.select(
         "doc_id",
         "lang",
         F.col("quality"),
         F.length("text").alias("n_chars_kept"),
         n_rules.alias("n_gopher_rules"),
+        F.md5(html_to_text(wrapped)).alias("html_text_md5"),
     ).join(rep, on="doc_id", how="inner")
 
 
@@ -3002,7 +3092,8 @@ exact AS (
   SELECT * FROM kept
   QUALIFY row_number() OVER (PARTITION BY __md5 ORDER BY doc_id) = 1)
 SELECT doc_id, lang, quality, length(text) AS n_chars_kept,
-       gr.n_gopher_rules, rep.n_repetition_rules
+       gr.n_gopher_rules, rep.n_repetition_rules,
+       {_sql_html_text_md5("text")} AS html_text_md5
 FROM exact JOIN gr USING (doc_id) JOIN rep USING (doc_id)
 QUALIFY row_number() OVER (PARTITION BY __fp ORDER BY doc_id) = 1
 """
