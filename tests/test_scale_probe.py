@@ -55,6 +55,12 @@ OPS = {
     # and the k-core peel loop (fixed-round pendant-layer graph, so the
     # exponent isolates per-round cost from the round count)
     "ann_topk_quantized", "weighted_sample_exact_n", "k_core",
+    # round 10: the sentence-granularity corpus dedup (digest-count +
+    # reassembly shuffles with a broadcast ban set — the shape that
+    # goes superlinear if the ban set or regroup degrades) and the
+    # HTML strip chain (a pure regex map: wall time must track bytes,
+    # no shuffle at all)
+    "dedup_corpus_sentences", "html_to_text",
 }
 
 

@@ -632,6 +632,57 @@ def _probe_ops(spark, n: int, ops_filter, docs, vecs) -> dict:
         # + driver merge of n·partitions rows — no global sort
         ops["weighted_sample_exact_n"] = (time.time() - t0, got)
 
+    if want("dedup_corpus_sentences"):
+        reset_cache()
+        from web_api_postgres_etl_spark.operators.dedup import (
+            dedup_corpus_sentences,
+        )
+
+        # every doc carries the SAME trailing boilerplate sentence plus
+        # its own unique sentence — the ban set stays tiny (1) while
+        # the digest-count + reassembly shuffles grow with the corpus:
+        # exactly the shape that goes superlinear if the broadcast ban
+        # set or the per-doc regroup ever degrades
+        sent_docs = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(". Subscribe to our shared newsletter boilerplate "
+                      "sentence today."),
+            ).alias("text"),
+        )
+        t0 = time.time()
+        got = dedup_corpus_sentences(
+            sent_docs, "doc_id", "text", max_docs=1
+        ).count()
+        ops["dedup_corpus_sentences"] = (time.time() - t0, got)
+
+    if want("html_to_text"):
+        reset_cache()
+        from web_api_postgres_etl_spark.functions.html import html_to_text
+
+        # a narrow regex map with NO shuffle: wall time must track
+        # bytes scanned (~O(n)); each page exercises container strip,
+        # nav link-density, block split, entities, and chrome drops
+        pages = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit('<html><head><style>ignore</style></head><body>'
+                      '<nav><a href="/">Home</a> <a href="/b">Next</a>'
+                      '</nav><p>'),
+                F.col("text"),
+                F.lit('</p><li>privacy policy</li><div>closing remarks '
+                      '&amp; details stay</div><!-- c --></body></html>'),
+            ).alias("html"),
+        )
+        t0 = time.time()
+        got = (
+            pages.select(F.length(html_to_text("html")).alias("L"))
+            .filter(F.col("L") > 0)
+            .count()
+        )
+        ops["html_to_text"] = (time.time() - t0, got)
+
     return ops
 
 
