@@ -430,7 +430,10 @@ def _shingle_sql(tokens_expr: str, n: int) -> str:
 
 
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact dedup keeping min-id survivor per content (hash-groupBy)."""
+    """Exact dedup keeping min-id survivor per content (hash-groupBy).
+    Retired from the driver window in r10 (slot ceded to
+    select_canonical, which upgrades the same survivor-window shape);
+    stays in the frozen bench HEADLINE and the retired-parity suite."""
     docs = _t(spark, sf, "documents")
     return dedup_exact(docs, on=["text"], id_col="doc_id").select(
         "doc_id", "text", "lang", "source", "n_chars"
@@ -1721,6 +1724,75 @@ FROM nodes n LEFT JOIN per ON n.id = per.id
 """
 
 
+_KCORE_K = 3
+_KCORE_SQL_ROUNDS = 12
+
+
+def q_k_core(spark: SparkSession, sf: str) -> DataFrame:
+    """k-core decomposition (operators/graph.py::k_core — iterative
+    peeling to the unique maximal subgraph where every node keeps
+    degree ≥ k; Seidman 1983, the link-graph quality trim). Graph:
+    part↔supplier folded ids over the l_quantity=1 slice of lineitem —
+    sparse (avg degree ~3 at sf0.01) so the k=3 peel does real
+    cascading work (~5 rounds) instead of trivially keeping a dense
+    clique. The k-core is a fixpoint, independent of peel order,
+    partitioning, or engine, so the oracle can unroll a FIXED number of
+    peel rounds (12 ≥ the ~5 sf0.01 needs; extra rounds past the
+    fixpoint are idempotent) — same trick as pagerank's unrolled power
+    iteration. Degrees are exact integers. Scale shape: each round is
+    one map-side-combining degree count + two semi-joins over
+    (node, node) pairs; per-round localCheckpoint with release."""
+    from web_api_postgres_etl_spark.operators.graph import k_core
+
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") == 1)
+    edges = li.select(
+        (F.col("l_partkey") % 1000).alias("id_a"),
+        (F.col("l_suppkey") + 1000).alias("id_b"),
+    )
+    nodes = (
+        edges.select(F.col("id_a").alias("id"))
+        .unionAll(edges.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    return k_core(nodes, edges, k=_KCORE_K).select(
+        F.col("id").alias("node_id"), "core_degree"
+    )
+
+
+def _sql_k_core(k: int = _KCORE_K, rounds: int = _KCORE_SQL_ROUNDS) -> str:
+    """Unrolled peeling mirror of q_k_core. Every CTE is MATERIALIZED:
+    DuckDB inlines plain CTEs per reference, and each round references
+    the previous one twice — unmaterialized, the expansion is 2^rounds
+    scans of the parquet source (observed as an fd-exhaustion blowup)."""
+    parts = [
+        """WITH raw AS MATERIALIZED (
+  SELECT l_partkey % 1000 AS a, l_suppkey + 1000 AS b
+  FROM lineitem WHERE l_quantity = 1),
+canon AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM raw WHERE a <> b AND a IS NOT NULL AND b IS NOT NULL),
+sym AS MATERIALIZED (
+  SELECT u AS s, v AS t FROM canon UNION ALL SELECT v, u FROM canon),
+surv0 AS MATERIALIZED (SELECT s AS id, COUNT(*) AS d FROM sym GROUP BY 1)"""
+    ]
+    prev = "surv0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""surv{i} AS MATERIALIZED (
+  SELECT e.s AS id, COUNT(*) AS d
+  FROM sym e
+  JOIN {prev} a ON a.id = e.s AND a.d >= {k}
+  JOIN {prev} b ON b.id = e.t AND b.d >= {k}
+  GROUP BY 1)"""
+        )
+        prev = f"surv{i}"
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT id AS node_id, CAST(d AS BIGINT) AS core_degree "
+        f"FROM {prev} WHERE d >= {k}"
+    )
+
+
 def q_s7_o1_catalog_topk(spark: SparkSession, sf: str) -> DataFrame:
     """S7 catalog introspection (information_schema.tables scan,
     mabna_tables_update.py:73-84) + O1 total sort
@@ -1892,7 +1964,11 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_clusters(docs, pairs, "doc_id")
 
 
-SQL_CLUSTERS = f"""
+# Shared min-reachable-id CTE chain: minhash banding → exact-Jaccard
+# verify → recursive reachability. SQL_CLUSTERS finalizes with the
+# min-id survivor; SQL_SELECT_CANONICAL reuses the identical candidate
+# graph and swaps ONLY the survivor-choice window (score-aware).
+_SQL_CLUSTERS_BASE = f"""
 WITH RECURSIVE
 t AS (SELECT doc_id, {TOK.format(col="text")} AS toks FROM documents),
 s AS (SELECT doc_id, {_shingle_sql("toks", 2)} AS sh FROM t),
@@ -1922,9 +1998,61 @@ reach AS (
   UNION
   SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id
 )
+"""
+
+SQL_CLUSTERS = (
+    _SQL_CLUSTERS_BASE
+    + """
 SELECT id AS doc_id, min(lbl) AS cluster, (id = min(lbl)) AS is_canonical
 FROM reach GROUP BY id
 """
+)
+
+
+def q_select_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware canonical selection
+    (operators/graph.py::select_canonical): same near-dup cluster graph
+    as dedup_clusters (min-reachable-id labels stay engine-independent),
+    but the SURVIVOR of each cluster is the highest-score member — the
+    RefinedWeb/DCLM keep-the-best-copy practice — with score =
+    n_chars masked to NULL for zh docs, so the driver row exercises all
+    three window branches: score-beats-min-id, NULLS-LAST (an unscored
+    doc never beats a scored one), and the all-NULL-cluster min-id
+    fallback. Scores are exact BIGINTs; ties break by id in both
+    engines. Scale shape: the pointer-doubling components loop plus ONE
+    window over (cluster) — shuffles carry (id, cluster, score) only."""
+    from web_api_postgres_etl_spark.operators.dedup import near_dup_pairs
+    from web_api_postgres_etl_spark.operators.graph import select_canonical
+
+    docs = _t(spark, sf, "documents")
+    pairs = near_dup_pairs(
+        docs, "doc_id", "text", shingle_n=2, num_hashes=8, bands=4, threshold=0.5
+    ).select("id_a", "id_b")
+    scored = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "zh", F.lit(None).cast("long"))
+        .otherwise(F.col("n_chars"))
+        .alias("score"),
+    )
+    return select_canonical(scored, pairs, "doc_id", "score")
+
+
+SQL_SELECT_CANONICAL = (
+    _SQL_CLUSTERS_BASE
+    + """
+, comp AS (
+  SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id),
+sc AS (
+  SELECT doc_id, CASE WHEN lang = 'zh' THEN NULL ELSE n_chars END AS score
+  FROM documents)
+SELECT c.doc_id, c.cluster,
+       (row_number() OVER (
+          PARTITION BY c.cluster
+          ORDER BY sc.score DESC NULLS LAST, c.doc_id ASC) = 1)
+         AS is_canonical
+FROM comp c JOIN sc ON sc.doc_id = c.doc_id
+"""
+)
 
 
 def q_t4_stateful_stream(spark: SparkSession, sf: str) -> DataFrame:
@@ -4246,7 +4374,10 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q_histogram_bucketize(spark: SparkSession, sf: str) -> DataFrame:
-    """The histogram family in one row set (operators/aggregates.py):
+    """Retired from the driver window in r10 (slot ceded to k_core);
+    full three-face parity stays in tests/test_oracle_parity.py.
+
+    The histogram family in one row set (operators/aggregates.py):
     'width' = 16-bin equi-width histogram of lineitem.l_extendedprice
     (floor((v-lo)·bins/span) in pinned order — IEEE-deterministic,
     empty bins emitted); 'depth' = 8-bin equi-depth histogram of
@@ -4399,7 +4530,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_oracle_parity.py)
         "quantile_state_merge": q_quantile_state_merge,
         # dedup / similarity
-        "dedup_exact": q_dedup_exact,
+        # r10: dedup_exact -> select_canonical (the PARTITION BY
+        # content survivor window stays driver-visible inside
+        # training_data_e2e's exact-dedup stage and cdc_table_apply's
+        # last-wins fold, and q_dedup_exact stays in the frozen bench
+        # HEADLINE; retired parity in tests/test_oracle_parity.py).
+        # select_canonical UPGRADES the same shape: score-aware
+        # survivor choice with NULLS-LAST and all-NULL min-id fallback
+        # over the components loop.
+        "select_canonical": q_select_canonical,
         "url_curation": q_url_curation,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "corpus_ingest_replay": q_corpus_ingest_replay,
@@ -4474,12 +4613,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         # sources / sinks / streaming
         "s1_rest_source": q_s1_rest_source,
-        # r8: s3_flatten_struct swapped out for histogram_bucketize —
-        # the recursive dotted-name flatten is the SAME
-        # sources/json_flatten.flatten call exercised (and driver-
-        # checked) inside s1_rest_source; the get_json_object
-        # extraction face stays pinned in tests/test_oracle_parity.py.
-        "histogram_bucketize": q_histogram_bucketize,
+        # r10: histogram_bucketize -> k_core (the equi-width /
+        # equi-depth / bucketize faces are thin column-expression
+        # wrappers whose hash-agg shape is driver-visible via
+        # agg_rollup / incr_agg_merge / text_stats; full parity
+        # retired to tests/test_oracle_parity.py). k_core is the
+        # graph family's third row — a data-dependent fixpoint
+        # (iterative peeling) next to pagerank's fixed-iteration
+        # power method and triangle_counts' one-shot enumeration.
+        "k_core": q_k_core,
         "s8_dim_date": q_s8_dim_date,
         "s7_o1_catalog_topk": q_s7_o1_catalog_topk,
         "t1_streaming_compact": q_t1_streaming_compact,
@@ -4536,7 +4678,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_pivot": SQL_PIVOT,
         "scd2_history": SQL_SCD2,
         "quantile_state_merge": SQL_QUANTILE_STATE_MERGE,
-        "dedup_exact": SQL_DEDUP_EXACT,
+        "select_canonical": SQL_SELECT_CANONICAL,
         "url_curation": SQL_URL_CURATION,
         "minhash_lsh_pairs": SQL_LSH_PAIRS,
         "corpus_ingest_replay": SQL_CORPUS_INGEST_REPLAY,
@@ -4560,7 +4702,7 @@ def oracle_sql() -> dict[str, str]:
         "collocations": SQL_COLLOCATIONS,
         "multimodal_features": SQL_MM_FEATURES,
         "s1_rest_source": SQL_REST,
-        "histogram_bucketize": SQL_HISTOGRAM_BUCKETIZE,
+        "k_core": _sql_k_core(),
         "s8_dim_date": SQL_S8_DIM_DATE,
         "s7_o1_catalog_topk": SQL_S7_O1,
         "t1_streaming_compact": SQL_STREAMING,

@@ -152,6 +152,18 @@ RETIRED = [
     # agg_rollup / incr_agg_merge; q_agg_pricing_summary also stays in
     # the frozen bench HEADLINE)
     ("agg_pricing_summary", "SQL_AGG"),
+    # r10: exact-dedup min-id survivor window → select_canonical (the
+    # SAME shape upgraded — score-aware survivor with NULLS-LAST and
+    # min-id fallback; the plain form also stays driver-visible inside
+    # training_data_e2e's exact-dedup stage and stays in the frozen
+    # bench HEADLINE)
+    ("dedup_exact", "SQL_DEDUP_EXACT"),
+    # r10: histogram faces → k_core (equi-width/equi-depth/bucketize
+    # are thin column-expression wrappers over hash aggregates that
+    # stay driver-visible via agg_rollup / incr_agg_merge / text_stats;
+    # this row keeps all three faces pinned, incl. the quantile_cont
+    # boundary bit-parity and the ties-to-first-bucket rule)
+    ("histogram_bucketize", "SQL_HISTOGRAM_BUCKETIZE"),
 ]
 
 
