@@ -750,3 +750,98 @@ def test_k_core_foreign_endpoints_do_not_inflate_degrees(spark):
     assert k_core(nodes, edges, 2).count() == 0
     got = {r["id"]: r["core_degree"] for r in k_core(nodes, edges, 1).collect()}
     assert got == {1: 1, 2: 1}  # the foreign edge contributes nothing
+
+
+def test_merge_components_planted_semantics(spark):
+    """One batch folds into persisted labels: a NEW-node bridge merges
+    two old clusters, an untouched cluster keeps its label verbatim, a
+    new isolated node becomes a singleton, an already-labeled 'new'
+    node is not relabeled, and foreign/NULL pair endpoints are
+    dropped."""
+    from web_api_postgres_etl_spark.operators.graph import (
+        connected_components_fast,
+        merge_components,
+    )
+
+    # old graph: {1,2} and {5,6} and untouched {10,11}
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 5, 6, 10, 11]], ["id"])
+    edges = spark.createDataFrame([(1, 2), (5, 6), (10, 11)], ["id_a", "id_b"])
+    labels = connected_components_fast(nodes, edges)
+    assert {tuple(r) for r in labels.collect()} == {
+        (1, 1), (2, 1), (5, 5), (6, 5), (10, 10), (11, 10),
+    }
+
+    # batch: new node 3 bridges clusters 1 and 5; new isolated node 20;
+    # node 11 re-announced but untouched; pair with a foreign endpoint
+    # (99 not in the universe) and a NULL endpoint — both dropped
+    new_nodes = spark.createDataFrame([(3,), (20,), (11,)], ["id"])
+    new_pairs = spark.createDataFrame(
+        [(3, 2), (3, 6), (99, 1), (None, 5)],
+        "id_a long, id_b long",
+    )
+    merged = merge_components(labels, new_nodes, new_pairs)
+    assert {tuple(r) for r in merged.collect()} == {
+        (1, 1), (2, 1), (3, 1), (5, 1), (6, 1),
+        (10, 10), (11, 10), (20, 20),
+    }
+
+
+def test_merge_components_min_id_relabel_and_chained_batches(spark):
+    """A new node with a SMALLER id than an old cluster's label pulls
+    the whole cluster down to it (labels stay min-member-id), and three
+    chained merge batches end bit-identical to a one-shot run over the
+    full edge log."""
+    import random
+
+    from web_api_postgres_etl_spark.operators.graph import (
+        connected_components_fast,
+        merge_components,
+    )
+
+    # min-id relabel: cluster {7,8} joined by new node 0
+    labels = connected_components_fast(
+        spark.createDataFrame([(7,), (8,)], ["id"]),
+        spark.createDataFrame([(7, 8)], ["id_a", "id_b"]),
+    )
+    merged = merge_components(
+        labels,
+        spark.createDataFrame([(0,)], ["id"]),
+        spark.createDataFrame([(0, 8)], ["id_a", "id_b"]),
+    )
+    assert {tuple(r) for r in merged.collect()} == {(0, 0), (7, 0), (8, 0)}
+
+    # chained batches ≡ one-shot on random graphs
+    rng = random.Random(7)
+    for _ in range(3):
+        n = 40
+        all_edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(45)
+        ]
+        cuts = sorted(rng.sample(range(1, len(all_edges)), 2))
+        batches = [
+            all_edges[: cuts[0]],
+            all_edges[cuts[0] : cuts[1]],
+            all_edges[cuts[1] :],
+        ]
+        # node universe grows with the batches: a node enters when it
+        # first appears in an edge
+        seen: set = set()
+        labels = None
+        for batch in batches:
+            ids = sorted({x for e in batch for x in e})
+            nodes_df = spark.createDataFrame([(i,) for i in ids], ["id"])
+            pairs_df = spark.createDataFrame(
+                batch, "id_a long, id_b long"
+            )
+            if labels is None:
+                labels = connected_components_fast(nodes_df, pairs_df)
+            else:
+                labels = merge_components(labels, nodes_df, pairs_df)
+            seen |= set(ids)
+        one_shot = connected_components_fast(
+            spark.createDataFrame([(i,) for i in sorted(seen)], ["id"]),
+            spark.createDataFrame(all_edges, "id_a long, id_b long"),
+        )
+        assert sorted(tuple(r) for r in labels.collect()) == sorted(
+            tuple(r) for r in one_shot.collect()
+        )

@@ -606,3 +606,112 @@ def select_canonical(
             (F.col("__rn") == 1).alias("is_canonical"),
         )
     )
+
+
+def merge_components(
+    labels: DataFrame,
+    new_nodes: DataFrame,
+    new_pairs: DataFrame,
+    node_id: str = "id",
+    comp_col: str = "component",
+    edge_src: str = "id_a",
+    edge_dst: str = "id_b",
+    max_iter: int = 12,
+    pins: list[DataFrame] | None = None,
+) -> DataFrame:
+    """(id, component) — incrementally fold a NEW batch of nodes and
+    near-dup pairs into a persisted component labeling, recomputing
+    ONLY the components the batch touches. The cross-batch face of the
+    components family: at 100 TB the accumulated pair log is itself
+    corpus-sized, and re-running connected components over all of it
+    per ingest batch is a full-graph job — this touches the batch's
+    reach instead (same idea as the surgical parquet upsert: rewrite
+    only affected files; here, relabel only affected components).
+
+    Correctness rests on one invariant of this family's labels: a
+    component label is the MIN member id, and therefore itself a
+    member. That makes the star edges (member — label) connectivity-
+    preserving, so components over {star edges of affected components}
+    ∪ {new pairs} equal components over {all original edges} ∪ {new
+    pairs} restricted to the affected region — and the result is
+    IDENTICAL to a one-shot run over the full edge log (min-id labels
+    are history-independent). ``labels`` must come from
+    ``connected_components{,_fast}`` / ``dedup_clusters`` / a prior
+    ``merge_components`` — feeding arbitrary labels breaks both the
+    invariant and the untouched-rows shortcut.
+
+    Semantics: the node universe is old ids ∪ ``new_nodes``; pair
+    endpoints outside the universe are dropped (the family's
+    universe contract — see ``k_core``); NULL endpoints dropped;
+    ``new_nodes`` already labeled are NOT relabeled unless touched by
+    a pair. Untouched components pass through without a shuffle of
+    their members beyond one broadcast-sized anti-join probe.
+
+    Scale shape: the batch's endpoints are batch-sized, so the
+    affected-component id set is batch-sized (broadcast by AQE into
+    both the member semi-join and the untouched anti-join); the
+    pointer-doubling loop runs over affected members + new ids only.
+    Shuffles carry (id, component) pairs — never payloads.
+
+    Cites /root/reference scope: the reference maintains production
+    tables incrementally (mabna_tables_update.py watermark deltas);
+    this extends the same maintain-don't-recompute discipline to the
+    engine's cluster state.
+    """
+    old = labels.select(qcol(node_id).alias("id"), qcol(comp_col).alias("component"))
+    new_ids = new_nodes.select(qcol(node_id).alias("id")).distinct()
+    universe = old.select("id").union(new_ids).distinct()
+    pairs = (
+        new_pairs.select(qcol(edge_src).alias("id_a"), qcol(edge_dst).alias("id_b"))
+        .filter(F.col("id_a").isNotNull() & F.col("id_b").isNotNull())
+        .join(universe.withColumnRenamed("id", "id_a"), on="id_a", how="left_semi")
+        .join(universe.withColumnRenamed("id", "id_b"), on="id_b", how="left_semi")
+    )
+    # pinned: touched/affected are probed twice each (members semi-join
+    # + untouched anti-join), and pairs feeds both the touched set and
+    # the recompute loop — without pinning, a lazy upstream candidate
+    # pipeline would re-run per probe
+    pairs = pairs.persist()
+    touched = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    # eagerly checkpointed, not persisted: the untouched anti-join is
+    # LAZY in the returned plan, and a persist would be re-derivable
+    # from (unpersisted) pairs on eviction — the checkpoint severs that
+    # lineage so pairs can be released before the caller materializes.
+    # Batch-sized (one row per affected component id).
+    affected_comps = (
+        old.join(touched, on="id", how="left_semi")
+        .select("component")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    affected = old.join(affected_comps, on="component", how="left_semi")
+    # star edges reconstruct each affected component's connectivity
+    # from its labeling alone (label is a member — the invariant)
+    star = affected.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("id_a"), F.col("component").alias("id_b")
+    )
+    new_only = new_ids.join(old.select("id"), on="id", how="left_anti")
+    sub_nodes = affected.select("id").union(new_only).distinct()
+    recomputed = connected_components_fast(
+        sub_nodes,
+        star.union(pairs.select("id_a", "id_b")),
+        max_iter=max_iter,
+        pins=pins,
+    )
+    untouched = old.join(affected_comps, on="component", how="left_anti").select(
+        "id", "component"
+    )
+    result = untouched.unionByName(recomputed.select("id", "component")).select(
+        F.col("id").alias(node_id), F.col("component").alias(comp_col)
+    )
+    # safe NOW: the CC loop materialized eagerly (per-round checkpoints)
+    # and the returned plan reads only old/affected_comps/recomputed —
+    # none of which re-derive from pairs
+    pairs.unpersist()
+    if pins is not None:
+        pins.append(affected_comps)
+    return result
