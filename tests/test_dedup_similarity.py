@@ -1182,3 +1182,87 @@ def test_mean_embedding_exact_and_guards(spark, oracle):
     )
     rows2 = {r["g"]: r for r in mean_embedding(empties, ["g"]).collect()}
     assert "e" not in rows2 and list(rows2["b"]["mean_embedding"]) == [2.0]
+
+
+def test_mine_boilerplate_ngrams_planted_and_guards(spark):
+    """Document frequency, not term frequency: a shared footer crosses
+    the threshold; one spammy doc repeating a gram 50 times cannot
+    promote it; the min_docs floor and guards hold; empty input gives
+    an empty, correctly-typed frame."""
+    import pytest
+
+    from web_api_postgres_etl_spark.operators.dedup import (
+        mine_boilerplate_ngrams,
+    )
+
+    footer = "subscribe to our newsletter"
+    rows = [(i, f"w{i}a w{i}b w{i}c {footer}") for i in range(1, 6)]
+    rows.append((6, " ".join(["spam gram"] * 50)))
+    rows.append((7, "short"))  # < n tokens: no grams, still in the denominator
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    out = mine_boilerplate_ngrams(
+        docs, "text", "doc_id", n=2, min_doc_frac=0.5, min_docs=2
+    )
+    got = {r["gram"]: (r["n_docs"], r["doc_frac"]) for r in out.collect()}
+    # threshold = max(2, ceil(0.5 * 7)) = 4: only the footer bigrams
+    # (5 docs each) qualify — 'spam gram' has 50 occurrences in ONE doc
+    assert set(got) == {"subscribe to", "to our", "our newsletter"}
+    assert all(v == (5, round(5 / 7.0, 6)) for v in got.values())
+
+    # min_docs floor dominates a tiny fraction
+    floor = mine_boilerplate_ngrams(
+        docs, "text", "doc_id", n=2, min_doc_frac=0.0001, min_docs=6
+    )
+    assert floor.count() == 0
+
+    empty = mine_boilerplate_ngrams(
+        docs.filter("doc_id < 0"), "text", "doc_id", n=2
+    )
+    assert empty.collect() == []
+    assert dict(empty.dtypes) == {
+        "gram": "string", "n_docs": "bigint", "doc_frac": "double",
+    }
+
+    with pytest.raises(ValueError):
+        mine_boilerplate_ngrams(docs, "text", "doc_id", n=0)
+    with pytest.raises(ValueError):
+        mine_boilerplate_ngrams(docs, "text", "doc_id", min_doc_frac=0.0)
+    with pytest.raises(ValueError):
+        mine_boilerplate_ngrams(docs, "text", "doc_id", min_docs=0)
+
+
+def test_mine_boilerplate_ngrams_matches_duckdb_mirror(spark, oracle):
+    """Full corpus mirror at sf0.01: same tokenizer face (TOK), same
+    per-doc-distinct document-frequency count, same integer threshold
+    arithmetic, repr-equal doc_frac."""
+    import math
+
+    from __spark_entry__ import TOK, _shingle_sql
+    from tests.conftest import SF_ORACLE
+    from web_api_postgres_etl_spark.operators.dedup import (
+        mine_boilerplate_ngrams,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    total = docs.count()
+    frac, floor, n = 0.02, 2, 2
+    out = mine_boilerplate_ngrams(
+        docs, "text", "doc_id", n=n, min_doc_frac=frac, min_docs=floor
+    )
+    got = sorted(
+        (r["gram"], r["n_docs"], repr(r["doc_frac"])) for r in out.collect()
+    )
+    threshold = max(floor, math.ceil(frac * total))
+    sql = f"""
+    WITH t AS (SELECT doc_id, {TOK.format(col="text")} AS toks FROM documents),
+    s AS (SELECT doc_id, list_distinct({_shingle_sql("toks", n)}) AS sh
+          FROM t WHERE len(toks) >= {n}),
+    g AS (SELECT doc_id, unnest(sh) AS gram FROM s),
+    c AS (SELECT gram, CAST(count(*) AS BIGINT) AS n_docs FROM g GROUP BY 1)
+    SELECT gram, n_docs, round(n_docs / CAST({total} AS DOUBLE), 6) AS doc_frac
+    FROM c WHERE n_docs >= {threshold}
+    """
+    want = sorted((r[0], r[1], repr(r[2])) for r in oracle.execute(sql).fetchall())
+    assert got == want
+    assert len(got) > 0  # the sf0.01 corpus does contain boilerplate grams

@@ -129,6 +129,68 @@ def repetition_signals(
     )
 
 
+def mine_boilerplate_ngrams(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_doc_frac: float = 0.05,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(gram, n_docs, doc_frac) — word n-grams whose DOCUMENT frequency
+    crosses a corpus-fraction threshold: the corpus-level boilerplate
+    miner (cookie banners, nav bars, license footers, signature blocks
+    recur verbatim across a large fraction of a crawl — CCNet/C4 strip
+    them by frequency, not by per-document repetition, which
+    ``repetition_signals`` covers). The output is a persistable ban
+    table for the strip/dedup family (e.g. the segment-level siblings
+    of ``dedup_corpus_sentences``'s count-derived ban set).
+
+    Document frequency, not term frequency: each doc contributes each
+    gram at most once (per-doc distinct BEFORE the corpus count), so a
+    single spammy document repeating one gram 10k times cannot promote
+    it. Threshold = max(min_docs, ceil(min_doc_frac · total_docs)) —
+    compared against the exact integer n_docs, so the only float in
+    the operator is the reported doc_frac. total_docs counts every
+    input row (shingle-less docs still sit in the denominator).
+
+    Scale shape: tokenize → n-gram → per-doc distinct (map-side) →
+    one map-side-combining count per gram — shuffles (gram, count)
+    only, never bodies; no driver-side data (total_docs is a scalar).
+
+    Cites /root/reference scope: no corpus analysis surface there;
+    this extends the curation family's ban-set machinery.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if not (0.0 < min_doc_frac <= 1.0):
+        raise ValueError(f"min_doc_frac must be in (0, 1], got {min_doc_frac}")
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    import math
+
+    total = df.count()
+    if total == 0:
+        return df.sparkSession.createDataFrame(
+            [], "gram string, n_docs long, doc_frac double"
+        )
+    threshold = max(min_docs, math.ceil(min_doc_frac * total))
+    per_doc = (
+        _shingled(df, id_col, text_col, n, drop_empty=True)
+        .select("__id", F.explode(F.array_distinct("__sh")).alias("gram"))
+    )
+    return (
+        per_doc.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= F.lit(int(threshold)))
+        .select(
+            "gram",
+            "n_docs",
+            F.round(F.col("n_docs") / F.lit(float(total)), 6).alias("doc_frac"),
+        )
+    )
+
+
 def word_shingles(tokens_col, n: int = 3):
     """Column: token array → array of space-joined word n-grams.
 
