@@ -1266,3 +1266,145 @@ def test_mine_boilerplate_ngrams_matches_duckdb_mirror(spark, oracle):
     want = sorted((r[0], r[1], repr(r[2])) for r in oracle.execute(sql).fetchall())
     assert got == want
     assert len(got) > 0  # the sf0.01 corpus does contain boilerplate grams
+
+
+def _pq_py_encode(vec, books):
+    """Literal model of pq_encode's reduced-L2 argmin (same strict
+    folds — _py_dot — and the ties-to-smaller-code struct-min rule)."""
+    from web_api_postgres_etl_spark.operators.similarity import _py_dot
+
+    m = len(books)
+    sub = len(books[0][0][1])
+    out = []
+    for s in range(m):
+        vs = vec[s * sub : (s + 1) * sub]
+        best = None
+        for c, cv in books[s]:
+            d = _py_dot(cv, cv) - 2.0 * _py_dot(vs, cv)
+            if best is None or (d, c) < best:
+                best = (d, c)
+        out.append(best[1])
+    return out
+
+
+def test_pq_encode_bit_exact_and_self_query_minimal(spark):
+    """Encoding with a FIXED codebook is bit-identical to the literal
+    Python model over the whole sf0.001 corpus, and a corpus vector
+    used as its own ADC query attains the global minimum distance (per
+    subspace its own code IS the argmin, so no other code vector can
+    score below it)."""
+    from web_api_postgres_etl_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_train(emb, m=4, k=16, iters=2, every=7)
+    assert len(books) == 4 and all(len(b) == 16 for b in books)
+    enc = pq_encode(emb, books)
+    got = {r["vec_id"]: list(r["pq_codes"]) for r in enc.collect()}
+    data = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.collect()
+        if r["embedding"] is not None
+    }
+    assert len(got) == len(data) == 500
+    for vid, v in data.items():
+        assert got[vid] == _pq_py_encode(v, books), f"vec {vid}"
+
+    top = pq_topk(enc, data[3], books, k=10).collect()
+    best_dist = top[0]["adc_dist"]
+    mine = [r["adc_dist"] for r in top if r["vec_id"] == 3]
+    assert mine and mine[0] == best_dist
+
+
+def test_pq_train_recovers_planted_subspace_clusters(spark):
+    """Vectors built from 2 well-separated prototypes PER SUBSPACE
+    (independently chosen, so 4 distinct full-vector combinations from
+    2 codes per subspace): training recovers the prototypes, encoding
+    groups rows by their true subspace assignment, and ADC recall@5 is
+    perfect because the code space factorizes exactly."""
+    import random
+
+    from web_api_postgres_etl_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    rng = random.Random(11)
+    protos = {
+        (s, c): [(10.0 * c + 1.0) * (s + 1)] * 4 for s in range(2) for c in range(2)
+    }
+    rows = []
+    truth = {}
+    for i in range(80):
+        picks = (rng.randrange(2), rng.randrange(2))
+        vec = []
+        for s in range(2):
+            vec += [x + rng.uniform(-0.2, 0.2) for x in protos[(s, picks[s])]]
+        rows.append((i, vec))
+        truth[i] = picks
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train(df, m=2, k=2, iters=3, every=7)
+    enc = pq_encode(df, books)
+    codes = {r["vec_id"]: tuple(r["pq_codes"]) for r in enc.collect()}
+    # same true pick → same learned code, different pick → different
+    for s in range(2):
+        learned = {}
+        for i, picks in truth.items():
+            learned.setdefault(picks[s], set()).add(codes[i][s])
+        assert all(len(v) == 1 for v in learned.values())
+        assert learned[0] != learned[1]
+    # trained centroids sit on the prototypes (within the noise band)
+    for s in range(2):
+        for _, cv in books[s]:
+            nearest = min(
+                abs(cv[0] - protos[(s, c)][0]) for c in range(2)
+            )
+            assert nearest < 0.2
+    # ADC with a noiseless prototype query returns exactly the rows
+    # sharing its combination first
+    q = protos[(0, 1)] + protos[(1, 0)]
+    want = {i for i, p in truth.items() if p == (1, 0)}
+    got = [r["vec_id"] for r in pq_topk(enc, q, books, k=5).collect()]
+    assert set(got) <= want
+
+
+def test_pq_guards_and_null_semantics(spark):
+    """Loud failures: k over the literal-plan cap, indivisible dim,
+    empty codebooks, wrong-dimension rows at encode time, mismatched
+    query at ADC time; NULL embeddings keep NULL codes and are skipped
+    by ADC."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from web_api_postgres_etl_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0]), (1, None), (2, [4.0, 3.0, 2.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="literal-expression plan cap"):
+        pq_train(df, m=2, k=65)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(df, m=3, k=2, every=1)
+    with pytest.raises(ValueError, match="empty codebooks"):
+        pq_encode(df, [])
+    books = pq_train(df, m=2, k=2, iters=1, every=1)
+    enc = pq_encode(df, books)
+    rows = {r["vec_id"]: r["pq_codes"] for r in enc.collect()}
+    assert rows[1] is None and rows[0] is not None
+    assert {r["vec_id"] for r in pq_topk(enc, [0.0] * 4, books, k=9).collect()} == {0, 2}
+    with pytest.raises(ValueError, match="query dimension"):
+        pq_topk(enc, [0.0] * 6, books)
+    bad = spark.createDataFrame(
+        [(9, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(SparkRuntimeException, match="codebook dimension"):
+        pq_encode(bad, books).collect()

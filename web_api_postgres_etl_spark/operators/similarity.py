@@ -1367,3 +1367,220 @@ def mean_embedding(
         ).alias(out_col),
         F.max("__n").alias("n_vecs"),
     )
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    every: int = 97,
+) -> list[list[tuple[int, list[float]]]]:
+    """Product-quantization codebooks (Jégou et al. 2011): split each
+    vector into ``m`` contiguous subvectors and train an independent
+    ``k``-centroid L2 codebook per subspace — the compression step
+    beyond SQ8 (``quantize_embeddings``): dim doubles → m small ints
+    per vector (dim 64, m=4, k=16 → 512 bytes to 4), which is what
+    lets a 100 TB embedding store keep its ANN candidates in memory.
+    Returns ``m`` lists of ``(code, subcentroid)`` with codes 0..k-1,
+    the shape :func:`pq_encode` / :func:`pq_topk` consume.
+
+    Deterministic init (no RNG): the ``ivf_centroids`` discipline —
+    every ``every``-th corpus vector by id, capped at ``k``, sliced
+    into subspaces (all subspaces share the sample rows). Each Lloyd
+    iteration is ONE Spark job for ALL subspaces: per-row best-code
+    expressions (argmin over k literal reduced-L2 distances,
+    -2·dot(v,c)+|c|² — the |v|² term is constant within a subspace so
+    it cannot change the argmin; ties to the SMALLER code via struct
+    min), a stack() fan-out to (subspace, code, subvec) rows, then one
+    map-side-combining groupBy whose shuffle carries k·dim partial
+    sums — vectors are never shuffled, the driver holds m·k·(dim/m) =
+    k·dim doubles. An emptied code keeps its previous centroid (the
+    ``kmeans_centroids`` no-respawn rule). Mean floats combine in
+    partition order — trained values reproduce to float tolerance
+    only, the same caveat as ``kmeans_centroids``; encode/ADC with a
+    FIXED codebook are bit-deterministic (strict left folds).
+
+    Rows with NULL or wrong-dimension embeddings are ignored by
+    training (encode is where mismatches must fail loudly).
+
+    Cites /root/reference scope: no vector surface there; this extends
+    the engine's ANN family (IVF routing, SQ8 storage, PQ codes).
+    """
+    if m < 1 or k < 1 or iters < 0:
+        raise ValueError(f"need m >= 1, k >= 1, iters >= 0; got m={m} k={k} iters={iters}")
+    if k > 64:
+        raise ValueError(
+            f"k={k} exceeds the literal-expression plan cap (64); larger "
+            "codebooks need the broadcast-join assignment form"
+        )
+    init = (
+        corpus.filter((qcol(id_col) % every) == 0)
+        .select(qcol(id_col).alias("cid"), as_double_array(vec_col).alias("cv"))
+        .filter(F.col("cv").isNotNull())
+        .orderBy("cid")
+        .limit(k)
+        .collect()
+    )
+    if not init:
+        return []
+    dim = len(init[0]["cv"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books: list[list[tuple[int, list[float]]]] = [
+        [
+            (c, [float(x) for x in r["cv"][s * sub : (s + 1) * sub]])
+            for c, r in enumerate(init)
+        ]
+        for s in range(m)
+    ]
+    if iters == 0:
+        return books
+    base = corpus.select(as_double_array(vec_col).alias("__v")).filter(
+        F.col("__v").isNotNull() & (F.size("__v") == dim)
+    )
+    for _ in range(iters):
+        # stage subvector slices once; the best-code expressions and the
+        # stack() fan-out both reference the staged columns (HOF folds
+        # sit outside codegen subexpression elimination)
+        staged = base.selectExpr(
+            *[f"slice(__v, {s * sub + 1}, {sub}) AS __s{s}" for s in range(m)]
+        )
+        best_cols = []
+        for s in range(m):
+            cells = ", ".join(
+                f"named_struct('d', {_dlit(_py_dot(cv, cv))} - 2.0D * "
+                f"{_sql_dot(f'__s{s}', _sql_array_lit(cv))}, 'c', {int(c)})"
+                for c, cv in books[s]
+            )
+            best_cols.append(f"array_min(array({cells})).c AS __c{s}")
+        assigned = staged.selectExpr(*best_cols, *[f"__s{s}" for s in range(m)])
+        stack_args = ", ".join(f"{s}, __c{s}, __s{s}" for s in range(m))
+        exploded = assigned.selectExpr(
+            f"stack({m}, {stack_args}) AS (__sp, __code, __sub)"
+        )
+        mean_arr = ", ".join(
+            f"avg(element_at(__sub, {i + 1}))" for i in range(sub)
+        )
+        rows = (
+            exploded.groupBy("__sp", "__code")
+            .agg(F.expr(f"array({mean_arr})").alias("__means"))
+            .collect()
+        )
+        trained: dict[tuple[int, int], list[float]] = {
+            (int(r["__sp"]), int(r["__code"])): [float(x) for x in r["__means"]]
+            for r in rows
+        }
+        books = [
+            [(c, trained.get((s, c), prev)) for c, prev in books[s]]
+            for s in range(m)
+        ]
+    return books
+
+
+def _py_dot(a: list[float], b: list[float]) -> float:
+    """Driver-side strict left fold — the same accumulation order as
+    ``_sql_dot`` (Python floats ARE doubles), so literals derived here
+    are bit-consistent with the engine's folds."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """(id, pq_codes array<int>) — assign each vector's m subvectors to
+    their nearest codebook centroid (reduced-L2 argmin, ties to the
+    smaller code — identical arithmetic to :func:`pq_train`'s
+    assignment, strict left folds, so encoding with a fixed codebook is
+    bit-deterministic under any partitioning or engine). NULL
+    embeddings keep a NULL code array (total); a wrong-dimension row
+    raises loudly (lazy raise_error — silently padding the fold with
+    NULLs would corrupt codes instead of failing)."""
+    if not codebooks:
+        raise ValueError("pq_encode: empty codebooks")
+    m = len(codebooks)
+    sub = len(codebooks[0][0][1])
+    dim = m * sub
+    best_exprs = []
+    for s in range(m):
+        cells = ", ".join(
+            f"named_struct('d', {_dlit(_py_dot(cv, cv))} - 2.0D * "
+            f"{_sql_dot(f'slice(__v, {s * sub + 1}, {sub})', _sql_array_lit(cv))}, "
+            f"'c', {int(c)})"
+            for c, cv in codebooks[s]
+        )
+        best_exprs.append(f"array_min(array({cells})).c")
+    codes = "array(" + ", ".join(best_exprs) + ")"
+    guarded = (
+        f"CASE WHEN __v IS NULL THEN NULL "
+        f"WHEN size(__v) <> {dim} THEN cast(raise_error(concat("
+        f"'pq_encode: embedding dimension ', cast(size(__v) as string), "
+        f"' != codebook dimension {dim}')) as array<int>) "
+        f"ELSE {codes} END"
+    )
+    return corpus.select(
+        qcol(id_col).alias(id_col), as_double_array(vec_col).alias("__v")
+    ).selectExpr(_qident(id_col), f"{guarded} AS {_qident(code_col)}")
+
+
+def pq_topk(
+    encoded: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    code_col: str = "pq_codes",
+    k: int = 10,
+) -> DataFrame:
+    """Approximate L2 top-k by asymmetric distance computation (ADC):
+    the query stays FLOAT, each corpus vector is its m PQ codes, and
+    the score is a sum of m driver-precomputed table lookups — the scan
+    reads only the code column (m ints/row), never touches float
+    vectors, and the plan is one codegen'd projection +
+    TakeOrderedAndProject. The 100 TB shape: candidate generation over
+    codes at ~1/64th the bytes, exact re-rank of the short list
+    downstream (compose with ``cosine_topk`` over the survivors).
+
+    ``adc_dist`` = Σ_s ||q_s - c_{s,code_s}||² with each term computed
+    driver-side in the module's strict-fold order and shipped as a
+    literal lookup array — bit-deterministic for a fixed codebook.
+    NULL code rows are skipped (they carry no information, matching
+    the SQ8 scorer's NULL-qvec rule). Ties resolve by id ascending."""
+    if not codebooks:
+        raise ValueError("pq_topk: empty codebooks")
+    m = len(codebooks)
+    sub = len(codebooks[0][0][1])
+    if len(query_vec) != m * sub:
+        raise ValueError(
+            f"pq_topk: query dimension {len(query_vec)} != codebook "
+            f"dimension {m * sub}"
+        )
+    q = [float(x) for x in query_vec]
+    terms = []
+    for s in range(m):
+        qs = q[s * sub : (s + 1) * sub]
+        table = []
+        for c, cv in codebooks[s]:
+            diff = [a - b for a, b in zip(qs, cv)]
+            table.append(_py_dot(diff, diff))
+        # codes are 0-based, element_at is 1-based
+        terms.append(
+            f"element_at({_sql_array_lit(table)}, "
+            f"element_at({_qident(code_col)}, {s + 1}) + 1)"
+        )
+    score = " + ".join(terms)
+    return (
+        encoded.filter(qcol(code_col).isNotNull())
+        .selectExpr(_qident(id_col), f"{score} AS adc_dist")
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
