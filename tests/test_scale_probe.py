@@ -61,6 +61,11 @@ OPS = {
     # HTML strip chain (a pure regex map: wall time must track bytes,
     # no shuffle at all)
     "dedup_corpus_sentences", "html_to_text",
+    # round 10 second wave: incremental component maintenance (the
+    # touched-region recompute + untouched anti-join passthrough at a
+    # FIXED ~10% affected fraction) and the PQ encode projection
+    # (m·k literal fold distances per row — must stay a narrow map)
+    "merge_components", "pq_encode",
 }
 
 

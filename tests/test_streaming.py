@@ -900,3 +900,88 @@ def test_apply_changes_guards_and_tie_determinism(spark, tmp_path):
             spark, "s3a://bucket/tbl",
             spark.createDataFrame([(1, "a", 1)], schema), "id", "seq",
         )
+
+
+def test_clusters_maintain_streamed_equals_batch_and_replays(spark, tmp_path):
+    """The cluster-maintenance face: after draining pair batches, the
+    label table equals a ONE-SHOT connected-components run over the
+    union of all pairs; a replayed batch is a value-level fixed point
+    (empty delta, zero file writes); a checkpoint reset re-draining
+    history in different groupings converges to the identical table."""
+    from web_api_postgres_etl_spark.operators.graph import (
+        connected_components_fast,
+    )
+    from web_api_postgres_etl_spark.streaming.cluster_stream import (
+        apply_pairs,
+        clusters_maintain_run,
+    )
+
+    schema = "id_a long, id_b long"
+    src = str(tmp_path / "pairs")
+    table = str(tmp_path / "labels")
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = [(1, 2), (3, 4), (10, 11)]
+    b2 = [(2, 3), (20, 21)]     # merges {1,2} with {3,4}; new cluster
+    b3 = [(0, 11), (4, 4)]      # relabels {10,11} down to 0; self-pair
+
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(src)
+    clusters_maintain_run(spark, src, table, ckpt, schema)
+    got1 = {r["id"]: r["component"] for r in spark.read.parquet(table).collect()}
+    assert got1 == {1: 1, 2: 1, 3: 3, 4: 3, 10: 10, 11: 10}
+
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    spark.createDataFrame(b3, schema).write.mode("append").parquet(src)
+    clusters_maintain_run(spark, src, table, ckpt, schema)
+    got = {r["id"]: r["component"] for r in spark.read.parquet(table).collect()}
+    all_pairs = b1 + b2 + b3
+    ids = sorted({x for p in all_pairs for x in p})
+    one_shot = connected_components_fast(
+        spark.createDataFrame([(i,) for i in ids], ["id"]),
+        spark.createDataFrame(all_pairs, schema),
+    )
+    assert got == {r["id"]: r["component"] for r in one_shot.collect()}
+    # no duplicate ids in the maintained table
+    assert spark.read.parquet(table).groupBy("id").count().filter(
+        "count > 1"
+    ).count() == 0
+
+    # replayed batch = fixed point: empty delta, zero writes
+    stats = apply_pairs(spark, table, spark.createDataFrame(b2, schema))
+    assert stats["n_changed"] == 0 and stats["files_rewritten"] == 0
+    assert stats["added_files"] == [] and not stats["bootstrapped"]
+
+    # checkpoint reset with a DIFFERENT grouping (all three batches in
+    # one drain) converges to the identical table
+    clusters_maintain_run(spark, src, table, str(tmp_path / "ckpt2"), schema)
+    assert {
+        r["id"]: r["component"] for r in spark.read.parquet(table).collect()
+    } == got
+
+
+def test_apply_pairs_null_endpoints_and_bootstrap_crash_safety(
+    spark, tmp_path
+):
+    """NULL endpoints drop (never enshrined in the table); the
+    bootstrap lands through tmp+move so the table directory never
+    holds a partial write; a second apply after bootstrap takes the
+    conditional path."""
+    from web_api_postgres_etl_spark.streaming.cluster_stream import (
+        apply_pairs,
+    )
+
+    table = str(tmp_path / "labels")
+    schema = "id_a long, id_b long"
+    b = spark.createDataFrame([(1, 2), (None, 3), (4, None)], schema)
+    stats = apply_pairs(spark, table, b)
+    assert stats["bootstrapped"] and stats["n_changed"] == 2
+    got = {r["id"]: r["component"] for r in spark.read.parquet(table).collect()}
+    assert got == {1: 1, 2: 1}
+
+    stats2 = apply_pairs(
+        spark, table, spark.createDataFrame([(2, 5)], schema)
+    )
+    assert not stats2["bootstrapped"] and stats2["n_changed"] == 1
+    assert {
+        r["id"]: r["component"] for r in spark.read.parquet(table).collect()
+    } == {1: 1, 2: 1, 5: 1}

@@ -683,6 +683,49 @@ def _probe_ops(spark, n: int, ops_filter, docs, vecs) -> dict:
         )
         ops["html_to_text"] = (time.time() - t0, got)
 
+    if want("merge_components"):
+        reset_cache()
+        from web_api_postgres_etl_spark.operators.graph import (
+            merge_components,
+        )
+
+        # old state: n/2 two-node components with known min-id labels
+        # (constructed directly — the invariant, label = min member).
+        # batch: a bridge at every 10th component boundary plus n/10
+        # new nodes attaching to even anchors — the affected fraction
+        # stays FIXED (~10%) at every n, so the exponent measures the
+        # touched-region recompute + the untouched anti-join passthrough
+        labels = spark.range(n).select(
+            F.col("id"), (F.col("id") - F.col("id") % 2).alias("component")
+        )
+        bridges = spark.range(0, n - 2, 20).select(
+            (F.col("id") + 1).alias("id_a"), (F.col("id") + 2).alias("id_b")
+        )
+        newn = spark.range(n, n + n // 10).select(F.col("id"))
+        attach = spark.range(n, n + n // 10).select(
+            F.col("id").alias("id_a"),
+            (((F.col("id") - n) * 20) % n).alias("id_b"),
+        )
+        t0 = time.time()
+        out = merge_components(labels, newn, bridges.union(attach)).count()
+        ops["merge_components"] = (time.time() - t0, out)
+
+    if want("pq_encode"):
+        reset_cache()
+        from web_api_postgres_etl_spark.operators.similarity import (
+            pq_encode,
+            pq_train,
+        )
+
+        # codebook from the zero-iteration fixed sample (training cost
+        # is a separate, iters-bounded concern); the claim under test:
+        # encoding is ONE narrow codegen'd projection — m·k literal
+        # fold distances per row, no shuffle, wall time ~O(n)
+        books = pq_train(vecs, m=4, k=8, iters=0, every=97)
+        t0 = time.time()
+        got = pq_encode(vecs, books).count()
+        ops["pq_encode"] = (time.time() - t0, got)
+
     return ops
 
 

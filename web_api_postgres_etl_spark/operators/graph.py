@@ -658,6 +658,69 @@ def merge_components(
     this extends the same maintain-don't-recompute discipline to the
     engine's cluster state.
     """
+    old, affected_comps, recomputed = _merge_components_core(
+        labels, new_nodes, new_pairs, node_id, comp_col,
+        edge_src, edge_dst, max_iter, pins,
+    )
+    untouched = old.join(affected_comps, on="component", how="left_anti").select(
+        "id", "component"
+    )
+    return untouched.unionByName(recomputed.select("id", "component")).select(
+        F.col("id").alias(node_id), F.col("component").alias(comp_col)
+    )
+
+
+def merge_components_delta(
+    labels: DataFrame,
+    new_nodes: DataFrame,
+    new_pairs: DataFrame,
+    node_id: str = "id",
+    comp_col: str = "component",
+    edge_src: str = "id_a",
+    edge_dst: str = "id_b",
+    max_iter: int = 12,
+    pins: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Changed-labels-only face of :func:`merge_components`: the rows
+    whose label the batch CREATES (new ids) or CHANGES (relabeled
+    members of merged components) — nothing else. This is the
+    surgical-upsert feed: apply it with ``operators.layout.upsert_rows``
+    and the persisted label table is maintained rewriting only affected
+    files, the same touched-not-total cost model as the recompute
+    itself. Batch-reach-sized by construction (a subset of the
+    recomputed region), so the old-vs-new comparison join is bounded
+    by the batch's reach, never the table."""
+    old, _affected_comps, recomputed = _merge_components_core(
+        labels, new_nodes, new_pairs, node_id, comp_col,
+        edge_src, edge_dst, max_iter, pins,
+    )
+    prev = old.select("id", F.col("component").alias("__prev"))
+    return (
+        recomputed.join(prev, on="id", how="left")
+        .filter(
+            F.col("__prev").isNull()
+            | (F.col("__prev") != F.col("component"))
+        )
+        .select(
+            F.col("id").alias(node_id), F.col("component").alias(comp_col)
+        )
+    )
+
+
+def _merge_components_core(
+    labels: DataFrame,
+    new_nodes: DataFrame,
+    new_pairs: DataFrame,
+    node_id: str,
+    comp_col: str,
+    edge_src: str,
+    edge_dst: str,
+    max_iter: int,
+    pins: list[DataFrame] | None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared core: (old labels, affected component ids, recomputed
+    affected-region labels) — see :func:`merge_components` for the
+    correctness argument."""
     old = labels.select(qcol(node_id).alias("id"), qcol(comp_col).alias("component"))
     new_ids = new_nodes.select(qcol(node_id).alias("id")).distinct()
     universe = old.select("id").union(new_ids).distinct()
@@ -702,16 +765,10 @@ def merge_components(
         max_iter=max_iter,
         pins=pins,
     )
-    untouched = old.join(affected_comps, on="component", how="left_anti").select(
-        "id", "component"
-    )
-    result = untouched.unionByName(recomputed.select("id", "component")).select(
-        F.col("id").alias(node_id), F.col("component").alias(comp_col)
-    )
     # safe NOW: the CC loop materialized eagerly (per-round checkpoints)
-    # and the returned plan reads only old/affected_comps/recomputed —
+    # and every returned plan reads only old/affected_comps/recomputed —
     # none of which re-derive from pairs
     pairs.unpersist()
     if pins is not None:
         pins.append(affected_comps)
-    return result
+    return old, affected_comps, recomputed
