@@ -1786,10 +1786,22 @@ surv0 AS MATERIALIZED (SELECT s AS id, COUNT(*) AS d FROM sym GROUP BY 1)"""
   GROUP BY 1)"""
         )
         prev = f"surv{i}"
+    # loud convergence check, mirroring the engine's count-based
+    # fixpoint test (survivor sets only shrink, so equal counts in the
+    # last two rounds ⇒ fixpoint): without it, a graph needing more
+    # than `rounds` peels would make the oracle silently return a
+    # SUPERSET of the k-core while the Spark side raises
+    parts.append(
+        f"""chk AS MATERIALIZED (
+  SELECT CASE WHEN (SELECT COUNT(*) FROM surv{rounds - 1})
+            = (SELECT COUNT(*) FROM surv{rounds})
+         THEN 1 ELSE error('k_core oracle: {rounds} unrolled rounds did not converge - raise _KCORE_SQL_ROUNDS')
+         END AS ok)"""
+    )
     return (
         ",\n".join(parts)
         + f"\nSELECT id AS node_id, CAST(d AS BIGINT) AS core_degree "
-        f"FROM {prev} WHERE d >= {k}"
+        f"FROM {prev}, chk WHERE d >= {k} AND chk.ok = 1"
     )
 
 
@@ -2565,8 +2577,8 @@ def q_cdc_table_apply(spark: SparkSession, sf: str) -> DataFrame:
     parquet files containing a replaced id are rewritten — cost scales
     with data TOUCHED, not table size (the 100 TB CDC property);
     rewrites are exercised for real against a temp table dir, then the
-    final state is returned as a local frame so the dir can be
-    removed."""
+    final state is localCheckpointed (lineage severed from the dir —
+    executor-resident, no driver collect) so the dir can be removed."""
     import shutil
     import tempfile
 
@@ -2617,11 +2629,15 @@ def q_cdc_table_apply(spark: SparkSession, sf: str) -> DataFrame:
         # replay wave 2 AFTER wave 3: its seq-2 rows are now stale for
         # every %21 id — the gate must not regress them to 'U'
         apply_changes(spark, table, b2, "id", "seq")
-        out = spark.read.parquet(table).select(
-            "id", "cust", "price", "status", "seq"
+        # localCheckpoint severs the plan from the temp dir before it
+        # is removed (executor-resident blocks, no O(table) driver
+        # collect — the same lineage-severing rule apply_changes uses
+        # for its gated frame)
+        return (
+            spark.read.parquet(table)
+            .select("id", "cust", "price", "status", "seq")
+            .localCheckpoint(eager=True)
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(root, ignore_errors=True)

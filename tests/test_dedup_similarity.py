@@ -1408,3 +1408,8 @@ def test_pq_guards_and_null_semantics(spark):
     )
     with pytest.raises(SparkRuntimeException, match="codebook dimension"):
         pq_encode(bad, books).collect()
+    # codes encoded under a LARGER codebook must raise at ADC time,
+    # not look up NULL (NULL sorts FIRST under asc — garbage top-k)
+    shrunk = [b[:1] for b in books]
+    with pytest.raises(SparkRuntimeException, match="codebook shape"):
+        pq_topk(enc, [0.0] * 4, shrunk, k=3).collect()

@@ -156,7 +156,9 @@ def mine_boilerplate_ngrams(
 
     Scale shape: tokenize → n-gram → per-doc distinct (map-side) →
     one map-side-combining count per gram — shuffles (gram, count)
-    only, never bodies; no driver-side data (total_docs is a scalar).
+    only, never bodies. total_docs rides along as a broadcast 1-row
+    frame (the tfidf_table rule), so the whole build is ONE lazy plan
+    — no eager df.count() driver job, no second corpus pass.
 
     Cites /root/reference scope: no corpus analysis surface there;
     this extends the curation family's ban-set machinery.
@@ -167,26 +169,31 @@ def mine_boilerplate_ngrams(
         raise ValueError(f"min_doc_frac must be in (0, 1], got {min_doc_frac}")
     if min_docs < 1:
         raise ValueError(f"min_docs must be >= 1, got {min_docs}")
-    import math
-
-    total = df.count()
-    if total == 0:
-        return df.sparkSession.createDataFrame(
-            [], "gram string, n_docs long, doc_frac double"
-        )
-    threshold = max(min_docs, math.ceil(min_doc_frac * total))
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
     per_doc = (
         _shingled(df, id_col, text_col, n, drop_empty=True)
         .select("__id", F.explode(F.array_distinct("__sh")).alias("gram"))
     )
+    # threshold = max(min_docs, ceil(frac · total)), computed in-plan
+    # against the broadcast total — the double product matches the
+    # driver-side math.ceil(frac * total) bit-for-bit (same multiply)
     return (
         per_doc.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") >= F.lit(int(threshold)))
+        .crossJoin(F.broadcast(total))
+        .filter(
+            F.col("n_docs")
+            >= F.greatest(
+                F.lit(min_docs).cast("long"),
+                F.ceil(F.lit(float(min_doc_frac)) * F.col("__total")),
+            )
+        )
         .select(
             "gram",
             "n_docs",
-            F.round(F.col("n_docs") / F.lit(float(total)), 6).alias("doc_frac"),
+            F.round(
+                F.col("n_docs") / F.col("__total").cast("double"), 6
+            ).alias("doc_frac"),
         )
     )
 

@@ -315,6 +315,37 @@ def _move_parquet_in(frame, tmp: str, base_local: str, pcols: list) -> list:
     return moved
 
 
+def table_has_parquet(path: str) -> bool:
+    """True iff the (local-filesystem) table directory already holds at
+    least one parquet part file — the maintenance faces' bootstrap
+    test. A directory that exists but holds no parquet (a crashed
+    first write that never moved files in) correctly reads as 'no
+    table yet'."""
+    local = _file_local(path)
+    if not os.path.isdir(local):
+        return False
+    return any(
+        name.endswith(".parquet")
+        for _dir, _dn, files in os.walk(local)
+        for name in files
+    )
+
+
+def land_bootstrap(frame: DataFrame, path: str) -> list[str]:
+    """Crash-safe FIRST landing of a maintained table: write ``frame``
+    to a sibling tmp dir and move the part files in (the
+    ``_move_parquet_in`` never-lose ordering). A crash mid-write
+    leaves only the tmp dir — never a readable-looking table directory
+    with no parquet files that would wedge every replay onto the
+    conditional path. Shared by the CDC and cluster maintenance
+    streaming faces. Returns the moved files as ``file://`` URIs."""
+    local = _file_local(path)
+    os.makedirs(local, exist_ok=True)
+    return _move_parquet_in(
+        frame, path.rstrip("/") + ".bootstrap_tmp", local, []
+    )
+
+
 def zone_map_path(path: str) -> str:
     """Sidecar location for a table's persisted zone map: a SIBLING
     directory (``<table>._zone_map``), not a child — compaction swaps

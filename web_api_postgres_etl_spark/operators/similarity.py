@@ -1429,6 +1429,12 @@ def pq_train(
     dim = len(init[0]["cv"])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
+    # a ragged sampled vector must not seed a short centroid: the
+    # python slice would silently truncate, zip_with would NULL-pad
+    # the training folds, and array_min over a NULL distance would
+    # pick corrupted codes with no error — drop it like the training
+    # scan below does (pq_encode is where mismatches fail loudly)
+    init = [r for r in init if len(r["cv"]) == dim]
     sub = dim // m
     books: list[list[tuple[int, list[float]]]] = [
         [
@@ -1566,6 +1572,7 @@ def pq_topk(
         )
     q = [float(x) for x in query_vec]
     terms = []
+    oob = [f"size({_qident(code_col)}) <> {m}"]
     for s in range(m):
         qs = q[s * sub : (s + 1) * sub]
         table = []
@@ -1577,10 +1584,25 @@ def pq_topk(
             f"element_at({_sql_array_lit(table)}, "
             f"element_at({_qident(code_col)}, {s + 1}) + 1)"
         )
+        # a code outside this subspace's table (encoded with a
+        # DIFFERENT codebook of the same total dim) must raise, not
+        # look up NULL — adc_dist sorts ascending, so a silent NULL
+        # would float garbage rows to the TOP of the result
+        ce = f"element_at({_qident(code_col)}, {s + 1})"
+        oob.append(
+            f"{ce} IS NULL OR {ce} < 0 OR {ce} >= {len(codebooks[s])}"
+        )
     score = " + ".join(terms)
+    guarded = (
+        f"CASE WHEN {' OR '.join(oob)} THEN cast(raise_error("
+        f"concat('pq_topk: codes do not fit the codebook shape "
+        f"(m={m}, sizes {[len(b) for b in codebooks]}): ', "
+        f"cast({_qident(code_col)} as string))) as double) "
+        f"ELSE {score} END"
+    )
     return (
         encoded.filter(qcol(code_col).isNotNull())
-        .selectExpr(_qident(id_col), f"{score} AS adc_dist")
+        .selectExpr(_qident(id_col), f"{guarded} AS adc_dist")
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )

@@ -37,7 +37,12 @@ from pyspark.sql import functions as F
 
 from ..caching import release_frame
 from ..operators.graph import connected_components_fast, merge_components_delta
-from ..operators.layout import _file_local, upsert_rows
+from ..operators.layout import (
+    _file_local,
+    land_bootstrap,
+    table_has_parquet,
+    upsert_rows,
+)
 
 
 def apply_pairs(
@@ -56,10 +61,6 @@ def apply_pairs(
     ``labels_path`` holds no parquet files yet. NULL endpoints are
     dropped (they identify nothing); self-pairs are harmless (the
     components loop canonicalizes them away)."""
-    import os
-
-    from ..operators.layout import _move_parquet_in
-
     clean = pairs.select(
         F.col(edge_src).alias("id_a"), F.col(edge_dst).alias("id_b")
     ).filter(F.col("id_a").isNotNull() & F.col("id_b").isNotNull())
@@ -69,24 +70,14 @@ def apply_pairs(
         .union(clean.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    local = _file_local(labels_path)
-    has_files = any(
-        name.endswith(".parquet")
-        for _dir, _dn, files in os.walk(local)
-        for name in files
-    ) if os.path.isdir(local) else False
-    if not has_files:
+    # scope check up front (also validates the path before bootstrap)
+    _file_local(labels_path)
+    if not table_has_parquet(labels_path):
         pins: list[DataFrame] = []
         boot = connected_components_fast(
             endpoints, clean, max_iter=max_iter, pins=pins
         ).select(F.col("id").alias(id_col), F.col("component").alias(comp_col))
-        # tmp + move-in (the apply_changes bootstrap rule): a crash
-        # mid-write must not leave a readable-looking directory that
-        # wedges every replay onto the conditional path
-        os.makedirs(local, exist_ok=True)
-        added = _move_parquet_in(
-            boot, labels_path.rstrip("/") + ".bootstrap_tmp", local, []
-        )
+        added = land_bootstrap(boot, labels_path)
         for p in pins:
             release_frame(p)
         n = spark.read.parquet(labels_path).count()

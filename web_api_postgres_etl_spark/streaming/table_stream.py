@@ -50,7 +50,12 @@ from pyspark.sql import functions as F
 
 from ..caching import release_frame
 from ..operators.dedup import dedup_last_wins
-from ..operators.layout import _file_local, upsert_rows
+from ..operators.layout import (
+    _file_local,
+    land_bootstrap,
+    table_has_parquet,
+    upsert_rows,
+)
 
 
 def _row_digest(cols: list[str]):
@@ -69,13 +74,6 @@ def _row_digest(cols: list[str]):
     ))
 
 
-def n_changes_stat(folded: DataFrame) -> int:
-    """POST-FOLD row count for the stats dict (one distinct id per
-    row) — the pre-fold count would cost a dedicated extra job per
-    micro-batch just to fill a field the streaming caller discards."""
-    return folded.count()
-
-
 def apply_changes(
     spark: SparkSession,
     table_path: str,
@@ -91,10 +89,6 @@ def apply_changes(
     ``n_change_rows`` (POST-fold — one row per id) and
     ``bootstrapped``. Bootstraps the table when ``table_path`` holds
     no parquet files yet (the first batch IS the table)."""
-    import os
-
-    from ..operators.layout import _move_parquet_in
-
     # NULL ids raise on BOTH paths (upsert_rows re-checks its own path
     # harmlessly): a NULL id enshrined by the bootstrap could never be
     # matched by the conditional join again — permanent junk enforced
@@ -124,28 +118,22 @@ def apply_changes(
         changes.withColumn(tb, _row_digest(digest_cols)),
         [id_col], version_col=seq_col, tiebreaker=tb,
     )
-    local = _file_local(table_path)
-    has_files = any(
-        name.endswith(".parquet")
-        for _dir, _dn, files in os.walk(local)
-        for name in files
-    ) if os.path.isdir(local) else False
-    if not has_files:
-        # bootstrap — via tmp + move-in, so a crash mid-write cannot
-        # leave a readable-looking directory with no parquet files
-        # that wedges every replay at the conditional path
-        os.makedirs(local, exist_ok=True)
-        added = _move_parquet_in(
-            folded.drop(tb), table_path.rstrip("/") + ".bootstrap_tmp",
-            local, [],
-        )
+    # scope check up front (also validates the path before bootstrap)
+    _file_local(table_path)
+    if not table_has_parquet(table_path):
+        added = land_bootstrap(folded.drop(tb), table_path)
+        # one count serves both stats: the bootstrap writes exactly one
+        # row per folded id, so rows_inserted ≡ n_change_rows — a
+        # second n_changes_stat() job would re-run the whole unpersisted
+        # digest+window fold just to recount the same number
+        n = spark.read.parquet(table_path).count()
         return {
             "rows_replaced": 0,
-            "rows_inserted": spark.read.parquet(table_path).count(),
+            "rows_inserted": n,
             "files_rewritten": 0,
             "removed_files": [],
             "added_files": added,
-            "n_change_rows": n_changes_stat(folded.drop(tb)),
+            "n_change_rows": n,
             "bootstrapped": True,
         }
     # persist: upsert_rows evaluates its updates frame across ~5
