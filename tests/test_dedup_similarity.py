@@ -1413,3 +1413,59 @@ def test_pq_guards_and_null_semantics(spark):
     shrunk = [b[:1] for b in books]
     with pytest.raises(SparkRuntimeException, match="codebook shape"):
         pq_topk(enc, [0.0] * 4, shrunk, k=3).collect()
+
+
+def test_ivf_pq_index_probe_prunes_and_matches_inline(spark, tmp_path):
+    """The IVF-PQ composition materialized: the index stores ONLY
+    (id, pq_codes, cluster) — no float vectors; the probe partition-
+    prunes on cluster; and its result equals the in-memory composition
+    (same routing, same ADC tables) exactly."""
+    from web_api_postgres_etl_spark.operators.similarity import (
+        _py_cos_key,
+        ivf_assign,
+        ivf_pq_probe,
+        pq_topk,
+        write_ivf_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]
+    ]
+    path = str(tmp_path / "ivfpq")
+    cents, books = write_ivf_pq_index(
+        emb, path, every=11, max_centroids=4, m=4, pq_k=8, pq_iters=1
+    )
+
+    # no float vectors in the index — the byte-diet claim is structural
+    assert set(spark.read.parquet(path).columns) == {
+        "vec_id", "pq_codes", "cluster",
+    }
+
+    probe = ivf_pq_probe(spark, path, qvec, k=5, nprobe=2)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2 and "cluster" in pf[1][:120], (
+        "probe scan must partition-prune on cluster"
+    )
+    got = [tuple(r) for r in probe.collect()]
+
+    # in-memory composition with the returned centroids/codebooks
+    probed = sorted(
+        cents, key=lambda cv: (-_py_cos_key(qvec, cv[1]), -cv[0])
+    )[:2]
+    probe_ids = [cid for cid, _ in probed]
+    assigned = ivf_assign(emb, cents)
+    from web_api_postgres_etl_spark.operators.similarity import pq_encode
+
+    inline = pq_topk(
+        pq_encode(
+            assigned.select("vec_id", F.col("__v").alias("embedding"), "cluster"),
+            books, keep_cols=["cluster"],
+        ).filter(F.col("cluster").isin(probe_ids)),
+        qvec, books, k=5,
+    )
+    assert got == [tuple(r) for r in inline.collect()]
+    # the query's own vector routes to a probed cluster and, being its
+    # own per-subspace argmin, attains the minimum ADC distance there
+    assert got and got[0][0] == 7

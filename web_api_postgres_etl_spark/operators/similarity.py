@@ -1503,15 +1503,18 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     code_col: str = "pq_codes",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, pq_codes array<int>) — assign each vector's m subvectors to
-    their nearest codebook centroid (reduced-L2 argmin, ties to the
-    smaller code — identical arithmetic to :func:`pq_train`'s
-    assignment, strict left folds, so encoding with a fixed codebook is
-    bit-deterministic under any partitioning or engine). NULL
-    embeddings keep a NULL code array (total); a wrong-dimension row
-    raises loudly (lazy raise_error — silently padding the fold with
-    NULLs would corrupt codes instead of failing)."""
+    """(id, pq_codes array<int>, *keep_cols) — assign each vector's m
+    subvectors to their nearest codebook centroid (reduced-L2 argmin,
+    ties to the smaller code — identical arithmetic to
+    :func:`pq_train`'s assignment, strict left folds, so encoding with
+    a fixed codebook is bit-deterministic under any partitioning or
+    engine). NULL embeddings keep a NULL code array (total); a
+    wrong-dimension row raises loudly (lazy raise_error — silently
+    padding the fold with NULLs would corrupt codes instead of
+    failing). ``keep_cols`` ride through unchanged (e.g. the IVF
+    cluster id for a partitioned code table)."""
     if not codebooks:
         raise ValueError("pq_encode: empty codebooks")
     m = len(codebooks)
@@ -1534,9 +1537,16 @@ def pq_encode(
         f"' != codebook dimension {dim}')) as array<int>) "
         f"ELSE {codes} END"
     )
+    keep = list(keep_cols or [])
     return corpus.select(
-        qcol(id_col).alias(id_col), as_double_array(vec_col).alias("__v")
-    ).selectExpr(_qident(id_col), f"{guarded} AS {_qident(code_col)}")
+        qcol(id_col).alias(id_col),
+        as_double_array(vec_col).alias("__v"),
+        *[qcol(c) for c in keep],
+    ).selectExpr(
+        _qident(id_col),
+        f"{guarded} AS {_qident(code_col)}",
+        *[_qident(c) for c in keep],
+    )
 
 
 def pq_topk(
@@ -1606,3 +1616,102 @@ def pq_topk(
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def write_ivf_pq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    every: int = 97,
+    max_centroids: int = 8,
+    m: int = 4,
+    pq_k: int = 16,
+    pq_iters: int = 2,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebooks: list[list[tuple[int, list[float]]]] | None = None,
+):
+    """Materialize an IVF-PQ index (the faiss IVFPQ shape): the corpus
+    lands as a cluster-PARTITIONED parquet table holding ONLY
+    (id, pq_codes) — m small ints per vector, no float vectors — plus
+    two tiny sidecars (coarse centroids, PQ codebooks). The 100 TB
+    composition of the engine's two ANN levers: partition pruning cuts
+    the scan to nprobe/|C| of the files, and inside a probed partition
+    the ADC scan reads m bytes-ish per row instead of dim floats. A
+    re-rank over the true vectors (e.g. ``cosine_topk`` on the probe's
+    survivors joined back to the source table) is the standard third
+    stage when exactness of the short list matters.
+
+    Routing is the IVF family's cosine rule; in-cluster ranking is
+    PQ's L2 ADC — normalize embeddings first if cosine-faithful
+    ranking is required (unit vectors make the two orders agree).
+    Returns ``(centroids, codebooks)`` for the in-memory probe path.
+    """
+    cents = centroids if centroids is not None else ivf_centroids(
+        corpus, id_col, vec_col, every, max_centroids
+    )
+    books = codebooks if codebooks is not None else pq_train(
+        corpus, id_col, vec_col, m, pq_k, pq_iters, every
+    )
+    if not cents or not books:
+        raise ValueError(
+            "write_ivf_pq_index: empty centroid/codebook sample — "
+            "corpus too small for the `every` stride"
+        )
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    encoded = pq_encode(
+        assigned.select(qcol(id_col), F.col("__v").alias(vec_col), "cluster"),
+        books, id_col, vec_col, keep_cols=["cluster"],
+    )
+    encoded.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(cid, cvec) for cid, cvec in cents],
+        "cid int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "_centroids")
+    spark.createDataFrame(
+        [(s, c, cv) for s, book in enumerate(books) for c, cv in book],
+        "sp int, code int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "_codebooks")
+    return cents, books
+
+
+def read_pq_codebooks(spark, path: str) -> list[list[tuple[int, list[float]]]]:
+    """Reconstruct the PQ codebooks sidecar written by
+    :func:`write_ivf_pq_index` in (subspace, code) order — the exact
+    shape :func:`pq_topk` consumes."""
+    rows = spark.read.parquet(path + "_codebooks").collect()
+    by_sp: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in rows:
+        by_sp.setdefault(int(r["sp"]), []).append(
+            (int(r["code"]), [float(x) for x in r["cvec"]])
+        )
+    return [sorted(by_sp[s]) for s in sorted(by_sp)]
+
+
+def ivf_pq_probe(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """Query a ``write_ivf_pq_index`` index: pick the nprobe nearest
+    coarse centroids driver-side (tiny sidecar reads), scan ONLY their
+    partitions (cluster is a partition column → PartitionFilters on
+    the scan, asserted in tests), ADC-score the codes against
+    driver-precomputed lookup tables, return the ascending-distance
+    top-k as (id, adc_dist)."""
+    cents = [
+        (int(r["cid"]), [float(x) for x in r["cvec"]])
+        for r in spark.read.parquet(path + "_centroids").collect()
+    ]
+    books = read_pq_codebooks(spark, path)
+    probed = sorted(
+        cents, key=lambda cv: (-_py_cos_key(query_vec, cv[1]), -cv[0])
+    )[:nprobe]
+    probe_ids = [cid for cid, _ in probed]
+    idx = spark.read.parquet(path).filter(F.col("cluster").isin(probe_ids))
+    return pq_topk(idx, query_vec, books, id_col, code_col, k)
