@@ -310,3 +310,92 @@ def test_table_diff_multiset_semantics_and_duckdb_mirror(spark, oracle):
         WHERE COALESCE(n_a, 0) <> COALESCE(n_b, 0)
     """).fetchall())
     assert got_li == want_li and len(got_li) > 0
+
+
+def test_table_fingerprint_invariance_and_sensitivity(spark):
+    """The fingerprint is invariant under repartitioning, row order,
+    and column order (commutative exact sum of canonical digests), and
+    sensitive to any value change and to row multiplicity."""
+    import pytest
+
+    from web_api_postgres_etl_spark.operators.quality import (
+        table_fingerprint,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (3, None, 2.5), (3, None, 2.5)],
+        "id long, s string, x double",
+    )
+    base = table_fingerprint(df).first()
+    assert base["n_rows"] == 4
+    for variant in [
+        df.repartition(13),
+        df.orderBy(F.col("s").desc_nulls_first()),
+        df.select("x", "id", "s"),
+    ]:
+        row = table_fingerprint(variant).first()
+        assert (row["n_rows"], row["fingerprint"]) == (
+            base["n_rows"], base["fingerprint"],
+        )
+    # column subset: explicit cols match regardless of the frame's extras
+    sub = table_fingerprint(df, ["id", "s"]).first()
+    assert sub["fingerprint"] == table_fingerprint(
+        df.select("s", "id")
+    ).first()["fingerprint"]
+    # sensitivity: one changed value, one dropped duplicate
+    changed = table_fingerprint(
+        df.withColumn("id", F.when(F.col("id") == 2, 99).otherwise(F.col("id")))
+    ).first()
+    assert changed["fingerprint"] != base["fingerprint"]
+    dedup = table_fingerprint(df.distinct()).first()
+    assert dedup["n_rows"] == 3
+    assert dedup["fingerprint"] != base["fingerprint"]
+    # empty frame → (0, 0); guards raise
+    empty = table_fingerprint(df.filter("id < 0")).first()
+    assert (empty["n_rows"], int(empty["fingerprint"])) == (0, 0)
+    with pytest.raises(ValueError, match="not in"):
+        table_fingerprint(df, ["nope"])
+    with pytest.raises(ValueError, match="no columns"):
+        table_fingerprint(df, [])
+
+
+def test_table_fingerprint_survives_layout_rewrites_and_matches_duckdb(
+    spark, oracle, tmp_path
+):
+    """The 100 TB claim: layout maintenance (a Z-order rewrite through
+    parquet) preserves the fingerprint bit-for-bit; and the value is
+    engine-exact — DuckDB's mirror of the same md5 arithmetic over
+    lineitem integer/string columns computes the identical DECIMAL."""
+    from web_api_postgres_etl_spark.operators.layout import (
+        cluster_by_zorder,
+    )
+    from web_api_postgres_etl_spark.operators.quality import (
+        table_fingerprint,
+    )
+    from tests.conftest import SF_ORACLE
+
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"]
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    base = table_fingerprint(li, cols).first()
+
+    out = str(tmp_path / "rewritten")
+    cluster_by_zorder(
+        li.select(*cols, "l_quantity"), ["l_orderkey", "l_partkey"], 4
+    ).write.parquet(out)
+    again = table_fingerprint(spark.read.parquet(out), cols).first()
+    assert (again["n_rows"], again["fingerprint"]) == (
+        base["n_rows"], base["fingerprint"],
+    )
+
+    parts = " || chr(1) || ".join(
+        f"coalesce(CAST({c} AS VARCHAR), chr(0))" for c in sorted(cols)
+    )
+    row = oracle.execute(
+        f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               COALESCE(SUM(CAST(CAST(('0x' || substr(md5({parts}), 1, 15))
+                 AS UBIGINT) AS DECIMAL(38,0))), 0) AS fingerprint
+        FROM lineitem
+        """
+    ).fetchone()
+    assert (base["n_rows"], int(base["fingerprint"])) == (row[0], int(row[1]))

@@ -315,6 +315,24 @@ def _move_parquet_in(frame, tmp: str, base_local: str, pcols: list) -> list:
     return moved
 
 
+def row_digest(cols: Sequence[str]) -> Column:
+    """Canonical whole-row digest: md5 over the SORTED column names —
+    sorted so two frames whose physical column orders legitimately
+    differ (a change batch vs the stored table, a rewrite vs its
+    source) compute the identical digest for identical row content.
+    NULLs encode explicitly: concat_ws SKIPS them, so ('a', NULL) and
+    (NULL, 'a') would otherwise share a digest. Shared by the CDC
+    apply gate (streaming/table_stream.py) and the content
+    fingerprint (operators/quality.py::table_fingerprint)."""
+    return F.md5(F.concat_ws(
+        "\u0001",
+        *[
+            F.coalesce(F.col(f"`{c}`").cast("string"), F.lit("\u0000"))
+            for c in sorted(cols)
+        ],
+    ))
+
+
 def table_has_parquet(path: str) -> bool:
     """True iff the (local-filesystem) table directory already holds at
     least one parquet part file — the maintenance faces' bootstrap

@@ -441,3 +441,50 @@ def table_diff(
         )
         .filter(F.col("n_a") != F.col("n_b"))
     )
+
+
+def table_fingerprint(
+    df: DataFrame,
+    cols: "Sequence[str] | None" = None,
+) -> DataFrame:
+    """ONE row ``(n_rows BIGINT, fingerprint DECIMAL(38,0))`` — an
+    order- and partition-independent exact content digest of the
+    frame: fingerprint = Σ over rows of the first-60-bit integer of
+    the canonical sorted-column row digest
+    (``operators.layout.row_digest`` — the SAME recipe the CDC apply
+    gate compares). A commutative exact-integer sum, so ANY
+    partitioning, row order, column order, or engine computes the
+    identical value — the cheap invariance check the layout family
+    needs at 100 TB: ``compact_small_files``, Z-order clustering, a
+    no-op upsert replay, or an engine migration must all preserve it,
+    in one column-pruned scan per side instead of ``table_diff``'s
+    full multiset join.
+
+    MULTISET-sensitive: a duplicated row adds its term twice, so
+    equal fingerprints+counts ⇔ equal multisets of canonical row
+    strings (md5-collision caveat, same as every digest op here).
+    Directional caveat vs ``table_diff``: a fingerprint MISMATCH
+    proves the tables differ, a match is probabilistic — reconcile
+    with ``table_diff`` when you need the differing rows themselves.
+    60 bits per term keeps the sum exact in DECIMAL(38,0) up to
+    ~10^19 rows; NULLs and column order are canonicalized by the
+    shared digest recipe. Empty frame → (0, 0)."""
+    from .layout import row_digest
+
+    use = list(cols) if cols is not None else list(df.columns)
+    if not use:
+        raise ValueError("table_fingerprint: no columns to digest")
+    missing = [c for c in use if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"table_fingerprint: columns {missing} not in {df.columns}"
+        )
+    word = F.conv(F.substring(row_digest(use), 1, 15), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(
+            F.sum(word), F.lit(0).cast("decimal(38,0)")
+        ).alias("fingerprint"),
+    )

@@ -58,20 +58,9 @@ from ..operators.layout import (
 )
 
 
-def _row_digest(cols: list[str]):
-    """Canonical whole-row digest: md5 over the SORTED column names —
-    sorted so the batch side and the stored-table side (whose physical
-    column orders legitimately differ) compute the identical digest
-    for identical row content. NULLs encode explicitly: concat_ws
-    SKIPS them, so ('a', NULL) and (NULL, 'a') would otherwise share
-    a digest and re-tie."""
-    return F.md5(F.concat_ws(
-        "\u0001",
-        *[
-            F.coalesce(F.col(f"`{c}`").cast("string"), F.lit("\u0000"))
-            for c in sorted(cols)
-        ],
-    ))
+# the canonical sorted-column digest now lives in operators.layout
+# (shared with table_fingerprint); the gate semantics are unchanged
+from ..operators.layout import row_digest as _row_digest  # noqa: E402
 
 
 def apply_changes(
