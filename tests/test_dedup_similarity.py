@@ -1469,3 +1469,50 @@ def test_ivf_pq_index_probe_prunes_and_matches_inline(spark, tmp_path):
     # the query's own vector routes to a probed cluster and, being its
     # own per-subspace argmin, attains the minimum ADC distance there
     assert got and got[0][0] == 7
+
+
+def test_ivf_pq_index_append_shares_frozen_sidecars(spark, tmp_path):
+    """Appending through the sidecars must equal building the index
+    over the union in one shot (same centroids + codebooks → same
+    assignment, same codes), and a probe for an appended vector finds
+    it at the ADC minimum of its probed cluster."""
+    from web_api_postgres_etl_spark.operators.similarity import (
+        ivf_pq_index_append,
+        ivf_pq_probe,
+        write_ivf_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    path = str(tmp_path / "ivfpq_grow")
+    cents, books = write_ivf_pq_index(
+        old, path, every=11, max_centroids=4, m=4, pq_k=8, pq_iters=1
+    )
+    n = ivf_pq_index_append(new, path)
+    assert n == new.count()
+
+    grown = spark.read.parquet(path)
+    assert grown.count() == emb.count()
+
+    # one-shot rebuild with the SAME frozen sidecars = identical table
+    path2 = str(tmp_path / "ivfpq_oneshot")
+    write_ivf_pq_index(emb, path2, centroids=cents, codebooks=books)
+    a = sorted(
+        (r["vec_id"], tuple(r["pq_codes"]), r["cluster"])
+        for r in grown.collect()
+    )
+    b = sorted(
+        (r["vec_id"], tuple(r["pq_codes"]), r["cluster"])
+        for r in spark.read.parquet(path2).collect()
+    )
+    assert a == b
+
+    # an appended vector queried against the grown index: minimum ADC
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 450).first()["embedding"]
+    ]
+    top = ivf_pq_probe(spark, path, qvec, k=5, nprobe=4)
+    rows = top.collect()
+    mine = [r["adc_dist"] for r in rows if r["vec_id"] == 450]
+    assert mine and mine[0] == rows[0]["adc_dist"]

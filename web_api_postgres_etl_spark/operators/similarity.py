@@ -1715,3 +1715,45 @@ def ivf_pq_probe(
     probe_ids = [cid for cid, _ in probed]
     idx = spark.read.parquet(path).filter(F.col("cluster").isin(probe_ids))
     return pq_topk(idx, query_vec, books, id_col, code_col, k)
+
+
+def ivf_pq_index_append(
+    new_df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Append a new batch of vectors to an existing
+    ``write_ivf_pq_index`` index WITHOUT rebuilding: read both
+    sidecars, assign the batch with the SAME coarse centroids and
+    encode with the SAME codebooks, append into the cluster partition
+    directories. Probes see the new codes immediately and score them
+    with the identical ADC tables — correctness never depends on when
+    a row arrived, because probe, assignment, and encoding all share
+    the frozen sidecars (the ``ivf_index_append`` contract, extended
+    to the code table). Returns the appended row count.
+
+    Drift caveat, doubled: appended vectors may be better served by
+    retrained centroids AND by retrained codebooks (quantization error
+    grows as the corpus distribution moves off the training sample);
+    recall-sensitive deployments rebuild on a cadence — routing and
+    scoring stay CORRECT regardless."""
+    spark = new_df.sparkSession
+    cents = [
+        (int(r["cid"]), [float(x) for x in r["cvec"]])
+        for r in spark.read.parquet(path + "_centroids").collect()
+    ]
+    if not cents:
+        raise ValueError(f"no centroid sidecar at {path}_centroids")
+    books = read_pq_codebooks(spark, path)
+    if not books:
+        raise ValueError(f"no codebook sidecar at {path}_codebooks")
+    assigned = ivf_assign(new_df, cents, id_col, vec_col)
+    encoded = pq_encode(
+        assigned.select(qcol(id_col), F.col("__v").alias(vec_col), "cluster"),
+        books, id_col, vec_col, keep_cols=["cluster"],
+    ).persist()
+    n = encoded.count()
+    encoded.write.mode("append").partitionBy("cluster").parquet(path)
+    encoded.unpersist()
+    return n
