@@ -810,9 +810,11 @@ def test_merge_components_min_id_relabel_and_chained_batches(spark):
     )
     assert {tuple(r) for r in merged.collect()} == {(0, 0), (7, 0), (8, 0)}
 
-    # chained batches ≡ one-shot on random graphs
+    # chained batches ≡ one-shot on random graphs (2 trials — each
+    # drives ~10 full CC loops; the planted cases above pin the
+    # semantics, these pin the random-structure equivalence)
     rng = random.Random(7)
-    for _ in range(3):
+    for _ in range(2):
         n = 40
         all_edges = [
             (rng.randrange(n), rng.randrange(n)) for _ in range(45)

@@ -694,3 +694,40 @@ def test_cli_compact_guards(spark, tmp_path):
     shutil.move(flat, flat + ".old")
     assert main(["compact", "--table", flat, "--keys", "name"], spark=spark) == 0
     assert [r["meta.version"] for r in spark.read.parquet(flat).collect()] == [5]
+
+
+def test_cli_fingerprint(spark, tmp_path, capsys):
+    """The fingerprint subcommand prints (n_rows, fingerprint) JSON; the
+    --vs comparison exits 0 on a content match (repartitioned rewrite)
+    and 3 on a mismatch, with both sides in the payload."""
+    import json
+
+    from web_api_postgres_etl_spark.__main__ import main
+
+    t1 = str(tmp_path / "a")
+    t2 = str(tmp_path / "b")
+    t3 = str(tmp_path / "c")
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, None)], "id long, s string"
+    )
+    df.write.parquet(t1)
+    df.repartition(5).write.parquet(t2)           # same content, new layout
+    df.filter("id != 2").write.parquet(t3)        # different content
+
+    assert main(["fingerprint", "--table", t1], spark=spark) == 0
+    solo = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert solo["n_rows"] == 3 and int(solo["fingerprint"]) > 0
+
+    assert main(
+        ["fingerprint", "--table", t1, "--vs", t2], spark=spark
+    ) == 0
+    match = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert match["match"] is True
+    assert match["fingerprint"] == match["vs"]["fingerprint"]
+
+    assert main(
+        ["fingerprint", "--table", t1, "--vs", t3, "--cols", "id,s"],
+        spark=spark,
+    ) == 3
+    diff = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert diff["match"] is False and diff["vs"]["n_rows"] == 2

@@ -74,6 +74,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     help="comma-separated columns to index (required on "
                          "first build; later refreshes read them from the "
                          "sidecar itself)")
+    pf = sub.add_parser("fingerprint")
+    pf.add_argument("--table", required=True, help="parquet path")
+    pf.add_argument("--cols", default=None,
+                    help="comma-separated columns to digest (default: all)")
+    pf.add_argument("--vs", default=None, metavar="OTHER",
+                    help="second parquet path: fingerprint both sides "
+                         "and report whether they match (migration / "
+                         "rewrite invariance check)")
     pp = sub.add_parser("profile")
     pp.add_argument("--table", required=True, help="parquet path")
     pp.add_argument("--keys", default=None, help="comma-separated key columns")
@@ -190,6 +198,36 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 "files_in_map": n_files,
             }))
             return 0
+
+        if args.cmd == "fingerprint":
+            # exact order-independent content digest; with --vs, the
+            # one-scan-per-side migration / rewrite invariance check
+            from .operators.quality import table_fingerprint
+
+            cols = args.cols.split(",") if args.cols else None
+            a = table_fingerprint(
+                spark.read.parquet(args.table), cols
+            ).first()
+            out = {
+                "table": args.table,
+                "n_rows": int(a["n_rows"]),
+                "fingerprint": str(a["fingerprint"]),
+            }
+            if args.vs:
+                b = table_fingerprint(
+                    spark.read.parquet(args.vs), cols
+                ).first()
+                out["vs"] = {
+                    "table": args.vs,
+                    "n_rows": int(b["n_rows"]),
+                    "fingerprint": str(b["fingerprint"]),
+                }
+                out["match"] = (
+                    int(a["n_rows"]) == int(b["n_rows"])
+                    and a["fingerprint"] == b["fingerprint"]
+                )
+            print(json.dumps(out))
+            return 0 if out.get("match", True) else 3
 
         if args.cmd == "profile":
             # pre-flight diagnostics without writing code: key skew of
