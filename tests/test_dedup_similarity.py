@@ -1516,3 +1516,81 @@ def test_ivf_pq_index_append_shares_frozen_sidecars(spark, tmp_path):
     rows = top.collect()
     mine = [r["adc_dist"] for r in rows if r["vec_id"] == 450]
     assert mine and mine[0] == rows[0]["adc_dist"]
+
+
+def test_project_embeddings_rp_bit_exact_and_geometry(spark):
+    """The JL projection is bit-identical to a literal Python model of
+    the same strict folds over the same xxhash64-derived ±1 planes; it
+    preserves enough geometry that exact top-k in the REDUCED space
+    recovers most of the original top-k (deterministic planes → a
+    deterministic, non-flaky recall reading); NULL/dim/cap/collision
+    guards hold."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from web_api_postgres_etl_spark.operators.similarity import (
+        _py_dot,
+        cosine_topk,
+        hyperplane_matrix,
+        project_embeddings_rp,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out_dim = 16
+    planes = hyperplane_matrix(spark, 64, out_dim)
+    proj = project_embeddings_rp(emb, out_dim, planes=planes)
+    got = {r["vec_id"]: list(r["projection"]) for r in proj.collect()}
+    data = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.collect()
+        if r["embedding"] is not None
+    }
+    inv = 1.0 / (out_dim ** 0.5)
+    for vid, v in list(data.items()):
+        want = [_py_dot(v, p) * inv for p in planes]
+        assert got[vid] == want, f"vec {vid}"
+
+    # geometry: on STRUCTURED data (3 tight clusters — the regime where
+    # neighbor order carries signal; random vectors' near-uniform
+    # pairwise distances are meaningless to preserve), top-k in the
+    # projected space stays inside the query's true cluster.
+    # Deterministic planes → a deterministic, non-flaky reading.
+    import random as _rnd
+
+    rng = _rnd.Random(5)
+    crows = []
+    for i in range(60):
+        b = i % 3
+        v = [0.0] * 64
+        for d in range(64):
+            v[d] = (1.0 if d % 3 == b else 0.05) + rng.uniform(-0.02, 0.02)
+        crows.append((i, v))
+    cdf = spark.createDataFrame(crows, "vec_id long, embedding array<double>")
+    cproj = project_embeddings_rp(cdf, out_dim, planes=planes)
+    creduced = cproj.select("vec_id", F.col("projection").alias("embedding"))
+    qvec = [_py_dot(crows[0][1], p) * inv for p in planes]
+    top = [r["vec_id"] for r in cosine_topk(creduced, qvec, k=10).collect()]
+    assert all(t % 3 == 0 for t in top), f"cluster broke in JL space: {top}"
+
+    # default path derives planes from the data — same result
+    default = project_embeddings_rp(emb, out_dim)
+    assert {r["vec_id"]: list(r["projection"]) for r in default.collect()} == got
+
+    # guards
+    with pytest.raises(ValueError, match="expression-plan cap"):
+        project_embeddings_rp(emb, 1000)
+    with pytest.raises(ValueError, match="planes has"):
+        project_embeddings_rp(emb, 8, planes=planes)
+    with pytest.raises(ValueError, match="already exists"):
+        project_embeddings_rp(emb.withColumn("projection", F.lit(1)), 4)
+    mixed = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, None)], "vec_id long, embedding array<double>"
+    )
+    nulls = {
+        r["vec_id"]: r["projection"]
+        for r in project_embeddings_rp(mixed, 4, planes=[p[:64] for p in planes[:4]]).collect()
+    }
+    assert nulls[2] is None and nulls[1] is not None
+    bad = spark.createDataFrame([(9, [1.0, 2.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(SparkRuntimeException, match="plane dimension"):
+        project_embeddings_rp(bad, 4, planes=[p[:64] for p in planes[:4]]).collect()

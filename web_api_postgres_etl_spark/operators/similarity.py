@@ -1757,3 +1757,85 @@ def ivf_pq_index_append(
     encoded.write.mode("append").partitionBy("cluster").parquet(path)
     encoded.unpersist()
     return n
+
+
+def project_embeddings_rp(
+    df: DataFrame,
+    out_dim: int,
+    vec_col: str = "embedding",
+    out_col: str = "projection",
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Append a Johnson–Lindenstrauss sign random projection of the
+    embedding: ``out[j] = (Σ_i v_i · s_ij) / sqrt(out_dim)`` with
+    ``s_ij ∈ {±1}`` from the engine's xxhash64 plane derivation
+    (``hyperplane_matrix`` — no stored model, reproducible across
+    runs/sessions/engines). The DENSE-reduction sibling of
+    ``rhp_signature``'s bit hashing: it keeps continuous geometry
+    (pairwise distances within (1±ε) w.h.p., Achlioptas 2003), so the
+    downstream k-means / IVF / SemDeDup / brute re-rank machinery runs
+    unchanged in the reduced space — at 100 TB, projecting 1024→128
+    dims cuts every embedding shuffle, cache, and scan 8× BEFORE any
+    index is built.
+
+    Deterministic: each output coordinate is one fixed-order fold in
+    DOUBLE over literal ±1 weights — identical under any partitioning
+    and expressible verbatim in the SQL oracle. NULL embeddings keep a
+    NULL projection (total); a wrong-dimension row raises loudly
+    (zip_with would silently NULL-pad the fold). ``planes`` accepts a
+    precomputed matrix (e.g. to project a query literal driver-side
+    with the corpus's exact weights); default derives out_dim planes
+    for the first non-NULL row's dimensionality."""
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+    if planes is None:
+        first = (
+            df.select(as_double_array(vec_col).alias("__v"))
+            .filter(F.col("__v").isNotNull())
+            .first()
+        )
+        if first is None:
+            raise ValueError(
+                "project_embeddings_rp: no non-NULL vectors to derive "
+                "the input dimensionality from — pass planes="
+            )
+        in_dim = len(first["__v"])
+        planes = hyperplane_matrix(df.sparkSession, in_dim, out_dim)
+    else:
+        if len(planes) != out_dim:
+            raise ValueError(
+                f"planes has {len(planes)} rows, out_dim is {out_dim}"
+            )
+        in_dim = len(planes[0])
+    if in_dim * out_dim > 16384:
+        raise ValueError(
+            f"in_dim {in_dim} × out_dim {out_dim} = {in_dim * out_dim} "
+            "literal weights exceeds the expression-plan cap (16384); "
+            "project in blocks (several calls, array_concat the outputs)"
+        )
+    if out_col in df.columns:
+        raise ValueError(f"column {out_col!r} already exists — rename it")
+    if "__v" in df.columns:
+        raise ValueError(
+            "column '__v' collides with the projection's staged "
+            "column — rename it first"
+        )
+    import math
+
+    inv = _dlit(1.0 / math.sqrt(float(out_dim)))
+    coords = ", ".join(
+        f"{_sql_dot('__v', _sql_array_lit(p))} * {inv}" for p in planes
+    )
+    guarded = (
+        f"CASE WHEN __v IS NULL THEN NULL "
+        f"WHEN size(__v) <> {in_dim} THEN cast(raise_error(concat("
+        f"'project_embeddings_rp: embedding dimension ', "
+        f"cast(size(__v) as string), ' != plane dimension {in_dim}')) "
+        f"as array<double>) "
+        f"ELSE array({coords}) END"
+    )
+    staged = df.withColumn("__v", as_double_array(vec_col))
+    return staged.selectExpr(
+        *[_qident(c) for c in df.columns],
+        f"{guarded} AS {_qident(out_col)}",
+    )
