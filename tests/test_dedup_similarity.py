@@ -1576,6 +1576,19 @@ def test_project_embeddings_rp_bit_exact_and_geometry(spark):
     default = project_embeddings_rp(emb, out_dim)
     assert {r["vec_id"]: list(r["projection"]) for r in default.collect()} == got
 
+    # BLOCK-WISE assembly equals the single shot bit-for-bit: two
+    # 8-coordinate blocks (plane_start offsets derive DIFFERENT
+    # planes; scale_dim fixes 1/sqrt to the TOTAL dimensionality)
+    b0 = project_embeddings_rp(
+        emb, 8, out_col="p0", plane_start=0, scale_dim=out_dim
+    )
+    both = project_embeddings_rp(
+        b0, 8, out_col="p1", plane_start=8, scale_dim=out_dim
+    ).selectExpr("vec_id", "concat(p0, p1) AS projection")
+    assert {
+        r["vec_id"]: list(r["projection"]) for r in both.collect()
+    } == got
+
     # guards
     with pytest.raises(ValueError, match="expression-plan cap"):
         project_embeddings_rp(emb, 1000)

@@ -204,7 +204,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             # one-scan-per-side migration / rewrite invariance check
             from .operators.quality import table_fingerprint
 
-            cols = args.cols.split(",") if args.cols else None
+            cols = (
+                [c.strip() for c in args.cols.split(",") if c.strip()]
+                if args.cols
+                else None
+            )
             a = table_fingerprint(
                 spark.read.parquet(args.table), cols
             ).first()

@@ -171,17 +171,25 @@ def _sql_hyperplane_sign(plane: int, dim_index: int) -> str:
     )
 
 
-def hyperplane_matrix(spark, dims: int, num_planes: int) -> list[list[float]]:
+def hyperplane_matrix(
+    spark, dims: int, num_planes: int, start: int = 0
+) -> list[list[float]]:
     """±1 hyperplane weights, derived once from xxhash64(plane, dim) —
     no stored model, reproducible across runs/sessions/executors. One
-    tiny Spark job (num_planes × dims cells, one SQL string) materializes
-    them so the per-row signature math uses plain literals."""
+    tiny Spark job (num_planes × dims cells, one SQL string)
+    materializes them so the per-row signature math uses plain
+    literals. ``start`` offsets the plane indices (planes
+    start..start+num_planes-1) — the block-wise lever for projections
+    too wide for one literal plan: blocks at different starts derive
+    DIFFERENT planes, never copies."""
     row = (
         spark.range(1)
         .selectExpr(
             *[
                 "array("
-                + ", ".join(_sql_hyperplane_sign(p, i) for i in range(dims))
+                + ", ".join(
+                    _sql_hyperplane_sign(start + p, i) for i in range(dims)
+                )
                 + f") AS p{p}"
                 for p in range(num_planes)
             ]
@@ -482,6 +490,39 @@ def ivf_assign(
     )
 
 
+def _read_ivf_centroids(spark, path: str) -> list[tuple[int, list[float]]]:
+    """The centroid sidecar, in the (cid, vector) shape every IVF entry
+    point consumes — ONE definition so probe and append can never
+    disagree on the sidecar schema."""
+    return [
+        (int(r["cid"]), [float(x) for x in r["cvec"]])
+        for r in spark.read.parquet(path + "_centroids").collect()
+    ]
+
+
+def _write_centroid_sidecar(spark, cents, path: str) -> None:
+    """Persist the centroid sidecar (the shape _read_ivf_centroids
+    reads back) — shared by the float-vector and PQ index builders."""
+    spark.createDataFrame(
+        [(cid, cvec) for cid, cvec in cents],
+        "cid int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "_centroids")
+
+
+def _probe_ids(
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    nprobe: int,
+) -> list[int]:
+    """The nprobe centroid ids nearest the query by cosine, ties to the
+    larger cid — ONE definition of the routing rule, so assignment-time
+    and probe-time routing can never drift apart."""
+    probed = sorted(
+        centroids, key=lambda cv: (-_py_cos_key(query_vec, cv[1]), -cv[0])
+    )[:nprobe]
+    return [cid for cid, _ in probed]
+
+
 def ivf_topk(
     corpus: DataFrame,
     query_vec: list[float],
@@ -500,10 +541,7 @@ def ivf_topk(
     (``kmeans_centroids``); default is the deterministic fixed sample."""
     if centroids is None:
         centroids = ivf_centroids(corpus, id_col, vec_col, every, max_centroids)
-    probed = sorted(
-        centroids, key=lambda cv: (-_py_cos_key(query_vec, cv[1]), -cv[0])
-    )[:nprobe]
-    probe_ids = [cid for cid, _ in probed]
+    probe_ids = _probe_ids(centroids, query_vec, nprobe)
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     q = _sql_array_lit(query_vec)
     nq = _py_norm([float(x) for x in query_vec])
@@ -555,10 +593,7 @@ def write_ivf_index(
         .parquet(path)
     )
     spark = corpus.sparkSession
-    spark.createDataFrame(
-        [(cid, cvec) for cid, cvec in cents],
-        "cid int, cvec array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(path + "_centroids")
+    _write_centroid_sidecar(spark, cents, path)
     return cents
 
 
@@ -575,14 +610,8 @@ def ivf_probe(
     centroids driver-side (tiny sidecar read), scan ONLY their
     partitions (cluster is a partition column → partition pruning, no
     full scan), score with the precomputed norms, top-k."""
-    cents = [
-        (int(r["cid"]), [float(x) for x in r["cvec"]])
-        for r in spark.read.parquet(path + "_centroids").collect()
-    ]
-    probed = sorted(
-        cents, key=lambda cv: (-_py_cos_key(query_vec, cv[1]), -cv[0])
-    )[:nprobe]
-    probe_ids = [cid for cid, _ in probed]
+    cents = _read_ivf_centroids(spark, path)
+    probe_ids = _probe_ids(cents, query_vec, nprobe)
     q = _sql_array_lit(query_vec)
     nq = _py_norm([float(x) for x in query_vec])
     idx = spark.read.parquet(path)
@@ -1008,10 +1037,7 @@ def ivf_index_append(
     share the sidecar centroids.
     """
     spark = new_df.sparkSession
-    cents = [
-        (int(r["cid"]), [float(x) for x in r["cvec"]])
-        for r in spark.read.parquet(path + "_centroids").collect()
-    ]
+    cents = _read_ivf_centroids(spark, path)
     if not cents:
         raise ValueError(f"no centroid sidecar at {path}_centroids")
     assigned = ivf_assign(new_df, cents, id_col, vec_col).persist()
@@ -1665,10 +1691,7 @@ def write_ivf_pq_index(
     )
     encoded.write.mode("overwrite").partitionBy("cluster").parquet(path)
     spark = corpus.sparkSession
-    spark.createDataFrame(
-        [(cid, cvec) for cid, cvec in cents],
-        "cid int, cvec array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(path + "_centroids")
+    _write_centroid_sidecar(spark, cents, path)
     spark.createDataFrame(
         [(s, c, cv) for s, book in enumerate(books) for c, cv in book],
         "sp int, code int, cvec array<double>",
@@ -1704,15 +1727,9 @@ def ivf_pq_probe(
     the scan, asserted in tests), ADC-score the codes against
     driver-precomputed lookup tables, return the ascending-distance
     top-k as (id, adc_dist)."""
-    cents = [
-        (int(r["cid"]), [float(x) for x in r["cvec"]])
-        for r in spark.read.parquet(path + "_centroids").collect()
-    ]
+    cents = _read_ivf_centroids(spark, path)
     books = read_pq_codebooks(spark, path)
-    probed = sorted(
-        cents, key=lambda cv: (-_py_cos_key(query_vec, cv[1]), -cv[0])
-    )[:nprobe]
-    probe_ids = [cid for cid, _ in probed]
+    probe_ids = _probe_ids(cents, query_vec, nprobe)
     idx = spark.read.parquet(path).filter(F.col("cluster").isin(probe_ids))
     return pq_topk(idx, query_vec, books, id_col, code_col, k)
 
@@ -1739,10 +1756,7 @@ def ivf_pq_index_append(
     recall-sensitive deployments rebuild on a cadence — routing and
     scoring stay CORRECT regardless."""
     spark = new_df.sparkSession
-    cents = [
-        (int(r["cid"]), [float(x) for x in r["cvec"]])
-        for r in spark.read.parquet(path + "_centroids").collect()
-    ]
+    cents = _read_ivf_centroids(spark, path)
     if not cents:
         raise ValueError(f"no centroid sidecar at {path}_centroids")
     books = read_pq_codebooks(spark, path)
@@ -1765,6 +1779,8 @@ def project_embeddings_rp(
     vec_col: str = "embedding",
     out_col: str = "projection",
     planes: list[list[float]] | None = None,
+    plane_start: int = 0,
+    scale_dim: int | None = None,
 ) -> DataFrame:
     """Append a Johnson–Lindenstrauss sign random projection of the
     embedding: ``out[j] = (Σ_i v_i · s_ij) / sqrt(out_dim)`` with
@@ -1785,9 +1801,31 @@ def project_embeddings_rp(
     (zip_with would silently NULL-pad the fold). ``planes`` accepts a
     precomputed matrix (e.g. to project a query literal driver-side
     with the corpus's exact weights); default derives out_dim planes
-    for the first non-NULL row's dimensionality."""
+    for the first non-NULL row's dimensionality.
+
+    Wide targets (in_dim × out_dim over the literal-plan cap) run as
+    BLOCKS: ``plane_start`` offsets the derived plane indices so each
+    block computes DIFFERENT coordinates, and ``scale_dim`` fixes the
+    1/sqrt divisor to the TOTAL output dimensionality so the assembled
+    vector equals the single-shot definition bit-for-bit — e.g.
+    1024→128 is 8 calls with out_dim=16, plane_start=16·b,
+    scale_dim=128, ``concat``-ed. The cap error spells this out."""
     if out_dim < 1:
         raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+    if scale_dim is not None and scale_dim < out_dim:
+        raise ValueError(
+            f"scale_dim {scale_dim} < out_dim {out_dim} — scale_dim is "
+            "the TOTAL output dimensionality across blocks"
+        )
+    # cheap driver-side guards FIRST — a collision must not cost a
+    # corpus scan (the dimensionality probe below) before raising
+    if out_col in df.columns:
+        raise ValueError(f"column {out_col!r} already exists — rename it")
+    if "__v" in df.columns:
+        raise ValueError(
+            "column '__v' collides with the projection's staged "
+            "column — rename it first"
+        )
     if planes is None:
         first = (
             df.select(as_double_array(vec_col).alias("__v"))
@@ -1800,29 +1838,36 @@ def project_embeddings_rp(
                 "the input dimensionality from — pass planes="
             )
         in_dim = len(first["__v"])
-        planes = hyperplane_matrix(df.sparkSession, in_dim, out_dim)
+        if in_dim * out_dim > 16384:
+            raise ValueError(
+                f"in_dim {in_dim} × out_dim {out_dim} = "
+                f"{in_dim * out_dim} literal weights exceeds the "
+                "expression-plan cap (16384); run in blocks of B "
+                "coordinates: for block b, call with out_dim=B, "
+                "plane_start=b*B, scale_dim=<total out_dim>, then "
+                "concat the outputs — each block derives DIFFERENT "
+                "planes and the assembled vector equals the "
+                "single-shot definition"
+            )
+        planes = hyperplane_matrix(
+            df.sparkSession, in_dim, out_dim, start=plane_start
+        )
     else:
         if len(planes) != out_dim:
             raise ValueError(
                 f"planes has {len(planes)} rows, out_dim is {out_dim}"
             )
         in_dim = len(planes[0])
-    if in_dim * out_dim > 16384:
-        raise ValueError(
-            f"in_dim {in_dim} × out_dim {out_dim} = {in_dim * out_dim} "
-            "literal weights exceeds the expression-plan cap (16384); "
-            "project in blocks (several calls, array_concat the outputs)"
-        )
-    if out_col in df.columns:
-        raise ValueError(f"column {out_col!r} already exists — rename it")
-    if "__v" in df.columns:
-        raise ValueError(
-            "column '__v' collides with the projection's staged "
-            "column — rename it first"
-        )
+        if in_dim * out_dim > 16384:
+            raise ValueError(
+                f"in_dim {in_dim} × out_dim {out_dim} = "
+                f"{in_dim * out_dim} literal weights exceeds the "
+                "expression-plan cap (16384); pass plane SLICES per "
+                "block with scale_dim=<total out_dim>"
+            )
     import math
 
-    inv = _dlit(1.0 / math.sqrt(float(out_dim)))
+    inv = _dlit(1.0 / math.sqrt(float(scale_dim or out_dim)))
     coords = ", ".join(
         f"{_sql_dot('__v', _sql_array_lit(p))} * {inv}" for p in planes
     )
