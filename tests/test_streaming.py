@@ -985,3 +985,74 @@ def test_apply_pairs_null_endpoints_and_bootstrap_crash_safety(
     assert {
         r["id"]: r["component"] for r in spark.read.parquet(table).collect()
     } == {1: 1, 2: 1, 5: 1}
+
+
+def test_vectors_maintain_stream_appends_and_replays_idempotently(
+    spark, tmp_path
+):
+    """The vector-ingest face: drained batches land in the IVF-PQ index
+    encoded under the FROZEN sidecars (grown index ≡ one-shot rebuild
+    with the same sidecars); a replayed batch appends ZERO rows; a
+    checkpoint reset re-drains harmlessly; NULL rows drop and
+    within-batch duplicate ids raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from web_api_postgres_etl_spark.operators.similarity import (
+        write_ivf_pq_index,
+    )
+    from web_api_postgres_etl_spark.streaming.vector_stream import (
+        ivf_pq_append_batch,
+        vectors_maintain_run,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    boot = emb.filter(F.col("vec_id") < 300)
+    path = str(tmp_path / "idx")
+    cents, books = write_ivf_pq_index(
+        boot, path, every=11, max_centroids=4, m=4, pq_k=8, pq_iters=1
+    )
+
+    schema = "vec_id long, embedding array<float>"
+    src = str(tmp_path / "vecs")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    b2 = emb.filter(F.col("vec_id") >= 400)
+    b1.write.mode("append").parquet(src)
+    vectors_maintain_run(spark, src, path, ckpt, schema)
+    assert spark.read.parquet(path).count() == 400
+    b2.write.mode("append").parquet(src)
+    vectors_maintain_run(spark, src, path, ckpt, schema)
+    assert spark.read.parquet(path).count() == 500
+
+    # grown ≡ one-shot rebuild under the SAME frozen sidecars
+    path2 = str(tmp_path / "oneshot")
+    write_ivf_pq_index(emb, path2, centroids=cents, codebooks=books)
+    a = sorted(
+        (r["vec_id"], tuple(r["pq_codes"]), r["cluster"])
+        for r in spark.read.parquet(path).collect()
+    )
+    b = sorted(
+        (r["vec_id"], tuple(r["pq_codes"]), r["cluster"])
+        for r in spark.read.parquet(path2).collect()
+    )
+    assert a == b
+
+    # direct replay of an already-landed batch: zero appends
+    stats = ivf_pq_append_batch(spark, path, b2)
+    assert stats["appended"] == 0 and stats["skipped_existing"] == b2.count()
+    # checkpoint reset re-drains everything — still zero growth
+    vectors_maintain_run(spark, src, path, str(tmp_path / "ckpt2"), schema)
+    assert spark.read.parquet(path).count() == 500
+
+    # NULL rows drop; within-batch duplicate ids raise
+    nulls = spark.createDataFrame(
+        [(None, [1.0] * 64), (9999, None)], "vec_id long, embedding array<double>"
+    )
+    assert ivf_pq_append_batch(spark, path, nulls)["n_batch"] == 0
+    dup = spark.createDataFrame(
+        [(9999, [1.0] * 64), (9999, [2.0] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        ivf_pq_append_batch(spark, path, dup)
