@@ -3287,7 +3287,9 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 3
 def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
     """First-order event transition matrix (operators/aggregates.py):
     per-user lag pairs → (from, to, n, P(to|from)); the probability is
-    one division of two exact counts, engine-reproducible."""
+    one division of two exact counts, engine-reproducible. Retired
+    from the driver window in r10 (slot ceded to pq_adc_topk); parity
+    stays in tests/test_oracle_parity.py."""
     events = _t(spark, sf, "events")
     return event_transitions(events)
 
@@ -3416,6 +3418,90 @@ SELECT from_event, to_event, n_transitions,
        n_transitions / sum(n_transitions) OVER (PARTITION BY from_event) AS p
 FROM counted
 """
+
+
+_PQ_M = 4
+_PQ_K = 8
+_PQ_EVERY = 97
+_PQ_TOPK = 50
+
+
+def q_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/similarity.py::
+    pq_train/pq_encode/pq_topk — Jégou 2011): encode every embedding
+    as m=4 subspace codes against ZERO-ITERATION codebooks (the
+    fixed-sample init — every 97th vector sliced per subspace, fully
+    SQL-derivable, the same discipline that keeps the IVF oracle
+    exact while trained float means stay pytest-pinned), then rank by
+    asymmetric distance to the vec_id=1 query. Every arithmetic step
+    is a strict left fold over doubles both engines replay verbatim:
+    codebook self-dots (Spark renders them as python-fold literals —
+    the identical IEEE sequence DuckDB's fold computes), reduced-L2
+    argmin with ties to the smaller code, per-subspace ADC terms
+    summed in subspace order. Scale shape: the scan reads codes, not
+    vectors; TakeOrderedAndProject, no shuffle of the corpus."""
+    from web_api_postgres_etl_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    books = pq_train(
+        emb, "vec_id", "embedding", m=_PQ_M, k=_PQ_K, iters=0, every=_PQ_EVERY
+    )
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]
+    ]
+    enc = pq_encode(emb, books, "vec_id", "embedding")
+    return pq_topk(enc, q, books, "vec_id", "pq_codes", k=_PQ_TOPK)
+
+
+def _l2_sql(a: str, b: str) -> str:
+    """DuckDB fragment for the bit-identical squared-L2 fold — the
+    same (x-y)² left accumulation pq_topk's driver-side tables use."""
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip({a}, {b}), "
+        f"p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _sql_pq_adc_topk(dim: int = 64) -> str:
+    """Unrolled mirror of q_pq_adc_topk: fixed-sample codebooks, four
+    per-subspace reduced-L2 argmin QUALIFYs (ties to the smaller
+    code), ADC terms summed in subspace order — every fold the
+    bit-identical left accumulation (`_dot_sql`/`_l2_sql`)."""
+    sub = dim // _PQ_M
+    ctes = [
+        f"""cent AS (
+  SELECT embedding AS cv, row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM embeddings WHERE vec_id % {_PQ_EVERY} = 0
+  ORDER BY vec_id LIMIT {_PQ_K})""",
+        "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)",
+    ]
+    for s in range(_PQ_M):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        es, cs = f"e.embedding[{lo}:{hi}]", f"c.cv[{lo}:{hi}]"
+        ctes.append(f"""e{s} AS (
+  SELECT e.vec_id, c.code,
+         {_dot_sql(cs, cs)} - 2.0 * {_dot_sql(es, cs)} AS d
+  FROM embeddings e CROSS JOIN cent c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id ORDER BY d ASC, c.code ASC) = 1)""")
+        ctes.append(f"""t{s} AS (
+  SELECT x.vec_id, {_l2_sql(f"qv[{lo}:{hi}]", f"c.cv[{lo}:{hi}]")} AS term
+  FROM e{s} x JOIN cent c ON c.code = x.code CROSS JOIN q)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT t0.vec_id, t0.term + t1.term + t2.term + t3.term AS adc_dist
+FROM t0 JOIN t1 USING (vec_id) JOIN t2 USING (vec_id)
+JOIN t3 USING (vec_id)
+ORDER BY adc_dist ASC, vec_id ASC LIMIT {_PQ_TOPK}"""
+    )
 
 
 def q_resample_rolling(spark: SparkSession, sf: str) -> DataFrame:
@@ -4579,11 +4665,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "lsh_nn_join": q_lsh_nn_join,
         "simhash_near_dups": q_simhash_near_dups,
-        # event transition matrix (r6: swapped in for rhp_lsh_topk —
-        # the RHP banding stays driver-visible via lsh_nn_join and the
-        # cosine math via ann_ivf_topk / semantic_dup_pairs; retired
-        # parity in tests/test_oracle_parity.py)
-        "event_transitions": q_event_transitions,
+        # r10: event_transitions -> pq_adc_topk (the lag-window +
+        # count + conditional-probability shape stays driver-visible
+        # via funnel / w1_window_analytics / t4's per-user state;
+        # retired parity in tests/test_oracle_parity.py). pq_adc_topk
+        # gives the round's biggest new family — product quantization
+        # — a driver row: zero-iteration fixed-sample codebooks are
+        # fully SQL-derivable, so encode + ADC ranking check
+        # bit-for-bit (the classifier_quality pinned-artifact
+        # discipline applied to vector compression).
+        "pq_adc_topk": q_pq_adc_topk,
         # joins
         "interval_join": q_interval_join,
         # r7: j2_two_way_join swapped out for resample_rolling — the
@@ -4704,7 +4795,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": SQL_FUNNEL,
         "lsh_nn_join": SQL_LSH_NN_JOIN,
         "simhash_near_dups": SQL_SIMHASH,
-        "event_transitions": SQL_EVENT_TRANSITIONS,
+        "pq_adc_topk": _sql_pq_adc_topk(),
         "interval_join": SQL_INTERVAL,
         "resample_rolling": SQL_RESAMPLE_ROLLING,
         "pagerank": _sql_pagerank(),

@@ -164,6 +164,11 @@ RETIRED = [
     # this row keeps all three faces pinned, incl. the quantile_cont
     # boundary bit-parity and the ties-to-first-bucket rule)
     ("histogram_bucketize", "SQL_HISTOGRAM_BUCKETIZE"),
+    # r10: first-order transition matrix → pq_adc_topk (the lag-window
+    # + count + P(to|from) division shape stays driver-visible via
+    # funnel / w1_window_analytics; this row keeps the direct
+    # events-table face)
+    ("event_transitions", "SQL_EVENT_TRANSITIONS"),
 ]
 
 
