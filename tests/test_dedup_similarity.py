@@ -1607,3 +1607,52 @@ def test_project_embeddings_rp_bit_exact_and_geometry(spark):
     bad = spark.createDataFrame([(9, [1.0, 2.0])], "vec_id long, embedding array<double>")
     with pytest.raises(SparkRuntimeException, match="plane dimension"):
         project_embeddings_rp(bad, 4, planes=[p[:64] for p in planes[:4]]).collect()
+
+
+def test_ivf_pq_index_full_lifecycle_with_purge(spark, tmp_path):
+    """The index maintenance story closes: build → append → surgical
+    DELETE (purge_rows composes directly — the code table is a plain
+    cluster-partitioned parquet table, so the takedown op rewrites
+    only the files holding a purged id, inside their own cluster=
+    directories) → probes exclude the purged vectors and the
+    remaining codes are untouched bit-for-bit."""
+    from web_api_postgres_etl_spark.operators.layout import purge_rows
+    from web_api_postgres_etl_spark.operators.similarity import (
+        ivf_pq_index_append,
+        ivf_pq_probe,
+        write_ivf_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    write_ivf_pq_index(
+        emb.filter(F.col("vec_id") < 450), path,
+        every=11, max_centroids=4, m=4, pq_k=8, pq_iters=1,
+    )
+    ivf_pq_index_append(emb.filter(F.col("vec_id") >= 450), path)
+    before = {
+        r["vec_id"]: (tuple(r["pq_codes"]), r["cluster"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert len(before) == 500
+
+    victims = spark.createDataFrame(
+        [(i,) for i in range(0, 500, 50)], ["vec_id"]
+    )
+    stats = purge_rows(spark, path, victims, "vec_id")
+    assert stats["rows_purged"] == 10 and stats["files_rewritten"] >= 1
+
+    after = {
+        r["vec_id"]: (tuple(r["pq_codes"]), r["cluster"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert set(after) == set(before) - set(range(0, 500, 50))
+    assert all(after[v] == before[v] for v in after)  # survivors untouched
+
+    # a probe for a purged vector's own embedding no longer returns it
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 50).first()["embedding"]
+    ]
+    got = {r["vec_id"] for r in ivf_pq_probe(spark, path, qvec, k=10, nprobe=4).collect()}
+    assert 50 not in got and got
