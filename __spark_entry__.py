@@ -3474,12 +3474,21 @@ def _sql_pq_adc_topk(dim: int = 64) -> str:
     code), ADC terms summed in subspace order — every fold the
     bit-identical left accumulation (`_dot_sql`/`_l2_sql`)."""
     sub = dim // _PQ_M
+    # cent mirrors pq_train's init exactly: NULL and ragged sampled
+    # vectors are dropped BEFORE codes are enumerated (a NULL at a
+    # sampled id must not shift every code); the corpus scan mirrors
+    # pq_topk's NULL-code drop (Spark encodes NULL embeddings to NULL
+    # codes and filters them out of the ranking)
     ctes = [
         f"""cent AS (
   SELECT embedding AS cv, row_number() OVER (ORDER BY vec_id) - 1 AS code
-  FROM embeddings WHERE vec_id % {_PQ_EVERY} = 0
+  FROM embeddings
+  WHERE vec_id % {_PQ_EVERY} = 0 AND embedding IS NOT NULL
+    AND len(embedding) = {dim}
   ORDER BY vec_id LIMIT {_PQ_K})""",
         "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)",
+        f"""corpus AS (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL)""",
     ]
     for s in range(_PQ_M):
         lo, hi = s * sub + 1, (s + 1) * sub
@@ -3487,7 +3496,7 @@ def _sql_pq_adc_topk(dim: int = 64) -> str:
         ctes.append(f"""e{s} AS (
   SELECT e.vec_id, c.code,
          {_dot_sql(cs, cs)} - 2.0 * {_dot_sql(es, cs)} AS d
-  FROM embeddings e CROSS JOIN cent c
+  FROM corpus e CROSS JOIN cent c
   QUALIFY row_number() OVER (
     PARTITION BY e.vec_id ORDER BY d ASC, c.code ASC) = 1)""")
         ctes.append(f"""t{s} AS (

@@ -1056,3 +1056,11 @@ def test_vectors_maintain_stream_appends_and_replays_idempotently(
     )
     with pytest.raises(ValueError, match="duplicate"):
         ivf_pq_append_batch(spark, path, dup)
+    # EXACT re-delivery of one NEW row within a batch folds (at-least-
+    # once sources re-send) — one appended row, no raise
+    redelivered = spark.createDataFrame(
+        [(8888, [0.5] * 64), (8888, [0.5] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    st = ivf_pq_append_batch(spark, path, redelivered)
+    assert st == {"appended": 1, "skipped_existing": 0, "n_batch": 1}

@@ -41,29 +41,53 @@ def ivf_pq_append_batch(
     vec_col: str = "embedding",
 ) -> dict:
     """One micro-batch → the index: drop NULL ids/vectors (they carry
-    nothing routable), raise on duplicate ids WITHIN the batch (which
-    copy wins is ambiguous — the ``upsert_rows`` posture), skip ids
-    already in the index (the replay rule), append the rest. Returns
+    nothing routable), fold exact duplicate rows, skip ids already in
+    the index (the replay rule), raise only when the NEW rows carry
+    DISTINCT vectors under one id (which copy wins is ambiguous — the
+    ``upsert_rows`` posture; already-indexed ids never trip this, so
+    a checkpoint reset that re-drains history as one batch stays a
+    no-op), append the rest. Returns
     ``{"appended", "skipped_existing", "n_batch"}``."""
+    # .distinct() folds EXACT re-deliveries of one row (at-least-once
+    # sources re-send; two identical rows are one fact, not a conflict)
     clean = batch.filter(
         F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
-    )
-    # persist: the dup-check, the anti-join, and the append each drive
-    # an action over the batch
+    ).distinct()
     clean = clean.persist()
+    fresh = None
     try:
         n_batch = clean.count()
         if n_batch == 0:
             return {"appended": 0, "skipped_existing": 0, "n_batch": 0}
-        n_ids = clean.select(id_col).distinct().count()
-        if n_ids != n_batch:
-            raise ValueError(
-                f"ivf_pq_append_batch: {n_batch - n_ids} duplicate "
-                f"{id_col} value(s) within one batch — ambiguous; "
-                "pre-fold the batch"
-            )
         existing = spark.read.parquet(path).select(id_col)
-        fresh = clean.join(existing, on=id_col, how="left_anti")
+        fresh = clean.join(existing, on=id_col, how="left_anti").persist()
+        # the ambiguity check runs on the FRESH rows only, AFTER the
+        # anti-join: a checkpoint reset re-drains history as ONE
+        # batch, so an id legitimately delivered across two original
+        # batches shows up twice here — both copies are already in
+        # the index, the anti-join drops them, and the replay stays a
+        # no-op instead of a permanently poisoned stream. One agg
+        # serves both counts.
+        frow = fresh.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.col(id_col)).alias("d"),
+        ).first()
+        n_fresh, n_fresh_ids = int(frow["n"]), int(frow["d"])
+        if n_fresh == 0:
+            # zero-fresh (the common post-reset case): skip the
+            # sidecar collects and the no-op partitioned write
+            return {
+                "appended": 0,
+                "skipped_existing": n_batch,
+                "n_batch": n_batch,
+            }
+        if n_fresh_ids != n_fresh:
+            raise ValueError(
+                f"ivf_pq_append_batch: {n_fresh - n_fresh_ids} "
+                f"conflicting duplicate {id_col} value(s) among the "
+                "NEW rows of one batch (distinct vectors under one "
+                "id) — ambiguous; pre-fold the batch"
+            )
         appended = ivf_pq_index_append(fresh, path, id_col, vec_col)
         return {
             "appended": appended,
@@ -71,6 +95,8 @@ def ivf_pq_append_batch(
             "n_batch": n_batch,
         }
     finally:
+        if fresh is not None:
+            fresh.unpersist()
         clean.unpersist()
 
 
