@@ -66,6 +66,10 @@ OPS = {
     # FIXED ~10% affected fraction) and the PQ encode projection
     # (m·k literal fold distances per row — must stay a narrow map)
     "merge_components", "pq_encode",
+    # round 10 third wave: the boilerplate document-frequency miner
+    # (per-doc-distinct explode + one (gram, count) shuffle with the
+    # broadcast ride-along total — must stay one linear pass)
+    "mine_boilerplate_ngrams",
 }
 
 

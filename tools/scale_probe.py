@@ -710,6 +710,27 @@ def _probe_ops(spark, n: int, ops_filter, docs, vecs) -> dict:
         out = merge_components(labels, newn, bridges.union(attach)).count()
         ops["merge_components"] = (time.time() - t0, out)
 
+    if want("mine_boilerplate_ngrams"):
+        reset_cache()
+        from web_api_postgres_etl_spark.operators.dedup import (
+            mine_boilerplate_ngrams,
+        )
+
+        # an effectively FIXED absolute threshold (min_docs dominates
+        # the vanishing fraction at every probe size), so the result
+        # set stays non-empty and grows with n — a fraction-driven
+        # threshold outruns the synthetic bigram df and collapses the
+        # 25k probe to 0 rows (the degenerate-workload trap). The
+        # claim under test: one tokenize→distinct→(gram, count)
+        # shuffle — wall time ~O(n), never all-pairs, the broadcast
+        # total adds no second scan
+        t0 = time.time()
+        got = mine_boilerplate_ngrams(
+            docs, "text", "doc_id", n=2, min_doc_frac=1e-6, min_docs=4
+        ).count()
+        assert got > 0, "degenerate miner probe: empty result"
+        ops["mine_boilerplate_ngrams"] = (time.time() - t0, got)
+
     if want("pq_encode"):
         reset_cache()
         from web_api_postgres_etl_spark.operators.similarity import (
