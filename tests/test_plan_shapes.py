@@ -170,3 +170,15 @@ def test_upsample_is_narrow_and_mix_is_one_aggregate(spark):
     assert "SortMergeJoin" not in mix_plan, f"mix sort-merges:\n{mix_plan}"
     n_exch = len(re.findall(r"\bExchange\b", mix_plan))
     assert n_exch <= 3, f"temperature_sample has {n_exch} exchanges"
+
+
+def test_pq_adc_topk_scans_codes_without_shuffling(spark):
+    """The PQ driver row's scale claim, pinned: ADC ranking is one
+    projection over the encoded corpus + TakeOrderedAndProject — ZERO
+    exchanges (the corpus is never shuffled) and no join of any kind;
+    a regression that materializes the codebook as a join or sorts
+    globally shows up immediately."""
+    plan = _final_plan(spark, "pq_adc_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan, "pq_adc_topk must not shuffle the corpus"
+    assert "Join" not in plan
