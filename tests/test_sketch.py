@@ -206,62 +206,3 @@ def test_streaming_cms_empty_and_guard_semantics(spark, tmp_path):
                              empty.schema, "lang", depth=5, width=32)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-
-
-def test_hll_state_merge_estimate_and_accuracy(spark):
-    """The HLL distinct state: merged per-batch states estimate
-    IDENTICALLY to the one-shot sketch (the mergeability contract —
-    estimate-stable, per the Datasketches semantics); estimates sit
-    inside the ~1.04/sqrt(2^lg_k) error band against exact distinct
-    counts per group; NULL values contribute nothing; the global
-    no-group face works; lg_k guard raises."""
-    import pytest
-    from pyspark.sql import functions as F
-
-    from web_api_postgres_etl_spark.operators.sketch import (
-        hll_build,
-        hll_estimate,
-        hll_merge,
-    )
-
-    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
-    exact = {
-        r["event_type"]: r["n"]
-        for r in events.groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n"))
-        .collect()
-    }
-
-    # one-shot vs merged halves (split by event_id parity)
-    one = hll_build(events, "user_id", ["event_type"])
-    half_a = hll_build(
-        events.filter("event_id % 2 = 0"), "user_id", ["event_type"]
-    )
-    half_b = hll_build(
-        events.filter("event_id % 2 = 1"), "user_id", ["event_type"]
-    )
-    merged = hll_merge(half_a, half_b, group_cols=["event_type"])
-    est_one = {
-        r["event_type"]: r["n_distinct"]
-        for r in hll_estimate(one).collect()
-    }
-    est_merged = {
-        r["event_type"]: r["n_distinct"]
-        for r in hll_estimate(merged).collect()
-    }
-    assert est_one == est_merged
-    # accuracy band (3 standard errors at lg_k=12 ≈ 5%)
-    for k, n in exact.items():
-        assert abs(est_one[k] - n) <= max(3, 0.05 * n), (k, est_one[k], n)
-
-    # NULLs contribute nothing; global face; guard
-    withnull = events.withColumn(
-        "user_id", F.when(F.col("event_id") % 3 == 0, None).otherwise(F.col("user_id"))
-    )
-    g = hll_estimate(hll_build(withnull, "user_id")).first()["n_distinct"]
-    exact_g = withnull.select("user_id").filter("user_id IS NOT NULL").distinct().count()
-    assert abs(g - exact_g) <= max(3, 0.05 * exact_g)
-    with pytest.raises(ValueError, match="lg_k"):
-        hll_build(events, "user_id", lg_k=2)
-    with pytest.raises(ValueError, match="at least one"):
-        hll_merge(group_cols=["event_type"])

@@ -152,63 +152,3 @@ def cms_heavy_hitters(
     sk = cms_build(df, col, depth, width)
     est = cms_estimate(sk, candidates, col, depth, width)
     return est.filter(F.col("est") >= min_count)
-
-
-def hll_build(
-    df: DataFrame,
-    value_col: str,
-    group_cols: list[str] | None = None,
-    lg_k: int = 12,
-) -> DataFrame:
-    """(group cols..., hll binary) — per-group HyperLogLog distinct
-    state over ``value_col``, built with Spark's native Datasketches
-    aggregate (``hll_sketch_agg`` — JVM-side, map-side combining; the
-    sketch is ~2^lg_k bytes regardless of cardinality). The DISTINCT
-    counterpart of the count-min family above and the KMV quantile
-    state: a persistable, MERGEABLE summary, so "distinct users per
-    day" maintains incrementally — per-batch states land as rows,
-    :func:`hll_merge` folds them, and the 100 TB history is never
-    re-scanned. No group_cols → one global state row.
-
-    Merge caveat vs the exact families: HLL union is estimate-stable,
-    not byte-stable (merged(b1, b2) estimates ≡ one-shot — asserted in
-    tests — but the sketch BYTES may differ by update order, unlike
-    the CMS cells or the KMV bottom-k, both bit-exact under merge).
-    That is the standard Datasketches contract; the estimate carries
-    the usual ~1.04/√(2^lg_k) relative error."""
-    if not 4 <= lg_k <= 21:
-        raise ValueError(f"lg_k must be in [4, 21], got {lg_k}")
-    groups = list(group_cols or [])
-    agg = F.expr(f"hll_sketch_agg({value_col}, {lg_k})").alias("hll")
-    if groups:
-        return df.groupBy(*groups).agg(agg)
-    return df.agg(agg)
-
-
-def hll_merge(
-    *states: DataFrame,
-    group_cols: list[str] | None = None,
-) -> DataFrame:
-    """Fold any number of :func:`hll_build` state frames into one state
-    per group (``hll_union_agg`` — the distributed union). States from
-    different batches/partitions/days union freely; a group absent
-    from one side simply contributes nothing."""
-    if not states:
-        raise ValueError("hll_merge: need at least one state frame")
-    groups = list(group_cols or [])
-    unioned = states[0]
-    for s in states[1:]:
-        unioned = unioned.unionByName(s)
-    agg = F.expr("hll_union_agg(hll)").alias("hll")
-    if groups:
-        return unioned.groupBy(*groups).agg(agg)
-    return unioned.agg(agg)
-
-
-def hll_estimate(state: DataFrame) -> DataFrame:
-    """Append ``n_distinct`` (BIGINT estimate) to a state frame —
-    the read face; the binary column stays, so the estimated frame
-    remains a valid mergeable state."""
-    return state.withColumn(
-        "n_distinct", F.expr("hll_sketch_estimate(hll)")
-    )
