@@ -2632,7 +2632,13 @@ def q_cdc_table_apply(spark: SparkSession, sf: str) -> DataFrame:
         # localCheckpoint severs the plan from the temp dir before it
         # is removed (executor-resident blocks, no O(table) driver
         # collect — the same lineage-severing rule apply_changes uses
-        # for its gated frame)
+        # for its gated frame). CLUSTER CAVEAT — do not copy this
+        # shape to cluster code: localCheckpoint blocks are
+        # NON-RELIABLE (not replicated), so an executor loss after
+        # the rmtree makes the frame unrecoverable (recompute hits
+        # FileNotFound). Safe here only because the local-mode bench
+        # has exactly one "executor"; on a cluster keep the dir until
+        # the frame is consumed, or use reliable checkpoint().
         return (
             spark.read.parquet(table)
             .select("id", "cust", "price", "status", "seq")

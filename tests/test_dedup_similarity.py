@@ -1319,6 +1319,28 @@ def test_pq_encode_bit_exact_and_self_query_minimal(spark):
     assert mine and mine[0] == best_dist
 
 
+def test_pq_train_ragged_sample_consumes_no_slot(spark):
+    """r11 ADVICE pin: a ragged vector landing on a sampled id must not
+    consume a codebook sample slot — the dimension filter runs in-plan
+    BEFORE the limit (dim probed from the FIRST sampled row), so the
+    trained codebooks are identical to training on the clean corpus
+    with the ragged row deleted, and k codes come back even when a
+    sampled row is ragged."""
+    from web_api_postgres_etl_spark.operators.similarity import pq_train
+
+    clean = [(i, [float(i % 7), float(i % 5), float(i % 3), float(i % 2)])
+             for i in range(1, 13)]
+    schema = "vec_id long, embedding array<double>"
+    with_ragged = spark.createDataFrame(
+        clean + [(4, [9.0, 9.0])], schema  # id 4 ragged, sampled (every=2)
+    )
+    without = spark.createDataFrame(clean, schema)
+    got = pq_train(with_ragged, m=2, k=3, iters=0, every=2)
+    want = pq_train(without, m=2, k=3, iters=0, every=2)
+    assert got == want
+    assert all(len(b) == 3 for b in got)  # full k despite the ragged hit
+
+
 def test_pq_train_recovers_planted_subspace_clusters(spark):
     """Vectors built from 2 well-separated prototypes PER SUBSPACE
     (independently chosen, so 4 distinct full-vector combinations from

@@ -453,12 +453,24 @@ def table_fingerprint(
     the canonical sorted-column row digest
     (``operators.layout.row_digest`` — the SAME recipe the CDC apply
     gate compares). A commutative exact-integer sum, so ANY
-    partitioning, row order, column order, or engine computes the
-    identical value — the cheap invariance check the layout family
-    needs at 100 TB: ``compact_small_files``, Z-order clustering, a
-    no-op upsert replay, or an engine migration must all preserve it,
-    in one column-pruned scan per side instead of ``table_diff``'s
-    full multiset join.
+    partitioning, row order, or column order computes the identical
+    value — the cheap invariance check the layout family needs at
+    100 TB: ``compact_small_files``, Z-order clustering, a no-op
+    upsert replay, or an engine migration must all preserve it, in
+    one column-pruned scan per side instead of ``table_diff``'s full
+    multiset join.
+
+    CROSS-ENGINE scope: "any engine computes the identical value"
+    holds only for columns whose string rendering is engine-invariant
+    — integers, strings, booleans, and date-like values. Doubles and
+    timestamps render differently across engines (Spark ``1.0E-7``
+    vs DuckDB ``1e-07``), so fingerprints over float/timestamp
+    columns are exact WITHIN one engine but not comparable ACROSS
+    engines — canonicalize the rendering first (e.g. cast to
+    DECIMAL / epoch integers). The digest recipe's NUL null-sentinel
+    and ``\\u0001`` column separator can in principle collide with
+    literal values containing those control bytes; data that embeds
+    them should be hex/base64-encoded before fingerprinting.
 
     MULTISET-sensitive: a duplicated row adds its term twice, so
     equal fingerprints+counts ⇔ equal multisets of canonical row
@@ -482,9 +494,26 @@ def table_fingerprint(
     word = F.conv(F.substring(row_digest(use), 1, 15), 16, 10).cast(
         "decimal(38,0)"
     )
+    # a NULL sum means DECIMAL(38,0) OVERFLOW (non-ANSI sum), not an
+    # empty frame — mapping it to 0 would let two overflowed tables
+    # report identical fingerprints and a --vs comparison exit 0, a
+    # silent false positive. Empty input is the ONLY case coalesced;
+    # overflow (~1e19+ rows) fails loudly instead.
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.coalesce(
-            F.sum(word), F.lit(0).cast("decimal(38,0)")
-        ).alias("fingerprint"),
+        F.sum(word).alias("__sum"),
+    ).select(
+        "n_rows",
+        F.when(F.col("n_rows") == 0, F.lit(0).cast("decimal(38,0)"))
+        .when(
+            F.col("__sum").isNull(),
+            F.expr(
+                "cast(raise_error('table_fingerprint: DECIMAL(38,0) sum "
+                "overflow — fingerprint undefined at this row count; "
+                "fingerprint disjoint shards and compare shard-wise') "
+                "as decimal(38,0))"
+            ),
+        )
+        .otherwise(F.col("__sum"))
+        .alias("fingerprint"),
     )

@@ -1442,25 +1442,29 @@ def pq_train(
             f"k={k} exceeds the literal-expression plan cap (64); larger "
             "codebooks need the broadcast-join assignment form"
         )
-    init = (
+    sample = (
         corpus.filter((qcol(id_col) % every) == 0)
         .select(qcol(id_col).alias("cid"), as_double_array(vec_col).alias("cv"))
         .filter(F.col("cv").isNotNull())
-        .orderBy("cid")
-        .limit(k)
-        .collect()
+    )
+    first = sample.orderBy("cid").select(F.size("cv").alias("d")).first()
+    if first is None:
+        return []
+    dim = int(first["d"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    # the dimension filter runs IN-PLAN, BEFORE the limit (dim probed
+    # from the first sampled row): a ragged sampled vector must not
+    # consume a sample slot — the python slice would silently truncate
+    # a short centroid, and an engine that filters before LIMIT (the
+    # oracle does) would train a DIVERGENT codebook from the same
+    # corpus. Dropping post-limit (the old shape) also silently
+    # returned < k codes on a mixed-dimension corpus.
+    init = (
+        sample.filter(F.size("cv") == dim).orderBy("cid").limit(k).collect()
     )
     if not init:
         return []
-    dim = len(init[0]["cv"])
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    # a ragged sampled vector must not seed a short centroid: the
-    # python slice would silently truncate, zip_with would NULL-pad
-    # the training folds, and array_min over a NULL distance would
-    # pick corrupted codes with no error — drop it like the training
-    # scan below does (pq_encode is where mismatches fail loudly)
-    init = [r for r in init if len(r["cv"]) == dim]
     sub = dim // m
     books: list[list[tuple[int, list[float]]]] = [
         [
@@ -1513,14 +1517,10 @@ def pq_train(
     return books
 
 
-def _py_dot(a: list[float], b: list[float]) -> float:
-    """Driver-side strict left fold — the same accumulation order as
-    ``_sql_dot`` (Python floats ARE doubles), so literals derived here
-    are bit-consistent with the engine's folds."""
-    acc = 0.0
-    for x, y in zip(a, b):
-        acc += x * y
-    return acc
+# one definition of the strict-fold contract: the PQ family's driver
+# folds are the SAME accumulation as the IVF family's (sequential IEEE
+# double adds in index order) — an alias, not a second implementation
+_py_dot = _py_fold_dot
 
 
 def pq_encode(
