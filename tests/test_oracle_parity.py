@@ -169,6 +169,13 @@ RETIRED = [
     # funnel / w1_window_analytics; this row keeps the direct
     # events-table face)
     ("event_transitions", "SQL_EVENT_TRANSITIONS"),
+    # r11: P6 high-watermark delta → cc_incremental_merge (the MAX
+    # probe + newer-than range scan stays driver-visible inside
+    # pipeline_e2e's incremental runner, which derives and applies
+    # the same watermark delta; q_p6_watermark_delta also stays in
+    # the frozen bench HEADLINE — this row keeps the direct
+    # events-table face)
+    ("p6_watermark_delta", "SQL_P6"),
 ]
 
 
