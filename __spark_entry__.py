@@ -3474,28 +3474,28 @@ def _l2_sql(a: str, b: str) -> str:
     )
 
 
-def _sql_pq_adc_topk(dim: int = 64) -> str:
-    """Unrolled mirror of q_pq_adc_topk: fixed-sample codebooks, four
-    per-subspace reduced-L2 argmin QUALIFYs (ties to the smaller
-    code), ADC terms summed in subspace order — every fold the
-    bit-identical left accumulation (`_dot_sql`/`_l2_sql`)."""
-    sub = dim // _PQ_M
-    # cent mirrors pq_train's init exactly: NULL and ragged sampled
-    # vectors are dropped BEFORE codes are enumerated (a NULL at a
-    # sampled id must not shift every code); the corpus scan mirrors
-    # pq_topk's NULL-code drop (Spark encodes NULL embeddings to NULL
-    # codes and filters them out of the ranking)
-    ctes = [
-        f"""cent AS (
+def _sql_pq_codebook_cte(dim: int) -> str:
+    """The pq_train iters=0 mirror: NULL and ragged sampled vectors are
+    dropped BEFORE codes are enumerated (a NULL at a sampled id must
+    not shift every code) — ONE definition shared by the inline ADC
+    row and the materialized-index row so the codebook mirrors can
+    never drift."""
+    return f"""cent AS (
   SELECT embedding AS cv, row_number() OVER (ORDER BY vec_id) - 1 AS code
   FROM embeddings
   WHERE vec_id % {_PQ_EVERY} = 0 AND embedding IS NOT NULL
     AND len(embedding) = {dim}
-  ORDER BY vec_id LIMIT {_PQ_K})""",
-        "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)",
-        f"""corpus AS (
-  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL)""",
-    ]
+  ORDER BY vec_id LIMIT {_PQ_K})"""
+
+
+def _sql_adc_rank(prefix_ctes: list, dim: int) -> str:
+    """Shared ADC tail: given CTEs defining `cent` (PQ codebook rows),
+    `q` (the query vector) and `corpus` (the vectors to rank), unroll
+    the four per-subspace reduced-L2 argmin QUALIFYs (ties to the
+    smaller code) and the ADC terms summed in subspace order — every
+    fold the bit-identical left accumulation (`_dot_sql`/`_l2_sql`)."""
+    sub = dim // _PQ_M
+    ctes = list(prefix_ctes)
     for s in range(_PQ_M):
         lo, hi = s * sub + 1, (s + 1) * sub
         es, cs = f"e.embedding[{lo}:{hi}]", f"c.cv[{lo}:{hi}]"
@@ -3517,6 +3517,109 @@ FROM t0 JOIN t1 USING (vec_id) JOIN t2 USING (vec_id)
 JOIN t3 USING (vec_id)
 ORDER BY adc_dist ASC, vec_id ASC LIMIT {_PQ_TOPK}"""
     )
+
+
+def _sql_pq_adc_topk(dim: int = 64) -> str:
+    """Unrolled mirror of q_pq_adc_topk: fixed-sample codebooks over
+    the WHOLE corpus (the corpus scan mirrors pq_topk's NULL-code
+    drop — Spark encodes NULL embeddings to NULL codes and filters
+    them out of the ranking), then the shared ADC rank tail."""
+    return _sql_adc_rank(
+        [
+            _sql_pq_codebook_cte(dim),
+            "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)",
+            "corpus AS (\n  SELECT vec_id, embedding FROM embeddings"
+            " WHERE embedding IS NOT NULL)",
+        ],
+        dim,
+    )
+
+
+def _sql_ivf_pq_probe_topk(dim: int = 64) -> str:
+    """Mirror of q_ivf_pq_probe_topk — the materialized IVF-PQ index
+    probe: coarse routing CTEs are the SQL_IVF_TOPK rules verbatim
+    (fixed-sample coarse centroids, cosine assignment with ties to the
+    larger cid, nprobe=2 probe set), the corpus is RESTRICTED to the
+    probed clusters (exactly what partition pruning does to the scan),
+    and the ranking is the shared ADC tail over that restriction —
+    encode-then-filter ≡ filter-then-encode because PQ encoding is
+    per-row."""
+    prefix = [
+        f"""coarse AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id % {_PQ_EVERY} = 0 ORDER BY vec_id LIMIT 8)""",
+        _sql_pq_codebook_cte(dim),
+        "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)",
+        f"""probe AS (
+  SELECT cid FROM coarse, q
+  ORDER BY {_cos_sql("cv", "qv")} DESC, cid DESC LIMIT 2)""",
+        f"""assign AS (
+  SELECT e.vec_id, e.embedding, c.cid AS cluster
+  FROM embeddings e CROSS JOIN coarse c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY {_cos_sql("e.embedding", "c.cv")} DESC, c.cid DESC) = 1)""",
+        """corpus AS (
+  SELECT a.vec_id, a.embedding
+  FROM assign a JOIN probe ON a.cluster = probe.cid
+  WHERE a.embedding IS NOT NULL)""",
+    ]
+    return _sql_adc_rank(prefix, dim)
+
+
+def q_ivf_pq_probe_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """The materialized IVF-PQ index read path (operators/similarity.py
+    ::write_ivf_pq_index/ivf_pq_probe — the faiss-IVFPQ-shaped 100 TB
+    artifact, r11 driver row per the r10 verdict): build the index
+    into a temp dir INSIDE the entry (the cdc_table_apply temp-dir
+    pattern) — cluster-partitioned parquet holding ONLY (id, pq_codes)
+    plus the two tiny sidecars — then probe it: coarse routing picks
+    the 2 nearest centroids driver-side, the scan reads ONLY their
+    partitions (PartitionFilters asserted below, ON the driver path),
+    and ADC ranks the codes against driver-precomputed lookup tables.
+    Centroids are the fixed ivf_centroids sample and codebooks the
+    zero-iteration pq_train sample, so routing AND ranking are fully
+    SQL-derivable — the oracle is the probed-partition restriction of
+    the ADC rank, bit-for-bit (strict IEEE folds both sides).
+
+    Scale shape pinned at the driver layer: partition pruning cuts the
+    scan to nprobe/|C| of the files, and inside a probed partition the
+    scan reads m=4 small ints per vector, never the float vectors."""
+    import shutil
+    import tempfile
+
+    from web_api_postgres_etl_spark.operators.similarity import (
+        ivf_pq_probe,
+        write_ivf_pq_index,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]
+    ]
+    root = tempfile.mkdtemp(prefix="wapeql_ivfpq_")
+    path = f"{root}/idx"
+    try:
+        write_ivf_pq_index(
+            emb, path, every=_PQ_EVERY, max_centroids=8,
+            m=_PQ_M, pq_k=_PQ_K, pq_iters=0,
+        )
+        probe = ivf_pq_probe(spark, path, q, k=_PQ_TOPK, nprobe=2)
+        # the partition-prune assertion lives ON the driver path (r10
+        # verdict #2): a regression that scans all clusters fails the
+        # driver run itself, not just pytest
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        pf = plan.split("PartitionFilters: [", 1)
+        assert len(pf) == 2 and "cluster" in pf[1][:120], (
+            "ivf_pq_probe must partition-prune on cluster:\n" + plan
+        )
+        # same CLUSTER CAVEAT as q_cdc_table_apply: localCheckpoint
+        # blocks are non-reliable — safe only in the single-executor
+        # local bench; on a cluster keep the dir until consumed
+        return probe.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def q_resample_rolling(spark: SparkSession, sf: str) -> DataFrame:
@@ -4762,7 +4865,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # state(b1) ⊕ state(b2) ≡ one-shot GROUP BY at the driver
         # hash layer — the incremental-maintenance primitive.
         "incr_agg_merge": q_incr_agg_merge,
-        "ann_ivf_topk": q_ann_ivf_topk,
+        # r11: ann_ivf_topk -> ivf_pq_probe_topk (the materialized
+        # index IS the 100 TB artifact — its row composes the SAME
+        # coarse routing bit-for-bit with the ADC ranking and adds the
+        # driver-side partition-prune assertion; the in-memory IVF
+        # cosine form stays in the frozen bench HEADLINE and its
+        # float-cosine ranking stays driver-visible via lsh_nn_join /
+        # semantic_dup_pairs; retired parity in
+        # tests/test_oracle_parity.py)
+        "ivf_pq_probe_topk": q_ivf_pq_probe_topk,
         # r7: ivf_index_probe swapped out for funnel — its oracle was a
         # LITERAL duplicate of ann_ivf_topk's (zero marginal oracle
         # information); the probe ≡ in-memory-IVF equality stays pinned
@@ -4906,7 +5017,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_ingest_replay": SQL_CORPUS_INGEST_REPLAY,
         "data_recipe_mix": SQL_DATA_RECIPE_MIX,
         "incr_agg_merge": SQL_INCR_AGG_MERGE,
-        "ann_ivf_topk": SQL_IVF_TOPK,
+        "ivf_pq_probe_topk": _sql_ivf_pq_probe_topk(),
         "funnel": SQL_FUNNEL,
         "lsh_nn_join": SQL_LSH_NN_JOIN,
         "simhash_near_dups": SQL_SIMHASH,

@@ -176,6 +176,14 @@ RETIRED = [
     # the frozen bench HEADLINE — this row keeps the direct
     # events-table face)
     ("p6_watermark_delta", "SQL_P6"),
+    # r11: in-memory IVF cosine top-k → ivf_pq_probe_topk (the NEW row
+    # composes the IDENTICAL coarse routing — same fixed-sample
+    # centroids, same cos-DESC/cid-DESC ties — with ADC ranking over
+    # the materialized index; the float cosine ranking stays
+    # driver-visible via lsh_nn_join / semantic_dup_pairs and
+    # q_ann_ivf_topk stays in the frozen bench HEADLINE — this row
+    # keeps the in-memory cosine face)
+    ("ann_ivf_topk", "SQL_IVF_TOPK"),
 ]
 
 
