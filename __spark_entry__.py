@@ -919,6 +919,71 @@ LIMIT 50
 """
 
 
+_BPE_ROUNDS = 10
+
+
+def q_bpe_merge_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE merge-rule mining (operators/retrieval.py::bpe_merge_rules,
+    Sennrich 2016 — the tokenizer-training primitive, r11's new
+    capability per the r10 verdict): the first 10 merge rules over the
+    documents corpus, each round picking the most frequent adjacent
+    symbol pair (exact integer counts weighted by word frequency, ties
+    to the smaller (lhs, rhs)) and merging it greedily left-to-right
+    via the anchored bracket replace. The corpus collapses to the
+    word-frequency table in ONE scan; every round is a |vocab|-sized
+    pair count whose argmax is data-dependent — and still fully
+    SQL-derivable, because the oracle unrolls round CTEs that each
+    compute their own argmax and apply it (the k_core unrolled-
+    fixpoint discipline applied to tokenizer training)."""
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        bpe_merge_rules,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return bpe_merge_rules(docs, "text", rounds=_BPE_ROUNDS)
+
+
+def _sql_bpe_merge_rules(rounds: int = _BPE_ROUNDS) -> str:
+    """Unrolled mirror of q_bpe_merge_rules: per round, a pair-count
+    CTE over the bracketed symbol strings, a 1-row argmax CTE (same
+    total tie order), and the anchored replace producing the next
+    vocabulary — integer counts end-to-end, no floats anywhere."""
+    ctes = [
+        f"t AS (SELECT {TOK.format(col='text')} AS toks FROM documents)",
+        "w AS (SELECT unnest(toks) AS word FROM t)",
+        "v1 AS (SELECT '<' || array_to_string(string_split(word, ''),"
+        " '><') || '>' AS seq, COUNT(*) AS cnt FROM w GROUP BY word)",
+    ]
+    tops = []
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"s{r} AS (SELECT cnt, string_split(substr(seq, 2,"
+            f" length(seq) - 2), '><') AS s FROM v{r})"
+        )
+        ctes.append(
+            f"""p{r} AS (
+  SELECT s[i] AS lhs, s[i + 1] AS rhs, SUM(cnt) AS pair_count
+  FROM s{r}, unnest(range(1, greatest(len(s), 1))) AS g(i)
+  GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"top{r} AS (SELECT lhs, rhs, pair_count FROM p{r}"
+            f" ORDER BY pair_count DESC, lhs, rhs LIMIT 1)"
+        )
+        ctes.append(
+            f"""v{r + 1} AS (
+  SELECT replace(seq, '<' || lhs || '><' || rhs || '>',
+                 '<' || lhs || rhs || '>') AS seq, cnt
+  FROM v{r} CROSS JOIN top{r})"""
+        )
+        tops.append(
+            f'SELECT CAST({r} AS INTEGER) AS "round", lhs, rhs,'
+            f" lhs || rhs AS merged, CAST(pair_count AS BIGINT)"
+            f" AS pair_count FROM top{r}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(tops)
+
+
 def q_multimodal_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal plumbing, metadata-only profile: documents cast to the
     binary media contract (content=utf8 bytes, mime from source) and
@@ -4930,10 +4995,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows — stats + features)
         "winnow_dup_pairs": q_winnow_dup_pairs,
         # multimodal
-        # PMI collocations (r6: swapped in for multimodal_stats, whose
-        # mapInPandas path stays driver-visible via multimodal_features;
-        # retired parity in tests/test_oracle_parity.py)
-        "collocations": q_collocations,
+        # r11: collocations -> bpe_merge_rules (the adjacent-pair
+        # count machinery stays driver-visible via bigram_ppl_gate's
+        # bigram LM and inside the new row's own per-round counts; the
+        # PMI-lift ranking parity is retired to
+        # tests/test_oracle_parity.py). bpe_merge_rules is the round's
+        # new capability — the tokenizer-training primitive, a
+        # data-dependent iterated argmax both engines replay exactly.
+        "bpe_merge_rules": q_bpe_merge_rules,
         "multimodal_features": q_multimodal_features,
         # sources / sinks / streaming
         "s1_rest_source": q_s1_rest_source,
@@ -5032,7 +5101,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_ppl_gate": SQL_BIGRAM_PPL_GATE,
         "fuzzy_dup_pairs": SQL_FUZZY_DUP_PAIRS,
         "winnow_dup_pairs": SQL_WINNOW,
-        "collocations": SQL_COLLOCATIONS,
+        "bpe_merge_rules": _sql_bpe_merge_rules(),
         "multimodal_features": SQL_MM_FEATURES,
         "s1_rest_source": SQL_REST,
         "k_core": _sql_k_core(),

@@ -184,6 +184,11 @@ RETIRED = [
     # q_ann_ivf_topk stays in the frozen bench HEADLINE — this row
     # keeps the in-memory cosine face)
     ("ann_ivf_topk", "SQL_IVF_TOPK"),
+    # r11: PMI collocations → bpe_merge_rules (the adjacent-pair count
+    # stays driver-visible via bigram_ppl_gate and the BPE row's own
+    # per-round pair counts; this row keeps the PMI-lift ranking
+    # pinned, exact-integer counts through pinned-order divisions)
+    ("collocations", "SQL_COLLOCATIONS"),
 ]
 
 

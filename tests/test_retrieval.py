@@ -837,3 +837,121 @@ def test_vocabulary_overlap_exact_and_duckdb_mirror(spark, oracle):
     assert repr(got["vocab_jaccard"]) == repr(
         want[2] / (want[0] + want[1] - want[2])
     )
+
+
+# ---------------------------------------------------------- BPE mining
+
+
+def _py_bpe(word_counts: dict, rounds: int):
+    """Reference BPE: greedy leftmost non-overlapping merges, ties to
+    the lexicographically smaller (lhs, rhs)."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    rules = []
+    for rnd in range(1, rounds + 1):
+        pairs: dict = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        (lhs, rhs), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        rules.append((rnd, lhs, rhs, lhs + rhs, cnt))
+        nxt = {}
+        for syms, c in vocab.items():
+            out: list = []
+            for s in syms:
+                if out and out[-1] == lhs and s == rhs:
+                    out[-1] = lhs + rhs
+                else:
+                    out.append(s)
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + c
+        vocab = nxt
+    return rules
+
+
+def test_bpe_merge_rules_planted(spark):
+    """Hand-checkable corpus: 'aaa' pins the leftmost-greedy overlap
+    rule ((a,a) merges positions 1-2, leaving <aa><a>), repeated words
+    weight counts, and ties break lexicographically."""
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        bpe_merge_rules,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low lower lowest"),
+            (2, "new newer newest new"),
+            (3, "aaa aaa"),
+            (4, "wider wide widest"),
+        ],
+        "doc_id long, text string",
+    )
+    counts: dict = {}
+    for _, t in docs.collect():
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    want = _py_bpe(counts, 6)
+    got = [tuple(r) for r in bpe_merge_rules(docs, "text", rounds=6).collect()]
+    assert got == want
+    # determinism under repartition
+    got2 = [
+        tuple(r)
+        for r in bpe_merge_rules(docs.repartition(7), "text", rounds=6).collect()
+    ]
+    assert got2 == want
+
+
+def test_bpe_merge_rules_overlap_and_dry(spark):
+    """(a,a) on 'aaaa' merges to <aa><aa> (not a chain), and a corpus
+    of single-char words mines dry with zero rules; rounds<1 raises."""
+    import pytest as _pt
+
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        bpe_merge_rules,
+    )
+
+    d = spark.createDataFrame([(1, "aaaa aaaa aaaa")], "id long, text string")
+    got = [tuple(r) for r in bpe_merge_rules(d, "text", rounds=3).collect()]
+    # round 1: (a,a) count 9 -> <aa><aa>; round 2: (aa,aa) count 3
+    assert got[0] == (1, "a", "a", "aa", 9)
+    assert got[1] == (2, "aa", "aa", "aaaa", 3)
+    assert len(got) == 2  # round 3 mines dry: every word one symbol
+    single = spark.createDataFrame([(1, "a b c a")], "id long, text string")
+    assert bpe_merge_rules(single, "text", rounds=4).count() == 0
+    with _pt.raises(ValueError, match="rounds"):
+        bpe_merge_rules(single, "text", rounds=0)
+
+
+def test_bpe_merge_rules_vocab_cap_and_corpus_mirror(spark, oracle):
+    """max_vocab_words keeps the top words by (count desc, word) and
+    rules from the capped table match the Python model computed on the
+    same capped vocabulary — checked on the real documents table at
+    sf0.01 (cap keeps the job small), plus an uncapped DuckDB
+    mirror of the word table feeding the model."""
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        bpe_merge_rules,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    cap = 200
+    wc = oracle.execute("""
+        WITH tok AS (
+          SELECT unnest(list_filter(string_split_regex(trim(
+            regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '),
+            x -> x <> '')) AS w
+          FROM documents)
+        SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+        ORDER BY c DESC, w LIMIT 200
+    """).fetchall()
+    want = _py_bpe({w: c for w, c in wc}, 8)
+    got = [
+        tuple(r)
+        for r in bpe_merge_rules(
+            docs, "text", rounds=8, max_vocab_words=cap
+        ).collect()
+    ]
+    assert got == want

@@ -20,6 +20,7 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import release_frame
 from ..functions.text import normalized_tokens
 from .project import qcol
 
@@ -576,6 +577,121 @@ def collocations(
         joined.select("w1", "w2", "n_pair", "n_w1", "n_w2", lift.alias("lift"))
         .orderBy(F.col("lift").desc(), "w1", "w2")
         .limit(top_k)
+    )
+
+
+def bpe_merge_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 8,
+    max_vocab_words: int | None = None,
+    ckpt_every: int = 16,
+) -> DataFrame:
+    """``(round, lhs, rhs, merged, pair_count)`` — the first ``rounds``
+    byte-pair-encoding merge rules mined from the corpus (Sennrich et
+    al. 2016, the tokenizer-training primitive): start from each
+    word's character sequence, and per round pick the most frequent
+    adjacent symbol pair (weighted by word frequency; ties → smaller
+    ``(lhs, rhs)`` lexicographically), merge it greedily
+    left-to-right, repeat. Counts are exact integers and the tie
+    order is total, so the rule list is deterministic and
+    engine-reproducible — the ``collocations`` pair-count machinery
+    generalized to iterated merges.
+
+    The classic BPE trick keeps this corpus-scale-free after ONE
+    scan: merges only ever happen inside words, so the corpus
+    collapses to the word-frequency table first (``normalized_tokens``
+    explode + map-side-combining count) and every round works on that
+    |vocab|-sized frame. ``max_vocab_words`` caps it (top by count,
+    ties → smaller word) — the bounded-state lever for 100 TB corpora
+    whose long-tail vocabulary is itself huge; rules from the capped
+    table are exact for the kept mass (log the cap — dropped words
+    are hapax-like tail).
+
+    Symbol sequences are kept as ``<sym><sym>…`` bracketed strings
+    (tokens are ``[a-z0-9]+`` so the brackets cannot collide), which
+    makes the merge ONE anchored ``replace`` — non-overlapping
+    left-to-right, exactly BPE's greedy merge order (``<a><a><a>`` +
+    rule (a,a) → ``<aa><a>``), identical in Spark and the SQL mirror.
+
+    Scale shape: one corpus scan ever; per round one map-side-
+    combining pair count whose shuffle carries (pair, count) rows and
+    ONE driver row (the argmax) — driver state is ``rounds`` rules.
+    Every ``ckpt_every`` rounds the vocab frame is localCheckpointed
+    so the replace-projection lineage stays flat. Returns a
+    driver-built frame (``rounds`` rows — bounded metadata, like
+    centroid/codebook sidecars).
+
+    Cites /root/reference scope: no tokenizer surface there; this
+    completes the engine's text family (token stats, collocations,
+    LM gates) with the training primitive they feed.
+    """
+    if rounds < 1:
+        raise ValueError(f"bpe_merge_rules: rounds must be >= 1, got {rounds}")
+    spark = df.sparkSession
+    vocab = (
+        df.select(F.explode(normalized_tokens(qcol(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if max_vocab_words is not None:
+        vocab = (
+            vocab.orderBy(F.col("cnt").desc(), F.col("word"))
+            .limit(int(max_vocab_words))
+        )
+    cur = vocab.selectExpr(
+        "concat('<', array_join(split(word, ''), '><'), '>') AS seq",
+        "cnt",
+    ).persist()
+    pinned = cur
+    rules: list[tuple[int, str, str, str, int]] = []
+    try:
+        for rnd in range(1, rounds + 1):
+            top = (
+                cur.selectExpr(
+                    "cnt",
+                    "split(substring(seq, 2, length(seq) - 2), '><') AS s",
+                )
+                .selectExpr(
+                    "cnt",
+                    "slice(s, 1, size(s) - 1) AS la",
+                    "slice(s, 2, size(s) - 1) AS ra",
+                )
+                .selectExpr("cnt", "explode(arrays_zip(la, ra)) AS p")
+                .groupBy(
+                    F.col("p.la").alias("lhs"), F.col("p.ra").alias("rhs")
+                )
+                .agg(F.sum("cnt").alias("pair_count"))
+                .orderBy(F.col("pair_count").desc(), "lhs", "rhs")
+                .first()
+            )
+            if top is None:
+                break  # every kept word is a single symbol — mined dry
+            lhs, rhs = str(top["lhs"]), str(top["rhs"])
+            if not (lhs.isalnum() and rhs.isalnum()):
+                # the bracket encoding is only sound for [a-z0-9]
+                # symbols; normalized_tokens guarantees it — a custom
+                # tokenizer that doesn't must fail loudly, not merge
+                # garbage
+                raise ValueError(
+                    f"bpe_merge_rules: non-alphanumeric symbol pair "
+                    f"({lhs!r}, {rhs!r}) — bracket encoding unsound"
+                )
+            merged = lhs + rhs
+            rules.append((rnd, lhs, rhs, merged, int(top["pair_count"])))
+            cur = cur.selectExpr(
+                f"replace(seq, '<{lhs}><{rhs}>', '<{merged}>') AS seq",
+                "cnt",
+            )
+            if rnd % ckpt_every == 0:
+                nxt = cur.localCheckpoint(eager=True)
+                release_frame(pinned)
+                pinned = cur = nxt
+    finally:
+        release_frame(pinned)
+    return spark.createDataFrame(
+        rules,
+        "round int, lhs string, rhs string, merged string, pair_count bigint",
     )
 
 
