@@ -70,6 +70,13 @@ OPS = {
     # (per-doc-distinct explode + one (gram, count) shuffle with the
     # broadcast ride-along total — must stay one linear pass)
     "mine_boilerplate_ngrams",
+    # round 11: the two r10 streaming faces measured end-to-end (label
+    # maintenance at a fixed ~10% affected fraction through the full
+    # delta+upsert+stream path; IVF-PQ ingest with frozen-sidecar
+    # encode + the id-only replay anti-join) and the JL sign random
+    # projection as a narrow map (size() filter defeats projection
+    # pruning)
+    "clusters_maintain", "vectors_maintain", "jl_project",
 }
 
 

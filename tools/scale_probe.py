@@ -747,6 +747,103 @@ def _probe_ops(spark, n: int, ops_filter, docs, vecs) -> dict:
         got = pq_encode(vecs, books).count()
         ops["pq_encode"] = (time.time() - t0, got)
 
+    if want("jl_project"):
+        reset_cache()
+        from web_api_postgres_etl_spark.operators.similarity import (
+            project_embeddings_rp,
+        )
+
+        # the claim under test: the sign random projection is ONE
+        # narrow codegen'd map (in_dim × out_dim literal ±1 folds per
+        # row), no shuffle — wall time ~O(n). The size() filter forces
+        # the full output array to materialize per row (a bare count()
+        # would let Catalyst prune the projection expression away)
+        t0 = time.time()
+        got = (
+            project_embeddings_rp(vecs, 8)
+            .filter(F.size("projection") == 8)
+            .count()
+        )
+        ops["jl_project"] = (time.time() - t0, got)
+
+    if want("clusters_maintain"):
+        reset_cache()
+        import shutil
+        import tempfile
+
+        from web_api_postgres_etl_spark.streaming.cluster_stream import (
+            clusters_maintain_run,
+        )
+
+        # r10 streaming face (r10 verdict #3): bootstrap the label
+        # table from n/2 two-node pairs (untimed), then TIME one
+        # incremental drain whose batch keeps the affected fraction
+        # FIXED (~10%) — the merge_components probe's workload pushed
+        # through the full face: delta recompute + untouched anti-join
+        # + surgical parquet upsert + stream plumbing. A regression
+        # where the anti-join degrades to a full relabel (or the
+        # upsert to a full rewrite) shows as a superlinear exponent.
+        root = tempfile.mkdtemp(prefix="probe_cmaint_")
+        src, tbl, ckpt = f"{root}/src", f"{root}/labels", f"{root}/ckpt"
+        schema = "id_a long, id_b long"
+        spark.range(0, n, 2).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        ).write.mode("append").parquet(src)
+        clusters_maintain_run(spark, src, tbl, ckpt, schema)
+        bridges = spark.range(0, n - 2, 20).select(
+            (F.col("id") + 1).alias("id_a"), (F.col("id") + 2).alias("id_b")
+        )
+        attach = spark.range(n, n + n // 10).select(
+            F.col("id").alias("id_a"),
+            (((F.col("id") - n) * 20) % n).alias("id_b"),
+        )
+        bridges.union(attach).write.mode("append").parquet(src)
+        t0 = time.time()
+        clusters_maintain_run(spark, src, tbl, ckpt, schema)
+        dt = time.time() - t0
+        got = spark.read.parquet(tbl).count()
+        shutil.rmtree(root, ignore_errors=True)
+        ops["clusters_maintain"] = (dt, got)
+
+    if want("vectors_maintain"):
+        reset_cache()
+        import shutil
+        import tempfile
+
+        from web_api_postgres_etl_spark.operators.similarity import (
+            write_ivf_pq_index,
+        )
+        from web_api_postgres_etl_spark.streaming.vector_stream import (
+            vectors_maintain_run,
+        )
+
+        # r10 streaming face (r10 verdict #3): bootstrap the IVF-PQ
+        # index from the first half of the corpus (untimed), then TIME
+        # one drain appending the second half — frozen-sidecar encode
+        # (narrow map) + the id-only anti-join replay probe + the
+        # partitioned append. Batch ∝ n and index ∝ n, so the claim
+        # "per-batch cost scales with batch + one column-pruned id
+        # scan" is exponent ~1; an accidental full decode or vector
+        # shuffle shows superlinearly.
+        root = tempfile.mkdtemp(prefix="probe_vmaint_")
+        src, idx, ckpt = f"{root}/src", f"{root}/idx", f"{root}/ckpt"
+        write_ivf_pq_index(
+            vecs.filter(F.col("vec_id") < n // 2), idx,
+            every=97, max_centroids=8, m=4, pq_k=8, pq_iters=0,
+        )
+        vecs.filter(F.col("vec_id") >= n // 2).write.mode(
+            "append"
+        ).parquet(src)
+        t0 = time.time()
+        vectors_maintain_run(
+            spark, src, idx, ckpt,
+            "vec_id long, embedding array<double>",
+        )
+        dt = time.time() - t0
+        got = spark.read.parquet(idx).count()
+        shutil.rmtree(root, ignore_errors=True)
+        ops["vectors_maintain"] = (dt, got)
+
     return ops
 
 
