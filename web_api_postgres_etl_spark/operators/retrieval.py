@@ -695,6 +695,71 @@ def bpe_merge_rules(
     )
 
 
+def bpe_apply(
+    df: DataFrame,
+    text_col: str,
+    rules: "list[tuple[str, str]]",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Append ``out_col`` — each document's BPE segmentation under the
+    given merge rules (the APPLY half of :func:`bpe_merge_rules`): an
+    ``array<string>`` of subword symbols, words segmented
+    independently, rules applied IN ORDER with the same greedy
+    leftmost non-overlapping replace as training. Token counts for
+    data recipes / packing are ``F.size(out_col)``; compare against
+    ``functions.text.bpe_ish_token_count``'s regex proxy — this is
+    the exact count under a TRAINED tokenizer.
+
+    One narrow map, no Python: the document's words collapse to a
+    single space-separated bracket string, the R rules become R
+    chained ``replace`` calls (merge patterns contain no space, so
+    they can never span a word boundary), and the final string splits
+    back into symbols. Rule symbols must be ``[a-z0-9]+`` (what
+    ``bpe_merge_rules`` over ``normalized_tokens`` emits) — anything
+    else raises before touching data, because the bracket encoding is
+    only sound for bracket-free symbols.
+
+    Determinism: pure string rewriting — identical under any
+    partitioning and engine (the oracle applies the same replaces
+    verbatim). NULL text → empty array (total, matching
+    ``normalized_tokens``)."""
+    for lhs, rhs in rules:
+        if not (str(lhs).isalnum() and str(rhs).isalnum()):
+            raise ValueError(
+                f"bpe_apply: rule ({lhs!r}, {rhs!r}) has non-alphanumeric "
+                "symbols — bracket encoding unsound"
+            )
+    if out_col in df.columns:
+        raise ValueError(f"bpe_apply: column {out_col!r} already exists")
+    words = normalized_tokens(qcol(text_col))
+    doc = F.array_join(
+        F.transform(
+            words,
+            lambda w: F.concat(
+                F.lit("<"), F.array_join(F.split(w, ""), "><"), F.lit(">")
+            ),
+        ),
+        " ",
+    )
+    merged = doc
+    for lhs, rhs in rules:
+        merged = F.call_function(
+            "replace", merged, F.lit(f"<{lhs}><{rhs}>"), F.lit(f"<{lhs}{rhs}>")
+        )
+    toks = F.flatten(
+        F.transform(
+            F.split(merged, " "),
+            lambda ws: F.split(ws.substr(F.lit(2), F.length(ws) - 2), "><"),
+        )
+    )
+    # an empty doc collapses to '' whose split yields [''] — filter it;
+    # NULL text propagates NULL through the string pipeline — coalesce
+    # to the documented empty array (total, like normalized_tokens)
+    toks = F.filter(toks, lambda s: s != "")
+    toks = F.coalesce(toks, F.expr("CAST(array() AS array<string>)"))
+    return df.withColumn(out_col, toks)
+
+
 # ---------------------------------------------- sparse cosine pairs
 def tfidf_cosine_pairs(
     df: DataFrame,
