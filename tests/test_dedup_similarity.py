@@ -1678,3 +1678,81 @@ def test_ivf_pq_index_full_lifecycle_with_purge(spark, tmp_path):
     ]
     got = {r["vec_id"] for r in ivf_pq_probe(spark, path, qvec, k=10, nprobe=4).collect()}
     assert 50 not in got and got
+
+
+def test_ivf_pq_index_compact_lifecycle(spark, tmp_path):
+    """The OPTIMIZE half of the index lifecycle: three appended
+    micro-batches accumulate small files per cluster partition;
+    compaction shrinks the file count, touches only partitions at/over
+    the threshold, leaves both sidecars byte-identical, and preserves
+    the code table EXACTLY (content fingerprint + a probe's full
+    result, bit-for-bit)."""
+    import os
+
+    from web_api_postgres_etl_spark.operators.quality import (
+        table_fingerprint,
+    )
+    from web_api_postgres_etl_spark.operators.similarity import (
+        ivf_pq_index_append,
+        ivf_pq_index_compact,
+        ivf_pq_probe,
+        write_ivf_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]
+    ]
+    path = str(tmp_path / "ivfpq")
+    write_ivf_pq_index(
+        emb.filter("vec_id <= 200"), path,
+        every=11, max_centroids=4, m=4, pq_k=8, pq_iters=1,
+    )
+    for lo, hi in ((200, 300), (300, 400), (400, 501)):
+        ivf_pq_index_append(
+            emb.filter(f"vec_id > {lo} and vec_id <= {hi}"), path
+        )
+
+    idx = lambda: spark.read.parquet(path).select(  # noqa: E731
+        "vec_id", "pq_codes", "cluster"
+    )
+    fp_before = tuple(table_fingerprint(
+        idx().withColumn("pq_codes", F.col("pq_codes").cast("string"))
+    ).first())
+    probe_before = [tuple(r) for r in ivf_pq_probe(spark, path, qvec, k=20).collect()]
+    sidecars = {}
+    for side in ("_centroids", "_codebooks"):
+        d = path + side
+        sidecars[side] = {
+            f: os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d) if not f.startswith(("_", "."))
+        }
+
+    stats = ivf_pq_index_compact(spark, path, min_files_to_compact=2)
+    assert stats["partitions_compacted"] >= 1
+    assert stats["files_after"] < stats["files_before"]
+
+    assert tuple(table_fingerprint(
+        idx().withColumn("pq_codes", F.col("pq_codes").cast("string"))
+    ).first()) == fp_before
+    assert [
+        tuple(r) for r in ivf_pq_probe(spark, path, qvec, k=20).collect()
+    ] == probe_before
+    for side in ("_centroids", "_codebooks"):
+        d = path + side
+        assert {
+            f: os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d) if not f.startswith(("_", "."))
+        } == sidecars[side]
+
+    # idempotence: every partition now holds one file — a second pass
+    # touches nothing (min_files_to_compact=2 skips single-file dirs)
+    again = ivf_pq_index_compact(spark, path, min_files_to_compact=2)
+    assert again["partitions_compacted"] == 0
+    assert again["files_after"] == stats["files_after"]
+
+    # scope guard rides _file_local: remote URIs raise loudly
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="local-filesystem scoped"):
+        ivf_pq_index_compact(spark, "s3a://bucket/idx")

@@ -1773,6 +1773,69 @@ def ivf_pq_index_append(
     return n
 
 
+def ivf_pq_index_compact(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 2,
+) -> dict:
+    """Compact the small files streaming ingest accumulates inside an
+    IVF-PQ index — the OPTIMIZE half of the index lifecycle
+    (``write_ivf_pq_index`` = build, ``ivf_pq_index_append`` /
+    ``vectors_maintain_run`` = ingest, ``purge_rows`` = delete, this =
+    maintenance): every micro-batch append commits its own files into
+    each ``cluster=`` partition directory, and a thousand batches make
+    probes listing-and-open bound long before the bytes matter.
+
+    Per cluster partition with at least ``min_files_to_compact`` data
+    files, rewrite that directory to ~``target_file_bytes`` files via
+    ``operators.layout.compact_small_files`` — a narrow coalesce
+    through the .tmp/.old two-rename swap, so concurrent probes never
+    observe a missing path. Partitions below the threshold are never
+    read or written (cost scales with partitions TOUCHED); the
+    centroid/codebook sidecars are untouched, and codes survive
+    byte-identical (rows are rewritten as-read — assert with
+    ``operators.quality.table_fingerprint`` in doubt, as the tests
+    do). Returns ``{"partitions_compacted", "files_before",
+    "files_after"}``.
+    """
+    import os
+
+    from .layout import _file_local, compact_small_files
+
+    root = _file_local(path)
+    parts = sorted(
+        d for d in os.listdir(root)
+        if d.startswith("cluster=") and os.path.isdir(os.path.join(root, d))
+    )
+    if not parts:
+        raise ValueError(
+            f"ivf_pq_index_compact: no cluster= partitions under {path}"
+        )
+
+    def _n_files(d: str) -> int:
+        return sum(
+            1 for f in os.listdir(d)
+            if not f.startswith(("_", "."))
+            and os.path.isfile(os.path.join(d, f))
+        )
+
+    before = {p: _n_files(os.path.join(root, p)) for p in parts}
+    compacted = 0
+    for p in parts:
+        if before[p] >= min_files_to_compact:
+            compact_small_files(
+                spark, os.path.join(root, p), target_file_bytes
+            )
+            compacted += 1
+    after = {p: _n_files(os.path.join(root, p)) for p in parts}
+    return {
+        "partitions_compacted": compacted,
+        "files_before": sum(before.values()),
+        "files_after": sum(after.values()),
+    }
+
+
 def project_embeddings_rp(
     df: DataFrame,
     out_dim: int,
