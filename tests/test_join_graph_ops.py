@@ -810,11 +810,13 @@ def test_merge_components_min_id_relabel_and_chained_batches(spark):
     )
     assert {tuple(r) for r in merged.collect()} == {(0, 0), (7, 0), (8, 0)}
 
-    # chained batches ≡ one-shot on random graphs (2 trials — each
-    # drives ~10 full CC loops; the planted cases above pin the
-    # semantics, these pin the random-structure equivalence)
+    # chained batches ≡ one-shot on ONE random graph (r11 trim: the
+    # cc_incremental_merge driver row now hash-pins chained ≡ one-shot
+    # on the real corpus incl. a replayed batch, so the second random
+    # trial pinned the same property twice; the planted cases above
+    # pin the semantics, this pins random-structure equivalence)
     rng = random.Random(7)
-    for _ in range(2):
+    for _ in range(1):
         n = 40
         all_edges = [
             (rng.randrange(n), rng.randrange(n)) for _ in range(45)
