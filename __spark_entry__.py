@@ -4641,14 +4641,24 @@ def q_cc_incremental_merge(spark: SparkSession, sf: str) -> DataFrame:
     b2 = batch(1, 5).unionByName(newe)
     new_nodes2 = newe.select(F.col("id_b").alias("id")).distinct()
 
-    labels = connected_components_fast(cust, b1)          # bootstrap
-    labels = merge_components(labels, new_nodes2, b2)     # insert + merge
-    labels = merge_components(labels, new_nodes2.limit(0), b3)
-    labels = merge_components(labels, new_nodes2, b2)     # replay (stale)
-    return labels.select(
+    from web_api_postgres_etl_spark.caching import release_frame
+
+    pins: list = []
+    labels = connected_components_fast(cust, b1, pins=pins)   # bootstrap
+    labels = merge_components(labels, new_nodes2, b2, pins=pins)
+    labels = merge_components(labels, new_nodes2.limit(0), b3, pins=pins)
+    labels = merge_components(labels, new_nodes2, b2, pins=pins)  # replay
+    # the final frame chains anti-joins through the per-fold
+    # checkpoints — materialize it FIRST, then release every internal
+    # pin (the dedup_clusters rule: the result checkpoint stays pinned
+    # for the driver's collect, nothing else does)
+    out = labels.select(
         F.col("id").cast("long").alias("id"),
         F.col("component").cast("long").alias("component"),
-    )
+    ).localCheckpoint(eager=True)
+    for p in pins:
+        release_frame(p)
+    return out
 
 
 SQL_CC_MERGE = """
