@@ -743,8 +743,16 @@ def _probe_ops(spark, n: int, ops_filter, docs, vecs) -> dict:
         # encoding is ONE narrow codegen'd projection — m·k literal
         # fold distances per row, no shuffle, wall time ~O(n)
         books = pq_train(vecs, m=4, k=8, iters=0, every=97)
+        # the size() filter forces the code array to materialize per
+        # row — a bare count() lets Catalyst column-prune the encode
+        # projection away entirely, timing an empty scan (r11 fix;
+        # same pruning defeat as the jl_project probe)
         t0 = time.time()
-        got = pq_encode(vecs, books).count()
+        got = (
+            pq_encode(vecs, books)
+            .filter(F.size("pq_codes") == 4)
+            .count()
+        )
         ops["pq_encode"] = (time.time() - t0, got)
 
     if want("jl_project"):
