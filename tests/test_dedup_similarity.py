@@ -1708,7 +1708,8 @@ def test_ivf_pq_index_compact_lifecycle(spark, tmp_path):
         emb.filter("vec_id <= 200"), path,
         every=11, max_centroids=4, m=4, pq_k=8, pq_iters=1,
     )
-    for lo, hi in ((200, 300), (300, 400), (400, 501)):
+    # two appended batches suffice to accumulate multi-file partitions
+    for lo, hi in ((200, 350), (350, 501)):
         ivf_pq_index_append(
             emb.filter(f"vec_id > {lo} and vec_id <= {hi}"), path
         )

@@ -794,10 +794,15 @@ def _probe_ops(spark, n: int, ops_filter, docs, vecs) -> dict:
         root = tempfile.mkdtemp(prefix="probe_cmaint_")
         src, tbl, ckpt = f"{root}/src", f"{root}/labels", f"{root}/ckpt"
         schema = "id_a long, id_b long"
-        spark.range(0, n, 2).select(
-            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
-        ).write.mode("append").parquet(src)
-        clusters_maintain_run(spark, src, tbl, ckpt, schema)
+        # bootstrap the label table DIRECTLY (n/2 two-node components
+        # with their min-member labels — the merge_components probe's
+        # construction): labels are plain parquet rows, and draining a
+        # bootstrap batch through a full CC run would dominate the
+        # test's wall time without informing the exponent (only the
+        # incremental drain below is the claim under test)
+        spark.range(n).select(
+            F.col("id"), (F.col("id") - F.col("id") % 2).alias("component")
+        ).write.parquet(tbl)
         bridges = spark.range(0, n - 2, 20).select(
             (F.col("id") + 1).alias("id_a"), (F.col("id") + 2).alias("id_b")
         )
@@ -835,8 +840,11 @@ def _probe_ops(spark, n: int, ops_filter, docs, vecs) -> dict:
         # shuffle shows superlinearly.
         root = tempfile.mkdtemp(prefix="probe_vmaint_")
         src, idx, ckpt = f"{root}/src", f"{root}/idx", f"{root}/ckpt"
+        # bootstrap from n/4 (still ∝ n, so the replay anti-join scans
+        # an index that grows with the probe size — the claim — while
+        # the untimed build stays cheap); the timed drain appends n/2
         write_ivf_pq_index(
-            vecs.filter(F.col("vec_id") < n // 2), idx,
+            vecs.filter(F.col("vec_id") < n // 4), idx,
             every=97, max_centroids=8, m=4, pq_k=8, pq_iters=0,
         )
         vecs.filter(F.col("vec_id") >= n // 2).write.mode(
