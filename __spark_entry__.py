@@ -4873,13 +4873,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # that window (rows-only entries go last — they earn only a weaker
     # rows-check anyway and are pinned by tests/).
     #
-    # Driver-contract pin note (deliberate): the two iterative entries
-    # (dedup_clusters, pagerank) RETURN their final localCheckpointed
-    # frame — the checkpoint IS the result the driver collects, so it
-    # cannot be released inside the q_ function (release-after-collect
-    # is the long-lived-caller path via pins=[]). One small (id, long)
-    # frame stays pinned per driver run; every non-result internal pin
-    # is released before return (the hygiene test pins this).
+    # Driver-contract pin note (deliberate): the iterative/temp-dir
+    # entries (dedup_clusters, pagerank, cdc_table_apply,
+    # cc_incremental_merge, ivf_pq_probe_topk) RETURN their final
+    # localCheckpointed frame — the checkpoint IS the result the
+    # driver collects, so it cannot be released inside the q_ function
+    # (release-after-collect is the long-lived-caller path via
+    # pins=[]). One small frame stays pinned per driver run; every
+    # non-result internal pin is released before return (the hygiene
+    # test pins this). The temp-dir entries carry the localCheckpoint
+    # executor-loss caveat noted at q_cdc_table_apply.
     return {
         # flagship + composed pipelines
         "flagship_star_join": q_flagship_star_join,
