@@ -849,3 +849,118 @@ def test_merge_components_min_id_relabel_and_chained_batches(spark):
         assert sorted(tuple(r) for r in labels.collect()) == sorted(
             tuple(r) for r in one_shot.collect()
         )
+
+
+# ----------------------------------------------------- label propagation
+
+
+def _py_lpa(node_ids, edge_list, rounds):
+    """Reference synchronous LPA: votes on the previous round's labels,
+    ties to the smallest label, isolated nodes keep their own —
+    mirrors the operator's simple-graph symmetrize+distinct rule."""
+    sym = set()
+    for a, b in edge_list:
+        sym.add((a, b))
+        sym.add((b, a))
+    labels = {v: v for v in node_ids}
+    for _ in range(rounds):
+        votes: dict = {}
+        for src, dst in sym:
+            lab = labels[src]
+            votes.setdefault(dst, {}).setdefault(lab, 0)
+            votes[dst][lab] += 1
+        labels = {
+            v: (
+                min(
+                    votes[v].items(), key=lambda kv: (-kv[1], kv[0])
+                )[0]
+                if v in votes
+                else labels[v]
+            )
+            for v in node_ids
+        }
+    return labels
+
+
+def test_label_propagation_separates_bridged_cliques(spark):
+    """The capability CC cannot provide: two 4-cliques joined by ONE
+    bridge edge stay two communities (a single bridge vote never beats
+    in-clique majorities) while connected_components merges them; the
+    operator matches the Python model round-for-round, isolated nodes
+    keep their own label, and rounds=0 is the identity labeling."""
+    import pytest as _pt
+
+    from web_api_postgres_etl_spark.operators.graph import (
+        connected_components_fast,
+        label_propagation,
+    )
+
+    a = [1, 2, 3, 4]
+    b = [10, 11, 12, 13]
+    edges = (
+        [(x, y) for i, x in enumerate(a) for y in a[i + 1:]]
+        + [(x, y) for i, x in enumerate(b) for y in b[i + 1:]]
+        + [(4, 10)]          # the bridge
+    )
+    ids = a + b + [99]       # 99 isolated
+    nodes = spark.createDataFrame([(i,) for i in ids], ["id"])
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    got = {
+        r["id"]: r["community"]
+        for r in label_propagation(nodes, pairs, rounds=4).collect()
+    }
+    assert got == _py_lpa(ids, edges, 4)
+    assert len({got[v] for v in a}) == 1
+    assert len({got[v] for v in b}) == 1
+    assert got[1] != got[10], "bridge must not merge the communities"
+    assert got[99] == 99
+
+    cc = {
+        r["id"]: r["component"]
+        for r in connected_components_fast(nodes, pairs).collect()
+    }
+    assert cc[1] == cc[10], "CC merges them — the contrast LPA exists for"
+
+    ident = {
+        r["id"]: r["community"]
+        for r in label_propagation(nodes, pairs, rounds=0).collect()
+    }
+    assert ident == {i: i for i in ids}
+    with _pt.raises(ValueError, match="rounds"):
+        label_propagation(nodes, pairs, rounds=-1)
+
+
+def test_label_propagation_random_graph_model_and_determinism(spark):
+    """Seeded random graph: the operator equals the Python model at
+    several horizons (incl. an oscillation-prone structure — fixed
+    synchronous rounds are the SEMANTICS), and the result is identical
+    under repartitioning (exact integer votes + total tie order)."""
+    import random
+
+    from web_api_postgres_etl_spark.operators.graph import (
+        label_propagation,
+    )
+
+    rng = random.Random(11)
+    n = 60
+    ids = list(range(n))
+    edges = list({
+        tuple(sorted((rng.randrange(n), rng.randrange(n))))
+        for _ in range(110)
+    })
+    nodes = spark.createDataFrame([(i,) for i in ids], ["id"])
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    for rounds in (1, 3, 5):
+        got = {
+            r["id"]: r["community"]
+            for r in label_propagation(nodes, pairs, rounds=rounds).collect()
+        }
+        assert got == _py_lpa(ids, edges, rounds), f"rounds={rounds}"
+    shuffled = {
+        r["id"]: r["community"]
+        for r in label_propagation(
+            nodes.repartition(13), pairs.repartition(7), rounds=3
+        ).collect()
+    }
+    assert shuffled == _py_lpa(ids, edges, 3)

@@ -608,6 +608,97 @@ def select_canonical(
     )
 
 
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_id: str = "id",
+    edge_src: str = "id_a",
+    edge_dst: str = "id_b",
+    rounds: int = 5,
+    pins: list[DataFrame] | None = None,
+) -> DataFrame:
+    """(id, community) — synchronous label propagation (Raghavan et al.
+    2007), the COMMUNITY detector next to the components family: each
+    round every node adopts the label held by the most of its
+    neighbors (ties → smallest label; isolated nodes keep their own).
+    Where ``connected_components`` answers "reachable at all?" — one
+    bridge edge merges two 1000-doc near-dup cliques — this answers
+    "densely tied?": the cliques keep separate labels because one
+    bridge vote never outweighs in-clique majorities. The domain/topic
+    clustering primitive for data-recipe mixing over link or
+    co-citation graphs.
+
+    DETERMINISTIC by construction, unlike textbook asynchronous LPA:
+    updates are synchronous (all nodes vote on the PREVIOUS round's
+    labels), the tie rule is total, and the round count is FIXED —
+    label(v, r) is a pure function of the graph and r, identical
+    under any partitioning or engine (the oracle unrolls the same
+    rounds). The fixed count is semantic, not a convergence shortcut:
+    synchronous LPA can 2-cycle (bipartite oscillation), so "run to
+    convergence" is not well-defined; small r (3-7) is the practical
+    community horizon. Parallel edges are collapsed (simple-graph
+    votes) and edges are symmetrized, the components family's rule.
+
+    Scale shape per round: one (src→label) equi-join + one map-side-
+    combining (id, label) vote count + one argmax groupBy — shuffles
+    carry (id, label, count), payloads never move; per-round
+    localCheckpoint with release keeps lineage flat (≤ 2 label tables
+    pinned at once). Cites /root/reference scope: no graph surface
+    there; extends the engine's graph family.
+    """
+    if rounds < 0:
+        raise ValueError(f"label_propagation: rounds must be >= 0, got {rounds}")
+    sym = (
+        edges.select(qcol(edge_src).alias("src"), qcol(edge_dst).alias("dst"))
+        .union(edges.select(qcol(edge_dst).alias("src"), qcol(edge_src).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(
+        qcol(node_id).alias("id"), qcol(node_id).alias("community")
+    )
+    prev_ckpt = None
+    for _ in range(rounds):
+        votes = (
+            sym.join(labels, sym["src"] == labels["id"])
+            .select(F.col("dst").alias("id"), F.col("community"))
+            .groupBy("id", "community")
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        # argmax by (votes desc, label asc) as ONE max over a struct —
+        # (n, -community) orders exactly that way, no second window
+        # shuffle on a different key
+        best = (
+            votes.groupBy("id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("__n"), (-F.col("community")).alias("__negc")
+                    )
+                ).alias("__b")
+            )
+            .select("id", (-F.col("__b.__negc")).alias("__new"))
+        )
+        new_labels = (
+            labels.join(best, on="id", how="left")
+            .select(
+                "id",
+                F.coalesce(F.col("__new"), F.col("community")).alias(
+                    "community"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if prev_ckpt is not None:
+            release_frame(prev_ckpt)
+        prev_ckpt = new_labels
+        labels = new_labels
+    sym.unpersist()
+    if pins is not None and prev_ckpt is not None:
+        pins.append(prev_ckpt)
+    return labels
+
+
 def merge_components(
     labels: DataFrame,
     new_nodes: DataFrame,
