@@ -916,3 +916,54 @@ def test_bloom_gate_property_no_false_negatives(spark, keys, probes):
         r["k"] for r in bloom_filter_gate(fact, bloom, "k", 256, 3).collect()
     }
     assert (set(probes) & keys) <= kept
+
+
+# --- BPE segmentation invariants (property-based, one Spark job each) --
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab1", min_size=1, max_size=6),
+        min_size=1, max_size=12,
+    ),
+    st.integers(min_value=0, max_value=5),
+)
+def test_bpe_apply_lossless_and_monotone(spark, words, rounds):
+    """Two BPE invariants on a tight random alphabet (merges actually
+    fire): (1) LOSSLESS — concatenating a document's segmentation
+    reproduces exactly its tokenized words' characters (no symbol is
+    dropped, duplicated, or reordered by the bracket machinery); (2)
+    MONOTONE — each applied rule can only shrink or preserve the token
+    count, never grow it. Rules are mined from the same corpus, so the
+    pair covers training→application end to end."""
+    from pyspark.sql import functions as F
+
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        bpe_apply,
+        bpe_merge_rules,
+    )
+
+    text = " ".join(words)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rules = (
+        [
+            (r["lhs"], r["rhs"])
+            for r in bpe_merge_rules(docs, "text", rounds=rounds).collect()
+        ]
+        if rounds
+        else []
+    )
+    prev = None
+    # three rule-prefix checkpoints (0, half, all) keep the invariant
+    # sweep to ≤3 Spark jobs per example
+    for upto in sorted({0, len(rules) // 2, len(rules)}):
+        out = bpe_apply(docs, "text", rules[:upto]).select(
+            F.col("bpe_tokens").alias("t"),
+            F.concat_ws("", "bpe_tokens").alias("joined"),
+        ).first()
+        assert out["joined"] == "".join(words)  # lossless at every prefix
+        n = len(out["t"])
+        if prev is not None:
+            assert n <= prev, f"rule prefix {upto} grew the token count"
+        prev = n
