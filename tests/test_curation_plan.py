@@ -554,3 +554,61 @@ def test_sentence_dedup_composes_with_survivor_score(spark):
     kept = {r["doc_id"] for r in out}
     assert kept == {2, 6}  # near-dup cluster {1,2}: score 0.9 wins
     assert "subscribe" not in " ".join(r["chunk_text"] for r in out)
+
+
+def test_bpe_pack_stage(spark):
+    """With bpe_pack_rules set, packing windows count REAL subword
+    tokens: every chunk gains n_bpe_tokens = the exact bpe_apply
+    segmentation size, multi-chunk packs respect the window under
+    THOSE counts, and the default-off run neither adds the column nor
+    changes its packs (the stage-default-off contract rule)."""
+    from dataclasses import replace
+
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        bpe_apply,
+        bpe_merge_rules,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(120)
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    base_cfg = CurationConfig(
+        min_gopher_rules=4, ngram_n=4, chunk_words=32,
+        window_tokens=40, num_shards=2,
+    )
+    rules = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_merge_rules(train, "text", rounds=4).collect()
+    ]
+    cfg = replace(base_cfg, bpe_pack_rules=rules)
+
+    out = prepare_training_data(train, bench, config=cfg)
+    rows = out.collect()
+    assert rows and "n_bpe_tokens" in out.columns
+    # exact per-chunk counts: recompute independently from chunk_text
+    chk = bpe_apply(out, "chunk_text", rules, out_col="__re").select(
+        "n_bpe_tokens", F.size("__re").alias("__n")
+    ).collect()
+    assert all(r["n_bpe_tokens"] == r["__n"] for r in chk)
+    # the pack invariant under the BPE counts (first-token binning:
+    # every member STARTS inside its window; overflow-by-one-doc is
+    # pack_sequences' documented semantics, so totals may exceed):
+    # offsets sit in [0, window) and within a pack they are the
+    # exclusive running sum of the BPE counts in offset order
+    by_pack: dict = {}
+    for r in rows:
+        by_pack.setdefault(
+            (r["split"], r["shard"], r["pack_id"]), []
+        ).append((r["pack_offset"], r["n_bpe_tokens"]))
+    for key, members in by_pack.items():
+        members.sort()
+        run = members[0][0]
+        assert 0 <= run < cfg.window_tokens, (key, members)
+        for off, n in members:
+            assert off == run, (key, members)
+            run += n
+
+    off = prepare_training_data(train, bench, config=base_cfg)
+    assert "n_bpe_tokens" not in off.columns

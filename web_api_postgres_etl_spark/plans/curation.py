@@ -98,6 +98,12 @@ class CurationConfig:
     chunk_words: int = 256
     chunk_overlap: int = 0
     window_tokens: int = 1024           # pack window (word-count proxy)
+    bpe_pack_rules: list | None = None  # None = pack on the word-count
+    #   proxy (n_chunk_words); set to mined (lhs, rhs) merge rules
+    #   (bpe_merge_rules output) → each chunk is segmented under the
+    #   TRAINED tokenizer (bpe_apply) and packing windows count REAL
+    #   subword tokens (n_bpe_tokens) — what the training run actually
+    #   consumes. Default off (stage-default-off contract rule).
     num_shards: int = 8
 
 
@@ -484,10 +490,21 @@ def prepare_training_data(
         "__cid",
         F.concat_ws("#", F.col(id_col).cast("string"), F.col("chunk_idx")),
     )
+    token_col = "n_chunk_words"
+    if cfg.bpe_pack_rules is not None:
+        # pack on REAL subword counts: segment each chunk under the
+        # mined merge rules (one narrow map — R anchored replaces) and
+        # window on n_bpe_tokens instead of the word-count proxy
+        from ..operators.retrieval import bpe_apply
+
+        with_split = bpe_apply(
+            with_split, "chunk_text", cfg.bpe_pack_rules, out_col="__bpe"
+        ).withColumn("n_bpe_tokens", F.size("__bpe")).drop("__bpe")
+        token_col = "n_bpe_tokens"
     packed = pack_sequences(
         with_split,
         id_col="__cid",
-        token_col="n_chunk_words",
+        token_col=token_col,
         window=cfg.window_tokens,
         num_shards=cfg.num_shards,
         group_col="split",   # a pack must never mix train and val
