@@ -964,3 +964,50 @@ def test_label_propagation_random_graph_model_and_determinism(spark):
         ).collect()
     }
     assert shuffled == _py_lpa(ids, edges, 3)
+
+
+def test_label_propagation_weighted_votes(spark):
+    """Weighted LPA: one heavy edge outvotes several unit edges — node
+    5's three unit-weight neighbors say '1' but the weight-10 edge to
+    node 9 wins; the unweighted run flips it. Float weights raise (the
+    engine-exact argmax contract); unweighted ≡ weight-1 bit-for-bit."""
+    import pytest as _pt
+
+    from web_api_postgres_etl_spark.operators.graph import (
+        label_propagation,
+    )
+
+    ids = [1, 2, 3, 5, 9]
+    nodes = spark.createDataFrame([(i,) for i in ids], ["id"])
+    # 5 touches units 1,2,3 and one heavy edge to 9
+    weighted = spark.createDataFrame(
+        [(1, 5, 1), (2, 5, 1), (3, 5, 1), (5, 9, 10)],
+        "id_a long, id_b long, w long",
+    )
+    got_w = {
+        r["id"]: r["community"]
+        for r in label_propagation(
+            nodes, weighted, rounds=1, weight="w"
+        ).collect()
+    }
+    assert got_w[5] == 9          # 10 votes for label 9 beat 3×1 for min 1
+    got_u = {
+        r["id"]: r["community"]
+        for r in label_propagation(nodes, weighted, rounds=1).collect()
+    }
+    assert got_u[5] == 1          # unweighted: ties at 1 vote → min label
+
+    ones = weighted.withColumn("w", F.lit(1).cast("long"))
+    same = {
+        r["id"]: r["community"]
+        for r in label_propagation(nodes, ones, rounds=3, weight="w").collect()
+    }
+    base = {
+        r["id"]: r["community"]
+        for r in label_propagation(nodes, ones, rounds=3).collect()
+    }
+    assert same == base
+
+    floats = weighted.withColumn("w", F.col("w").cast("double"))
+    with _pt.raises(ValueError, match="exact integer"):
+        label_propagation(nodes, floats, rounds=1, weight="w")

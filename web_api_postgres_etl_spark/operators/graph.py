@@ -615,12 +615,22 @@ def label_propagation(
     edge_src: str = "id_a",
     edge_dst: str = "id_b",
     rounds: int = 5,
+    weight: str | None = None,
     pins: list[DataFrame] | None = None,
 ) -> DataFrame:
     """(id, community) — synchronous label propagation (Raghavan et al.
     2007), the COMMUNITY detector next to the components family: each
     round every node adopts the label held by the most of its
     neighbors (ties → smallest label; isolated nodes keep their own).
+    ``weight`` names an optional EXACT-INTEGER edge-weight column
+    (co-occurrence counts, shared-shingle counts — the strengths the
+    engine's candidate generators emit); votes then sum weights
+    instead of counting edges. Integer weights keep the argmax
+    engine-exact — float weights would reintroduce the
+    reduction-order drift the graph family's integer discipline
+    (see ``pagerank``) exists to avoid, so they raise. Weighted
+    duplicates are SUMMED per direction; with symmetric input the two
+    directions' weights add like parallel edges.
     Where ``connected_components`` answers "reachable at all?" — one
     bridge edge merges two 1000-doc near-dup cliques — this answers
     "densely tied?": the cliques keep separate labels because one
@@ -648,12 +658,40 @@ def label_propagation(
     """
     if rounds < 0:
         raise ValueError(f"label_propagation: rounds must be >= 0, got {rounds}")
-    sym = (
-        edges.select(qcol(edge_src).alias("src"), qcol(edge_dst).alias("dst"))
-        .union(edges.select(qcol(edge_dst).alias("src"), qcol(edge_src).alias("dst")))
-        .distinct()
-        .persist()
-    )
+    if weight is None:
+        sym = (
+            edges.select(qcol(edge_src).alias("src"), qcol(edge_dst).alias("dst"))
+            .union(edges.select(qcol(edge_dst).alias("src"), qcol(edge_src).alias("dst")))
+            .distinct()
+            .select("src", "dst", F.lit(1).cast("long").alias("w"))
+            .persist()
+        )
+    else:
+        pairs = edges.select(
+            qcol(edge_src).alias("src"),
+            qcol(edge_dst).alias("dst"),
+            qcol(weight).alias("w"),
+        )
+        wtype = dict(pairs.dtypes)["w"]
+        if wtype not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"label_propagation: weight column {weight!r} must be an "
+                f"exact integer type (got {wtype}) — float vote sums are "
+                "reduction-order-dependent and break the engine-exact "
+                "argmax contract"
+            )
+        sym = (
+            pairs.union(
+                edges.select(
+                    qcol(edge_dst).alias("src"),
+                    qcol(edge_src).alias("dst"),
+                    qcol(weight).alias("w"),
+                )
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+            .persist()
+        )
     labels = nodes.select(
         qcol(node_id).alias("id"), qcol(node_id).alias("community")
     )
@@ -661,9 +699,9 @@ def label_propagation(
     for _ in range(rounds):
         votes = (
             sym.join(labels, sym["src"] == labels["id"])
-            .select(F.col("dst").alias("id"), F.col("community"))
+            .select(F.col("dst").alias("id"), F.col("community"), F.col("w"))
             .groupBy("id", "community")
-            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(F.sum("w").alias("__n"))
         )
         # argmax by (votes desc, label asc) as ONE max over a struct —
         # (n, -community) orders exactly that way, no second window
