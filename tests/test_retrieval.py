@@ -1066,3 +1066,130 @@ def test_bpe_apply_duckdb_mirror_on_corpus(spark, oracle):
         FROM b
     """).fetchall())
     assert got == want
+
+
+# ------------------------------------------------- DSIR importance
+
+
+def test_dsir_logratio_hand_computed_and_direction(spark):
+    """Tiny corpora with hand-derivable smoothed log-probs: exact
+    values for every token class (in both models, target-only,
+    raw-only, in neither), positive scores for target-like docs and
+    negative for raw-typical ones, NULL totality for token-less docs,
+    and the empty-model degrade rule."""
+    import math as m
+
+    import pytest as pt
+
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        build_unigram_model,
+        dsir_logratio,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "physics physics energy")], "doc_id long, text string"
+    )
+    raw = spark.createDataFrame(
+        [(1, "celebrity gossip gossip energy")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "physics energy"),      # target-like
+            (2, "celebrity gossip"),    # raw-like
+            (3, "quantum"),             # in neither model
+            (4, "!!!"),                 # token-less
+        ],
+        "doc_id long, text string",
+    )
+    tc = build_unigram_model(target)
+    rc = build_unigram_model(raw)
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["log_ratio"], r["avg_log_ratio"])
+        for r in dsir_logratio(docs, tc, raw_counts=rc).collect()
+    }
+    a = 0.5
+    dt = 3 + a * 3          # N=3, V=2
+    dr = 4 + a * 4          # N=4, V=3
+    def lt(c): return m.log((c + a) / dt)
+    def lr(c): return m.log((c + a) / dr)
+    want1 = (lt(2) - lr(0)) + (lt(1) - lr(1))      # physics, energy
+    want2 = (lt(0) - lr(1)) + (lt(0) - lr(2))      # celebrity, gossip
+    want3 = lt(0) - lr(0)                          # quantum: both OOV
+    assert out[1][0] == 2 and out[1][1] == pt.approx(want1, abs=2e-6)
+    assert out[2][1] == pt.approx(want2, abs=2e-6)
+    assert out[3][1] == pt.approx(want3, abs=2e-6)
+    assert out[1][2] == pt.approx(want1 / 2, abs=2e-6)
+    assert out[1][1] > 0 > out[2][1]               # the selection signal
+    assert out[4] == (0, None, None)
+
+    empty = build_unigram_model(
+        spark.createDataFrame([(1, "!!!")], "doc_id long, text string")
+    )
+    degraded = {
+        r["doc_id"]: r["log_ratio"]
+        for r in dsir_logratio(docs, empty, raw_counts=rc).collect()
+    }
+    assert set(degraded.values()) == {None}
+
+
+def test_dsir_logratio_oracle_parity(spark, oracle):
+    """Full corpus vs a DuckDB mirror: target = the en documents, raw =
+    the rest, self-raw default exercised separately; rounded values
+    equal (the unigram_perplexity parity recipe, applied to the
+    two-model ratio)."""
+    import pytest as pt
+
+    from pyspark.sql import functions as F
+
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        build_unigram_model,
+        dsir_logratio,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    tc = build_unigram_model(docs.filter(F.col("lang") == "en"))
+    rc = build_unigram_model(docs.filter(F.col("lang") != "en"))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["log_ratio"])
+        for r in dsir_logratio(docs, tc, raw_counts=rc).collect()
+    }
+    want = {
+        row[0]: (row[1], row[2])
+        for row in oracle.execute("""
+        WITH t AS (
+          SELECT doc_id, lang, list_filter(regexp_split_to_array(trim(
+            regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '),
+            x -> x <> '') AS toks
+          FROM documents),
+        tm AS (SELECT tok, COUNT(*) AS c FROM (
+                 SELECT unnest(toks) AS tok FROM t WHERE lang = 'en')
+               GROUP BY 1),
+        rm AS (SELECT tok, COUNT(*) AS c FROM (
+                 SELECT unnest(toks) AS tok FROM t WHERE lang <> 'en')
+               GROUP BY 1),
+        ts AS (SELECT SUM(c) + 0.5 * (COUNT(*) + 1) AS d FROM tm),
+        rs AS (SELECT SUM(c) + 0.5 * (COUNT(*) + 1) AS d FROM rm),
+        occ AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        delta AS (
+          SELECT occ.doc_id,
+                 ln((coalesce(tm.c, 0) + 0.5) / ts.d)
+                 - ln((coalesce(rm.c, 0) + 0.5) / rs.d) AS d
+          FROM occ
+          LEFT JOIN tm ON occ.tok = tm.tok
+          LEFT JOIN rm ON occ.tok = rm.tok
+          CROSS JOIN ts CROSS JOIN rs)
+        SELECT t.doc_id,
+               CAST(coalesce(len(t.toks), 0) AS INT) AS n_tokens,
+               round(SUM(delta.d), 6) AS log_ratio
+        FROM t LEFT JOIN delta ON t.doc_id = delta.doc_id
+        GROUP BY t.doc_id, t.toks
+        """).fetchall()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k][0] == want[k][0], k
+        if want[k][1] is None:
+            assert got[k][1] is None, k
+        else:
+            assert got[k][1] == pt.approx(want[k][1], abs=2e-6), k

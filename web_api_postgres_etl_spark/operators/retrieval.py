@@ -291,6 +291,130 @@ def unigram_perplexity(
     )
 
 
+def dsir_logratio(
+    df: DataFrame,
+    target_counts: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    raw_counts: DataFrame | None = None,
+    alpha: float = 0.5,
+    cache_model: bool = True,
+    pins: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Per-document DSIR importance signal (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"):
+    ``(id, n_tokens, log_ratio, avg_log_ratio)`` where ``log_ratio`` =
+    Σ over the document's tokens of ``ln p_target(t) − ln p_raw(t)``
+    under two add-``alpha`` smoothed unigram LMs — the TARGET domain
+    you want more of (``target_counts``, a
+    :func:`build_unigram_model` table, typically read from parquet)
+    and the RAW corpus being selected from (``raw_counts``; default:
+    counted from ``df`` itself, the usual one-shot shape). Documents
+    that look like the target score positive; generic/raw-typical
+    documents score near zero or negative. Select by thresholding or
+    feed ``exp(clamped log_ratio)``-style weights into the sampling
+    family — DSIR's resampling step is exactly
+    ``weighted_sample_exact_n`` downstream.
+
+    Each model smooths against its OWN (N, V):
+    ``lp(t) = ln((c_t + α) / (N + α(V+1)))``, out-of-vocabulary
+    tokens at the ``c_t = 0`` floor — the ``unigram_perplexity``
+    recipe applied twice, so the ratio is well-defined for every
+    token, including tokens absent from BOTH models (floor − floor,
+    a constant that cancels domain-neutral noise words only when the
+    two corpora are comparable in size — the DSIR hashed-feature
+    caveat, documented not hidden). Token-less documents get NULL
+    scores (total); an EMPTY model table carries no information, so
+    every score degrades to NULL rather than raising (the scheduled-
+    pipeline rule ``unigram_perplexity`` pins).
+
+    Scale shape: the two models are (term, count) tables (map-side
+    combined; term strings, never text); their N/V scalars are two
+    1-row collects; the combined per-term log-ratio table is ONE
+    full-outer join of the two vocabularies, and scoring is one
+    (id, term) explode + one term join (AQE broadcasts small
+    vocabularies) + one per-doc aggregate. ``cache_model``/``pins``
+    follow the family's contract. Floats only in the logs, rounded
+    to 1e-6 at the boundary like every LM gate here — pin thresholds
+    through gap-scanned gates for cross-engine exactness.
+
+    Cites /root/reference scope: no selection surface there; this
+    completes the quality family (heuristic gates, LM perplexity,
+    trained classifier) with the importance-sampling signal.
+    """
+    if raw_counts is None:
+        raw_counts = build_unigram_model(df, text_col)
+    t = target_counts.select("term", F.col("count").alias("__ct"))
+    r = raw_counts.select("term", F.col("count").alias("__cr"))
+    if cache_model:
+        t, r = t.persist(), r.persist()
+        if pins is not None:
+            pins.extend([t, r])
+    tt = t.agg(F.sum("__ct").alias("n"), F.count("*").alias("v")).first()
+    rt = r.agg(F.sum("__cr").alias("n"), F.count("*").alias("v")).first()
+    nt, vt = int(tt["n"] or 0), int(tt["v"] or 0)
+    nr, vr = int(rt["n"] or 0), int(rt["v"] or 0)
+    if nt == 0 or nr == 0:
+        if cache_model:
+            t.unpersist()
+            r.unpersist()
+        return df.select(
+            qcol(id_col).alias(id_col),
+            F.coalesce(F.size(normalized_tokens(text_col)), F.lit(0))
+            .cast("int")
+            .alias("n_tokens"),
+            F.lit(None).cast("double").alias("log_ratio"),
+            F.lit(None).cast("double").alias("avg_log_ratio"),
+        )
+    dt = float(nt) + alpha * (vt + 1)
+    dr = float(nr) + alpha * (vr + 1)
+    oov_t, oov_r = math.log(alpha / dt), math.log(alpha / dr)
+    # one per-term delta table over the UNION of the two vocabularies;
+    # a term missing from one side takes that side's OOV floor
+    ratio = (
+        t.join(r, on="term", how="full_outer")
+        .select(
+            "term",
+            (
+                F.coalesce(
+                    F.log((F.col("__ct") + F.lit(alpha)) / F.lit(dt)),
+                    F.lit(oov_t),
+                )
+                - F.coalesce(
+                    F.log((F.col("__cr") + F.lit(alpha)) / F.lit(dr)),
+                    F.lit(oov_r),
+                )
+            ).alias("__d"),
+        )
+    )
+    both_oov = oov_t - oov_r  # token in NEITHER model
+    toks = df.select(
+        qcol(id_col).alias("__id"),
+        F.explode_outer(normalized_tokens(text_col)).alias("term"),
+    )
+    scored = toks.join(ratio, "term", "left").groupBy("__id").agg(
+        F.count("term").alias("n_tokens"),
+        F.sum(
+            F.when(
+                F.col("term").isNotNull(),
+                F.coalesce(F.col("__d"), F.lit(both_oov)),
+            )
+        ).alias("__lr"),
+        F.avg(
+            F.when(
+                F.col("term").isNotNull(),
+                F.coalesce(F.col("__d"), F.lit(both_oov)),
+            )
+        ).alias("__alr"),
+    )
+    return scored.select(
+        F.col("__id").alias(id_col),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.round("__lr", 6).alias("log_ratio"),
+        F.round("__alr", 6).alias("avg_log_ratio"),
+    )
+
+
 def tfidf_table(
     df: DataFrame,
     id_col: str,
