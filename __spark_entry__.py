@@ -3676,9 +3676,12 @@ def q_ivf_pq_probe_topk(spark: SparkSession, sf: str) -> DataFrame:
         # driver run itself, not just pytest
         plan = probe._jdf.queryExecution().executedPlan().toString()
         pf = plan.split("PartitionFilters: [", 1)
-        assert len(pf) == 2 and "cluster" in pf[1][:120], (
-            "ivf_pq_probe must partition-prune on cluster:\n" + plan
-        )
+        # explicit raise, NOT a bare assert: `python -O` compiles
+        # asserts out, and this check must fail the driver run itself
+        if not (len(pf) == 2 and "cluster" in pf[1][:120]):
+            raise RuntimeError(
+                "ivf_pq_probe must partition-prune on cluster:\n" + plan
+            )
         # same CLUSTER CAVEAT as q_cdc_table_apply: localCheckpoint
         # blocks are non-reliable — safe only in the single-executor
         # local bench; on a cluster keep the dir until consumed
@@ -4623,6 +4626,11 @@ def q_cc_incremental_merge(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c_custkey").cast("long").alias("id")
     )
     orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    # a PARTIAL last 10-block (custkey range not a multiple of 10)
+    # would rotate partners past max(c_custkey): merge_components drops
+    # them (universe contract) but the SQL reach would label them, so
+    # both sides clamp partner edges to the real custkey range
+    max_ck = int(cust.agg(F.max("id")).first()[0])
 
     def batch(mod: int, shift: int) -> DataFrame:
         # partner custkey in the SAME 10-block, position rotated by
@@ -4631,7 +4639,7 @@ def q_cc_incremental_merge(spark: SparkSession, sf: str) -> DataFrame:
             "CAST(o_custkey AS BIGINT) AS id_a",
             f"CAST(((o_custkey - 1) div 10) * 10"
             f" + ((o_custkey - 1 + {shift}) % 10) + 1 AS BIGINT) AS id_b",
-        )
+        ).filter(F.col("id_b") <= F.lit(max_ck))
 
     newe = orders.filter(F.col("o_orderkey") % 80 == 1).selectExpr(
         "CAST(o_custkey AS BIGINT) AS id_a",
@@ -4670,20 +4678,24 @@ univ AS (
   SELECT c_custkey AS id FROM customer
   UNION SELECT id FROM newids),
 e AS (
-  SELECT o_custkey AS a,
-         ((o_custkey - 1) // 10) * 10 + ((o_custkey - 1 + 3) % 10) + 1 AS b
-  FROM orders WHERE o_orderkey % 16 = 0
-  UNION
-  SELECT o_custkey,
-         ((o_custkey - 1) // 10) * 10 + ((o_custkey - 1 + 5) % 10) + 1
-  FROM orders WHERE o_orderkey % 16 = 1
-  UNION
-  SELECT o_custkey, 1000000 + (o_custkey - 1) // 10
-  FROM orders WHERE o_orderkey % 80 = 1
-  UNION
-  SELECT o_custkey,
-         ((o_custkey - 1) // 10) * 10 + ((o_custkey - 1 + 7) % 10) + 1
-  FROM orders WHERE o_orderkey % 16 = 2),
+  -- rotated partners past MAX(c_custkey) (partial last 10-block) are
+  -- clamped out on BOTH engines; the 1000000+ new-node edges survive
+  SELECT a, b FROM (
+    SELECT o_custkey AS a,
+           ((o_custkey - 1) // 10) * 10 + ((o_custkey - 1 + 3) % 10) + 1 AS b
+    FROM orders WHERE o_orderkey % 16 = 0
+    UNION
+    SELECT o_custkey,
+           ((o_custkey - 1) // 10) * 10 + ((o_custkey - 1 + 5) % 10) + 1
+    FROM orders WHERE o_orderkey % 16 = 1
+    UNION
+    SELECT o_custkey, 1000000 + (o_custkey - 1) // 10
+    FROM orders WHERE o_orderkey % 80 = 1
+    UNION
+    SELECT o_custkey,
+           ((o_custkey - 1) // 10) * 10 + ((o_custkey - 1 + 7) % 10) + 1
+    FROM orders WHERE o_orderkey % 16 = 2)
+  WHERE b >= 1000000 OR b <= (SELECT MAX(c_custkey) FROM customer)),
 edges AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
 reach AS (
   SELECT id, id AS lbl FROM univ

@@ -831,8 +831,10 @@ def _probe_ops(spark, n: int, ops_filter, docs, vecs) -> dict:
         )
 
         # r10 streaming face (r10 verdict #3): bootstrap the IVF-PQ
-        # index from the first half of the corpus (untimed), then TIME
-        # one drain appending the second half — frozen-sidecar encode
+        # index from the first QUARTER of the corpus (untimed; the
+        # middle quarter [n/4, n/2) is deliberately in neither index
+        # nor stream), then TIME one drain appending the second half
+        # — frozen-sidecar encode
         # (narrow map) + the id-only anti-join replay probe + the
         # partitioned append. Batch ∝ n and index ∝ n, so the claim
         # "per-batch cost scales with batch + one column-pruned id

@@ -680,6 +680,17 @@ def label_propagation(
                 "reduction-order-dependent and break the engine-exact "
                 "argmax contract"
             )
+        # NULL weights raise IN-PLAN (no extra scan): F.sum would
+        # silently skip them — zero votes with no error — which is
+        # inconsistent with the loud float-type rejection above
+        w_checked = F.when(
+            F.col("w").isNull(),
+            F.expr(
+                "cast(raise_error('label_propagation: NULL edge weight "
+                "— a NULL-weight edge would contribute zero votes "
+                "silently; filter or fill weights upstream') as long)"
+            ),
+        ).otherwise(F.col("w").cast("long"))
         sym = (
             pairs.union(
                 edges.select(
@@ -688,6 +699,7 @@ def label_propagation(
                     qcol(weight).alias("w"),
                 )
             )
+            .select("src", "dst", w_checked.alias("w"))
             .groupBy("src", "dst")
             .agg(F.sum("w").alias("w"))
             .persist()

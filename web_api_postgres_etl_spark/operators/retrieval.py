@@ -348,13 +348,14 @@ def dsir_logratio(
     r = raw_counts.select("term", F.col("count").alias("__cr"))
     if cache_model:
         t, r = t.persist(), r.persist()
-        if pins is not None:
-            pins.extend([t, r])
     tt = t.agg(F.sum("__ct").alias("n"), F.count("*").alias("v")).first()
     rt = r.agg(F.sum("__cr").alias("n"), F.count("*").alias("v")).first()
     nt, vt = int(tt["n"] or 0), int(tt["v"] or 0)
     nr, vr = int(rt["n"] or 0), int(rt["v"] or 0)
     if nt == 0 or nr == 0:
+        # degrade path unpersists here, so the frames must NOT have
+        # been handed to the caller's pins yet — pins are appended
+        # only after this check succeeds (release-contract hygiene)
         if cache_model:
             t.unpersist()
             r.unpersist()
@@ -366,6 +367,8 @@ def dsir_logratio(
             F.lit(None).cast("double").alias("log_ratio"),
             F.lit(None).cast("double").alias("avg_log_ratio"),
         )
+    if cache_model and pins is not None:
+        pins.extend([t, r])
     dt = float(nt) + alpha * (vt + 1)
     dr = float(nr) + alpha * (vr + 1)
     oov_t, oov_r = math.log(alpha / dt), math.log(alpha / dr)
