@@ -1068,6 +1068,69 @@ def test_bpe_apply_duckdb_mirror_on_corpus(spark, oracle):
     assert got == want
 
 
+def test_bpe_apply_rule_cap_and_chunked_equivalence(spark):
+    """The single-plan chained-replace cap raises loudly past 500
+    rules with a message naming the chunk_size escape; the chunked
+    path (lineage-cut every chunk_size rules) produces the EXACT
+    segmentation of the single-shot plan — chunking is function
+    composition, bit-identical by construction — and honors the
+    pins/release contract for its boundary checkpoints."""
+    import pytest as pt
+
+    from web_api_postgres_etl_spark.caching import release_frame
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        _BPE_MAX_CHAIN,
+        bpe_apply,
+        bpe_merge_rules,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low lower lowest newer newest"),
+            (2, "aaaa aabb bbaa abab"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    # cap: 501 synthetic (distinct, alnum) rules raise before any job
+    too_many = [(f"a{i}", "b") for i in range(_BPE_MAX_CHAIN + 1)]
+    with pt.raises(ValueError, match=r"chained-replace cap \(500\)"):
+        bpe_apply(docs, "text", too_many)
+    with pt.raises(ValueError, match="chunk_size must be in"):
+        bpe_apply(docs, "text", too_many, chunk_size=0)
+    with pt.raises(ValueError, match="chunk_size must be in"):
+        bpe_apply(docs, "text", too_many, chunk_size=_BPE_MAX_CHAIN + 1)
+    # equivalence: mine real rules, apply single-shot vs chunk_size=3
+    # (9 rules -> 3 chunks, two lineage-cut boundaries)
+    rules = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_merge_rules(
+            docs.filter("text is not null"), "text", rounds=9
+        ).collect()
+    ]
+    assert len(rules) >= 7  # enough rounds fired to exercise chunking
+    one = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_apply(docs, "text", rules).collect()
+    }
+    pins: list = []
+    chunked_df = bpe_apply(docs, "text", rules, chunk_size=3, pins=pins)
+    chunked = {
+        r["doc_id"]: list(r["bpe_tokens"]) for r in chunked_df.collect()
+    }
+    assert chunked == one
+    assert len(pins) == (len(rules) - 1) // 3  # one pin per boundary
+    for p in pins:
+        release_frame(p)
+    # staged-column collision guard
+    with pt.raises(ValueError, match="__bpe_str"):
+        bpe_apply(
+            docs.withColumn("__bpe_str", docs.text), "text", rules,
+            chunk_size=3,
+        )
+
+
 # ------------------------------------------------- DSIR importance
 
 

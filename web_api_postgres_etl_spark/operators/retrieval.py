@@ -822,11 +822,20 @@ def bpe_merge_rules(
     )
 
 
+# One chained-replace plan tolerates a few hundred nested calls;
+# tokenizer-real rule counts (R ≈ 30k) would blow Catalyst's
+# expression-tree limits long before data size matters — the same
+# literal-plan hazard project_embeddings_rp caps at 16384 weights.
+_BPE_MAX_CHAIN = 500
+
+
 def bpe_apply(
     df: DataFrame,
     text_col: str,
     rules: "list[tuple[str, str]]",
     out_col: str = "bpe_tokens",
+    chunk_size: int | None = None,
+    pins: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Append ``out_col`` — each document's BPE segmentation under the
     given merge rules (the APPLY half of :func:`bpe_merge_rules`): an
@@ -849,7 +858,33 @@ def bpe_apply(
     Determinism: pure string rewriting — identical under any
     partitioning and engine (the oracle applies the same replaces
     verbatim). NULL text → empty array (total, matching
-    ``normalized_tokens``)."""
+    ``normalized_tokens``).
+
+    RULE-COUNT CAP: one plan chains at most ``_BPE_MAX_CHAIN`` (500)
+    replaces — past that, Catalyst's expression tree blows up before
+    the data does (a trained tokenizer has ~30k rules). Larger rule
+    sets must pass ``chunk_size`` (≤ 500): rules then apply in order
+    in chunks of that size, with a LAZY ``localCheckpoint`` cutting
+    lineage between chunks, so plan size is bounded by the chunk while
+    the composed rewrite stays bit-identical to the single-shot
+    definition (replace chains compose associatively — chunking is
+    just function composition). Cost: each boundary materializes the
+    full intermediate frame once; at R = 30k / chunk 500 that is 59
+    materializations of one narrow string column per doc — linear,
+    bounded, and the same cluster caveat as every localCheckpoint here
+    (non-reliable blocks; on executor loss re-run the job)."""
+    if chunk_size is None and len(rules) > _BPE_MAX_CHAIN:
+        raise ValueError(
+            f"bpe_apply: {len(rules)} rules exceeds the single-plan "
+            f"chained-replace cap ({_BPE_MAX_CHAIN}) — pass "
+            f"chunk_size=<n ≤ {_BPE_MAX_CHAIN}> to apply the rules in "
+            "lineage-cut chunks (identical segmentation, bounded plan)"
+        )
+    if chunk_size is not None and not (1 <= chunk_size <= _BPE_MAX_CHAIN):
+        raise ValueError(
+            f"bpe_apply: chunk_size must be in [1, {_BPE_MAX_CHAIN}], "
+            f"got {chunk_size}"
+        )
     for lhs, rhs in rules:
         if not (str(lhs).isalnum() and str(rhs).isalnum()):
             raise ValueError(
@@ -868,23 +903,55 @@ def bpe_apply(
         ),
         " ",
     )
-    merged = doc
-    for lhs, rhs in rules:
-        merged = F.call_function(
-            "replace", merged, F.lit(f"<{lhs}><{rhs}>"), F.lit(f"<{lhs}{rhs}>")
+
+    def chain(expr, rs):
+        for lhs, rhs in rs:
+            expr = F.call_function(
+                "replace", expr, F.lit(f"<{lhs}><{rhs}>"),
+                F.lit(f"<{lhs}{rhs}>"),
+            )
+        return expr
+
+    def finish(merged):
+        toks = F.flatten(
+            F.transform(
+                F.split(merged, " "),
+                lambda ws: F.split(
+                    ws.substr(F.lit(2), F.length(ws) - 2), "><"
+                ),
+            )
         )
-    toks = F.flatten(
-        F.transform(
-            F.split(merged, " "),
-            lambda ws: F.split(ws.substr(F.lit(2), F.length(ws) - 2), "><"),
+        # an empty doc collapses to '' whose split yields [''] —
+        # filter it; NULL text propagates NULL through the string
+        # pipeline — coalesce to the documented empty array (total,
+        # like normalized_tokens)
+        toks = F.filter(toks, lambda s: s != "")
+        return F.coalesce(toks, F.expr("CAST(array() AS array<string>)"))
+
+    if chunk_size is None or len(rules) <= chunk_size:
+        return df.withColumn(out_col, finish(chain(doc, rules)))
+    if "__bpe_str" in df.columns:
+        raise ValueError(
+            "column '__bpe_str' collides with the chunked path's "
+            "staged column — rename it first"
         )
+    # chunked path: apply chunk_size replaces per plan, cut lineage at
+    # each boundary with a LAZY localCheckpoint (materializes on first
+    # compute). Boundary frames are PINNED — append them to ``pins``
+    # and release AFTER materializing the result (the repo-wide
+    # pins/release contract); without pins they live until session end
+    staged = df.withColumn("__bpe_str", doc)
+    for i in range(0, len(rules), chunk_size):
+        staged = staged.withColumn(
+            "__bpe_str", chain(F.col("__bpe_str"), rules[i : i + chunk_size])
+        )
+        if i + chunk_size < len(rules):
+            staged = staged.localCheckpoint(eager=False)
+            if pins is not None:
+                pins.append(staged)
+    return staged.withColumn(out_col, finish(F.col("__bpe_str"))).drop(
+        "__bpe_str"
     )
-    # an empty doc collapses to '' whose split yields [''] — filter it;
-    # NULL text propagates NULL through the string pipeline — coalesce
-    # to the documented empty array (total, like normalized_tokens)
-    toks = F.filter(toks, lambda s: s != "")
-    toks = F.coalesce(toks, F.expr("CAST(array() AS array<string>)"))
-    return df.withColumn(out_col, toks)
 
 
 # ---------------------------------------------- sparse cosine pairs
