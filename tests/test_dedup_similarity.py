@@ -1757,3 +1757,122 @@ def test_ivf_pq_index_compact_lifecycle(spark, tmp_path):
 
     with _pt.raises(ValueError, match="local-filesystem scoped"):
         ivf_pq_index_compact(spark, "s3a://bucket/idx")
+
+
+def test_ivf_pq_nn_join_matches_single_probe_per_query(spark, tmp_path):
+    """The batched NN join over the materialized index: every query
+    row's (vec_id, adc_dist, rank) list equals the single-query
+    ivf_pq_probe's, bit-for-bit (same routing rule, same strict ADC
+    folds); ranks run 1..k per query; NULL query vectors are dropped;
+    the non-broadcast path returns the identical result; and the plan
+    is the right one — the index side joins broadcast (never
+    shuffled), with dynamic partition pruning on cluster and no
+    sort-merge or cartesian anywhere."""
+    from web_api_postgres_etl_spark.operators.similarity import (
+        ivf_pq_nn_join,
+        ivf_pq_probe,
+        write_ivf_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivfpq")
+    write_ivf_pq_index(
+        emb, path, every=11, max_centroids=4, m=4, pq_k=8, pq_iters=1
+    )
+    queries = emb.filter(F.col("vec_id") % 101 == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # one NULL-vector query rides along and must be silently dropped
+    nullq = spark.createDataFrame(
+        [(999999, None)], "query_id long, embedding array<double>"
+    )
+    out = ivf_pq_nn_join(
+        queries.unionByName(nullq), path, k=5, nprobe=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "dynamicpruning" in plan.lower()
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+    rows = out.collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["adc_dist"])
+        )
+    assert 999999 not in by_q
+    qrows = queries.collect()
+    assert set(by_q) == {r["query_id"] for r in qrows}
+    for qr in qrows:
+        qid = qr["query_id"]
+        qv = [float(x) for x in qr["embedding"]]
+        single = [
+            (i + 1, r["vec_id"], r["adc_dist"])
+            for i, r in enumerate(
+                ivf_pq_probe(spark, path, qv, k=5, nprobe=2).collect()
+            )
+        ]
+        assert sorted(by_q[qid]) == single, qid
+        assert [t[0] for t in sorted(by_q[qid])] == list(
+            range(1, len(single) + 1)
+        )
+    flat1 = sorted(tuple(r) for r in rows)
+    flat2 = sorted(
+        tuple(r)
+        for r in ivf_pq_nn_join(
+            queries, path, k=5, nprobe=2, broadcast_queries=False
+        ).collect()
+    )
+    assert flat1 == flat2
+
+
+def test_ivf_pq_nn_join_guards_and_windowed_routing(spark, tmp_path):
+    """Validation raises (k/nprobe bounds, missing sidecars,
+    wrong-dimension query IN-PLAN), nprobe clamps to |centroids|, and
+    the >ASSIGN_LITERAL_MAX broadcast-window routing form returns the
+    same result as the literal form on the same index."""
+    import pytest as pt
+
+    from web_api_postgres_etl_spark.operators import similarity as S
+    from web_api_postgres_etl_spark.operators.similarity import (
+        ivf_pq_nn_join,
+        write_ivf_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivfpq")
+    write_ivf_pq_index(
+        emb, path, every=11, max_centroids=4, m=4, pq_k=8, pq_iters=0
+    )
+    queries = emb.filter(F.col("vec_id") % 151 == 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pt.raises(ValueError, match="k >= 1"):
+        ivf_pq_nn_join(queries, path, k=0)
+    with pt.raises(ValueError, match="nprobe >= 1"):
+        ivf_pq_nn_join(queries, path, nprobe=0)
+    with pt.raises(Exception, match="centroid sidecar|PATH_NOT_FOUND|Path does not exist"):
+        ivf_pq_nn_join(queries, str(tmp_path / "nope"), k=1)
+    # wrong-dimension query raises in-plan, naming both dims
+    bad = spark.createDataFrame(
+        [(1, [0.5, 0.25])], "query_id long, embedding array<double>"
+    )
+    with pt.raises(Exception, match="query dimension 2 != index dimension 64"):
+        ivf_pq_nn_join(bad, path, k=1).collect()
+    # nprobe larger than |centroids| clamps: all clusters probed ==
+    # exhaustive ADC rank over the whole index
+    full = ivf_pq_nn_join(queries, path, k=3, nprobe=99)
+    assert all(r["rank"] <= 3 for r in full.collect())
+    # windowed routing form (force by shrinking the literal cap)
+    lit = sorted(
+        tuple(r) for r in ivf_pq_nn_join(queries, path, k=3, nprobe=2).collect()
+    )
+    old = S.ASSIGN_LITERAL_MAX
+    try:
+        S.ASSIGN_LITERAL_MAX = 1
+        win = sorted(
+            tuple(r)
+            for r in ivf_pq_nn_join(queries, path, k=3, nprobe=2).collect()
+        )
+    finally:
+        S.ASSIGN_LITERAL_MAX = old
+    assert win == lit

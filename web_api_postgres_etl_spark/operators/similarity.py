@@ -1836,6 +1836,191 @@ def ivf_pq_index_compact(
     }
 
 
+def ivf_pq_nn_join(
+    queries: DataFrame,
+    path: str,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_col: str = "pq_codes",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Batched ANN over a materialized ``write_ivf_pq_index`` index —
+    the RELATIONAL form of :func:`ivf_pq_probe`: a whole query TABLE
+    joins against the persisted index and every query row gets its
+    per-query ADC top-``k``. Output: ``(query_id, vec_id, adc_dist,
+    rank)`` with ``rank`` 1..k per query ordered by (adc_dist asc, id
+    asc) — the exact pq_topk tie rule, so each query's rows equal the
+    single-query probe's, bit-for-bit.
+
+    The 100 TB consumer is semantic dedup of a NEW corpus against a
+    persisted index: one driver-side vector per call cannot express
+    that; this can. Plan, stage by stage:
+
+    1. ROUTE — each query row picks its ``nprobe`` nearest coarse
+       centroids by the probe's exact rule (cosine desc, ties to the
+       larger cid; degenerate zero-norm/NaN similarities pinned to
+       -inf so they rank LAST deterministically — ``_py_cos_key``'s
+       rule, in-plan). Centroids enter as literals (≤
+       ``ASSIGN_LITERAL_MAX``): one codegen'd
+       slice(reverse(array_sort)) per row, no shuffle. Above the cap,
+       a broadcast-centroids join + per-query row_number window —
+       the ``ivf_assign`` two-forms discipline.
+    2. PRUNE-BY-JOIN — the routed (query, cluster) table equi-joins
+       the codes table on ``cluster``: what partition pruning does for
+       one query becomes join pruning for a table of them. With
+       ``broadcast_queries`` (default) the routed side broadcasts, the
+       index never shuffles, and Spark's dynamic partition pruning
+       skips unprobed ``cluster=`` directories entirely.
+    3. ADC — per surviving (query, code) pair, Σ_s ||q_s −
+       c_{s,code_s}||² with the codebooks as in-plan literals
+       (pq_k·dim doubles — bounded like the rp projection cap) and
+       every fold the module's strict left accumulation, so scores
+       are bit-identical to the driver-precomputed pq_topk tables.
+       Codes that do not fit the codebook shape raise (pq_topk's OOB
+       rule); NULL-code rows are skipped.
+    4. RANK — one row_number window per query over (adc_dist, id):
+       the only shuffle of candidate rows, carrying (qid, id, dist).
+
+    NULL query vectors are dropped (they carry no information);
+    wrong-dimension query vectors raise IN-PLAN before ranking (a
+    silent NULL fold would float garbage to the top — the pq_topk
+    posture). Set ``broadcast_queries=False`` when the routed query
+    table is too large to broadcast — the join then shuffles both
+    sides on ``cluster`` (few distinct keys: pre-salt or bump
+    shuffle partitions if one cluster dominates).
+
+    Cites /root/reference scope: no vector surface there; completes
+    the ANN lifecycle (build/append/probe/compact) with the batched
+    read path."""
+    if k < 1 or nprobe < 1:
+        raise ValueError(f"need k >= 1, nprobe >= 1, got k={k} nprobe={nprobe}")
+    spark = queries.sparkSession
+    cents = _read_ivf_centroids(spark, path)
+    if not cents:
+        raise ValueError(f"no centroid sidecar at {path}_centroids")
+    books = read_pq_codebooks(spark, path)
+    if not books:
+        raise ValueError(f"no codebook sidecar at {path}_codebooks")
+    m = len(books)
+    sub = len(books[0][0][1])
+    dim = m * sub
+    for cid, cv in cents:
+        if len(cv) != dim:
+            raise ValueError(
+                f"ivf_pq_nn_join: centroid {cid} has dim {len(cv)}, "
+                f"codebooks imply {dim}"
+            )
+    nprobe = min(nprobe, len(cents))
+    prepped = (
+        queries.select(
+            qcol(query_id_col).alias("__qid"),
+            as_double_array(query_vec_col).alias("__qv"),
+        )
+        .filter(F.col("__qv").isNotNull())
+        .selectExpr(
+            "__qid",
+            f"CASE WHEN size(__qv) <> {dim} THEN cast(raise_error(concat("
+            f"'ivf_pq_nn_join: query dimension ', cast(size(__qv) as "
+            f"string), ' != index dimension {dim}')) as array<double>) "
+            "ELSE __qv END AS __qv",
+        )
+        .selectExpr("__qid", "__qv", f"{_sql_norm('__qv')} AS __nq")
+    )
+    # ---- ROUTE: per-query top-nprobe centroids, the _probe_ids rule
+    neg_inf = "CAST('-inf' AS DOUBLE)"
+    if len(cents) <= ASSIGN_LITERAL_MAX:
+        # nanvl(coalesce(s, -inf), -inf): zero-norm (NULL via nullif)
+        # and NaN similarities both pin to -inf — _py_cos_key's rule
+        cells = ", ".join(
+            "named_struct('s', nanvl(coalesce("
+            f"{_sql_dot('__qv', _sql_array_lit(cvec))} / "
+            f"nullif(__nq * {_dlit(_py_norm(cvec))}, 0.0D), {neg_inf}), "
+            f"{neg_inf}), 'c', {int(cid)})"
+            for cid, cvec in cents
+        )
+        routed = prepped.selectExpr(
+            "__qid",
+            "__qv",
+            f"explode(slice(reverse(array_sort(array({cells}))), 1, "
+            f"{nprobe})) AS __pr",
+        ).select("__qid", "__qv", F.col("__pr.c").alias("cluster"))
+    else:
+        from pyspark.sql import Window
+
+        cdf = spark.createDataFrame(
+            [(int(cid), [float(x) for x in cv], _py_norm(cv))
+             for cid, cv in cents],
+            "cid int, cv array<double>, ncv double",
+        )
+        simmed = prepped.join(F.broadcast(cdf)).selectExpr(
+            "__qid",
+            "__qv",
+            "cid",
+            f"nanvl(coalesce({_sql_dot('__qv', 'cv')} / "
+            f"nullif(__nq * ncv, 0.0D), {neg_inf}), {neg_inf}) AS __s",
+        )
+        w = Window.partitionBy("__qid").orderBy(
+            F.col("__s").desc(), F.col("cid").desc()
+        )
+        routed = (
+            simmed.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= nprobe)
+            .select("__qid", "__qv", F.col("cid").alias("cluster"))
+        )
+    # ---- PRUNE-BY-JOIN + ADC + RANK
+    from pyspark.sql import Window
+
+    codes = spark.read.parquet(path).filter(qcol(code_col).isNotNull())
+    rhs = F.broadcast(routed) if broadcast_queries else routed
+    pairs = codes.join(rhs, "cluster")
+    terms = []
+    oob = [f"size({_qident(code_col)}) <> {m}"]
+    for s in range(m):
+        lo = s * sub + 1
+        cvs = (
+            "element_at(array("
+            + ", ".join(_sql_array_lit(cv) for _, cv in books[s])
+            + f"), element_at({_qident(code_col)}, {s + 1}) + 1)"
+        )
+        # same strict fold as pq_topk's driver-side table entries:
+        # (x−y) exact-rounded, squared, accumulated in index order
+        terms.append(
+            f"aggregate(zip_with(slice(__qv, {lo}, {sub}), {cvs}, "
+            "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+        )
+        ce = f"element_at({_qident(code_col)}, {s + 1})"
+        oob.append(
+            f"{ce} IS NULL OR {ce} < 0 OR {ce} >= {len(books[s])}"
+        )
+    score = " + ".join(terms)
+    guarded = (
+        f"CASE WHEN {' OR '.join(oob)} THEN cast(raise_error("
+        f"concat('ivf_pq_nn_join: codes do not fit the codebook shape "
+        f"(m={m}, sizes {[len(b) for b in books]}): ', "
+        f"cast({_qident(code_col)} as string))) as double) "
+        f"ELSE {score} END"
+    )
+    scored = pairs.selectExpr(
+        "__qid", _qident(id_col), f"{guarded} AS adc_dist"
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("adc_dist").asc(), qcol(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            qcol(id_col).alias(id_col),
+            "adc_dist",
+            "rank",
+        )
+    )
+
+
 def project_embeddings_rp(
     df: DataFrame,
     out_dim: int,
