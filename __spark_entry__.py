@@ -3600,6 +3600,11 @@ def _sql_pq_adc_topk(dim: int = 64) -> str:
     )
 
 
+# module-level constant so the retired-parity test can getattr it
+# (the RETIRED list addresses SQL by attribute name)
+SQL_PQ_ADC_TOPK = _sql_pq_adc_topk()
+
+
 def _sql_ivf_pq_probe_topk(dim: int = 64) -> str:
     """Mirror of q_ivf_pq_probe_topk — the materialized IVF-PQ index
     probe: coarse routing CTEs are the SQL_IVF_TOPK rules verbatim
@@ -3688,6 +3693,138 @@ def q_ivf_pq_probe_topk(spark: SparkSession, sf: str) -> DataFrame:
         return probe.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_NN_JOIN_K = 10
+
+
+def q_ivf_pq_nn_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Batched ANN over the materialized IVF-PQ index (operators/
+    similarity.py::ivf_pq_nn_join — r12 driver row per the r11 verdict
+    #3): a query TABLE (every 97th vector, offset 3) joins the
+    persisted index and each query row gets its per-query ADC top-10 —
+    the relational read path the 100 TB consumer (semantic dedup of a
+    NEW corpus against a persisted index) needs, where ivf_pq_probe's
+    one-driver-vector form cannot express the join. Same temp-dir
+    build as q_ivf_pq_probe_topk (identical fixed-sample centroids +
+    zero-iteration codebooks), so routing, encoding AND ranking are
+    fully SQL-derivable: the oracle routes every query with the same
+    cos-DESC/cid-DESC rule (QUALIFY <= nprobe), restricts candidates
+    to each query's probed clusters, and ranks by the same strict-fold
+    ADC per (query, candidate) — bit-for-bit, ties to the smaller id.
+
+    Scale shape pinned ON the driver path: the routed query side
+    BROADCASTS (the index never shuffles) and Spark's dynamic
+    partition pruning skips unprobed cluster= directories — asserted
+    below with an explicit raise; a regression to a full index scan
+    fails the driver run itself. Per-pair work reads m=4 small ints,
+    never float vectors; the only candidate shuffle is the final
+    per-query rank window carrying (qid, id, dist)."""
+    import shutil
+    import tempfile
+
+    from web_api_postgres_etl_spark.operators.similarity import (
+        ivf_pq_nn_join,
+        write_ivf_pq_index,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    root = tempfile.mkdtemp(prefix="wapeql_nnjoin_")
+    path = f"{root}/idx"
+    try:
+        write_ivf_pq_index(
+            emb, path, every=_PQ_EVERY, max_centroids=8,
+            m=_PQ_M, pq_k=_PQ_K, pq_iters=0,
+        )
+        queries = emb.filter(
+            (F.col("vec_id") % _PQ_EVERY == 3)
+            & F.col("embedding").isNotNull()
+            & (F.size("embedding") == _PQ_M * 16)
+        ).select(F.col("vec_id").alias("query_id"), "embedding")
+        out = ivf_pq_nn_join(
+            queries, path, k=_NN_JOIN_K, nprobe=2
+        )
+        # prune assertion ON the driver path (the ivf_pq_probe_topk
+        # discipline, join form): the broadcast routed side must drive
+        # dynamic partition pruning of the index scan — explicit raise,
+        # not assert, so it survives python -O
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "dynamicpruning" not in plan.lower() or "BroadcastHashJoin" not in plan:
+            raise RuntimeError(
+                "ivf_pq_nn_join must broadcast-join with dynamic "
+                "partition pruning on cluster:\n" + plan
+            )
+        # same CLUSTER CAVEAT as q_cdc_table_apply: localCheckpoint
+        # blocks are non-reliable — safe only in the single-executor
+        # local bench; on a cluster keep the dir until consumed
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _sql_ivf_pq_nn_join(dim: int = 64) -> str:
+    """Per-query generalization of _sql_ivf_pq_probe_topk: the same
+    coarse/codebook/assign CTEs, a query TABLE routed per-qid (QUALIFY
+    <= nprobe), candidates restricted per query's probed clusters, and
+    the ADC terms summed per (qid, vec_id) with a per-query rank."""
+    sub = dim // _PQ_M
+    ctes = [
+        f"""coarse AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id % {_PQ_EVERY} = 0 ORDER BY vec_id LIMIT 8)""",
+        _sql_pq_codebook_cte(dim),
+        f"""qs AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  WHERE vec_id % {_PQ_EVERY} = 3 AND embedding IS NOT NULL
+    AND len(embedding) = {dim})""",
+        f"""probe AS (
+  SELECT qid, cid FROM qs CROSS JOIN coarse
+  QUALIFY row_number() OVER (
+    PARTITION BY qid
+    ORDER BY {_cos_sql("cv", "qv")} DESC, cid DESC) <= 2)""",
+        f"""assign AS (
+  SELECT e.vec_id, e.embedding, c.cid AS cluster
+  FROM embeddings e CROSS JOIN coarse c
+  WHERE e.embedding IS NOT NULL
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY {_cos_sql("e.embedding", "c.cv")} DESC, c.cid DESC) = 1)""",
+        """cand AS (
+  SELECT p.qid, a.vec_id, a.embedding
+  FROM probe p JOIN assign a ON a.cluster = p.cid)""",
+    ]
+    for s in range(_PQ_M):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        es, cs = f"e.embedding[{lo}:{hi}]", f"c.cv[{lo}:{hi}]"
+        ctes.append(f"""e{s} AS (
+  SELECT e.vec_id, c.code,
+         {_dot_sql(cs, cs)} - 2.0 * {_dot_sql(es, cs)} AS d
+  FROM (SELECT DISTINCT vec_id, embedding FROM cand) e CROSS JOIN cent c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id ORDER BY d ASC, c.code ASC) = 1)""")
+        ctes.append(f"""t{s} AS (
+  SELECT cand.qid, cand.vec_id,
+         {_l2_sql(f"qs.qv[{lo}:{hi}]", f"c.cv[{lo}:{hi}]")} AS term
+  FROM cand
+  JOIN e{s} x ON x.vec_id = cand.vec_id
+  JOIN cent c ON c.code = x.code
+  JOIN qs ON qs.qid = cand.qid)""")
+    ctes.append("""adc AS (
+  SELECT t0.qid, t0.vec_id,
+         t0.term + t1.term + t2.term + t3.term AS adc_dist
+  FROM t0 JOIN t1 USING (qid, vec_id) JOIN t2 USING (qid, vec_id)
+  JOIN t3 USING (qid, vec_id))""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT qid AS query_id, vec_id, adc_dist,
+       CAST(row_number() OVER (
+         PARTITION BY qid ORDER BY adc_dist ASC, vec_id ASC) AS INT)
+         AS rank
+FROM adc
+QUALIFY rank <= {_NN_JOIN_K}"""
+    )
 
 
 def q_resample_rolling(spark: SparkSession, sf: str) -> DataFrame:
@@ -4275,6 +4412,81 @@ FROM pk4
 """
 
 
+_DSIR_GATE_T = 0.68
+
+
+def q_dsir_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance-resampling selection gate (operators/retrieval
+    .py::dsir_logratio — Xie et al. 2023; r12 driver row per the r11
+    verdict #2): every document scored by Σ ln p_target(t) − ln
+    p_raw(t) under two add-0.5-smoothed unigram LMs (target = the
+    corpus's en documents, raw = the rest), kept when log_ratio >=
+    0.68. The LM-gate discipline makes the float row engine-stable:
+    the threshold sits ≥ 0.006 from EVERY document's score at
+    sf0.001/0.01/0.1 (gap-scanned like bigram_ppl_gate's hole — ~120×
+    the measured 5e-5 cross-engine ln drift) and keeps a non-empty
+    survivor set at every test SF (20/59/1 docs), so the kept SET is
+    engine-independent even though raw log-ratios are not; the
+    contract ships (doc_id, n_tokens), never a float column.
+    Token-less documents score NULL (total) and fail the gate.
+
+    Scale shape: two (term, count) model tables (map-side combined),
+    two 1-row N/V collects, ONE full-outer vocab join, one (id, term)
+    explode + term join + per-doc aggregate. cache_model=False keeps
+    the entry leak-free under driver re-invocation (the
+    tfidf_cosine_pairs precedent) at per-branch recompute cost.
+    Downstream, exp(log_ratio) weights feed weighted_sample_exact_n —
+    DSIR's resampling step — pinned in tests/test_retrieval.py."""
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        build_unigram_model,
+        dsir_logratio,
+    )
+
+    docs = _t(spark, sf, "documents")
+    tc = build_unigram_model(docs.filter(F.col("lang") == "en"))
+    rc = build_unigram_model(docs.filter(F.col("lang") != "en"))
+    scored = dsir_logratio(
+        docs, tc, raw_counts=rc, cache_model=False
+    )
+    return scored.filter(F.col("log_ratio") >= _DSIR_GATE_T).select(
+        "doc_id", "n_tokens"
+    )
+
+
+SQL_DSIR_GATE = f"""
+WITH t AS (
+  SELECT doc_id, lang, list_filter(regexp_split_to_array(trim(
+    regexp_replace(regexp_replace(lower(text),
+      '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '),
+    x -> x <> '') AS toks
+  FROM documents),
+tm AS (SELECT tok, COUNT(*) AS c FROM (
+         SELECT unnest(toks) AS tok FROM t WHERE lang = 'en')
+       GROUP BY 1),
+rm AS (SELECT tok, COUNT(*) AS c FROM (
+         SELECT unnest(toks) AS tok FROM t WHERE lang <> 'en')
+       GROUP BY 1),
+ts AS (SELECT SUM(c) + 0.5 * (COUNT(*) + 1) AS d FROM tm),
+rs AS (SELECT SUM(c) + 0.5 * (COUNT(*) + 1) AS d FROM rm),
+occ AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+delta AS (
+  SELECT occ.doc_id,
+         ln((coalesce(tm.c, 0) + 0.5) / ts.d)
+         - ln((coalesce(rm.c, 0) + 0.5) / rs.d) AS d
+  FROM occ
+  LEFT JOIN tm ON occ.tok = tm.tok
+  LEFT JOIN rm ON occ.tok = rm.tok
+  CROSS JOIN ts CROSS JOIN rs),
+scored AS (
+  SELECT t.doc_id,
+         CAST(coalesce(len(t.toks), 0) AS INT) AS n_tokens,
+         round(SUM(delta.d), 6) AS lr
+  FROM t LEFT JOIN delta ON t.doc_id = delta.doc_id
+  GROUP BY t.doc_id, t.toks)
+SELECT doc_id, n_tokens FROM scored WHERE lr >= {_DSIR_GATE_T}
+"""
+
+
 def q_bigram_ppl_gate(spark: SparkSession, sf: str) -> DataFrame:
     """Bigram stupid-backoff LM gate (operators.retrieval.
     bigram_perplexity — Brants et al. 2007): every document scored
@@ -4706,6 +4918,126 @@ FROM reach GROUP BY id
 """
 
 
+_LPA_ROUNDS = 3
+
+
+def q_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """Synchronous weighted label propagation (operators/graph.py::
+    label_propagation — Raghavan 2007, r12 driver row per the r11
+    verdict #1): the COMMUNITY detector next to the components family,
+    over a customer graph with planted DENSE 10-custkey blocks joined
+    by sparse bridges — the structure where LPA's answer provably
+    differs from connected components' (one bridge vote never
+    outweighs in-block majorities, so bridged blocks keep separate
+    labels while CC would merge them; the contrast is pinned in
+    tests/test_join_graph_ops.py).
+
+    Graph (all integer arithmetic, both engines replay it): per order,
+    a star edge custkey→block-head (o_orderkey%4=0), a ring edge
+    custkey→rotate-by-1 (o_orderkey%4=1), and a sparse bridge
+    head→next-block-head (o_orderkey%64=2); self-edges dropped,
+    partners past MAX(c_custkey) clamped (the cc_incremental_merge
+    rule), and each directed pair weighted by its generating-order
+    COUNT — the integer-weighted vote variant, data-dependent weights.
+
+    The oracle unrolls the SAME 3 (_LPA_ROUNDS) synchronous rounds as
+    CTEs (vote-sum → struct-argmax with ties to the SMALLEST label →
+    relabel, isolated nodes keep their own) — the k_core/pagerank/bpe
+    unrolled-fixpoint discipline applied to the vote argmax. Fixed
+    round count is the semantics, not a shortcut: synchronous LPA can
+    2-cycle, so label(v, r) is the defined object, identical in any
+    engine. Scale shape per round: one equi-join + one map-side
+    (id, label, weight) vote groupBy + one struct-max argmax —
+    shuffles carry (id, label, count), payloads never move; per-round
+    localCheckpoint with release (≤ 2 label tables pinned; the final
+    checkpoint IS the returned frame, the dedup_clusters rule)."""
+    from web_api_postgres_etl_spark.operators.graph import label_propagation
+
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").cast("long").alias("id")
+    )
+    max_ck = int(cust.agg(F.max("id")).first()[0])
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    star = orders.filter(F.col("o_orderkey") % 4 == 0).selectExpr(
+        "CAST(o_custkey AS BIGINT) AS id_a",
+        "CAST(((o_custkey - 1) div 10) * 10 + 1 AS BIGINT) AS id_b",
+    )
+    ring = orders.filter(F.col("o_orderkey") % 4 == 1).selectExpr(
+        "CAST(o_custkey AS BIGINT) AS id_a",
+        "CAST(((o_custkey - 1) div 10) * 10"
+        " + ((o_custkey - 1 + 1) % 10) + 1 AS BIGINT) AS id_b",
+    )
+    bridge = orders.filter(F.col("o_orderkey") % 64 == 2).selectExpr(
+        "CAST(((o_custkey - 1) div 10) * 10 + 1 AS BIGINT) AS id_a",
+        "CAST(((o_custkey - 1) div 10) * 10 + 11 AS BIGINT) AS id_b",
+    )
+    weighted = (
+        star.unionByName(ring)
+        .unionByName(bridge)
+        .filter(
+            (F.col("id_a") != F.col("id_b")) & (F.col("id_b") <= max_ck)
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    out = label_propagation(
+        cust, weighted, rounds=_LPA_ROUNDS, weight="w"
+    )
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("community").cast("long").alias("community"),
+    )
+
+
+def _sql_label_propagation() -> str:
+    """Unrolled mirror of q_label_propagation: the same directed
+    weighted pre-edges, the engine's symmetrize-and-sum, then
+    _LPA_ROUNDS rounds of (vote-sum → argmax with ties to the smallest
+    label → relabel with keep-own fallback)."""
+    ctes = [
+        """pre AS (
+  SELECT id_a, id_b, count(*) AS w FROM (
+    SELECT o_custkey AS id_a,
+           ((o_custkey - 1) // 10) * 10 + 1 AS id_b
+    FROM orders WHERE o_orderkey % 4 = 0
+    UNION ALL
+    SELECT o_custkey,
+           ((o_custkey - 1) // 10) * 10 + ((o_custkey - 1 + 1) % 10) + 1
+    FROM orders WHERE o_orderkey % 4 = 1
+    UNION ALL
+    SELECT ((o_custkey - 1) // 10) * 10 + 1,
+           ((o_custkey - 1) // 10) * 10 + 11
+    FROM orders WHERE o_orderkey % 64 = 2)
+  WHERE id_a <> id_b AND id_b <= (SELECT MAX(c_custkey) FROM customer)
+  GROUP BY 1, 2)""",
+        """edges AS (
+  SELECT src, dst, SUM(w) AS w FROM (
+    SELECT id_a AS src, id_b AS dst, w FROM pre
+    UNION ALL
+    SELECT id_b, id_a, w FROM pre)
+  GROUP BY 1, 2)""",
+        "l0 AS (SELECT c_custkey AS id, c_custkey AS lbl FROM customer)",
+    ]
+    for r in range(1, _LPA_ROUNDS + 1):
+        ctes.append(f"""v{r} AS (
+  SELECT e.dst AS id, l.lbl, SUM(e.w) AS n
+  FROM edges e JOIN l{r - 1} l ON l.id = e.src
+  GROUP BY 1, 2)""")
+        ctes.append(f"""b{r} AS (
+  SELECT id, lbl FROM v{r}
+  QUALIFY row_number() OVER (
+    PARTITION BY id ORDER BY n DESC, lbl ASC) = 1)""")
+        ctes.append(f"""l{r} AS (
+  SELECT p.id, coalesce(b.lbl, p.lbl) AS lbl
+  FROM l{r - 1} p LEFT JOIN b{r} b ON b.id = p.id)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(id AS BIGINT) AS id,"
+        f" CAST(lbl AS BIGINT) AS community FROM l{_LPA_ROUNDS}"
+    )
+
+
 def q_incr_agg_merge(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental aggregate maintenance (operators/aggregates.py::
     incremental_agg_state/merge_agg_state/finalize_agg) — the
@@ -4916,7 +5248,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # inverted-index self-join, scaled-int DECIMAL facts.
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "q3_topk_join_agg": q_q3_topk_join_agg,
-        "w1_window_analytics": q_w1_window_analytics,
+        # r12: w1_window_analytics -> label_propagation (the
+        # lag/lead/rank/moving-agg window shapes stay driver-visible
+        # via resample_rolling / scd2_history / funnel /
+        # select_canonical, and q_w1_window_analytics stays in the
+        # frozen bench HEADLINE; retired parity in
+        # tests/test_oracle_parity.py). label_propagation is the r11
+        # verdict's #1 ask: the community primitive reachability can't
+        # express, with integer-weighted votes, vs an unrolled
+        # vote/argmax/relabel CTE chain.
+        "label_propagation": q_label_propagation,
         "agg_rollup": q_agg_rollup,
         "agg_pivot": q_agg_pivot,
         # SCD2 history (r6: swapped in for agg_time_window, whose
@@ -4981,7 +5322,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fully SQL-derivable, so encode + ADC ranking check
         # bit-for-bit (the classifier_quality pinned-artifact
         # discipline applied to vector compression).
-        "pq_adc_topk": q_pq_adc_topk,
+        # r12: pq_adc_topk -> ivf_pq_nn_join (the ADC lookup ranking
+        # stays driver-visible inside ivf_pq_probe_topk AND per-pair
+        # inside the new row itself; retired parity in
+        # tests/test_oracle_parity.py). ivf_pq_nn_join is the r11
+        # verdict's #3 ask: the batched query-TABLE read path over
+        # the materialized index — routing becomes a broadcast join,
+        # partition pruning becomes dynamic partition pruning, both
+        # asserted on the driver path.
+        "ivf_pq_nn_join": q_ivf_pq_nn_join,
         # joins
         "interval_join": q_interval_join,
         # r7: j2_two_way_join swapped out for resample_rolling — the
@@ -5002,7 +5351,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_join_gate": q_bloom_join_gate,
         "j7_asof_keyless": q_j7_asof_keyless,
         # text analysis / retrieval
-        "text_stats": q_text_stats,
+        # r12: text_stats -> dsir_gate (the per-doc stat column
+        # expressions stay driver-visible inside curation_pipeline's
+        # gate stages and q_text_stats stays in the frozen bench
+        # HEADLINE; retired parity in tests/test_oracle_parity.py).
+        # dsir_gate is the r11 verdict's #2 ask: the DSIR importance
+        # signal driven at the driver layer through a gap-scanned
+        # survivor gate — the LM-gate discipline for float scores.
+        "dsir_gate": q_dsir_gate,
         "bm25_topk": q_bm25_topk,
         # bigram LM gate (r6: swapped in for ann_nn_join — the brute
         # cosine NN baseline whose math stays pinned in the retired
@@ -5100,7 +5456,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_e2e": SQL_PIPELINE_E2E,
         "tfidf_cosine_pairs": SQL_TFIDF_PAIRS,
         "q3_topk_join_agg": SQL_Q3,
-        "w1_window_analytics": SQL_W1,
+        "label_propagation": _sql_label_propagation(),
         "agg_rollup": SQL_ROLLUP,
         "agg_pivot": SQL_PIVOT,
         "scd2_history": SQL_SCD2,
@@ -5115,13 +5471,13 @@ def oracle_sql() -> dict[str, str]:
         "funnel": SQL_FUNNEL,
         "lsh_nn_join": SQL_LSH_NN_JOIN,
         "simhash_near_dups": SQL_SIMHASH,
-        "pq_adc_topk": _sql_pq_adc_topk(),
+        "ivf_pq_nn_join": _sql_ivf_pq_nn_join(),
         "interval_join": SQL_INTERVAL,
         "resample_rolling": SQL_RESAMPLE_ROLLING,
         "pagerank": _sql_pagerank(),
         "bloom_join_gate": _sql_bloom_gate(_BLOOM_M, _BLOOM_K),
         "j7_asof_keyless": SQL_J7_KEYLESS,
-        "text_stats": SQL_TEXT_STATS,
+        "dsir_gate": SQL_DSIR_GATE,
         "bm25_topk": SQL_BM25,
         "bigram_ppl_gate": SQL_BIGRAM_PPL_GATE,
         "fuzzy_dup_pairs": SQL_FUZZY_DUP_PAIRS,

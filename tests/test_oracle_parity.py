@@ -189,6 +189,22 @@ RETIRED = [
     # per-round pair counts; this row keeps the PMI-lift ranking
     # pinned, exact-integer counts through pinned-order divisions)
     ("collocations", "SQL_COLLOCATIONS"),
+    # r12: lag/lead/rank/moving-agg window analytics →
+    # label_propagation (the window family stays driver-visible via
+    # resample_rolling / scd2_history / funnel / select_canonical and
+    # q_w1_window_analytics stays in the frozen bench HEADLINE; this
+    # row keeps the direct multi-window events face)
+    ("w1_window_analytics", "SQL_W1"),
+    # r12: per-doc text statistics → dsir_gate (the stat column
+    # expressions stay driver-visible inside curation_pipeline's gate
+    # stages and q_text_stats stays in the frozen bench HEADLINE;
+    # this row keeps the direct documents-table face)
+    ("text_stats", "SQL_TEXT_STATS"),
+    # r12: inline PQ ADC top-k → ivf_pq_nn_join (the ADC lookup
+    # ranking stays driver-visible inside ivf_pq_probe_topk AND
+    # per-pair inside the batched join row; this row keeps the
+    # whole-corpus single-query ADC face)
+    ("pq_adc_topk", "SQL_PQ_ADC_TOPK"),
 ]
 
 

@@ -173,12 +173,25 @@ def test_upsample_is_narrow_and_mix_is_one_aggregate(spark):
 
 
 def test_pq_adc_topk_scans_codes_without_shuffling(spark):
-    """The PQ driver row's scale claim, pinned: ADC ranking is one
+    """The PQ scale claim, pinned (entry retired from the driver
+    window in r12 but kept benchward-stable): ADC ranking is one
     projection over the encoded corpus + TakeOrderedAndProject — ZERO
     exchanges (the corpus is never shuffled) and no join of any kind;
     a regression that materializes the codebook as a join or sorts
     globally shows up immediately."""
-    plan = _final_plan(spark, "pq_adc_topk")
+    df = em.q_pq_adc_topk(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan, "pq_adc_topk must not shuffle the corpus"
     assert "Join" not in plan
+
+
+# NOTE: ivf_pq_nn_join's plan-shape claims (BroadcastHashJoin +
+# dynamic partition pruning, index never shuffled) are asserted ON the
+# driver path itself — q_ivf_pq_nn_join raises before returning if the
+# pre-checkpoint plan regresses — and again in
+# tests/test_dedup_similarity.py::test_ivf_pq_nn_join_matches_single_
+# probe_per_query. The returned frame here is the post-checkpoint scan,
+# so a plan pin at this layer would only see Scan ExistingRDD.

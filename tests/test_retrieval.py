@@ -1256,3 +1256,50 @@ def test_dsir_logratio_oracle_parity(spark, oracle):
             assert got[k][1] is None, k
         else:
             assert got[k][1] == pt.approx(want[k][1], abs=2e-6), k
+
+
+def test_dsir_resampling_composition_end_to_end(spark):
+    """DSIR's actual selection step, composed (the docstring promise):
+    log-ratios become exp(clamped) importance weights feeding
+    weighted_sample_exact_n — exactly n docs drawn, the draw is
+    partitioning-independent, the selected set is biased toward
+    target-like documents (mean log_ratio strictly above the corpus
+    mean for this pinned salt), and NULL-scored (token-less) docs can
+    never win a race (NULL weight is excluded by contract)."""
+    from pyspark.sql import functions as F
+
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        build_unigram_model,
+        dsir_logratio,
+    )
+    from web_api_postgres_etl_spark.operators.sampling import (
+        weighted_sample_exact_n,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    tc = build_unigram_model(docs.filter(F.col("lang") == "en"))
+    rc = build_unigram_model(docs.filter(F.col("lang") != "en"))
+    scored = dsir_logratio(docs, tc, raw_counts=rc, cache_model=False)
+    # the DSIR clamp keeps one outlier doc from dominating every draw
+    weighted = scored.withColumn(
+        "w",
+        F.exp(
+            F.least(F.greatest(F.col("log_ratio"), F.lit(-5.0)), F.lit(5.0))
+        ),
+    )
+    picked = weighted_sample_exact_n(
+        weighted, 100, "doc_id", "w", salt="dsir-r12"
+    )
+    sel = picked.collect()
+    assert len(sel) == 100
+    assert all(r["log_ratio"] is not None for r in sel)
+    sel_mean = sum(r["log_ratio"] for r in sel) / len(sel)
+    all_mean = scored.agg(F.avg("log_ratio")).first()[0]
+    assert sel_mean > all_mean
+    again = sorted(
+        r["doc_id"]
+        for r in weighted_sample_exact_n(
+            weighted.repartition(7), 100, "doc_id", "w", salt="dsir-r12"
+        ).collect()
+    )
+    assert again == sorted(r["doc_id"] for r in sel)
