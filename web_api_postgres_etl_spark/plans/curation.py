@@ -72,6 +72,21 @@ class CurationConfig:
     #   the counting pass; takes precedence over ppl_reference
     quality_model: object | None = None  # fitted classifier (None = skipped)
     min_quality_prob: float = 0.5       # classifier gate threshold
+    dsir_target_counts: object | None = None  # TARGET-domain unigram
+    #   model (build_unigram_model output, e.g. read from parquet);
+    #   None = DSIR selection stage off (stage-default-off rule). Set →
+    #   every doc scored by dsir_logratio against this target vs the
+    #   raw model, then selected by the gate and/or the resample below
+    #   (at least one must be configured, else the stage raises).
+    dsir_raw_counts: object | None = None  # prebuilt raw-corpus model;
+    #   None = counted from the gated corpus itself (the one-shot shape)
+    dsir_min_logratio: float | None = None  # gate form: keep docs with
+    #   log_ratio >= t (the q_dsir_gate discipline — gap-scan t)
+    dsir_sample_n: int | None = None    # resample form: draw exactly n
+    #   docs w.p. ∝ exp(clamped log_ratio) — DSIR's actual
+    #   importance-resampling step (weighted_sample_exact_n)
+    dsir_clamp: float = 5.0             # |log_ratio| clamp before exp
+    dsir_salt: str = "dsir"             # md5-draw salt for the resample
     exact_substring_k: int | None = None   # ExactSubstr window (None = off)
     exact_substring_min_count: int = 2
     ngram_n: int = 8                    # decontamination gram width
@@ -359,6 +374,62 @@ def prepare_training_data(
         gated = classifier_gate(
             gated, id_col, text_col, cfg.quality_model,
             min_prob=cfg.min_quality_prob,
+        )
+
+    # 1e. optional DSIR importance selection (Xie 2023): score every
+    # surviving doc against a TARGET-domain unigram model (raw model
+    # counted from the corpus itself unless prebuilt), then keep by
+    # threshold (gate form) and/or draw exactly n proportional to
+    # exp(clamped log_ratio) (resample form — DSIR's actual selection
+    # step). Runs AFTER the quality gates so importance weights are
+    # estimated on plausible text, BEFORE dedup/split so the selected
+    # set flows through the same downstream guarantees.
+    if cfg.dsir_target_counts is not None:
+        from ..operators.retrieval import dsir_logratio
+
+        if cfg.dsir_min_logratio is None and cfg.dsir_sample_n is None:
+            raise ValueError(
+                "dsir_target_counts set but neither dsir_min_logratio "
+                "nor dsir_sample_n given — configure the gate and/or "
+                "the resample form"
+            )
+        # PERSIST before scoring: scored derives from gated AND joins
+        # back onto it (the 1c multi-consumer rule)
+        gated = _pin(gated)
+        keep = dsir_logratio(
+            gated, cfg.dsir_target_counts, id_col=id_col,
+            text_col=text_col, raw_counts=cfg.dsir_raw_counts,
+            pins=pins,
+        ).select(id_col, "log_ratio")
+        if cfg.dsir_min_logratio is not None:
+            keep = keep.filter(
+                F.col("log_ratio") >= float(cfg.dsir_min_logratio)
+            )
+        else:
+            # token-less docs carry no signal — the gate form drops
+            # them via NULL comparison; the pure-resample form must
+            # drop them explicitly (NULL weight is excluded anyway,
+            # this just keeps the rule visible)
+            keep = keep.filter(F.col("log_ratio").isNotNull())
+        if cfg.dsir_sample_n is not None:
+            from ..operators.sampling import weighted_sample_exact_n
+
+            c = float(cfg.dsir_clamp)
+            keep = weighted_sample_exact_n(
+                keep.withColumn(
+                    "__dsir_w",
+                    F.exp(
+                        F.least(
+                            F.greatest(F.col("log_ratio"), F.lit(-c)),
+                            F.lit(c),
+                        )
+                    ),
+                ),
+                cfg.dsir_sample_n, id_col, "__dsir_w",
+                salt=cfg.dsir_salt,
+            )
+        gated = gated.join(
+            keep.select(id_col), on=id_col, how="left_semi"
         )
 
     # 2. benchmark decontamination (broadcast digest semi-join)
