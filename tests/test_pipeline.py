@@ -789,8 +789,43 @@ def test_cli_annindex_lifecycle(spark, tmp_path, capsys):
     } | {t["id"] for t in probed["topk"]}
     assert main(common + ["probe", "--query-json", qjson, "--k", "5"],
                 spark=spark) == 0
+    capsys.readouterr()
+
+    # nnjoin: a query TABLE against the same index from the shell —
+    # the written per-query top-k equals the operator API bit-for-bit
+    from pyspark.sql import functions as F
+
+    from web_api_postgres_etl_spark.operators.similarity import (
+        ivf_pq_nn_join,
+    )
+
+    qtab = str(tmp_path / "queries")
+    nnout = str(tmp_path / "nnout")
+    emb.filter("vec_id % 151 = 7").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).write.parquet(qtab)
+    assert main(
+        common + ["nnjoin", "--queries", qtab, "--out", nnout,
+                  "--k", "5"],
+        spark=spark,
+    ) == 0
+    nn = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want_nn = sorted(
+        tuple(r)
+        for r in ivf_pq_nn_join(
+            spark.read.parquet(qtab), idx, k=5, nprobe=2
+        ).collect()
+    )
+    got_nn = sorted(
+        tuple(r) for r in spark.read.parquet(nnout).collect()
+    )
+    assert got_nn == want_nn
+    assert nn["rows"] == len(want_nn)
+    assert nn["queries"] == len({t[0] for t in want_nn})
 
     # guards: missing required operand exits via SystemExit
     import pytest as _pt
     with _pt.raises(SystemExit):
         main(["annindex", "build", "--index", idx], spark=spark)
+    with _pt.raises(SystemExit):
+        main(["annindex", "nnjoin", "--index", idx], spark=spark)

@@ -83,10 +83,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                          "and report whether they match (migration / "
                          "rewrite invariance check)")
     pa = sub.add_parser("annindex")
-    pa.add_argument("action", choices=("build", "append", "probe", "compact"),
+    pa.add_argument("action",
+                    choices=("build", "append", "probe", "nnjoin",
+                             "compact"),
                     help="IVF-PQ index lifecycle: build (train sidecars + "
                          "write the code table), append (frozen-sidecar "
                          "ingest), probe (partition-pruned ADC top-k), "
+                         "nnjoin (a query TABLE joined against the index "
+                         "— per-query ADC top-k written to --out), "
                          "compact (per-partition small-file rewrite)")
     pa.add_argument("--index", required=True, help="index path")
     pa.add_argument("--corpus", default=None,
@@ -95,6 +99,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     help="append: parquet of new vectors")
     pa.add_argument("--query-json", default=None,
                     help="probe: the query vector as a JSON float array")
+    pa.add_argument("--queries", default=None,
+                    help="nnjoin: parquet of query (id, embedding) rows")
+    pa.add_argument("--out", default=None,
+                    help="nnjoin: output parquet path for "
+                         "(query_id, vec_id, adc_dist, rank)")
+    pa.add_argument("--query-id-col", default="query_id",
+                    help="nnjoin: query table id column")
     pa.add_argument("--id-col", dest="ann_id_col", default="vec_id")
     pa.add_argument("--vec-col", dest="ann_vec_col", default="embedding")
     pa.add_argument("--k", type=int, default=10)
@@ -307,6 +318,30 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     "topk": [
                         {"id": r[0], "adc_dist": r[1]} for r in rows
                     ],
+                }))
+            elif args.action == "nnjoin":
+                if not args.queries or not args.out:
+                    raise SystemExit(
+                        "annindex nnjoin needs --queries and --out"
+                    )
+                from .operators.similarity import ivf_pq_nn_join
+
+                out = ivf_pq_nn_join(
+                    spark.read.parquet(args.queries), args.index,
+                    k=args.k, nprobe=args.nprobe,
+                    query_id_col=args.query_id_col,
+                    query_vec_col=args.ann_vec_col,
+                    id_col=args.ann_id_col,
+                )
+                out.write.mode("overwrite").parquet(args.out)
+                written = spark.read.parquet(args.out)
+                print(json.dumps({
+                    "index": args.index,
+                    "out": args.out,
+                    "rows": written.count(),
+                    "queries": written.select(
+                        args.query_id_col
+                    ).distinct().count(),
                 }))
             else:  # compact
                 stats = ivf_pq_index_compact(
