@@ -77,6 +77,14 @@ OPS = {
     # projection as a narrow map (size() filter defeats projection
     # pruning)
     "clusters_maintain", "vectors_maintain", "jl_project",
+    # round 12: the batched IVF-PQ NN join (FIXED 64-query table vs an
+    # n-vector index — broadcast routing + DPP must keep per-query
+    # work at nprobe/|C| of the codes, so wall time ~O(n); an index
+    # shuffle or per-query full scan shows superlinearly) and
+    # synchronous LPA at fixed rounds (per round one equi-join + one
+    # vote groupBy + one argmax, all ∝ |edges|; the exponent isolates
+    # per-round cost from the checkpointed round loop)
+    "ann_nn_join", "label_propagation",
 }
 
 

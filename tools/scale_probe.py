@@ -862,6 +862,66 @@ def _probe_ops(spark, n: int, ops_filter, docs, vecs) -> dict:
         shutil.rmtree(root, ignore_errors=True)
         ops["vectors_maintain"] = (dt, got)
 
+    if want("ann_nn_join"):
+        reset_cache()
+        import shutil
+        import tempfile
+
+        from web_api_postgres_etl_spark.operators.similarity import (
+            ivf_pq_nn_join,
+            write_ivf_pq_index,
+        )
+
+        # r12 batched read path: index over the FULL n-vector corpus
+        # (untimed build), then TIME a FIXED 64-query table joined
+        # against it. The claim: per-query work = nprobe/|C| of the
+        # codes (broadcast routing, DPP, no index shuffle), so with
+        # |Q| fixed the wall time is ~O(n) — a regression to a full
+        # scan per query or an index shuffle shows superlinearly.
+        root = tempfile.mkdtemp(prefix="probe_nnjoin_")
+        idx = f"{root}/idx"
+        write_ivf_pq_index(
+            vecs, idx, every=max(n // 64, 1), max_centroids=8,
+            m=4, pq_k=8, pq_iters=0,
+        )
+        queries = vecs.filter(
+            F.col("vec_id") % F.lit(max(n // 64, 1)) == 3
+        ).limit(64).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        t0 = time.time()
+        got = ivf_pq_nn_join(queries, idx, k=10, nprobe=2).count()
+        dt = time.time() - t0
+        shutil.rmtree(root, ignore_errors=True)
+        ops["ann_nn_join"] = (dt, got)
+
+    if want("label_propagation"):
+        reset_cache()
+        from web_api_postgres_etl_spark.operators.graph import (
+            label_propagation,
+        )
+
+        # fixed 3 rounds over an n-node block graph (ring-in-block +
+        # sparse bridges — the q_label_propagation shape): per round
+        # ONE equi-join + one (id, label, count) vote groupBy + one
+        # struct-max argmax, all ∝ |edges| = ~2n. The exponent
+        # isolates per-round cost; a lineage blow-up across the
+        # checkpointed rounds or a vote-table explosion shows
+        # superlinearly.
+        nodes = spark.range(n).select(F.col("id"))
+        ring = spark.range(n).selectExpr(
+            "id AS id_a",
+            "(id div 10) * 10 + ((id + 1) % 10) AS id_b",
+        ).filter(F.col("id_b") < n)
+        bridge = spark.range(n).filter("id % 40 = 0").selectExpr(
+            "(id div 10) * 10 AS id_a",
+            "(id div 10) * 10 + 10 AS id_b",
+        ).filter(F.col("id_b") < n)
+        edges = ring.unionByName(bridge).filter("id_a <> id_b")
+        t0 = time.time()
+        got = label_propagation(nodes, edges, rounds=3).count()
+        ops["label_propagation"] = (time.time() - t0, got)
+
     return ops
 
 
