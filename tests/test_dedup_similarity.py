@@ -1876,3 +1876,90 @@ def test_ivf_pq_nn_join_guards_and_windowed_routing(spark, tmp_path):
     finally:
         S.ASSIGN_LITERAL_MAX = old
     assert win == lit
+
+
+def test_nn_rerank_exact_composes_with_nn_join(spark, tmp_path):
+    """The third ANN stage end-to-end: ivf_pq_nn_join's shortlist
+    re-ranked over the true float vectors equals a per-query Python
+    re-rank of the SAME shortlist with the module's fold arithmetic
+    (cosine desc / ties smaller id; l2 asc), rank runs dense 1..k,
+    NULL vectors drop, duplicate candidate pairs collapse, and bad
+    args raise."""
+    import pytest as pt
+
+    from web_api_postgres_etl_spark.operators.similarity import (
+        _py_fold_dot,
+        _py_norm,
+        ivf_pq_nn_join,
+        nn_rerank_exact,
+        write_ivf_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivfpq")
+    write_ivf_pq_index(
+        emb, path, every=11, max_centroids=4, m=4, pq_k=8, pq_iters=0
+    )
+    queries = emb.filter(F.col("vec_id") % 101 == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cands = ivf_pq_nn_join(queries, path, k=20, nprobe=2)
+    out = nn_rerank_exact(cands, emb, queries, k=5)
+    rows = out.collect()
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+    by_q: dict = {}
+    for r in cands.collect():
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["score"])
+        )
+    assert set(got) == set(by_q)
+    for qid, shortlist in by_q.items():
+        qvec = vecs[qid]
+        nq = _py_norm(qvec)
+        scored = sorted(
+            (
+                -(_py_fold_dot(qvec, vecs[c])
+                  / (nq * _py_norm(vecs[c]))),
+                c,
+            )
+            for c in shortlist
+        )[:5]
+        want = [
+            (i + 1, c, -negs) for i, (negs, c) in enumerate(scored)
+        ]
+        assert sorted(got[qid]) == want, qid
+        assert [t[0] for t in sorted(got[qid])] == [1, 2, 3, 4, 5]
+    # l2 metric: self-query candidate attains distance 0.0 at rank 1
+    l2 = nn_rerank_exact(cands, emb, queries, k=1, metric="l2")
+    for r in l2.collect():
+        assert r["vec_id"] == r["query_id"] and r["score"] == 0.0
+    # duplicate candidate pairs collapse to one dense ranking
+    dup = nn_rerank_exact(
+        cands.unionByName(cands), emb, queries, k=5
+    )
+    assert sorted(tuple(r) for r in dup.collect()) == sorted(
+        tuple(r) for r in rows
+    )
+    # NULL query vectors drop their queries entirely
+    nullq = spark.createDataFrame(
+        [(424242, None)], "query_id long, embedding array<double>"
+    )
+    out2 = nn_rerank_exact(
+        cands.select("query_id", "vec_id").unionByName(
+            spark.createDataFrame(
+                [(424242, 1)], "query_id long, vec_id long"
+            )
+        ),
+        emb, queries.unionByName(nullq), k=5,
+    )
+    assert not [r for r in out2.collect() if r["query_id"] == 424242]
+    with pt.raises(ValueError, match="k must be >= 1"):
+        nn_rerank_exact(cands, emb, queries, k=0)
+    with pt.raises(ValueError, match="metric must be"):
+        nn_rerank_exact(cands, emb, queries, metric="dot")

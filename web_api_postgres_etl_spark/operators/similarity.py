@@ -2021,6 +2021,85 @@ def ivf_pq_nn_join(
     )
 
 
+def nn_rerank_exact(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    corpus_vec_col: str = "embedding",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """The standard THIRD ANN stage, as a real operator: exact re-rank
+    of approximate candidates over the TRUE float vectors —
+    ``(query_id, vec_id, score, rank)``, rank 1..k per query.
+    ``candidates`` is any (query_id, vec_id) pair table (typically
+    :func:`ivf_pq_nn_join`'s output — ADC quantization error decides
+    the shortlist, this decides the final order), ``corpus`` the
+    source float vectors, ``queries`` the query vectors.
+
+    ``metric='cosine'`` ranks descending by the module's strict-fold
+    cosine (ties → smaller id); ``'l2'`` ranks ascending by strict
+    squared L2. Both are fixed-order double folds — deterministic
+    under any partitioning and expressible verbatim in a SQL oracle.
+    Rows whose corpus OR query vector is NULL are dropped (they carry
+    no information — the family's rule); duplicate candidate pairs are
+    collapsed (a pair's exact score is pair-determined, so dedup is
+    semantically free and keeps rank dense).
+
+    Scale shape: every join and shuffle is CANDIDATE-bounded — one
+    equi-join on the id pulls |cand| float vectors out of the corpus
+    (never a corpus scan fan-out; AQE broadcasts small candidate
+    sets), one equi-join on the query id attaches query vectors, and
+    the final rank window partitions on the query id it just joined
+    on. At 100 TB the expensive side (corpus) is touched exactly once,
+    filtered to the shortlist."""
+    if k < 1:
+        raise ValueError(f"nn_rerank_exact: k must be >= 1, got {k}")
+    if metric not in ("cosine", "l2"):
+        raise ValueError(
+            f"nn_rerank_exact: metric must be 'cosine' or 'l2', "
+            f"got {metric!r}"
+        )
+    from pyspark.sql import Window
+
+    cand = candidates.select(
+        qcol(query_id_col).alias("__qid"), qcol(id_col).alias("__cid")
+    ).distinct()
+    cv = corpus.select(
+        qcol(id_col).alias("__cid"),
+        as_double_array(corpus_vec_col).alias("__cv"),
+    ).filter(F.col("__cv").isNotNull())
+    qv = queries.select(
+        qcol(query_id_col).alias("__qid"),
+        as_double_array(query_vec_col).alias("__qv"),
+    ).filter(F.col("__qv").isNotNull())
+    paired = cand.join(cv, "__cid").join(qv, "__qid")
+    if metric == "cosine":
+        score = F.expr(_sql_cosine("__qv", "__cv"))
+        order = [F.col("score").desc(), F.col("__cid").asc()]
+    else:
+        score = F.expr(
+            "aggregate(zip_with(__qv, __cv, (x, y) -> (x - y) * (x - y)), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
+        order = [F.col("score").asc(), F.col("__cid").asc()]
+    w = Window.partitionBy("__qid").orderBy(*order)
+    return (
+        paired.select("__qid", "__cid", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__cid").alias(id_col),
+            "score",
+            "rank",
+        )
+    )
+
+
 def project_embeddings_rp(
     df: DataFrame,
     out_dim: int,
