@@ -1303,3 +1303,77 @@ def test_dsir_resampling_composition_end_to_end(spark):
         ).collect()
     )
     assert again == sorted(r["doc_id"] for r in sel)
+
+
+def test_bpe_apply_arrow_kernel_equivalence(spark):
+    """The Arrow kernel ≡ the literal-plan forms: on MINED rules it
+    reproduces bpe_apply exactly (priority merging equals in-order
+    application when constituents predate their rule); at R=624 —
+    past the 500-rule chained cap — it reproduces the CHUNKED literal
+    plan bit-for-bit on synthetic mined-order chain rules; NULL text
+    is total; guards raise."""
+    import pytest as pt
+
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        bpe_apply,
+        bpe_apply_arrow,
+        bpe_merge_rules,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low lower lowest newer newest"),
+            (2, "aaaa aabb bbaa abab banana bandana"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    rules = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_merge_rules(
+            docs.filter("text is not null"), "text", rounds=8
+        ).collect()
+    ]
+    lit = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_apply(docs, "text", rules).collect()
+    }
+    arrow = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_apply_arrow(docs, "text", rules).collect()
+    }
+    assert arrow == lit
+    assert arrow[4] == []
+    # R past the chained cap: per-letter run chains are mined-order by
+    # construction (every output symbol feeds only LATER rules)
+    big: list = []
+    for ch in "abcdefghijklmnopqrstuvwxyz":
+        run = ch
+        for _ in range(24):
+            big.append((run, ch))
+            run = run + ch
+    assert len(big) == 624
+    long_docs = spark.createDataFrame(
+        [(1, "aaaaaaa bbbb zz " + "q" * 30), (2, "ababab aa"), (3, None)],
+        "doc_id long, text string",
+    )
+    chunked = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_apply(
+            long_docs, "text", big, chunk_size=200
+        ).collect()
+    }
+    kern = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_apply_arrow(long_docs, "text", big).collect()
+    }
+    assert kern == chunked
+    # greedy non-overlapping pair merges leave no single letters in a
+    # multi-char run ("aaaaaaa" → [aa, aa, aaa], "bbbb" → [bb, bb])
+    assert all(len(t) >= 2 for t in kern[1])
+    assert kern[1][:3] == ["aa", "aa", "aaa"]
+    with pt.raises(ValueError, match="non-alphanumeric"):
+        bpe_apply_arrow(docs, "text", [("a", "<")])
+    with pt.raises(ValueError, match="already exists"):
+        bpe_apply_arrow(docs, "text", [], out_col="text")

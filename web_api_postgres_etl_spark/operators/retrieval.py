@@ -878,7 +878,9 @@ def bpe_apply(
             f"bpe_apply: {len(rules)} rules exceeds the single-plan "
             f"chained-replace cap ({_BPE_MAX_CHAIN}) — pass "
             f"chunk_size=<n ≤ {_BPE_MAX_CHAIN}> to apply the rules in "
-            "lineage-cut chunks (identical segmentation, bounded plan)"
+            "lineage-cut chunks (identical segmentation, bounded "
+            "plan), or use bpe_apply_arrow for tokenizer-real rule "
+            "counts over MINED-order rules (one Arrow-batched map)"
         )
     if chunk_size is not None and not (1 <= chunk_size <= _BPE_MAX_CHAIN):
         raise ValueError(
@@ -952,6 +954,98 @@ def bpe_apply(
     return staged.withColumn(out_col, finish(F.col("__bpe_str"))).drop(
         "__bpe_str"
     )
+
+
+def _bpe_segment_word(word: str, rank: dict) -> list[str]:
+    """Priority-merge BPE apply for one word (the GPT-2 reference
+    shape): repeatedly merge the LOWEST-ranked adjacent pair, leftmost
+    occurrence first. For rules in MINED order (each rule's output
+    symbol exists only after its own rule — what bpe_merge_rules
+    emits by construction) this equals applying the rules in order
+    with greedy leftmost non-overlapping replaces, i.e. bpe_apply."""
+    syms = list(word)
+    while len(syms) > 1:
+        best = None
+        best_i = -1
+        for i in range(len(syms) - 1):
+            r = rank.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best = r
+                best_i = i
+        if best is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_apply_arrow(
+    df: DataFrame,
+    text_col: str,
+    rules: "list[tuple[str, str]]",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenizer-real-scale BPE apply — the Arrow-batched kernel
+    escape :func:`bpe_apply`'s rule-count cap points at: rules ship
+    once as a Python rank dict inside a vectorized pandas UDF, so R ≈
+    30k trained merges cost a DICT, not 30k chained plan expressions.
+    Tokenization stays JVM-side (the SAME ``normalized_tokens``
+    expression feeds the kernel), so there is no normalization drift;
+    per-batch word memoization makes repeated words free.
+
+    REQUIRES rules in MINED order (``bpe_merge_rules`` output): the
+    kernel merges by rule PRIORITY (lowest rank first, leftmost
+    occurrence), which equals in-order chained application exactly
+    when each rule's constituent symbols predate it — true by
+    construction for mined rules, where every new symbol is created
+    only by its own rule. For arbitrary hand-written rule lists keep
+    ``bpe_apply`` (chained/chunked), whose semantics are order-literal.
+    Equivalence to the chunked literal plan at R > the chained cap is
+    pinned in tests.
+
+    Scale shape: ONE narrow Arrow-batched map — no shuffle, no joins;
+    the rank dict is captured in the UDF closure (broadcast once per
+    executor). This is the documented slow-path exception (Python in
+    the row path) bought only when R makes the pure-SQL forms
+    impossible; throughput is bounded by the per-DISTINCT-word merge
+    loop, amortized by the word cache. NULL text → empty array
+    (total, matching bpe_apply)."""
+    for lhs, rhs in rules:
+        if not (str(lhs).isalnum() and str(rhs).isalnum()):
+            raise ValueError(
+                f"bpe_apply_arrow: rule ({lhs!r}, {rhs!r}) has "
+                "non-alphanumeric symbols"
+            )
+    if out_col in df.columns:
+        raise ValueError(f"bpe_apply_arrow: column {out_col!r} already exists")
+    rank = {
+        (str(lhs), str(rhs)): i for i, (lhs, rhs) in enumerate(rules)
+    }
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _seg_fn(words_ser):
+        cache: dict = {}
+        out = []
+        for words in words_ser:
+            if words is None:
+                out.append([])
+                continue
+            toks: list = []
+            for w in words:
+                got = cache.get(w)
+                if got is None:
+                    got = _bpe_segment_word(w, rank)
+                    cache[w] = got
+                toks.extend(got)
+            out.append(toks)
+        return pd.Series(out)
+
+    # real type objects, not strings: this module's `from __future__
+    # import annotations` would stringify inline hints, and pandas_udf
+    # cannot resolve 'pd.Series' against a function-local import
+    _seg_fn.__annotations__ = {"words_ser": pd.Series, "return": pd.Series}
+    _seg = pandas_udf(_seg_fn, "array<string>")
+    return df.withColumn(out_col, _seg(normalized_tokens(qcol(text_col))))
 
 
 # ---------------------------------------------- sparse cosine pairs
