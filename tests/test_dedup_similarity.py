@@ -1963,3 +1963,71 @@ def test_nn_rerank_exact_composes_with_nn_join(spark, tmp_path):
         nn_rerank_exact(cands, emb, queries, k=0)
     with pt.raises(ValueError, match="metric must be"):
         nn_rerank_exact(cands, emb, queries, metric="dot")
+
+
+def test_ann_index_dedup_against_persisted_index(spark, tmp_path):
+    """Semantic dedup of a new batch against the persisted IVF-PQ
+    index — the composition the batched read path exists for: exact
+    copies of indexed vectors (under NEW ids) are dropped in the
+    exact-cosine mode, novel vectors survive, replayed rows (SAME id
+    as their index entry) are self-match-exempt and survive, the
+    ADC mode with an infinite threshold flags everything with a
+    non-self candidate, and the mode guards raise."""
+    import pytest as pt
+
+    from web_api_postgres_etl_spark.operators.similarity import (
+        ann_index_dup_hits,
+        dedup_batch_against_ann_index,
+        write_ivf_pq_index,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    corpus = emb.filter("vec_id <= 400")
+    path = str(tmp_path / "ivfpq")
+    write_ivf_pq_index(
+        corpus, path, every=11, max_centroids=4, m=4, pq_k=8, pq_iters=0
+    )
+    copies = corpus.filter(F.col("vec_id").isin([5, 10, 17])).select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "embedding"
+    )
+    novel = emb.filter("vec_id > 400 AND vec_id <= 420")
+    replay = corpus.filter(F.col("vec_id") == 5)
+    batch = copies.unionByName(novel).unionByName(replay)
+
+    kept = dedup_batch_against_ann_index(
+        batch, path, min_cosine=0.999, corpus=corpus
+    )
+    kept_ids = {r["vec_id"] for r in kept.collect()}
+    assert kept.columns == batch.columns        # schema unchanged
+    assert not kept_ids & {9005, 9010, 9017}   # exact copies dropped
+    assert 5 in kept_ids                        # replay self-exempt
+    assert {r["vec_id"] for r in novel.collect()} <= kept_ids
+
+    hits = ann_index_dup_hits(
+        batch, path, min_cosine=0.999, corpus=corpus
+    ).collect()
+    got = {(r["batch_id"], r["index_id"]) for r in hits}
+    assert {(9005, 5), (9010, 10), (9017, 17)} <= got
+    assert all(r["score"] >= 0.999 for r in hits)
+    assert all(r["batch_id"] != r["index_id"] for r in hits)
+
+    # ADC mode, infinite threshold: every batch row that routes to a
+    # non-empty cluster and has a non-self candidate is flagged
+    flagged = {
+        r["batch_id"]
+        for r in ann_index_dup_hits(batch, path, max_l2=1e18).collect()
+    }
+    assert {9005, 9010, 9017} <= flagged
+    surv = dedup_batch_against_ann_index(batch, path, max_l2=1e18)
+    assert surv.count() < batch.count()
+
+    with pt.raises(ValueError, match="exactly one"):
+        ann_index_dup_hits(batch, path)
+    with pt.raises(ValueError, match="exactly one"):
+        ann_index_dup_hits(
+            batch, path, max_l2=1.0, min_cosine=0.9, corpus=corpus
+        )
+    with pt.raises(ValueError, match="needs corpus"):
+        ann_index_dup_hits(batch, path, min_cosine=0.9)

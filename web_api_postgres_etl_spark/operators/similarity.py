@@ -2100,6 +2100,115 @@ def nn_rerank_exact(
     )
 
 
+def ann_index_dup_hits(
+    batch: DataFrame,
+    path: str,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_id_col: str = "vec_id",
+    max_l2: float | None = None,
+    min_cosine: float | None = None,
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """``(batch_id, index_id, score)`` — new-batch vectors whose
+    nearest persisted-index neighbors score within a duplicate
+    threshold: the 100 TB consumer the batched read path exists for
+    (semantic dedup of a NEW corpus against an IVF-PQ index), as one
+    named operator. Exactly ONE threshold mode:
+
+    - ``max_l2``: hits are candidate pairs with ADC squared-L2 <=
+      max_l2 — the codes-only fast path. APPROXIMATE by construction
+      (quantization error shifts distances); calibrate the threshold
+      against the codebook's distortion or use the exact mode.
+    - ``min_cosine`` (requires ``corpus``, the float vectors the index
+      was built from): candidates are re-ranked EXACTLY over the true
+      vectors (:func:`nn_rerank_exact`) and hits are pairs with strict
+      fold cosine >= min_cosine — the verify-then-act discipline the
+      MinHash family applies (candidates estimate, exact join decides).
+
+    Self-matches (batch_id == index_id) are excluded: replayed batches
+    — rows already appended to the index — must not mark themselves
+    duplicates (ids are the identity, the vector family's rule; run
+    dedup BEFORE append in the ingest order). Candidate recall is
+    bounded by ``k`` per batch row and ``nprobe`` routing — a dup
+    whose index twin is outside the probed clusters or the top-k is
+    missed, exactly the IVF recall trade documented on the probe.
+
+    Scale shape: one :func:`ivf_pq_nn_join` (broadcast routing + DPP,
+    index never shuffles) + candidate-bounded joins; nothing touches
+    more than nprobe/|C| of the codes."""
+    if (max_l2 is None) == (min_cosine is None):
+        raise ValueError(
+            "ann_index_dup_hits: set exactly one of max_l2 (approximate "
+            "ADC gate) or min_cosine (exact verify over corpus vectors)"
+        )
+    if min_cosine is not None and corpus is None:
+        raise ValueError(
+            "ann_index_dup_hits: min_cosine needs corpus= (the float "
+            "vectors to verify against — ADC alone cannot certify an "
+            "exact cosine)"
+        )
+    b = batch.select(
+        qcol(id_col).alias("__bid"),
+        as_double_array(vec_col).alias("__bv"),
+    )
+    cands = ivf_pq_nn_join(
+        b, path, k=k, nprobe=nprobe,
+        query_id_col="__bid", query_vec_col="__bv",
+        id_col=index_id_col,
+    ).filter(F.col("__bid") != qcol(index_id_col))
+    if max_l2 is not None:
+        hits = cands.filter(F.col("adc_dist") <= float(max_l2)).select(
+            F.col("__bid").alias("batch_id"),
+            qcol(index_id_col).alias("index_id"),
+            F.col("adc_dist").alias("score"),
+        )
+        return hits
+    rer = nn_rerank_exact(
+        cands, corpus, b, k=k, metric="cosine",
+        query_id_col="__bid", id_col=index_id_col,
+        corpus_vec_col=vec_col, query_vec_col="__bv",
+    )
+    return rer.filter(F.col("score") >= float(min_cosine)).select(
+        F.col("__bid").alias("batch_id"),
+        qcol(index_id_col).alias("index_id"),
+        "score",
+    )
+
+
+def dedup_batch_against_ann_index(
+    batch: DataFrame,
+    path: str,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_id_col: str = "vec_id",
+    max_l2: float | None = None,
+    min_cosine: float | None = None,
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """Surviving ``batch`` rows after dropping every row
+    :func:`ann_index_dup_hits` matches in the persisted IVF-PQ index —
+    the vector twin of ``dedup.dedup_batch_against_index`` (MinHash),
+    schema unchanged. Within-batch semantic twins BOTH survive (the
+    index doesn't hold them yet) — compose ``semantic_dedup`` /
+    ``semantic_dup_pairs`` on the survivors before appending, the same
+    ``dedup_within`` caveat the MinHash face automates."""
+    hits = ann_index_dup_hits(
+        batch, path, k=k, nprobe=nprobe, id_col=id_col,
+        vec_col=vec_col, index_id_col=index_id_col,
+        max_l2=max_l2, min_cosine=min_cosine, corpus=corpus,
+    )
+    return batch.join(
+        hits.select(F.col("batch_id").alias("__hit")).distinct(),
+        on=qcol(id_col) == F.col("__hit"),
+        how="left_anti",
+    )
+
+
 def project_embeddings_rp(
     df: DataFrame,
     out_dim: int,
