@@ -477,29 +477,14 @@ def test_survivor_score_stage(spark):
     labels stay min-reachable-id)."""
     from dataclasses import replace
 
-    docs = spark.createDataFrame(
-        [
-            (1, BASE + " first variant with extra tail words", 0.2),
-            (2, BASE + " first variant with extra tail words", 0.9),
-            (6, "a wholly different account of harbor towns and that trade "
-                "which moved with the tide while every merchant kept a "
-                "ledger of salt and grain and the ships would have to wait "
-                "for wind so the harbormaster read the sky and the crews "
-                "mended nets with patient hands beneath the tall white "
-                "light of the morning and the gulls carried on", 0.5),
-        ],
-        "doc_id long, text string, score double",
-    )
     bench = spark.createDataFrame([(BENCH_TEXT,)], "text string")
     cfg = replace(
         CFG, survivor_score_col="score", min_gopher_rules=0, chunk_words=64,
     )
-    out = prepare_training_data(docs, bench, config=cfg).collect()
-    kept = {r["doc_id"] for r in out}
-    assert 6 in kept
-    # docs 1 and 2 are EXACT duplicates — exact dedup keeps min id 1
-    # BEFORE clustering, so the score stage is about NEAR dups: rerun
-    # with a near-dup pair instead
+    # EXACT duplicates are deduped to min id BEFORE clustering (their
+    # score-choice behavior is exact-dedup's, pinned in its own tests),
+    # so the score stage is about NEAR dups — one plan run, r12 trim
+    # of a second run that only asserted survival of the unique doc
     docs2 = spark.createDataFrame(
         [
             (1, BASE + " first variant with extra tail words", 0.2),
