@@ -135,3 +135,73 @@ def test_pins_contract(spark):
     assert pins
     release_pins(pins)
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= before
+
+
+def _ppr_model(node_ids, edge_list, seed_ids, damping_pm=850, iterations=10):
+    """Literal Python twin of the personalized arithmetic."""
+    ns = len(seed_ids)
+    seeds = set(seed_ids)
+    outdeg: dict = {}
+    for s, _ in edge_list:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {v: (M // ns if v in seeds else 0) for v in node_ids}
+    teleport = ((1000 - damping_pm) * M) // (1000 * ns)
+    for _ in range(iterations):
+        dangling = sum(r[v] for v in node_ids if v not in outdeg)
+        share = {v: r[v] // outdeg[v] for v in node_ids if v in outdeg}
+        inflow = {v: 0 for v in node_ids}
+        for s, d in edge_list:
+            if s in share and d in inflow:
+                inflow[d] += share[s]
+        r = {
+            v: (teleport if v in seeds else 0)
+            + (damping_pm * (inflow[v]
+                             + (dangling // ns if v in seeds else 0)))
+            // 1000
+            for v in node_ids
+        }
+    return r
+
+
+def test_personalized_matches_python_model_exactly(spark):
+    """Seeded restart, integer-exact: the Spark ranks equal the Python
+    twin unit-for-unit; seeds-as-all-nodes reduces EXACTLY to plain
+    pagerank; mass concentrates near the seeds; out-of-universe seeds
+    drop; an empty effective seed set raises."""
+    import pytest as pt
+
+    from web_api_postgres_etl_spark.operators.graph import pagerank
+
+    nodes, edges = _frames(spark)
+    seeds = spark.createDataFrame([(3,), (4,)], "id long")
+    got = {
+        r["id"]: r["rank_units"]
+        for r in pagerank(nodes, edges, seeds=seeds).collect()
+    }
+    want = _ppr_model(NODES, GRAPH, [3, 4])
+    assert got == want
+    # seed-adjacent beats seed-distant: 3 and 4 both point at 2
+    assert got[2] > got[8] and got[2] > got[9]
+    # all-nodes seeds ≡ plain pagerank, unit-for-unit
+    allseed = {
+        r["id"]: r["rank_units"]
+        for r in pagerank(nodes, edges, seeds=nodes).collect()
+    }
+    plain = {
+        r["id"]: r["rank_units"]
+        for r in pagerank(nodes, edges).collect()
+    }
+    assert allseed == plain
+    # out-of-universe seeds are dropped (universe contract); the
+    # surviving seed alone defines the restart
+    mixed = spark.createDataFrame([(3,), (777,)], "id long")
+    got_m = {
+        r["id"]: r["rank_units"]
+        for r in pagerank(nodes, edges, seeds=mixed).collect()
+    }
+    assert got_m == _ppr_model(NODES, GRAPH, [3])
+    with pt.raises(ValueError, match="no seeds inside"):
+        pagerank(
+            nodes, edges,
+            seeds=spark.createDataFrame([(999,)], "id long"),
+        )

@@ -230,9 +230,25 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 10,
     pins: list[DataFrame] | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """(id, rank_units, rank) — PageRank by power iteration with a
     FIXED iteration count and pinned, engine-exact INTEGER arithmetic.
+    With ``seeds`` (r12): PERSONALIZED PageRank — teleport AND
+    dangling mass restart uniformly over the seed set instead of all
+    nodes, and the walk starts from the seeds; rank then measures
+    proximity-weighted reachability FROM the seeds (seed-based
+    curation: propagate trust from known-good documents through a
+    link/citation graph, then select by rank). Same integer units:
+
+        teleport(v) = ((1000-d)·M) div (1000·|S|)   if v ∈ S else 0
+        rank'(v)    = teleport(v)
+                    + (d · (inflow(v) + [v∈S]·(dangling div |S|))) div 1000
+
+    ``seeds = all nodes`` reduces EXACTLY to plain PageRank (same
+    floor divisions, same constants — pinned in tests). Seeds outside
+    the node universe are dropped (the universe contract); an empty
+    effective seed set raises.
 
     Floating-point PageRank is reduction-order-dependent (the inflow
     sum), so two engines — or two partitionings of one engine — drift
@@ -284,11 +300,34 @@ def pagerank(
         F.count(F.lit(1)).alias("__deg")
     )
     ids = nodes.select(qcol(node_id).alias("id"))
-    base_nodes = ids.join(outdeg, on="id", how="left").persist()
+    base_nodes = ids.join(outdeg, on="id", how="left")
+    if seeds is not None:
+        sd = (
+            seeds.select(qcol(node_id).alias("id"))
+            .distinct()
+            .join(ids, on="id", how="left_semi")
+            .select("id", F.lit(True).alias("__seed"))
+        )
+        n_restart = sd.count()
+        if n_restart == 0:
+            raise ValueError(
+                "pagerank: no seeds inside the node universe"
+            )
+        base_nodes = base_nodes.join(sd, on="id", how="left").select(
+            "id", "__deg", F.coalesce("__seed", F.lit(False)).alias("__seed")
+        )
+    else:
+        n_restart = n_nodes
+        base_nodes = base_nodes.select(
+            "id", "__deg", F.lit(True).alias("__seed")
+        )
+    base_nodes = base_nodes.persist()
 
-    teleport = ((1000 - d_pm) * M) // (1000 * n_nodes)
+    teleport = ((1000 - d_pm) * M) // (1000 * n_restart)
     ranks = base_nodes.select(
-        "id", "__deg", F.lit(M // n_nodes).cast("long").alias("__r")
+        "id", "__deg", "__seed",
+        F.when(F.col("__seed"), F.lit(M // n_restart))
+        .otherwise(F.lit(0)).cast("long").alias("__r"),
     ).localCheckpoint(eager=True)
     prev = ranks
     for _ in range(iterations):
@@ -311,11 +350,15 @@ def pagerank(
             .select(
                 "id",
                 "__deg",
+                "__seed",
                 (
-                    F.lit(int(teleport))
+                    F.when(F.col("__seed"), F.lit(int(teleport)))
+                    .otherwise(F.lit(0))
                     + F.expr(
                         f"({d_pm} * (coalesce(__in, 0) "
-                        f"+ {int(dangling) // n_nodes})) div 1000"
+                        f"+ CASE WHEN __seed THEN "
+                        f"{int(dangling) // n_restart} ELSE 0 END)) "
+                        "div 1000"
                     )
                 ).cast("long").alias("__r"),
             )
