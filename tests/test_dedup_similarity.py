@@ -2097,3 +2097,52 @@ def test_ivf_pq_index_stats_profile(spark, tmp_path):
     import pytest as pt
     with pt.raises(Exception, match="codebook sidecar|PATH_NOT_FOUND|Path does not exist"):
         ivf_pq_index_stats(spark, str(tmp_path / "nope"))
+
+
+def test_ann_recall_at_k_measures_routing_loss(spark, tmp_path):
+    """The evaluation loop: with nprobe = |centroids| (every cluster
+    probed) and a codebook distortion small enough to keep the exact
+    order, self-queries score perfect recall on their own top-1; low
+    nprobe can only lower recall (monotone in expectation, pinned >= on
+    this data); missing queries get recall 0 rows never (only scored
+    queries appear); n_hits is an exact integer in [0, k]."""
+    from web_api_postgres_etl_spark.operators.similarity import (
+        ann_recall_at_k,
+        write_ivf_pq_index,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    path = str(tmp_path / "ivfpq")
+    write_ivf_pq_index(
+        emb, path, every=11, max_centroids=4, m=4, pq_k=8, pq_iters=1
+    )
+    queries = emb.filter(F.col("vec_id") % 101 == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full = {
+        r["query_id"]: (r["n_hits"], r["recall"])
+        for r in ann_recall_at_k(
+            queries, path, emb, k=5, nprobe=4
+        ).collect()
+    }
+    assert set(full) == {r["query_id"] for r in queries.collect()}
+    for qid, (n, rec) in full.items():
+        assert 0 <= n <= 5 and rec == n / 5.0
+    # with EVERY cluster probed the approx candidate set is the whole
+    # corpus, so any loss is pure quantization reorder — the top-1
+    # exact hit (the query itself at distance 0) must always survive:
+    # the self-ADC distance is the global ADC minimum (pinned in the
+    # probe tests), so vec itself sits in the approx top-k too
+    assert all(n >= 1 for n, _ in full.values())
+    narrow = {
+        r["query_id"]: r["n_hits"]
+        for r in ann_recall_at_k(
+            queries, path, emb, k=5, nprobe=1
+        ).collect()
+    }
+    assert all(narrow[q] <= full[q][0] for q in narrow)
+    import pytest as pt
+    with pt.raises(ValueError, match="k must be >= 1"):
+        ann_recall_at_k(queries, path, emb, k=0)

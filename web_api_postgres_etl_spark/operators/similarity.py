@@ -1859,6 +1859,86 @@ def ivf_pq_index_stats(
     )
 
 
+def ann_recall_at_k(
+    queries: DataFrame,
+    path: str,
+    corpus: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(query_id, n_hits, recall)`` — per-query recall@k of the
+    IVF-PQ index against the EXACT squared-L2 top-k over the true
+    float vectors: the evaluation loop that closes the ANN lifecycle
+    (build → measure → tune nprobe/centroids → rebuild). Recall =
+    |approx top-k ∩ exact top-k| / k; approx is
+    :func:`ivf_pq_nn_join` (the index's own metric and tie rule),
+    exact is strict-fold squared L2 with ties to the smaller id —
+    the same order the ADC would produce with a perfect codebook, so
+    recall isolates routing + quantization loss, not metric mismatch.
+
+    ``queries`` should be a bounded SAMPLE (tens to hundreds): the
+    exact baseline joins every query against the WHOLE corpus — that
+    is the price of ground truth, linear in |corpus|·|sample|, and
+    the reason this is an offline evaluation operator, not a serving
+    path. n_hits is an exact integer; recall is one exact division.
+
+    Scale shape: the exact side broadcasts the query sample against
+    one corpus scan (no corpus shuffle), ranks per query; the approx
+    side is the batched join; the intersection is a candidate-bounded
+    equi-join on (query, id)."""
+    if k < 1:
+        raise ValueError(f"ann_recall_at_k: k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    qv = queries.select(
+        qcol(query_id_col).alias("__qid"),
+        as_double_array(query_vec_col).alias("__qv"),
+    ).filter(F.col("__qv").isNotNull())
+    cv = corpus.select(
+        qcol(id_col).alias("__cid"),
+        as_double_array(vec_col).alias("__cv"),
+    ).filter(F.col("__cv").isNotNull())
+    l2 = F.expr(
+        "aggregate(zip_with(__qv, __cv, (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("__d").asc(), F.col("__cid").asc()
+    )
+    exact = (
+        cv.join(F.broadcast(qv))
+        .select("__qid", "__cid", l2.alias("__d"))
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select("__qid", "__cid")
+    )
+    approx = ivf_pq_nn_join(
+        queries, path, k=k, nprobe=nprobe,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+        id_col=id_col,
+    ).select(
+        qcol(query_id_col).alias("__qid"), qcol(id_col).alias("__cid")
+    )
+    hits = exact.join(approx, ["__qid", "__cid"]).groupBy("__qid").agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        qv.select("__qid")
+        .join(hits, "__qid", "left")
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) / F.lit(float(k))).alias(
+                "recall"
+            ),
+        )
+    )
+
+
 def ivf_pq_index_compact(
     spark,
     path: str,
