@@ -1008,7 +1008,11 @@ def bpe_apply_arrow(
     the row path) bought only when R makes the pure-SQL forms
     impossible; throughput is bounded by the per-DISTINCT-word merge
     loop, amortized by the word cache. NULL text → empty array
-    (total, matching bpe_apply)."""
+    (total, matching bpe_apply).
+
+    Cites /root/reference scope: no tokenizer surface there; the
+    scale face of the engine's BPE family (Sennrich 2016; the
+    priority-merge loop is the GPT-2 reference apply shape)."""
     for lhs, rhs in rules:
         if not (str(lhs).isalnum() and str(rhs).isalnum()):
             raise ValueError(

@@ -1802,7 +1802,10 @@ def ivf_pq_index_stats(
 
     Scale shape: one codes scan (+ ``input_file_name`` — no listing
     RPCs), one candidate-free equi-join on the id when ``corpus`` is
-    given, one groupBy on cluster. Nothing collects but the sidecars."""
+    given, one groupBy on cluster. Nothing collects but the sidecars.
+
+    Cites /root/reference scope: no vector surface there; the
+    measurement face of the engine's ANN lifecycle."""
     books = read_pq_codebooks(spark, path)
     if not books:
         raise ValueError(f"no codebook sidecar at {path}_codebooks")
@@ -1889,7 +1892,10 @@ def ann_recall_at_k(
     Scale shape: the exact side broadcasts the query sample against
     one corpus scan (no corpus shuffle), ranks per query; the approx
     side is the batched join; the intersection is a candidate-bounded
-    equi-join on (query, id)."""
+    equi-join on (query, id).
+
+    Cites /root/reference scope: no vector surface there; the
+    evaluation face of the engine's ANN lifecycle."""
     if k < 1:
         raise ValueError(f"ann_recall_at_k: k must be >= 1, got {k}")
     from pyspark.sql import Window
@@ -2221,7 +2227,10 @@ def nn_rerank_exact(
     sets), one equi-join on the query id attaches query vectors, and
     the final rank window partitions on the query id it just joined
     on. At 100 TB the expensive side (corpus) is touched exactly once,
-    filtered to the shortlist."""
+    filtered to the shortlist.
+
+    Cites /root/reference scope: no vector surface there; completes
+    the ANN read path (candidates → exact order)."""
     if k < 1:
         raise ValueError(f"nn_rerank_exact: k must be >= 1, got {k}")
     if metric not in ("cosine", "l2"):
@@ -2304,7 +2313,10 @@ def ann_index_dup_hits(
 
     Scale shape: one :func:`ivf_pq_nn_join` (broadcast routing + DPP,
     index never shuffles) + candidate-bounded joins; nothing touches
-    more than nprobe/|C| of the codes."""
+    more than nprobe/|C| of the codes.
+
+    Cites /root/reference scope: no vector surface there; the ANN
+    twin of the MinHash ``dedup.dedup_batch_against_index``."""
     if (max_l2 is None) == (min_cosine is None):
         raise ValueError(
             "ann_index_dup_hits: set exactly one of max_l2 (approximate "
