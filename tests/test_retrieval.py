@@ -1377,3 +1377,91 @@ def test_bpe_apply_arrow_kernel_equivalence(spark):
         bpe_apply_arrow(docs, "text", [("a", "<")])
     with pt.raises(ValueError, match="already exists"):
         bpe_apply_arrow(docs, "text", [], out_col="text")
+
+
+def test_fuse_rankings_rrf_and_borda(spark, oracle):
+    """Rank fusion: RRF equals a hand-computed fixed-order fold (and a
+    DuckDB list_sort+list_reduce mirror to the last bit), Borda is
+    exact integers with per-list caps, duplicate rows within one
+    system keep their best rank, singleton fusion preserves order,
+    the top-k cut binds, and guards raise (bad method, empty list,
+    rank 0 in-plan)."""
+    import pytest as pt
+
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        fuse_rankings,
+    )
+
+    r1 = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3), (40, 4)], "doc_id long, rank long"
+    )
+    r2 = spark.createDataFrame(
+        [(30, 1), (10, 2), (50, 3)], "doc_id long, rank long"
+    )
+    out = {
+        r["doc_id"]: (r["score"], r["rank"])
+        for r in fuse_rankings([r1, r2], k0=60).collect()
+    }
+    # fixed-order fold: sys 0 term then sys 1 term
+    want = {
+        10: (1.0 / 61) + (1.0 / 62),
+        20: 1.0 / 62,
+        30: (1.0 / 63) + (1.0 / 61),
+        40: 1.0 / 64,
+        50: 1.0 / 63,
+    }
+    for d, s in want.items():
+        assert out[d][0] == s, d
+    assert [d for d, v in sorted(out.items(), key=lambda kv: kv[1][1])] == [
+        10, 30, 20, 50, 40
+    ]
+    # DuckDB mirror of the same fold (bit parity)
+    mirror = dict(oracle.execute("""
+        WITH pairs(doc_id, sys, rk) AS (VALUES
+          (10, 0, 1), (20, 0, 2), (30, 0, 3), (40, 0, 4),
+          (30, 1, 1), (10, 1, 2), (50, 1, 3)),
+        l AS (
+          SELECT doc_id, list_sort(list({'__sys': sys, '__rk': rk})) AS xs
+          FROM pairs GROUP BY doc_id)
+        SELECT doc_id, list_reduce(
+          list_prepend(0.0::DOUBLE,
+            list_transform(xs, x -> 1.0::DOUBLE / (60 + x.__rk))),
+          (acc, v) -> acc + v) AS score
+        FROM l
+    """).fetchall())
+    for d in want:
+        assert out[d][0] == mirror[d], d
+    # borda: caps are per-list max ranks (4 and 3)
+    borda = {
+        r["doc_id"]: r["score"]
+        for r in fuse_rankings([r1, r2], method="borda").collect()
+    }
+    assert borda == {
+        10: (4 + 1 - 1) + (3 + 1 - 2),   # 4 + 2 = 6
+        20: 3,
+        30: (4 + 1 - 3) + (3 + 1 - 1),   # 2 + 3 = 5
+        40: 1,
+        50: 1,
+    }
+    # duplicate rows in one system keep the BEST rank, not both votes
+    dup = spark.createDataFrame(
+        [(10, 3), (10, 1), (20, 2)], "doc_id long, rank long"
+    )
+    got_dup = {
+        r["doc_id"]: r["score"]
+        for r in fuse_rankings([dup], k0=60).collect()
+    }
+    assert got_dup == {10: 1.0 / 61, 20: 1.0 / 62}
+    # singleton fusion preserves the input order; k cuts
+    solo = fuse_rankings([r1], k=2).collect()
+    assert [(r["doc_id"], r["rank"]) for r in sorted(
+        solo, key=lambda r: r["rank"])] == [(10, 1), (20, 2)]
+    # guards
+    with pt.raises(ValueError, match="method must be"):
+        fuse_rankings([r1], method="mean")
+    with pt.raises(ValueError, match="at least one"):
+        fuse_rankings([])
+    with pt.raises(Exception, match="ranks must be >= 1"):
+        fuse_rankings(
+            [spark.createDataFrame([(1, 0)], "doc_id long, rank long")]
+        ).collect()

@@ -125,6 +125,106 @@ def bm25_topk(
     )
 
 
+def fuse_rankings(
+    rankings: "list[DataFrame]",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    method: str = "rrf",
+    k0: int = 60,
+    k: int | None = None,
+) -> DataFrame:
+    """``(id, score, rank)`` — fuse N ranked SHORTLISTS into one
+    consensus ranking: reciprocal rank fusion (``method='rrf'``,
+    Cormack et al. 2009 — score = Σ_i 1/(k0 + rank_i), robust to
+    incomparable underlying scores) or Borda counting
+    (``method='borda'`` — score = Σ_i (|list_i| + 1 − rank_i), exact
+    INTEGERS). The hybrid-retrieval move: fuse ``bm25_topk``'s lexical
+    ranks with an ANN shortlist's vector ranks (or several dedup
+    candidate generators) without calibrating their score scales.
+
+    Engine-exact discipline: ranks are integers; Borda scores are
+    integer sums; RRF terms are exact-rounded double divisions folded
+    in FIXED system order (per doc: sort the (system, rank) pairs,
+    left-fold) — deterministic under any partitioning and expressible
+    verbatim in a SQL oracle (list_sort + list_reduce). Final order:
+    score desc, id asc; ``rank`` is dense 1..n. A doc appearing twice
+    in ONE system keeps its best (minimum) rank — duplicate rows must
+    not double-vote. Ranks must be >= 1 (raises in-plan).
+
+    Scale shape: inputs are top-k SHORTLISTS (tens to thousands of
+    rows), not corpora — the final consensus sort is a single-stage
+    global sort over Σ|list_i| rows by design; fusing corpus-sized
+    rankings is a different problem (use the underlying scores).
+
+    Cites /root/reference scope: no retrieval surface there; the
+    fusion face of the engine's retrieval family."""
+    if method not in ("rrf", "borda"):
+        raise ValueError(
+            f"fuse_rankings: method must be 'rrf' or 'borda', got {method!r}"
+        )
+    if not rankings:
+        raise ValueError("fuse_rankings: need at least one ranking")
+    if k0 < 1:
+        raise ValueError(f"fuse_rankings: k0 must be >= 1, got {k0}")
+    from functools import reduce as _reduce
+
+    from pyspark.sql import Window
+
+    guard = (
+        "CASE WHEN __rk IS NULL OR __rk < 1 THEN "
+        "cast(raise_error('fuse_rankings: ranks must be >= 1 and "
+        "non-NULL') as long) ELSE __rk END"
+    )
+    parts = []
+    for i, r in enumerate(rankings):
+        parts.append(
+            r.select(
+                qcol(id_col).alias("__id"),
+                F.lit(i).alias("__sys"),
+                qcol(rank_col).cast("long").alias("__rk"),
+            ).selectExpr("__id", "__sys", f"{guard} AS __rk")
+        )
+    u = _reduce(lambda a, b: a.unionByName(b), parts)
+    best = u.groupBy("__id", "__sys").agg(F.min("__rk").alias("__rk"))
+    if method == "borda":
+        caps = {
+            int(row["__sys"]): int(row["m"])
+            for row in best.groupBy("__sys").agg(
+                F.max("__rk").alias("m")
+            ).collect()
+        }
+        cap_expr = F.create_map(
+            *[x for sy, m in sorted(caps.items())
+              for x in (F.lit(sy), F.lit(m))]
+        )
+        scored = (
+            best.withColumn(
+                "__pts", cap_expr[F.col("__sys")] + 1 - F.col("__rk")
+            )
+            .groupBy("__id")
+            .agg(F.sum("__pts").cast("long").alias("score"))
+        )
+        order = [F.col("score").desc(), F.col("__id").asc()]
+    else:
+        scored = (
+            best.groupBy("__id")
+            .agg(F.collect_list(F.struct("__sys", "__rk")).alias("__l"))
+            .selectExpr(
+                "__id",
+                f"aggregate(array_sort(__l), 0.0D, "
+                f"(acc, x) -> acc + 1.0D / ({k0} + x.__rk)) AS score",
+            )
+        )
+        order = [F.col("score").desc(), F.col("__id").asc()]
+    w = Window.orderBy(*order)
+    out = scored.withColumn("rank", F.row_number().over(w))
+    if k is not None:
+        if k < 1:
+            raise ValueError(f"fuse_rankings: k must be >= 1, got {k}")
+        out = out.filter(F.col("rank") <= k)
+    return out.select(F.col("__id").alias(id_col), "score", "rank")
+
+
 def build_unigram_model(src: DataFrame, text_col: str = "text") -> DataFrame:
     """(term, count) — the persistable reference-model artifact for
     ``unigram_perplexity(model_counts=...)`` (and the unigram half of
