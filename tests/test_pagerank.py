@@ -205,3 +205,60 @@ def test_personalized_matches_python_model_exactly(spark):
             nodes, edges,
             seeds=spark.createDataFrame([(999,)], "id long"),
         )
+
+
+def test_personalized_duckdb_mirror_oracle_ready(spark, oracle):
+    """Oracle-readiness for a future driver slot: the seeded integer
+    arithmetic unrolls to DuckDB CTE rounds exactly like the pagerank
+    driver row's oracle — seed-conditional teleport and dangling
+    redistribution — and matches the Spark ranks unit-for-unit on the
+    shared fixture graph (seeds {3, 4}, 10 rounds)."""
+    from web_api_postgres_etl_spark.operators.graph import pagerank
+
+    nodes, edges = _frames(spark)
+    seeds = spark.createDataFrame([(3,), (4,)], "id long")
+    got = {
+        r["id"]: r["rank_units"]
+        for r in pagerank(nodes, edges, seeds=seeds).collect()
+    }
+    seed_sql = "(3, 4)"
+    ns = 2
+    teleport = ((1000 - 850) * M) // (1000 * ns)
+    vals_nodes = ", ".join(f"({v})" for v in NODES)
+    vals_edges = ", ".join(f"({s}, {d})" for s, d in GRAPH)
+    ctes = [
+        f"nodes0(id) AS (VALUES {vals_nodes})",
+        f"edges0(src, dst) AS (VALUES {vals_edges})",
+        "outdeg AS (SELECT src AS id, COUNT(*) AS deg FROM edges0"
+        " GROUP BY src)",
+        "base AS (SELECT n.id AS id, o.deg AS deg FROM nodes0 n"
+        " LEFT JOIN outdeg o ON n.id = o.id)",
+        f"r0 AS (SELECT b.id, b.deg, CASE WHEN b.id IN {seed_sql}"
+        f" THEN {M // ns} ELSE 0 END AS r FROM base b)",
+    ]
+    for k in range(10):
+        ctes.append(
+            f"d{k} AS (SELECT COALESCE(SUM(r), 0) AS s FROM r{k}"
+            " WHERE deg IS NULL)"
+        )
+        ctes.append(
+            f"i{k} AS (SELECT e.dst AS id, SUM(r.r // r.deg) AS s"
+            f" FROM edges0 e JOIN r{k} r ON e.src = r.id"
+            " WHERE r.deg IS NOT NULL GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{k + 1} AS (SELECT b.id, b.deg,"
+            f" (CASE WHEN b.id IN {seed_sql} THEN {teleport} ELSE 0 END)"
+            f" + ((850 * (COALESCE(x.s, 0)"
+            f" + (CASE WHEN b.id IN {seed_sql} THEN dd.s // {ns}"
+            f" ELSE 0 END))) // 1000) AS r"
+            f" FROM base b CROSS JOIN d{k} dd"
+            f" LEFT JOIN i{k} x ON b.id = x.id)"
+        )
+    sql = (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT CAST(id AS BIGINT) AS id,"
+        " CAST(r AS BIGINT) AS rank_units FROM r10"
+    )
+    want = dict(oracle.execute(sql).fetchall())
+    assert got == want

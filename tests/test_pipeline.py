@@ -836,9 +836,23 @@ def test_cli_annindex_lifecycle(spark, tmp_path, capsys):
         for c in st2["clusters"]
     )
 
+    # recall: the CLI face of ann_recall_at_k over the same query
+    # table — mean recall well-defined, per-query hits in [0, k]
+    assert main(
+        common + ["recall", "--queries", qtab, "--corpus", corpus,
+                  "--k", "5"],
+        spark=spark,
+    ) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["queries"] == spark.read.parquet(qtab).count()
+    assert 0.0 <= rec["mean_recall"] <= 1.0
+    assert all(0 <= p["n_hits"] <= 5 for p in rec["per_query"])
+
     # guards: missing required operand exits via SystemExit
     import pytest as _pt
     with _pt.raises(SystemExit):
         main(["annindex", "build", "--index", idx], spark=spark)
     with _pt.raises(SystemExit):
         main(["annindex", "nnjoin", "--index", idx], spark=spark)
+    with _pt.raises(SystemExit):
+        main(["annindex", "recall", "--index", idx], spark=spark)

@@ -85,7 +85,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     pa = sub.add_parser("annindex")
     pa.add_argument("action",
                     choices=("build", "append", "probe", "nnjoin",
-                             "compact", "stats"),
+                             "compact", "stats", "recall"),
                     help="IVF-PQ index lifecycle: build (train sidecars + "
                          "write the code table), append (frozen-sidecar "
                          "ingest), probe (partition-pruned ADC top-k), "
@@ -93,7 +93,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                          "— per-query ADC top-k written to --out), "
                          "compact (per-partition small-file rewrite), "
                          "stats (per-cluster rows/files; + reconstruction "
-                         "error when --corpus is given)")
+                         "error when --corpus is given), recall (per-query "
+                         "recall@k vs the exact L2 top-k — needs --queries "
+                         "(a bounded sample) and --corpus)")
     pa.add_argument("--index", required=True, help="index path")
     pa.add_argument("--corpus", default=None,
                     help="build: parquet of (id, embedding)")
@@ -344,6 +346,36 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     "queries": written.select(
                         args.query_id_col
                     ).distinct().count(),
+                }))
+            elif args.action == "recall":
+                if not args.queries or not args.corpus:
+                    raise SystemExit(
+                        "annindex recall needs --queries (a bounded "
+                        "sample) and --corpus"
+                    )
+                from .operators.similarity import ann_recall_at_k
+
+                rows = ann_recall_at_k(
+                    spark.read.parquet(args.queries), args.index,
+                    spark.read.parquet(args.corpus),
+                    k=args.k, nprobe=args.nprobe,
+                    query_id_col=args.query_id_col,
+                    query_vec_col=args.ann_vec_col,
+                    id_col=args.ann_id_col, vec_col=args.ann_vec_col,
+                ).collect()
+                n = len(rows)
+                print(json.dumps({
+                    "index": args.index,
+                    "k": args.k,
+                    "nprobe": args.nprobe,
+                    "queries": n,
+                    "mean_recall": (
+                        sum(r["recall"] for r in rows) / n if n else None
+                    ),
+                    "per_query": [
+                        {"query_id": r[0], "n_hits": r[1],
+                         "recall": r[2]} for r in rows
+                    ],
                 }))
             elif args.action == "stats":
                 from .operators.similarity import ivf_pq_index_stats
