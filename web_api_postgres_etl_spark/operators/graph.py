@@ -246,9 +246,10 @@ def pagerank(
                     + (d · (inflow(v) + [v∈S]·(dangling div |S|))) div 1000
 
     ``seeds = all nodes`` reduces EXACTLY to plain PageRank (same
-    floor divisions, same constants — pinned in tests). Seeds outside
-    the node universe are dropped (the universe contract); an empty
-    effective seed set raises.
+    floor divisions, same constants — pinned in tests). ``seeds`` must
+    carry the id under the SAME ``node_id`` column name as ``nodes``;
+    seeds outside the node universe are dropped (the universe
+    contract); an empty effective seed set raises.
 
     Floating-point PageRank is reduction-order-dependent (the inflow
     sum), so two engines — or two partitionings of one engine — drift

@@ -2069,6 +2069,8 @@ def ivf_pq_nn_join(
     read path."""
     if k < 1 or nprobe < 1:
         raise ValueError(f"need k >= 1, nprobe >= 1, got k={k} nprobe={nprobe}")
+    from pyspark.sql import Window
+
     spark = queries.sparkSession
     cents = _read_ivf_centroids(spark, path)
     if not cents:
@@ -2120,8 +2122,6 @@ def ivf_pq_nn_join(
             f"{nprobe})) AS __pr",
         ).select("__qid", "__qv", F.col("__pr.c").alias("cluster"))
     else:
-        from pyspark.sql import Window
-
         cdf = spark.createDataFrame(
             [(int(cid), [float(x) for x in cv], _py_norm(cv))
              for cid, cv in cents],
@@ -2143,8 +2143,6 @@ def ivf_pq_nn_join(
             .select("__qid", "__qv", F.col("cid").alias("cluster"))
         )
     # ---- PRUNE-BY-JOIN + ADC + RANK
-    from pyspark.sql import Window
-
     codes = spark.read.parquet(path).filter(qcol(code_col).isNotNull())
     rhs = F.broadcast(routed) if broadcast_queries else routed
     pairs = codes.join(rhs, "cluster")
