@@ -1465,3 +1465,178 @@ def test_fuse_rankings_rrf_and_borda(spark, oracle):
         fuse_rankings(
             [spark.createDataFrame([(1, 0)], "doc_id long, rank long")]
         ).collect()
+
+
+def _py_bucket(feat: str, salt: str, buckets: int) -> int:
+    import hashlib
+
+    h = hashlib.md5(f"{salt}#{feat}".encode()).hexdigest()
+    return int(h[:13], 16) % buckets
+
+
+def _py_feats(text: str) -> list:
+    import re as _re
+
+    toks = [t for t in _re.sub(
+        r"[^a-z0-9\s]", " ", (text or "").lower()).split() if t]
+    return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+def test_dsir_logratio_hashed_python_twin_and_totality(spark):
+    """The hashed variant against a literal Python twin (md5 buckets,
+    fixed-dimension smoothing, unigram+bigram features): exact values
+    at 2e-6 for every doc, positive for target-like docs, feature-less
+    and NULL docs total at (0, NULL, NULL), and the empty-model
+    degrade rule."""
+    import math as m
+
+    import pytest as pt
+
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        build_hashed_ngram_model,
+        dsir_logratio_hashed,
+    )
+
+    B, A, SALT = 64, 0.5, "dsir-h"
+    target = spark.createDataFrame(
+        [(1, "physics energy physics quantum")], "doc_id long, text string"
+    )
+    raw = spark.createDataFrame(
+        [(1, "recipe sugar flour recipe")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "physics quantum energy"),
+            (2, "sugar flour"),
+            (3, "!!!"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    tc = build_hashed_ngram_model(target, buckets=B)
+    rc = build_hashed_ngram_model(raw, buckets=B)
+    got = {
+        r["doc_id"]: (r["n_features"], r["log_ratio"])
+        for r in dsir_logratio_hashed(
+            docs, tc, raw_counts=rc, buckets=B
+        ).collect()
+    }
+
+    def counts(text):
+        out: dict = {}
+        for f in _py_feats(text):
+            b = _py_bucket(f, SALT, B)
+            out[b] = out.get(b, 0) + 1
+        return out
+
+    ct, cr = counts(target.first()["text"]), counts(raw.first()["text"])
+    nt, nr = sum(ct.values()), sum(cr.values())
+    dt, dr = nt + A * B, nr + A * B
+
+    def score(text):
+        fs = _py_feats(text)
+        if not fs:
+            return (0, None)
+        s = 0.0
+        for f in fs:
+            b = _py_bucket(f, SALT, B)
+            s += m.log((ct.get(b, 0) + A) / dt) - m.log(
+                (cr.get(b, 0) + A) / dr
+            )
+        return (len(fs), round(s, 6))
+
+    for d, text in [(1, "physics quantum energy"), (2, "sugar flour"),
+                    (3, "!!!"), (4, None)]:
+        n, lr = score(text)
+        assert got[d][0] == n, d
+        if lr is None:
+            assert got[d][1] is None, d
+        else:
+            assert got[d][1] == pt.approx(lr, abs=2e-6), d
+    assert got[1][1] > 0 > got[2][1]   # the selection signal
+    # empty model degrades to NULL (totality)
+    empty = build_hashed_ngram_model(
+        spark.createDataFrame([(1, "!!!")], "doc_id long, text string"),
+        buckets=B,
+    )
+    degraded = dsir_logratio_hashed(
+        docs, empty, raw_counts=rc, buckets=B
+    ).collect()
+    assert {r["log_ratio"] for r in degraded} == {None}
+    with pt.raises(ValueError, match="buckets must be >= 2"):
+        build_hashed_ngram_model(docs, buckets=1)
+
+
+def test_dsir_logratio_hashed_duckdb_mirror(spark, oracle):
+    """Full-corpus parity: the hashed pipeline (md5 buckets, bigram
+    features, fixed-dimension smoothing) mirrored in DuckDB on sf0.01
+    en-vs-rest at 2e-6 — the whole construction is portable SQL."""
+    import pytest as pt
+
+    from pyspark.sql import functions as F
+
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        build_hashed_ngram_model,
+        dsir_logratio_hashed,
+    )
+
+    B = 4096
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    tc = build_hashed_ngram_model(docs.filter(F.col("lang") == "en"), buckets=B)
+    rc = build_hashed_ngram_model(docs.filter(F.col("lang") != "en"), buckets=B)
+    got = {
+        r["doc_id"]: (r["n_features"], r["log_ratio"])
+        for r in dsir_logratio_hashed(
+            docs, tc, raw_counts=rc, buckets=B
+        ).collect()
+    }
+    want = {
+        row[0]: (row[1], row[2])
+        for row in oracle.execute(f"""
+        WITH t AS (
+          SELECT doc_id, lang, list_filter(regexp_split_to_array(trim(
+            regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '),
+            x -> x <> '') AS toks
+          FROM documents),
+        f AS (
+          SELECT doc_id, lang, unnest(
+            list_concat(toks,
+              CASE WHEN len(toks) >= 2 THEN
+                list_transform(generate_series(2, len(toks)),
+                  i -> toks[i-1] || ' ' || toks[i])
+              ELSE [] END)) AS feat
+          FROM t),
+        fb AS (
+          SELECT doc_id, lang,
+            CAST(('0x' || substr(md5('dsir-h#' || feat), 1, 13))
+              AS BIGINT) % {B} AS b
+          FROM f),
+        tm AS (SELECT b, COUNT(*) AS c FROM fb WHERE lang = 'en' GROUP BY 1),
+        rm AS (SELECT b, COUNT(*) AS c FROM fb WHERE lang <> 'en' GROUP BY 1),
+        ts AS (SELECT COALESCE(SUM(c), 0) + 0.5 * {B} AS d FROM tm),
+        rs AS (SELECT COALESCE(SUM(c), 0) + 0.5 * {B} AS d FROM rm),
+        delta AS (
+          SELECT fb.doc_id,
+                 ln((COALESCE(tm.c, 0) + 0.5) / ts.d)
+                 - ln((COALESCE(rm.c, 0) + 0.5) / rs.d) AS d
+          FROM fb
+          LEFT JOIN tm ON fb.b = tm.b
+          LEFT JOIN rm ON fb.b = rm.b
+          CROSS JOIN ts CROSS JOIN rs)
+        SELECT t.doc_id,
+               CAST(CASE WHEN len(t.toks) >= 2
+                    THEN 2 * len(t.toks) - 1
+                    ELSE len(t.toks) END AS INT) AS n_features,
+               round(SUM(delta.d), 6) AS log_ratio
+        FROM t LEFT JOIN delta ON t.doc_id = delta.doc_id
+        GROUP BY t.doc_id, t.toks
+        """).fetchall()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k][0] == want[k][0], k
+        if want[k][1] is None:
+            assert got[k][1] is None, k
+        else:
+            assert got[k][1] == pt.approx(want[k][1], abs=2e-6), k

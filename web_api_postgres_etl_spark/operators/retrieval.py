@@ -225,6 +225,181 @@ def fuse_rankings(
     return out.select(F.col("__id").alias(id_col), "score", "rank")
 
 
+def _hashed_feature_buckets(
+    frame: DataFrame, text_col, buckets: int, salt: str
+) -> DataFrame:
+    """One row per (source row, feature bucket): unigram + adjacent
+    bigram features of the normalized tokens, each hashed to a bucket
+    via the sampling family's portable md5 key (13 hex chars → BIGINT,
+    replicable in any engine with md5) mod ``buckets``. Token arrays
+    are BOUND to a column before the bigram HOF reads them twice (the
+    inline-subtree trap). Carries every non-feature column through."""
+    from .sampling import _md5_key
+
+    bound = frame.withColumn("__t", normalized_tokens(text_col))
+    feats = bound.withColumn(
+        "__feat",
+        F.explode_outer(
+            F.concat(
+                F.col("__t"),
+                F.when(
+                    F.size("__t") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(2), F.size("__t")),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(F.col("__t"), i - 1),
+                            F.element_at(F.col("__t"), i),
+                        ),
+                    ),
+                ).otherwise(F.expr("CAST(array() AS array<string>)")),
+            )
+        ),
+    )
+    return feats.withColumn(
+        "__bucket",
+        F.when(
+            F.col("__feat").isNotNull(),
+            F.pmod(_md5_key(F.col("__feat"), salt, 13), F.lit(buckets)),
+        ),
+    ).drop("__t", "__feat")
+
+
+def build_hashed_ngram_model(
+    src: DataFrame,
+    text_col: str = "text",
+    buckets: int = 16384,
+    salt: str = "dsir-h",
+) -> DataFrame:
+    """(bucket, count) — the persistable HASHED n-gram model for
+    :func:`dsir_logratio_hashed` (Xie et al. 2023's actual feature
+    space: unigrams + bigrams hashed into a FIXED-dimension bag, which
+    makes the two corpora's models directly comparable regardless of
+    vocabulary size — the caveat the raw-unigram variant documents).
+    One explode + one map-side-combining (bucket, count) shuffle;
+    bucket ids only, never text. ``salt``/``buckets`` are part of the
+    model identity — score with the SAME values or the buckets will
+    not line up (persist them alongside the parquet)."""
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    return (
+        _hashed_feature_buckets(
+            src.select(qcol(text_col).alias("__txt")), "__txt",
+            buckets, salt,
+        )
+        .filter(F.col("__bucket").isNotNull())
+        .groupBy(F.col("__bucket").alias("bucket"))
+        .agg(F.count("*").alias("count"))
+    )
+
+
+def dsir_logratio_hashed(
+    df: DataFrame,
+    target_counts: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    raw_counts: DataFrame | None = None,
+    buckets: int = 16384,
+    alpha: float = 0.5,
+    salt: str = "dsir-h",
+    cache_model: bool = True,
+    pins: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Per-document DSIR importance signal over HASHED n-gram features
+    — the paper-faithful form of :func:`dsir_logratio` (Xie et al.
+    2023 §2: unigram+bigram features hashed into a fixed ``buckets``-
+    dimensional bag): ``(id, n_features, log_ratio, avg_log_ratio)``
+    with ``log_ratio`` = Σ over the document's features of
+    ``ln p_target(b) − ln p_raw(b)`` under two add-``alpha`` smoothed
+    models over the SAME fixed bucket space.
+
+    Because the dimension is FIXED, smoothing uses it directly —
+    ``lp(b) = ln((c_b + α) / (N + α·buckets))`` — so the two models
+    are comparable regardless of how different the corpora's
+    vocabularies are (the raw-unigram variant's documented caveat,
+    closed). A bucket absent from one model takes that model's
+    ``c_b = 0`` floor; hash collisions merge features into one
+    dimension (the standard hashing-trick trade — raise ``buckets``
+    to reduce them). Feature-less documents score NULL (total); an
+    empty model degrades every score to NULL rather than raising
+    (the LM-gate totality rule). ``target_counts``/``raw_counts`` are
+    :func:`build_hashed_ngram_model` tables and MUST have been built
+    with the same ``buckets``/``salt``.
+
+    Scale shape: identical to the unigram variant — two (bucket,
+    count) tables, two 1-row N collects, ONE full-outer bucket join,
+    one (id, bucket) explode + bucket join + per-doc aggregate; bucket
+    ids (longs) shuffle, never text. The md5 bucket key is the
+    sampling family's portable construction, so the whole pipeline is
+    expressible verbatim in a SQL oracle.
+
+    Cites /root/reference scope: no selection surface there; closes
+    the quality family's importance-resampling signal in the paper's
+    own feature space."""
+    if raw_counts is None:
+        raw_counts = build_hashed_ngram_model(df, text_col, buckets, salt)
+    t = target_counts.select("bucket", F.col("count").alias("__ct"))
+    r = raw_counts.select("bucket", F.col("count").alias("__cr"))
+    if cache_model:
+        t, r = t.persist(), r.persist()
+    nt = int(t.agg(F.coalesce(F.sum("__ct"), F.lit(0))).first()[0])
+    nr = int(r.agg(F.coalesce(F.sum("__cr"), F.lit(0))).first()[0])
+    if nt == 0 or nr == 0:
+        if cache_model:
+            t.unpersist()
+            r.unpersist()
+        return df.select(
+            qcol(id_col).alias(id_col),
+            F.lit(0).cast("int").alias("n_features"),
+            F.lit(None).cast("double").alias("log_ratio"),
+            F.lit(None).cast("double").alias("avg_log_ratio"),
+        )
+    if cache_model and pins is not None:
+        pins.extend([t, r])
+    dt = float(nt) + alpha * buckets
+    dr = float(nr) + alpha * buckets
+    oov_t, oov_r = math.log(alpha / dt), math.log(alpha / dr)
+    ratio = t.join(r, on="bucket", how="full_outer").select(
+        "bucket",
+        (
+            F.coalesce(
+                F.log((F.col("__ct") + F.lit(alpha)) / F.lit(dt)),
+                F.lit(oov_t),
+            )
+            - F.coalesce(
+                F.log((F.col("__cr") + F.lit(alpha)) / F.lit(dr)),
+                F.lit(oov_r),
+            )
+        ).alias("__d"),
+    )
+    both_oov = oov_t - oov_r
+    occ = _hashed_feature_buckets(
+        df.select(qcol(id_col).alias("__id"), qcol(text_col).alias("__txt")),
+        "__txt", buckets, salt,
+    ).select("__id", F.col("__bucket").alias("bucket"))
+    scored = occ.join(ratio, "bucket", "left").groupBy("__id").agg(
+        F.count("bucket").alias("n_features"),
+        F.sum(
+            F.when(
+                F.col("bucket").isNotNull(),
+                F.coalesce(F.col("__d"), F.lit(both_oov)),
+            )
+        ).alias("__lr"),
+        F.avg(
+            F.when(
+                F.col("bucket").isNotNull(),
+                F.coalesce(F.col("__d"), F.lit(both_oov)),
+            )
+        ).alias("__alr"),
+    )
+    return scored.select(
+        F.col("__id").alias(id_col),
+        F.col("n_features").cast("int").alias("n_features"),
+        F.round("__lr", 6).alias("log_ratio"),
+        F.round("__alr", 6).alias("avg_log_ratio"),
+    )
+
+
 def build_unigram_model(src: DataFrame, text_col: str = "text") -> DataFrame:
     """(term, count) — the persistable reference-model artifact for
     ``unigram_perplexity(model_counts=...)`` (and the unigram half of
