@@ -120,6 +120,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     pa.add_argument("--every", type=int, default=97)
     pa.add_argument("--iters", type=int, default=2)
     pa.add_argument("--target-mb", type=int, default=128)
+    pa.add_argument("--residual", action="store_true",
+                    help="build: quantize v - centroid(cluster) (the "
+                         "faiss-IVFPQ residual refinement; recorded in "
+                         "the _meta sidecar — every reader adapts)")
     pp = sub.add_parser("profile")
     pp.add_argument("--table", required=True, help="parquet path")
     pp.add_argument("--keys", default=None, help="comma-separated key columns")
@@ -290,6 +294,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     id_col=args.ann_id_col, vec_col=args.ann_vec_col,
                     every=args.every, max_centroids=args.centroids,
                     m=args.m, pq_k=args.pq_k, pq_iters=args.iters,
+                    residual=args.residual,
                 )
                 print(json.dumps({
                     "index": args.index,
@@ -297,6 +302,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     "clusters": len(cents),
                     "m": len(books),
                     "codes_per_subspace": [len(b) for b in books],
+                    "residual": bool(args.residual),
                 }))
             elif args.action == "append":
                 if not args.batch:
