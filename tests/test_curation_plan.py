@@ -669,3 +669,24 @@ def test_dsir_selection_stage(spark):
     on_ids = {r["doc_id"] for r in out_on.select("doc_id").collect()}
     assert 0 < len(on_ids) <= 25
     assert len(on_ids) < len(off_ids)
+
+    # hashed form (dsir_hashed_buckets): the paper-faithful feature
+    # space drives the same stage — a non-binding gate+draw is again a
+    # bit-identical NO-OP, proving the wiring end to end
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        build_hashed_ngram_model,
+    )
+
+    htarget = build_hashed_ngram_model(
+        train.filter(F.col("lang") == "en"), buckets=512
+    )
+    cfg_h = replace(
+        base_cfg, dsir_target_counts=htarget, dsir_hashed_buckets=512,
+        dsir_min_logratio=-1e9, dsir_sample_n=10_000,
+    )
+    h_rows = sorted(
+        tuple(r)
+        for r in prepare_training_data(train, bench, config=cfg_h)
+        .collect()
+    )
+    assert h_rows == off_rows

@@ -87,6 +87,13 @@ class CurationConfig:
     #   importance-resampling step (weighted_sample_exact_n)
     dsir_clamp: float = 5.0             # |log_ratio| clamp before exp
     dsir_salt: str = "dsir"             # md5-draw salt for the resample
+    dsir_hashed_buckets: int | None = None  # set → dsir_target_counts /
+    #   dsir_raw_counts are build_hashed_ngram_model tables (the
+    #   paper-faithful fixed-dimension feature space) and scoring runs
+    #   dsir_logratio_hashed with this bucket count (must match the
+    #   models'); None = raw-unigram dsir_logratio
+    dsir_hash_salt: str = "dsir-h"      # md5 feature-bucket salt (must
+    #   match the models')
     exact_substring_k: int | None = None   # ExactSubstr window (None = off)
     exact_substring_min_count: int = 2
     ngram_n: int = 8                    # decontamination gram width
@@ -396,11 +403,21 @@ def prepare_training_data(
         # PERSIST before scoring: scored derives from gated AND joins
         # back onto it (the 1c multi-consumer rule)
         gated = _pin(gated)
-        keep = dsir_logratio(
-            gated, cfg.dsir_target_counts, id_col=id_col,
-            text_col=text_col, raw_counts=cfg.dsir_raw_counts,
-            pins=pins,
-        ).select(id_col, "log_ratio")
+        if cfg.dsir_hashed_buckets is not None:
+            from ..operators.retrieval import dsir_logratio_hashed
+
+            keep = dsir_logratio_hashed(
+                gated, cfg.dsir_target_counts, id_col=id_col,
+                text_col=text_col, raw_counts=cfg.dsir_raw_counts,
+                buckets=int(cfg.dsir_hashed_buckets),
+                salt=cfg.dsir_hash_salt, pins=pins,
+            ).select(id_col, "log_ratio")
+        else:
+            keep = dsir_logratio(
+                gated, cfg.dsir_target_counts, id_col=id_col,
+                text_col=text_col, raw_counts=cfg.dsir_raw_counts,
+                pins=pins,
+            ).select(id_col, "log_ratio")
         if cfg.dsir_min_logratio is not None:
             keep = keep.filter(
                 F.col("log_ratio") >= float(cfg.dsir_min_logratio)
