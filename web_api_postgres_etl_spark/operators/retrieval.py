@@ -1137,8 +1137,10 @@ def bpe_apply(
 
     RULE-COUNT CAP: one plan chains at most ``_BPE_MAX_CHAIN`` (500)
     replaces — past that, Catalyst's expression tree blows up before
-    the data does (a trained tokenizer has ~30k rules). Larger rule
-    sets must pass ``chunk_size`` (≤ 500): rules then apply in order
+    the data does (a trained tokenizer has ~30k rules). For
+    tokenizer-real R prefer :func:`bpe_apply_arrow` (one Arrow-batched
+    map, rules as a rank dict — requires mined-order rules); the
+    in-plan escape is ``chunk_size`` (≤ 500): rules then apply in order
     in chunks of that size, with a LAZY ``localCheckpoint`` cutting
     lineage between chunks, so plan size is bounded by the chunk while
     the composed rewrite stays bit-identical to the single-shot
