@@ -598,6 +598,29 @@ def test_bpe_pack_stage(spark):
     off = prepare_training_data(train, bench, config=base_cfg)
     assert "n_bpe_tokens" not in off.columns
 
+    # tokenizer-real rule counts: past the chained-plan cap the stage
+    # switches to the Arrow kernel (mined-order rules by construction)
+    # — counts must equal a direct kernel recomputation
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        _BPE_MAX_CHAIN,
+        bpe_apply_arrow,
+    )
+
+    big: list = []
+    for ch in "abcdefghijklmnopqrstuvwxyz":
+        run = ch
+        for _ in range(24):
+            big.append((run, ch))
+            run = run + ch
+    assert len(big) > _BPE_MAX_CHAIN
+    out_big = prepare_training_data(
+        train, bench, config=replace(base_cfg, bpe_pack_rules=big)
+    )
+    chk2 = bpe_apply_arrow(out_big, "chunk_text", big, out_col="__re").select(
+        "n_bpe_tokens", F.size("__re").alias("__n")
+    ).collect()
+    assert chk2 and all(r["n_bpe_tokens"] == r["__n"] for r in chk2)
+
 
 def test_dsir_selection_stage(spark):
     """With dsir_target_counts set, the plan selects documents by DSIR

@@ -581,11 +581,24 @@ def prepare_training_data(
     token_col = "n_chunk_words"
     if cfg.bpe_pack_rules is not None:
         # pack on REAL subword counts: segment each chunk under the
-        # mined merge rules (one narrow map — R anchored replaces) and
-        # window on n_bpe_tokens instead of the word-count proxy
-        from ..operators.retrieval import bpe_apply
+        # mined merge rules and window on n_bpe_tokens instead of the
+        # word-count proxy. Up to the chained-plan cap the segmentation
+        # is one narrow map of anchored replaces; past it (tokenizer-
+        # real R) it switches to the Arrow kernel — sound here because
+        # the stage's rules are bpe_merge_rules output, i.e. MINED
+        # order by construction (the kernel's contract)
+        from ..operators.retrieval import (
+            _BPE_MAX_CHAIN,
+            bpe_apply,
+            bpe_apply_arrow,
+        )
 
-        with_split = bpe_apply(
+        seg = (
+            bpe_apply_arrow
+            if len(cfg.bpe_pack_rules) > _BPE_MAX_CHAIN
+            else bpe_apply
+        )
+        with_split = seg(
             with_split, "chunk_text", cfg.bpe_pack_rules, out_col="__bpe"
         ).withColumn("n_bpe_tokens", F.size("__bpe")).drop("__bpe")
         token_col = "n_bpe_tokens"
