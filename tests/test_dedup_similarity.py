@@ -2179,11 +2179,17 @@ def test_ivf_pq_residual_index_lifecycle(spark, tmp_path):
     (the point of residuals); probe ≡ nn join per query on the
     residual index (both subtract the routed centroid — exact L2 is
     preserved); append through the frozen sidecars INCLUDING the
-    _meta flag equals the one-shot rebuild code-for-code; a plain
-    index writes no _meta and old indexes read as plain."""
+    _meta flag equals the one-shot rebuild code-for-code; EVERY build
+    records its mode in _meta (r13 — a residual→plain rebuild at the
+    same path must overwrite the stale flag, or readers would score
+    the plain codes as residual ones); a sidecar-less pre-r12 index
+    reads as plain."""
     import os
+    import shutil
 
     from web_api_postgres_etl_spark.operators.similarity import (
+        _index_is_residual,
+        _read_index_meta,
         _read_ivf_centroids,
         ivf_pq_index_append,
         ivf_pq_index_stats,
@@ -2203,8 +2209,14 @@ def test_ivf_pq_residual_index_lifecycle(spark, tmp_path):
         vecs, res, every=30, max_centroids=32, m=4, pq_k=8,
         pq_iters=1, residual=True,
     )
-    assert not os.path.exists(plain + "_meta")
+    assert _read_index_meta(spark, plain).get("residual") == "false"
     assert os.path.exists(res + "_meta")
+    assert _index_is_residual(spark, res)
+    # sidecar-less (pre-r12) index reads as plain; the _meta read only
+    # swallows PATH_NOT_FOUND — other failures propagate (r13)
+    shutil.rmtree(plain + "_meta")
+    assert _read_index_meta(spark, plain) == {}
+    assert not _index_is_residual(spark, plain)
 
     def mean_err(path):
         rows = ivf_pq_index_stats(spark, path, corpus=vecs).collect()
@@ -2261,3 +2273,85 @@ def test_ivf_pq_residual_index_lifecycle(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_ivf_pq_rebuild_flips_residual_mode(spark, tmp_path):
+    """r13 regression (ADVICE): rebuilding with residual=False at a
+    path that previously held a RESIDUAL index must overwrite the
+    _meta sidecar — every reader (probe here) must score the new plain
+    codes plainly, bit-for-bit equal to a fresh plain build, instead
+    of silently subtracting centroids from the query."""
+    from web_api_postgres_etl_spark.operators.similarity import (
+        _index_is_residual,
+        ivf_pq_probe,
+        write_ivf_pq_index,
+    )
+
+    vecs = _clustered_unit_vecs(spark, n=160, n_clusters=8)
+    reb = str(tmp_path / "rebuilt")
+    fresh = str(tmp_path / "fresh")
+    kw = dict(every=19, max_centroids=8, m=4, pq_k=8, pq_iters=1)
+    write_ivf_pq_index(vecs, reb, residual=True, **kw)
+    assert _index_is_residual(spark, reb)
+    write_ivf_pq_index(vecs, reb, **kw)          # plain rebuild, same path
+    assert not _index_is_residual(spark, reb)
+    write_ivf_pq_index(vecs, fresh, **kw)
+    qv = [
+        float(x)
+        for x in vecs.filter("vec_id = 5").collect()[0]["embedding"]
+    ]
+    probe = lambda p: [  # noqa: E731
+        (r["vec_id"], r["adc_dist"])
+        for r in ivf_pq_probe(spark, p, qv, k=5, nprobe=3).collect()
+    ]
+    assert probe(reb) == probe(fresh)
+
+
+def test_residual_subtract_guards_dimension(spark, tmp_path):
+    """r13 regression (ADVICE): a wrong-dimension vector entering the
+    residual subtraction raises IN-PLAN instead of NULL-padding
+    through zip_with into silently corrupt codes (the plain path
+    raises for the same input via pq_encode's size guard)."""
+    import pytest
+
+    from web_api_postgres_etl_spark.operators.similarity import (
+        write_ivf_pq_index,
+    )
+
+    good = _clustered_unit_vecs(spark, n=160, n_clusters=8)
+    short = spark.range(1).selectExpr(
+        "10000 + id AS vec_id",
+        "array(1.0D, 0.0D) AS embedding",  # dim 2 vs corpus dim 32
+    )
+    with pytest.raises(Exception, match="dim"):
+        write_ivf_pq_index(
+            good.unionByName(short), str(tmp_path / "ix"),
+            every=19, max_centroids=8, m=4, pq_k=8, pq_iters=1,
+            residual=True,
+        )
+
+
+def test_ann_dup_hits_self_match_keeps_k_slots(spark, tmp_path):
+    """r13 regression (ADVICE): a replayed row's self-match must not
+    consume one of its k candidate slots — with k=1 a replayed batch
+    still finds its true nearest duplicate (the shortlist requests k+1
+    and re-ranks after dropping self)."""
+    from web_api_postgres_etl_spark.operators.similarity import (
+        ann_index_dup_hits,
+        write_ivf_pq_index,
+    )
+
+    vecs = _clustered_unit_vecs(spark, n=160, n_clusters=8)
+    path = str(tmp_path / "ix")
+    write_ivf_pq_index(
+        vecs, path, every=19, max_centroids=8, m=4, pq_k=8, pq_iters=1
+    )
+    # replay rows already in the index; every one has a same-cluster
+    # twin (n/n_clusters = 20 rows per planted direction)
+    batch = vecs.filter("vec_id < 16")
+    hits = ann_index_dup_hits(
+        batch, path, k=1, nprobe=3, max_l2=1e18
+    ).collect()
+    by_batch = {r["batch_id"]: r["index_id"] for r in hits}
+    assert len(by_batch) == 16, sorted(by_batch)  # k=1 still hits
+    assert all(b != i for b, i in by_batch.items())

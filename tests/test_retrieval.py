@@ -1443,6 +1443,25 @@ def test_fuse_rankings_rrf_and_borda(spark, oracle):
         40: 1,
         50: 1,
     }
+    # r13 (ADVICE): explicit list_sizes override the max-observed-rank
+    # caps — a gap-filtered shortlist keeps its documented |list_i|
+    # point scale (here r2 claims size 10, shifting every sys-1 term
+    # by +7); a length mismatch raises
+    borda_sz = {
+        r["doc_id"]: r["score"]
+        for r in fuse_rankings(
+            [r1, r2], method="borda", list_sizes=[4, 10]
+        ).collect()
+    }
+    assert borda_sz == {
+        10: (4 + 1 - 1) + (10 + 1 - 2),
+        20: 3,
+        30: (4 + 1 - 3) + (10 + 1 - 1),
+        40: 1,
+        50: 10 + 1 - 3,
+    }
+    with pt.raises(ValueError, match="list_sizes"):
+        fuse_rankings([r1, r2], method="borda", list_sizes=[4])
     # duplicate rows in one system keep the BEST rank, not both votes
     dup = spark.createDataFrame(
         [(10, 3), (10, 1), (20, 2)], "doc_id long, rank long"

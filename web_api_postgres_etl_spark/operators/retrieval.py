@@ -132,15 +132,23 @@ def fuse_rankings(
     method: str = "rrf",
     k0: int = 60,
     k: int | None = None,
+    list_sizes: "list[int] | None" = None,
 ) -> DataFrame:
     """``(id, score, rank)`` — fuse N ranked SHORTLISTS into one
     consensus ranking: reciprocal rank fusion (``method='rrf'``,
     Cormack et al. 2009 — score = Σ_i 1/(k0 + rank_i), robust to
     incomparable underlying scores) or Borda counting
-    (``method='borda'`` — score = Σ_i (|list_i| + 1 − rank_i), exact
-    INTEGERS). The hybrid-retrieval move: fuse ``bm25_topk``'s lexical
-    ranks with an ANN shortlist's vector ranks (or several dedup
-    candidate generators) without calibrating their score scales.
+    (``method='borda'`` — score = Σ_i (cap_i + 1 − rank_i), exact
+    INTEGERS). ``cap_i`` is system i's point scale: the explicit
+    ``list_sizes[i]`` when given (pass the true |list_i| when a
+    shortlist was pre-filtered and its best observed rank undersells
+    its length), else the system's MAX OBSERVED best-rank — the
+    max-rank convention (r13): for the dense 1..k shortlists the
+    operator is built for the two are identical, and the observed form
+    needs no out-of-band size plumbing. The hybrid-retrieval move:
+    fuse ``bm25_topk``'s lexical ranks with an ANN shortlist's vector
+    ranks (or several dedup candidate generators) without calibrating
+    their score scales.
 
     Engine-exact discipline: ranks are integers; Borda scores are
     integer sums; RRF terms are exact-rounded double divisions folded
@@ -184,15 +192,23 @@ def fuse_rankings(
                 qcol(rank_col).cast("long").alias("__rk"),
             ).selectExpr("__id", "__sys", f"{guard} AS __rk")
         )
+    if list_sizes is not None and len(list_sizes) != len(rankings):
+        raise ValueError(
+            f"fuse_rankings: list_sizes has {len(list_sizes)} entries "
+            f"for {len(rankings)} rankings"
+        )
     u = _reduce(lambda a, b: a.unionByName(b), parts)
     best = u.groupBy("__id", "__sys").agg(F.min("__rk").alias("__rk"))
     if method == "borda":
-        caps = {
-            int(row["__sys"]): int(row["m"])
-            for row in best.groupBy("__sys").agg(
-                F.max("__rk").alias("m")
-            ).collect()
-        }
+        if list_sizes is not None:
+            caps = {i: int(m) for i, m in enumerate(list_sizes)}
+        else:
+            caps = {
+                int(row["__sys"]): int(row["m"])
+                for row in best.groupBy("__sys").agg(
+                    F.max("__rk").alias("m")
+                ).collect()
+            }
         cap_expr = F.create_map(
             *[x for sy, m in sorted(caps.items())
               for x in (F.lit(sy), F.lit(m))]

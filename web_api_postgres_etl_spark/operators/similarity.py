@@ -1662,17 +1662,30 @@ def _subtract_centroid(
     broadcast join on the ``cluster`` column — the residual transform
     shared by the residual index's write, append, and stats paths
     (readers subtract on the QUERY side instead). Exact IEEE
-    subtraction elementwise; NULL vectors stay NULL."""
+    subtraction elementwise; NULL vectors stay NULL. A wrong-dimension
+    vector raises (r13): zip_with would otherwise NULL-pad it to
+    centroid length, slip past pq_encode's exact-size guard, and feed
+    NULL elements into the argmin fold — silently corrupt codes where
+    the plain path raises loudly."""
     spark = frame.sparkSession
     cdf = spark.createDataFrame(
         [(int(cid), [float(x) for x in cv]) for cid, cv in cents],
         "cluster int, __cent array<double>",
     )
+    v, c = _qident(vec_col), "__cent"
     return (
         frame.join(F.broadcast(cdf), "cluster")
         .withColumn(
             vec_col,
-            F.zip_with(vec_col, "__cent", lambda x, y: x - y),
+            F.expr(
+                f"CASE WHEN {v} IS NULL THEN NULL "
+                f"WHEN size({v}) <> size({c}) THEN "
+                f"cast(raise_error(concat("
+                f"'_subtract_centroid: vector dim ', "
+                f"cast(size({v}) as string), ' <> centroid dim ', "
+                f"cast(size({c}) as string))) as array<double>) "
+                f"ELSE zip_with({v}, {c}, (x, y) -> x - y) END"
+            ),
         )
         .drop("__cent")
     )
@@ -1680,14 +1693,21 @@ def _subtract_centroid(
 
 def _read_index_meta(spark, path: str) -> dict:
     """The optional ``_meta`` sidecar as a dict ({} when absent — a
-    pre-r12 index is a plain, non-residual one)."""
+    pre-r12 index is a plain, non-residual one). Only a MISSING sidecar
+    downgrades to {}: any other read failure (permissions, corrupt
+    footer) propagates, because silently treating a residual index as
+    plain would return wrong distances, not an error (r13)."""
+    from pyspark.errors import AnalysisException
+
     try:
         return {
             r["key"]: r["value"]
             for r in spark.read.parquet(path + "_meta").collect()
         }
-    except Exception:
-        return {}
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc):
+            return {}
+        raise
 
 
 def _index_is_residual(spark, path: str) -> bool:
@@ -1785,10 +1805,15 @@ def write_ivf_pq_index(
         [(s, c, cv) for s, book in enumerate(books) for c, cv in book],
         "sp int, code int, cvec array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(path + "_codebooks")
-    if residual:
-        spark.createDataFrame(
-            [("residual", "true")], "key string, value string"
-        ).coalesce(1).write.mode("overwrite").parquet(path + "_meta")
+    # ALWAYS record the mode (r13): a rebuild with residual=False at a
+    # path that previously held a residual index must overwrite the
+    # stale `residual=true` sidecar, or every reader (probe / nn join /
+    # append / stats) would silently treat the new plain codes as
+    # residual ones and return wrong distances.
+    spark.createDataFrame(
+        [("residual", "true" if residual else "false")],
+        "key string, value string",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "_meta")
     return cents, books
 
 
@@ -2440,10 +2465,14 @@ def ann_index_dup_hits(
     Self-matches (batch_id == index_id) are excluded: replayed batches
     — rows already appended to the index — must not mark themselves
     duplicates (ids are the identity, the vector family's rule; run
-    dedup BEFORE append in the ingest order). Candidate recall is
-    bounded by ``k`` per batch row and ``nprobe`` routing — a dup
-    whose index twin is outside the probed clusters or the top-k is
-    missed, exactly the IVF recall trade documented on the probe.
+    dedup BEFORE append in the ingest order). The shortlist requests
+    ``k+1`` from the index and re-ranks to ``k`` AFTER dropping the
+    self-match (r13), so a replayed row's self-hit never consumes one
+    of its k candidate slots — with k=1 a replayed batch still sees
+    its true nearest duplicate. Candidate recall is bounded by ``k``
+    per batch row and ``nprobe`` routing — a dup whose index twin is
+    outside the probed clusters or the top-k is missed, exactly the
+    IVF recall trade documented on the probe.
 
     Scale shape: one :func:`ivf_pq_nn_join` (broadcast routing + DPP,
     index never shuffles) + candidate-bounded joins; nothing touches
@@ -2467,15 +2496,23 @@ def ann_index_dup_hits(
         as_double_array(vec_col).alias("__bv"),
     )
     cands = ivf_pq_nn_join(
-        b, path, k=k, nprobe=nprobe,
+        b, path, k=k + 1, nprobe=nprobe,
         query_id_col="__bid", query_vec_col="__bv",
         id_col=index_id_col,
     ).filter(F.col("__bid") != qcol(index_id_col))
     if max_l2 is not None:
-        hits = cands.filter(F.col("adc_dist") <= float(max_l2)).select(
-            F.col("__bid").alias("batch_id"),
-            qcol(index_id_col).alias("index_id"),
-            F.col("adc_dist").alias("score"),
+        w = Window.partitionBy("__bid").orderBy(
+            F.col("adc_dist").asc(), qcol(index_id_col).asc()
+        )
+        hits = (
+            cands.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .filter(F.col("adc_dist") <= float(max_l2))
+            .select(
+                F.col("__bid").alias("batch_id"),
+                qcol(index_id_col).alias("index_id"),
+                F.col("adc_dist").alias("score"),
+            )
         )
         return hits
     rer = nn_rerank_exact(
