@@ -3827,6 +3827,94 @@ QUALIFY rank <= {_NN_JOIN_K}"""
     )
 
 
+_RERANK_K = 5
+
+
+def q_ann_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """The COMPLETE three-stage ANN production path as one driver row
+    (r13 per the r12 verdict #2): IVF-PQ routing + ADC shortlist
+    (ivf_pq_nn_join over the materialized index — stage 1+2, the
+    q_ivf_pq_nn_join plan verbatim, DPP/broadcast assertion included)
+    re-ranked EXACTLY over the true float vectors
+    (operators/similarity.py::nn_rerank_exact — stage 3): quantization
+    error decides the 10-candidate shortlist, the strict-fold cosine
+    decides the final top-5 order. The oracle composes the two
+    existing mirrors: the per-query ADC shortlist CTE chain re-scored
+    by the same fixed-order cosine fold — bit-for-bit, ties to the
+    smaller id.
+
+    Scale shape: stage 1+2 never shuffle the index (broadcast routed
+    queries + dynamic partition pruning); stage 3 is candidate-bounded
+    — ONE equi-join pulls |shortlist| float vectors out of the corpus,
+    and the final rank window partitions on the query id. At 100 TB
+    the corpus is touched once, filtered to the shortlist."""
+    import shutil
+    import tempfile
+
+    from web_api_postgres_etl_spark.operators.similarity import (
+        ivf_pq_nn_join,
+        nn_rerank_exact,
+        write_ivf_pq_index,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    root = tempfile.mkdtemp(prefix="wapeql_rerank_")
+    path = f"{root}/idx"
+    try:
+        write_ivf_pq_index(
+            emb, path, every=_PQ_EVERY, max_centroids=8,
+            m=_PQ_M, pq_k=_PQ_K, pq_iters=0,
+        )
+        queries = emb.filter(
+            (F.col("vec_id") % _PQ_EVERY == 3)
+            & F.col("embedding").isNotNull()
+            & (F.size("embedding") == _PQ_M * 16)
+        ).select(F.col("vec_id").alias("query_id"), "embedding")
+        cands = ivf_pq_nn_join(queries, path, k=_NN_JOIN_K, nprobe=2)
+        # the q_ivf_pq_nn_join scale assertion holds on the composed
+        # path too (explicit raise — survives python -O)
+        plan = cands._jdf.queryExecution().executedPlan().toString()
+        if "dynamicpruning" not in plan.lower() or "BroadcastHashJoin" not in plan:
+            raise RuntimeError(
+                "ann_rerank_topk stage 1+2 must broadcast-join with "
+                "dynamic partition pruning on cluster:\n" + plan
+            )
+        # checkpoint the SHORTLIST (queries × k rows), then the index
+        # dir can go; stage 3 reads only testdata parquet. Same
+        # localCheckpoint cluster caveat as q_cdc_table_apply.
+        cands = cands.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return nn_rerank_exact(
+        cands, emb, queries, k=_RERANK_K, metric="cosine",
+        query_id_col="query_id", id_col="vec_id",
+    )
+
+
+def _sql_ann_rerank_topk(dim: int = 64) -> str:
+    """Stage-3 mirror over the stage-1+2 mirror: the ivf_pq_nn_join
+    shortlist CTE chain (ADC rank <= k over probed clusters) re-scored
+    by the exact fixed-order cosine fold (`_cos_sql` ≡ the engine's
+    `_sql_cosine` left accumulation) and re-ranked per query —
+    score DESC, vec_id ASC, rank <= _RERANK_K."""
+    return f"""
+WITH shortlist AS ({_sql_ivf_pq_nn_join(dim)}),
+p AS (
+  SELECT s.query_id, s.vec_id,
+         {_cos_sql("qe.embedding", "ce.embedding")} AS score
+  FROM shortlist s
+  JOIN embeddings qe ON qe.vec_id = s.query_id
+  JOIN embeddings ce ON ce.vec_id = s.vec_id
+  WHERE qe.embedding IS NOT NULL AND ce.embedding IS NOT NULL)
+SELECT query_id, vec_id, score,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INT)
+         AS rank
+FROM p
+QUALIFY rank <= {_RERANK_K}
+"""
+
+
 def q_resample_rolling(spark: SparkSession, sf: str) -> DataFrame:
     """Time-series grid + forward-fill + trailing time-window rollups
     (operators/timeseries.py — the reference's daily price series,
@@ -4808,6 +4896,100 @@ def _sql_pagerank(iterations: int = _PR_ITERATIONS) -> str:
     )
 
 
+def q_pagerank_personalized(spark: SparkSession, sf: str) -> DataFrame:
+    """PERSONALIZED PageRank (operators/graph.py::pagerank with
+    seeds=) over the same customer–supplier trade graph as q_pagerank:
+    teleport AND dangling mass restart uniformly over the SEED set
+    (customers with c_custkey % 97 == 1 — ~1% of customers, the
+    known-good-documents shape of seed-based curation: propagate trust
+    from seeds through the graph, select by rank). Same pinned integer
+    mass units (M = 10^12, per-mille damping, floor divisions only) —
+    bit-identical in any engine and partitioning; the oracle is the
+    seed-conditional power iteration unrolled as one CTE chain, with
+    |S| and the teleport quotient computed IN SQL (data-dependent
+    seed count, unlike the fixture mirror in tests/test_pagerank.py)."""
+    from web_api_postgres_etl_spark.operators.graph import pagerank
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("c"),
+        (F.col("l_suppkey") * 2 + 1).alias("s"),
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    cust = _t(spark, sf, "customer")
+    nodes = (
+        cust.select((F.col("c_custkey") * 2).alias("id"))
+        .unionAll(
+            _t(spark, sf, "supplier").select(
+                (F.col("s_suppkey") * 2 + 1).alias("id")
+            )
+        )
+    )
+    seeds = cust.filter(F.col("c_custkey") % 97 == 1).select(
+        (F.col("c_custkey") * 2).alias("id")
+    )
+    return pagerank(
+        nodes, edges, iterations=_PR_ITERATIONS, seeds=seeds
+    ).select("id", "rank_units")
+
+
+def _sql_pagerank_personalized(iterations: int = _PR_ITERATIONS) -> str:
+    """Seed-conditional unrolled mirror of the personalized arithmetic
+    (graph.py::pagerank with seeds=): r0 = M // |S| on seeds else 0;
+    per round r' = [seed]·((150·M) // (1000·|S|)) + (850·(inflow +
+    [seed]·(dangling // |S|))) // 1000. |S| enters via one COUNT CTE —
+    DuckDB `//` and Spark `div` agree on nonnegative integers."""
+    M = 10**12
+    ctes = [
+        "nodes0 AS (SELECT c_custkey * 2 AS id FROM customer"
+        " UNION ALL SELECT s_suppkey * 2 + 1 AS id FROM supplier)",
+        "seeds AS (SELECT c_custkey * 2 AS id FROM customer"
+        " WHERE c_custkey % 97 = 1)",
+        "sn AS (SELECT COUNT(*) AS n FROM seeds)",
+        "pairs AS (SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey)",
+        "edges0 AS (SELECT c AS src, s AS dst FROM pairs"
+        " UNION ALL SELECT s AS src, c AS dst FROM pairs)",
+        "outdeg AS (SELECT src AS id, COUNT(*) AS deg FROM edges0"
+        " GROUP BY src)",
+        "base AS (SELECT n.id AS id, o.deg AS deg,"
+        " (s.id IS NOT NULL) AS sd FROM nodes0 n"
+        " LEFT JOIN outdeg o ON n.id = o.id"
+        " LEFT JOIN seeds s ON n.id = s.id)",
+        f"r0 AS (SELECT b.id, b.deg, b.sd,"
+        f" CASE WHEN b.sd THEN {M} // sn.n ELSE 0 END AS r"
+        " FROM base b CROSS JOIN sn)",
+    ]
+    for k in range(iterations):
+        ctes.append(
+            f"d{k} AS (SELECT COALESCE(SUM(r), 0) AS s FROM r{k}"
+            " WHERE deg IS NULL)"
+        )
+        ctes.append(
+            f"i{k} AS (SELECT e.dst AS id, SUM(r.r // r.deg) AS s"
+            f" FROM edges0 e JOIN r{k} r ON e.src = r.id"
+            " WHERE r.deg IS NOT NULL GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{k + 1} AS (SELECT b.id, b.deg, b.sd,"
+            f" (CASE WHEN b.sd THEN (150 * {M}) // (1000 * sn.n)"
+            f" ELSE 0 END)"
+            f" + ((850 * (COALESCE(x.s, 0)"
+            f" + CASE WHEN b.sd THEN dd.s // sn.n ELSE 0 END)) // 1000)"
+            f" AS r"
+            f" FROM base b CROSS JOIN sn CROSS JOIN d{k} dd"
+            f" LEFT JOIN i{k} x ON b.id = x.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT CAST(id AS BIGINT) AS id,"
+        f" CAST(r AS BIGINT) AS rank_units FROM r{iterations}"
+    )
+
+
 def q_cc_incremental_merge(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental connected-components maintenance (operators/graph.py::
     merge_components — the maintain-don't-recompute face of
@@ -5310,7 +5492,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # information); the probe ≡ in-memory-IVF equality stays pinned
         # in tests/test_oracle_parity.py::test_retired_contract_entries
         # and the partition-pruned read in tests/test_dedup_similarity.
-        "funnel": q_funnel,
+        # r13: funnel -> pagerank_personalized (funnel's staged
+        # min-aggregate subsequence shape stays driver-visible via
+        # t4_stateful_stream's per-user state and the scd2/window
+        # family; retired parity in tests/test_oracle_parity.py).
+        # pagerank_personalized is the r12 verdict's #1 ask: the
+        # seed-restart walk (seed-based curation — propagate trust
+        # from known-good docs) with |S| and the teleport quotient
+        # computed in-SQL, next to the plain pagerank row.
+        "pagerank_personalized": q_pagerank_personalized,
         "lsh_nn_join": q_lsh_nn_join,
         "simhash_near_dups": q_simhash_near_dups,
         # r10: event_transitions -> pq_adc_topk (the lag-window +
@@ -5332,7 +5522,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # asserted on the driver path.
         "ivf_pq_nn_join": q_ivf_pq_nn_join,
         # joins
-        "interval_join": q_interval_join,
+        # r13: interval_join -> ann_rerank_topk (the bucketed
+        # point-in-interval shape stays driver-visible via
+        # j7_asof_keyless's range buckets and resample_rolling's grid;
+        # retired parity in tests/test_oracle_parity.py).
+        # ann_rerank_topk is the r12 verdict's #2 ask: the full
+        # IVF-PQ → ADC shortlist → exact re-rank production path,
+        # driver-verified end-to-end rather than stage-by-stage.
+        "ann_rerank_topk": q_ann_rerank_topk,
         # r7: j2_two_way_join swapped out for resample_rolling — the
         # 2-way equi-join is a strict sub-plan of flagship_star_join
         # (still green); retired parity in tests/test_oracle_parity.py.
@@ -5468,11 +5665,11 @@ def oracle_sql() -> dict[str, str]:
         "data_recipe_mix": SQL_DATA_RECIPE_MIX,
         "incr_agg_merge": SQL_INCR_AGG_MERGE,
         "ivf_pq_probe_topk": _sql_ivf_pq_probe_topk(),
-        "funnel": SQL_FUNNEL,
+        "pagerank_personalized": _sql_pagerank_personalized(),
         "lsh_nn_join": SQL_LSH_NN_JOIN,
         "simhash_near_dups": SQL_SIMHASH,
         "ivf_pq_nn_join": _sql_ivf_pq_nn_join(),
-        "interval_join": SQL_INTERVAL,
+        "ann_rerank_topk": _sql_ann_rerank_topk(),
         "resample_rolling": SQL_RESAMPLE_ROLLING,
         "pagerank": _sql_pagerank(),
         "bloom_join_gate": _sql_bloom_gate(_BLOOM_M, _BLOOM_K),

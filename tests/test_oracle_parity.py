@@ -205,6 +205,17 @@ RETIRED = [
     # per-pair inside the batched join row; this row keeps the
     # whole-corpus single-query ADC face)
     ("pq_adc_topk", "SQL_PQ_ADC_TOPK"),
+    # r13: ordered funnel → pagerank_personalized (the staged
+    # min-aggregate subsequence shape stays driver-visible via
+    # t4_stateful_stream's per-user state machine; this row keeps the
+    # events-table funnel face, incl. the conversion-window variant's
+    # ground truth in test_operators.py)
+    ("funnel", "SQL_FUNNEL"),
+    # r13: point-in-interval range join → ann_rerank_topk (the
+    # bucket-join shape stays driver-visible via j7_asof_keyless's
+    # range buckets and resample_rolling's grid generation; this row
+    # keeps the direct bucketed interval-join face)
+    ("interval_join", "SQL_INTERVAL"),
 ]
 
 
