@@ -1305,6 +1305,67 @@ def test_dsir_resampling_composition_end_to_end(spark):
     assert again == sorted(r["doc_id"] for r in sel)
 
 
+def test_bpe_local_mining_equivalence_and_cap(spark):
+    """r13 (VERDICT #4): the driver-local miner ≡ the distributed loop
+    rule-for-rule at R=624 requested rounds — including the dry-break
+    (this corpus mines dry far below 624, so both engines agree on
+    depth, every rule, and the stop), weighted counts, and tie order.
+    mining='auto' picks local under the cap and falls back to the
+    distributed loop above it (same rules either way); an explicit
+    mining='local' above the cap raises loudly."""
+    import pytest as pt
+
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        bpe_merge_rules,
+    )
+
+    # 16 distinct 10-char words, skewed counts — deterministic letters
+    words = [
+        chr(97 + (i // 26) % 26) + chr(97 + i % 26)
+        + "".join(chr(97 + ((i * 5 + j * 11 + j * j) % 26)) for j in range(8))
+        for i in range(16)
+    ]
+    docs = spark.createDataFrame(
+        [(i, " ".join([w] * (1 + i % 5))) for i, w in enumerate(words)],
+        "doc_id long, text string",
+    ).coalesce(1)
+    R = 624
+    loc = [
+        tuple(r)
+        for r in bpe_merge_rules(
+            docs, "text", rounds=R, mining="local"
+        ).collect()
+    ]
+    dist = [
+        tuple(r)
+        for r in bpe_merge_rules(
+            docs, "text", rounds=R, mining="distributed"
+        ).collect()
+    ]
+    assert loc == dist
+    assert 50 < len(loc) < R  # deep, and the dry-break fired both sides
+    # auto under the cap = the local rules
+    auto = [
+        tuple(r)
+        for r in bpe_merge_rules(docs, "text", rounds=5).collect()
+    ]
+    assert auto == loc[:5]
+    # auto ABOVE the cap: loud-documented fallback to the distributed
+    # loop — identical rules
+    fb = [
+        tuple(r)
+        for r in bpe_merge_rules(
+            docs, "text", rounds=5, local_cap=3
+        ).collect()
+    ]
+    assert fb == loc[:5]
+    # explicit local above the cap raises (must not blow the driver)
+    with pt.raises(ValueError, match="local_cap"):
+        bpe_merge_rules(docs, "text", rounds=2, mining="local", local_cap=3)
+    with pt.raises(ValueError, match="mining must be"):
+        bpe_merge_rules(docs, "text", rounds=2, mining="driver")
+
+
 def test_bpe_apply_arrow_kernel_equivalence(spark):
     """The Arrow kernel ≡ the literal-plan forms: on MINED rules it
     reproduces bpe_apply exactly (priority merging equals in-order

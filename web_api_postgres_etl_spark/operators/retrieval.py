@@ -998,12 +998,58 @@ def collocations(
     )
 
 
+def _bpe_mine_local(
+    word_counts: list[tuple[str, int]], rounds: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Exact BPE miner over a collected word-frequency table — the
+    driver-local twin of the distributed loop (same greedy leftmost
+    non-overlapping merge, same (count desc, lhs, rhs) tie order, same
+    non-alphanumeric-symbol guard), one Python pass per round instead
+    of one Spark job per round."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, c in word_counts:
+        k = tuple(w)
+        vocab[k] = vocab.get(k, 0) + int(c)
+    rules: list[tuple[int, str, str, str, int]] = []
+    for rnd in range(1, rounds + 1):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break  # mined dry — every kept word is a single symbol
+        (lhs, rhs), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if not (lhs.isalnum() and rhs.isalnum()):
+            raise ValueError(
+                f"bpe_merge_rules: non-alphanumeric symbol pair "
+                f"({lhs!r}, {rhs!r}) — bracket encoding unsound"
+            )
+        merged = lhs + rhs
+        rules.append((rnd, lhs, rhs, merged, cnt))
+        nxt: dict[tuple[str, ...], int] = {}
+        for syms, c in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == lhs and s == rhs:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            k = tuple(out)
+            nxt[k] = nxt.get(k, 0) + c
+        vocab = nxt
+    return rules
+
+
 def bpe_merge_rules(
     df: DataFrame,
     text_col: str = "text",
     rounds: int = 8,
     max_vocab_words: int | None = None,
     ckpt_every: int = 16,
+    mining: str = "auto",
+    local_cap: int = 262_144,
 ) -> DataFrame:
     """``(round, lhs, rhs, merged, pair_count)`` — the first ``rounds``
     byte-pair-encoding merge rules mined from the corpus (Sennrich et
@@ -1032,13 +1078,33 @@ def bpe_merge_rules(
     left-to-right, exactly BPE's greedy merge order (``<a><a><a>`` +
     rule (a,a) → ``<aa><a>``), identical in Spark and the SQL mirror.
 
-    Scale shape: one corpus scan ever; per round one map-side-
-    combining pair count whose shuffle carries (pair, count) rows and
-    ONE driver row (the argmax) — driver state is ``rounds`` rules.
-    Every ``ckpt_every`` rounds the vocab frame is localCheckpointed
-    so the replace-projection lineage stays flat. Returns a
-    driver-built frame (``rounds`` rows — bounded metadata, like
-    centroid/codebook sidecars).
+    Scale shape — TWO mining engines behind one contract (``mining``):
+
+    - ``'distributed'``: one corpus scan ever; per round one map-side-
+      combining pair count whose shuffle carries (pair, count) rows
+      and ONE driver row (the argmax) — driver state is ``rounds``
+      rules. Every ``ckpt_every`` rounds the vocab frame is
+      localCheckpointed so the replace-projection lineage stays flat.
+      Correct at any vocab size, but one SCHEDULED JOB PER ROUND:
+      tokenizer-real R ≈ 30k means 30k jobs over a |vocab|-sized
+      table — a job-scheduling wall, not a data wall.
+    - ``'local'`` (r13 per the r12 verdict #4): the word-frequency
+      table IS vocabulary-sized, so when it fits the driver (≤
+      ``local_cap`` rows — at the default 262,144 that is a few tens
+      of MB of words+counts) COLLECT it once and run the exact Python
+      BPE model (``_bpe_mine_local``, the same model the tests trust)
+      — zero jobs per round, identical rules table (equivalence
+      pinned in tests). Raises LOUDLY above the cap (an explicit
+      local request must not silently blow driver memory).
+    - ``'auto'`` (default): one extra count() on the vocab frame
+      picks local when it fits, else falls back to the distributed
+      loop — the fallback is the documented behavior, not a silent
+      degradation (the plan changes, the rules table cannot).
+
+    The corpus scan and ``max_vocab_words`` cap are SHARED — both
+    engines mine the identical word table. Returns a driver-built
+    frame (``rounds`` rows — bounded metadata, like centroid/codebook
+    sidecars).
 
     Cites /root/reference scope: no tokenizer surface there; this
     completes the engine's text family (token stats, collocations,
@@ -1046,6 +1112,11 @@ def bpe_merge_rules(
     """
     if rounds < 1:
         raise ValueError(f"bpe_merge_rules: rounds must be >= 1, got {rounds}")
+    if mining not in ("auto", "local", "distributed"):
+        raise ValueError(
+            f"bpe_merge_rules: mining must be 'auto', 'local' or "
+            f"'distributed', got {mining!r}"
+        )
     spark = df.sparkSession
     vocab = (
         df.select(F.explode(normalized_tokens(qcol(text_col))).alias("word"))
@@ -1057,6 +1128,24 @@ def bpe_merge_rules(
             vocab.orderBy(F.col("cnt").desc(), F.col("word"))
             .limit(int(max_vocab_words))
         )
+    if mining != "distributed":
+        n_vocab = vocab.count()
+        if n_vocab <= local_cap:
+            rows = [(r["word"], int(r["cnt"])) for r in vocab.collect()]
+            return spark.createDataFrame(
+                _bpe_mine_local(rows, rounds),
+                "round int, lhs string, rhs string, merged string, "
+                "pair_count bigint",
+            )
+        if mining == "local":
+            raise ValueError(
+                f"bpe_merge_rules: mining='local' but the word table "
+                f"has {n_vocab} rows > local_cap={local_cap} — raise "
+                f"the cap, set max_vocab_words, or use "
+                f"mining='auto'/'distributed'"
+            )
+        # auto above the cap: the distributed loop below (documented
+        # fallback — same rules, one scheduled job per round)
     cur = vocab.selectExpr(
         "concat('<', array_join(split(word, ''), '><'), '>') AS seq",
         "cnt",
