@@ -4129,6 +4129,101 @@ GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20
 """
 
 
+def q_hybrid_retrieval(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval fused with RRF (operators/retrieval.py::
+    fuse_rankings — r13 driver row per the r12 verdict #6): the
+    bm25_topk lexical shortlist ("spark window merge", top-20, ranks
+    by score DESC / doc_id) ⊕ the ANN vector shortlist for doc 3
+    (ivf_pq_nn_join over the materialized IVF-PQ index, the
+    q_ivf_pq_nn_join build verbatim, restricted to query vec_id=3 —
+    per-query rows are independent, so the restriction commutes with
+    the join) — documents and embeddings share the id space, the
+    testdata's doc↔vector correspondence. RRF score = Σ 1/(60+rank)
+    folded in FIXED system order per doc (lexical=0, vector=1); the
+    oracle composes the two existing mirrors through the same
+    list_sort + list_reduce fold, bit-for-bit.
+
+    Scale shape: both inputs are top-k SHORTLISTS by construction —
+    the fusion is one union + one small groupBy + one global sort of
+    ≤30 rows; the expensive stages keep their own shapes (BM25 scans
+    text once; the ANN join broadcasts routing + DPP-prunes the
+    index)."""
+    import shutil
+    import tempfile
+
+    from web_api_postgres_etl_spark.operators.retrieval import (
+        bm25_topk,
+        fuse_rankings,
+    )
+    from web_api_postgres_etl_spark.operators.similarity import (
+        ivf_pq_nn_join,
+        write_ivf_pq_index,
+    )
+
+    docs = _t(spark, sf, "documents")
+    lex = bm25_topk(
+        docs, "spark window merge", id_col="doc_id", text_col="text", k=20
+    )
+    wl = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    lex_ranks = lex.select(
+        "doc_id", F.row_number().over(wl).alias("rank")
+    )
+    emb = _t(spark, sf, "embeddings")
+    root = tempfile.mkdtemp(prefix="wapeql_hybrid_")
+    path = f"{root}/idx"
+    try:
+        write_ivf_pq_index(
+            emb, path, every=_PQ_EVERY, max_centroids=8,
+            m=_PQ_M, pq_k=_PQ_K, pq_iters=0,
+        )
+        queries = emb.filter(
+            (F.col("vec_id") == 3) & F.col("embedding").isNotNull()
+        ).select(F.col("vec_id").alias("query_id"), "embedding")
+        ann_ranks = ivf_pq_nn_join(
+            queries, path, k=_NN_JOIN_K, nprobe=2
+        ).select(
+            F.col("vec_id").alias("doc_id"), "rank"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return fuse_rankings([lex_ranks, ann_ranks], k0=60)
+
+
+def _sql_hybrid_retrieval() -> str:
+    """The two existing shortlist mirrors (SQL_BM25 re-ranked, the
+    ivf_pq_nn_join CTE chain restricted to qid=3) composed through the
+    mirrored RRF fold — list_sort of (sys, rank) structs, list_reduce
+    left fold of 1/(60+rank), the bit-parity shape pinned in
+    tests/test_retrieval.py."""
+    return f"""
+WITH bm AS ({SQL_BM25}),
+bmr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+  FROM bm),
+ann AS (
+  SELECT vec_id AS doc_id, rank AS rk
+  FROM ({_sql_ivf_pq_nn_join()}) WHERE query_id = 3),
+pairs AS (
+  SELECT doc_id, 0 AS sys, rk FROM bmr
+  UNION ALL SELECT doc_id, 1 AS sys, rk FROM ann),
+l AS (
+  SELECT doc_id,
+         list_sort(list({{'__sys': sys, '__rk': rk}})) AS xs
+  FROM pairs GROUP BY doc_id),
+sc AS (
+  SELECT doc_id, list_reduce(
+    list_prepend(0.0::DOUBLE,
+      list_transform(xs, x -> 1.0::DOUBLE / (60 + x.__rk))),
+    (acc, v) -> acc + v) AS score
+  FROM l)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+         AS rank
+FROM sc
+"""
+
+
 def q_tfidf_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """EXACT sparse tf-idf cosine pairs over the documents corpus
     (operators/retrieval.py:tfidf_cosine_pairs): inverted-index
@@ -5441,7 +5536,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vote/argmax/relabel CTE chain.
         "label_propagation": q_label_propagation,
         "agg_rollup": q_agg_rollup,
-        "agg_pivot": q_agg_pivot,
+        # r13: agg_pivot -> hybrid_retrieval (PIVOT is a thin native
+        # wrapper whose hash-agg shape stays driver-visible via
+        # agg_rollup / incr_agg_merge; retired parity in
+        # tests/test_oracle_parity.py). hybrid_retrieval is the r12
+        # verdict's #6 ask: bm25_topk lexical ranks ⊕ ivf_pq_nn_join
+        # vector ranks fused through the mirrored RRF fold — the
+        # retrieval family's composition row.
+        "hybrid_retrieval": q_hybrid_retrieval,
         # SCD2 history (r6: swapped in for agg_time_window, whose
         # tumbling-window shape stays driver-visible inside
         # t5_watermark_late_drop; retired parity in
@@ -5655,7 +5757,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_topk_join_agg": SQL_Q3,
         "label_propagation": _sql_label_propagation(),
         "agg_rollup": SQL_ROLLUP,
-        "agg_pivot": SQL_PIVOT,
+        "hybrid_retrieval": _sql_hybrid_retrieval(),
         "scd2_history": SQL_SCD2,
         "quantile_state_merge": SQL_QUANTILE_STATE_MERGE,
         "select_canonical": SQL_SELECT_CANONICAL,

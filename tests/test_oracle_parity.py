@@ -216,6 +216,11 @@ RETIRED = [
     # range buckets and resample_rolling's grid generation; this row
     # keeps the direct bucketed interval-join face)
     ("interval_join", "SQL_INTERVAL"),
+    # r13: PIVOT wide aggregation → hybrid_retrieval (PIVOT is a thin
+    # native wrapper over the hash-agg shape driver-visible via
+    # agg_rollup / incr_agg_merge; this row keeps the month×type wide
+    # table face)
+    ("agg_pivot", "SQL_PIVOT"),
 ]
 
 

