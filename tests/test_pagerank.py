@@ -163,6 +163,26 @@ def _ppr_model(node_ids, edge_list, seed_ids, damping_pm=850, iterations=10):
     return r
 
 
+# Spark PPR ranks on the shared fixture (seeds {3,4}, 10 rounds),
+# computed once per session and reused by the mirror test — the
+# iterative localCheckpoint loop is the expensive half of both tests
+# and its output is identical (r13 suite-time trim, r12 VERDICT #7)
+_PPR_FIXTURE_RANKS: dict = {}
+
+
+def _ppr_fixture_ranks(spark):
+    if not _PPR_FIXTURE_RANKS:
+        from web_api_postgres_etl_spark.operators.graph import pagerank
+
+        nodes, edges = _frames(spark)
+        seeds = spark.createDataFrame([(3,), (4,)], "id long")
+        _PPR_FIXTURE_RANKS.update({
+            r["id"]: r["rank_units"]
+            for r in pagerank(nodes, edges, seeds=seeds).collect()
+        })
+    return dict(_PPR_FIXTURE_RANKS)
+
+
 def test_personalized_matches_python_model_exactly(spark):
     """Seeded restart, integer-exact: the Spark ranks equal the Python
     twin unit-for-unit; seeds-as-all-nodes reduces EXACTLY to plain
@@ -173,11 +193,7 @@ def test_personalized_matches_python_model_exactly(spark):
     from web_api_postgres_etl_spark.operators.graph import pagerank
 
     nodes, edges = _frames(spark)
-    seeds = spark.createDataFrame([(3,), (4,)], "id long")
-    got = {
-        r["id"]: r["rank_units"]
-        for r in pagerank(nodes, edges, seeds=seeds).collect()
-    }
+    got = _ppr_fixture_ranks(spark)
     want = _ppr_model(NODES, GRAPH, [3, 4])
     assert got == want
     # seed-adjacent beats seed-distant: 3 and 4 both point at 2
@@ -208,19 +224,16 @@ def test_personalized_matches_python_model_exactly(spark):
 
 
 def test_personalized_duckdb_mirror_oracle_ready(spark, oracle):
-    """Oracle-readiness for a future driver slot: the seeded integer
-    arithmetic unrolls to DuckDB CTE rounds exactly like the pagerank
-    driver row's oracle — seed-conditional teleport and dangling
-    redistribution — and matches the Spark ranks unit-for-unit on the
-    shared fixture graph (seeds {3, 4}, 10 rounds)."""
-    from web_api_postgres_etl_spark.operators.graph import pagerank
-
-    nodes, edges = _frames(spark)
-    seeds = spark.createDataFrame([(3,), (4,)], "id long")
-    got = {
-        r["id"]: r["rank_units"]
-        for r in pagerank(nodes, edges, seeds=seeds).collect()
-    }
+    """The seeded integer arithmetic unrolls to DuckDB CTE rounds
+    exactly like the pagerank driver row's oracle — seed-conditional
+    teleport and dangling redistribution — and matches the Spark ranks
+    unit-for-unit on the shared fixture graph (seeds {3, 4}, 10
+    rounds). Since r13 this is the FIXTURE twin of the live
+    `pagerank_personalized` driver row (tests/test_oracle_parity.py),
+    which generalizes the mirror to an in-SQL data-dependent seed
+    count; the Spark ranks are shared with the model test (one
+    iterative run per session)."""
+    got = _ppr_fixture_ranks(spark)
     seed_sql = "(3, 4)"
     ns = 2
     teleport = ((1000 - 850) * M) // (1000 * ns)
