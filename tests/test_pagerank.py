@@ -246,7 +246,7 @@ def test_personalized_duckdb_mirror_oracle_ready(spark, oracle):
         " GROUP BY src)",
         "base AS (SELECT n.id AS id, o.deg AS deg FROM nodes0 n"
         " LEFT JOIN outdeg o ON n.id = o.id)",
-        f"r0 AS (SELECT b.id, b.deg, CASE WHEN b.id IN {seed_sql}"
+        f"r0 AS MATERIALIZED (SELECT b.id, b.deg, CASE WHEN b.id IN {seed_sql}"
         f" THEN {M // ns} ELSE 0 END AS r FROM base b)",
     ]
     for k in range(10):
@@ -260,7 +260,7 @@ def test_personalized_duckdb_mirror_oracle_ready(spark, oracle):
             " WHERE r.deg IS NOT NULL GROUP BY e.dst)"
         )
         ctes.append(
-            f"r{k + 1} AS (SELECT b.id, b.deg,"
+            f"r{k + 1} AS MATERIALIZED (SELECT b.id, b.deg,"
             f" (CASE WHEN b.id IN {seed_sql} THEN {teleport} ELSE 0 END)"
             f" + ((850 * (COALESCE(x.s, 0)"
             f" + (CASE WHEN b.id IN {seed_sql} THEN dd.s // {ns}"

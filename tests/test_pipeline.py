@@ -205,6 +205,103 @@ def test_retry_succeeds_on_second_attempt_and_records_it(spark, fixtures, tmp_pa
     assert calls["flaky"] == 2
 
 
+def test_on_failure_alerting(spark, fixtures, tmp_path):
+    """r13 (reference C:21-30 email_on_failure): the pipeline invokes
+    the on_failure hook once per FAILED table with its RunResult —
+    retried-then-successful tables do NOT alert; the file alerter
+    appends one JSON line per failure; the email alerter builds the
+    reference-shaped message through an injected transport (no SMTP
+    egress in this sandbox); a raising alerter never breaks the run;
+    the CLI wires --alert-log to the file sink."""
+    import json as _json
+
+    from web_api_postgres_etl_spark.plans.alerts import (
+        compose_alerters,
+        email_alerter,
+        file_alerter,
+        format_failure_email,
+    )
+
+    trades, *_ = fixtures
+    wh = str(tmp_path / "wh")
+    log = str(tmp_path / "alerts.jsonl")
+    sent: list = []
+    boom_calls = {"n": 0}
+
+    def boom(_result):
+        boom_calls["n"] += 1
+        raise RuntimeError("alerter down")
+
+    alerter = compose_alerters(
+        boom,  # a broken sink must not stop the others or the run
+        file_alerter(log),
+        email_alerter(
+            "smtp.example.com", "etl@example.com", ["ops@example.com"],
+            transport=lambda *a: sent.append(a),
+        ),
+    )
+    calls = {"flaky": 0}
+
+    def flaky():
+        calls["flaky"] += 1
+        if calls["flaky"] == 1:
+            raise RuntimeError("transient API 503")
+        return trades
+
+    def hard():
+        raise RuntimeError("permanent failure")
+
+    pipe = MedallionPipeline(
+        spark, wh, retries=1, retry_delay_s=0.0, on_failure=alerter
+    )
+    results = pipe.run_full_refresh(
+        {"trades_share": flaky, "news_bad": hard}
+    )
+    by_table = {r.table: r for r in results}
+    assert by_table["src_trades_share"].error is None  # retried, no alert
+    news = by_table["src_news_bad"]
+    assert news.error is not None and news.attempts == 2
+    # one alert per FAILED RunResult, in order (the full refresh also
+    # runs downstream stages — e.g. prd_trades_share fails here for
+    # lack of dimension tables — and each failure alerts exactly once);
+    # every sink saw every failure despite the broken first sink
+    failed = [r for r in results if r.error]
+    assert "src_news_bad" in {r.table for r in failed}
+    assert boom_calls["n"] == len(failed)
+    lines = [
+        _json.loads(x)
+        for x in open(log, encoding="utf-8").read().splitlines()
+    ]
+    assert [x["table"] for x in lines] == [r.table for r in failed]
+    news_line = next(x for x in lines if x["table"] == "src_news_bad")
+    assert "permanent failure" in news_line["error"]
+    assert news_line["attempts"] == 2
+    assert len(sent) == len(failed)
+    host, port, sender, rcpt, msg = next(
+        m for m in sent if "src_news_bad" in m[4]
+    )
+    assert (host, port, sender, rcpt) == (
+        "smtp.example.com", 25, "etl@example.com", ["ops@example.com"]
+    )
+    assert "Subject: [pipeline] FAILED: src_news_bad" in msg
+    assert "permanent failure" in msg
+    # the message build is the shared format function verbatim
+    assert msg == format_failure_email(
+        news, "etl@example.com", ["ops@example.com"]
+    )
+    # a pipeline whose ONLY alerter raises still completes and records
+    before = boom_calls["n"]
+    pipe2 = MedallionPipeline(
+        spark, str(tmp_path / "wh2"), retries=0, on_failure=boom
+    )
+    res2 = pipe2.run_full_refresh({"news_bad": hard})
+    assert any(r.error for r in res2) and boom_calls["n"] > before
+    import pytest as pt
+
+    with pt.raises(ValueError, match="recipients"):
+        email_alerter("h", "s@example.com", [])
+
+
 def test_connected_components_raises_when_unconverged(spark):
     from web_api_postgres_etl_spark.operators.graph import connected_components
 
@@ -507,6 +604,43 @@ def test_cli_update_skips_unsupported_tables_loudly(spark, fixtures, tmp_path, c
     skipped = [o for o in out if o.get("skipped")]
     assert [o["table"] for o in skipped] == ["mystery_feed"]
     assert any(o.get("table") == "prd_trades_share" and not o.get("error") for o in out)
+
+
+def test_cli_alert_log_records_failures(spark, fixtures, tmp_path, capsys):
+    """r13: `create --alert-log` wires the file alerter — a landing
+    table whose parquet is unreadable fails its load (retries
+    exhausted) and lands one JSON alert line; healthy tables load and
+    do not alert; the run still exits non-zero (failures present)."""
+    import json as _json
+
+    from web_api_postgres_etl_spark.__main__ import main
+
+    trades, instruments, assets, categories, exchanges = fixtures
+    landing = str(tmp_path / "landing")
+    for name, df in [
+        ("trades_share", trades), ("instruments", instruments),
+        ("assets", assets), ("categories", categories),
+        ("exchanges", exchanges),
+    ]:
+        df.write.parquet(f"{landing}/{name}.parquet")
+    # a .parquet path that is not parquet — the read fails per-table
+    with open(f"{landing}/broken_feed.parquet", "w") as fh:
+        fh.write("not parquet")
+    log = str(tmp_path / "alerts.jsonl")
+    rc = main(
+        ["create", "--warehouse", str(tmp_path / "wh"),
+         "--landing", landing, "--range-start", "1400/01/01",
+         "--range-end", "1402/01/01", "--alert-log", log],
+        spark=spark,
+    )
+    assert rc != 0  # failures present
+    capsys.readouterr()
+    lines = [
+        _json.loads(x)
+        for x in open(log, encoding="utf-8").read().splitlines()
+    ]
+    assert [x["table"] for x in lines] == ["src_broken_feed"]
+    assert lines[0]["attempts"] == 2  # default retries=1 exhausted
 
 
 def test_news_full_and_incremental(spark, tmp_path):

@@ -57,6 +57,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         p.add_argument("--landing", required=True)
         p.add_argument("--range-start", default="1399/01/01")
         p.add_argument("--range-end", default=None)
+        p.add_argument("--alert-log", default=None,
+                       help="append one JSON line per FAILED table "
+                            "(the reference's email_on_failure as a "
+                            "file sink; see plans/alerts.py for the "
+                            "SMTP transport)")
     pd = sub.add_parser("dimdate")
     pd.add_argument("--warehouse", required=True)
     pd.add_argument("--start-jyear", type=int, default=1320)
@@ -561,11 +566,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         from web_api_postgres_etl_spark.functions.dates import fa_today
         from web_api_postgres_etl_spark.plans.pipeline import MedallionPipeline
 
+        on_failure = None
+        if args.alert_log:
+            from web_api_postgres_etl_spark.plans.alerts import file_alerter
+
+            on_failure = file_alerter(args.alert_log)
         pipe = MedallionPipeline(
             spark,
             args.warehouse,
             range_start=args.range_start,
             range_end=args.range_end or fa_today(),
+            on_failure=on_failure,
         )
         tables = _landing_tables(args.landing)
         read = lambda name: spark.read.parquet(os.path.join(args.landing, f"{name}.parquet"))

@@ -101,6 +101,12 @@ class MedallionPipeline:
     # stay fast; production mirrors the reference with 120.
     retries: int = 1
     retry_delay_s: float = 0.0
+    # r13: the reference's email_on_failure as a pluggable hook —
+    # invoked once per FAILED table with its RunResult, after retries.
+    # See plans/alerts.py (file_alerter / email_alerter /
+    # compose_alerters). Best-effort: a raising alerter is swallowed
+    # (alerting must never break the run it reports on).
+    on_failure: Callable[["RunResult"], None] | None = None
 
     def _attempt(self, fn: Callable[[], object]):
         """Run ``fn`` up to retries+1 times with linear backoff.
@@ -576,6 +582,13 @@ class MedallionPipeline:
         self.results.append(RunResult(table, rows, attempts=attempts))
 
     def _err(self, table: str, exc: Exception, attempts: int = 1) -> None:
-        self.results.append(
-            RunResult(table, None, f"{type(exc).__name__}: {exc}", attempts)
+        result = RunResult(
+            table, None, f"{type(exc).__name__}: {exc}", attempts
         )
+        self.results.append(result)
+        if self.on_failure is not None:
+            import contextlib
+
+            # alerting is observability — it must never break the run
+            with contextlib.suppress(Exception):
+                self.on_failure(result)
