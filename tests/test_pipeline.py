@@ -302,6 +302,68 @@ def test_on_failure_alerting(spark, fixtures, tmp_path):
         email_alerter("h", "s@example.com", [])
 
 
+def test_watermark_probe_raises_on_corrupt_sink(spark, tmp_path):
+    """r13: the watermark probe returns None for a MISSING table or a
+    pre-versioned one (no version column yet), but a corrupt sink
+    RAISES — silently probing None would schedule a full re-ingest."""
+    import os
+
+    import pytest as pt
+
+    from web_api_postgres_etl_spark.plans.watermark import WatermarkManager
+
+    ok = str(tmp_path / "ok")
+    spark.createDataFrame(
+        [(1, 7), (2, 9)], "id long, `meta.version` long"
+    ).write.parquet(ok)
+    nover = str(tmp_path / "nover")
+    spark.createDataFrame([(1,)], "id long").write.parquet(nover)
+    bad = str(tmp_path / "bad")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "part-0.parquet"), "w") as fh:
+        fh.write("garbage")
+    wm = WatermarkManager(spark, str(tmp_path))
+    assert wm.probe({"t": ok}) == {"t": 9}
+    assert wm.probe({"t": str(tmp_path / "missing")}) == {"t": None}
+    assert wm.probe({"t": nover}) == {"t": None}
+    with pt.raises(Exception):
+        wm.probe({"t": bad})
+
+
+def test_corrupt_stg_surfaces_as_table_failure(spark, fixtures, tmp_path):
+    """r13 (the _read_index_meta rule applied to the prd refresh): an
+    ABSENT stg trades table skips its prd silently (type not ingested
+    this run — the intent), but a CORRUPT one must surface as that
+    table's failure instead of leaving a stale prd behind a green
+    run."""
+    import os
+
+    _, instruments, assets, categories, exchanges = fixtures
+    wh = str(tmp_path / "wh")
+    # corrupt stg for one type: the stg_trades_share dir holding a
+    # garbage part file (table_path layout: {wh}/stg_{name})
+    stg_dir = os.path.join(wh, "stg_trades_share")
+    os.makedirs(stg_dir)
+    with open(os.path.join(stg_dir, "part-00000.parquet"), "w") as fh:
+        fh.write("not parquet at all")
+    pipe = MedallionPipeline(spark, wh, retries=0)
+    pipe.run_full_refresh(
+        {
+            "instruments": lambda: instruments,
+            "assets": lambda: assets,
+            "categories": lambda: categories,
+            "exchanges": lambda: exchanges,
+        }
+    )
+    errs = {r.table: r.error for r in pipe.results if r.error}
+    # the corrupt type failed loudly; the 7 absent types skipped
+    assert "prd_trades_share" in errs, pipe.results
+    assert not any(
+        t.startswith("prd_trades_") and t != "prd_trades_share"
+        for t in errs
+    )
+
+
 def test_connected_components_raises_when_unconverged(spark):
     from web_api_postgres_etl_spark.operators.graph import connected_components
 

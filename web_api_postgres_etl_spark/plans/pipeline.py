@@ -322,7 +322,19 @@ class MedallionPipeline:
             stg_path = table_path(self.warehouse, "stg", key)
             try:
                 stg = self.spark.read.parquet(stg_path)
-            except Exception:
+            except Exception as exc:
+                # absent stg table (type not ingested this run) → skip
+                # is the intent; any OTHER failure (corrupt footer,
+                # permissions) must surface as the table's failure —
+                # silently skipping would leave a stale prd behind a
+                # green run (r13, the _read_index_meta rule)
+                from pyspark.errors import AnalysisException
+
+                if isinstance(exc, AnalysisException) and (
+                    "PATH_NOT_FOUND" in str(exc)
+                ):
+                    continue
+                self._err(f"prd_{key}", exc)
                 continue
             # require the four specific trade dims (a count-based gate
             # would pass with e.g. {instruments, categories, exchanges,

@@ -26,7 +26,15 @@ class WatermarkManager:
         self.version_col = version_col
 
     def probe(self, table_paths: dict[str, str]) -> dict[str, int | None]:
-        """{table → max(version) | None-if-missing/empty} — the XCom dict."""
+        """{table → max(version) | None-if-missing/empty} — the XCom
+        dict. Only a MISSING table (or one without the version column
+        yet — a pre-versioned bootstrap) downgrades to None; any other
+        probe failure propagates (r13, the _read_index_meta rule): a
+        corrupt sink silently probing None would re-ingest the entire
+        source — correct by last-wins idempotence, but a full-corpus
+        rescan at 100 TB must be a DECISION, not a swallowed error."""
+        from pyspark.errors import AnalysisException
+
         out: dict[str, int | None] = {}
         for name, path in table_paths.items():
             if not os.path.exists(path):
@@ -35,6 +43,14 @@ class WatermarkManager:
             try:
                 df = self.spark.read.parquet(path)
                 out[name] = max_watermark(df, self.version_col)
-            except Exception:
-                out[name] = None
+            except AnalysisException as exc:
+                msg = str(exc)
+                if (
+                    "PATH_NOT_FOUND" in msg
+                    or "UNRESOLVED_COLUMN" in msg
+                    or "FIELD_NOT_FOUND" in msg
+                ):
+                    out[name] = None
+                else:
+                    raise
         return out
