@@ -2199,7 +2199,10 @@ def test_ivf_pq_residual_index_lifecycle(spark, tmp_path):
         write_ivf_pq_index,
     )
 
-    vecs = _clustered_unit_vecs(spark)
+    # n=480 (r13 trim from 640): 15 members per planted direction —
+    # the 32-clusters-vs-pq_k=8 claim and the ≥30% error margin hold
+    # (re-measured at this size) at ~25% less wall
+    vecs = _clustered_unit_vecs(spark, n=480)
     plain = str(tmp_path / "plain")
     res = str(tmp_path / "res")
     write_ivf_pq_index(
@@ -2249,11 +2252,11 @@ def test_ivf_pq_residual_index_lifecycle(spark, tmp_path):
     # append ≡ one-shot under the frozen sidecars (incl. _meta)
     part = str(tmp_path / "part")
     write_ivf_pq_index(
-        vecs.filter("vec_id < 400"), part, every=30, max_centroids=32,
+        vecs.filter("vec_id < 320"), part, every=30, max_centroids=32,
         m=4, pq_k=8, pq_iters=1, residual=True,
     )
-    n = ivf_pq_index_append(vecs.filter("vec_id >= 400"), part)
-    assert n == vecs.filter("vec_id >= 400").count()
+    n = ivf_pq_index_append(vecs.filter("vec_id >= 320"), part)
+    assert n == vecs.filter("vec_id >= 320").count()
     cents = _read_ivf_centroids(spark, part)
     books = read_pq_codebooks(spark, part)
     oneshot = str(tmp_path / "oneshot")
@@ -2346,10 +2349,11 @@ def test_residual_beats_plain_recall_at_equal_nprobe(spark, tmp_path):
     """r13 (VERDICT #5): residual IVF-PQ buys RECALL, not just
     reconstruction error. On the cluster+pattern geometry the exact
     top-k are same-(cluster, pattern) twins; at EQUAL nprobe the
-    residual index's mean recall@10 beats the plain index's by ≥2×
-    (measured 0.324 vs 0.056 — plain codes collapse each cluster to
-    near-identical codewords, so in-cluster ADC order is tie-noise,
-    while residual codes represent the patterns). Same pinned-sample
+    residual index's mean recall@10 beats the plain index's by ≥3×
+    (measured 0.644 vs 0.076 at n=1000 — plain codes collapse each
+    cluster to near-identical codewords, so in-cluster ADC order is
+    tie-noise, while residual codes represent the patterns; 0.324 vs
+    0.056 at the n=2000 probe point, same shape). Same pinned-sample
     centroids and training schedule both sides — only the encoding
     space differs. The honesty caveat stays: on isotropic noise
     (test_ivf_pq_residual_index_lifecycle's geometry is near it at
@@ -2360,8 +2364,8 @@ def test_residual_beats_plain_recall_at_equal_nprobe(spark, tmp_path):
         write_ivf_pq_index,
     )
 
-    vecs = _patterned_unit_vecs(spark).persist()
-    queries = vecs.filter("vec_id % 83 = 5").select(
+    vecs = _patterned_unit_vecs(spark, n=1000).persist()
+    queries = vecs.filter("vec_id % 41 = 5").select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     means = {}
@@ -2376,8 +2380,8 @@ def test_residual_beats_plain_recall_at_equal_nprobe(spark, tmp_path):
         ).collect()
         means[residual] = sum(r["recall"] for r in rows) / len(rows)
     vecs.unpersist()
-    assert means[True] >= 2 * means[False], means
-    assert means[True] >= 0.25, means  # absolute floor, not just ratio
+    assert means[True] >= 3 * means[False], means
+    assert means[True] >= 0.4, means  # absolute floor, not just ratio
 
 
 def test_residual_subtract_guards_dimension(spark, tmp_path):
