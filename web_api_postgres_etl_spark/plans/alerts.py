@@ -1,7 +1,7 @@
 """Failure alerting for pipeline runs — the reference's
 ``email_on_failure`` (mabna_tables_create.py:21-30: Airflow
-default_args email Meisam.Amjad@gmail.com on task failure) as a
-pluggable hook.
+default_args mail the maintainer on task failure) as a pluggable
+hook.
 
 An *alerter* is any ``Callable[[RunResult], None]``. The pipeline
 invokes it once per FAILED table, after retries are exhausted and the

@@ -320,20 +320,22 @@ class MedallionPipeline:
         for t in INSTRUMENT_TYPES:
             key = f"trades_{t}"
             stg_path = table_path(self.warehouse, "stg", key)
+            # absent stg table (type not ingested this run) → skip is
+            # the intent — checked explicitly (the watermark.probe
+            # pattern; Spark 4.1's resolver reports a missing path as
+            # UNABLE_TO_INFER_SCHEMA or PATH_NOT_FOUND depending on
+            # context, so exception classification is unreliable).
+            # Any failure reading an EXISTING table (corrupt footer,
+            # permissions) surfaces as the table's failure — silently
+            # skipping would leave a stale prd behind a green run
+            # (r13, the _read_index_meta rule).
+            import os
+
+            if not os.path.exists(stg_path):
+                continue
             try:
                 stg = self.spark.read.parquet(stg_path)
             except Exception as exc:
-                # absent stg table (type not ingested this run) → skip
-                # is the intent; any OTHER failure (corrupt footer,
-                # permissions) must surface as the table's failure —
-                # silently skipping would leave a stale prd behind a
-                # green run (r13, the _read_index_meta rule)
-                from pyspark.errors import AnalysisException
-
-                if isinstance(exc, AnalysisException) and (
-                    "PATH_NOT_FOUND" in str(exc)
-                ):
-                    continue
                 self._err(f"prd_{key}", exc)
                 continue
             # require the four specific trade dims (a count-based gate

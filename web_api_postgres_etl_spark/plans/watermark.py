@@ -27,12 +27,15 @@ class WatermarkManager:
 
     def probe(self, table_paths: dict[str, str]) -> dict[str, int | None]:
         """{table → max(version) | None-if-missing/empty} — the XCom
-        dict. Only a MISSING table (or one without the version column
-        yet — a pre-versioned bootstrap) downgrades to None; any other
-        probe failure propagates (r13, the _read_index_meta rule): a
-        corrupt sink silently probing None would re-ingest the entire
-        source — correct by last-wins idempotence, but a full-corpus
-        rescan at 100 TB must be a DECISION, not a swallowed error."""
+        dict. Only a table that does not exist YET downgrades to None —
+        missing path, a dir holding no data files (a zero-row
+        partitioned write leaves just _SUCCESS → UNABLE_TO_INFER_SCHEMA),
+        or one without the version column (pre-versioned bootstrap).
+        Any other probe failure propagates (r13, the _read_index_meta
+        rule): a corrupt sink silently probing None would re-ingest
+        the entire source — correct by last-wins idempotence, but a
+        full-corpus rescan at 100 TB must be a DECISION, not a
+        swallowed error."""
         from pyspark.errors import AnalysisException
 
         out: dict[str, int | None] = {}
@@ -47,6 +50,7 @@ class WatermarkManager:
                 msg = str(exc)
                 if (
                     "PATH_NOT_FOUND" in msg
+                    or "UNABLE_TO_INFER_SCHEMA" in msg
                     or "UNRESOLVED_COLUMN" in msg
                     or "FIELD_NOT_FOUND" in msg
                 ):
