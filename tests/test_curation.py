@@ -211,6 +211,93 @@ def test_decontaminate_oracle_parity(spark, oracle):
     assert kept.count() == train.count() - len(want)
 
 
+REPORT_SQL_TMPL = """
+WITH bt AS (
+  SELECT doc_id AS bench_id,
+    list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(
+    lower(text),'[^a-z0-9\\s]',' ','g'),'\\s+',' ','g')),' '), x -> x <> '') AS toks
+  FROM documents WHERE doc_id % 10 = 0),
+bg AS (
+  SELECT DISTINCT bench_id, unnest(list_transform(
+    generate_series(1, greatest(len(toks)-{nm1}, 0)),
+    i -> array_to_string(toks[i:i+{nm1}],' '))) AS g
+  FROM bt),
+tt AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(
+    lower(text),'[^a-z0-9\\s]',' ','g'),'\\s+',' ','g')),' '), x -> x <> '') AS toks
+  FROM documents WHERE doc_id % 10 <> 0),
+tg AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(
+    generate_series(1, greatest(len(toks)-{nm1}, 0)),
+    i -> array_to_string(toks[i:i+{nm1}],' '))) AS g
+  FROM tt)
+SELECT tg.doc_id, bg.bench_id, COUNT(*) AS n
+FROM tg JOIN bg USING (g)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def test_contamination_report_provenance(spark, oracle):
+    """r13: the provenance face — (train_id, bench_id,
+    n_shared_ngrams) names WHICH benchmark doc leaked. Planted case:
+    doc 2 and 3 each hit ONLY the snippet benchmark row; on real
+    testdata the full pair table matches an exact SQL n-gram overlap
+    mirror; per-doc totals re-aggregate to contamination_hits; the
+    colliding-id-name guard raises."""
+    import pytest as pt
+
+    from web_api_postgres_etl_spark.operators.dedup import (
+        contamination_report,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, BENCH_SNIPPET), (200, "some unrelated benchmark question")],
+        "bench_id long, text string",
+    )
+    got = sorted(
+        tuple(r)
+        for r in contamination_report(
+            _train(spark), bench, "doc_id", "text", "bench_id", ngram_n=13
+        ).collect()
+    )
+    assert got == [(2, 100, 1), (3, 100, 1)]
+    with pt.raises(ValueError, match="alias one side"):
+        contamination_report(
+            _train(spark), bench, "doc_id", "text", "doc_id"
+        )
+    # real-corpus pair-level mirror (benchmark = every 10th doc)
+    n = 5
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    bench_rl = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    train_rl = docs.filter(F.col("doc_id") % 10 != 0)
+    rep = contamination_report(
+        train_rl, bench_rl, "doc_id", "text", "bench_id", ngram_n=n
+    )
+    got_rl = sorted(tuple(r) for r in rep.collect())
+    want_rl = [
+        tuple(r)
+        for r in oracle.execute(REPORT_SQL_TMPL.format(nm1=n - 1)).fetchall()
+    ]
+    assert got_rl == want_rl
+    # provenance covers exactly the contaminated-doc set, and per-doc
+    # pair sums bound the distinct-gram hit counts from above (one
+    # train gram hitting TWO bench docs counts once in hits, twice in
+    # the pair table — the provenance is strictly finer-grained)
+    per_doc = {}
+    for tid, _, cnt in got_rl:
+        per_doc[tid] = per_doc.get(tid, 0) + cnt
+    hits = {
+        r["doc_id"]: r["n_hits"]
+        for r in contamination_hits(
+            train_rl, bench_rl.select("text"), "doc_id", "text", ngram_n=n
+        ).collect()
+    }
+    assert set(hits) == set(per_doc)
+    assert all(per_doc[k] >= v for k, v in hits.items())
+
+
 # ---------------------------------------------- cross-corpus dedup
 def test_dedup_against_corpus_drops_exact_dup(spark):
     corpus = spark.createDataFrame(

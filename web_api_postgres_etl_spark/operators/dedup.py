@@ -1173,6 +1173,70 @@ def contamination_hits(
     )
 
 
+def contamination_report(
+    train_df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str,
+    bench_text_col: str | None = None,
+    ngram_n: int = 13,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """PROVENANCE face of decontamination (r13): ``(train_id,
+    bench_id, n_shared_ngrams)`` — for every contaminated pair, WHICH
+    benchmark document leaked and how many distinct word n-grams the
+    two share. ``contamination_hits`` answers "how contaminated is
+    this doc"; this answers the audit questions behind a scrub —
+    which eval set leaked into the corpus, through which documents,
+    with what overlap mass — so the drop list is attributable instead
+    of a bare id set. Clean pairs are absent.
+
+    Scale shape: both sides reduce to DISTINCT (id, 16-byte gram
+    digest) pairs — digests, never text, exactly the
+    ``contamination_hits`` discipline — and the benchmark side
+    (id-carrying now, still benchmark-sized) broadcasts; the join
+    output is bounded by true contamination, and the pair count is
+    one map-side-combining groupBy. ``broadcast_bench=False`` degrades
+    gracefully to a digest-shuffle join for pathologically large
+    benchmark unions.
+
+    Cites /root/reference scope: no corpus surface there; completes
+    the decontamination family (gate → counts → provenance)."""
+    if id_col == bench_id_col:
+        raise ValueError(
+            f"contamination_report: id_col and bench_id_col are both "
+            f"{id_col!r} — alias one side (the output carries both)"
+        )
+    bsh = _shingled(
+        bench_df, bench_id_col, bench_text_col or text_col, ngram_n,
+        drop_empty=True,
+    )
+    bench = (
+        bsh.select("__id", F.explode("__sh").alias("__g"))
+        .select(F.col("__id").alias("__bid"), F.md5("__g").alias("__bg"))
+        .distinct()
+    )
+    if broadcast_bench:
+        bench = F.broadcast(bench)
+    grams = (
+        _shingled(train_df, id_col, text_col, ngram_n, drop_empty=True)
+        .select("__id", F.explode("__sh").alias("__g"))
+        .select("__id", F.md5("__g").alias("__d"))
+        .distinct()
+    )
+    return (
+        grams.join(bench, grams["__d"] == bench["__bg"], "inner")
+        .groupBy("__id", "__bid")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__bid").alias(bench_id_col),
+            "n_shared_ngrams",
+        )
+    )
+
+
 def decontaminate(
     train_df: DataFrame,
     bench_df: DataFrame,
