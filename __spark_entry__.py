@@ -3538,6 +3538,8 @@ _IVFPQ_INDEX_CACHE: dict = {}
 
 
 def _ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
     import tempfile
 
     from web_api_postgres_etl_spark.operators.similarity import (
@@ -3547,7 +3549,9 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     key = (id(spark), sf_dir)
     hit = _IVFPQ_INDEX_CACHE.get(key)
     if hit is None:
-        path = tempfile.mkdtemp(prefix="wapeql_ivfpq_") + "/idx"
+        root = tempfile.mkdtemp(prefix="wapeql_ivfpq_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        path = root + "/idx"
         write_ivf_pq_index(
             _t(spark, sf_dir, "embeddings"), path,
             every=_PQ_EVERY, max_centroids=8,

@@ -1043,6 +1043,9 @@ def test_cli_annindex_lifecycle(spark, tmp_path, capsys):
     assert rec["queries"] == spark.read.parquet(qtab).count()
     assert 0.0 <= rec["mean_recall"] <= 1.0
     assert all(0 <= p["n_hits"] <= 5 for p in rec["per_query"])
+    # r13: the recall JSON reports the index mode so residual-vs-plain
+    # comparisons are attributable (this index was built plain)
+    assert rec["residual"] is False
 
     # guards: missing required operand exits via SystemExit
     import pytest as _pt
