@@ -1019,6 +1019,67 @@ def test_cli_annindex_lifecycle(spark, tmp_path, capsys):
     assert nn["rows"] == len(want_nn)
     assert nn["queries"] == len({t[0] for t in want_nn})
 
+    # rerank (r13): the three-stage read from the shell — shortlist +
+    # exact re-rank over the full float table ≡ the operator API
+    from web_api_postgres_etl_spark.operators.similarity import (
+        nn_rerank_exact,
+    )
+
+    alltab = str(tmp_path / "allvecs")
+    emb.write.parquet(alltab)
+    rrout = str(tmp_path / "rrout")
+    assert main(
+        common + ["rerank", "--queries", qtab, "--corpus", alltab,
+                  "--out", rrout, "--k", "5", "--rerank-k", "3"],
+        spark=spark,
+    ) == 0
+    rr = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want_rr = sorted(
+        tuple(r)
+        for r in nn_rerank_exact(
+            ivf_pq_nn_join(spark.read.parquet(qtab), idx, k=5, nprobe=2),
+            spark.read.parquet(alltab), spark.read.parquet(qtab),
+            k=3, metric="cosine",
+        ).collect()
+    )
+    got_rr = sorted(tuple(r) for r in spark.read.parquet(rrout).collect())
+    assert got_rr == want_rr
+    assert rr["rows"] == len(want_rr) and rr["metric"] == "cosine"
+
+    # dedup (r13): a replayed batch (rows already in the index, same
+    # ids) fully survives in exact mode (self-match-exempt); exact
+    # copies under NEW ids are dropped
+    replay = str(tmp_path / "replay")
+    emb.filter("vec_id % 97 = 11").write.parquet(replay)
+    dd1 = str(tmp_path / "dd1")
+    assert main(
+        common + ["dedup", "--batch", replay, "--corpus", alltab,
+                  "--out", dd1, "--min-cosine", "0.999999"],
+        spark=spark,
+    ) == 0
+    d1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d1["dropped"] == 0 and d1["survivors"] == d1["batch_rows"]
+    copies = str(tmp_path / "copies")
+    emb.filter("vec_id % 97 = 11").select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+    ).write.parquet(copies)
+    dd2 = str(tmp_path / "dd2")
+    assert main(
+        common + ["dedup", "--batch", copies, "--corpus", alltab,
+                  "--out", dd2, "--min-cosine", "0.999999"],
+        spark=spark,
+    ) == 0
+    d2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d2["dropped"] == d2["batch_rows"] and d2["survivors"] == 0
+    # guard: dedup without a threshold mode raises through the
+    # operator's own ValueError
+    import pytest as _pt2
+    with _pt2.raises(ValueError, match="exactly one"):
+        main(
+            common + ["dedup", "--batch", replay, "--out", dd2],
+            spark=spark,
+        )
+
     # stats: per-cluster totals agree with the code table; the corpus
     # form adds the reconstruction-error columns
     assert main(common + ["stats"], spark=spark) == 0

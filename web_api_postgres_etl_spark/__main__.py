@@ -90,7 +90,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     pa = sub.add_parser("annindex")
     pa.add_argument("action",
                     choices=("build", "append", "probe", "nnjoin",
-                             "compact", "stats", "recall"),
+                             "compact", "stats", "recall", "rerank",
+                             "dedup"),
                     help="IVF-PQ index lifecycle: build (train sidecars + "
                          "write the code table), append (frozen-sidecar "
                          "ingest), probe (partition-pruned ADC top-k), "
@@ -100,7 +101,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                          "stats (per-cluster rows/files; + reconstruction "
                          "error when --corpus is given), recall (per-query "
                          "recall@k vs the exact L2 top-k — needs --queries "
-                         "(a bounded sample) and --corpus)")
+                         "(a bounded sample) and --corpus), rerank (the "
+                         "full three-stage read: ADC shortlist exactly "
+                         "re-ranked over --corpus float vectors, top "
+                         "--rerank-k per query written to --out), dedup "
+                         "(drop --batch rows whose nearest index "
+                         "neighbors score within --max-l2 / --min-cosine; "
+                         "survivors written to --out)")
     pa.add_argument("--index", required=True, help="index path")
     pa.add_argument("--corpus", default=None,
                     help="build: parquet of (id, embedding)")
@@ -129,6 +136,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     help="build: quantize v - centroid(cluster) (the "
                          "faiss-IVFPQ residual refinement; recorded in "
                          "the _meta sidecar — every reader adapts)")
+    pa.add_argument("--rerank-k", type=int, default=None,
+                    help="rerank: exact top-k kept per query after the "
+                         "re-rank (default: --k)")
+    pa.add_argument("--metric", choices=("cosine", "l2"), default="cosine",
+                    help="rerank: exact re-rank metric")
+    pa.add_argument("--max-l2", type=float, default=None,
+                    help="dedup: approximate ADC squared-L2 duplicate "
+                         "threshold (codes-only fast path)")
+    pa.add_argument("--min-cosine", type=float, default=None,
+                    help="dedup: exact-verify cosine threshold (needs "
+                         "--corpus, the float vectors the index was "
+                         "built from)")
     pp = sub.add_parser("profile")
     pp.add_argument("--table", required=True, help="parquet path")
     pp.add_argument("--keys", default=None, help="comma-separated key columns")
@@ -394,6 +413,73 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                         {"query_id": r[0], "n_hits": r[1],
                          "recall": r[2]} for r in rows
                     ],
+                }))
+            elif args.action == "rerank":
+                if not args.queries or not args.corpus or not args.out:
+                    raise SystemExit(
+                        "annindex rerank needs --queries, --corpus "
+                        "(the float vectors) and --out"
+                    )
+                from .operators.similarity import (
+                    ivf_pq_nn_join,
+                    nn_rerank_exact,
+                )
+
+                queries = spark.read.parquet(args.queries)
+                cands = ivf_pq_nn_join(
+                    queries, args.index, k=args.k, nprobe=args.nprobe,
+                    query_id_col=args.query_id_col,
+                    query_vec_col=args.ann_vec_col,
+                    id_col=args.ann_id_col,
+                )
+                out = nn_rerank_exact(
+                    cands, spark.read.parquet(args.corpus), queries,
+                    k=args.rerank_k or args.k, metric=args.metric,
+                    query_id_col=args.query_id_col,
+                    id_col=args.ann_id_col,
+                    corpus_vec_col=args.ann_vec_col,
+                    query_vec_col=args.ann_vec_col,
+                )
+                out.write.mode("overwrite").parquet(args.out)
+                written = spark.read.parquet(args.out)
+                print(json.dumps({
+                    "index": args.index,
+                    "out": args.out,
+                    "metric": args.metric,
+                    "rows": written.count(),
+                    "queries": written.select(
+                        args.query_id_col
+                    ).distinct().count(),
+                }))
+            elif args.action == "dedup":
+                if not args.batch or not args.out:
+                    raise SystemExit(
+                        "annindex dedup needs --batch and --out"
+                    )
+                from .operators.similarity import (
+                    dedup_batch_against_ann_index,
+                )
+
+                batch = spark.read.parquet(args.batch)
+                survivors = dedup_batch_against_ann_index(
+                    batch, args.index, k=args.k, nprobe=args.nprobe,
+                    id_col=args.ann_id_col, vec_col=args.ann_vec_col,
+                    index_id_col=args.ann_id_col,
+                    max_l2=args.max_l2, min_cosine=args.min_cosine,
+                    corpus=(
+                        spark.read.parquet(args.corpus)
+                        if args.corpus else None
+                    ),
+                )
+                survivors.write.mode("overwrite").parquet(args.out)
+                n_in = batch.count()
+                n_out = spark.read.parquet(args.out).count()
+                print(json.dumps({
+                    "index": args.index,
+                    "out": args.out,
+                    "batch_rows": n_in,
+                    "survivors": n_out,
+                    "dropped": n_in - n_out,
                 }))
             elif args.action == "stats":
                 from .operators.similarity import ivf_pq_index_stats
