@@ -70,7 +70,7 @@ from web_api_postgres_etl_spark.operators.similarity import (
 )
 
 
-# (session id, sf_dir, table) -> DataFrame. The testdata tables are
+# (session key, sf_dir, table) -> DataFrame. The testdata tables are
 # READ-ONLY (TESTDATA.md), so a loaded DataFrame — an immutable logical
 # plan over a static path — is safe to reuse for the session's
 # lifetime. Measured r13: each spark.read.parquet costs ~64 ms of
@@ -80,43 +80,79 @@ from web_api_postgres_etl_spark.operators.similarity import (
 _T_CACHE: dict = {}
 
 
+def _session_key(spark: SparkSession) -> str:
+    """Stable identity for a session — the cache key prefix for every
+    memo below. id(spark) is NOT stable: after a stopped session is
+    GC'd, CPython can hand the same id to a NEW session, which would
+    then receive DataFrames (or an index path) bound to the dead one.
+    applicationId is unique per context; it is stamped onto the
+    session object so repeated lookups cost no py4j round trip (a new
+    object can never carry a dead session's stamp)."""
+    key = getattr(spark, "_sg_session_key", None)
+    if key is None:
+        try:
+            key = str(spark.sparkContext.applicationId)
+        except Exception:  # pragma: no cover - context already stopped
+            key = f"id-{id(spark)}"
+        try:
+            spark._sg_session_key = key
+        except Exception:  # pragma: no cover - frozen session object
+            pass
+    return key
+
+
+def _memo(cache: dict, spark: SparkSession, subkey: tuple, build):
+    """Session-scoped memoization with dead-session eviction: entries
+    whose session key differs from the CURRENT session's are dropped
+    on every miss, so the caches hold one session's worth of plans
+    (the bench/driver pattern — one live session at a time) instead of
+    growing across restarts."""
+    app = _session_key(spark)
+    key = (app,) + subkey
+    hit = cache.get(key)
+    if hit is None:
+        for stale in [k for k in cache if k[0] != app]:
+            del cache[stale]
+        cache[key] = hit = build()
+    return hit
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load (memoized per session) a testdata table. events.ts is
     parquet TIMESTAMP(NANOS), which Spark refuses by default — read it
     as long ns (legacy conf, session-settable) and convert to a
     microsecond TimestampType with integer division (a double
     round-trip would lose precision at ~1.7e18 ns)."""
-    key = (id(spark), sf_dir, name)
-    hit = _T_CACHE.get(key)
-    if hit is not None:
-        return hit
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    _T_CACHE[key] = df
-    return df
+
+    def _build() -> DataFrame:
+        if name == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
+
+    return _memo(_T_CACHE, spark, (sf_dir, name), _build)
 
 
-# (session id, sf_dir) -> the vec_id=1 embedding as list[float]: the
+# (session key, sf_dir) -> the vec_id=1 embedding as list[float]: the
 # fixed ANN query vector six entries fetch with a driver job during
 # plan construction — read-only data, so memoized like _t (r13).
 _QVEC1_CACHE: dict = {}
 
 
 def _qvec1(spark: SparkSession, sf_dir: str) -> list:
-    key = (id(spark), sf_dir)
-    hit = _QVEC1_CACHE.get(key)
-    if hit is None:
+    def _build() -> list:
         emb = _t(spark, sf_dir, "embeddings")
-        hit = [
+        return [
             float(x)
             for x in emb.filter(F.col("vec_id") == 1)
             .select("embedding").first()["embedding"]
         ]
-        _QVEC1_CACHE[key] = hit
-    return list(hit)
+
+    return list(_memo(_QVEC1_CACHE, spark, (sf_dir,), _build))
 
 
 # ---------------------------------------------------------------------------
@@ -3527,7 +3563,7 @@ _PQ_K = 8
 _PQ_EVERY = 97
 _PQ_TOPK = 50
 
-# (session id, sf_dir) -> path of the SHARED materialized IVF-PQ index
+# (session key, sf_dir) -> path of the SHARED materialized IVF-PQ index
 # over embeddings with the module's frozen parameters. Four driver
 # rows (ivf_pq_probe_topk, ivf_pq_nn_join, ann_rerank_topk,
 # hybrid_retrieval) consume the IDENTICAL artifact — fixed-sample
@@ -3546,9 +3582,7 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
         write_ivf_pq_index,
     )
 
-    key = (id(spark), sf_dir)
-    hit = _IVFPQ_INDEX_CACHE.get(key)
-    if hit is None:
+    def _build() -> str:
         root = tempfile.mkdtemp(prefix="wapeql_ivfpq_")
         atexit.register(shutil.rmtree, root, ignore_errors=True)
         path = root + "/idx"
@@ -3557,8 +3591,9 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
             every=_PQ_EVERY, max_centroids=8,
             m=_PQ_M, pq_k=_PQ_K, pq_iters=0,
         )
-        _IVFPQ_INDEX_CACHE[key] = hit = path
-    return hit
+        return path
+
+    return _memo(_IVFPQ_INDEX_CACHE, spark, (sf_dir,), _build)
 
 
 def q_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -4187,8 +4222,14 @@ def q_hybrid_retrieval(spark: SparkSession, sf: str) -> DataFrame:
     )
     emb = _t(spark, sf, "embeddings")
     path = _ivfpq_index(spark, sf)
+    # the same well-dimensioned gate as q_ivf_pq_nn_join: the SQL
+    # mirror's qs CTE requires len(embedding) = m*16, and parity must
+    # come from matching filters, not from the testdata's vec_id=3 row
+    # happening to be well-formed (r14, ADVICE)
     queries = emb.filter(
-        (F.col("vec_id") == 3) & F.col("embedding").isNotNull()
+        (F.col("vec_id") == 3)
+        & F.col("embedding").isNotNull()
+        & (F.size("embedding") == _PQ_M * 16)
     ).select(F.col("vec_id").alias("query_id"), "embedding")
     ann_ranks = ivf_pq_nn_join(
         queries, path, k=_NN_JOIN_K, nprobe=2

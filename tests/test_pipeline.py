@@ -1116,3 +1116,65 @@ def test_cli_annindex_lifecycle(spark, tmp_path, capsys):
         main(["annindex", "nnjoin", "--index", idx], spark=spark)
     with _pt.raises(SystemExit):
         main(["annindex", "recall", "--index", idx], spark=spark)
+
+
+def test_fs_probes_and_empty_partitioned_sink(spark, tmp_path):
+    """r14 (ADVICE): warehouse existence checks go through the Hadoop
+    FileSystem API (scheme-aware — an HDFS/S3 warehouse would read as
+    universally absent to os.path.exists), and the watermark probe
+    distinguishes the two faces Spark reports identically as
+    UNABLE_TO_INFER_SCHEMA: a zero-row partitioned write (only
+    _SUCCESS on disk) legitimately probes None; a dir with present
+    data files is has_data_files=True and any read failure there
+    propagates."""
+    from web_api_postgres_etl_spark.plans.fs import (
+        has_data_files,
+        path_exists,
+    )
+    from web_api_postgres_etl_spark.plans.watermark import WatermarkManager
+
+    ok = str(tmp_path / "ok")
+    spark.createDataFrame([(1, 7)], "id long, `meta.version` long").write.parquet(ok)
+    assert path_exists(spark, ok) and has_data_files(spark, ok)
+    # file:// URIs resolve the same way
+    assert path_exists(spark, "file://" + ok)
+    assert not path_exists(spark, str(tmp_path / "nope"))
+    assert not has_data_files(spark, str(tmp_path / "nope"))
+
+    # zero-row partitioned write → only _SUCCESS in the dir
+    empty = str(tmp_path / "empty")
+    spark.createDataFrame([], "id long, p long, `meta.version` long").write.partitionBy(
+        "p"
+    ).parquet(empty)
+    assert path_exists(spark, empty) and not has_data_files(spark, empty)
+    wm = WatermarkManager(spark, str(tmp_path))
+    assert wm.probe({"t": empty}) == {"t": None}
+
+
+def test_entry_session_key_and_memo_eviction():
+    """r14 (ADVICE): the entry-file memo caches key on a stable
+    session identifier, not id(spark) — a recycled id must never hand
+    a new session a dead session's DataFrames — and a miss under a new
+    session evicts the dead session's entries instead of growing
+    forever."""
+    import __spark_entry__ as entrymod
+
+    class FakeSession:
+        pass
+
+    cache: dict = {}
+    s1 = FakeSession()
+    v1 = entrymod._memo(cache, s1, ("t",), lambda: "one")
+    assert v1 == "one" and len(cache) == 1
+    # hit: no rebuild
+    assert entrymod._memo(cache, s1, ("t",), lambda: "BOOM") == "one"
+    k1 = entrymod._session_key(s1)
+    # the key is stamped on the object: same key, no recompute drift
+    assert entrymod._session_key(s1) == k1
+    # a NEW session (the fallback key embeds id(); force distinctness
+    # by keeping s1 alive) misses and evicts s1's entries
+    s2 = FakeSession()
+    assert entrymod._session_key(s2) != k1
+    v2 = entrymod._memo(cache, s2, ("t",), lambda: "two")
+    assert v2 == "two"
+    assert len(cache) == 1 and list(cache)[0][0] == entrymod._session_key(s2)

@@ -325,13 +325,16 @@ class MedallionPipeline:
             # pattern; Spark 4.1's resolver reports a missing path as
             # UNABLE_TO_INFER_SCHEMA or PATH_NOT_FOUND depending on
             # context, so exception classification is unreliable).
+            # Scheme-aware probe (plans.fs): a local os.path.exists
+            # would read every stg path on an HDFS/S3 warehouse as
+            # absent and skip ALL prd trades behind a green run.
             # Any failure reading an EXISTING table (corrupt footer,
             # permissions) surfaces as the table's failure — silently
             # skipping would leave a stale prd behind a green run
             # (r13, the _read_index_meta rule).
-            import os
+            from .fs import path_exists
 
-            if not os.path.exists(stg_path):
+            if not path_exists(self.spark, stg_path):
                 continue
             try:
                 stg = self.spark.read.parquet(stg_path)

@@ -10,11 +10,30 @@ stats) and return a plain dict.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import SparkSession
 
 from ..operators.aggregates import max_watermark
+from .fs import has_data_files, path_exists
+
+
+def _error_condition(exc) -> str | None:
+    """Top-level error condition of a PySpark exception (e.g.
+    ``UNRESOLVED_COLUMN.WITH_SUGGESTION`` → ``UNRESOLVED_COLUMN``), or
+    None when the exception carries no condition. Message-substring
+    classification is version-dependent (and a condition name quoted
+    inside an unrelated message would misclassify); the condition field
+    is the stable contract."""
+    for getter in ("getCondition", "getErrorClass"):
+        fn = getattr(exc, getter, None)
+        if fn is None:
+            continue
+        try:
+            cond = fn()
+        except Exception:
+            continue
+        if cond:
+            return str(cond).split(".", 1)[0]
+    return None
 
 
 class WatermarkManager:
@@ -40,21 +59,32 @@ class WatermarkManager:
 
         out: dict[str, int | None] = {}
         for name, path in table_paths.items():
-            if not os.path.exists(path):
+            # scheme-aware (plans.fs): on an HDFS/S3 warehouse a local
+            # os.path.exists would read EVERY sink as absent and probe
+            # None across the board — a silent full re-ingest
+            if not path_exists(self.spark, path):
                 out[name] = None
                 continue
             try:
                 df = self.spark.read.parquet(path)
                 out[name] = max_watermark(df, self.version_col)
             except AnalysisException as exc:
-                msg = str(exc)
-                if (
-                    "PATH_NOT_FOUND" in msg
-                    or "UNABLE_TO_INFER_SCHEMA" in msg
-                    or "UNRESOLVED_COLUMN" in msg
-                    or "FIELD_NOT_FOUND" in msg
+                cond = _error_condition(exc)
+                if cond in ("PATH_NOT_FOUND", "UNRESOLVED_COLUMN",
+                            "FIELD_NOT_FOUND"):
+                    # vanished between probe and read / pre-versioned
+                    # bootstrap (no version column yet) → not-yet
+                    out[name] = None
+                elif cond == "UNABLE_TO_INFER_SCHEMA" and not has_data_files(
+                    self.spark, path
                 ):
+                    # a zero-row partitioned write leaves only _SUCCESS
+                    # — a legitimately empty sink, not a corrupt one
                     out[name] = None
                 else:
+                    # UNABLE_TO_INFER_SCHEMA over PRESENT data files
+                    # (unreadable-as-parquet), or any other condition:
+                    # a corrupt sink must be a decision, not a
+                    # swallowed full re-ingest
                     raise
         return out
