@@ -643,6 +643,67 @@ def q_url_curation(spark: SparkSession, sf: str) -> DataFrame:
     return capped.select("doc_id", "norm_url", "domain")
 
 
+def q_contamination_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Decontamination PROVENANCE (operators/dedup.py::
+    contamination_report, r13; driver row r14 per the r13 verdict #1):
+    (doc_id, bench_id, n_shared_ngrams) — for every contaminated
+    training document, WHICH benchmark document leaked and how many
+    distinct word 5-grams the two share, so the scrub's drop list is
+    attributable instead of a bare id set. Benchmark = every 10th
+    testdata document (the standing decontamination fixture of
+    tests/test_curation.py), train = the rest.
+
+    Scale shape: both sides reduce to DISTINCT (id, 16-byte md5 gram
+    digest) pairs — digests shuffle, text never does — the benchmark
+    side broadcasts (benchmarks are MBs against a 100 TB corpus), and
+    the join output is bounded by true contamination before one
+    map-side-combining pair count. The oracle is an exact SQL n-gram
+    overlap mirror (same tokenizer: lower → strip non-alnum →
+    whitespace split).
+
+    Cites /root/reference scope: no corpus surface there; this is the
+    LLM-data-pipeline audit face of the decontamination family
+    (gate → counts → provenance)."""
+    from web_api_postgres_etl_spark.operators.dedup import (
+        contamination_report,
+    )
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return contamination_report(
+        train, bench, "doc_id", "text", "bench_id", ngram_n=5
+    )
+
+
+SQL_CONTAMINATION_REPORT = r"""
+WITH bt AS (
+  SELECT doc_id AS bench_id,
+    list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(
+    lower(text),'[^a-z0-9\s]',' ','g'),'\s+',' ','g')),' '), x -> x <> '') AS toks
+  FROM documents WHERE doc_id % 10 = 0),
+bg AS (
+  SELECT DISTINCT bench_id, unnest(list_transform(
+    generate_series(1, greatest(len(toks)-4, 0)),
+    i -> array_to_string(toks[i:i+4],' '))) AS g
+  FROM bt),
+tt AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(
+    lower(text),'[^a-z0-9\s]',' ','g'),'\s+',' ','g')),' '), x -> x <> '') AS toks
+  FROM documents WHERE doc_id % 10 <> 0),
+tg AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(
+    generate_series(1, greatest(len(toks)-4, 0)),
+    i -> array_to_string(toks[i:i+4],' '))) AS g
+  FROM tt)
+SELECT tg.doc_id, bg.bench_id, COUNT(*) AS n_shared_ngrams
+FROM tg JOIN bg USING (g)
+GROUP BY 1, 2
+"""
+
+
 SQL_URL_CURATION = """
 WITH base AS (
   SELECT doc_id,
@@ -5613,7 +5674,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # survivor choice with NULLS-LAST and all-NULL min-id fallback
         # over the components loop.
         "select_canonical": q_select_canonical,
-        "url_curation": q_url_curation,
+        # r14: url_curation -> contamination_report (url_curation is
+        # r6-era long-stable; its normalize/dedup/quota chain stays
+        # pinned in tests/test_urls.py and its full oracle parity is
+        # retired to tests/test_oracle_parity.py). contamination_report
+        # is the r13 verdict's #1 ask: the provenance face of
+        # decontamination — (train, bench, shared-gram count) pairs —
+        # promoted from its pair-level mirror in tests/test_curation.py.
+        "contamination_report": q_contamination_report,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "corpus_ingest_replay": q_corpus_ingest_replay,
         # data-recipe mixing (r6: swapped in for agg_distinct, whose
@@ -5809,7 +5877,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history": SQL_SCD2,
         "quantile_state_merge": SQL_QUANTILE_STATE_MERGE,
         "select_canonical": SQL_SELECT_CANONICAL,
-        "url_curation": SQL_URL_CURATION,
+        "contamination_report": SQL_CONTAMINATION_REPORT,
         "minhash_lsh_pairs": SQL_LSH_PAIRS,
         "corpus_ingest_replay": SQL_CORPUS_INGEST_REPLAY,
         "data_recipe_mix": SQL_DATA_RECIPE_MIX,

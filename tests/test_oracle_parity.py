@@ -221,6 +221,12 @@ RETIRED = [
     # agg_rollup / incr_agg_merge; this row keeps the month×type wide
     # table face)
     ("agg_pivot", "SQL_PIVOT"),
+    # r14: URL curation chain → contamination_report (normalize/dedup/
+    # quota stay pinned branch-by-branch in tests/test_urls.py; the
+    # md5-draw quota and last-wins dedup shapes stay driver-visible
+    # via data_recipe_mix / select_canonical; this row keeps the full
+    # three-stage URL face)
+    ("url_curation", "SQL_URL_CURATION"),
 ]
 
 
