@@ -910,3 +910,87 @@ def test_population_stability_epsilon_guard_and_int_items(spark):
     freq = {tuple(sorted(r["items"])): r["freq"] for r in isets.collect()}
     assert freq == {(1,): 2, (2,): 3, (1, 2): 2}
     assert isets.schema["items"].dataType.elementType.simpleString() == "int"
+
+
+def test_minhash_index_purge_takedown(spark, tmp_path):
+    """r14 (the r13 verdict #2): the persisted minhash index's
+    takedown face. Before the purge a re-submission of an indexed
+    document is dropped as a duplicate; after purging that id the
+    index has forgotten it — no ghost dedup against deleted content.
+    Only signature files containing the id are rewritten (untouched
+    files stay byte-identical), the _meta family sidecar is never
+    touched, a re-purge is an idempotent no-op, and a mismatched ids
+    frame raises."""
+    import os
+
+    from web_api_postgres_etl_spark.operators.dedup import (
+        dedup_batch_against_index,
+        minhash_index_purge,
+        read_minhash_index,
+        write_minhash_index,
+    )
+
+    def _files(root):
+        out = {}
+        for dirpath, _dirs, names in os.walk(root):
+            for n in names:
+                if not n.startswith(("_", ".")):
+                    p = os.path.join(dirpath, n)
+                    with open(p, "rb") as fh:
+                        out[p] = fh.read()
+        return out
+
+    corpus = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{i}x{j} tok{i} filler{j}" for j in range(6)))
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "mhidx")
+    write_minhash_index(corpus, idx, "doc_id", "text")
+    meta_before = _files(idx + "_meta")
+
+    resub = spark.createDataFrame(
+        [(1000, " ".join(f"w7x{j} tok7 filler{j}" for j in range(6)))],
+        "doc_id long, text string",
+    )
+    # pre-purge: the duplicate of doc 7 is dropped against the index
+    assert dedup_batch_against_index(resub, idx, "text").count() == 0
+
+    before = _files(idx)
+    stats = minhash_index_purge(
+        spark, idx, spark.createDataFrame([(7,)], "doc_id long")
+    )
+    assert stats["rows_purged"] == 1
+    assert stats["files_rewritten"] == len(stats["removed_files"]) >= 1
+    after = _files(idx)
+    # untouched files keep their exact bytes under their exact paths
+    removed_local = {p.replace("file://", "").replace("file:", "") for p in stats["removed_files"]}
+    for p, blob in before.items():
+        if p not in removed_local:
+            assert after.get(p) == blob, f"untouched file changed: {p}"
+    # the family sidecar is never touched, and reads identically
+    assert _files(idx + "_meta") == meta_before
+    sigs, meta = read_minhash_index(spark, idx)
+    assert meta["id_col"] == "doc_id"
+    assert sigs.filter(F.col("doc_id") == 7).count() == 0
+    assert sigs.count() == 39
+
+    # post-purge: the ghost is gone — the re-submission survives
+    assert dedup_batch_against_index(resub, idx, "text").count() == 1
+
+    # idempotent re-purge
+    stats2 = minhash_index_purge(
+        spark, idx, spark.createDataFrame([(7,)], "doc_id long")
+    )
+    assert stats2 == {
+        "rows_purged": 0,
+        "files_rewritten": 0,
+        "removed_files": [],
+        "added_files": [],
+    }
+    with pytest.raises(ValueError, match="keys on 'doc_id'"):
+        minhash_index_purge(
+            spark, idx, spark.createDataFrame([(7,)], "other long")
+        )

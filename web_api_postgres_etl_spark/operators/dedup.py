@@ -1421,6 +1421,42 @@ def minhash_index_append(
     sigs.write.mode("append").parquet(path)
 
 
+def minhash_index_purge(spark, path: str, ids: DataFrame) -> dict:
+    """Takedown face of the persisted minhash index (r14, the r13
+    verdict #2): remove the SIGNATURES of deleted documents so future
+    batches stop deduplicating against their ghosts. ``purge_rows``
+    deletes a document's rows from the corpus table, but an
+    append-only signature index would keep matching new documents
+    against the deleted content forever — a right-to-be-forgotten
+    purge is incomplete until the index forgets too (and a legitimate
+    re-submission of takedown-removed content would be silently
+    dropped as a "duplicate" of a document that no longer exists).
+
+    Mirrors the IVF-PQ index purge contract exactly (the index IS a
+    plain parquet table, so the deletion IS ``layout.purge_rows``):
+    only signature files containing a matching id are rewritten,
+    untouched files keep their bytes, the ``_meta`` family sidecar is
+    never touched (it describes the hash family, not the rows), and a
+    re-purge of the same ids is an idempotent no-op. ``ids`` must
+    carry the index's OWN id column (recorded in the sidecar at build
+    time — same rule as append). Returns ``purge_rows``'s stats dict.
+
+    Scale shape: cost scales with signature files TOUCHED, not index
+    size — one column-pruned semi-join scan finds affected files, and
+    the index rows are (id, k×8B) so even a large takedown rewrites
+    kilobytes per file."""
+    from .layout import purge_rows
+
+    _, meta = read_minhash_index(spark, path)
+    id_col = meta["id_col"]
+    if id_col not in ids.columns:
+        raise ValueError(
+            f"minhash index at {path} keys on {id_col!r}, absent from "
+            f"the ids frame columns {ids.columns}"
+        )
+    return purge_rows(spark, path, ids, id_col)
+
+
 def dedup_within_batch(
     df: DataFrame,
     id_col: str,
