@@ -1064,3 +1064,191 @@ def test_vectors_maintain_stream_appends_and_replays_idempotently(
     )
     st = ivf_pq_append_batch(spark, path, redelivered)
     assert st == {"appended": 1, "skipped_existing": 0, "n_batch": 1}
+
+
+def test_apply_changes_first_class_deletes(spark, tmp_path):
+    """r14 (the r13 verdict #3): tombstone rows route through
+    purge_rows inside the batch. Pins: delete+update of one id in one
+    batch resolves by seq (equal seq → the delete wins,
+    deterministically); delete-then-replay of the older insert is a
+    no-op — the tombstone sidecar stops resurrection; a re-insert
+    ABOVE the delete's seq lands; the op column never reaches the
+    table; exact delete replays are gated out without re-appending."""
+    from web_api_postgres_etl_spark.streaming.table_stream import (
+        apply_changes,
+        tombstone_path,
+    )
+
+    schema = "id long, v string, seq long, op string"
+    table = str(tmp_path / "tbl")
+
+    # bootstrap WITH a tombstone in the first batch: id 3 is deleted at
+    # seq 2 (beating its own seq-1 insert); id 9 never existed — its
+    # tombstone must still be recorded
+    b1 = spark.createDataFrame(
+        [
+            (1, "a0", 1, "U"),
+            (2, "b0", 1, None),
+            (3, "c0", 1, "U"),
+            (3, None, 2, "D"),
+            (9, None, 5, "D"),
+        ],
+        schema,
+    )
+    st1 = apply_changes(spark, table, b1, "id", "seq", op_col="op")
+    assert st1["bootstrapped"] and st1["rows_inserted"] == 2
+    assert st1["tombstones_appended"] == 2 and st1["rows_deleted"] == 0
+    got = {r["id"]: r["v"] for r in spark.read.parquet(table).collect()}
+    assert got == {1: "a0", 2: "b0"}
+    assert "op" not in spark.read.parquet(table).columns
+
+    # replaying id 3's ORIGINAL insert (older seq) must not resurrect
+    replay = spark.createDataFrame([(3, "c0", 1, "U")], schema)
+    st2 = apply_changes(spark, table, replay, "id", "seq", op_col="op")
+    assert st2["rows_inserted"] == 0 and st2["rows_replaced"] == 0
+    assert spark.read.parquet(table).filter("id = 3").count() == 0
+    # ...nor may a seq-9 insert of the never-existing-but-tombstoned 9
+    # below its tombstone (seq 5) — while an ABOVE-tombstone one lands
+    assert apply_changes(
+        spark, table,
+        spark.createDataFrame([(9, "z0", 4, None)], schema),
+        "id", "seq", op_col="op",
+    )["rows_inserted"] == 0
+    st3 = apply_changes(
+        spark, table,
+        spark.createDataFrame([(9, "z1", 6, None)], schema),
+        "id", "seq", op_col="op",
+    )
+    assert st3["rows_inserted"] == 1
+    assert {r["id"]: r["v"] for r in spark.read.parquet(table).collect()} == {
+        1: "a0", 2: "b0", 9: "z1"
+    }
+
+    # delete+update same batch, same id: higher seq wins; at EQUAL seq
+    # the delete wins (z ranks above any digest)
+    b4 = spark.createDataFrame(
+        [(1, "a1", 7, "U"), (1, None, 7, "D"), (2, "b1", 8, "U"),
+         (2, None, 7, "D")],
+        schema,
+    )
+    st4 = apply_changes(spark, table, b4, "id", "seq", op_col="op")
+    assert st4["rows_deleted"] == 1 and st4["tombstones_appended"] == 1
+    assert st4["rows_replaced"] == 1
+    assert {r["id"]: r["v"] for r in spark.read.parquet(table).collect()} == {
+        2: "b1", 9: "z1"
+    }
+
+    # exact delete replay: gated out entirely — no purge scan, no new
+    # tombstone rows
+    tomb = tombstone_path(table)
+    n_tomb = spark.read.parquet(tomb).count()
+    st5 = apply_changes(
+        spark, table,
+        spark.createDataFrame([(1, None, 7, "D")], schema),
+        "id", "seq", op_col="op",
+    )
+    assert st5["rows_deleted"] == 0 and st5["tombstones_appended"] == 0
+    assert spark.read.parquet(tomb).count() == n_tomb
+
+    # op_col must exist
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="op_col"):
+        apply_changes(
+            spark, table,
+            spark.createDataFrame([(1, "x", 9, None)], schema),
+            "id", "seq", op_col="nope",
+        )
+
+
+def test_cdc_delete_end_state_pure_function_of_log(spark, tmp_path):
+    """r14: with deletes in the log, the visible end state is STILL a
+    pure function of the change log's per-id ordering-triple maxima —
+    the same changes applied in different batchings and orders (the
+    checkpoint-reset / at-least-once regime) converge to identical
+    tables, and replaying everything after convergence changes
+    nothing."""
+    from web_api_postgres_etl_spark.streaming.table_stream import (
+        apply_changes,
+    )
+
+    schema = "id long, v string, seq long, op string"
+    log = [
+        (1, "a0", 1, None), (1, "a1", 3, None), (1, None, 4, "D"),
+        (1, "a2", 6, None),                     # resurrected above D
+        (2, "b0", 1, None), (2, None, 9, "D"),  # ends deleted
+        (3, "c0", 2, None), (3, None, 2, "D"),  # equal seq: D wins
+        (4, None, 3, "D"), (4, "d0", 2, None),  # delete arrives first
+        (5, "e0", 1, None), (5, "e1", 2, None),  # plain updates
+    ]
+    want = {1: ("a2", 6), 5: ("e1", 2)}
+
+    def run(name, batches):
+        t = str(tmp_path / name)
+        for rows in batches:
+            if rows:
+                apply_changes(
+                    spark, t,
+                    spark.createDataFrame(rows, schema),
+                    "id", "seq", op_col="op",
+                )
+        return t
+
+    # one shot; row-at-a-time in log order; row-at-a-time REVERSED;
+    # two halves; and one-shot-then-full-replay
+    t_oneshot = run("one", [log])
+    t_rows = run("rows", [[r] for r in log])
+    t_rev = run("rev", [[r] for r in reversed(log)])
+    t_halves = run("halves", [log[:6], log[6:]])
+    t_replay = run("replay", [log, log])
+    for t in (t_oneshot, t_rows, t_rev, t_halves, t_replay):
+        got = {
+            r["id"]: (r["v"], r["seq"])
+            for r in spark.read.parquet(t).collect()
+        }
+        assert got == want, f"{t}: {got}"
+        # no duplicate ids ever
+        assert spark.read.parquet(t).groupBy("id").count().filter(
+            "count > 1"
+        ).count() == 0
+
+
+def test_table_maintain_run_with_tombstones(spark, tmp_path):
+    """r14: the streaming face passes op_col through — a drained
+    change stream with tombstones converges, and a checkpoint reset
+    re-draining the full history (including the deletes) is a
+    fixed point."""
+    from web_api_postgres_etl_spark.streaming.table_stream import (
+        table_maintain_run,
+    )
+
+    schema = "id long, v string, seq long, op string"
+    src = str(tmp_path / "changes")
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [(1, "a0", 1, None), (2, "b0", 1, None)], schema
+    ).write.mode("append").parquet(src)
+    table_maintain_run(
+        spark, src, table, ckpt, schema, "id", "seq", op_col="op"
+    )
+    spark.createDataFrame(
+        [(1, None, 2, "D"), (3, "c0", 1, None)], schema
+    ).write.mode("append").parquet(src)
+    table_maintain_run(
+        spark, src, table, ckpt, schema, "id", "seq", op_col="op"
+    )
+    want = {2: "b0", 3: "c0"}
+    assert {
+        r["id"]: r["v"] for r in spark.read.parquet(table).collect()
+    } == want
+    # checkpoint reset: full history re-drains, the delete replays,
+    # id 1 must stay dead
+    table_maintain_run(
+        spark, src, table, str(tmp_path / "ckpt2"), schema, "id", "seq",
+        op_col="op",
+    )
+    assert {
+        r["id"]: r["v"] for r in spark.read.parquet(table).collect()
+    } == want
