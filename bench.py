@@ -66,16 +66,23 @@ def main() -> None:
         except Exception:
             pass
 
-    # N full-suite passes (default 3, env-controlled via
+    # N full-suite passes (default 5, env-controlled via
     # SPARK_GRAFT_BENCH_REPEATS), per-query MIN across passes: the box
     # swings 9.3-12.2s day-to-day for identical code (noisy shared
     # host), so a single sample cannot detect a real 15% regression.
+    # Default raised 3→5 in r14: two rounds running, the driver's
+    # single min-of-3 invocation landed ~30% above same-session
+    # settled readings (r12 15.145 vs 11.9; r13 15.27 vs 11.1) — the
+    # raw "runs" arrays show spikes of 1.5-3x on individual passes
+    # (minhash 2.43/3.90/2.38), which min-of-3 demonstrably fails to
+    # absorb when the host stays busy across all three. Five passes
+    # cost ~1 extra minute and give the min two more draws.
     # Full-suite passes (not back-to-back per-query reruns) keep each
     # sample representative of a cold-ish cache walk; the min is the
     # steady-state number (results identical per pass). Raw samples
     # are published under "runs" so round-over-round comparisons can
     # see the variance, not just the min.
-    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5")))
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(repeats):
         for name in HEADLINE:

@@ -85,6 +85,10 @@ OPS = {
     # vote groupBy + one argmax, all ∝ |edges|; the exponent isolates
     # per-round cost from the checkpointed round loop)
     "ann_nn_join", "label_propagation",
+    # round 14: the three bench-HEADLINE LSH queries that drifted
+    # 1.26-1.36x in the r12/r13 driver artifacts — exponents decide
+    # load-noise vs a real superlinear plan (VERDICT r13 #5)
+    "minhash_lsh_pairs", "lsh_cosine_pairs", "lsh_nn_join",
 }
 
 

@@ -987,6 +987,65 @@ def _probe_ops(spark, n: int, ops_filter, docs, vecs) -> dict:
         got = label_propagation(nodes, edges, rounds=3).count()
         ops["label_propagation"] = (time.time() - t0, got)
 
+    # round 14: the three bench-HEADLINE LSH queries that read
+    # 1.26-1.36x their r8 anchors in the r12/r13 driver artifacts (the
+    # only family consistently up) — probed at increasing n so "load
+    # noise" vs "a plan gone superlinear" is decided by exponent, not
+    # argument. All three shuffle only (band_key, id) rows; candidate
+    # pairs are the one term that grows n²·2^-bits, so the vector
+    # probes widen bands to 16 bits (num_planes=32, the full synth
+    # dim) — the stated scale rule: band WIDTH grows with log n, the
+    # semantic_dup_pairs k≈√N discipline applied to banding. (The
+    # bench queries themselves pin 16 planes / 8-bit bands because
+    # their oracle replays the banding bit-for-bit at a FIXED sf.)
+    if want("minhash_lsh_pairs"):
+        reset_cache()
+        from web_api_postgres_etl_spark.operators.dedup import (
+            minhash_lsh_candidates,
+        )
+
+        t0 = time.time()
+        got = minhash_lsh_candidates(
+            docs, "doc_id", "text", shingle_n=2, num_hashes=8, bands=4
+        ).count()
+        ops["minhash_lsh_pairs"] = (time.time() - t0, got)
+
+    if want("lsh_cosine_pairs"):
+        reset_cache()
+        from web_api_postgres_etl_spark.operators.similarity import (
+            lsh_cosine_pairs,
+        )
+
+        t0 = time.time()
+        got = lsh_cosine_pairs(
+            vecs, "vec_id", "embedding",
+            threshold=0.4, num_planes=32, bands=2, signature="axis",
+        ).count()
+        ops["lsh_cosine_pairs"] = (time.time() - t0, got)
+
+    if want("lsh_nn_join"):
+        reset_cache()
+        from web_api_postgres_etl_spark.operators.similarity import (
+            lsh_nn_join,
+        )
+
+        # left side scales with n (every 20th vector queries the
+        # rest), so this measures the whole join growing on BOTH
+        # sides; the planted every-20th exact copies guarantee every
+        # probe size produces matches
+        left = vecs.filter(F.col("vec_id") % 20 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        right = vecs.filter(F.col("vec_id") % 20 != 0).select(
+            F.col("vec_id").alias("neighbor_id"), "embedding"
+        )
+        t0 = time.time()
+        got = lsh_nn_join(
+            left, right, "query_id", "neighbor_id",
+            k=2, num_planes=32, bands=2, signature="axis",
+        ).count()
+        ops["lsh_nn_join"] = (time.time() - t0, got)
+
     return ops
 
 
