@@ -224,7 +224,12 @@ def word_shingles(tokens_col, n: int = 3):
 
 
 def _shingled(
-    df: DataFrame, id_col: str, text_col: str, n: int, drop_empty: bool = False
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    drop_empty: bool = False,
+    ensure_par: bool = True,
 ) -> DataFrame:
     """(__id, __sh: array<string>) word n-gram shingles per document.
 
@@ -238,8 +243,13 @@ def _shingled(
     closes the quadratic HOF-inline trap ``word_shingles`` documents.
 
     ``drop_empty`` removes shingle-less documents via a TOKEN-COUNT
-    pre-filter on the source (zero shingles ⇔ fewer than n tokens)."""
-    src = ensure_parallelism(df)
+    pre-filter on the source (zero shingles ⇔ fewer than n tokens).
+
+    ``ensure_par=False`` skips the parallelism probe/repartition — for
+    inputs that are already join/shuffle outputs (their partitioning is
+    set by the upstream plan, and the ``df.rdd`` probe would force a
+    driver-side physical planning of that whole subtree per call)."""
+    src = ensure_parallelism(df) if ensure_par else df
     if drop_empty:
         src = src.filter(F.size(normalized_tokens(text_col)) >= n)
     toks = src.select(
@@ -481,19 +491,44 @@ def _candidate_shingles(
     df: DataFrame, pairs: DataFrame, id_col: str, text_col: str,
     shingle_n: int,
 ) -> DataFrame:
-    """(__id, __sh) distinct-shingle sets, semi-joined down to the
-    documents appearing in ``pairs`` — the shared candidate-bounding
-    head of every pairwise verifier (one corpus scan, then work is
-    linear in candidate count)."""
+    """(__id, __sh) distinct-shingle sets for exactly the documents
+    appearing in ``pairs`` — the shared candidate-bounding head of
+    every pairwise verifier.
+
+    The semi-join runs against the RAW (id, text) source BEFORE any
+    tokenize/shingle work, so the expensive per-row chain touches only
+    candidate documents instead of the whole corpus, and no corpus-wide
+    shingle-array frame is ever shuffled into the join (r14: this was
+    previously shingle-first/join-second, which re-tokenized every
+    document and exchanged the heaviest intermediate against a
+    candidate table orders of magnitude smaller). The semi-join carries
+    no strategy hint: AQE sees the candidate-id table's true (small)
+    size at runtime and picks a broadcast semi-join itself, while a
+    pathological candidate population still has the shuffle fallback —
+    and, unlike a hard ``broadcast()`` hint, the planner keeps the
+    candidate branch off the blocking broadcast-build path (measured:
+    the hinted variant serialized the whole pipeline behind the
+    broadcast build, +35% wall; the unhinted one is plan-equal to the
+    old shape locally and strictly less work at scale)."""
     cand_ids = (
-        pairs.select(F.col("id_a").alias("__id"))
-        .union(pairs.select(F.col("id_b").alias("__id")))
+        pairs.select(F.col("id_a").alias("__cand_id"))
+        .union(pairs.select(F.col("id_b").alias("__cand_id")))
         .distinct()
     )
+    cand_src = df.join(
+        cand_ids, qcol(id_col) == F.col("__cand_id"), "left_semi"
+    )
+    # empty-shingle drop via size(__sh) > 0 ABOVE the NGram projection,
+    # NOT drop_empty's token-count pre-filter: that deterministic source
+    # filter would be pushed below the semi-join by Catalyst and
+    # re-tokenize the ENTIRE corpus in the (often single-split) scan
+    # stage — the exact work this helper exists to avoid. The NGram
+    # output is opaque to pushdown, and zero shingles ⇔ fewer than n
+    # tokens, so the surviving rows are identical.
     return (
-        _shingled(df, id_col, text_col, shingle_n, drop_empty=True)
+        _shingled(cand_src, id_col, text_col, shingle_n, ensure_par=False)
+        .filter(F.size("__sh") > 0)
         .select("__id", F.array_distinct("__sh").alias("__sh"))
-        .join(cand_ids, "__id", "left_semi")
     )
 
 
@@ -624,10 +659,13 @@ def near_dup_pairs(
     the near-dup population) — because self-joins and two-sided verify
     joins otherwise recompute their build subtree per branch: measured
     18 s → 8 s at 50k docs. The corpus-sized shingled frame is NEVER
-    persisted; it is recomputed exactly twice (once feeding signatures,
-    once feeding the candidates-only semi-join), the same read-twice
-    trade ``dedup_corpus_lines`` documents. Pass False to keep the
-    plan fully lazy (e.g. composing into a larger cached pipeline).
+    persisted: the corpus is tokenized/shingled exactly ONCE (feeding
+    signatures); the verify stage re-reads only the raw (id, text)
+    source, semi-joined to candidates BEFORE any shingle work
+    (_candidate_shingles, r14 — previously the whole corpus was
+    re-shingled and that heaviest intermediate shuffled into the
+    candidate semi-join). Pass False to keep the plan fully lazy
+    (e.g. composing into a larger cached pipeline).
     """
     base = _shingled(df, id_col, text_col, shingle_n, drop_empty=True)
 
@@ -657,19 +695,12 @@ def near_dup_pairs(
         if pins is not None:
             pins.append(cands)
 
-    # --- stage 2: exact Jaccard on candidates only. Shingle sets are
-    # semi-joined down to candidate docs BEFORE the pair joins, so the
-    # two-sided verify join touches a candidate-bounded frame instead
-    # of shuffling/recomputing every document's shingle set per side.
-    cand_ids = (
-        cands.select(F.col("id_a").alias("__id"))
-        .union(cands.select(F.col("id_b").alias("__id")))
-        .distinct()
-    )
-    sh = (
-        base.select("__id", F.array_distinct("__sh").alias("__sh"))
-        .join(cand_ids, "__id", "left_semi")
-    )
+    # --- stage 2: exact Jaccard on candidates only. The raw source is
+    # semi-joined down to candidate docs BEFORE tokenize/shingle
+    # (_candidate_shingles), so the second pass's per-row work and the
+    # verify joins touch a candidate-bounded frame — never a
+    # corpus-wide shingle recompute or shuffle.
+    sh = _candidate_shingles(df, cands, id_col, text_col, shingle_n)
     if cache_intermediates:
         sh = sh.persist()
         if pins is not None:
