@@ -29,7 +29,20 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     stage into a 32-thread sub-second one."""
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # the probe forces a driver-side physical planning of df's whole
+    # subtree (df.rdd), so stamp the answer on the DataFrame object:
+    # a DataFrame is an immutable plan, its scan split count cannot
+    # change behind it — re-probing the SAME object is pure waste
+    # (fresh objects, the normal case, still probe; only long-lived
+    # memoized frames like the entry layer's _t tables hit the stamp)
+    n = getattr(df, "_sg_scan_parts", None)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        try:
+            df._sg_scan_parts = n
+        except Exception:  # pragma: no cover - frozen DataFrame object
+            pass
+    if n < target:
         return df.repartition(target)
     return df
 
