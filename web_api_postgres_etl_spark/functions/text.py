@@ -29,15 +29,27 @@ def _c(col: Column | str) -> Column:
 def normalized_tokens(text_col: Column | str, lowercase: bool = True) -> Column:
     """text → array of normalized word tokens.
 
-    lower → non-alphanumerics to spaces → collapse whitespace → split →
-    drop empties. Oracle mirror: lower / regexp_replace(…,'g') /
-    regexp_split_to_array.
+    Semantics (unchanged since r1, mirrored by the oracle's TOK chain:
+    lower / regexp_replace(…,'g') / regexp_split_to_array): tokens are
+    the maximal runs of [a-z0-9] in the lowered text — every other
+    character is a separator, boundary empties dropped.
+
+    r14 (guide §1.2 "per-task work"): computed as ONE split on
+    `[^a-z0-9]+` + empty-drop instead of the original two full
+    regexp_replace passes (strip-to-space, collapse-\\s+) + trim +
+    split-on-space. Output-identical by construction — both forms
+    split on maximal non-alphanumeric runs and filter the "" that a
+    leading/trailing/empty separator run leaves — but one regex pass
+    over the text instead of two plus an intermediate string
+    materialization. Tokenization sits under text_stats AND the whole
+    shingle/minhash dedup family, so this is the per-byte kernel of
+    the corpus scans (measured: text_stats full-profile noop pass
+    2.44 s → see OPTIMIZATION_r14.md; parity 50/50 green after).
     """
     c = _c(text_col)
     if lowercase:
         c = F.lower(c)
-    cleaned = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
-    toks = F.split(F.trim(F.regexp_replace(cleaned, r"\s+", " ")), " ")
+    toks = F.split(c, r"[^a-z0-9]+")
     return F.filter(toks, lambda t: t != "")
 
 
