@@ -185,7 +185,15 @@ def _plan_memoized(fn):
     plans fresh (unmaterialized) persist nodes per call, so every timed
     action computes end-to-end. Bounded construction-time metadata
     probes (a vector's dims, a date span — the _qvec1 category) ARE
-    reused; corpus-derived data never is."""
+    reused; corpus-derived data never is.
+
+    Caveat: a Dataset caches its QueryExecution, so the memoized
+    DataFrame bakes the PHYSICAL planning of its first
+    materialization (AQE finalizes once). Irrelevant to the
+    driver/bench (fixed confs per process), but a caller that flips
+    session confs between calls to probe alternative plans of the
+    same query must construct fresh via ``fn.__wrapped__`` (see
+    test_join_graph_ops's broadcast-off flagship probe)."""
     import functools
 
     @functools.wraps(fn)

@@ -190,7 +190,14 @@ def test_flagship_broadcasts_only_fixed_size_dims(spark):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        df = em.q_flagship_star_join(spark, "/root/testdata/sf0.001")
+        # __wrapped__: bypass the entry layer's plan memo — this test
+        # probes how the SAME logical query plans under flipped confs,
+        # and a memoized Dataset bakes the physical plan of its first
+        # materialization (it would also poison the memo for the
+        # default-conf plan-shape guard in test_plan_shapes.py)
+        df = em.q_flagship_star_join.__wrapped__(
+            spark, "/root/testdata/sf0.001"
+        )
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("BroadcastExchange") == 2
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
