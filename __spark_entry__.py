@@ -2193,7 +2193,7 @@ def q_near_dup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     out = near_dup_pairs(
         docs, "doc_id", "text", shingle_n=2, num_hashes=8, bands=4, threshold=0.5
     )
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return out.selectExpr("id_a", "id_b", "round(jaccard, 6) AS jaccard")
 
 
 SQL_NEAR_DUP = f"""

@@ -107,6 +107,135 @@ def test_side_effecting_contract_entries_not_memoized():
         assert not hasattr(fn, "__wrapped__"), name
 
 
+# --- §5 construction batching: the F.expr/selectExpr fast paths must
+# build the SAME Catalyst trees the original Column calls built.
+# Equivalence is pinned with Spark's own canonicalized sameResult where
+# the plans are UDF-free, and with value equality across the NGram
+# boundary (ScalaUDF canonicalization compares function identity, so
+# sameResult can never equate two transform calls).
+
+def _same_result(a, b) -> bool:
+    return a._jdf.queryExecution().analyzed().sameResult(
+        b._jdf.queryExecution().analyzed()
+    )
+
+
+def test_tokenizer_expr_fast_path_plan_equal(spark):
+    df = spark.createDataFrame([(x,) for x in ADVERSARIAL], "text string")
+    fast = df.select(normalized_tokens("text").alias("n"))
+    col = df.select(normalized_tokens(F.col("text")).alias("n"))
+    assert _same_result(fast, col)
+    nolower = df.select(normalized_tokens("text", lowercase=False).alias("n"))
+    nolower_col = df.select(
+        normalized_tokens(F.col("text"), lowercase=False).alias("n")
+    )
+    assert _same_result(nolower, nolower_col)
+
+
+def test_band_self_join_expr_form_plan_equal(spark):
+    from web_api_postgres_etl_spark.operators.dedup import _band_self_join
+
+    banded = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "__id long, __band string"
+    )
+    ref = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.__band") == F.col("r.__band"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+    assert _same_result(_band_self_join(banded), ref)
+
+
+def test_minhash_agg_alias_in_expr_plan_equal(spark):
+    from web_api_postgres_etl_spark.operators.dedup import minhash_agg_exprs
+
+    exploded = spark.createDataFrame(
+        [(1, "ab"), (1, "bc"), (2, None)], "__id long, __s string"
+    )
+    for guard in (True, False):
+        ref_cols = []
+        for i in range(4):
+            digest = f"md5(concat_ws('|', '{i}', __s))"
+            if guard:
+                digest = f"CASE WHEN __s IS NOT NULL THEN {digest} END"
+            ref_cols.append(F.expr(f"min({digest})").alias(f"mh_{i}"))
+        ref = exploded.groupBy("__id").agg(*ref_cols)
+        new = exploded.groupBy("__id").agg(
+            *minhash_agg_exprs(4, guard_nulls=guard)
+        )
+        assert _same_result(new, ref), f"guard_nulls={guard}"
+
+
+def test_jaccard_tail_expr_form_plan_equal(spark):
+    from web_api_postgres_etl_spark.operators.dedup import (
+        _jaccard_on_shingled,
+        _paired_shingles,
+    )
+
+    sh = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["b", "c"])], "__id long, __sh array<string>"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    joined = _paired_shingles(sh, pairs)
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    jac = inter / (F.size("__sha") + F.size("__shb") - inter)
+    ref = joined.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.25
+    )
+    assert _same_result(_jaccard_on_shingled(sh, pairs, 0.25), ref)
+    # paired-shingles selectExpr renames ≡ the Column renames
+    ref_joined = pairs.join(
+        sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha")),
+        "id_a",
+    ).join(
+        sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb")),
+        "id_b",
+    )
+    assert _same_result(joined, ref_joined)
+
+
+def test_ngram_direct_transform_value_equal(spark):
+    """_shingled's direct JVM transform (params pre-transferred once,
+    cached transformer) ≡ the public NGram().transform() API, by value
+    — and the cached transformer carries the right params."""
+    from pyspark.ml.feature import NGram
+
+    from web_api_postgres_etl_spark.operators.dedup import (
+        _ngram_transformer,
+        _shingled,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y"), (3, None), (4, "solo")],
+        "id long, text string",
+    )
+    got = {
+        r["__id"]: list(r["__sh"])
+        for r in _shingled(docs, "id", "text", 3).collect()
+    }
+    toks = docs.select(
+        F.col("id").alias("__id"),
+        F.coalesce(
+            normalized_tokens("text"), F.array().cast("array<string>")
+        ).alias("__toks"),
+    )
+    want = {
+        r["__id"]: list(r["__sh"])
+        for r in NGram(n=3, inputCol="__toks", outputCol="__sh")
+        .transform(toks)
+        .select("__id", "__sh")
+        .collect()
+    }
+    assert got == want == {1: ["a b c", "b c d"], 2: [], 3: [], 4: []}
+    assert _ngram_transformer(3) is _ngram_transformer(3)  # cached per n
+    assert _ngram_transformer(3).getN() == 3
+
+
 def test_ensure_parallelism_stamp_semantics(spark):
     narrow = spark.range(10).coalesce(1)
     out = ensure_parallelism(narrow)

@@ -46,6 +46,16 @@ def normalized_tokens(text_col: Column | str, lowercase: bool = True) -> Column:
     the corpus scans (measured: text_stats full-profile noop pass
     2.44 s → see OPTIMIZATION_r14.md; parity 50/50 green after).
     """
+    # Single-round-trip fast path for plain column names (guide §1.2
+    # step 2 — driver-side construction latency): one F.expr parse
+    # builds the whole filter(split(lower(c))) tree in the JVM instead
+    # of ~10 py4j calls. The SQL string is the exact same expression
+    # tree the Column form below builds (lambda variable deliberately
+    # named `t` to match the Python lambda's signature), so analyzed
+    # plans are bit-identical — pinned by tests/test_r14_optimizations.
+    if isinstance(text_col, str) and text_col.isidentifier():
+        inner = f"lower({text_col})" if lowercase else text_col
+        return F.expr(f"filter(split({inner}, '[^a-z0-9]+'), t -> t != '')")
     c = _c(text_col)
     if lowercase:
         c = F.lower(c)

@@ -275,13 +275,46 @@ def _shingled(
         ).alias("__toks"),
     )
     try:
-        from pyspark.ml.feature import NGram
+        from pyspark.ml.feature import NGram  # noqa: F401
     except ImportError:  # pyspark.ml needs numpy; stay pure-Column without
         return toks.select(
             "__id", word_shingles(F.col("__toks"), n).alias("__sh")
         )
-    sh = NGram(n=n, inputCol="__toks", outputCol="__sh").transform(toks)
+    tr = _ngram_transformer(n)
+    # JavaTransformer.transform == transfer params + wrap the JVM call;
+    # params were transferred once at cache build (they never change),
+    # so call the JVM transform directly: ~90 py4j round trips → 2.
+    # Same JVM entry point, same plan; fall back to the public API if
+    # the pyspark internals ever move.
+    try:
+        sh = DataFrame(tr._java_obj.transform(toks._jdf), toks.sparkSession)
+    except AttributeError:
+        sh = tr.transform(toks)
     return sh.select("__id", "__sh")
+
+
+# Reused NGram transformer per n (guide §1.2 step 2): the transformer
+# is stateless configuration — (n, inputCol, outputCol) — and transform
+# only wraps the DataFrame, so one instance per n serves every call.
+# Constructing a fresh NGram costs ~60 py4j round trips (JVM object +
+# uid + param defaults), paid per _shingled call on the bench's
+# unmemoized dedup constructions. Keyed by n only because inputCol/
+# outputCol are fixed internal names here.
+_NGRAM_CACHE: dict = {}
+
+
+def _ngram_transformer(n: int):
+    tr = _NGRAM_CACHE.get(n)
+    if tr is None:
+        from pyspark.ml.feature import NGram
+
+        tr = NGram(n=n, inputCol="__toks", outputCol="__sh")
+        try:
+            tr._transfer_params_to_java()
+        except AttributeError:
+            pass
+        _NGRAM_CACHE[n] = tr
+    return tr
 
 
 def minhash_signature(shingles_col, num_hashes: int = 16):
@@ -338,22 +371,23 @@ def minhash_agg_exprs(
     callers that pre-drop shingle-less docs skip the guard. Shared by
     ``minhash_table`` and ``near_dup_pairs`` so the standalone operator
     and the fused pipeline can never drift."""
-    # one F.expr per seed (16 py4j calls), not ~7 Column calls per seed
-    # — driver-side construction latency, same Catalyst tree
+    # one F.expr per seed with the alias INSIDE the parsed string
+    # (8 py4j calls total), not ~7 Column calls per seed — driver-side
+    # construction latency, same Catalyst tree
     out = []
     for i in range(num_hashes):
         digest = f"md5(concat_ws('|', '{i}', {shingle_col}))"
         if guard_nulls:
             digest = f"CASE WHEN {shingle_col} IS NOT NULL THEN {digest} END"
-        out.append(F.expr(f"min({digest})").alias(f"mh_{i}"))
+        out.append(F.expr(f"min({digest}) AS mh_{i}"))
     return out
 
 
-def minhash_band_keys(num_hashes: int, bands: int):
-    """Column: array of LSH band-bucket keys over the ``mh_i`` signature
-    COLUMNS (the scale shape's layout) — band key = md5 of the band
-    index + the band's signature slice. The single definition consumed
-    by both ``minhash_lsh_candidates`` and ``near_dup_pairs``."""
+def _band_keys_sql(num_hashes: int, bands: int) -> str:
+    """The SQL text behind ``minhash_band_keys`` — callers that parse a
+    larger expression around it (e.g. ``explode(array(...)) AS __band``
+    in one round trip) embed this string; the Column wrapper below and
+    every embedder therefore share one definition."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes={num_hashes} not divisible by bands={bands}: the "
@@ -367,7 +401,15 @@ def minhash_band_keys(num_hashes: int, bands: int):
         + "))"
         for b in range(bands)
     )
-    return F.expr(f"array({keys})")
+    return f"array({keys})"
+
+
+def minhash_band_keys(num_hashes: int, bands: int):
+    """Column: array of LSH band-bucket keys over the ``mh_i`` signature
+    COLUMNS (the scale shape's layout) — band key = md5 of the band
+    index + the band's signature slice. The single definition consumed
+    by both ``minhash_lsh_candidates`` and ``near_dup_pairs``."""
+    return F.expr(_band_keys_sql(num_hashes, bands))
 
 
 def _band_self_join(banded: DataFrame) -> DataFrame:
@@ -376,13 +418,13 @@ def _band_self_join(banded: DataFrame) -> DataFrame:
     generators funnel through."""
     left = banded.alias("l")
     right = banded.alias("r")
+    # F.expr/selectExpr parse the same (=, <, AND) and Alias trees the
+    # Column calls built — one round trip per clause instead of ~20
     return (
         left.join(
-            right,
-            (F.col("l.__band") == F.col("r.__band"))
-            & (F.col("l.__id") < F.col("r.__id")),
+            right, F.expr("l.__band = r.__band AND l.__id < r.__id")
         )
-        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .selectExpr("l.__id AS id_a", "r.__id AS id_b")
         .distinct()
     )
 
@@ -408,8 +450,8 @@ def minhash_table(
     (explode_outer + null guard) — matching the SQL semantics of
     list_min over an empty list.
     """
-    sh = _shingled(df, id_col, text_col, shingle_n).select(
-        "__id", F.explode_outer("__sh").alias("__s")
+    sh = _shingled(df, id_col, text_col, shingle_n).selectExpr(
+        "__id", "explode_outer(__sh) AS __s"
     )
     out = sh.groupBy("__id").agg(*minhash_agg_exprs(num_hashes))
     # public schema carries the caller's id name, not the internal alias
@@ -447,9 +489,9 @@ def minhash_lsh_candidates(
     # shingle-less docs (NULL signature) can never be near-dups — drop
     # before banding (concat_ws would otherwise give them equal keys,
     # diverging from SQL's NULL-propagating ||)
-    banded = mh.filter(F.col("mh_0").isNotNull()).select(
+    banded = mh.filter("mh_0 IS NOT NULL").select(
         qcol(id_col).alias("__id"),
-        F.explode(minhash_band_keys(num_hashes, bands)).alias("__band"),
+        F.expr(f"explode({_band_keys_sql(num_hashes, bands)}) AS __band"),
     )
     return _band_self_join(banded)
 
@@ -524,8 +566,8 @@ def _candidate_shingles(
     broadcast build, +35% wall; the unhinted one is plan-equal to the
     old shape locally and strictly less work at scale)."""
     cand_ids = (
-        pairs.select(F.col("id_a").alias("__cand_id"))
-        .union(pairs.select(F.col("id_b").alias("__cand_id")))
+        pairs.selectExpr("id_a AS __cand_id")
+        .union(pairs.selectExpr("id_b AS __cand_id"))
         .distinct()
     )
     cand_src = df.join(
@@ -540,16 +582,16 @@ def _candidate_shingles(
     # tokens, so the surviving rows are identical.
     return (
         _shingled(cand_src, id_col, text_col, shingle_n, ensure_par=False)
-        .filter(F.size("__sh") > 0)
-        .select("__id", F.array_distinct("__sh").alias("__sh"))
+        .filter("size(__sh) > 0")
+        .selectExpr("__id", "array_distinct(__sh) AS __sh")
     )
 
 
 def _paired_shingles(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     """``pairs`` with both sides' shingle sets attached (__sha, __shb)
     — the shared two-sided join of the pairwise verifiers."""
-    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
-    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
+    a = sh.selectExpr("__id AS id_a", "__sh AS __sha")
+    b = sh.selectExpr("__id AS id_b", "__sh AS __shb")
     return pairs.join(a, "id_a").join(b, "id_b")
 
 
@@ -560,10 +602,15 @@ def _jaccard_on_shingled(
     distinct-shingle-set frame — the shared verification tail of
     ``jaccard_on_pairs`` and ``near_dup_pairs``."""
     joined = _paired_shingles(sh, pairs)
-    inter = F.size(F.array_intersect("__sha", "__shb"))
-    jac = inter / (F.size("__sha") + F.size("__shb") - inter)
+    # one parsed projection — same Divide/Size/ArrayIntersect tree the
+    # Column arithmetic built (codegen CSE collapses the repeated
+    # intersect), a dozen fewer py4j round trips
+    jac_sql = (
+        "size(array_intersect(__sha, __shb)) / "
+        "(size(__sha) + size(__shb) - size(array_intersect(__sha, __shb)))"
+    )
     return (
-        joined.select("id_a", "id_b", jac.alias("jaccard"))
+        joined.selectExpr("id_a", "id_b", f"{jac_sql} AS jaccard")
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -689,7 +736,7 @@ def near_dup_pairs(
     # into the lambda (the quadratic trap, third variant). drop_empty
     # already guarantees non-empty arrays, so guard_nulls=False: no
     # NULL shingle rows can reach the aggregate.
-    exploded = base.select("__id", F.explode_outer("__sh").alias("__s"))
+    exploded = base.selectExpr("__id", "explode_outer(__sh) AS __s")
     mh = exploded.groupBy("__id").agg(
         *minhash_agg_exprs(num_hashes, guard_nulls=False)
     )
@@ -697,8 +744,8 @@ def near_dup_pairs(
         mh = mh.persist()
         if pins is not None:
             pins.append(mh)
-    banded = mh.select(
-        "__id", F.explode(minhash_band_keys(num_hashes, bands)).alias("__band")
+    banded = mh.selectExpr(
+        "__id", f"explode({_band_keys_sql(num_hashes, bands)}) AS __band"
     )
     cands = _band_self_join(banded)
     if cache_intermediates:
