@@ -199,6 +199,71 @@ def test_jaccard_tail_expr_form_plan_equal(spark):
     assert _same_result(joined, ref_joined)
 
 
+def test_lsh_cosine_expr_form_plan_equal(spark):
+    """lsh_cosine_pairs' selectExpr/F.expr forms ≡ the verbatim Column
+    reference forms (candidate self-join, va/vb renames, rounded-cosine
+    projection), by canonicalized sameResult — this plan is UDF-free, so
+    Spark's own comparison is decisive."""
+    from web_api_postgres_etl_spark.operators.similarity import (
+        _sql_dot,
+        _sql_norm,
+        as_double_array,
+        lsh_cosine_pairs,
+        rhp_band_keys,
+        sign_bits_signature,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, -2.0] * 8), (2, [1.0, 2.0] * 8), (3, [-1.0, 0.5] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    new = lsh_cosine_pairs(
+        emb, "vec_id", "embedding", threshold=0.1, num_planes=16,
+        bands=2, signature="axis", cache_signatures=False,
+    )
+    # the pre-batching Column construction, verbatim
+    prep = emb.select(
+        F.col("vec_id").alias("__id"),
+        as_double_array("embedding").alias("__v"),
+    )
+    sigd = prep.select(
+        "__id", sign_bits_signature("__v", 16).alias("__sig")
+    )
+    banded = sigd.select(
+        "__id",
+        F.explode_outer(rhp_band_keys("__sig", 16, 2)).alias("__bkey"),
+    )
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.__bkey") == F.col("r.__bkey"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+    withn = prep.selectExpr("__id", "__v", f"{_sql_norm('__v')} AS __n")
+    va = withn.select(
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    vb = withn.select(
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    sim = F.expr(f"{_sql_dot('__va', '__vb')} / nullif(__na * __nb, 0.0D)")
+    ref = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= 0.1)
+    )
+    assert _same_result(new, ref)
+
+
 def test_ngram_direct_transform_value_equal(spark):
     """_shingled's direct JVM transform (params pre-transferred once,
     cached transformer) ≡ the public NGram().transform() API, by value

@@ -784,36 +784,26 @@ def lsh_cosine_pairs(
             rhp_band_keys("__sig", num_planes, bands)
         ).alias("__bkey"),
     )
+    # F.expr/selectExpr parse the same (=, <, AND)/Alias trees the
+    # Column calls built, one round trip per clause (guide §1.2 step 2
+    # — same construction batching as the dedup helpers; sameResult-
+    # pinned in tests/test_r14_optimizations.py)
     cand = (
         banded.alias("l")
-        .join(
-            banded.alias("r"),
-            (F.col("l.__bkey") == F.col("r.__bkey"))
-            & (F.col("l.__id") < F.col("r.__id")),
-        )
-        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .join(banded.alias("r"), F.expr("l.__bkey = r.__bkey AND l.__id < r.__id"))
+        .selectExpr("l.__id AS id_a", "r.__id AS id_b")
         .distinct()
     )
     # norms once per vector, one fold per candidate pair (bit-identical
     # to inline cosine — the norm fold yields the same double)
     withn = prep.selectExpr("__id", "__v", f"{_sql_norm('__v')} AS __n")
-    va = withn.select(
-        F.col("__id").alias("id_a"),
-        F.col("__v").alias("__va"),
-        F.col("__n").alias("__na"),
-    )
-    vb = withn.select(
-        F.col("__id").alias("id_b"),
-        F.col("__v").alias("__vb"),
-        F.col("__n").alias("__nb"),
-    )
-    sim = F.expr(
-        f"{_sql_dot('__va', '__vb')} / nullif(__na * __nb, 0.0D)"
-    )
+    va = withn.selectExpr("__id AS id_a", "__v AS __va", "__n AS __na")
+    vb = withn.selectExpr("__id AS id_b", "__v AS __vb", "__n AS __nb")
+    sim_sql = f"{_sql_dot('__va', '__vb')} / nullif(__na * __nb, 0.0D)"
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
+        .selectExpr("id_a", "id_b", f"round({sim_sql}, 6) AS cosine_sim")
         .filter(F.col("cosine_sim") >= threshold)
     )
 
