@@ -12,6 +12,7 @@ decimal/int arithmetic.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -193,11 +194,18 @@ def _plan_memoized(fn):
     driver/bench (fixed confs per process), but a caller that flips
     session confs between calls to probe alternative plans of the
     same query must construct fresh via ``fn.__wrapped__`` (see
-    test_join_graph_ops's broadcast-off flagship probe)."""
+    test_join_graph_ops's broadcast-off flagship probe) — or export
+    ``SPARK_GRAFT_NO_PLAN_MEMO=1`` (r15, r14 verdict #8), which makes
+    every decorated query construct fresh: the debugging kill-switch
+    for any conf-flipping caller, pinned in
+    tests/test_r15_optimizations.py along with the invariant that no
+    memoized plan ever references a persisted/streaming/sink node."""
     import functools
 
     @functools.wraps(fn)
     def wrapped(spark: SparkSession, sf: str) -> DataFrame:
+        if os.environ.get("SPARK_GRAFT_NO_PLAN_MEMO"):
+            return fn(spark, sf)
         return _memo(
             _PLAN_CACHE, spark, (fn.__name__, sf), lambda: fn(spark, sf)
         )
@@ -5740,14 +5748,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # survivor choice with NULLS-LAST and all-NULL min-id fallback
         # over the components loop.
         "select_canonical": q_select_canonical,
-        # r14: url_curation -> contamination_report (url_curation is
-        # r6-era long-stable; its normalize/dedup/quota chain stays
-        # pinned in tests/test_urls.py and its full oracle parity is
-        # retired to tests/test_oracle_parity.py). contamination_report
-        # is the r13 verdict's #1 ask: the provenance face of
-        # decontamination — (train, bench, shared-gram count) pairs —
-        # promoted from its pair-level mirror in tests/test_curation.py.
+        # r14: contamination_report joined the window (the r13 verdict's
+        # #1 ask: the provenance face of decontamination — (train,
+        # bench, shared-gram count) pairs — promoted from its pair-level
+        # mirror in tests/test_curation.py). url_curation was rotated
+        # out for it under the then-assumed 50-slot cap; r15 re-added it
+        # (the r14 verdict: the driver evaluates every declared entry,
+        # nothing caps the contract at 50) so both hold driver rows.
         "contamination_report": q_contamination_report,
+        "url_curation": q_url_curation,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "corpus_ingest_replay": q_corpus_ingest_replay,
         # data-recipe mixing (r6: swapped in for agg_distinct, whose
@@ -5944,6 +5953,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_state_merge": SQL_QUANTILE_STATE_MERGE,
         "select_canonical": SQL_SELECT_CANONICAL,
         "contamination_report": SQL_CONTAMINATION_REPORT,
+        "url_curation": SQL_URL_CURATION,
         "minhash_lsh_pairs": SQL_LSH_PAIRS,
         "corpus_ingest_replay": SQL_CORPUS_INGEST_REPLAY,
         "data_recipe_mix": SQL_DATA_RECIPE_MIX,

@@ -101,6 +101,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "runs": runs,
+                # r15 (r14 verdict #2): repeats frozen at 5 — no further
+                # methodology drift — and carried in the artifact so
+                # round-over-round comparisons can see the min-of-N basis
+                "repeats": repeats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

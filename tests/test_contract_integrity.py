@@ -29,15 +29,16 @@ def test_oracle_keys_subset_of_queries():
         assert isinstance(sql, str) and sql.strip(), f"empty oracle for {name!r}"
 
 
-def test_oracle_backed_entries_fit_driver_window():
-    # The driver evaluates at most the FIRST 50 queries() entries; any
-    # oracle-backed entry ordered past that window silently loses its
-    # correctness check.
+def test_every_query_is_oracle_backed():
+    # r15: the r14 verdict established the driver evaluates EVERY
+    # declared entry (nothing caps the contract at 50 slots — the old
+    # first-50 window assumption is retired with it), so the invariant
+    # is now simply: every queries() entry carries an oracle, and vice
+    # versa (the subset direction is test_oracle_keys_subset_of_queries).
     q = entrymod.queries()
     o = entrymod.oracle_sql()
-    window = set(list(q)[:50])
-    outside = set(o) - window
-    assert not outside, f"oracle-backed entries past the 50-entry window: {outside}"
+    missing = set(q) - set(o)
+    assert not missing, f"queries() entries with no oracle: {missing}"
 
 
 def test_bench_headline_names_exist():

@@ -221,12 +221,9 @@ RETIRED = [
     # agg_rollup / incr_agg_merge; this row keeps the month×type wide
     # table face)
     ("agg_pivot", "SQL_PIVOT"),
-    # r14: URL curation chain → contamination_report (normalize/dedup/
-    # quota stay pinned branch-by-branch in tests/test_urls.py; the
-    # md5-draw quota and last-wins dedup shapes stay driver-visible
-    # via data_recipe_mix / select_canonical; this row keeps the full
-    # three-stage URL face)
-    ("url_curation", "SQL_URL_CURATION"),
+    # r14 rotated url_curation here for contamination_report; r15
+    # re-added it to the driver contract (the r14 verdict: no 50-slot
+    # cap), so its parity is driver-checked again and it left this list.
 ]
 
 

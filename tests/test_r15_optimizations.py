@@ -1,0 +1,132 @@
+"""Pins for the r15 optimization round (r14 verdict items).
+
+Each test pins a specific optimization's SEMANTICS so a future refactor
+cannot silently regress it:
+
+- the ``SPARK_GRAFT_NO_PLAN_MEMO=1`` kill-switch bypasses ``_plan_memoized``
+  (verdict #8a);
+- the plan-memo invariant: no memoized plan may reference a persisted
+  (InMemoryRelation) or streaming source — today enforced by decorator
+  placement, here enforced by inspection of every decorated query
+  (verdict #8b);
+- the ADVICE items: backtick-quoted fast path in ``normalized_tokens``
+  (non-ASCII column names construct instead of raising ParseException),
+  and the NGram direct-JVM call composing with its fallbacks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMOKE
+
+
+def _memoized_query_names():
+    return sorted(
+        name
+        for name in dir(entrymod)
+        if name.startswith("q_")
+        and callable(getattr(entrymod, name))
+        and hasattr(getattr(entrymod, name), "__wrapped__")
+    )
+
+
+def test_no_plan_memo_env_bypasses_memoization(spark, monkeypatch):
+    fn = entrymod.q_flagship_star_join
+    assert hasattr(fn, "__wrapped__"), "flagship must be memoized"
+    monkeypatch.delenv("SPARK_GRAFT_NO_PLAN_MEMO", raising=False)
+    a = fn(spark, SF_SMOKE)
+    assert fn(spark, SF_SMOKE) is a, "memo-hit must return the same object"
+    monkeypatch.setenv("SPARK_GRAFT_NO_PLAN_MEMO", "1")
+    b = fn(spark, SF_SMOKE)
+    c = fn(spark, SF_SMOKE)
+    assert b is not a and c is not b, "kill-switch must construct fresh"
+    # fresh construction is the same logical query (cheap sanity only)
+    assert b.columns == a.columns
+    monkeypatch.delenv("SPARK_GRAFT_NO_PLAN_MEMO", raising=False)
+    assert fn(spark, SF_SMOKE) is a, "memo must resume once unset"
+
+
+def test_memoized_plans_never_reference_persist_or_streaming(spark):
+    """The invariant behind the memoization honesty rule: a memoized
+    DataFrame replayed across bench repeats must recompute from the
+    parquet inputs, so its optimized plan (which substitutes cached
+    data via CacheManager) may not contain an InMemoryRelation, and it
+    may not be a streaming plan. Constructed AFTER the heavy
+    persist-carrying queries have registered their caches, so a
+    decorated query that (wrongly) read a persisted intermediate would
+    be caught here."""
+    # register the persist-carrying pipelines' caches first
+    entrymod.q_near_dup_pipeline(spark, SF_SMOKE).count()
+    for name in _memoized_query_names():
+        df = getattr(entrymod, name)(spark, SF_SMOKE)
+        assert not df.isStreaming, f"{name}: memoized streaming plan"
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" not in optimized, (
+            f"{name}: memoized plan references persisted data"
+        )
+
+
+def test_normalized_tokens_fast_path_quotes_identifier(spark):
+    """ADVICE: 'café'.isidentifier() is True but unquoted it is a
+    ParseException; the backtick-quoted fast path must build the same
+    tokens the Column path builds."""
+    from web_api_postgres_etl_spark.functions.text import normalized_tokens
+
+    df = spark.createDataFrame(
+        [("Héllo, wörld! a-b c_d 42",)], ["café"]
+    )
+    fast = df.select(normalized_tokens("café").alias("t")).first()["t"]
+    slow = df.select(normalized_tokens(F.col("café")).alias("t")).first()["t"]
+    assert fast == slow
+    assert fast == ["h", "llo", "w", "rld", "a", "b", "c", "d", "42"]
+
+
+def test_ngram_direct_path_requires_transfer_flag(spark):
+    """ADVICE: the direct-JVM NGram call must be gated on the cache
+    build having transferred params; with the flag off, _shingled falls
+    back to the public transform and still yields correct shingles."""
+    from web_api_postgres_etl_spark.operators import dedup as d
+
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    expected = [["a b", "b c", "c d"]]
+
+    tr = d._ngram_transformer(2)
+    assert tr._sg_direct_ok is True  # transfer succeeded at cache build
+    out = d._shingled(df, "doc_id", "text", 2).select("__sh").collect()
+    assert [r["__sh"] for r in out] == expected
+
+    # flag off -> public API path, same result
+    tr._sg_direct_ok = False
+    try:
+        out = d._shingled(df, "doc_id", "text", 2).select("__sh").collect()
+        assert [r["__sh"] for r in out] == expected
+    finally:
+        tr._sg_direct_ok = True
+
+    # a broken JVM handle must evict + rebuild, not crash
+    class _Boom:
+        def transform(self, *_a, **_k):  # pragma: no cover - raise path
+            raise RuntimeError("stale gateway")
+
+    tr._java_obj_backup = tr._java_obj
+    try:
+        tr._java_obj = _Boom()
+        out = d._shingled(df, "doc_id", "text", 2).select("__sh").collect()
+        assert [r["__sh"] for r in out] == expected
+        assert d._NGRAM_CACHE[2] is not tr, "failure must evict the entry"
+    finally:
+        tr._java_obj = tr._java_obj_backup
+
+
+def test_bench_json_carries_repeats():
+    """The bench artifact must carry its min-of-N basis (r14 verdict #2:
+    the repeats methodology is frozen at 5 and must be visible)."""
+    import inspect
+
+    import bench
+
+    src = inspect.getsource(bench.main)
+    assert '"repeats": repeats' in src
+    assert 'SPARK_GRAFT_BENCH_REPEATS", "5"' in src, "repeats default moved"

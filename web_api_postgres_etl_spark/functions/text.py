@@ -53,8 +53,13 @@ def normalized_tokens(text_col: Column | str, lowercase: bool = True) -> Column:
     # tree the Column form below builds (lambda variable deliberately
     # named `t` to match the Python lambda's signature), so analyzed
     # plans are bit-identical — pinned by tests/test_r14_optimizations.
+    # backtick-quoted (r15, ADVICE): isidentifier() admits names Spark
+    # SQL rejects unquoted (non-ASCII like 'café'; reserved words under
+    # ansi.enforceReservedKeywords) — quoting is purely lexical, same
+    # Catalyst tree, and isidentifier() guarantees no backtick in the
+    # name, so no escaping is needed
     if isinstance(text_col, str) and text_col.isidentifier():
-        inner = f"lower({text_col})" if lowercase else text_col
+        inner = f"lower(`{text_col}`)" if lowercase else f"`{text_col}`"
         return F.expr(f"filter(split({inner}, '[^a-z0-9]+'), t -> t != '')")
     c = _c(text_col)
     if lowercase:

@@ -280,16 +280,30 @@ def _shingled(
         return toks.select(
             "__id", word_shingles(F.col("__toks"), n).alias("__sh")
         )
-    tr = _ngram_transformer(n)
     # JavaTransformer.transform == transfer params + wrap the JVM call;
     # params were transferred once at cache build (they never change),
     # so call the JVM transform directly: ~90 py4j round trips → 2.
-    # Same JVM entry point, same plan; fall back to the public API if
-    # the pyspark internals ever move.
-    try:
-        sh = DataFrame(tr._java_obj.transform(toks._jdf), toks.sparkSession)
-    except AttributeError:
-        sh = tr.transform(toks)
+    # Same JVM entry point, same plan. r15 (ADVICE): the direct path is
+    # taken ONLY when the cache build transferred params successfully
+    # (_sg_direct_ok — a transfer-less _java_obj would transform with
+    # Java-default params), ANY failure falls back to the public
+    # transform (a stale _java_obj after a py4j gateway restart raises
+    # Py4JError, not AttributeError), and a failure evicts the cache
+    # entry so the retry rebuilds against the live gateway.
+    for attempt in (0, 1):
+        tr = _ngram_transformer(n)
+        try:
+            if getattr(tr, "_sg_direct_ok", False):
+                sh = DataFrame(
+                    tr._java_obj.transform(toks._jdf), toks.sparkSession
+                )
+            else:
+                sh = tr.transform(toks)
+            break
+        except Exception:  # pragma: no cover - stale JVM handle
+            _NGRAM_CACHE.pop(n, None)
+            if attempt:
+                raise
     return sh.select("__id", "__sh")
 
 
@@ -309,10 +323,14 @@ def _ngram_transformer(n: int):
         from pyspark.ml.feature import NGram
 
         tr = NGram(n=n, inputCol="__toks", outputCol="__sh")
+        # the direct-JVM call at the _shingled call site is only sound
+        # when params actually reached the Java object here (r15 ADVICE:
+        # the fallbacks must compose — transfer failure ⇒ public API)
         try:
             tr._transfer_params_to_java()
+            tr._sg_direct_ok = True
         except AttributeError:
-            pass
+            tr._sg_direct_ok = False
         _NGRAM_CACHE[n] = tr
     return tr
 
