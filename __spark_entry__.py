@@ -32,11 +32,16 @@ from web_api_postgres_etl_spark.functions.text import (
     char_count,
     content_hash,
     fingerprint,
+    fingerprint_from_tokens,
     gopher_flags,
     lang_id,
+    lang_id_from_tokens,
+    normalized_tokens,
     punct_ratio,
     quality_score,
+    quality_score_from_tokens,
     stopword_ratio,
+    stopword_ratio_from_tokens,
     token_count,
 )
 from web_api_postgres_etl_spark.operators.aggregates import (
@@ -592,20 +597,34 @@ def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
     fingerprint, composite quality score (Gopher/C4-style heuristic)
     and heuristic language ID (stopword-hit argmax over en/de/fr/es).
     At 100 TB this merges what used to be two scans of the corpus into
-    one — every signal shares the same tokenizer subexpression."""
+    one — every signal shares the same tokenizer subexpression.
+
+    r15 (guide §1.2 per-task work; r14 verdict #5 "what's wrong"): the
+    tokenizer is bound to ONE projected column (__toks) and every
+    token-dependent signal reads the attribute — the r14 plan inlined
+    split(lower(text)) ~30× per row across the 9 signals because
+    Catalyst's subexpression elimination only caught the size() counts.
+    CollapseProject keeps the projection (non-cheap alias referenced
+    many times), so the split now runs once per row. Output-identical:
+    the *_from_tokens forms are the same expressions over the same
+    token value (full-corpus diff + retired-parity green)."""
     docs = _t(spark, sf, "documents")
-    return docs.select(
+    toked = docs.select(
+        "doc_id", "lang", "text", normalized_tokens("text").alias("__toks")
+    )
+    t = F.col("__toks")
+    return toked.select(
         "doc_id",
         "lang",
-        token_count("text").alias("n_tokens"),
+        F.size(t).alias("n_tokens"),
         bpe_ish_token_count("text").alias("n_bpe_pieces"),
         char_count("text").alias("n_chars_obs"),
         F.round(punct_ratio("text"), 6).alias("punct_ratio"),
-        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(stopword_ratio_from_tokens(t), 6).alias("stopword_ratio"),
         content_hash("text").alias("content_md5"),
-        fingerprint("text").alias("token_fingerprint"),
-        quality_score("text").alias("quality"),
-        lang_id("text").alias("lang_pred"),
+        fingerprint_from_tokens(t).alias("token_fingerprint"),
+        quality_score_from_tokens(t, "text").alias("quality"),
+        lang_id_from_tokens(t).alias("lang_pred"),
     )
 
 
@@ -3281,15 +3300,23 @@ def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 10 == 0).select("text")
     train = docs.filter(F.col("doc_id") % 10 != 0)
     clean = decontaminate(train, bench, "doc_id", "text", ngram_n=4)
-    scored = clean.select(
+    # r15: one tokenizer projection feeds quality/lang/fingerprint/
+    # gopher (same shared-__toks move as q_text_stats; the gate filter
+    # pushed below this projection re-inlines its own copy — unchanged
+    # from the pre-r15 plan, which inlined tokenization there too)
+    toked = clean.select(
+        "doc_id", "text", "lang", normalized_tokens("text").alias("__toks")
+    )
+    tk = F.col("__toks")
+    scored = toked.select(
         "doc_id",
         "text",
         "lang",
-        quality_score("text").alias("quality"),
-        lang_id("text").alias("lang_pred"),
+        quality_score_from_tokens(tk, "text").alias("quality"),
+        lang_id_from_tokens(tk).alias("lang_pred"),
         content_hash("text").alias("__md5"),
-        fingerprint("text").alias("__fp"),
-        gopher_flags("text").alias("__gf"),
+        fingerprint_from_tokens(tk).alias("__fp"),
+        gopher_flags("text", tokens=tk).alias("__gf"),
     ).filter((F.col("quality") >= 0.4) & (F.col("lang_pred") == "en"))
     w_exact = Window.partitionBy("__md5").orderBy("doc_id")
     exact = scored.withColumn("__r1", F.row_number().over(w_exact)).filter(

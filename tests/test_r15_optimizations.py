@@ -120,6 +120,59 @@ def test_ngram_direct_path_requires_transfer_flag(spark):
         tr._java_obj = tr._java_obj_backup
 
 
+_ADVERSARIAL_TEXTS = [
+    None, "", "   ", "The quick brown fox... AND the lazy dog!",
+    "der die das und ist nicht", "le la les et est dans",
+    "el los las y es en", "a" * 5000, "1 2 3\t4\n5\r6 7",
+    "{code} lorem ipsum • bullet", "no-stop-words-here xyzzy qwerty",
+]
+
+
+def test_from_tokens_signal_forms_match_text_wrappers(spark):
+    """r15 shared tokenization: each *_from_tokens signal over
+    normalized_tokens(text) must equal the text-taking wrapper on
+    adversarial inputs — the equivalence q_text_stats' one-projection
+    rewrite rests on."""
+    from web_api_postgres_etl_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_ADVERSARIAL_TEXTS)], ["i", "text"]
+    )
+    toked = df.select("i", "text", T.normalized_tokens("text").alias("__t"))
+    tk = F.col("__t")
+    pairs = toked.select(
+        "i",
+        T.stopword_ratio("text").alias("a1"),
+        T.stopword_ratio_from_tokens(tk).alias("b1"),
+        T.quality_score("text").alias("a2"),
+        T.quality_score_from_tokens(tk, "text").alias("b2"),
+        T.lang_id("text").alias("a3"),
+        T.lang_id_from_tokens(tk).alias("b3"),
+        T.fingerprint("text").alias("a4"),
+        T.fingerprint_from_tokens(tk).alias("b4"),
+        T.gopher_flags("text").alias("a5"),
+        T.gopher_flags("text", tokens=tk).alias("b5"),
+    )
+    for r in pairs.collect():
+        for k in range(1, 6):
+            assert r[f"a{k}"] == r[f"b{k}"], (r["i"], k, r[f"a{k}"], r[f"b{k}"])
+
+
+def test_text_stats_plan_tokenizes_once(spark):
+    """The q_text_stats physical plan must contain exactly ONE
+    split(lower(text)) — the shared-projection guarantee (r14 plan had
+    ~34; a CollapseProject regression would re-inline them)."""
+    import __spark_entry__ as em
+
+    df = em.q_text_stats.__wrapped__(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert plan.count("split(lower(text") == 1, plan.count("split(lower(text")
+
+
 def test_bench_json_carries_repeats():
     """The bench artifact must carry its min-of-N basis (r14 verdict #2:
     the repeats methodology is frozen at 5 and must be visible)."""

@@ -117,26 +117,41 @@ STOPWORDS_ES = [
 ]
 
 
-def stopword_ratio(text_col: Column | str, stopwords: list[str] | None = None) -> Column:
-    """Fraction of tokens that are (English) stopwords — a standard
-    quality signal; NULL for token-less documents."""
+# --- tokens-based signal forms (r15, guide §1.2 per-task work) -------
+# Every quality signal is a pure function of the normalized token array
+# (plus, for some, the raw text). The ``*_from_tokens`` forms take that
+# array as a Column so a multi-signal profile can bind the tokenizer to
+# ONE projected column and feed every signal from the attribute —
+# Catalyst's CollapseProject keeps a non-cheap alias referenced more
+# than once, and codegen's subexpression elimination then dedupes the
+# per-signal array passes. Without this, a 9-signal profile inlines the
+# split(lower(text)) subtree ~30× per row (the r14 text_stats plan).
+# The text-taking wrappers below delegate with a fresh tokenization, so
+# single-signal callers are unchanged expression-for-expression.
+
+
+def stopword_ratio_from_tokens(
+    toks: Column, stopwords: list[str] | None = None
+) -> Column:
+    """``stopword_ratio`` over an already-tokenized array column."""
     sw = stopwords or STOPWORDS_EN
-    toks = normalized_tokens(text_col)
     hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
     return hits / F.nullif(F.size(toks), F.lit(0))
 
 
-def quality_score(text_col: Column | str) -> Column:
-    """Composite [0,1] quality heuristic (Gopher/C4-style signals):
-    mean-word-length sanity + stopword presence + low punctuation noise.
+def stopword_ratio(text_col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (English) stopwords — a standard
+    quality signal; NULL for token-less documents."""
+    return stopword_ratio_from_tokens(normalized_tokens(text_col), stopwords)
 
-    score = 0.4·clamp(stopword_ratio/0.4) + 0.3·(1−clamp(punct_ratio/0.3))
-          + 0.3·[3 ≤ mean_word_len ≤ 10]
-    """
-    toks = normalized_tokens(text_col)
+
+def quality_score_from_tokens(toks: Column, text_col: Column | str) -> Column:
+    """``quality_score`` with the token-dependent terms fed from an
+    already-tokenized array column (``text_col`` still supplies the
+    character-level punct_ratio term)."""
     n = F.nullif(F.size(toks), F.lit(0))
     mean_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n
-    sw = stopword_ratio(text_col)
+    sw = stopword_ratio_from_tokens(toks)
     pr = F.coalesce(punct_ratio(text_col), F.lit(1.0))
     sw_term = F.least(F.coalesce(sw, F.lit(0.0)) / F.lit(0.4), F.lit(1.0))
     pr_term = F.lit(1.0) - F.least(pr / F.lit(0.3), F.lit(1.0))
@@ -147,12 +162,18 @@ def quality_score(text_col: Column | str) -> Column:
     )
 
 
-def lang_id(text_col: Column | str) -> Column:
-    """Heuristic language ID over {en,de,fr,es}: argmax of stopword hit
-    counts, 'und' (undetermined) when no list scores > 0. Deterministic
-    tie-break by fixed language order (en > de > fr > es).
+def quality_score(text_col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic (Gopher/C4-style signals):
+    mean-word-length sanity + stopword presence + low punctuation noise.
+
+    score = 0.4·clamp(stopword_ratio/0.4) + 0.3·(1−clamp(punct_ratio/0.3))
+          + 0.3·[3 ≤ mean_word_len ≤ 10]
     """
-    toks = normalized_tokens(text_col)
+    return quality_score_from_tokens(normalized_tokens(text_col), text_col)
+
+
+def lang_id_from_tokens(toks: Column) -> Column:
+    """``lang_id`` over an already-tokenized array column."""
 
     def _hits(sw: list[str]):
         # closure (not default-arg) so the lambda keeps 1-arg arity —
@@ -181,13 +202,25 @@ def lang_id(text_col: Column | str) -> Column:
     return expr
 
 
+def lang_id(text_col: Column | str) -> Column:
+    """Heuristic language ID over {en,de,fr,es}: argmax of stopword hit
+    counts, 'und' (undetermined) when no list scores > 0. Deterministic
+    tie-break by fixed language order (en > de > fr > es).
+    """
+    return lang_id_from_tokens(normalized_tokens(text_col))
+
+
+def fingerprint_from_tokens(toks: Column) -> Column:
+    """``fingerprint`` over an already-tokenized array column."""
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+    return F.md5(canon)
+
+
 def fingerprint(text_col: Column | str) -> Column:
     """Canonical document fingerprint: md5 over the sorted distinct
     normalized token set (the classic 'key collision' fingerprint —
     robust to word order and punctuation)."""
-    toks = normalized_tokens(text_col)
-    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
-    return F.md5(canon)
+    return fingerprint_from_tokens(normalized_tokens(text_col))
 
 
 def content_hash(text_col: Column | str) -> Column:
@@ -208,11 +241,17 @@ def _raw_words(text_col: Column | str) -> Column:
     return F.filter(F.split(c, r"\s+"), lambda w: w != "")
 
 
-def gopher_flags(text_col: Column | str) -> Column:
+def gopher_flags(
+    text_col: Column | str, tokens: Column | None = None
+) -> Column:
     """Struct of the seven Gopher quality-filter rules plus the overall
     ``keep`` verdict (AND of all rules). Each field is a boolean "this
     rule passes" flag so downstream can report WHY a document was
     dropped, not just that it was.
+
+    ``tokens`` optionally supplies an already-tokenized
+    ``normalized_tokens`` array (the r_required_words rule's input) so
+    a multi-signal profile shares one tokenizer projection.
 
     Rules (thresholds from the paper):
       r_word_count      50 ≤ #words ≤ 100000
@@ -250,7 +289,7 @@ def gopher_flags(text_col: Column | str) -> Column:
     alpha_frac = (
         F.size(F.filter(words, lambda w: w.rlike(r"[A-Za-z]"))) / nw
     )
-    toks = normalized_tokens(c)
+    toks = tokens if tokens is not None else normalized_tokens(c)
     req_hits = F.size(
         F.array_intersect(
             F.array_distinct(toks),
