@@ -854,10 +854,15 @@ FROM s
 """
 
 
+@_plan_memoized
 def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs (8 hashes, 4 bands × 2 rows):
     docs agreeing on any band bucket. The banding self-join shuffles
-    only (band_key, id) — the 100 TB-safe near-dup plan."""
+    only (band_key, id) — the 100 TB-safe near-dup plan; since r15 the
+    signature frame is unpersisted, so AQE stage reuse computes it once
+    and the pair distinct fuses into the join stage (no extra
+    exchange). Memoizable since r15: nothing in the plan is persisted,
+    so every bench repeat computes end-to-end from parquet."""
     docs = _t(spark, sf, "documents")
     return minhash_lsh_candidates(
         docs, "doc_id", "text", shingle_n=2, num_hashes=8, bands=4
@@ -1056,12 +1061,16 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 
 
+@_plan_memoized
 def q_lsh_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """LSH-bucketed cosine near-dup pairs (operators.similarity.
     lsh_cosine_pairs — the 100 TB form of the exact all-pairs scan):
     banded self-join on sign-bit keys, exact cosine only on candidates.
     Oracle replicates the banding bit-for-bit (axis signature), so the
-    approximate pair set is verified exactly."""
+    approximate pair set is verified exactly. Memoizable since r15: the
+    signature frame is unpersisted (AQE stage reuse computes it once),
+    so the plan carries no persist nodes — every bench repeat computes
+    end-to-end from parquet."""
     from web_api_postgres_etl_spark.operators.similarity import (
         lsh_cosine_pairs,
     )

@@ -432,8 +432,36 @@ def minhash_band_keys(num_hashes: int, bands: int):
 
 def _band_self_join(banded: DataFrame) -> DataFrame:
     """(__id, __band) → distinct candidate pairs (id_a < id_b) sharing
-    ≥1 band bucket — the linear-shuffle LSH self-join both candidate
-    generators funnel through."""
+    ≥1 band bucket — the LSH banding both candidate generators funnel
+    through.
+
+    r15 (guide §2.4; r14 verdict #3/#5): the shape is still the band
+    self-join + distinct, but its inputs must arrive UNPERSISTED — the
+    r14 callers persisted the signature frame to pay for the double
+    read, and that persist was exactly what made this expensive:
+    an InMemoryRelation over an AQE plan reports unknown partitioning,
+    so the pair distinct forced a third exchange, and the cache build
+    was a pipeline barrier. Unpersisted, (a) AQE stage reuse computes
+    the shared subtree under the two sides' identical canonical
+    exchange ONCE (runtime-verified: the heavy signature stage runs a
+    single time), and (b) the probe side keeps its hashpartitioning —
+    every duplicate of a pair shares id_a, so HashPartitioning(id_a)
+    satisfies the distinct's ClusteredDistribution(id_a, id_b) and the
+    distinct collapses into the join stage with NO exchange (two
+    back-to-back HashAggregates in the executed plan).
+
+    An alternative single-shuffle form — groupBy(band) + collect_list +
+    in-bucket pair generation — was built and measured this round: it
+    saves the at-scale SMJ sorts but loses locally (interleaved A/B:
+    near_dup 3.4 s vs 1.8 s, candidates-only 1.005 s vs 0.825 s) —
+    AQE coalesces its tiny band/distinct exchanges to 1 partition and
+    that single-partition cache cascades serial stages into the verify
+    tail, while the join form gets a broadcast + map-side distinct.
+    At scale the join degrades to SMJ with the band exchange REUSED
+    (same shuffled bytes once, plus two sorts of (band, id) rows) —
+    an acceptable trade for the local win; revisit with real-cluster
+    numbers before flipping to the bucket form.
+    """
     left = banded.alias("l")
     right = banded.alias("r")
     # F.expr/selectExpr parse the same (=, <, AND) and Alias trees the
@@ -485,7 +513,7 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
-    cache_signatures: bool = True,
+    cache_signatures: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate candidate pairs.
 
@@ -497,9 +525,13 @@ def minhash_lsh_candidates(
     ``ngram_jaccard_pairs`` restricted to this output (at 100 TB, via a
     semi-join on the candidate pairs).
 
-    ``cache_signatures`` persists the signature table (k×32 B per doc)
-    — the self-join otherwise evaluates the shingle+minhash subtree
-    once per side (see ``near_dup_pairs``).
+    ``cache_signatures`` (default False since r15, previously True):
+    UNPERSISTED, the two join sides' identical signature subtree is
+    computed once by AQE stage reuse, the probe side keeps its id
+    partitioning so the pair distinct collapses into the join stage
+    (no third exchange), and there is no cache-build barrier — see
+    ``_band_self_join``. Pass True only when composing the returned
+    signatures somewhere AQE cannot see the shared subtree.
     """
     mh = minhash_table(df, id_col, text_col, shingle_n, num_hashes)
     if cache_signatures:
@@ -731,16 +763,19 @@ def near_dup_pairs(
     / _jaccard_on_shingled) — no drift possible.
 
     ``cache_intermediates`` persists the two SMALL frames the plan
-    reads more than once — the signature table (k×32 B per doc, the
-    artifact a production pipeline checkpoints anyway; ≈3 TB for 10^10
-    docs cluster-wide) and the candidate-doc shingle sets (bounded by
-    the near-dup population) — because self-joins and two-sided verify
-    joins otherwise recompute their build subtree per branch: measured
-    18 s → 8 s at 50k docs. The corpus-sized shingled frame is NEVER
-    persisted: the corpus is tokenized/shingled exactly ONCE (feeding
-    signatures); the verify stage re-reads only the raw (id, text)
-    source, semi-joined to candidates BEFORE any shingle work
-    (_candidate_shingles, r14 — previously the whole corpus was
+    reads more than once — the candidate pairs (read by the verify join
+    AND the candidate-id semi-join build) and the candidate-doc shingle
+    sets (read by both sides of the pair join; bounded by the near-dup
+    population) — because two-sided verify joins otherwise recompute
+    their build subtree per branch: measured 18 s → 8 s at 50k docs.
+    The signature table is NOT persisted since r15: AQE stage reuse
+    computes the band self-join's shared signature subtree once, and
+    dropping the persist lets the pair distinct fuse into the join
+    stage (``_band_self_join``). The corpus-sized shingled
+    frame is NEVER persisted: the corpus is tokenized/shingled exactly
+    ONCE (feeding signatures); the verify stage re-reads only the raw
+    (id, text) source, semi-joined to candidates BEFORE any shingle
+    work (_candidate_shingles, r14 — previously the whole corpus was
     re-shingled and that heaviest intermediate shuffled into the
     candidate semi-join). Pass False to keep the plan fully lazy
     (e.g. composing into a larger cached pipeline).
@@ -758,10 +793,14 @@ def near_dup_pairs(
     mh = exploded.groupBy("__id").agg(
         *minhash_agg_exprs(num_hashes, guard_nulls=False)
     )
-    if cache_intermediates:
-        mh = mh.persist()
-        if pins is not None:
-            pins.append(mh)
+    # r15: the signature frame is no longer persisted. The band
+    # self-join still reads it on both sides, but unpersisted those
+    # sides share one canonical exchange that AQE stage reuse computes
+    # ONCE — and without the InMemoryRelation (whose AQE plan reports
+    # unknown partitioning) the probe side's id partitioning reaches
+    # the pair distinct, which collapses into the join stage with no
+    # extra exchange (see _band_self_join). The persist bought nothing
+    # and cost a cache-build barrier + the distinct exchange.
     banded = mh.selectExpr(
         "__id", f"explode({_band_keys_sql(num_hashes, bands)}) AS __band"
     )

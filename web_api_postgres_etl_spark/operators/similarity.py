@@ -754,15 +754,22 @@ def lsh_cosine_pairs(
     bands: int = 2,
     signature: str = "axis",
     dims: int | None = None,
-    cache_signatures: bool = True,
+    cache_signatures: bool = False,
 ) -> DataFrame:
     """LSH-bucketed cosine near-dup pairs — the 100 TB form of
     ``cosine_pairs``: only vectors sharing ≥1 signature band are scored
-    (banded self-join on the key, same linear-shuffle shape as
-    minhash_lsh_candidates), exact cosine on the candidates only.
+    (banded self-join on the key, routed through the shared
+    ``_band_self_join`` since r15), exact cosine on the candidates
+    only.
 
     With signature='axis' the banding itself is oracle-expressible, so
     the approximate pair set verifies exactly against a SQL engine.
+
+    ``cache_signatures`` (default False since r15, previously True):
+    unpersisted, AQE stage reuse computes the join sides' shared
+    signature subtree once and no cache-build barrier is paid —
+    measured faster than both the persisted form and a fused
+    bucket-aggregate alternative (see ``_band_self_join``).
     """
     prep = corpus.select(
         qcol(id_col).alias("__id"), as_double_array(vec_col).alias("__v")
@@ -772,9 +779,6 @@ def lsh_cosine_pairs(
     sig_of = _signature_expr(
         corpus.sparkSession, "__v", signature, num_planes, dims
     )
-    # cached by default: the banded self-join reads the signature frame
-    # on both sides (id + num_planes sign bits — tiny), same rationale
-    # as minhash_lsh_candidates; cache_signatures=False stays lazy
     sigd = prep.select("__id", sig_of("__v").alias("__sig"))
     if cache_signatures:
         sigd = sigd.persist()
@@ -784,16 +788,12 @@ def lsh_cosine_pairs(
             rhp_band_keys("__sig", num_planes, bands)
         ).alias("__bkey"),
     )
-    # F.expr/selectExpr parse the same (=, <, AND)/Alias trees the
-    # Column calls built, one round trip per clause (guide §1.2 step 2
-    # — same construction batching as the dedup helpers; sameResult-
-    # pinned in tests/test_r14_optimizations.py)
-    cand = (
-        banded.alias("l")
-        .join(banded.alias("r"), F.expr("l.__bkey = r.__bkey AND l.__id < r.__id"))
-        .selectExpr("l.__id AS id_a", "r.__id AS id_b")
-        .distinct()
-    )
+    # r15: routed through the ONE banding definition (the internal
+    # column name is the only difference) — self-join + map-side-
+    # fusable distinct over the unpersisted banded frame.
+    from .dedup import _band_self_join
+
+    cand = _band_self_join(banded.selectExpr("__id", "__bkey AS __band"))
     # norms once per vector, one fold per candidate pair (bit-identical
     # to inline cosine — the norm fold yields the same double)
     withn = prep.selectExpr("__id", "__v", f"{_sql_norm('__v')} AS __n")
