@@ -26,6 +26,59 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod
 from web_api_postgres_etl_spark.session import get_spark
 
+class _TaskTimeProbe:
+    """Per-query executor task time (ms) from the app status store.
+
+    r15 (r14 verdict #2): at sf0.1 the bench is overhead-bound, so
+    wall time barely moves with core count and the driver's scaling
+    probe false-flagged `suspect_cpus_ignored`. Executor task time —
+    the sum of completed stages' executorRunTime between two snapshots
+    — is the denominator that makes core-scaling diagnosable: if task
+    time >> wall the query parallelizes; if task time ≈ wall it is
+    serial or overhead-bound. Snapshots are taken OUTSIDE the timed
+    window, so the wall numbers are untouched; the stage walk
+    early-stops at already-seen stage ids (the store lists stages in
+    descending id order), keeping py4j cost bounded by new stages.
+    Best-effort: any internals change degrades exec_ms to None, never
+    breaks the bench.
+    """
+
+    def __init__(self, spark) -> None:
+        self._ok = True
+        self._max_seen = -1
+        try:
+            sc = spark.sparkContext
+            self._store = sc._jsc.sc().statusStore()
+            jvm = sc._jvm
+            self._empty = jvm.java.util.ArrayList()
+            self._quantiles = sc._gateway.new_array(jvm.double, 0)
+        except Exception:
+            self._ok = False
+
+    def delta_ms(self) -> int | None:
+        """Task ms of stages newly completed since the last call."""
+        if not self._ok:
+            return None
+        try:
+            stages = self._store.stageList(
+                self._empty, False, False, self._quantiles, self._empty
+            )
+            total, top = 0, self._max_seen
+            for i in range(stages.size()):
+                s = stages.apply(i)
+                sid = s.stageId()
+                if sid <= self._max_seen:
+                    break
+                top = max(top, sid)
+                if str(s.status()) == "COMPLETE":
+                    total += s.executorRunTime()
+            self._max_seen = top
+            return int(total)
+        except Exception:
+            self._ok = False
+            return None
+
+
 HEADLINE = [
     "flagship_star_join",
     "agg_pricing_summary",
@@ -84,13 +137,22 @@ def main() -> None:
     # see the variance, not just the min.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5")))
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    exec_runs: dict[str, list[int | None]] = {name: [] for name in HEADLINE}
+    probe = _TaskTimeProbe(spark)
+    probe.delta_ms()  # reset baseline past the warmup's stages
     for _ in range(repeats):
         for name in HEADLINE:
             t0 = time.perf_counter()
             df = queries[name](spark, sf_dir)
             df.count()
             runs[name].append(round(time.perf_counter() - t0, 3))
+            # outside the timed window: wall numbers are unaffected
+            exec_runs[name].append(probe.delta_ms())
     timings = {name: min(samples) for name, samples in runs.items()}
+    exec_ms = {
+        name: (min(v) if v and all(x is not None for x in v) else None)
+        for name, v in exec_runs.items()
+    }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -105,6 +167,12 @@ def main() -> None:
                 # methodology drift — and carried in the artifact so
                 # round-over-round comparisons can see the min-of-N basis
                 "repeats": repeats,
+                # r15: per-query executor task time (ms, min across
+                # passes; measured outside the timed window) — the
+                # core-scaling denominator: task_ms >> wall means the
+                # query parallelizes even when sf0.1 wall is
+                # overhead-bound and barely moves with core count
+                "exec_ms": exec_ms,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

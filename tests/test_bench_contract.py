@@ -32,7 +32,16 @@ def test_bench_emits_one_json_line_with_contract_keys():
     assert len(lines) == 1, f"expected ONE stdout line, got {len(lines)}"
     payload = json.loads(lines[0])
     assert {"metric", "value", "unit", "queries", "sf"} <= set(payload)
-    assert set(payload) <= {"metric", "value", "unit", "queries", "sf", "runs"}
+    # r15 additive keys: repeats (min-of-N basis) and exec_ms (per-query
+    # executor task time — the core-scaling denominator); additions are
+    # allowed by the driver contract, removals/renames are not
+    assert set(payload) <= {
+        "metric", "value", "unit", "queries", "sf", "runs",
+        "repeats", "exec_ms",
+    }
+    assert payload.get("repeats", 1) >= 1
+    for v in payload.get("exec_ms", {}).values():
+        assert v is None or v >= 0
     assert payload["unit"] == "sec" and payload["value"] > 0
     assert payload["sf"] == 0.001
     assert len(payload["queries"]) >= 15
