@@ -50,18 +50,21 @@ def test_no_plan_memo_env_bypasses_memoization(spark, monkeypatch):
 
 def test_memoized_plans_never_reference_persist_or_streaming(spark):
     """The invariant behind the memoization honesty rule: a memoized
-    DataFrame replayed across bench repeats must recompute from the
-    parquet inputs, so its optimized plan (which substitutes cached
-    data via CacheManager) may not contain an InMemoryRelation, and it
-    may not be a streaming plan. Constructed AFTER the heavy
-    persist-carrying queries have registered their caches, so a
-    decorated query that (wrongly) read a persisted intermediate would
-    be caught here."""
-    # register the persist-carrying pipelines' caches first
-    entrymod.q_near_dup_pipeline(spark, SF_SMOKE).count()
+    construction must not persist anything and must not be a streaming
+    plan — a persisted intermediate replayed across bench repeats would
+    be result caching. Hermetic by construction: the cache manager is
+    cleared first and each query is built FRESH via __wrapped__, so an
+    InMemoryRelation (or a non-empty cache manager afterwards) can only
+    come from the construction itself — not from caches other tests or
+    the shared memo left behind (CacheManager substitutes any matching
+    plan fragment, which made a non-hermetic version of this test
+    order-dependent)."""
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
     for name in _memoized_query_names():
-        df = getattr(entrymod, name)(spark, SF_SMOKE)
+        df = getattr(entrymod, name).__wrapped__(spark, SF_SMOKE)
         assert not df.isStreaming, f"{name}: memoized streaming plan"
+        assert cm.isEmpty(), f"{name}: construction registered a cache"
         optimized = df._jdf.queryExecution().optimizedPlan().toString()
         assert "InMemoryRelation" not in optimized, (
             f"{name}: memoized plan references persisted data"
@@ -196,10 +199,12 @@ def test_minhash_banding_distinct_fuses_into_join_stage(spark):
 def test_bench_json_carries_repeats():
     """The bench artifact must carry its min-of-N basis (r14 verdict #2:
     the repeats methodology is frozen at 5 and must be visible)."""
-    import inspect
-
     import bench
 
-    src = inspect.getsource(bench.main)
+    # read the file directly (inspect.getsource reads stale line
+    # offsets if the module file changed after import)
+    with open(bench.__file__) as f:
+        src = f.read()
     assert '"repeats": repeats' in src
     assert 'SPARK_GRAFT_BENCH_REPEATS", "5"' in src, "repeats default moved"
+    assert '"exec_ms": exec_ms' in src
