@@ -31,18 +31,13 @@ from web_api_postgres_etl_spark.functions.text import (
     bpe_ish_token_count,
     char_count,
     content_hash,
-    fingerprint,
     fingerprint_from_tokens,
     gopher_flags,
-    lang_id,
     lang_id_from_tokens,
     normalized_tokens,
     punct_ratio,
-    quality_score,
     quality_score_from_tokens,
-    stopword_ratio,
     stopword_ratio_from_tokens,
-    token_count,
 )
 from web_api_postgres_etl_spark.operators.aggregates import (
     event_transitions,
